@@ -1,44 +1,62 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in trafaret_ray) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship transcript feature pipeline at sf0.001 scale:
+  deterministic synthetic transcripts (input_hint schema) → contract gate
+  (quarantine) → one conv_id hash exchange → sessionize / lag / lead /
+  fills / strict-< as-of vs tool state → feature vectors.
+- ``queries()`` / ``oracle_sql()`` — operator inventory with DuckDB
+  oracles over the driver testdata tables (see trafaret_ray/pipelines/
+  queries.py for per-query scale notes).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
+def _flagship_input(n_turns: int = 6000, seed: int = 42):
+    """Deterministic transcripts table (input_hint shape), cached as
+    parquet under /tmp so repeated calls stream from disk like production."""
+    import pyarrow.parquet as pq
+    from trafaret_ray.sources.transcripts import generate_table
+    path = os.path.join(tempfile.gettempdir(),
+                        f'trafaret_ray_transcripts_{n_turns}_{seed}.parquet')
+    if not os.path.exists(path):
+        tmp = path + '.tmp'
+        pq.write_table(generate_table(n_turns, seed=seed,
+                                      malformed_frac=0.02), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at small scale; returns the feature Dataset."""
+    import ray.data as rd
+    from trafaret_ray.pipelines.flagship import flagship
+    ds = rd.read_parquet(_flagship_input())
+    feats, _quarantine = flagship(ds, num_buckets=8)
+    return feats
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from trafaret_ray.pipelines.queries import QUERIES
+    q = dict(QUERIES)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def flagship_features(sf_dir: str):
+        # transcript pipeline itself (rows-only check: the oracle lives in
+        # tests/test_features.py as a pandas straight-line implementation)
+        return entry()
+
+    q['flagship_transcript_features'] = flagship_features
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from trafaret_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -1,0 +1,143 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline flagship transcript pipeline plus the query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address='local', num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints
+ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two fresh processes at 8 and
+32 CPUs on the same input and reports both throughputs plus the scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+# headline transcripts scale: ~2M turns at sf0.1
+SF = float(SF_DIR.rstrip('/').rsplit('sf', 1)[-1]) if 'sf' in SF_DIR else 0.1
+N_TURNS = int(os.environ.get('GRAFT_BENCH_TURNS', str(int(20_000_000 * SF))))
+
+BENCH_QUERIES = [
+    'q1_pricing_summary', 'q_top_customers', 'q_region_revenue',
+    'q_sessionize_events', 'q_lag_events', 'q_ffill_events',
+    'q_asof_events', 'q_exact_dedup_docs', 'q_token_stats', 'q_ann_topk',
+]
+
+
+def transcripts_path() -> str:
+    """Cache the deterministic transcripts input under /tmp (sharded
+    parquet); warm the page cache with one untimed read."""
+    from trafaret_ray.sources.transcripts import write_transcripts
+    path = f'/tmp/trafaret_ray_bench/transcripts_{N_TURNS}'
+    marker = os.path.join(path, '_DONE')
+    if not os.path.exists(marker):
+        write_transcripts(path, n_turns=N_TURNS, seed=42,
+                          malformed_frac=0.02)
+        open(marker, 'w').write('ok')
+    for f in os.listdir(path):
+        if f.endswith('.parquet'):
+            with open(os.path.join(path, f), 'rb') as fh:
+                fh.read()
+    return path
+
+
+def run_headline() -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level='ERROR')
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    path = transcripts_path()
+
+    from trafaret_ray.pipelines.flagship import flagship
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path)
+    feats, _q = flagship(ds, num_buckets=max(4 * NUM_CPUS, 32))
+    n_rows = 0
+    for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
+        n_rows += b.num_rows
+    headline_sec = time.perf_counter() - t0
+
+    qtimes = {}
+    import __ray_entry__ as entrymod
+    queries = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = queries[name](SF_DIR)
+        if hasattr(res, 'to_pandas'):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {'headline_sec': headline_sec, 'rows': n_rows, 'queries': qtimes}
+
+
+def main():
+    if '--scaling' in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_HEADLINE_ONLY='1',
+                       PYTHONPATH='/root/repo')
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), 'bench.py')],
+                env=env, capture_output=True, text=True, check=True).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        tp8 = results[8]['rows_per_sec']
+        tp32 = results[32]['rows_per_sec']
+        eff = (tp32 / tp8) / (32 / 8)
+        print(json.dumps({
+            'sec_8': results[8]['value'], 'sec_32': results[32]['value'],
+            'turns_per_sec_8': tp8, 'turns_per_sec_32': tp32,
+            'scaling_efficiency': round(eff, 3), 'n_turns': N_TURNS,
+        }))
+        return
+
+    headline_only = os.environ.get('GRAFT_BENCH_HEADLINE_ONLY') == '1'
+    r = run_headline() if not headline_only else _headline_only()
+    out = {
+        'metric': 'flagship_transcript_features_e2e',
+        'value': round(r['headline_sec'], 3),
+        'unit': 'sec',
+        'queries': r.get('queries', {}),
+        'sf': SF,
+        'num_cpus': NUM_CPUS,
+        'rows': r['rows'],
+        'rows_per_sec': round(r['rows'] / r['headline_sec'], 1),
+    }
+    print(json.dumps(out))
+
+
+def _headline_only() -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level='ERROR')
+    DataContext.get_current().enable_progress_bars = False
+    path = transcripts_path()
+    from trafaret_ray.pipelines.flagship import flagship
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path)
+    feats, _q = flagship(ds, num_buckets=max(4 * NUM_CPUS, 32))
+    n_rows = 0
+    for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
+        n_rows += b.num_rows
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {'headline_sec': sec, 'rows': n_rows}
+
+
+if __name__ == '__main__':
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

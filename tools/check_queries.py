@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry and its oracle_sql() side-by-side on a given sf dir, compare
+row-count + schema + order-insensitive values (floats rounded).
+
+Usage: PYTHONPATH=/root/repo python tools/check_queries.py [sf_dir] [names...]
+"""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == 'f':
+            df[c] = df[c].round(6)
+        if str(df[c].dtype).startswith('datetime'):
+            df[c] = df[c].astype('datetime64[us]')
+    return df.sort_values(list(df.columns), kind='stable')\
+        .reset_index(drop=True)
+
+
+def compare(name, ray_df, sql_df) -> list[str]:
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f'rowcount {len(ray_df)} vs {len(sql_df)}')
+    a, b = normalize(ray_df), normalize(sql_df)
+    if list(a.columns) != list(b.columns):
+        problems.append(f'columns {list(a.columns)} vs {list(b.columns)}')
+        return problems
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                av = pd.to_numeric(a[c]).to_numpy(dtype=np.float64)
+                bv = pd.to_numeric(b[c]).to_numpy(dtype=np.float64)
+                if not np.allclose(av, bv, rtol=1e-6, atol=1e-9,
+                                   equal_nan=True):
+                    bad = np.nonzero(~np.isclose(av, bv, rtol=1e-6,
+                                                 atol=1e-9,
+                                                 equal_nan=True))[0][:3]
+                    problems.append(f'col {c} differs at rows {bad.tolist()}:'
+                                    f' {av[bad]} vs {bv[bad]}')
+            else:
+                eq = (pd.isna(a[c]) & pd.isna(b[c])) | (a[c] == b[c])
+                if not eq.all():
+                    bad = np.nonzero(~eq.to_numpy())[0][:3]
+                    problems.append(
+                        f'col {c} differs at rows {bad.tolist()}: '
+                        f'{a[c].iloc[bad].tolist()} vs '
+                        f'{b[c].iloc[bad].tolist()}')
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    only = set(sys.argv[2:])
+    import ray
+    if not ray.is_initialized():
+        ray.init(address='local', num_cpus=8, include_dashboard=False,
+                 logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for tbl in ('region nation customer supplier part orders lineitem '
+                'events documents embeddings').split():
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{tbl}.parquet')")
+
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            res = fn(sf_dir)
+            ray_df = res.to_pandas() if hasattr(res, 'to_pandas') else res
+            if name not in oracles:
+                print(f'{name}: rows-only ({len(ray_df)} rows) [no oracle]')
+                continue
+            sql_df = con.sql(oracles[name]).df()
+            problems = compare(name, ray_df, sql_df)
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            problems = [f'EXCEPTION {type(e).__name__}: {e}']
+        if problems:
+            failures += 1
+            print(f'{name}: FAIL — ' + '; '.join(problems))
+        else:
+            print(f'{name}: ok ({len(ray_df)} rows)')
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == '__main__':
+    main()

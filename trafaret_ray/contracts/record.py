@@ -28,7 +28,13 @@ from .base import Contract, ensure_contract
 from .result import CheckResult, DataError, as_array, null_out
 from .scalars import Any, valid_mask, _np_mask
 
-_empty = object()
+class _Empty:
+    """Sentinel for 'no default'. A class object pickles by reference, so
+    identity survives the cloudpickle round-trip into Ray workers (a bare
+    ``object()`` would not)."""
+
+
+_empty = _Empty
 
 
 class FieldError:

@@ -1,0 +1,148 @@
+"""The flagship pipeline (north rule, SURVEY.md §3.5):
+
+    read_parquet(transcripts)
+      → contract gate (validate/coerce; malformed turns → quarantine)
+      → ONE hash exchange on conv_id (bucket groupby)
+      → per-bucket sorted vectorized features
+          (sessionize, lag/lead, fills, strict-< as-of vs tool state)
+      → write features + quarantine + per-partition lineage metrics
+
+Streaming end-to-end: no full materialization; quarantine is split off in
+the same single validation pass by writing the tagged dataset partitioned
+on validity (hive partition `_ok=true|false`), which doubles as the
+stage-1 checkpoint for resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..contracts import BatchValidator
+from ..contracts.validator import ERRORS_COL, drop_quarantine, only_quarantine
+from ..sources.transcripts import transcript_contract
+from ..stages.conversations import per_conversation
+from ..stages.features import GAP_US_DEFAULT, conversation_features
+
+FEATURE_COLUMNS = [
+    'conv_id', 'turn_idx', 'role', 'text', 'tool', 'ts', 'text_len',
+    'time_since_prev_s', 'is_new_session', 'session_id', 'pos_in_session',
+    'prev_role', 'next_role', 'prev_text_len', 'tool_ffill', 'last_tool',
+    'last_tool_ts', 'time_since_tool_s',
+]
+
+
+def validated_dataset(ds, contract=None, batch_size: int = 65536):
+    """(ok_ds, quarantine_ds) — both lazily derived from one tagged stage.
+
+    NOTE: consuming both branches recomputes validation (Ray Data streams,
+    it does not fork); `run_flagship` instead checkpoints the tagged stage
+    to parquet for a strict single pass.
+    """
+    contract = contract or transcript_contract()
+    v = BatchValidator(contract)
+    tagged = ds.map_batches(v.tag, batch_format='pyarrow',
+                            batch_size=batch_size, zero_copy_batch=True)
+    ok = tagged.map_batches(drop_quarantine, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    quarantine = tagged.map_batches(only_quarantine, batch_format='pyarrow',
+                                    zero_copy_batch=True)
+    return ok, quarantine
+
+
+def feature_dataset(ok_ds, num_buckets: int = 64,
+                    gap_us: int = GAP_US_DEFAULT):
+    """validated transcripts → per-turn feature vectors (one shuffle)."""
+    return per_conversation(
+        ok_ds,
+        lambda tbl, starts: conversation_features(tbl, starts, gap_us),
+        num_buckets=num_buckets)
+
+
+def flagship(ds, num_buckets: int = 64, gap_us: int = GAP_US_DEFAULT,
+             batch_size: int = 65536):
+    """In-memory two-branch variant for smoke/tests/entry():
+    returns (features_ds, quarantine_ds)."""
+    ok, quarantine = validated_dataset(ds, batch_size=batch_size)
+    return feature_dataset(ok, num_buckets, gap_us), quarantine
+
+
+def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
+                 gap_us: int = GAP_US_DEFAULT, batch_size: int = 65536,
+                 resume: bool = True) -> dict:
+    """Production path: single validation pass via a checkpointed tagged
+    stage, partition-addressed outputs, per-partition lineage metrics,
+    resumable (skips completed stages via _SUCCESS markers).
+
+    Layout:
+        out_dir/validated/_ok=true|false/...   (stage 1 checkpoint)
+        out_dir/features/...                   (stage 2 output)
+        out_dir/metrics.json                   (lineage: row/error counts)
+    """
+    import ray.data as rd
+
+    validated_dir = os.path.join(out_dir, 'validated')
+    features_dir = os.path.join(out_dir, 'features')
+    os.makedirs(out_dir, exist_ok=True)
+
+    def done(stage_dir):
+        return os.path.exists(os.path.join(stage_dir, '_SUCCESS'))
+
+    def mark(stage_dir):
+        with open(os.path.join(stage_dir, '_SUCCESS'), 'w') as f:
+            f.write('ok')
+
+    # -- stage 1: validate + split (one pass, partitioned on validity) ----
+    if not (resume and done(validated_dir)):
+        ds = rd.read_parquet(input_path)
+        v = BatchValidator(transcript_contract())
+
+        def tag_with_flag(tbl: pa.Table) -> pa.Table:
+            tagged = v.tag(tbl)
+            okmask = pc.is_null(tagged.column(ERRORS_COL))
+            return tagged.append_column('_ok', okmask)
+
+        tagged = ds.map_batches(tag_with_flag, batch_format='pyarrow',
+                                batch_size=batch_size, zero_copy_batch=True)
+        tagged.write_parquet(validated_dir, partition_cols=['_ok'])
+        mark(validated_dir)
+
+    # -- stage 2: features over the ok partition --------------------------
+    ok_path = os.path.join(validated_dir, '_ok=true')
+    metrics: dict = {}
+    if os.path.exists(ok_path) and not (resume and done(features_dir)):
+        ok_ds = rd.read_parquet(ok_path).drop_columns([ERRORS_COL])
+        feats = feature_dataset(ok_ds, num_buckets, gap_us)
+        feats.write_parquet(features_dir)
+        mark(features_dir)
+
+    # -- lineage metrics --------------------------------------------------
+    q_path = os.path.join(validated_dir, '_ok=false')
+    n_ok = rd.read_parquet(ok_path).count() if os.path.exists(ok_path) else 0
+    n_q = rd.read_parquet(q_path).count() if os.path.exists(q_path) else 0
+    code_counts: dict[str, int] = {}
+    if n_q:
+        qd = rd.read_parquet(q_path, columns=[ERRORS_COL])
+
+        def count_codes(tbl: pa.Table) -> pa.Table:
+            local: dict[str, int] = {}
+            for payload in tbl.column(ERRORS_COL).to_pylist():
+                if not payload:
+                    continue
+                for field, err in json.loads(payload).items():
+                    c = err.get('code') or 'unknown'
+                    local[c] = local.get(c, 0) + 1
+            return pa.table({'code': list(local), 'n': list(local.values())})
+
+        agg = qd.map_batches(count_codes, batch_format='pyarrow')\
+            .groupby('code').sum('n')
+        for row in agg.take_all():
+            code_counts[row['code']] = int(row['sum(n)'])
+    metrics = {'rows_ok': n_ok, 'rows_quarantined': n_q,
+               'error_codes': code_counts}
+    with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+    return metrics

@@ -1,0 +1,79 @@
+"""Per-conversation execution: the engine's ONE shuffle.
+
+Pattern (SURVEY.md §7 phase 2): hash-bucket conversations so each bucket
+holds complete conversations, exchange once via ``groupby('_bucket')``,
+then run vectorized segmented kernels over each bucket with all its
+conversations sorted (conv_id, turn_idx, ts) and contiguous. Per-bucket
+work is numpy/Arrow over the whole bucket — never per-conversation python
+— so thousands of small conversations cost one pass.
+
+Scale notes:
+  * ``num_buckets`` bounds shuffle-partition size; size it ≈ 2-4× total
+    cores cluster-wide (more buckets = smaller, more uniform tasks).
+  * A mega-conversation is still confined to one bucket; the salted path
+    (stages/salting.py) splits those by turn-range with overlap carry.
+  * The bucket hash is deterministic (pandas hash_array with a fixed key),
+    so reruns and resumed jobs land rows in identical buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .window import group_starts
+
+BUCKET_COL = '_bucket'
+_HASH_KEY = '0123456789abcdef'  # fixed -> deterministic across processes
+
+
+def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic uint64 hash-bucket of a key array (vectorized C)."""
+    h = pd.util.hash_array(values, hash_key=_HASH_KEY, categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def add_bucket(table: pa.Table, key: str = 'conv_id',
+               num_buckets: int = 64) -> pa.Table:
+    vals = table.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+    return table.append_column(
+        BUCKET_COL, pa.array(bucket_of(vals, num_buckets), type=pa.int32()))
+
+
+def sort_bucket(table: pa.Table, key: str = 'conv_id',
+                order: tuple = ('turn_idx', 'ts')) -> pa.Table:
+    """Stable in-bucket sort giving the engine's canonical row order
+    (conv_id, turn_idx, ts) — the ordering the byte-equality invariant is
+    defined over (SURVEY.md §4.3)."""
+    keys = [(key, 'ascending')] + [(o, 'ascending') for o in order]
+    return table.sort_by(keys)
+
+
+def per_conversation(ds, fn, key: str = 'conv_id',
+                     order: tuple = ('turn_idx', 'ts'),
+                     num_buckets: int = 64, drop_bucket: bool = True,
+                     **groupby_kwargs):
+    """ds → one hash exchange → fn(sorted_bucket_table, starts) per bucket.
+
+    ``fn`` receives the bucket as a pyarrow Table sorted by (key, *order)
+    with a numpy bool ``starts`` marking each conversation's first row, and
+    returns a pyarrow Table.
+    """
+
+    def _run(bucket_tbl: pa.Table) -> pa.Table:
+        if bucket_tbl.num_rows == 0:
+            return bucket_tbl
+        tbl = sort_bucket(bucket_tbl, key, order)
+        if drop_bucket and BUCKET_COL in tbl.column_names:
+            tbl = tbl.drop_columns([BUCKET_COL])
+        keys = tbl.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out = fn(tbl, group_starts(keys))
+        return out
+
+    bucketed = ds.map_batches(
+        lambda t: add_bucket(t, key, num_buckets),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        _run, batch_format='pyarrow', **groupby_kwargs)

@@ -1,0 +1,210 @@
+"""Segmented window kernels: vectorized per-group ordered features.
+
+These are the new-engine operators the reference does not have
+(SURVEY.md §2.9): lag/lead, time-since-prev, gap sessionization,
+forward/backward fill — all computed over a batch whose rows are SORTED by
+(group, order keys) with each group contiguous. Everything is numpy over
+the whole batch (no per-group python), so a bucket holding thousands of
+small conversations is one vectorized pass.
+
+Inputs are plain numpy arrays + a boolean ``starts`` vector marking the
+first row of each group. ``group_starts`` derives it from the sorted group
+key column.
+
+Leakage discipline (SURVEY.md §4.3): ``lag`` shifts strictly backward;
+``ffill`` propagates past → future only; ``bfill`` is future → past and is
+only legal for columns the pipeline explicitly declares training-safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def group_starts(keys: np.ndarray) -> np.ndarray:
+    """First-row-of-group mask for a sorted key array."""
+    n = len(keys)
+    starts = np.empty(n, dtype=bool)
+    if n == 0:
+        return starts
+    starts[0] = True
+    starts[1:] = keys[1:] != keys[:-1]
+    return starts
+
+
+def group_start_index(starts: np.ndarray) -> np.ndarray:
+    """Per-row index of its group's first row."""
+    n = len(starts)
+    return np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+
+
+def group_end_index(starts: np.ndarray) -> np.ndarray:
+    """Per-row index of its group's last row (inclusive)."""
+    n = len(starts)
+    ends = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return ends
+    is_last = np.empty(n, dtype=bool)
+    is_last[:-1] = starts[1:]
+    is_last[-1] = True
+    rev = np.where(is_last, np.arange(n), n - 1)
+    return np.minimum.accumulate(rev[::-1])[::-1]
+
+
+def lag_indices(starts: np.ndarray, k: int = 1):
+    """(take_index, valid) for a strict k-step backward shift within group."""
+    n = len(starts)
+    gs = group_start_index(starts)
+    idx = np.arange(n) - k
+    valid = idx >= gs
+    return np.where(valid, idx, 0), valid
+
+
+def lead_indices(starts: np.ndarray, k: int = 1):
+    n = len(starts)
+    ge = group_end_index(starts)
+    idx = np.arange(n) + k
+    valid = idx <= ge
+    return np.where(valid, idx, 0), valid
+
+
+def take_masked(arr: pa.Array, idx: np.ndarray, valid: np.ndarray) -> pa.Array:
+    """arr[idx] with null where ~valid — the Arrow-typed shift primitive."""
+    return arr.take(pa.array(idx, mask=~valid))
+
+
+def lag_column(arr: pa.Array, starts: np.ndarray, k: int = 1) -> pa.Array:
+    idx, valid = lag_indices(starts, k)
+    return take_masked(arr, idx, valid)
+
+
+def lead_column(arr: pa.Array, starts: np.ndarray, k: int = 1) -> pa.Array:
+    idx, valid = lead_indices(starts, k)
+    return take_masked(arr, idx, valid)
+
+
+def time_since_prev_us(ts_us: np.ndarray, starts: np.ndarray):
+    """(delta_us int64, valid) — delta to the previous turn in the group."""
+    n = len(ts_us)
+    delta = np.zeros(n, dtype=np.int64)
+    if n:
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+    valid = ~starts
+    delta[starts] = 0
+    return delta, valid
+
+
+def sessionize(ts_us: np.ndarray, starts: np.ndarray,
+               gap_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """Gap-based sessions: a new session begins at each group start and
+    wherever the delta to the previous turn exceeds ``gap_us``.
+
+    Returns (is_new_session bool, session_id int64 0-based within group).
+    """
+    delta, valid = time_since_prev_us(ts_us, starts)
+    is_new = starts | (valid & (delta > gap_us))
+    c = np.cumsum(is_new)
+    gs = group_start_index(starts)
+    session_id = c - c[gs]  # 0 at the group's first session row
+    return is_new, session_id
+
+
+def position_in_session(is_new_session: np.ndarray) -> np.ndarray:
+    """0-based turn index within the current session."""
+    n = len(is_new_session)
+    idx = np.arange(n)
+    sess_start = np.maximum.accumulate(np.where(is_new_session, idx, 0))
+    return idx - sess_start
+
+
+def ffill_indices(valid_value: np.ndarray, starts: np.ndarray):
+    """(take_index, ok): index of the latest non-null value at-or-before each
+    row within its group (past → future, leakage-safe)."""
+    n = len(valid_value)
+    idx = np.arange(n)
+    pos = np.where(valid_value, idx, -1)
+    pos = np.maximum.accumulate(pos)
+    gs = group_start_index(starts)
+    ok = pos >= gs
+    return np.where(ok, pos, 0), ok
+
+
+def bfill_indices(valid_value: np.ndarray, starts: np.ndarray):
+    """(take_index, ok): earliest non-null value at-or-after each row within
+    its group (future → past; only for declared non-leaking columns)."""
+    n = len(valid_value)
+    ge = group_end_index(starts)
+    idx = np.arange(n)
+    pos = np.where(valid_value, idx, n)
+    pos = np.minimum.accumulate(pos[::-1])[::-1]
+    ok = pos <= ge
+    return np.where(ok, pos, 0), ok
+
+
+def ffill_column(arr: pa.Array, starts: np.ndarray) -> pa.Array:
+    valid = np.asarray(arr.is_valid().to_numpy(zero_copy_only=False),
+                       dtype=bool)
+    idx, ok = ffill_indices(valid, starts)
+    return take_masked(arr, idx, ok)
+
+
+def bfill_column(arr: pa.Array, starts: np.ndarray) -> pa.Array:
+    valid = np.asarray(arr.is_valid().to_numpy(zero_copy_only=False),
+                       dtype=bool)
+    idx, ok = bfill_indices(valid, starts)
+    return take_masked(arr, idx, ok)
+
+
+def asof_backward(left_ts: np.ndarray, left_group: np.ndarray,
+                  right_ts: np.ndarray, right_group: np.ndarray):
+    """Per-group strict-backward as-of match (zero temporal leakage).
+
+    Returns (right_index, matched) per left row: the index into the
+    UNSORTED right arrays of the LATEST right row with ``right.ts <
+    left.ts`` in the same group — strict ``<``, so a same-timestamp state
+    row never leaks into its own turn (SURVEY.md §4.3). Group keys must be
+    comparable scalars (factorized int codes recommended); neither side
+    needs to be pre-sorted.
+
+    Fully vectorized merge-rank algorithm, no per-group loop:
+    interleave both sides sorted by (group, ts, side) with left rows
+    ordered BEFORE right rows at equal ts (this is what makes the match
+    strict); then for each left row the count of right rows earlier in its
+    group picks the matching right row by rank. Among right ties on ts the
+    last by input order wins (stable sort) — the deterministic tie-break.
+    """
+    m, r = len(left_ts), len(right_ts)
+    if r == 0 or m == 0:
+        return np.zeros(m, dtype=np.int64), np.zeros(m, dtype=bool)
+    r_order = np.lexsort((right_ts, right_group))
+    r_ts = right_ts[r_order]
+    r_g = right_group[r_order]
+
+    ts_all = np.concatenate([left_ts, r_ts])
+    g_all = np.concatenate([left_group, r_g])
+    side = np.concatenate([np.zeros(m, dtype=np.int8),
+                           np.ones(r, dtype=np.int8)])
+    order = np.lexsort((side, ts_all, g_all))
+    is_right = side[order] == 1
+    cum_right = np.cumsum(is_right)
+    starts = group_starts(g_all[order])
+    gs = group_start_index(starts)
+    # k: right rows in the same group at sorted positions <= p; for a left
+    # row (is_right == 0) that is exactly "right rows strictly before it"
+    k = cum_right - (cum_right[gs] - is_right[gs])
+    left_pos = ~is_right
+    k_left = k[left_pos]
+    matched_sorted = k_left >= 1
+    # right-group start offsets per left row
+    orig_left_idx = order[left_pos]          # position into left arrays
+    grp_lo = np.searchsorted(r_g, g_all[order][left_pos], side='left')
+    match_sorted_right = grp_lo + np.maximum(k_left - 1, 0)
+    match_right = r_order[np.minimum(match_sorted_right, r - 1)]
+
+    out_idx = np.zeros(m, dtype=np.int64)
+    out_ok = np.zeros(m, dtype=bool)
+    out_idx[orig_left_idx] = match_right
+    out_ok[orig_left_idx] = matched_sorted
+    return out_idx, out_ok
