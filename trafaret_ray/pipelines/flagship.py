@@ -35,7 +35,7 @@ FEATURE_COLUMNS = [
 ]
 
 
-def validated_dataset(ds, contract=None, batch_size: int = 65536):
+def validated_dataset(ds, contract=None, batch_size: int = 131072):
     """(ok_ds, quarantine_ds) — both lazily derived from one tagged stage.
 
     NOTE: consuming both branches recomputes validation (Ray Data streams,
@@ -53,7 +53,7 @@ def validated_dataset(ds, contract=None, batch_size: int = 65536):
     return ok, quarantine
 
 
-def feature_dataset(ok_ds, num_buckets: int = 64,
+def feature_dataset(ok_ds, num_buckets: int = 32,
                     gap_us: int = GAP_US_DEFAULT):
     """validated transcripts → per-turn feature vectors (one shuffle)."""
     return per_conversation(
@@ -62,16 +62,16 @@ def feature_dataset(ok_ds, num_buckets: int = 64,
         num_buckets=num_buckets)
 
 
-def flagship(ds, num_buckets: int = 64, gap_us: int = GAP_US_DEFAULT,
-             batch_size: int = 65536):
+def flagship(ds, num_buckets: int = 32, gap_us: int = GAP_US_DEFAULT,
+             batch_size: int = 131072):
     """In-memory two-branch variant for smoke/tests/entry():
     returns (features_ds, quarantine_ds)."""
     ok, quarantine = validated_dataset(ds, batch_size=batch_size)
     return feature_dataset(ok, num_buckets, gap_us), quarantine
 
 
-def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
-                 gap_us: int = GAP_US_DEFAULT, batch_size: int = 65536,
+def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
+                 gap_us: int = GAP_US_DEFAULT, batch_size: int = 131072,
                  resume: bool = True) -> dict:
     """Production path: single validation pass via a checkpointed tagged
     stage, partition-addressed outputs, per-partition lineage metrics,
