@@ -1,0 +1,124 @@
+"""Dedup + text-analysis operators: planted-duplicate recall, exact
+Jaccard parity, signature determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from trafaret_ray.functions import text as T
+
+
+def corpus():
+    rng = np.random.default_rng(5)
+    vocab = ['alpha', 'beta', 'gamma', 'delta', 'eps', 'zeta', 'eta',
+             'theta', 'iota', 'kappa', 'lam', 'mu']
+    docs = [' '.join(rng.choice(vocab, 40)) for _ in range(100)]
+    near = docs[0].split()
+    near[5], near[20] = 'changed', 'words'
+    docs.append(' '.join(near))   # id 100: near-dup of 0
+    docs.append(docs[1])          # id 101: exact dup of 1
+    return pa.table({'doc_id': list(range(len(docs))), 'text': docs})
+
+
+class TestTextFunctions:
+    def test_shingles(self):
+        lengths, flat = T.word_shingles(['a b c d', 'x y'], k=3)
+        assert lengths.tolist() == [2, 1]
+        assert set(flat[:2]) == {'a b c', 'b c d'}
+        assert flat[2] == 'x y'
+
+    def test_minhash_similarity_estimate(self):
+        # jaccard(sigA, sigB) agreement rate ~ true jaccard
+        l1, f1 = T.word_shingles(['a b c d e f g h i j'], k=2)
+        l2, f2 = T.word_shingles(['a b c d e f g h i XX'], k=2)
+        s1 = T.minhash_matrix(l1, T.hash_shingles(f1), 256)
+        s2 = T.minhash_matrix(l2, T.hash_shingles(f2), 256)
+        est = (s1[0] == s2[0]).mean()
+        sa = set(f1.tolist())
+        sb = set(f2.tolist())
+        true_j = len(sa & sb) / len(sa | sb)
+        assert abs(est - true_j) < 0.15
+
+    def test_simhash_identical_docs(self):
+        l, f = T.word_shingles(['one two three', 'one two three',
+                                'totally different words'], k=1)
+        s = T.simhash64(l, T.hash_shingles(f))
+        assert s[0] == s[1]
+        assert T.hamming_distance(s[:1], s[2:3])[0] > 0
+
+    def test_fingerprint_deterministic(self):
+        a = T.rolling_fingerprint(pa.array(['x', 'y', 'x']))
+        assert a[0] == a[2] and a[0] != a[1]
+
+    def test_language_id(self):
+        langs, conf = T.language_id([
+            'the cat and the dog went to the market',
+            'der hund und die katze ist nicht da',
+            'el perro y la casa es una cosa',
+            'zzz qqq www'])
+        assert langs.tolist() == ['en', 'de', 'es', 'unknown']
+        assert conf[0] > 0
+
+    def test_quality_features(self):
+        q = T.quality_features(pa.array(['The cat, and DOG 42!', 'x']))
+        assert q['n_words'][0].as_py() == 5
+        assert q['punct_ratio'][0].as_py() > 0
+        assert q['digit_ratio'][1].as_py() == 0
+
+    def test_token_counts(self):
+        t = pa.array(['a b  c', 'one'])
+        assert T.whitespace_token_count(t).to_pylist() == [4, 1]
+        assert T.bpe_ish_token_count(
+            pa.array(['hello world 123, ok!'])).to_pylist() == [6]
+
+
+class TestDedupRay:
+    def test_exact_dedup(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import exact_dedup
+        out = exact_dedup(rd.from_arrow(corpus())).to_pandas()
+        dups = out[out.n_dups > 1]
+        assert dups['doc_id'].tolist() == [1]
+        assert dups['n_dups'].tolist() == [2]
+        assert len(out) == 101
+
+    def test_ngram_jaccard_exact(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import ngram_jaccard_pairs
+        out = ngram_jaccard_pairs(rd.from_arrow(corpus()), threshold=0.5,
+                                  num_buckets=8).to_pandas()\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        assert out[['doc_a', 'doc_b']].values.tolist() == [[0, 100], [1, 101]]
+        assert out['jaccard'].tolist()[1] == 1.0
+        assert 0.6 < out['jaccard'].tolist()[0] < 0.8
+
+    def test_minhash_dedup_recall(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import minhash_dedup
+        out = minhash_dedup(rd.from_arrow(corpus()),
+                            threshold=0.5).to_pydict()
+        clusters = dict(zip(out['doc_id'], out['cluster_id']))
+        assert clusters[0] == clusters[100]
+        assert clusters[1] == clusters[101]
+
+    def test_simhash_exact_dup_distance_zero(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import simhash_candidates
+        out = simhash_candidates(rd.from_arrow(corpus()), max_hamming=0,
+                                 num_buckets=8).to_pandas()
+        pairs = set(map(tuple, out[['doc_a', 'doc_b']].values.tolist()))
+        assert (1, 101) in pairs
+
+    def test_embedding_near_dup(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import embedding_near_dup
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((60, 16)).astype(np.float32)
+        emb = np.vstack([emb, emb[7] * 1.001])
+        tbl = pa.table({
+            'vec_id': list(range(61)),
+            'embedding': pa.array([list(map(float, r)) for r in emb],
+                                  type=pa.list_(pa.float32()))})
+        out = embedding_near_dup(rd.from_arrow(tbl), threshold=0.99,
+                                 num_planes=4, num_buckets=4).to_pandas()
+        assert [7, 60] in out[['id_a', 'id_b']].values.tolist()

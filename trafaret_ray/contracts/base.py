@@ -31,7 +31,22 @@ def _infer_array(value):
         return None
 
 
-class Contract:
+class ContractMeta(type):
+    """Class-level composition sugar (reference TrafaretMeta, base.py:72-92):
+    ``Int | String``, ``Int & gte``, ``ToInt >> fn`` work on the CLASSES by
+    instantiating with no args first."""
+
+    def __or__(cls, other):
+        return cls() | other
+
+    def __and__(cls, other):
+        return cls() & other
+
+    def __rshift__(cls, other):
+        return cls() >> other
+
+
+class Contract(metaclass=ContractMeta):
     """Base contract node. Subclasses implement ``apply(arr) -> CheckResult``."""
 
     # True when this node accepts null input values (Null, Any, Or-with-Null).

@@ -1,0 +1,210 @@
+"""Vectorized text functions: tokenization, shingling, hashing, language
+ID, quality scoring, fingerprinting.
+
+All batch functions take/return Arrow arrays or numpy; per-doc python loops
+only where ragged shapes force it (shingling), and then over numpy slices,
+not python strings. These are first-class engine operators for the
+training-data pipeline (SURVEY.md §2.9 gap inventory).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HASH_KEY = '0123456789abcdef'
+
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs — the
+# common GPT-2-style splitter shape (public knowledge), simplified.
+BPE_SPLIT_RE = re.compile(
+    r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+")
+
+
+def whitespace_token_count(text: pa.Array) -> pa.Array:
+    """len(string_split(text, ' ')) semantics (single-space split)."""
+    return pc.add(pc.count_substring(text, ' '), pa.scalar(1, pa.int64()))
+
+
+def bpe_ish_token_count(text: pa.Array) -> pa.Array:
+    """Count of BPE-style pre-tokens (regex pieces)."""
+    counts = pc.count_substring_regex(text, BPE_SPLIT_RE.pattern)
+    return pc.cast(counts, pa.int64())
+
+
+def word_shingles(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word k-gram shingles per document.
+
+    Returns (doc_lengths, flat_shingle_strings): lengths[i] distinct
+    shingles for doc i, concatenated in ``flat``.
+    """
+    lengths = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        if not t:
+            lengths[i] = 0
+            continue
+        w = t.split(' ')
+        if len(w) < k:
+            sh = {' '.join(w)}
+        else:
+            sh = {' '.join(w[j:j + k]) for j in range(len(w) - k + 1)}
+        lengths[i] = len(sh)
+        flat.extend(sh)
+    return lengths, np.array(flat, dtype=object)
+
+
+def hash_shingles(flat: np.ndarray) -> np.ndarray:
+    """uint64 hashes of shingle strings (deterministic, vectorized C)."""
+    if len(flat) == 0:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=False)
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_matrix(lengths: np.ndarray, hashes: np.ndarray,
+                   num_perm: int = 128, seed: int = 1234) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures via universal hashing
+    h_i(x) = (a_i*x + b_i) mod (2^61-1), min per doc — one vectorized
+    ``minimum.reduceat`` per permutation over ALL docs' shingles at once."""
+    n = len(lengths)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    nonempty = lengths > 0
+    ne_off = offsets[nonempty]
+    x = hashes % _MERSENNE
+    for p in range(num_perm):
+        hp = (a[p] * x + b[p]) % _MERSENNE
+        sig[nonempty, p] = np.minimum.reduceat(hp, ne_off)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, num_bands: int = 16) -> np.ndarray:
+    """(n_docs, num_bands) uint64: hash of each band's signature slice.
+    Docs sharing any band hash are LSH candidates."""
+    n, num_perm = sig.shape
+    rows = num_perm // num_bands
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    for bidx in range(num_bands):
+        chunk = sig[:, bidx * rows:(bidx + 1) * rows]
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in range(rows):
+            acc = acc * np.uint64(1099511628211) + chunk[:, c]
+        out[:, bidx] = acc
+    return out
+
+
+def simhash64(lengths: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc from its (unweighted) shingle/token hashes:
+    per bit, sum of +-1 votes across the doc's hashes, vectorized with
+    add.reduceat per bit-plane."""
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(hashes) == 0:
+        return out
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    nonempty = lengths > 0
+    ne_off = offsets[nonempty]
+    for bit in range(64):
+        votes = (((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                 * 2 - 1)
+        sums = np.add.reduceat(votes, ne_off)
+        bits = (sums > 0).astype(np.uint64)
+        out[nonempty] |= bits << np.uint64(bit)
+    return out
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # vectorized popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1)
+
+
+def rolling_fingerprint(text: pa.Array, window: int = 64) -> pa.Array:
+    """Deterministic document fingerprint: uint64 polynomial rolling hash
+    of the full text (content-addressed identity for exact dedup)."""
+    vals = text.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals, hash_key=_HASH_KEY, categorize=False)
+    # int64 view: same 64 bits, but survives pandas/duckdb round-trips
+    return pa.array(h.view(np.int64), type=pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# language ID + quality scoring (heuristic, deterministic)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    'en': {'the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'},
+    'de': {'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'zu', 'mit'},
+    'fr': {'le', 'la', 'les', 'et', 'est', 'un', 'une', 'dans', 'pour'},
+    'es': {'el', 'la', 'los', 'las', 'es', 'un', 'una', 'en', 'por', 'que'},
+}
+
+
+def language_id(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Stopword-voting language ID. Returns (lang codes, confidence).
+    Deterministic tie-break: alphabetical language order."""
+    langs = sorted(_LANG_STOPWORDS)
+    stop_maps = [_LANG_STOPWORDS[lg] for lg in langs]
+    out = np.empty(len(texts), dtype=object)
+    conf = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = 'unknown'
+            continue
+        words = t.lower().split()
+        scores = [sum(w in sm for w in words) for sm in stop_maps]
+        best = max(range(len(langs)), key=lambda j: (scores[j], -j))
+        if scores[best] == 0:
+            out[i] = 'unknown'
+        else:
+            out[i] = langs[best]
+            conf[i] = scores[best] / max(len(words), 1)
+    return out, conf
+
+
+def quality_features(text: pa.Array) -> dict[str, pa.Array]:
+    """Vectorized quality signals: char/word counts, mean word length,
+    punctuation ratio, uppercase ratio, digit ratio, stopword ratio (en),
+    repetition ratio (distinct/total words)."""
+    n_chars = pc.utf8_length(text)
+    n_words = whitespace_token_count(text)
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]")
+    n_upper = pc.count_substring_regex(text, r"[A-Z]")
+    n_digit = pc.count_substring_regex(text, r"[0-9]")
+    nc = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    texts = text.to_pylist()
+    stop_ratio = np.zeros(len(texts), dtype=np.float64)
+    distinct_ratio = np.zeros(len(texts), dtype=np.float64)
+    en_stops = _LANG_STOPWORDS['en']
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = t.lower().split()
+        if ws:
+            stop_ratio[i] = sum(w in en_stops for w in ws) / len(ws)
+            distinct_ratio[i] = len(set(ws)) / len(ws)
+    return {
+        'n_chars': pc.cast(n_chars, pa.int64()),
+        'n_words': n_words,
+        'mean_word_len': pc.divide(pc.cast(n_chars, pa.float64()),
+                                   pc.cast(n_words, pa.float64())),
+        'punct_ratio': pc.divide(pc.cast(n_punct, pa.float64()), nc),
+        'upper_ratio': pc.divide(pc.cast(n_upper, pa.float64()), nc),
+        'digit_ratio': pc.divide(pc.cast(n_digit, pa.float64()), nc),
+        'stopword_ratio': pa.array(stop_ratio),
+        'distinct_word_ratio': pa.array(distinct_ratio),
+    }

@@ -420,9 +420,11 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang ORDER BY lang
     """,
     'q_ann_topk': """
-        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                   WHERE vec_id = 0)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding, (SELECT qe FROM q)), 6)
+               round(list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qe FROM q)), 6)
                  AS cos_sim
         FROM embeddings
         WHERE vec_id <> 0
@@ -430,3 +432,232 @@ ORACLE_SQL = {
         LIMIT 10
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs over documents (threshold
+    0.5): shingle explode → shingle-hash exchange → pair partials → one
+    small groupby (stages/dedup.py:ngram_jaccard_pairs)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ngram_jaccard_pairs(ds, threshold=0.5, num_buckets=16)\
+        .sort(['doc_a', 'doc_b'])
+
+
+def q_quality_scores(sf_dir: str):
+    """Per-doc quality signals (SQL-expressible subset): word count, mean
+    word length, distinct-word ratio, en-stopword ratio. Vectorized Arrow
+    kernels + single-space split semantics shared with the oracle."""
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def score(tbl: pa.Table) -> pa.Table:
+        from ..functions.text import whitespace_token_count, _LANG_STOPWORDS
+        text = tbl.column('text').combine_chunks()
+        n_chars = pc.utf8_length(text)
+        n_words = whitespace_token_count(text)
+        texts = text.to_pylist()
+        stop = _LANG_STOPWORDS['en']
+        stop_ratio = np.zeros(len(texts))
+        distinct_ratio = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            ws = t.lower().split(' ') if t else []
+            if ws:
+                stop_ratio[i] = sum(w in stop for w in ws) / len(ws)
+                distinct_ratio[i] = len(set(ws)) / len(ws)
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'n_words': n_words,
+            'mean_word_len': pc.round(pc.divide(
+                pc.cast(n_chars, pa.float64()),
+                pc.cast(n_words, pa.float64())), ndigits=6),
+            'stopword_ratio': pa.array(np.round(stop_ratio, 6)),
+            'distinct_word_ratio': pa.array(np.round(distinct_ratio, 6)),
+        })
+
+    return ds.map_batches(score, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish pre-token counts per source (regex piece counting)."""
+    from ..functions.text import bpe_ish_token_count
+    ds = _read(sf_dir, 'documents', ['source', 'text'])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'source': tbl.column('source'),
+            'n_bpe': bpe_ish_token_count(tbl.column('text').combine_chunks()),
+        })
+
+    ds = ds.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True)
+    out = pre_aggregate(ds, ['source'], {'total_bpe': ('n_bpe', 'sum'),
+                                         'avg_bpe': ('n_bpe', 'mean')})
+
+    def round_avg(tbl: pa.Table) -> pa.Table:
+        return tbl.set_column(
+            tbl.column_names.index('avg_bpe'), 'avg_bpe',
+            pc.round(tbl.column('avg_bpe'), ndigits=6))
+
+    return out.map_batches(round_avg, batch_format='pyarrow').sort('source')
+
+
+def q_cosine_pairs(sf_dir: str):
+    """EXACT cosine-similar pairs (vec_id < 1000, cos >= 0.3): brute-force
+    per-batch matmul against the broadcast sub-matrix; each batch emits
+    only qualifying pairs. The LSH-bucketed variant for full-scale corpora
+    is stages/dedup.py:embedding_near_dup (rows-only check)."""
+    import pyarrow.parquet as pq
+    cap, threshold = 1000, 0.3
+    t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
+                       columns=['vec_id', 'embedding'])
+    t0 = t0.filter(pc.less(t0.column('vec_id'), cap))
+    ids0 = t0.column('vec_id').to_numpy(zero_copy_only=False)
+    la = t0.column('embedding').combine_chunks()
+    mat0 = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64).reshape(len(la), -1)
+    norm0 = np.linalg.norm(mat0, axis=1)
+    import ray
+    ref = ray.put((ids0, mat0, norm0))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids0, self.mat0, self.norm0 = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            tbl = tbl.filter(pc.less(tbl.column('vec_id'), cap))
+            if tbl.num_rows == 0:
+                return pa.table({'id_a': pa.array([], pa.int64()),
+                                 'id_b': pa.array([], pa.int64()),
+                                 'cos_sim': pa.array([], pa.float64())})
+            ids = tbl.column('vec_id').to_numpy(zero_copy_only=False)
+            la = tbl.column('embedding').combine_chunks()
+            mat = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                             dtype=np.float64).reshape(len(la), -1)
+            sims = (mat @ self.mat0.T) / np.outer(
+                np.linalg.norm(mat, axis=1), self.norm0)
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids[ia] < self.ids0[ib]
+            return pa.table({
+                'id_a': pa.array(ids[ia[keep]]),
+                'id_b': pa.array(self.ids0[ib[keep]]),
+                'cos_sim': pa.array(np.round(sims[ia[keep], ib[keep]], 6)),
+            })
+
+    emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return emb.map_batches(PairFinder, batch_format='pyarrow',
+                           concurrency=2).sort(['id_a', 'id_b'])
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """MinHash-LSH near-dup clusters over documents (approximate by
+    design → rows-only driver check; planted-pair recall is covered in
+    tests/test_dedup.py)."""
+    from ..stages.dedup import minhash_dedup
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return minhash_dedup(ds, threshold=0.5)
+
+
+def q_simhash_candidates_docs(sf_dir: str):
+    """SimHash near-dup candidates (hamming <= 3) — rows-only check."""
+    from ..stages.dedup import simhash_candidates
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return simhash_candidates(ds, max_hamming=3, num_buckets=16)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Random-hyperplane-LSH cosine near-dups (approximate → rows-only)."""
+    from ..stages.dedup import embedding_near_dup
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return embedding_near_dup(ds, threshold=0.95, num_planes=6,
+                              num_buckets=16)
+
+
+def q_langid_docs(sf_dir: str):
+    """Stopword-voting language ID per doc (heuristic → rows-only)."""
+    from ..functions.text import language_id
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def lid(tbl: pa.Table) -> pa.Table:
+        langs, conf = language_id(tbl.column('text').to_pylist())
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'lang_pred': pa.array(langs, type=pa.string()),
+            'confidence': pa.array(np.round(conf, 6)),
+        })
+
+    return ds.map_batches(lid, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
+QUERIES.update({
+    'q_ngram_jaccard_pairs': q_ngram_jaccard_pairs,
+    'q_quality_scores': q_quality_scores,
+    'q_bpe_token_stats': q_bpe_token_stats,
+    'q_cosine_pairs': q_cosine_pairs,
+    'q_minhash_dedup_docs': q_minhash_dedup_docs,
+    'q_simhash_candidates_docs': q_simhash_candidates_docs,
+    'q_embedding_near_dup': q_embedding_near_dup,
+    'q_langid_docs': q_langid_docs,
+})
+
+ORACLE_SQL.update({
+    'q_ngram_jaccard_pairs': """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 w[x] || ' ' || w[x + 1] || ' ' || w[x + 2] AS s
+          FROM words, unnest(range(1, greatest(len(w) - 1, 2))) AS t(x)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    'q_quality_scores': """
+        WITH w AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ws,
+                 string_split(lower(text), ' ') AS lws
+          FROM documents)
+        SELECT doc_id,
+               len(ws) AS n_words,
+               round(length(text) * 1.0 / len(ws), 6) AS mean_word_len,
+               round(len(list_filter(lws, x -> x IN
+                 ('the','and','of','to','a','in','is','that','it','for')))
+                 * 1.0 / len(lws), 6) AS stopword_ratio,
+               round(len(list_distinct(lws)) * 1.0 / len(lws), 6)
+                 AS distinct_word_ratio
+        FROM w ORDER BY doc_id
+    """,
+    'q_bpe_token_stats': """
+        WITH t AS (
+          SELECT source,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]+')) AS n_bpe
+          FROM documents)
+        SELECT source,
+               sum(n_bpe)                       AS total_bpe,
+               round(sum(n_bpe) * 1.0 / count(*), 6) AS avg_bpe
+        FROM t GROUP BY source ORDER BY source
+    """,
+    'q_cosine_pairs': """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                   FROM embeddings WHERE vec_id < 1000)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+        ORDER BY id_a, id_b
+    """,
+})

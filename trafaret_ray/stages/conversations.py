@@ -77,3 +77,23 @@ def per_conversation(ds, fn, key: str = 'conv_id',
         batch_format='pyarrow', zero_copy_batch=True)
     return bucketed.groupby(BUCKET_COL).map_groups(
         _run, batch_format='pyarrow', **groupby_kwargs)
+
+
+def bucket_exchange(ds, key: str, fn, num_buckets: int = 32,
+                    **groupby_kwargs):
+    """Generic hash exchange: co-locate all rows sharing ``key`` into one
+    task, run ``fn(table) -> table`` per bucket. Unlike
+    ``Dataset.repartition(keys=...)`` this works under every shuffle
+    strategy (it is a groupby on a computed int32 bucket column), and a
+    bucket holds MANY keys — fn must group internally (vectorized)."""
+
+    def _run(bucket_tbl: pa.Table) -> pa.Table:
+        if bucket_tbl.num_rows and BUCKET_COL in bucket_tbl.column_names:
+            bucket_tbl = bucket_tbl.drop_columns([BUCKET_COL])
+        return fn(bucket_tbl)
+
+    bucketed = ds.map_batches(
+        lambda t: add_bucket(t, key, num_buckets),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        _run, batch_format='pyarrow', **groupby_kwargs)
