@@ -1,0 +1,138 @@
+"""Joins (broadcast/hash/semi/anti/as-of), multimodal plumbing,
+checkpointer."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope='module')
+def tables():
+    rng = np.random.default_rng(2)
+    left = pa.table({
+        'k': rng.integers(0, 20, 200),
+        'v': rng.standard_normal(200),
+    })
+    right = pa.table({
+        'k': np.arange(0, 15, dtype=np.int64),
+        'name': [f'n{i}' for i in range(15)],
+    })
+    return left, right
+
+
+class TestJoins:
+    def test_broadcast_join(self, ray_session, tables):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import broadcast_join
+        left, right = tables
+        out = broadcast_join(rd.from_arrow(left), right.to_pandas(),
+                             on='k').to_pandas()
+        exp = left.to_pandas().merge(right.to_pandas(), on='k')
+        assert len(out) == len(exp)
+        assert sorted(out['name'].unique()) == sorted(exp['name'].unique())
+
+    def test_hash_join_matches_pandas(self, ray_session, tables):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import hash_join
+        left, right = tables
+        out = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on='k', num_buckets=8).to_pandas()
+        exp = left.to_pandas().merge(right.to_pandas(), on='k')
+        o = out.sort_values(['k', 'v']).reset_index(drop=True)
+        e = exp.sort_values(['k', 'v']).reset_index(drop=True)
+        assert len(o) == len(e)
+        assert (o['name'].to_numpy() == e['name'].to_numpy()).all()
+
+    def test_semi_anti(self, ray_session, tables):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import semi_join, anti_join
+        left, right = tables
+        semi = semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                         on='k').to_pandas()
+        anti = anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                         on='k').to_pandas()
+        assert len(semi) + len(anti) == left.num_rows
+        assert set(semi['k']) <= set(range(15))
+        assert set(anti['k']).isdisjoint(set(range(15)))
+
+    def test_asof_join_matches_merge_asof(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join
+        rng = np.random.default_rng(4)
+        left = pa.table({
+            'ent': rng.integers(0, 10, 300),
+            'ts': rng.integers(0, 10_000, 300),
+            'x': rng.standard_normal(300),
+        })
+        right = pa.table({
+            'ent': rng.integers(0, 10, 200),
+            'ts': rng.integers(0, 10_000, 200),
+            'state': rng.integers(0, 100, 200),
+        })
+        # dedup right to (ent, ts) so the match is unambiguous
+        rdf = right.to_pandas().groupby(['ent', 'ts'], as_index=False)\
+            .agg(state=('state', 'max'))
+        out = asof_join(rd.from_arrow(left),
+                        rd.from_arrow(pa.Table.from_pandas(rdf)),
+                        by='ent', on='ts', value_cols=['state'],
+                        num_buckets=4).to_pandas()
+        ldf = left.to_pandas().reset_index()
+        exp = pd.merge_asof(ldf.sort_values('ts', kind='stable'),
+                            rdf.sort_values('ts', kind='stable'),
+                            on='ts', by='ent', allow_exact_matches=False,
+                            direction='backward')\
+            .set_index('index').sort_index()
+        o = out.sort_values(['ent', 'ts', 'x']).reset_index(drop=True)
+        e = exp.sort_values(['ent', 'ts', 'x']).reset_index(drop=True)
+        a, b = o['state_state'].to_numpy(), e['state'].to_numpy()
+        assert (pd.isna(a) == pd.isna(b)).all()
+        assert (a[~pd.isna(a)] == b[~pd.isna(b)]).all()
+
+
+class TestMultimodal:
+    def test_image_pipeline_plumbing(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.multimodal import (
+            synthetic_media_table, decode_pipeline)
+        ds = rd.from_arrow(synthetic_media_table(32, seed=1))
+        out = decode_pipeline(ds, concurrency=2, batch_size=8).to_pandas()
+        assert len(out) == 32
+        emb = np.stack(out['embedding'].to_numpy())
+        assert emb.shape == (32, 64)
+        # deterministic across runs
+        out2 = decode_pipeline(rd.from_arrow(synthetic_media_table(32, seed=1)),
+                               concurrency=2, batch_size=8).to_pandas()
+        emb2 = np.stack(out2.sort_values('media_id')['embedding'].to_numpy())
+        emb1 = np.stack(out.sort_values('media_id')['embedding'].to_numpy())
+        np.testing.assert_allclose(emb1, emb2)
+
+    def test_audio_and_frames(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.multimodal import (
+            synthetic_media_table, AudioFeatures, FrameSample)
+        ds = rd.from_arrow(synthetic_media_table(8, seed=2, kind='audio'))
+        au = ds.map_batches(AudioFeatures, batch_format='pyarrow',
+                            batch_size=4, concurrency=2).to_pandas()
+        assert np.stack(au['energies'].to_numpy()).shape == (8, 16)
+        fr = ds.map_batches(FrameSample, batch_format='pyarrow',
+                            batch_size=4, concurrency=2).to_pandas()
+        assert len(fr) == 8 * 4
+
+
+class TestCheckpointer:
+    def test_stage_lifecycle(self, ray_session, tmp_path):
+        import ray.data as rd
+        from trafaret_ray.state.checkpoint import Checkpointer
+        cp = Checkpointer(str(tmp_path / 'out'))
+        ds = rd.from_arrow(pa.table({'a': [1, 2, 3]}))
+        p = cp.write_stage(ds, 's1', metrics={'rows': 3})
+        assert cp.done('s1')
+        assert rd.read_parquet(p).count() == 3
+        # second write is a no-op (resume)
+        p2 = cp.write_stage(rd.from_arrow(pa.table({'a': [9]})), 's1')
+        assert rd.read_parquet(p2).count() == 3
+        assert cp.metrics('s1') == {'rows': 3}
+        # fresh instance reads the manifest back
+        cp2 = Checkpointer(str(tmp_path / 'out'))
+        assert cp2.done('s1')

@@ -661,3 +661,37 @@ ORACLE_SQL.update({
         ORDER BY id_a, id_b
     """,
 })
+
+
+def q_priority_revenue(sf_dir: str):
+    """Large×large partitioned hash join (lineitem ⋈ orders on orderkey —
+    one bucket exchange of both sides; stages/joins.py:hash_join) then
+    partial-aggregated revenue per order priority."""
+    from ..stages.joins import hash_join
+    lineitem = _read(sf_dir, 'lineitem',
+                     ['l_orderkey', 'l_extendedprice', 'l_discount'])
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        r = pc.multiply(tbl.column('l_extendedprice'),
+                        pc.subtract(pa.scalar(1.0), tbl.column('l_discount')))
+        return pa.table({'o_orderkey': tbl.column('l_orderkey'),
+                         'revenue': r})
+
+    lrev = lineitem.map_batches(rev, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
+    joined = hash_join(lrev, orders, on='o_orderkey', num_buckets=16)
+    out = pre_aggregate(joined, ['o_orderpriority'],
+                        {'total_revenue': ('revenue', 'sum'),
+                         'n_items': ('revenue', 'count')})
+    return out.sort('o_orderpriority')
+
+
+QUERIES['q_priority_revenue'] = q_priority_revenue
+ORACLE_SQL['q_priority_revenue'] = """
+    SELECT o_orderpriority,
+           sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+           count(*)                                AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -1,0 +1,217 @@
+"""Join operators: broadcast, partitioned hash, semi/anti, as-of
+(dataset-level).
+
+Selection guide (SURVEY.md §4.2):
+  * one side fits in memory        → ``broadcast_join`` (no shuffle)
+  * both sides large               → ``hash_join`` (one bucket exchange of
+                                     both sides, pairwise merge per bucket)
+  * existence filter               → ``semi_join`` / ``anti_join``
+                                     (broadcast the key set; no shuffle)
+  * temporal alignment             → ``asof_join`` (strict-< backward,
+                                     co-bucketed by entity)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .conversations import BUCKET_COL, add_bucket
+
+
+def broadcast_join(ds, small, on, how: str = 'inner',
+                   concurrency: int = 4):
+    """Join a Dataset against a small pandas DataFrame / pyarrow Table:
+    ``ray.put`` once, pandas merge per batch inside an actor pool."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            out = df.merge(self.small, on=on, how=how)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(Joiner, batch_format='pyarrow',
+                          concurrency=concurrency)
+
+
+def _key_set_ref(ds, on):
+    keys = set()
+    for b in ds.iter_batches(batch_size=None, batch_format='pyarrow'):
+        keys.update(b.column(on).to_pylist())
+    return ray.put(keys)
+
+
+def semi_join(ds, keys_ds, on):
+    """Keep rows whose key exists in keys_ds (broadcast key set —
+    at larger key cardinalities swap in a Bloom filter, same shape)."""
+    ref = _key_set_ref(keys_ds, on)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys
+                             for k in tbl.column(on).to_pylist()])
+            return tbl.filter(mask)
+
+    return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
+
+
+def anti_join(ds, keys_ds, on):
+    ref = _key_set_ref(keys_ds, on)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys
+                             for k in tbl.column(on).to_pylist()])
+            return tbl.filter(mask)
+
+    return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
+
+
+def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
+              suffixes=('', '_r')):
+    """Partitioned hash join of two LARGE datasets: both sides bucket on
+    the key in one exchange (union of tagged rows), then a pandas merge
+    per bucket. Skewed keys concentrate in one bucket — salt hot keys
+    upstream if the key histogram is heavy-tailed."""
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = (set(lcols) & set(rcols)) - {on}
+
+    def tag(side):
+        def fn(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column('_side', pa.array([side] * tbl.num_rows,
+                                                       type=pa.int8()))
+        return fn
+
+    def pad(tbl: pa.Table, all_names, types) -> pa.Table:
+        cols = {}
+        for name in all_names:
+            if name in tbl.column_names:
+                cols[name] = tbl.column(name)
+            else:
+                cols[name] = pa.nulls(tbl.num_rows, type=types[name])
+        return pa.table(cols)
+
+    # align schemas for union (renaming right's shared columns)
+    def rename_right(tbl: pa.Table) -> pa.Table:
+        names = [n if n == on or n not in shared else n + suffixes[1]
+                 for n in tbl.column_names]
+        return tbl.rename_columns(names)
+
+    lt = left.map_batches(tag(0), batch_format='pyarrow')
+    rt = right.map_batches(rename_right, batch_format='pyarrow')\
+        .map_batches(tag(1), batch_format='pyarrow')
+
+    lschema = lt.schema()
+    rschema = rt.schema()
+    types = {}
+    for s in (lschema, rschema):
+        for name, typ in zip(s.names, s.types):
+            types[name] = typ
+    all_names = list(dict.fromkeys(list(lschema.names) + list(rschema.names)))
+
+    lt = lt.map_batches(lambda t: pad(t, all_names, types),
+                        batch_format='pyarrow')
+    rt = rt.map_batches(lambda t: pad(t, all_names, types),
+                        batch_format='pyarrow')
+    both = lt.union(rt)
+    bucketed = both.map_batches(
+        lambda t: add_bucket(t, on, num_buckets), batch_format='pyarrow')
+
+    lnames = [n for n in all_names
+              if n in lschema.names and n != '_side']
+    rnames = [n for n in all_names
+              if n in rschema.names and n != '_side' and n != on]
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        df = tbl.drop_columns([BUCKET_COL]).to_pandas()
+        l = df[df['_side'] == 0][lnames]
+        r = df[df['_side'] == 1][[on] + rnames]
+        out = l.merge(r, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(merge,
+                                                   batch_format='pyarrow')
+
+
+def asof_join(left, right, by: str, on: str, value_cols,
+              num_buckets: int = 32, suffix: str = '_state'):
+    """Dataset-level point-in-time as-of join: for each left row the
+    LATEST right row with ``right.on < left.on`` (strict) sharing ``by``.
+    Both sides co-bucket by the entity in ONE exchange; per bucket a
+    vectorized merge-rank match (stages/window.py:asof_backward)."""
+    from .window import asof_backward
+
+    def tag(side, keep):
+        def fn(tbl: pa.Table) -> pa.Table:
+            cols = {by: tbl.column(by), on: tbl.column(on)}
+            for c in keep:
+                cols[c] = tbl.column(c)
+            t = pa.table(cols)
+            return t.append_column('_side', pa.array([side] * t.num_rows,
+                                                     type=pa.int8()))
+        return fn
+
+    lcols = [c for c in left.schema().names if c not in (by, on)]
+    lt = left.map_batches(tag(0, lcols), batch_format='pyarrow')
+    rt = right.map_batches(tag(1, value_cols), batch_format='pyarrow')
+
+    # pad to a common schema
+    def pad_missing(names_types):
+        def fn(tbl: pa.Table) -> pa.Table:
+            cols = {n: (tbl.column(n) if n in tbl.column_names
+                        else pa.nulls(tbl.num_rows, type=t))
+                    for n, t in names_types}
+            return pa.table(cols)
+        return fn
+
+    lnt = list(zip(lt.schema().names, lt.schema().types))
+    rnt = list(zip(rt.schema().names, rt.schema().types))
+    merged_nt = list({n: t for n, t in lnt + rnt}.items())
+    both = lt.map_batches(pad_missing(merged_nt), batch_format='pyarrow')\
+        .union(rt.map_batches(pad_missing(merged_nt),
+                              batch_format='pyarrow'))
+    bucketed = both.map_batches(lambda t: add_bucket(t, by, num_buckets),
+                                batch_format='pyarrow')
+
+    def match(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns([BUCKET_COL])
+        side = tbl.column('_side').to_numpy(zero_copy_only=False)
+        by_vals = tbl.column(by).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(by_vals)
+        on_vals = tbl.column(on).combine_chunks()
+        if pa.types.is_timestamp(on_vals.type):
+            on_np = on_vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            on_np = on_vals.to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rmask = side == 1
+        li = np.nonzero(lmask)[0]
+        ri = np.nonzero(rmask)[0]
+        idx, ok = asof_backward(on_np[li], codes[li], on_np[ri], codes[ri])
+        out_cols = {}
+        for c in (by, on, *lcols):
+            out_cols[c] = tbl.column(c).take(pa.array(li, type=pa.int64()))
+        for c in value_cols:
+            src = tbl.column(c).combine_chunks()
+            taken = src.take(pa.array(ri[idx], mask=~ok))
+            out_cols[c + suffix] = taken
+        return pa.table(out_cols)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(match,
+                                                   batch_format='pyarrow')

@@ -1,0 +1,317 @@
+"""Skew salting: mega-conversations split into turn-range chunks with
+EXACT boundary-state handoff (SURVEY.md §7 phase 4).
+
+A conversation with millions of turns would pin one bucket task to a
+single core (and can exceed its memory). The salted flagship:
+
+  1. **Census** — partial-agg row counts per conv_id; conversations above
+     ``max_group_rows`` become "mega" (rare by construction, so the mega
+     set is tiny and broadcastable).
+  2. **Chunking** — mega rows get ``salt = turn_idx // chunk_rows``;
+     normal rows salt 0. The exchange key becomes (conv_id, salt), so a
+     mega conversation spreads over ceil(n/chunk) tasks.
+  3. **Boundary summaries** (distributed, mega rows only) — per chunk:
+     row count, first/last row's (turn_idx, ts, role, text_len),
+     sessions opened inside the chunk, last tool event in the chunk, and
+     position bookkeeping. These are ~#chunks rows — tiny.
+  4. **Driver scan** — an exclusive scan over each mega conv's chunk
+     summaries (ordered by salt) yields, per chunk: the previous ROW's
+     fields (for lag-1 / time-since / session-boundary tests), the
+     session-id offset, the running position inside an open session, the
+     carried last-tool state, and the NEXT chunk's first role (for
+     lead-1). Broadcast via ``ray.put``.
+  5. **Main pass** — one exchange on (conv_id, salt); per chunk the
+     normal vectorized kernels run, then the first/last rows are patched
+     from the carried state. Output is byte/allclose-identical to the
+     unsalted pipeline (asserted in tests/test_salting.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .aggregate import pre_aggregate
+from .conversations import BUCKET_COL, sort_bucket, _HASH_KEY
+from .features import GAP_US_DEFAULT, conversation_features
+from .window import group_starts
+
+SALT_COL = '_salt'
+
+
+def conv_census(ds, key='conv_id'):
+    """Row count per conversation (partials exchange, not raw rows)."""
+    def ids(tbl: pa.Table) -> pa.Table:
+        return tbl.select([key])
+    return pre_aggregate(ds.map_batches(ids, batch_format='pyarrow',
+                                        zero_copy_batch=True),
+                         [key], {'n_rows': (key, 'count')})
+
+
+def _add_salt(tbl: pa.Table, mega: dict, chunk_rows: int,
+              num_buckets: int) -> pa.Table:
+    conv = tbl.column('conv_id').combine_chunks().to_numpy(
+        zero_copy_only=False)
+    turn = tbl.column('turn_idx').combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    salt = np.zeros(len(conv), dtype=np.int32)
+    if mega:
+        is_mega = np.fromiter((c in mega for c in conv), dtype=bool,
+                              count=len(conv))
+        salt[is_mega] = (turn[is_mega] // chunk_rows).astype(np.int32)
+    h = pd.util.hash_array(conv, hash_key=_HASH_KEY, categorize=False)
+    bucket = ((h ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+              % np.uint64(num_buckets)).astype(np.int32)
+    return tbl.append_column(SALT_COL, pa.array(salt, pa.int32()))\
+              .append_column(BUCKET_COL, pa.array(bucket, pa.int32()))
+
+
+def _chunk_summaries(tbl: pa.Table, gap_us: int) -> pa.Table:
+    """Per-(conv, salt) boundary summary over a sorted bucket table."""
+    conv = tbl.column('conv_id').to_numpy(zero_copy_only=False)
+    salt = tbl.column(SALT_COL).to_numpy(zero_copy_only=False)
+    keys = np.char.add(np.char.add(conv.astype('U'), '#'),
+                       salt.astype('U'))
+    starts = group_starts(keys)
+    ts = tbl.column('ts').combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    role = tbl.column('role').to_numpy(zero_copy_only=False)
+    tool = tbl.column('tool').combine_chunks()
+    tool_np = tool.to_numpy(zero_copy_only=False)
+    tool_valid = np.asarray(tool.is_valid().to_numpy(zero_copy_only=False),
+                            dtype=bool)
+    text_len = pc.utf8_length(tbl.column('text').combine_chunks())\
+        .to_numpy(zero_copy_only=False)
+
+    lo = np.nonzero(starts)[0]
+    hi = np.append(lo[1:], len(keys)) - 1
+    # sessions opened strictly inside the chunk (after its first row)
+    delta = np.zeros(len(ts), dtype=np.int64)
+    delta[1:] = ts[1:] - ts[:-1]
+    inner_new = (~starts) & (delta > gap_us)
+    c = np.cumsum(inner_new)
+    inner_sessions = c[hi] - c[lo] + inner_new[lo]
+    # rows since the last session break at chunk end (for pos carry)
+    idx = np.arange(len(ts))
+    brk = np.where(inner_new | starts, idx, 0)
+    last_brk = np.maximum.accumulate(brk)
+    tail_rows = idx - last_brk + 1          # rows in the open session ending at i
+    # last tool event position per chunk
+    tool_pos = np.where(tool_valid, idx, -1)
+    tool_cum = np.maximum.accumulate(np.where(starts, tool_pos,
+                                              np.maximum(tool_pos, -1)))
+    # per-chunk last tool: max within [lo, hi]
+    seg_last_tool = np.maximum.reduceat(tool_pos, lo)
+
+    rows = {
+        'conv_id': conv[lo],
+        'salt': salt[lo],
+        'n_rows': (hi - lo + 1).astype(np.int64),
+        'first_ts': ts[lo],
+        'last_ts': ts[hi],
+        'last_role': role[hi],
+        'first_role': role[lo],
+        'last_text_len': text_len[hi].astype(np.int64),
+        'inner_sessions': inner_sessions.astype(np.int64),
+        'tail_rows': tail_rows[hi].astype(np.int64),
+        'has_tool': seg_last_tool >= 0,
+        'last_tool': np.where(seg_last_tool >= 0,
+                              tool_np[np.maximum(seg_last_tool, 0)], None),
+        'last_tool_ts': ts[np.maximum(seg_last_tool, 0)],
+    }
+    return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+
+def _scan_carry(summaries: pd.DataFrame, gap_us: int) -> dict:
+    """Driver-side exclusive scan per conv over chunk summaries (ordered
+    by salt). Returns {(conv, salt): carry dict} for salt > 0 chunks plus
+    next-role for every chunk."""
+    carry = {}
+    for conv, g in summaries.groupby('conv_id', sort=False):
+        g = g.sort_values('salt').reset_index(drop=True)
+        session_base = 0          # sessions opened before this chunk
+        open_run = 0              # rows of the open session before chunk
+        prev = None               # previous chunk's summary row
+        tool_state = (None, None)
+        for i, row in g.iterrows():
+            nxt_role = g.iloc[i + 1]['first_role'] if i + 1 < len(g) else None
+            if prev is not None:
+                boundary_new = (row['first_ts'] - prev['last_ts']) > gap_us
+                carry[(conv, int(row['salt']))] = {
+                    'prev_ts': int(prev['last_ts']),
+                    'prev_role': prev['last_role'],
+                    'prev_text_len': int(prev['last_text_len']),
+                    'session_base': session_base,
+                    'boundary_new': bool(boundary_new),
+                    'open_run': 0 if boundary_new else int(open_run),
+                    'tool': tool_state[0],
+                    'tool_ts': tool_state[1],
+                }
+            carry[('next', conv, int(row['salt']))] = nxt_role
+            # advance the scan
+            first_new = prev is None or \
+                (row['first_ts'] - prev['last_ts']) > gap_us
+            # a chunk whose first row opens a session (incl. the conv's
+            # very first chunk) contributes that session too
+            opened = int(row['inner_sessions']) + (1 if first_new else 0)
+            session_base += opened
+            if int(row['inner_sessions']) > 0 or first_new:
+                open_run = int(row['tail_rows'])
+            else:
+                open_run += int(row['n_rows'])
+            if row['has_tool']:
+                tool_state = (row['last_tool'], int(row['last_tool_ts']))
+            prev = row
+    return carry
+
+
+def flagship_features_salted(ok_ds, max_group_rows: int = 100_000,
+                             chunk_rows: int | None = None,
+                             gap_us: int = GAP_US_DEFAULT,
+                             num_buckets: int = 32):
+    """Skew-hardened flagship feature stage: identical output to
+    ``feature_dataset`` but no task ever holds more than ~chunk_rows rows
+    of one conversation."""
+    chunk_rows = chunk_rows or max_group_rows
+    census = conv_census(ok_ds).to_pandas()
+    mega = {c: int(n) for c, n in zip(census['conv_id'], census['n_rows'])
+            if n > max_group_rows}
+
+    if not mega:
+        from ..pipelines.flagship import feature_dataset
+        return feature_dataset(ok_ds, num_buckets, gap_us)
+
+    mega_ref = ray.put(mega)
+
+    # -- boundary summaries over mega rows only ---------------------------
+    def only_mega(tbl: pa.Table) -> pa.Table:
+        m = ray.get(mega_ref)
+        conv = tbl.column('conv_id').to_numpy(zero_copy_only=False)
+        mask = np.fromiter((c in m for c in conv), dtype=bool,
+                           count=len(conv))
+        return tbl.filter(pa.array(mask))
+
+    mega_rows = ok_ds.map_batches(only_mega, batch_format='pyarrow',
+                                  zero_copy_batch=True)
+    salted_mega = mega_rows.map_batches(
+        lambda t: _add_salt(t, mega, chunk_rows, num_buckets),
+        batch_format='pyarrow')
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([('conv_id', 'ascending'), (SALT_COL, 'ascending'),
+                           ('turn_idx', 'ascending'), ('ts', 'ascending')])
+        return _chunk_summaries(tbl, gap_us)
+
+    summaries = salted_mega.groupby(BUCKET_COL).map_groups(
+        lambda t: summarize(t.drop_columns([BUCKET_COL])),
+        batch_format='pyarrow').to_pandas()
+    carry = _scan_carry(summaries, gap_us)
+    carry_ref = ray.put(carry)
+
+    # -- main pass --------------------------------------------------------
+    def run_chunk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        cmap = ray.get(carry_ref)
+        tbl = tbl.sort_by([('conv_id', 'ascending'), (SALT_COL, 'ascending'),
+                           ('turn_idx', 'ascending'), ('ts', 'ascending')])
+        conv = tbl.column('conv_id').to_numpy(zero_copy_only=False)
+        salt = tbl.column(SALT_COL).to_numpy(zero_copy_only=False)
+        keys = np.char.add(np.char.add(conv.astype('U'), '#'),
+                           salt.astype('U'))
+        starts = group_starts(keys)
+        body = tbl.drop_columns([SALT_COL])
+        feats = conversation_features(body, starts, gap_us)
+        return _patch_chunks(feats, conv, salt, starts, cmap, gap_us)
+
+    salted = ok_ds.map_batches(
+        lambda t: _add_salt(t, mega, chunk_rows, num_buckets),
+        batch_format='pyarrow')
+    return salted.groupby(BUCKET_COL).map_groups(
+        lambda t: run_chunk(t.drop_columns([BUCKET_COL])),
+        batch_format='pyarrow')
+
+
+def _patch_chunks(feats: pa.Table, conv, salt, starts, cmap,
+                  gap_us) -> pa.Table:
+    """Fix up chunk-local features with carried boundary state."""
+    n = feats.num_rows
+    cols = {name: feats.column(name).combine_chunks()
+            for name in feats.column_names}
+    ts_us = cols['ts'].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    sess = cols['session_id'].to_numpy(zero_copy_only=False).astype(
+        np.int64).copy()
+    pos = cols['pos_in_session'].to_numpy(zero_copy_only=False).astype(
+        np.int64).copy()
+    is_new = cols['is_new_session'].to_numpy(zero_copy_only=False).copy()
+    tsp = cols['time_since_prev_s'].to_numpy(zero_copy_only=False).copy()
+    prev_role = cols['prev_role'].to_pylist()
+    prev_tl = cols['prev_text_len'].to_pylist()
+    next_role = cols['next_role'].to_pylist()
+    tool_ffill = cols['tool_ffill'].to_pylist()
+    last_tool = cols['last_tool'].to_pylist()
+    last_tool_ts = cols['last_tool_ts'].cast(pa.int64()).to_pylist()
+    tst = cols['time_since_tool_s'].to_numpy(zero_copy_only=False).copy()
+
+    lo_idx = np.nonzero(starts)[0]
+    ends = np.append(lo_idx[1:], n) - 1
+    for gi, lo in enumerate(lo_idx):
+        c, s = conv[lo], int(salt[lo])
+        hi = ends[gi]
+        nxt = cmap.get(('next', c, s), '__absent__')
+        if nxt != '__absent__' and next_role[hi] is None and nxt is not None:
+            next_role[hi] = nxt
+        if s == 0 or (c, s) not in cmap:
+            continue
+        cr = cmap[(c, s)]
+        # lag-1 fields on the chunk's first row
+        prev_role[lo] = cr['prev_role']
+        prev_tl[lo] = cr['prev_text_len']
+        tsp[lo] = (ts_us[lo] - cr['prev_ts']) / 1e6
+        # session accounting
+        first_new = cr['boundary_new']
+        is_new[lo] = first_new
+        span = slice(lo, hi + 1)
+        if first_new:
+            sess[span] += cr['session_base'] - 0
+        else:
+            # the chunk's local session 0 continues the open session
+            sess[span] += cr['session_base'] - 1
+            run0 = np.nonzero(is_new[lo:hi + 1])[0]
+            stop = (lo + run0[run0 > 0][0]) if len(run0[run0 > 0]) else hi + 1
+            pos[lo:stop] += cr['open_run']
+        # carried tool state: rows before the chunk's first local tool event
+        if cr['tool'] is not None:
+            for i in range(lo, hi + 1):
+                if last_tool[i] is None:
+                    last_tool[i] = cr['tool']
+                    last_tool_ts[i] = cr['tool_ts']
+                    tst[i] = (ts_us[i] - cr['tool_ts']) / 1e6
+                if tool_ffill[i] is None:
+                    tool_ffill[i] = cr['tool']
+    # session_base for salt>0 chunks whose first row IS new already counts
+    # it: when first_new, local session 0 is a NEW session and session_base
+    # sessions came before -> ids shift by session_base (applied above).
+    out = dict(cols)
+    out['session_id'] = pa.array(sess.astype(np.int32), type=pa.int32())
+    out['pos_in_session'] = pa.array(pos.astype(np.int32), type=pa.int32())
+    out['is_new_session'] = pa.array(is_new)
+    out['time_since_prev_s'] = pa.array(
+        tsp, type=pa.float64(),
+        mask=np.isnan(tsp))
+    out['prev_role'] = pa.array(prev_role, type=pa.string())
+    out['prev_text_len'] = pa.array(
+        [None if v is None else int(v) for v in prev_tl], type=pa.int32())
+    out['next_role'] = pa.array(next_role, type=pa.string())
+    out['tool_ffill'] = pa.array(tool_ffill, type=pa.string())
+    out['last_tool'] = pa.array(last_tool, type=pa.string())
+    out['last_tool_ts'] = pa.array(last_tool_ts,
+                                   type=pa.int64()).cast(pa.timestamp('us'))
+    out['time_since_tool_s'] = pa.array(tst, type=pa.float64(),
+                                        mask=np.isnan(tst))
+    return pa.table(out)
