@@ -1,0 +1,156 @@
+"""Reference-suite fixture matrices re-expressed as batch assertions:
+internet validators (tests/test_internet.py), context threading
+(tests/test_context.py), contrib dateutil parsing (tests/test_contrib.py),
+class-level operator sugar."""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+import trafaret_ray.contracts as t
+from trafaret_ray.contracts import contrib_rfc3339
+from trafaret_ray.contracts.result import DataError
+
+
+def batch_ok(contract, values):
+    res = contract.apply(pa.array(values, type=pa.string()))
+    return list(res.ok)
+
+
+VALID_V4 = ['127.0.0.1', '8.8.8.8', '192.168.1.1']
+INVALID_V4 = ['32.64.128.256',
+              '2001:0db8:0000:0042:0000:8a2e:0370:7334', '192.168.1.1 ']
+VALID_V6 = ['2001:0db8:0000:0042:0000:8a2e:0370:7334',
+            '2001:0Db8:0000:0042:0000:8A2e:0370:7334',
+            '2001:cdba:0:0:0:0:3257:9652', '2001:cdba::3257:9652',
+            'fe80::', '::', '::1', '2001:db8::', 'ffaa::',
+            '::ffff:255.255.255.0', '2001:db8:3:4::192.168.1.1',
+            'fe80::1:2%en0']
+INVALID_V6 = ['2001:0db8:z000:0042:0000:8a2e:0370:7334',
+              '2001:cdba:0:0:::0:0:3257:9652', '2001:cdba::3257:::9652',
+              '127.0.0.1', ':ffaa:']
+
+
+class TestInternetMatrix:
+    def test_ipv4(self):
+        assert batch_ok(t.IPv4(), VALID_V4) == [True] * 3
+        assert batch_ok(t.IPv4(), INVALID_V4) == [False] * 3
+        for ip in VALID_V4:
+            assert t.IPv4().check(ip) == ip
+
+    def test_ipv6(self):
+        assert batch_ok(t.IPv6(), VALID_V6) == [True] * len(VALID_V6)
+        assert batch_ok(t.IPv6(), INVALID_V6) == [False] * len(INVALID_V6)
+
+    def test_ip_union(self):
+        c = t.IP()
+        assert batch_ok(c, VALID_V4 + VALID_V6) == \
+            [True] * (len(VALID_V4) + len(VALID_V6))
+        assert batch_ok(c, [':ffaa:', '999.1.1.1']) == [False, False]
+
+    def test_url_idna(self):
+        # reference tests/test_internet.py TestURLTrafaret
+        res = t.URL().check('http://example.net/resource/?param=value#anchor')
+        assert res == 'http://example.net/resource/?param=value#anchor'
+        res = t.URL().check('http://пример.рф/resource/?param=value#anchor')
+        assert res == \
+            'http://xn--e1afmkfd.xn--p1ai/resource/?param=value#anchor'
+
+    def test_email_batch(self):
+        ok = batch_ok(t.Email(), ['a@b.com', 'someone@пример.испытание',
+                                  'bad', '@nope.com'])
+        assert ok == [True, True, False, False]
+
+    def test_hex_urlsafe(self):
+        assert t.Hex().check('DEADbeef') == 'deadbeef'
+        assert t.URLSafe().check('a-b_c9') == 'a-b_c9'
+        assert not t.URLSafe().is_valid('a b')
+
+
+def check_context(value, context=None):
+    if value != context:
+        return DataError('have not context there')
+    return value
+
+
+CONTEXT_CONTRACT = (t.String() | t.Int()) & t.Any & check_context
+
+
+class TestContext:
+    """reference tests/test_context.py:1-38 — context threads through
+    every composite on the scalar path."""
+
+    def test_plain(self):
+        assert CONTEXT_CONTRACT(123, context=123) == 123
+        with pytest.raises(DataError):
+            CONTEXT_CONTRACT(123, context=456)
+
+    def test_dict_context(self):
+        c = t.Dict(b=CONTEXT_CONTRACT)
+        assert c.check({'b': 123}, context=123) == {'b': 123}
+
+    def test_list_context(self):
+        c = t.List(CONTEXT_CONTRACT)
+        assert c.check([123], context=123) == [123]
+
+    def test_tuple_context(self):
+        c = t.Tuple(CONTEXT_CONTRACT)
+        assert c.check([123], context=123) == (123,)
+
+    def test_mapping_context(self):
+        c = t.Mapping(t.Int(), CONTEXT_CONTRACT)
+        assert c.check({123: 123}, context=123) == {123: 123}
+
+
+class TestClassLevelOps:
+    def test_class_or(self):
+        c = t.Int | t.String
+        assert c.check(5) == 5
+        assert c.check('x') == 'x'
+
+    def test_class_and(self):
+        c = t.ToInt & t.Int(gte=0)
+        assert c.check('3') == 3
+
+    def test_class_check(self):
+        # reference allows t.URL.check(...) on classes via metaclass; here
+        # factory functions cover URL/Email, classes cover scalars
+        assert (t.Int > 5).check(6) == 6
+
+
+class TestContribDates:
+    """reference tests/test_contrib.py dateutil matrix (subset — the
+    container's dateutil handles these shapes)."""
+
+    CASES = [
+        ('2019-07-25', datetime.datetime(2019, 7, 25)),
+        ('2019-07-25T22:32:05', datetime.datetime(2019, 7, 25, 22, 32, 5)),
+        ('2019-07-25 22:32:05.123456',
+         datetime.datetime(2019, 7, 25, 22, 32, 5, 123456)),
+        ('Thu, 25 Jul 2019 22:32:05',
+         datetime.datetime(2019, 7, 25, 22, 32, 5)),
+        ('20190725T223205', datetime.datetime(2019, 7, 25, 22, 32, 5)),
+        ('July 25, 2019', datetime.datetime(2019, 7, 25)),
+    ]
+
+    def test_scalar(self):
+        c = contrib_rfc3339.DateTime()
+        for s, expected in self.CASES:
+            assert c.check(s) == expected, s
+
+    def test_batch(self):
+        c = contrib_rfc3339.DateTime()
+        arr = pa.array([s for s, _ in self.CASES] + ['not a date'])
+        res = c.apply(arr)
+        assert list(res.ok) == [True] * len(self.CASES) + [False]
+        got = res.values.to_pylist()
+        for (s, expected), v in zip(self.CASES, got):
+            assert v == expected, s
+
+    def test_date(self):
+        c = contrib_rfc3339.Date()
+        assert c.check('July 25, 2019') == datetime.date(2019, 7, 25)
+        res = c.apply(pa.array(['2019-07-25', 'nope']))
+        assert list(res.ok) == [True, False]
+        assert res.values.to_pylist()[0] == datetime.date(2019, 7, 25)

@@ -442,6 +442,31 @@ class List(Contract):
         return CheckResult(null_out(values, res.ok), res.ok,
                            res.codes, res.msgs)
 
+    def _scalar_check(self, value, context=None):
+        """Per-value path (threads context to element contracts —
+        reference base.py:848-859)."""
+        if not isinstance(value, list):
+            raise DataError('value is not a list', value=value,
+                            code=codes.IS_NOT_A_LIST)
+        if len(value) < self.min_length:
+            raise DataError('list length is less than %s' % self.min_length,
+                            value=value, code=codes.TOO_SHORT)
+        if self.max_length is not None and len(value) > self.max_length:
+            raise DataError('list length is greater than %s'
+                            % self.max_length, value=value,
+                            code=codes.TOO_LONG)
+        out = []
+        errors = {}
+        for i, v in enumerate(value):
+            try:
+                out.append(self.contract.check(v, context))
+            except DataError as e:
+                errors[i] = e
+        if errors:
+            raise DataError(error=errors,
+                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
+        return out
+
     def __repr__(self):
         return '<List(%r)>' % (self.contract,)
 

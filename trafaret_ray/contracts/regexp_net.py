@@ -262,6 +262,7 @@ _IPV6_RE = (
     rf"|(?:{_H}:){{1,5}}:{_IPV4_RE}"
     rf"|::(?:{_H}:){{0,5}}{_IPV4_RE}"
     r")"
+    r"(?:%[0-9A-Za-z]+)?"  # optional zone index (fe80::1%en0)
 )
 
 

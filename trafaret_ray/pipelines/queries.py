@@ -695,3 +695,38 @@ ORACLE_SQL['q_priority_revenue'] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def q_rolling_events(sf_dir: str):
+    """Rolling-window aggregates per user over the last 5 events
+    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW): mean/min/max of value —
+    cumsum-based segmented kernels, one hash exchange."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = tbl.column('value').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mean = W.rolling_mean(v, starts, 5)
+        mn, mx = W.rolling_min_max(v, starts, 5)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'roll_mean': pa.array(np.round(mean, 6)),
+            'roll_min': pa.array(mn),
+            'roll_max': pa.array(mx),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_rolling_events'] = q_rolling_events
+ORACLE_SQL['q_rolling_events'] = """
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 6) AS roll_mean,
+           min(value) OVER w           AS roll_min,
+           max(value) OVER w           AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""

@@ -208,3 +208,63 @@ def asof_backward(left_ts: np.ndarray, left_group: np.ndarray,
     out_idx[orig_left_idx] = match_right
     out_ok[orig_left_idx] = matched_sorted
     return out_idx, out_ok
+
+
+def rolling_window_bounds(starts: np.ndarray, k: int):
+    """Per-row inclusive window [lo, i] of the last k rows within the
+    group (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)."""
+    n = len(starts)
+    gs = group_start_index(starts)
+    lo = np.maximum(np.arange(n) - (k - 1), gs)
+    return lo
+
+
+def rolling_sum(values: np.ndarray, starts: np.ndarray, k: int):
+    """Windowed sum/count over the last k rows within each group — one
+    cumsum + a gather, no per-window loop. NaNs count as missing.
+
+    Returns (sums, counts) float64/int64 arrays.
+    """
+    n = len(values)
+    v = np.asarray(values, dtype=np.float64)
+    ok = ~np.isnan(v)
+    vv = np.where(ok, v, 0.0)
+    csum = np.concatenate([[0.0], np.cumsum(vv)])
+    ccnt = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+    lo = rolling_window_bounds(starts, k)
+    idx = np.arange(n)
+    sums = csum[idx + 1] - csum[lo]
+    counts = ccnt[idx + 1] - ccnt[lo]
+    return sums, counts
+
+
+def rolling_mean(values: np.ndarray, starts: np.ndarray, k: int):
+    """Windowed mean over the last k rows within each group; NaN where the
+    window holds no valid values."""
+    sums, counts = rolling_sum(values, starts, k)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        return np.where(counts > 0, sums / counts, np.nan)
+
+
+def rolling_min_max(values: np.ndarray, starts: np.ndarray, k: int):
+    """Windowed min/max over the last k rows within each group.
+
+    Uses a strided sliding-window view over the cummax-reset trick is not
+    exact across group boundaries, so this pads each row's window to k via
+    the [lo, i] bounds and reduces with np.minimum/maximum over k shifted
+    copies — O(n·k) vectorized, fine for small k (document: for large k
+    use a monotonic-deque per bucket).
+    """
+    n = len(values)
+    v = np.asarray(values, dtype=np.float64)
+    lo = rolling_window_bounds(starts, k)
+    idx = np.arange(n)
+    mins = v.copy()
+    maxs = v.copy()
+    for s in range(1, k):
+        j = idx - s
+        valid = j >= lo
+        jj = np.maximum(j, 0)
+        mins = np.where(valid, np.fmin(mins, v[jj]), mins)
+        maxs = np.where(valid, np.fmax(maxs, v[jj]), maxs)
+    return mins, maxs
