@@ -27,8 +27,12 @@ N_TURNS = int(os.environ.get('GRAFT_BENCH_TURNS', str(int(20_000_000 * SF))))
 
 BENCH_QUERIES = [
     'q1_pricing_summary', 'q_top_customers', 'q_region_revenue',
-    'q_sessionize_events', 'q_lag_events', 'q_ffill_events',
-    'q_asof_events', 'q_exact_dedup_docs', 'q_token_stats', 'q_ann_topk',
+    'q_priority_revenue', 'q_sessionize_events', 'q_lag_events',
+    'q_ffill_events', 'q_asof_events', 'q_rolling_events',
+    'q_exact_dedup_docs', 'q_ngram_jaccard_pairs', 'q_minhash_dedup_docs',
+    'q_simhash_candidates_docs', 'q_token_stats', 'q_quality_scores',
+    'q_bpe_token_stats', 'q_langid_docs', 'q_ann_topk', 'q_cosine_pairs',
+    'q_embedding_near_dup',
 ]
 
 

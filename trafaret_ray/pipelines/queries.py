@@ -608,10 +608,13 @@ ORACLE_SQL.update({
     'q_ngram_jaccard_pairs': """
         WITH words AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id,
                  w[x] || ' ' || w[x + 1] || ' ' || w[x + 2] AS s
           FROM words, unnest(range(1, greatest(len(w) - 1, 2))) AS t(x)),
+        -- identical stop-shingle cap as the Ray side (max_df = 50)
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+        sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c

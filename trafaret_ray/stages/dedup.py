@@ -40,7 +40,7 @@ def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
 
 def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                         k: int = 3, threshold: float = 0.5,
-                        num_buckets: int = 32):
+                        num_buckets: int = 32, max_df: int | None = 50):
     """EXACT word-k-gram Jaccard similar pairs (doc_a, doc_b, jaccard).
 
     Plan: explode each doc to its DISTINCT shingles (vectorized set-build
@@ -48,11 +48,16 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
     counts (pandas merge inside the block) → one small groupby summing
     pair counts → jaccard = common / (|A| + |B| - common).
 
-    Scale notes: the shingle exchange carries (shingle, id, doc_size) only;
-    a stop-shingle appearing in d docs emits d² pairs — for web-scale runs
-    cap document frequency (drop shingles with df > cap) or salt; left
-    uncapped here for byte-exact oracle parity.
+    Scale notes: the shingle exchange carries (shingle, id, doc_size)
+    only. A stop-shingle appearing in d docs emits d² pairs, so shingles
+    with document frequency > ``max_df`` are DROPPED on both engines (the
+    oracle applies the identical cap): Jaccard is then computed over the
+    capped shingle sets — exact w.r.t. that declared universe. Pass
+    ``max_df=None`` for the uncapped exact variant (only safe on corpora
+    without stop-shingles). Hot shingles are discovered by a census and
+    broadcast (the hot set is small by definition).
     """
+    import ray as _ray
     def explode(tbl: pa.Table) -> pa.Table:
         texts = tbl.column(text_col).to_pylist()
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
@@ -67,6 +72,43 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
 
     shingles = ds.map_batches(explode, batch_format='pyarrow',
                               zero_copy_batch=True)
+
+    if max_df is not None:
+        df_census = pre_aggregate(shingles, ['s'], {'df': ('doc', 'count')})
+        hot = df_census.filter(
+            lambda r: r['df'] > max_df).to_pandas()
+        # an empty filtered dataset loses its schema -> no 's' column
+        hot_set = set(hot['s']) if 's' in hot.columns else set()
+        hot_ref = _ray.put(hot_set)
+
+        # per-doc sizes must be recomputed over the capped shingle
+        # universe, so re-explode with the hot set filtered inside the
+        # per-doc shingle build
+        def explode_capped(tbl: pa.Table) -> pa.Table:
+            hs = _ray.get(hot_ref)
+            texts = tbl.column(text_col).to_pylist()
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            lengths, flat = T.word_shingles(texts, k)
+            if hs:
+                keep = np.fromiter((x not in hs for x in flat), dtype=bool,
+                                   count=len(flat))
+                doc_rep_all = np.repeat(np.arange(len(ids)), lengths)
+                kept_counts = np.bincount(doc_rep_all[keep],
+                                          minlength=len(ids))
+                flat = flat[keep]
+                doc_rep = ids[doc_rep_all[keep]]
+                size_rep = kept_counts[doc_rep_all[keep]]
+            else:
+                doc_rep = np.repeat(ids, lengths)
+                size_rep = np.repeat(lengths, lengths)
+            return pa.table({
+                's': pa.array(flat, type=pa.string()),
+                'doc': pa.array(doc_rep),
+                'size': pa.array(size_rep, type=pa.int64()),
+            })
+
+        shingles = ds.map_batches(explode_capped, batch_format='pyarrow',
+                                  zero_copy_batch=True)
 
     def pair_counts(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -212,7 +254,8 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
 
 
 def simhash_candidates(ds, text_col='text', id_col='doc_id',
-                       max_hamming=3, num_chunks=4, num_buckets=32):
+                       max_hamming=3, num_chunks=4, num_buckets=32,
+                       max_bucket: int = 256):
     """SimHash near-dup: 64-bit signatures, banded into ``num_chunks``
     16-bit chunks (pigeonhole: any pair within hamming distance
     ``num_chunks - 1`` shares a chunk); chunk-bucket exchange, verify
@@ -243,6 +286,12 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
 
     def pairs(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
+        # a chunk value shared by > max_bucket docs is non-discriminative
+        # (stop-pattern); drop it — near-dups still match on their other
+        # chunks with high probability (documented recall trade)
+        sizes = df.groupby(['chunk_id', 'chunk_val'])['sim']\
+            .transform('size')
+        df = df[sizes <= max_bucket]
         m = df.merge(df, on=['chunk_id', 'chunk_val'], suffixes=('_a', '_b'))
         m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
         if len(m) == 0:
