@@ -108,6 +108,9 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_HEADLINE_ONLY='1',
                        PYTHONPATH='/root/repo')
+            # larger input for scaling runs: amortizes fixed per-stage
+            # costs so software scaling dominates the measurement
+            env.setdefault('GRAFT_BENCH_TURNS', '4000000')
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(
                     os.path.abspath(__file__)), 'bench.py')],
@@ -171,7 +174,7 @@ def _headline_only() -> dict:
     _warmup(path)
     out_dir = f'/tmp/trafaret_ray_bench/out_{NUM_CPUS}'
     best, n_rows = None, 0
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = rd.read_parquet(path)
