@@ -34,31 +34,31 @@ INVALID_V6 = ['2001:0db8:z000:0042:0000:8a2e:0370:7334',
 
 class TestInternetMatrix:
     def test_ipv4(self):
-        assert batch_ok(t.IPv4(), VALID_V4) == [True] * 3
-        assert batch_ok(t.IPv4(), INVALID_V4) == [False] * 3
+        assert batch_ok(t.IPv4, VALID_V4) == [True] * 3
+        assert batch_ok(t.IPv4, INVALID_V4) == [False] * 3
         for ip in VALID_V4:
-            assert t.IPv4().check(ip) == ip
+            assert t.IPv4.check(ip) == ip
 
     def test_ipv6(self):
-        assert batch_ok(t.IPv6(), VALID_V6) == [True] * len(VALID_V6)
-        assert batch_ok(t.IPv6(), INVALID_V6) == [False] * len(INVALID_V6)
+        assert batch_ok(t.IPv6, VALID_V6) == [True] * len(VALID_V6)
+        assert batch_ok(t.IPv6, INVALID_V6) == [False] * len(INVALID_V6)
 
     def test_ip_union(self):
-        c = t.IP()
+        c = t.IP
         assert batch_ok(c, VALID_V4 + VALID_V6) == \
             [True] * (len(VALID_V4) + len(VALID_V6))
         assert batch_ok(c, [':ffaa:', '999.1.1.1']) == [False, False]
 
     def test_url_idna(self):
         # reference tests/test_internet.py TestURLTrafaret
-        res = t.URL().check('http://example.net/resource/?param=value#anchor')
+        res = t.URL.check('http://example.net/resource/?param=value#anchor')
         assert res == 'http://example.net/resource/?param=value#anchor'
-        res = t.URL().check('http://пример.рф/resource/?param=value#anchor')
+        res = t.URL.check('http://пример.рф/resource/?param=value#anchor')
         assert res == \
             'http://xn--e1afmkfd.xn--p1ai/resource/?param=value#anchor'
 
     def test_email_batch(self):
-        ok = batch_ok(t.Email(), ['a@b.com', 'someone@пример.испытание',
+        ok = batch_ok(t.Email, ['a@b.com', 'someone@пример.испытание',
                                   'bad', '@nope.com'])
         assert ok == [True, True, False, False]
 
@@ -154,3 +154,51 @@ class TestContribDates:
         res = c.apply(pa.array(['2019-07-25', 'nope']))
         assert list(res.ok) == [True, False]
         assert res.values.to_pylist()[0] == datetime.date(2019, 7, 25)
+
+
+class TestStreaming:
+    def test_streaming_sessionizer_matches_batch(self, ray_session):
+        """Incremental actor state across batches == one-shot sessionize."""
+        import numpy as np
+        from trafaret_ray.stages.streaming import StreamingSessionizer
+        from trafaret_ray.stages import window as W
+        rng = np.random.default_rng(6)
+        n = 2000
+        users = np.sort(rng.integers(0, 20, n))
+        gaps = rng.integers(1, 120, n) * 1_000_000
+        gaps[rng.random(n) < 0.03] = 31 * 60 * 1_000_000
+        ts = np.int64(1_700_000_000_000_000) + np.cumsum(gaps)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        tbl = pa.table({'user_id': users,
+                        'ts': pa.array(ts, type=pa.timestamp('us'))})
+        # one-shot oracle
+        starts = W.group_starts(users)
+        _, sid = W.sessionize(ts, starts, 30 * 60 * 1_000_000)
+        # incremental: feed 7 sequential slices through ONE actor instance
+        actor = StreamingSessionizer()
+        got = []
+        for lo in range(0, n, 300):
+            got.append(actor(tbl.slice(lo, 300)))
+        got_ids = pa.concat_tables(got).column('session_id').to_numpy()
+        assert (got_ids == sid).all()
+
+    def test_tumbling_window(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.streaming import tumbling_window
+        tbl = pa.table({
+            'k': [1, 1, 1, 2],
+            'ts': pa.array([0, 10_000_000, 3_700_000_000, 100],
+                           type=pa.timestamp('us')),
+            'v': [1.0, 2.0, 3.0, 4.0]})
+        out = tumbling_window(rd.from_arrow(tbl), 'k', 'ts', 3_600_000_000,
+                              {'n': ('v', 'count')}).to_pandas()
+        out = out.sort_values(['k', 'window_start']).reset_index(drop=True)
+        assert out['n'].tolist() == [2, 1, 1]
+
+
+class TestSubclass:
+    def test_subclass(self):
+        assert t.Subclass[int].check(bool) is bool
+        assert not t.Subclass(int).is_valid(str)
+        assert not t.Subclass(int).is_valid(5)

@@ -15,7 +15,7 @@ from .base import (  # noqa: F401
 from .scalars import (  # noqa: F401
     Any, Null, Bool, ToBool, Atom, String, Bytes, AnyString, ToBytes,
     FromBytes, Int, ToInt, Float, ToFloat, ToDecimal, Date, ToDate,
-    DateTime, ToDateTime, Enum, Type, Callable, Call,
+    DateTime, ToDateTime, Enum, Type, Subclass, Callable, Call,
 )
 from .record import (  # noqa: F401
     Key, Dict, DictKeys, List, Iterable, Tuple, Mapping,

@@ -211,7 +211,7 @@ def _url_idna_encode(value):
         raise DataError('value is not URL', value=value)
 
 
-def Email():
+def _email():
     """str -> normalized email (reference internet.py:15-49): length-capped
     String, regex pass, idna-encoded retry for unicode domains."""
     rx = Regexp('(?i)^%s$' % _EMAIL_RE)
@@ -226,7 +226,7 @@ def Email():
     )
 
 
-def URL():
+def _url():
     """str -> normalized URL (reference internet.py:67-91)."""
     rx = Regexp('(?i)^%s$' % _URL_RE)
     return WithRepr(
@@ -266,23 +266,32 @@ _IPV6_RE = (
 )
 
 
-def IPv4():
+def _ipv4():
     return WithRepr(
         OnError(Regexp('^%s$' % _IPV4_RE), 'value is not IPv4 address',
                 code=codes.IS_NOT_IPv4),
         '<IPv4>')
 
 
-def IPv6():
+def _ipv6():
     return WithRepr(
         OnError(Regexp('^%s$' % _IPV6_RE), 'value is not IPv6 address',
                 code=codes.IS_NOT_IPv6),
         '<IPv6>')
 
 
-def IP():
+def _ip():
     """IPv4 | IPv6 (reference internet.py:128-131)."""
     return WithRepr(
-        OnError(Or(IPv4(), IPv6()), 'value is not IP address',
+        OnError(Or(_ipv4(), _ipv6()), 'value is not IP address',
                 code=codes.IS_NOT_IP),
         '<IP>')
+
+
+# module-level instances, matching the reference's API shape
+# (reference internet.py:44-131 exports composed INSTANCES, not classes)
+Email = _email()
+URL = _url()
+IPv4 = _ipv4()
+IPv6 = _ipv6()
+IP = _ip()

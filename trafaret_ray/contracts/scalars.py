@@ -754,3 +754,26 @@ class Call(Contract):
     def __repr__(self):
         name = getattr(self.fn, '__name__', str(self.fn))
         return '<Call(%s)>' % name
+
+
+class Subclass(Contract, metaclass=_TypeMeta):
+    """issubclass(value, cls) — python-object escape hatch only
+    (reference base.py:231-246); classes have no Arrow representation."""
+
+    def __init__(self, type_):
+        self.type_ = type_
+
+    def _scalar_check(self, value, context=None):
+        if not (isinstance(value, type) and issubclass(value, self.type_)):
+            raise DataError('value is not subclass of %s'
+                            % self.type_.__name__, value=value,
+                            code=codes.WRONG_TYPE)
+        return value
+
+    def apply(self, arr):
+        return CheckResult.fail_all(arr, codes.WRONG_TYPE,
+                                    'value is not subclass of %s'
+                                    % self.type_.__name__)
+
+    def __repr__(self):
+        return '<Subclass(%s)>' % self.type_.__name__

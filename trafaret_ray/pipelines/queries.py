@@ -733,3 +733,34 @@ ORACLE_SQL['q_rolling_events'] = """
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     ORDER BY event_id
 """
+
+
+def q_tumbling_events(sf_dir: str):
+    """Tumbling 1-hour windows per user: event count + value sum
+    (streaming-shaped batch windowing; stages/streaming.py)."""
+    from ..stages.streaming import tumbling_window
+    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
+    out = tumbling_window(ds, 'user_id', 'ts', 3_600_000_000,
+                          {'n_events': ('value', 'count'),
+                           'sum_value': ('value', 'sum')})
+
+    def round_sum(tbl: pa.Table) -> pa.Table:
+        return tbl.set_column(
+            tbl.column_names.index('sum_value'), 'sum_value',
+            pc.round(tbl.column('sum_value'), ndigits=6))
+
+    return out.map_batches(round_sum, batch_format='pyarrow')\
+        .sort(['user_id', 'window_start'])
+
+
+QUERIES['q_tumbling_events'] = q_tumbling_events
+ORACLE_SQL['q_tumbling_events'] = """
+    SELECT user_id,
+           count(*)             AS n_events,
+           round(sum(value), 6) AS sum_value,
+           to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP
+             AS window_start
+    FROM events
+    GROUP BY user_id, window_start
+    ORDER BY user_id, window_start
+"""

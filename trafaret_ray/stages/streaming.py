@@ -1,0 +1,101 @@
+"""Streaming-shaped workloads over the ordered, partitioned event log.
+
+Ray Data is a batch/streaming-batch engine with no event-time watermarks
+(SURVEY.md §1.5: the reference has no streaming semantics either). The
+engine's streaming story:
+
+  * **Tumbling / sliding windows** are batch-expressible: derive the
+    window id per row (`floor(ts / size)`) and partial-aggregate — no
+    ordering requirement at all, so they stream with full parallelism.
+  * **Incremental per-entity state** (open sessions, running counters)
+    uses a stateful ACTOR per key-hash bucket fed batches in ts order:
+    ``StreamingSessionizer`` below carries each entity's open-session
+    state across batches. Ordering assumption: within one actor's feed,
+    batches arrive in non-decreasing ts order per entity (guaranteed when
+    the upstream is the bucket exchange over a ts-sorted log).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import pre_aggregate
+
+
+def tumbling_window(ds, key: str, ts_col: str, window_us: int,
+                    aggs: dict[str, tuple[str, str]]):
+    """Per (key, window) aggregate; window = floor(epoch_us / window_us).
+    Emits ``window_start`` (timestamp[us]). Streams with one partial/final
+    aggregation — no sort, no per-entity exchange."""
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column(ts_col).combine_chunks().cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        win = (ts // window_us) * window_us
+        return tbl.append_column('window_start_us',
+                                 pa.array(win, type=pa.int64()))
+
+    derived = ds.map_batches(derive, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    out = pre_aggregate(derived, [key, 'window_start_us'], aggs)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        cols = {name: tbl.column(name) for name in tbl.column_names}
+        cols['window_start'] = tbl.column('window_start_us')\
+            .combine_chunks().cast(pa.timestamp('us'))
+        del cols['window_start_us']
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+class StreamingSessionizer:
+    """Stateful actor stage: incremental gap-sessionization.
+
+    One actor per key-hash bucket; per batch it assigns global session ids
+    continuing from carried per-entity state {entity: (last_ts,
+    sessions_so_far)}. Exactness requires each entity's rows to reach ONE
+    actor in ts order — i.e. feed it bucket-sorted blocks.
+    """
+
+    def __init__(self, key: str = 'user_id', ts_col: str = 'ts',
+                 gap_us: int = 30 * 60 * 1_000_000):
+        self.key = key
+        self.ts_col = ts_col
+        self.gap_us = gap_us
+        self.state: dict = {}   # entity -> (last_ts, session_count)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([(self.key, 'ascending'),
+                           (self.ts_col, 'ascending')])
+        df = tbl.to_pandas()
+        keys = df[self.key].to_numpy()
+        ts = tbl.column(self.ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        session_id = np.empty(len(df), dtype=np.int64)
+        last_key = None
+        last_ts = 0
+        count = 0
+        for i, (k, t) in enumerate(zip(keys, ts)):
+            if k != last_key:
+                prev = self.state.get(k)
+                if prev is None:
+                    count = 0
+                    session_id[i] = 0
+                else:
+                    last_ts, count = prev
+                    if t - last_ts > self.gap_us:
+                        count += 1
+                    session_id[i] = count
+                last_key = k
+            else:
+                if t - last_ts > self.gap_us:
+                    count += 1
+                session_id[i] = count
+            last_ts = t
+            self.state[k] = (last_ts, count)
+        df = df.assign(session_id=session_id)
+        return pa.Table.from_pandas(df, preserve_index=False)
