@@ -136,3 +136,36 @@ class TestCheckpointer:
         # fresh instance reads the manifest back
         cp2 = Checkpointer(str(tmp_path / 'out'))
         assert cp2.done('s1')
+
+
+class TestReaders:
+    def test_formats_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+        import trafaret_ray.contracts as t
+        from trafaret_ray.sources import readers
+        from trafaret_ray.contracts.validator import drop_quarantine
+        tbl = pa.table({'a': [1, 2, 3], 'b': ['x', 'y', '']})
+        import pyarrow.parquet as pq
+        import pyarrow.csv as pcsv
+        import json as _json
+        pq.write_table(tbl, str(tmp_path / 'd.parquet'))
+        pcsv.write_csv(tbl, str(tmp_path / 'd.csv'))
+        with open(tmp_path / 'd.json', 'w') as f:
+            for r in tbl.to_pylist():
+                f.write(_json.dumps(r) + '\n')
+        for fmt, path in (('parquet', 'd.parquet'), ('csv', 'd.csv'),
+                          ('json', 'd.json')):
+            tagged = readers.read_validated(
+                str(tmp_path / path),
+                t.Dict(a=t.ToInt(), b=t.String()), format=fmt)
+            ok = tagged.map_batches(drop_quarantine,
+                                    batch_format='pyarrow')
+            assert ok.count() == 2, fmt  # blank 'b' quarantined
+
+    def test_binary_reader(self, ray_session, tmp_path):
+        from trafaret_ray.sources import readers
+        (tmp_path / 'f1.bin').write_bytes(b'abc')
+        (tmp_path / 'f2.bin').write_bytes(b'defg')
+        ds = readers.read_binary(str(tmp_path))
+        rows = ds.take_all()
+        assert sorted(len(r['bytes']) for r in rows) == [3, 4]
