@@ -193,3 +193,47 @@ class TestFlagshipRay:
         np.testing.assert_allclose(got['time_since_tool_s'].to_numpy(),
                                    exp['time_since_tool_s'].to_numpy(),
                                    equal_nan=True)
+
+
+class TestDeterminism:
+    def test_identical_reruns(self, ray_session):
+        """Two executions of the flagship over the same input produce
+        identical feature tables (retry = replay; SURVEY §4.2)."""
+        import ray.data as rd
+        from trafaret_ray.pipelines.flagship import flagship
+        tbl = generate_table(4000, seed=17, malformed_frac=0.02)
+        outs = []
+        for _ in range(2):
+            feats, _ = flagship(rd.from_arrow(tbl), num_buckets=8)
+            outs.append(feats.to_pandas()
+                        .sort_values(['conv_id', 'turn_idx'])
+                        .reset_index(drop=True))
+        a, b = outs
+        assert list(a.columns) == list(b.columns)
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if av.dtype.kind == 'f':
+                np.testing.assert_array_equal(
+                    np.isnan(av.astype(float)), np.isnan(bv.astype(float)))
+                assert (av[~pd.isna(av)] == bv[~pd.isna(bv)]).all(), col
+            else:
+                na, nb = pd.isna(av), pd.isna(bv)
+                assert (na == nb).all() and (av[~na] == bv[~nb]).all(), col
+
+    def test_epsilon_shift_invariance(self):
+        """Shifting every timestamp by the same ε leaves all relative
+        features unchanged (SURVEY §7 phase 5 leakage check)."""
+        tbl = generate_table(3000, seed=23, malformed_frac=0.0)
+        base = features_of(tbl)
+        df = tbl.to_pandas()
+        df['ts'] = df['ts'] + pd.Timedelta(microseconds=1)
+        shifted = features_of(pa.Table.from_pandas(df, preserve_index=False))
+        for col in ('session_id', 'pos_in_session', 'prev_role',
+                    'tool_ffill', 'last_tool', 'time_since_prev_s',
+                    'time_since_tool_s'):
+            a, b = base[col].to_numpy(), shifted[col].to_numpy()
+            if a.dtype.kind == 'f':
+                np.testing.assert_allclose(a, b, equal_nan=True, err_msg=col)
+            else:
+                na, nb = pd.isna(a), pd.isna(b)
+                assert (na == nb).all() and (a[~na] == b[~nb]).all(), col

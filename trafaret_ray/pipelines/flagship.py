@@ -72,7 +72,8 @@ def flagship(ds, num_buckets: int = 32, gap_us: int = GAP_US_DEFAULT,
 
 def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
                  gap_us: int = GAP_US_DEFAULT, batch_size: int = 131072,
-                 resume: bool = True) -> dict:
+                 resume: bool = True,
+                 max_group_rows: int | None = None) -> dict:
     """Production path: single validation pass via a checkpointed tagged
     stage, partition-addressed outputs, per-partition lineage metrics,
     resumable (skips completed stages via _SUCCESS markers).
@@ -115,7 +116,15 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
     metrics: dict = {}
     if os.path.exists(ok_path) and not (resume and done(features_dir)):
         ok_ds = rd.read_parquet(ok_path).drop_columns([ERRORS_COL])
-        feats = feature_dataset(ok_ds, num_buckets, gap_us)
+        if max_group_rows is not None:
+            # skew-hardened path: mega conversations chunked with exact
+            # boundary-state handoff (stages/salting.py)
+            from ..stages.salting import flagship_features_salted
+            feats = flagship_features_salted(ok_ds, max_group_rows,
+                                             gap_us=gap_us,
+                                             num_buckets=num_buckets)
+        else:
+            feats = feature_dataset(ok_ds, num_buckets, gap_us)
         feats.write_parquet(features_dir)
         mark(features_dir)
 

@@ -135,7 +135,8 @@ def q_sessionize_events(sf_dir: str):
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'])
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
-        ts_us = tbl.column('ts').combine_chunks().cast(pa.int64())\
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
             .to_numpy(zero_copy_only=False)
         is_new, _ = W.sessionize(ts_us, starts, GAP_US)
         users = tbl.column('user_id').combine_chunks().to_numpy(
@@ -158,7 +159,7 @@ def q_lag_events(sf_dir: str):
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         value = tbl.column('value').combine_chunks()
-        ts = tbl.column('ts').combine_chunks()
+        ts = tbl.column('ts').combine_chunks().cast(pa.timestamp('us'))
         ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         lag_idx, lag_ok = W.lag_indices(starts, 1)
         delta, dvalid = W.time_since_prev_us(ts_us, starts)
@@ -204,7 +205,8 @@ def q_asof_events(sf_dir: str):
         etype = tbl.column('event_type').combine_chunks()
         users = tbl.column('user_id').combine_chunks().to_numpy(
             zero_copy_only=False)
-        ts_us = tbl.column('ts').combine_chunks().cast(pa.int64())\
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
             .to_numpy(zero_copy_only=False)
         value = tbl.column('value').combine_chunks().to_numpy(
             zero_copy_only=False)

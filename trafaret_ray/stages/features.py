@@ -39,7 +39,7 @@ def conversation_features(tbl: pa.Table, starts: np.ndarray,
     role = tbl.column('role').combine_chunks()
     text = tbl.column('text').combine_chunks()
     tool = tbl.column('tool').combine_chunks()
-    ts = tbl.column('ts').combine_chunks()
+    ts = tbl.column('ts').combine_chunks().cast(pa.timestamp('us'))
     ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
     text_len = pc.utf8_length(text).cast(pa.int32())

@@ -77,7 +77,8 @@ def _chunk_summaries(tbl: pa.Table, gap_us: int) -> pa.Table:
     keys = np.char.add(np.char.add(conv.astype('U'), '#'),
                        salt.astype('U'))
     starts = group_starts(keys)
-    ts = tbl.column('ts').combine_chunks().cast(pa.int64()).to_numpy(
+    ts = tbl.column('ts').combine_chunks().cast(pa.timestamp('us'))\
+        .cast(pa.int64()).to_numpy(
         zero_copy_only=False)
     role = tbl.column('role').to_numpy(zero_copy_only=False)
     tool = tbl.column('tool').combine_chunks()
@@ -242,7 +243,8 @@ def _patch_chunks(feats: pa.Table, conv, salt, starts, cmap,
     n = feats.num_rows
     cols = {name: feats.column(name).combine_chunks()
             for name in feats.column_names}
-    ts_us = cols['ts'].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts_us = cols['ts'].cast(pa.timestamp('us')).cast(pa.int64())\
+        .to_numpy(zero_copy_only=False)
 
     sess = cols['session_id'].to_numpy(zero_copy_only=False).astype(
         np.int64).copy()
