@@ -202,3 +202,85 @@ class TestSubclass:
         assert t.Subclass[int].check(bool) is bool
         assert not t.Subclass(int).is_valid(str)
         assert not t.Subclass(int).is_valid(5)
+
+
+class TestNumericTables:
+    """reference tests/test_numeric.py truth tables."""
+
+    def test_to_decimal_table(self):
+        from decimal import Decimal
+        for value, expected in [
+                (0, Decimal('0.0000')), (1000, Decimal('1000.0000')),
+                (1000.0, Decimal('1000.0000')), ('1000', Decimal('1000')),
+                ('1000.0', Decimal('1000.0000')), (-1000, Decimal('-1000')),
+                (-1000.0, Decimal('-1000')), ('-1000', Decimal('-1000')),
+                ('-1000.0', Decimal('-1000.0000'))]:
+            assert t.ToDecimal().check(value) == expected, value
+        e = t.catch(t.ToDecimal().check, '')
+        assert e.code == 'invalid_decimal'
+        assert t.extract_error(t.ToDecimal(), '') == \
+            "value can't be converted to Decimal"
+
+    def test_to_int_error_codes(self):
+        for value, code in [(None, 'wrong_type'), ('', 'is_not_a_number'),
+                            ('1.0', 'is_not_a_number')]:
+            e = t.catch(t.ToInt().check, value)
+            assert e.code == code, value
+        assert t.extract_error(t.ToInt(), '') == \
+            "value can't be converted to int"
+
+    def test_reprs(self):
+        assert repr(t.ToInt()) == '<ToInt>'
+        assert repr(t.ToInt[1:]) == '<ToInt(gte=1)>'
+        assert repr(t.ToInt[1:10]) == '<ToInt(gte=1, lte=10)>'
+        assert repr(t.ToInt[:10]) == '<ToInt(lte=10)>'
+        assert repr(t.ToInt >= 3) == '<ToInt(gte=3)>'
+        assert repr(t.ToFloat[1:]) == '<ToFloat(gte=1)>'
+        assert repr(1 < (t.ToFloat < 10)) == '<ToFloat(gt=1, lt=10)>'
+
+    def test_meta_bounds(self):
+        assert (t.ToInt > 5).check(10) == 10
+        assert t.extract_error(t.ToInt > 5, 1) == \
+            'value should be greater than 5'
+        assert (t.ToInt < 3).check(1) == 1
+        assert t.extract_error(t.ToInt < 3, 3) == \
+            'value should be less than 3'
+        assert t.extract_error(t.ToInt >= 5, 1) == 'value is less than 5'
+        assert t.extract_error(t.ToInt <= 3, 4) == 'value is greater than 3'
+
+
+class TestCallableKey:
+    """reference test_base.py:221-231 — any generator callable is a key."""
+
+    def test_scalar(self):
+        def simple_key(value):
+            yield 'simple', 'simple data', []
+        c = t.Dict(simple_key)
+        assert c.check({}) == {'simple': 'simple data'}
+        c2 = t.Dict({t.Key('key'): t.String}, simple_key)
+        assert c2.check({'key': 'blabla'}) == \
+            {'key': 'blabla', 'simple': 'simple data'}
+
+    def test_batch(self):
+        def simple_key(value):
+            yield 'simple', 'simple data', []
+        from trafaret_ray.contracts import BatchValidator
+        c = t.Dict({t.Key('key'): t.String}, simple_key)
+        ok, q = BatchValidator(c).split(pa.table({'key': ['a', 'b']}))
+        assert q.num_rows == 0
+        assert ok.column('simple').to_pylist() == ['simple data'] * 2
+
+
+class TestSample1:
+    """reference samples/sample1.py end-to-end."""
+
+    def test_sample(self):
+        date = t.Dict(year=t.Int, month=t.Int, day=t.Int) \
+            >> (lambda d: datetime.datetime(**d))
+        task = t.Dict({'key': t.String(),
+                       t.Key('timestamp', optional=True): date})
+        out = task.check({'key': 'foo',
+                          'timestamp': {'year': 2012, 'month': 1, 'day': 12}})
+        assert out == {'key': 'foo',
+                       'timestamp': datetime.datetime(2012, 1, 12)}
+        assert task.check({'key': 'foo'}) == {'key': 'foo'}

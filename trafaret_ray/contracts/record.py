@@ -212,9 +212,12 @@ class Dict(Contract):
         for a in args:
             if isinstance(a, Key) or hasattr(a, 'apply_columns'):
                 self.keys.append(a)
+            elif callable(a):
+                # reference: any callable can be a key (base.py:1007-1042)
+                self.keys.append(_CallableKey(a))
             else:
-                raise RuntimeError('Dict args must be Keys or cross-field '
-                                   'checks, got %r' % (a,))
+                raise RuntimeError('Dict args must be Keys, cross-field '
+                                   'checks or callables, got %r' % (a,))
         import itertools
         for key, contract in itertools.chain(contracts.items(),
                                              keys_map.items()):
@@ -1004,3 +1007,56 @@ def _keyssubset_scalar_call(self, value, context=None):
 
 
 KeysSubset.scalar_call = _keyssubset_scalar_call
+
+
+class _CallableKey:
+    """Adapter: ANY callable following the reference key protocol —
+    ``fn(data) -> yields (name, value_or_DataError, touched_names)`` — can
+    be a Dict key (reference base.py:1007-1042, test_base.py:221-231).
+
+    Batch path runs the generator per row over python dicts (compatibility
+    escape hatch, not a hot-path operator — use Key/cross-field objects
+    for vectorized execution).
+    """
+
+    def __init__(self, fn):
+        self.fn = fn
+        import inspect
+        try:
+            self._with_context = 'context' in inspect.getfullargspec(fn).args
+        except TypeError:
+            self._with_context = False
+
+    def set_contract(self, contract):
+        # Dict({callable: trafaret}) form: the reference calls
+        # set_trafaret on key objects; a plain callable key has no inner
+        # trafaret to set — keep reference behavior (AttributeError there),
+        # here a no-op for robustness.
+        return self
+
+    set_trafaret = set_contract
+
+    def scalar_call(self, data, context=None):
+        gen = self.fn(data, context=context) if self._with_context \
+            else self.fn(data)
+        for item in gen:
+            yield item
+
+    def apply_columns(self, cols, n):
+        py_cols = {k: as_array(v).to_pylist() for k, v in cols.items()}
+        out_lists: dict = {}
+        touched = set()
+        ok = np.ones(n, dtype=bool)
+        row_errors: dict = {}
+        for i in range(n):
+            row = {k: py_cols[k][i] for k in py_cols}
+            for name, value, names in self.scalar_call(row):
+                touched.update(names)
+                if isinstance(value, DataError):
+                    ok[i] = False
+                    row_errors.setdefault(i, {})[name] = FieldError(
+                        value.code, value.as_dict())
+                else:
+                    out_lists.setdefault(name, [None] * n)[i] = value
+        out_cols = {name: pa.array(vals) for name, vals in out_lists.items()}
+        return out_cols, touched, ok, row_errors
