@@ -98,13 +98,17 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
 
     # -- stage 1: validate + split (one pass, partitioned on validity) ----
     if not (resume and done(validated_dir)):
-        ds = rd.read_parquet(input_path)
+        # include_paths -> per-input-shard lineage survives into the
+        # checkpoint (the north rule's per-partition metrics)
+        ds = rd.read_parquet(input_path, include_paths=True)
         v = BatchValidator(transcript_contract())
 
         def tag_with_flag(tbl: pa.Table) -> pa.Table:
-            tagged = v.tag(tbl)
+            src = tbl.column('path')
+            tagged = v.tag(tbl.drop_columns(['path']))
             okmask = pc.is_null(tagged.column(ERRORS_COL))
-            return tagged.append_column('_ok', okmask)
+            return tagged.append_column('_ok', okmask)\
+                         .append_column('_src', src)
 
         tagged = ds.map_batches(tag_with_flag, batch_format='pyarrow',
                                 batch_size=batch_size, zero_copy_batch=True)
@@ -115,7 +119,8 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
     ok_path = os.path.join(validated_dir, '_ok=true')
     metrics: dict = {}
     if os.path.exists(ok_path) and not (resume and done(features_dir)):
-        ok_ds = rd.read_parquet(ok_path).drop_columns([ERRORS_COL])
+        ok_ds = rd.read_parquet(ok_path)\
+            .drop_columns([ERRORS_COL, '_src'])
         if max_group_rows is not None:
             # skew-hardened path: mega conversations chunked with exact
             # boundary-state handoff (stages/salting.py)
@@ -150,8 +155,20 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
             .groupby('code').sum('n')
         for row in agg.take_all():
             code_counts[row['code']] = int(row['sum(n)'])
+    # per-input-shard lineage (the north rule's per-partition metrics)
+    per_file: dict[str, dict] = {}
+    for part, field in ((ok_path, 'rows_ok'), (q_path, 'rows_quarantined')):
+        if not os.path.exists(part):
+            continue
+        counts = rd.read_parquet(part, columns=['_src'])\
+            .groupby('_src').count().take_all()
+        for row in counts:
+            src = os.path.basename(row['_src'])
+            per_file.setdefault(src, {'rows_ok': 0,
+                                      'rows_quarantined': 0})[field] = \
+                int(row['count()'])
     metrics = {'rows_ok': n_ok, 'rows_quarantined': n_q,
-               'error_codes': code_counts}
+               'error_codes': code_counts, 'per_file': per_file}
     with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
         json.dump(metrics, f, indent=1, sort_keys=True)
     return metrics
