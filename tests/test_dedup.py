@@ -122,3 +122,21 @@ class TestDedupRay:
         out = embedding_near_dup(rd.from_arrow(tbl), threshold=0.99,
                                  num_planes=4, num_buckets=4).to_pandas()
         assert [7, 60] in out[['id_a', 'id_b']].values.tolist()
+
+
+class TestSketches:
+    def test_hll_vs_exact(self, ray_session):
+        import ray.data as rd
+        import numpy as np
+        from trafaret_ray.stages.sketches import hll_distinct, exact_distinct
+        rng = np.random.default_rng(1)
+        tbl = pa.table({
+            'g': rng.choice(['a', 'b'], 20_000),
+            'v': rng.integers(0, 3_000, 20_000),
+        })
+        exact = exact_distinct(rd.from_arrow(tbl), 'g', 'v').to_pandas()\
+            .set_index('g')['n_distinct']
+        approx = hll_distinct(rd.from_arrow(tbl), 'g', 'v').to_pandas()\
+            .set_index('g')['approx_distinct']
+        for g in ('a', 'b'):
+            assert abs(approx[g] - exact[g]) / exact[g] < 0.05, g

@@ -766,3 +766,29 @@ ORACLE_SQL['q_tumbling_events'] = """
     GROUP BY user_id, window_start
     ORDER BY user_id, window_start
 """
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type — two-phase distinct
+    (stages/sketches.py:exact_distinct); the HLL sketch variant is
+    q_hll_distinct_users (approximate → rows-only)."""
+    from ..stages.sketches import exact_distinct
+    ds = _read(sf_dir, 'events', ['event_type', 'user_id'])
+    return exact_distinct(ds, 'event_type', 'user_id').sort('event_type')
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type (mergeable
+    per-batch sketches; standard ~1.6% error at p=12 — rows-only check,
+    accuracy asserted in tests)."""
+    from ..stages.sketches import hll_distinct
+    ds = _read(sf_dir, 'events', ['event_type', 'user_id'])
+    return hll_distinct(ds, 'event_type', 'user_id').sort('event_type')
+
+
+QUERIES['q_distinct_users'] = q_distinct_users
+QUERIES['q_hll_distinct_users'] = q_hll_distinct_users
+ORACLE_SQL['q_distinct_users'] = """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
