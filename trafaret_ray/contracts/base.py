@@ -159,7 +159,13 @@ class Or(Contract):
     """First alternative that passes wins; rows failing every alternative get
     code ``nothing_match`` (reference base.py:284-317). The vectorized form
     runs every alternative on the full array (side-effect-free) and selects
-    per-row the first success, preserving first-match-wins coercion order."""
+    per-row the first success, preserving first-match-wins coercion order.
+
+    Column-type note: when alternatives coerce to DIFFERENT Arrow types
+    (e.g. ``ToInt | ToFloat``), the output column is unified to a common
+    type (int64+float64 -> float64; last resort string), because one Arrow
+    column holds one type — the per-row scalar path still returns the
+    first-match python type exactly like the reference."""
 
     __slots__ = ('alts',)
 

@@ -15,7 +15,7 @@ import inspect
 from .base import Contract, ensure_contract
 from .record import Dict, Key
 from .result import DataError
-from .scalars import Any
+
 
 
 def unfold(data, prefix='', delimeter='__'):
