@@ -284,3 +284,77 @@ class TestSample1:
         assert out == {'key': 'foo',
                        'timestamp': datetime.datetime(2012, 1, 12)}
         assert task.check({'key': 'foo'}) == {'key': 'foo'}
+
+
+class TestBasicsParity:
+    """reference test_base.py TestBasics — callables chain into contracts."""
+
+    def test_callable_chain(self):
+        import functools
+        to_int_10000 = functools.partial(int, '10000')
+        c = t.Regexp('2|10|16') & t.ToInt & t.Call(to_int_10000)
+        assert c('10') == 10000
+
+    def test_auto_call(self):
+        import functools
+        to_int_10000 = functools.partial(int, '10000')
+        c = t.Regexp('2|10|16') & t.ToInt & to_int_10000
+        assert c('10') == 10000
+
+    def test_context_callable_class(self):
+        class Tttt:
+            def __call__(self, value, context=None):
+                return context(value)
+        c = t.ToInt() & Tttt()
+        assert c(123, context=lambda v: v + 123) == 246
+
+    def test_str_method(self):
+        c = t.Regexp(r'\w+-\w+') & str.upper
+        assert c('abc-Abc') == 'ABC-ABC'
+
+
+class TestDictPolicies:
+    """reference test_base.py Dict extra/ignore/merge matrix."""
+
+    def test_kwargs_extra(self):
+        c = t.Dict(t.Key('foo', trafaret=t.ToInt()), allow_extra=['eggs'])
+        assert c.check({'foo': 1, 'eggs': None}) == {'foo': 1, 'eggs': None}
+        assert c.check({'foo': 1}) == {'foo': 1}
+        with pytest.raises(DataError):
+            c.check({'foo': 2, 'marmalade': 5})
+
+    def test_kwargs_ignore(self):
+        c = t.Dict(t.Key('foo', trafaret=t.ToInt()), ignore_extra=['eggs'])
+        assert c.check({'foo': 1, 'eggs': None}) == {'foo': 1}
+        with pytest.raises(DataError):
+            c.check({'foo': 2, 'marmalade': 5})
+
+    def test_merge_policies_union(self):
+        first = t.Dict(t.Key('bar', trafaret=t.Int()), ignore_extra=['eggs'])
+        second = t.Dict(t.Key('bar1', trafaret=t.Int()))
+        third = first + second
+        assert third.check({'bar': 4, 'bar1': 41, 'eggs': 'x'}) == \
+            {'bar': 4, 'bar1': 41}
+        first2 = t.Dict(t.Key('bip', trafaret=t.String()), ignore_extra=['*'])
+        third2 = first2 + t.Dict(t.Key('bop', trafaret=t.Int()))
+        assert third2.check({'bip': 'bam', 'bop': 17, 'matter': False}) == \
+            {'bip': 'bam', 'bop': 17}
+        assert third2.ignore_any
+        fa = t.Dict(t.Key('bar', trafaret=t.Int()), allow_extra=['eggs'])
+        fb = fa + t.Dict(t.Key('bar1', trafaret=t.Int()))
+        assert fb.check({'bar': 1, 'bar1': 41, 'eggs': None}) == \
+            {'bar': 1, 'bar1': 41, 'eggs': None}
+        with pytest.raises(DataError):
+            fb.check({'bar': 2, 'bar1': 1, 'marmalade': 5})
+
+    def test_list_meta_guard(self):
+        with pytest.raises(RuntimeError):
+            t.List[1:10]
+
+    def test_or_list_mapping_regression(self):
+        # reference test_base.py:483-488 (2.0 regression)
+        c = t.Dict({t.Key('params', optional=True):
+                    t.Or(t.List(t.Any()),
+                         t.Mapping(t.AnyString(), t.Any()))})
+        assert c.check({'params': {'aaa': 123}}) == {'params': {'aaa': 123}}
+        assert c.check({'params': [1, 2]}) == {'params': [1, 2]}

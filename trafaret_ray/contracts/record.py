@@ -387,7 +387,14 @@ def DictKeys(keys):
     return Dict({k: Any() for k in keys})
 
 
-class List(Contract):
+class _ListMeta(type(Contract)):
+    def __getitem__(cls, sl):
+        # reference parity: t.List[1:10] without an element trafaret is a
+        # usage error (reference test_base.py:478-481)
+        raise RuntimeError('Trafaret is required for List initialization')
+
+
+class List(Contract, metaclass=_ListMeta):
     """List column: min/max length + per-element contract
     (reference base.py:788-884). Child errors are keyed by index within the
     list, parent code ``some_elements_did_not_match``."""
