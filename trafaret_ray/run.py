@@ -44,6 +44,7 @@ def main(argv=None):
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.target_max_block_size = 512 * 1024 * 1024
 
     from trafaret_ray.pipelines.flagship import run_flagship
     metrics = run_flagship(
