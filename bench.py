@@ -80,7 +80,7 @@ def run_headline() -> dict:
     _warmup(path)
     t0 = time.perf_counter()
     ds = rd.read_parquet(path)
-    feats, _q = flagship(ds, num_buckets=max(NUM_CPUS, 16))
+    feats, _q = flagship(ds, num_buckets=max(8 * NUM_CPUS, 64))
     n_rows = 0
     for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
         n_rows += b.num_rows
@@ -157,7 +157,7 @@ def _warmup(path):
     from trafaret_ray.pipelines.flagship import flagship
     first = sorted(p for p in os.listdir(path) if p.endswith('.parquet'))[0]
     feats, _ = flagship(rd.read_parquet(os.path.join(path, first)),
-                        num_buckets=max(NUM_CPUS, 16))
+                        num_buckets=max(8 * NUM_CPUS, 64))
     for _ in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
         pass
 
@@ -184,7 +184,7 @@ def _headline_only() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = rd.read_parquet(path)
-        feats, _q = flagship(ds, num_buckets=max(NUM_CPUS, 16))
+        feats, _q = flagship(ds, num_buckets=max(8 * NUM_CPUS, 64))
         feats.write_parquet(out_dir)
         sec = time.perf_counter() - t0
         best = sec if best is None else min(best, sec)
