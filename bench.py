@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     'q_exact_dedup_docs', 'q_ngram_jaccard_pairs', 'q_minhash_dedup_docs',
     'q_simhash_candidates_docs', 'q_token_stats', 'q_quality_scores',
     'q_bpe_token_stats', 'q_langid_docs', 'q_ann_topk', 'q_cosine_pairs',
-    'q_embedding_near_dup', 'q_tumbling_events', 'q_distinct_users',
+    'q_embedding_near_dup', 'q_tumbling_events', 'q_session_stats', 'q_distinct_users',
     'q_hll_distinct_users',
 ]
 

@@ -792,3 +792,56 @@ ORACLE_SQL['q_distinct_users'] = """
     SELECT event_type, count(DISTINCT user_id) AS n_distinct
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_session_stats(sf_dir: str):
+    """Per-(user, session) rollup: event count + session duration —
+    sessionize inside the bucket, then a vectorized segment reduce per
+    session (two-level grouping without a second exchange)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_new, session_id = W.sessionize(ts_us, starts, GAP_US)
+        lo = np.nonzero(is_new)[0]
+        hi = np.append(lo[1:], len(ts_us)) - 1
+        return pa.table({
+            'user_id': pa.array(users[lo]),
+            'session_id': pa.array(session_id[lo].astype(np.int64)),
+            'n_events': pa.array((hi - lo + 1).astype(np.int64)),
+            'duration_s': pa.array(
+                np.round((ts_us[hi] - ts_us[lo]) / 1e6, 6)),
+        })
+
+    return _per_user(ds, fn).sort(['user_id', 'session_id'])
+
+
+QUERIES['q_session_stats'] = q_session_stats
+ORACLE_SQL['q_session_stats'] = """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    g AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM f)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           round(cast(epoch_us(max(ts) - min(ts)) AS DOUBLE) / 1e6, 6)
+             AS duration_s
+    FROM g GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
