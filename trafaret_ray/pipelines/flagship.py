@@ -87,10 +87,17 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
 
     validated_dir = os.path.join(out_dir, 'validated')
     features_dir = os.path.join(out_dir, 'features')
+    metrics_path = os.path.join(out_dir, 'metrics.json')
     os.makedirs(out_dir, exist_ok=True)
 
     def done(stage_dir):
         return os.path.exists(os.path.join(stage_dir, '_SUCCESS'))
+
+    # fully-resumed job: everything (incl. metrics) already on disk
+    if resume and done(validated_dir) and done(features_dir) \
+            and os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            return json.load(f)
 
     def mark(stage_dir):
         with open(os.path.join(stage_dir, '_SUCCESS'), 'w') as f:
@@ -169,6 +176,6 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
                 int(row['count()'])
     metrics = {'rows_ok': n_ok, 'rows_quarantined': n_q,
                'error_codes': code_counts, 'per_file': per_file}
-    with open(os.path.join(out_dir, 'metrics.json'), 'w') as f:
+    with open(metrics_path, 'w') as f:
         json.dump(metrics, f, indent=1, sort_keys=True)
     return metrics
