@@ -652,7 +652,7 @@ ORACLE_SQL.update({
                      '[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]+')) AS n_bpe
           FROM documents)
         SELECT source,
-               sum(n_bpe)                       AS total_bpe,
+               cast(sum(n_bpe) AS BIGINT)       AS total_bpe,
                round(sum(n_bpe) * 1.0 / count(*), 6) AS avg_bpe
         FROM t GROUP BY source ORDER BY source
     """,
@@ -835,8 +835,9 @@ ORACLE_SQL['q_session_stats'] = """
       FROM o),
     g AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
       FROM f)
     SELECT user_id, session_id,
            count(*) AS n_events,
