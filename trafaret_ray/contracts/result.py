@@ -65,9 +65,12 @@ class DataError(Exception):
 
 
 def extract_error(contract, value):
-    """Run check and return ``as_dict()`` of the error (reference: base.py:1516-1537)."""
+    """Run check and return ``as_dict()`` of the error (reference:
+    base.py:1516-1537). Accepts a contract or any checker callable
+    (e.g. ``extract_error(d.check, value)``)."""
+    checker = getattr(contract, 'check', contract)
     try:
-        contract.check(value)
+        checker(value)
     except DataError as e:
         return e.as_dict()
     raise AssertionError('no error raised')
