@@ -18,7 +18,6 @@ engine's streaming story:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .aggregate import pre_aggregate
