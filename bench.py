@@ -130,7 +130,8 @@ def main():
             f'sec_{hi}': results[hi]['value'],
             f'turns_per_sec_{lo}': tplo, f'turns_per_sec_{hi}': tphi,
             'cpus_lo': lo, 'cpus_hi': hi,
-            'scaling_efficiency': round(eff, 3), 'n_turns': N_TURNS,
+            'scaling_efficiency': round(eff, 3),
+            'n_turns': results[hi].get('rows', N_TURNS),
         }))
         return
 
