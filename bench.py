@@ -114,9 +114,9 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_HEADLINE_ONLY='1',
                        PYTHONPATH='/root/repo')
-            # larger input for scaling runs: amortizes fixed per-stage
+            # 10M-turn input for scaling runs: amortizes fixed per-stage
             # costs so software scaling dominates the measurement
-            env.setdefault('GRAFT_BENCH_TURNS', '4000000')
+            env.setdefault('GRAFT_BENCH_TURNS', '10000000')
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(
                     os.path.abspath(__file__)), 'bench.py')],
