@@ -15,8 +15,6 @@ import pandas as pd
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype.kind == 'f':
-            df[c] = df[c].round(6)
         if str(df[c].dtype).startswith('datetime'):
             df[c] = df[c].astype('datetime64[us]')
     return df.sort_values(list(df.columns), kind='stable')\
@@ -37,13 +35,16 @@ def compare(name, ray_df, sql_df) -> list[str]:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 av = pd.to_numeric(a[c]).to_numpy(dtype=np.float64)
                 bv = pd.to_numeric(b[c]).to_numpy(dtype=np.float64)
-                if not np.allclose(av, bv, rtol=1e-6, atol=1e-9,
-                                   equal_nan=True):
-                    bad = np.nonzero(~np.isclose(av, bv, rtol=1e-6,
-                                                 atol=1e-9,
-                                                 equal_nan=True))[0][:3]
-                    problems.append(f'col {c} differs at rows {bad.tolist()}:'
-                                    f' {av[bad]} vs {bv[bad]}')
+                # the driver gate byte-hashes values, so require EXACT
+                # float equality (nan==nan), not allclose
+                exact = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                if not exact.all():
+                    bad = np.nonzero(~exact)[0][:3]
+                    tag = ('HASH-ONLY ' if np.allclose(
+                        av, bv, rtol=1e-6, atol=1e-9, equal_nan=True)
+                        else '')
+                    problems.append(f'{tag}col {c} differs at rows '
+                                    f'{bad.tolist()}: {av[bad]} vs {bv[bad]}')
             else:
                 eq = (pd.isna(a[c]) & pd.isna(b[c])) | (a[c] == b[c])
                 if not eq.all():

@@ -22,6 +22,28 @@ from ..stages import window as W
 GAP_US = 30 * 60 * 1_000_000
 
 
+def _fixed6(col) -> pa.Array:
+    """floor(x*1e6 + 0.5) as int64 — a fixed-point view of a float column.
+
+    Summing these is EXACT integer arithmetic, so parallel aggregation is
+    order-independent and byte-identical to the DuckDB oracle computing
+    the same expression (the driver gate hashes bytes, and float-sum
+    reassociation across batch boundaries otherwise flips last ulps).
+    int64 headroom: 9.2e18 / 1e6 ≈ 9.2e12 in value terms per group —
+    shard or widen to decimal128 beyond that.
+    """
+    scaled = pc.add(pc.multiply(pc.cast(col, pa.float64()),
+                                pa.scalar(1e6)), pa.scalar(0.5))
+    return pc.cast(pc.floor(scaled), pa.int64())
+
+
+def _unfix6(col, ndigits: int = 6) -> pa.Array:
+    """int64 fixed-point sum -> rounded float64 (matches the oracle's
+    round(sum(...)/1e6, 6))."""
+    return pc.round(pc.divide(pc.cast(col, pa.float64()), pa.scalar(1e6)),
+                    ndigits=ndigits)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
     return rd.read_parquet(f'{sf_dir}/{table}.parquet', columns=columns)
@@ -36,6 +58,8 @@ def q1_pricing_summary(sf_dir: str):
 
     Scale: columns pruned at the read; per-batch partial aggregation (6 key
     combos) so the exchange moves a handful of rows per block, not 6B rows.
+    Float measures sum as int64 fixed-point (see _fixed6) so the parallel
+    sum is exact and byte-matches the oracle at any parallelism.
     """
     ds = _read(sf_dir, 'lineitem',
                ['l_returnflag', 'l_linestatus', 'l_quantity',
@@ -45,21 +69,49 @@ def q1_pricing_summary(sf_dir: str):
         disc = pc.multiply(tbl.column('l_extendedprice'),
                            pc.subtract(pa.scalar(1.0), tbl.column('l_discount')))
         charge = pc.multiply(disc, pc.add(pa.scalar(1.0), tbl.column('l_tax')))
-        return tbl.append_column('disc_price', disc)\
-                  .append_column('charge', charge)
+        return pa.table({
+            'l_returnflag': tbl.column('l_returnflag'),
+            'l_linestatus': tbl.column('l_linestatus'),
+            'qty6': _fixed6(tbl.column('l_quantity')),
+            'price6': _fixed6(tbl.column('l_extendedprice')),
+            'disc6': _fixed6(tbl.column('l_discount')),
+            'disc_price6': _fixed6(disc),
+            'charge6': _fixed6(charge),
+        })
 
     ds = ds.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True)
     out = pre_aggregate(
         ds, ['l_returnflag', 'l_linestatus'],
-        {'sum_qty': ('l_quantity', 'sum'),
-         'sum_base_price': ('l_extendedprice', 'sum'),
-         'sum_disc_price': ('disc_price', 'sum'),
-         'sum_charge': ('charge', 'sum'),
-         'avg_qty': ('l_quantity', 'mean'),
-         'avg_price': ('l_extendedprice', 'mean'),
-         'avg_disc': ('l_discount', 'mean'),
-         'count_order': ('l_quantity', 'count')})
-    return out.sort(['l_returnflag', 'l_linestatus'])
+        {'sum_qty6': ('qty6', 'sum'),
+         'sum_base_price6': ('price6', 'sum'),
+         'sum_disc_price6': ('disc_price6', 'sum'),
+         'sum_charge6': ('charge6', 'sum'),
+         'sum_disc6': ('disc6', 'sum'),
+         'count_order': ('qty6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        cnt = pc.cast(tbl.column('count_order'), pa.float64())
+
+        def avg(sum_col):
+            return pc.round(pc.divide(pc.divide(
+                pc.cast(tbl.column(sum_col), pa.float64()),
+                pa.scalar(1e6)), cnt), ndigits=6)
+
+        return pa.table({
+            'l_returnflag': tbl.column('l_returnflag'),
+            'l_linestatus': tbl.column('l_linestatus'),
+            'sum_qty': _unfix6(tbl.column('sum_qty6')),
+            'sum_base_price': _unfix6(tbl.column('sum_base_price6')),
+            'sum_disc_price': _unfix6(tbl.column('sum_disc_price6')),
+            'sum_charge': _unfix6(tbl.column('sum_charge6')),
+            'avg_qty': avg('sum_qty6'),
+            'avg_price': avg('sum_base_price6'),
+            'avg_disc': avg('sum_disc6'),
+            'count_order': tbl.column('count_order'),
+        })
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort(['l_returnflag', 'l_linestatus'])
 
 
 def q_top_customers(sf_dir: str):
@@ -67,16 +119,30 @@ def q_top_customers(sf_dir: str):
     partials), then broadcast-join the small customer dim on the driver
     side of a tiny result, top-10 with deterministic tie-break."""
     orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        return pa.table({'o_custkey': tbl.column('o_custkey'),
+                         'rev6': _fixed6(tbl.column('o_totalprice'))})
+
+    orders = orders.map_batches(scale, batch_format='pyarrow',
+                                zero_copy_batch=True)
     per_cust = pre_aggregate(orders, ['o_custkey'],
-                             {'revenue': ('o_totalprice', 'sum'),
-                              'n_orders': ('o_totalprice', 'count')})
+                             {'rev6': ('rev6', 'sum'),
+                              'n_orders': ('rev6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'o_custkey': tbl.column('o_custkey'),
+                         'revenue': _unfix6(tbl.column('rev6')),
+                         'n_orders': tbl.column('n_orders')})
+
+    per_cust = per_cust.map_batches(finalize, batch_format='pyarrow')
     cust = _read(sf_dir, 'customer', ['c_custkey', 'c_name']).to_pandas()
-    name_of = dict(zip(cust['c_custkey'], cust['c_name']))
+    dim_keys = pa.array(cust['c_custkey'].to_numpy())
+    dim_names = pa.array(cust['c_name'], type=pa.string())
 
     def attach(tbl: pa.Table) -> pa.Table:
-        keys = tbl.column('o_custkey').to_pylist()
-        names = pa.array([name_of.get(k) for k in keys], type=pa.string())
-        return tbl.append_column('c_name', names)
+        idx = pc.index_in(tbl.column('o_custkey'), value_set=dim_keys)
+        return tbl.append_column('c_name', dim_names.take(idx))
 
     joined = per_cust.map_batches(attach, batch_format='pyarrow')
     top = joined.sort(['revenue', 'o_custkey'],
@@ -95,27 +161,40 @@ def q_region_revenue(sf_dir: str):
     cust = _read(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
     n2r = dict(zip(nation['n_nationkey'], nation['n_regionkey']))
     r2name = dict(zip(region['r_regionkey'], region['r_name']))
-    c2region = {ck: r2name[n2r[nk]]
-                for ck, nk in zip(cust['c_custkey'], cust['c_nationkey'])}
-    ref = ray.put(c2region)
+    # dim as parallel Arrow arrays: lookup is pc.index_in + take per batch
+    cust_keys = pa.array(cust['c_custkey'].to_numpy())
+    cust_region = pa.array(
+        [r2name[n2r[nk]] for nk in cust['c_nationkey']], type=pa.string())
+    ref = ray.put((cust_keys, cust_region))
 
     class Attach:
         def __init__(self):
-            self.map = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            keys = tbl.column('o_custkey').to_pylist()
-            names = pa.array([self.map.get(k) for k in keys],
-                             type=pa.string())
-            return tbl.append_column('r_name', names)
+            idx = pc.index_in(tbl.column('o_custkey'), value_set=self.keys)
+            return tbl.append_column('r_name', self.names.take(idx))
 
     orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
     with_region = orders.map_batches(Attach, batch_format='pyarrow',
-                                     concurrency=2)
-    out = pre_aggregate(with_region, ['r_name'],
-                        {'revenue': ('o_totalprice', 'sum'),
-                         'n_orders': ('o_totalprice', 'count')})
-    return out.sort('r_name')
+                                    concurrency=2)
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        return pa.table({'r_name': tbl.column('r_name'),
+                         'rev6': _fixed6(tbl.column('o_totalprice'))})
+
+    scaled = with_region.map_batches(scale, batch_format='pyarrow',
+                                     zero_copy_batch=True)
+    out = pre_aggregate(scaled, ['r_name'],
+                        {'rev6': ('rev6', 'sum'),
+                         'n_orders': ('rev6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'r_name': tbl.column('r_name'),
+                         'revenue': _unfix6(tbl.column('rev6')),
+                         'n_orders': tbl.column('n_orders')})
+
+    return out.map_batches(finalize, batch_format='pyarrow').sort('r_name')
 
 
 # ---------------------------------------------------------------------------
@@ -327,24 +406,41 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    # float measures aggregate as int64 fixed-point (floor(x*1e6+0.5)) on
+    # BOTH engines: integer sums are order-independent, so the driver's
+    # byte-hash gate is stable at any parallelism.
     'q1_pricing_summary': """
+        WITH s AS (
+          SELECT l_returnflag, l_linestatus,
+                 cast(floor(l_quantity * 1e6 + 0.5) AS BIGINT)      AS qty6,
+                 cast(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price6,
+                 cast(floor(l_discount * 1e6 + 0.5) AS BIGINT)      AS disc6,
+                 cast(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                      AS BIGINT)                                    AS disc_price6,
+                 cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 1e6 + 0.5) AS BIGINT)                 AS charge6
+          FROM lineitem)
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity)                                   AS sum_qty,
-               sum(l_extendedprice)                              AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount))           AS sum_disc_price,
-               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-               sum(l_quantity) / count(l_quantity)               AS avg_qty,
-               sum(l_extendedprice) / count(l_extendedprice)     AS avg_price,
-               sum(l_discount) / count(l_discount)               AS avg_disc,
-               count(*)                                          AS count_order
-        FROM lineitem
+               round(cast(sum(qty6) AS DOUBLE) / 1e6, 6)        AS sum_qty,
+               round(cast(sum(price6) AS DOUBLE) / 1e6, 6)      AS sum_base_price,
+               round(cast(sum(disc_price6) AS DOUBLE) / 1e6, 6) AS sum_disc_price,
+               round(cast(sum(charge6) AS DOUBLE) / 1e6, 6)     AS sum_charge,
+               round(cast(sum(qty6) AS DOUBLE) / 1e6
+                     / count(*), 6)                             AS avg_qty,
+               round(cast(sum(price6) AS DOUBLE) / 1e6
+                     / count(*), 6)                             AS avg_price,
+               round(cast(sum(disc6) AS DOUBLE) / 1e6
+                     / count(*), 6)                             AS avg_disc,
+               count(*)                                         AS count_order
+        FROM s
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
     'q_top_customers': """
         SELECT o_custkey, c_name,
-               sum(o_totalprice) AS revenue,
-               count(*)          AS n_orders
+               round(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e6, 6) AS revenue,
+               count(*)                        AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY o_custkey, c_name
         ORDER BY revenue DESC, o_custkey ASC
@@ -352,8 +448,9 @@ ORACLE_SQL = {
     """,
     'q_region_revenue': """
         SELECT r_name,
-               sum(o_totalprice) AS revenue,
-               count(*)          AS n_orders
+               round(cast(sum(cast(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e6, 6) AS revenue,
+               count(*)                        AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -680,23 +777,41 @@ def q_priority_revenue(sf_dir: str):
         r = pc.multiply(tbl.column('l_extendedprice'),
                         pc.subtract(pa.scalar(1.0), tbl.column('l_discount')))
         return pa.table({'o_orderkey': tbl.column('l_orderkey'),
-                         'revenue': r})
+                         'rev6': _fixed6(r)})
 
     lrev = lineitem.map_batches(rev, batch_format='pyarrow',
                                 zero_copy_batch=True)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     joined = hash_join(lrev, orders, on='o_orderkey', num_buckets=16)
+
+    # the join's null-padded union floatifies rev6; restore exact int64
+    # (integer-valued doubles cast exactly) so sums stay order-independent
+    def reint(tbl: pa.Table) -> pa.Table:
+        i = tbl.column_names.index('rev6')
+        return tbl.set_column(i, 'rev6',
+                              pc.cast(tbl.column('rev6'), pa.int64()))
+
+    joined = joined.map_batches(reint, batch_format='pyarrow')
     out = pre_aggregate(joined, ['o_orderpriority'],
-                        {'total_revenue': ('revenue', 'sum'),
-                         'n_items': ('revenue', 'count')})
-    return out.sort('o_orderpriority')
+                        {'rev6': ('rev6', 'sum'),
+                         'n_items': ('rev6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'o_orderpriority': tbl.column('o_orderpriority'),
+                         'total_revenue': _unfix6(tbl.column('rev6')),
+                         'n_items': tbl.column('n_items')})
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('o_orderpriority')
 
 
 QUERIES['q_priority_revenue'] = q_priority_revenue
 ORACLE_SQL['q_priority_revenue'] = """
     SELECT o_orderpriority,
-           sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
-           count(*)                                AS n_items
+           round(cast(sum(cast(floor(l_extendedprice * (1 - l_discount)
+                                     * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6, 6)  AS total_revenue,
+           count(*)         AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -742,24 +857,33 @@ def q_tumbling_events(sf_dir: str):
     (streaming-shaped batch windowing; stages/streaming.py)."""
     from ..stages.streaming import tumbling_window
     ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'ts': tbl.column('ts'),
+                         'value6': _fixed6(tbl.column('value'))})
+
+    ds = ds.map_batches(scale, batch_format='pyarrow', zero_copy_batch=True)
     out = tumbling_window(ds, 'user_id', 'ts', 3_600_000_000,
-                          {'n_events': ('value', 'count'),
-                           'sum_value': ('value', 'sum')})
+                          {'n_events': ('value6', 'count'),
+                           'sum_value6': ('value6', 'sum')})
 
-    def round_sum(tbl: pa.Table) -> pa.Table:
-        return tbl.set_column(
-            tbl.column_names.index('sum_value'), 'sum_value',
-            pc.round(tbl.column('sum_value'), ndigits=6))
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'n_events': tbl.column('n_events'),
+                         'sum_value': _unfix6(tbl.column('sum_value6')),
+                         'window_start': tbl.column('window_start')})
 
-    return out.map_batches(round_sum, batch_format='pyarrow')\
+    return out.map_batches(finalize, batch_format='pyarrow')\
         .sort(['user_id', 'window_start'])
 
 
 QUERIES['q_tumbling_events'] = q_tumbling_events
 ORACLE_SQL['q_tumbling_events'] = """
     SELECT user_id,
-           count(*)             AS n_events,
-           round(sum(value), 6) AS sum_value,
+           count(*) AS n_events,
+           round(cast(sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6, 6) AS sum_value,
            to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP
              AS window_start
     FROM events

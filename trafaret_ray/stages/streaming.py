@@ -30,7 +30,10 @@ def tumbling_window(ds, key: str, ts_col: str, window_us: int,
     aggregation — no sort, no per-entity exchange."""
 
     def derive(tbl: pa.Table) -> pa.Table:
-        ts = tbl.column(ts_col).combine_chunks().cast(pa.int64())\
+        # cast to timestamp(us) FIRST: a ns input (pandas round-trip)
+        # cast straight to int64 would inflate window ids 1000x
+        ts = tbl.column(ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
             .to_numpy(zero_copy_only=False)
         win = (ts // window_us) * window_us
         return tbl.append_column('window_start_us',
