@@ -57,6 +57,61 @@ def word_shingles(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     return lengths, np.array(flat, dtype=object)
 
 
+_GRAM_P = np.uint64(0x100000001B3)   # FNV-1a prime, k-gram combiner
+
+
+def shingle_hash_explode(text_col: pa.Array, k: int = 3
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """DISTINCT word-k-gram hashes per document, fully vectorized.
+
+    One Arrow split over the whole batch, one C-level word-hash pass, a
+    rolling polynomial combine for the k-gram hash, then a lexsort-based
+    per-doc distinct. No per-row Python.
+
+    Docs with fewer than ``k`` words emit ZERO shingles — this matches
+    the SQL oracle, where ``w[x+k-1]`` out of range yields NULL shingles
+    that never join (reference parity note in q_ngram_jaccard_pairs).
+
+    Jaccard over these 64-bit hashes equals Jaccard over the string
+    shingles up to hash collisions (~n²/2^64 — negligible below ~1e8
+    distinct shingles per doc pair).
+
+    Returns (lengths[n_docs], doc_idx[m], gram_hash_u64[m]) where doc_idx
+    indexes into the input batch and m = total distinct shingles.
+    """
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    n = len(text_col)
+    empty = (np.zeros(n, dtype=np.int64), np.array([], dtype=np.int64),
+             np.array([], dtype=np.uint64))
+    if n == 0:
+        return empty
+    words = pc.split_pattern(pc.fill_null(text_col, ''), ' ')
+    wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    m = len(flat)
+    if m < k:
+        return empty
+    wh = pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=False)
+    ng = m - k + 1
+    acc = wh[:ng].copy()
+    for t in range(1, k):
+        acc = acc * _GRAM_P + wh[t:t + ng]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), wc)
+    valid = doc_of[:ng] == doc_of[k - 1:k - 1 + ng]
+    gh = acc[valid]
+    gd = doc_of[:ng][valid]
+    order = np.lexsort((gh, gd))
+    gd, gh = gd[order], gh[order]
+    if len(gd):
+        keep = np.ones(len(gd), dtype=bool)
+        keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+        gd, gh = gd[keep], gh[keep]
+    lengths = np.bincount(gd, minlength=n).astype(np.int64)
+    return lengths, gd, gh
+
+
 def hash_shingles(flat: np.ndarray) -> np.ndarray:
     """uint64 hashes of shingle strings (deterministic, vectorized C)."""
     if len(flat) == 0:

@@ -124,11 +124,12 @@ def q_top_customers(sf_dir: str):
         return pa.table({'o_custkey': tbl.column('o_custkey'),
                          'rev6': _fixed6(tbl.column('o_totalprice'))})
 
+    from ..stages.aggregate import bucket_aggregate
     orders = orders.map_batches(scale, batch_format='pyarrow',
                                 zero_copy_batch=True)
-    per_cust = pre_aggregate(orders, ['o_custkey'],
-                             {'rev6': ('rev6', 'sum'),
-                              'n_orders': ('rev6', 'count')})
+    per_cust = bucket_aggregate(orders, ['o_custkey'],
+                                {'rev6': ('rev6', 'sum'),
+                                 'n_orders': ('rev6', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({'o_custkey': tbl.column('o_custkey'),
@@ -325,9 +326,10 @@ def q_exact_dedup_docs(sf_dir: str):
     """Exact dedup: canonical doc per distinct text (min doc_id) + dup
     count. Partial-agg by text per batch, then one exchange of partials
     keyed by the text (hash-partition by content)."""
+    from ..stages.aggregate import bucket_aggregate
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
-    out = pre_aggregate(ds, ['text'], {'doc_id': ('doc_id', 'min'),
-                                       'n_dups': ('doc_id', 'count')})
+    out = bucket_aggregate(ds, ['text'], {'doc_id': ('doc_id', 'min'),
+                                          'n_dups': ('doc_id', 'count')})
     return out.map_batches(
         lambda t: t.select(['doc_id', 'text', 'n_dups']),
         batch_format='pyarrow').sort('doc_id')

@@ -3,28 +3,26 @@
 A bare ``groupby(key).aggregate(...)`` shuffles every row; at 100 TB that
 is the dominant cost for low-cardinality keys. ``pre_aggregate`` combines
 inside each ``map_batches`` first (one partial row per key per batch —
-vectorized pandas groupby), so the exchange moves only partials, then a
+Arrow-native ``Table.group_by``), so the exchange moves only partials, then a
 small Ray ``groupby`` finalizes. Supported aggs compose from mergeable
 partials: sum, count, min, max; mean is finalized as sum/count.
+
+For HIGH-cardinality keys (pair counts, per-document rollups, content
+fingerprints) the final Ray ``groupby`` is a full sort by the key tuple —
+measured ~8x slower than hashing here. ``bucket_aggregate`` keeps the same
+partial phase but exchanges on an int32 hash bucket of the keys and
+finishes with an in-bucket Arrow ``group_by`` instead.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 _MERGE = {'sum': 'sum', 'count': 'sum', 'min': 'min', 'max': 'max'}
 
 
-def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
-                  batch_format: str = 'pyarrow'):
-    """aggs: {out_name: (col, fn)} with fn in sum|count|min|max|mean.
-
-    Returns a Ray Dataset of one row per key combination with the named
-    output columns. ``count`` counts non-null values of ``col`` (use any
-    non-null column for row counts). ``mean`` adds hidden sum/count
-    partials and divides at the end.
-    """
+def _build_plan(aggs: dict[str, tuple[str, str]]):
     plan = {}      # partial col -> (src col, partial fn)
     finals = {}    # out name -> expression over partial cols
     for out, (col, fn) in aggs.items():
@@ -35,26 +33,21 @@ def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         else:
             plan[out] = (col, fn)
             finals[out] = ('id', out, None)
+    return plan, finals
 
-    def partial(tbl: pa.Table) -> pa.Table:
-        df = tbl.to_pandas()
-        g = df.groupby(keys, sort=False, dropna=False)
-        pieces = {}
-        for pcol, (col, fn) in plan.items():
-            pieces[pcol] = getattr(g[col], fn)()
-        out = pd.DataFrame(pieces).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format='pyarrow',
-                              zero_copy_batch=True)
+def _group_table(tbl: pa.Table, keys, specs_src) -> pa.Table:
+    """Arrow-native grouped aggregation; returns key cols + '{col}_{fn}'
+    columns. Null keys form their own group (pandas dropna=False parity)
+    and 'count' counts non-null values (pandas .count() parity)."""
+    # options built here: pyarrow *Options objects don't pickle
+    import pyarrow.compute as _pc
+    specs = [(col, fn, _pc.ScalarAggregateOptions(min_count=0))
+             if fn == 'sum' else (col, fn) for col, fn in specs_src]
+    return tbl.group_by(keys).aggregate(specs)
 
-    from ray.data.aggregate import Max, Min, Sum
-    agg_objs = []
-    for pcol, (col, fn) in plan.items():
-        cls = {'sum': Sum, 'count': Sum, 'min': Min, 'max': Max}[_MERGE[fn]]
-        agg_objs.append(cls(pcol, alias_name=pcol))
-    merged = partials.groupby(keys).aggregate(*agg_objs)
 
+def _finalize_fn(keys, finals):
     def finalize(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         cols = {k: tbl.column(k) for k in keys}
@@ -66,5 +59,91 @@ def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
             else:
                 cols[out] = tbl.column(a)
         return pa.table(cols)
+    return finalize
 
-    return merged.map_batches(finalize, batch_format='pyarrow')
+
+def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                  batch_format: str = 'pyarrow'):
+    """aggs: {out_name: (col, fn)} with fn in sum|count|min|max|mean.
+
+    Returns a Ray Dataset of one row per key combination with the named
+    output columns. ``count`` counts non-null values of ``col`` (use any
+    non-null column for row counts). ``mean`` adds hidden sum/count
+    partials and divides at the end.
+    """
+    plan, finals = _build_plan(aggs)
+    uniq = list(dict.fromkeys(plan.values()))     # distinct (col, fn)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        agged = _group_table(tbl, keys, uniq)
+        cols = {k: agged.column(k) for k in keys}
+        for pcol, (col, fn) in plan.items():
+            cols[pcol] = agged.column(f'{col}_{fn}')
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format='pyarrow',
+                              zero_copy_batch=True)
+
+    from ray.data.aggregate import Max, Min, Sum
+    agg_objs = []
+    for pcol, (col, fn) in plan.items():
+        cls = {'sum': Sum, 'count': Sum, 'min': Min, 'max': Max}[_MERGE[fn]]
+        agg_objs.append(cls(pcol, alias_name=pcol))
+    merged = partials.groupby(keys).aggregate(*agg_objs)
+
+    return merged.map_batches(_finalize_fn(keys, finals),
+                              batch_format='pyarrow')
+
+
+def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                     num_buckets: int = 32):
+    """``pre_aggregate`` for HIGH-cardinality keys.
+
+    Same partial combine per batch, but the exchange is a hash-bucket
+    groupby on an int32 bucket of the key hash (strategy-independent, no
+    full key-tuple sort); each bucket finishes its keys with one Arrow
+    ``group_by``. Output rows are NOT globally sorted — follow with
+    ``.sort`` if order matters.
+    """
+    import pandas as pd
+
+    from .conversations import BUCKET_COL, _HASH_KEY
+
+    plan, finals = _build_plan(aggs)
+    uniq = list(dict.fromkeys(plan.values()))
+    merge_specs = list(dict.fromkeys(
+        (pcol, _MERGE[fn]) for pcol, (col, fn) in plan.items()))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        agged = _group_table(tbl, keys, uniq)
+        cols = {k: agged.column(k) for k in keys}
+        for pcol, (col, fn) in plan.items():
+            cols[pcol] = agged.column(f'{col}_{fn}')
+        out = pa.table(cols)
+        h = np.zeros(out.num_rows, dtype=np.uint64)
+        for k in keys:
+            vals = out.column(k).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            h = (h * np.uint64(0x9E3779B97F4A7C15)
+                 + pd.util.hash_array(vals, hash_key=_HASH_KEY,
+                                      categorize=False))
+        return out.append_column(
+            BUCKET_COL, pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int32), type=pa.int32()))
+
+    partials = ds.map_batches(partial, batch_format='pyarrow',
+                              zero_copy_batch=True)
+
+    finalize = _finalize_fn(keys, finals)
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        if BUCKET_COL in tbl.column_names:
+            tbl = tbl.drop_columns([BUCKET_COL])
+        agged = _group_table(tbl, keys, merge_specs)
+        cols = {k: agged.column(k) for k in keys}
+        for pcol, mfn in merge_specs:
+            cols[pcol] = agged.column(f'{pcol}_{mfn}')
+        return finalize(pa.table(cols))
+
+    return partials.groupby(BUCKET_COL).map_groups(
+        merge_bucket, batch_format='pyarrow')

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as T
-from .aggregate import pre_aggregate
+from .aggregate import bucket_aggregate, pre_aggregate
 
 
 def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
@@ -33,9 +33,9 @@ def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
         })
 
     hashed = ds.map_batches(fp, batch_format='pyarrow', zero_copy_batch=True)
-    return pre_aggregate(hashed, ['fingerprint'],
-                         {id_col: (id_col, 'min'),
-                          'n_dups': (id_col, 'count')})
+    return bucket_aggregate(hashed, ['fingerprint'],
+                            {id_col: (id_col, 'min'),
+                             'n_dups': (id_col, 'count')})
 
 
 def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
@@ -43,101 +43,118 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                         num_buckets: int = 32, max_df: int | None = 50):
     """EXACT word-k-gram Jaccard similar pairs (doc_a, doc_b, jaccard).
 
-    Plan: explode each doc to its DISTINCT shingles (vectorized set-build
-    per batch) → hash-repartition by shingle → per-partition pair partial
-    counts (pandas merge inside the block) → one small groupby summing
-    pair counts → jaccard = common / (|A| + |B| - common).
+    ONE shingling pass + ONE exchange: each doc explodes to DISTINCT
+    64-bit shingle hashes (functions/text.py:shingle_hash_explode — no
+    Python loops, no shingle strings ever leave the batch; the exchange
+    moves 16-byte (hash, id) rows, ~10x fewer bytes than strings). Equal
+    hashes co-locate in one bucket task which computes the df census, the
+    df-capped per-doc size partials AND the pair partials in a single
+    pass; only those tiny partials flow downstream. Docs with < k words
+    emit zero shingles (oracle parity: its NULL shingles never join).
 
-    Scale notes: the shingle exchange carries (shingle, id, doc_size)
-    only. A stop-shingle appearing in d docs emits d² pairs, so shingles
-    with document frequency > ``max_df`` are DROPPED on both engines (the
-    oracle applies the identical cap): Jaccard is then computed over the
-    capped shingle sets — exact w.r.t. that declared universe. Pass
-    ``max_df=None`` for the uncapped exact variant (only safe on corpora
-    without stop-shingles). Hot shingles are discovered by a census and
-    broadcast (the hot set is small by definition).
+    A stop-shingle appearing in d docs emits d² pairs, so hashes with
+    document frequency > ``max_df`` are DROPPED on both engines (the
+    oracle applies the identical cap); Jaccard is exact over the capped
+    shingle universe. Capped sizes are attached to pairs at the very end
+    by ``pc.index_in`` against the broadcast size table (one row per doc
+    with ≥1 kept shingle — at 100 TB broadcast becomes a hash_join on
+    doc id, same plan otherwise).
     """
     import ray as _ray
+
     def explode(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pylist()
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        lengths, flat = T.word_shingles(texts, k)
-        doc_rep = np.repeat(ids, lengths)
-        size_rep = np.repeat(lengths, lengths)
+        _, gd, gh = T.shingle_hash_explode(tbl.column(text_col), k)
         return pa.table({
-            's': pa.array(flat, type=pa.string()),
-            'doc': pa.array(doc_rep),
-            'size': pa.array(size_rep, type=pa.int64()),
+            'h': pa.array(gh.view(np.int64), type=pa.int64()),
+            'doc': pa.array(ids[gd], type=pa.int64()),
         })
 
-    shingles = ds.map_batches(explode, batch_format='pyarrow',
-                              zero_copy_batch=True)
+    index = ds.map_batches(explode, batch_format='pyarrow',
+                           zero_copy_batch=True)
 
-    if max_df is not None:
-        df_census = pre_aggregate(shingles, ['s'], {'df': ('doc', 'count')})
-        hot = df_census.filter(
-            lambda r: r['df'] > max_df).to_pandas()
-        # an empty filtered dataset loses its schema -> no 's' column
-        hot_set = set(hot['s']) if 's' in hot.columns else set()
-        hot_ref = _ray.put(hot_set)
+    _EMPTY = pa.table({'doc_a': pa.array([], pa.int64()),
+                       'doc_b': pa.array([], pa.int64()),
+                       'common': pa.array([], pa.int64())})
 
-        # per-doc sizes must be recomputed over the capped shingle
-        # universe, so re-explode with the hot set filtered inside the
-        # per-doc shingle build
-        def explode_capped(tbl: pa.Table) -> pa.Table:
-            hs = _ray.get(hot_ref)
-            texts = tbl.column(text_col).to_pylist()
-            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-            lengths, flat = T.word_shingles(texts, k)
-            if hs:
-                keep = np.fromiter((x not in hs for x in flat), dtype=bool,
-                                   count=len(flat))
-                doc_rep_all = np.repeat(np.arange(len(ids)), lengths)
-                kept_counts = np.bincount(doc_rep_all[keep],
-                                          minlength=len(ids))
-                flat = flat[keep]
-                doc_rep = ids[doc_rep_all[keep]]
-                size_rep = kept_counts[doc_rep_all[keep]]
-            else:
-                doc_rep = np.repeat(ids, lengths)
-                size_rep = np.repeat(lengths, lengths)
-            return pa.table({
-                's': pa.array(flat, type=pa.string()),
-                'doc': pa.array(doc_rep),
-                'size': pa.array(size_rep, type=pa.int64()),
-            })
-
-        shingles = ds.map_batches(explode_capped, batch_format='pyarrow',
-                                  zero_copy_batch=True)
-
-    def pair_counts(tbl: pa.Table) -> pa.Table:
+    def bucket_fn(tbl: pa.Table) -> pa.Table:
+        """Per hash-bucket (equal h co-located): df-cap, per-doc size
+        partials (doc_b = NULL rows) and pair partials — one pass."""
         if tbl.num_rows == 0:
-            return pa.table({'doc_a': pa.array([], pa.int64()),
-                             'doc_b': pa.array([], pa.int64()),
-                             'size_a': pa.array([], pa.int64()),
-                             'size_b': pa.array([], pa.int64()),
-                             'common': pa.array([], pa.int64())})
+            return _EMPTY
         df = tbl.to_pandas()
-        m = df.merge(df, on='s', suffixes=('_a', '_b'))
+        if max_df is not None:
+            df = df[df.groupby('h')['doc'].transform('size') <= max_df]
+        if len(df) == 0:
+            return _EMPTY
+        sizes = df.groupby('doc', sort=False).size()
+        m = df.merge(df, on='h', suffixes=('_a', '_b'))
         m = m[m['doc_a'] < m['doc_b']]
-        g = m.groupby(['doc_a', 'doc_b', 'size_a', 'size_b'], sort=False)\
+        g = m.groupby(['doc_a', 'doc_b'], sort=False)\
             .size().rename('common').reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            'doc_a': pa.array(np.concatenate([
+                sizes.index.to_numpy(dtype=np.int64),
+                g['doc_a'].to_numpy(dtype=np.int64)])),
+            'doc_b': pa.array(np.concatenate([
+                np.full(len(sizes), -1, dtype=np.int64),
+                g['doc_b'].to_numpy(dtype=np.int64)])).cast(pa.int64()),
+            'common': pa.array(np.concatenate([
+                sizes.to_numpy(dtype=np.int64),
+                g['common'].to_numpy(dtype=np.int64)])),
+        })
 
     from .conversations import bucket_exchange
-    partial = bucket_exchange(shingles, 's', pair_counts, num_buckets)
-    merged = pre_aggregate(partial, ['doc_a', 'doc_b', 'size_a', 'size_b'],
-                           {'common': ('common', 'sum')})
+    # ONE exchange of the 16-byte (h, doc) index carries the df census,
+    # the capped sizes and the pair partials; its output is tiny
+    # (partials only), so materializing for the two consumers is cheap
+    partial = bucket_exchange(index, 'h', bucket_fn, num_buckets)\
+        .materialize()
+
+    # doc_b = -1 tags size partials (doc ids are non-negative)
+    def _side(want_sizes: bool):
+        def f(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or 'doc_b' not in tbl.column_names:
+                return _EMPTY
+            mask = pc.equal(tbl.column('doc_b'), -1)
+            return tbl.filter(mask if want_sizes else pc.invert(mask))
+        return f
+
+    sizes = bucket_aggregate(
+        partial.map_batches(_side(True), batch_format='pyarrow'),
+        ['doc_a'], {'sz': ('common', 'sum')},
+        num_buckets=num_buckets).to_pandas()
+    if len(sizes) == 0 or 'doc_a' not in sizes.columns:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table(
+            {'doc_a': pa.array([], pa.int64()),
+             'doc_b': pa.array([], pa.int64()),
+             'jaccard': pa.array([], pa.float64())}))
+    size_keys = pa.array(sizes['doc_a'].to_numpy(dtype=np.int64))
+    size_vals = sizes['sz'].to_numpy(dtype=np.float64)
+    sz_ref = _ray.put((size_keys, size_vals))
+
+    merged = bucket_aggregate(
+        partial.map_batches(_side(False), batch_format='pyarrow'),
+        ['doc_a', 'doc_b'], {'common': ('common', 'sum')},
+        num_buckets=num_buckets)
 
     def jaccard(tbl: pa.Table) -> pa.Table:
-        common = pc.cast(tbl.column('common'), pa.float64())
-        union = pc.subtract(
-            pc.cast(pc.add(tbl.column('size_a'), tbl.column('size_b')),
-                    pa.float64()), common)
-        j = pc.divide(common, union)
+        if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+            return pa.table({'doc_a': pa.array([], pa.int64()),
+                             'doc_b': pa.array([], pa.int64()),
+                             'jaccard': pa.array([], pa.float64())})
+        keys, vals = _ray.get(sz_ref)
+        sz_a = vals[pc.index_in(tbl.column('doc_a'), value_set=keys)
+                    .to_numpy(zero_copy_only=False)]
+        sz_b = vals[pc.index_in(tbl.column('doc_b'), value_set=keys)
+                    .to_numpy(zero_copy_only=False)]
+        common = tbl.column('common').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        j = np.round(common / (sz_a + sz_b - common), 6)
         out = pa.table({'doc_a': tbl.column('doc_a'),
                         'doc_b': tbl.column('doc_b'),
-                        'jaccard': pc.round(j, ndigits=6)})
+                        'jaccard': pa.array(j, type=pa.float64())})
         return out.filter(pc.greater_equal(out.column('jaccard'), threshold))
 
     return merged.map_batches(jaccard, batch_format='pyarrow')
@@ -146,15 +163,19 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
 def minhash_signature_ds(ds, text_col='text', id_col='doc_id',
                          num_perm=128, num_bands=32, shingle_k=3,
                          seed=1234):
-    """(id, band_id, band_hash) rows — the LSH index. One vectorized pass;
-    emits num_bands rows per doc (ids + 2 uint64s, tiny vs the text)."""
+    """(id, band_id, band_hash) rows — the LSH index. One vectorized pass
+    (shingle_hash_explode, no Python loops); emits num_bands rows per doc.
+    Docs with zero shingles (< shingle_k words) are EXCLUDED — their empty
+    signatures are all identical and would pair every short doc with every
+    other (the SQL-oracle-parity choice: sub-k docs never near-dup)."""
     def sig(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pylist()
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        lengths, flat = T.word_shingles(texts, shingle_k)
-        hashes = T.hash_shingles(flat)
-        s = T.minhash_matrix(lengths, hashes, num_perm, seed)
+        lengths, _, gh = T.shingle_hash_explode(tbl.column(text_col),
+                                                shingle_k)
+        s = T.minhash_matrix(lengths, gh, num_perm, seed)
         bh = T.band_hashes(s, num_bands)
+        keep = lengths > 0
+        ids, bh = ids[keep], bh[keep]
         n = len(ids)
         return pa.table({
             id_col: pa.array(np.repeat(ids, num_bands)),
@@ -187,53 +208,49 @@ def minhash_candidates(ds, text_col='text', id_col='doc_id', num_perm=128,
     cand = bucket_exchange(index, 'band_hash', pairs, num_buckets)
     # distinct pairs across partitions (a pair can match in several bands
     # that hash to different partitions)
-    return pre_aggregate(cand, ['doc_a', 'doc_b'],
-                         {'n_bands': ('doc_a', 'count')})
+    return bucket_aggregate(cand, ['doc_a', 'doc_b'],
+                            {'n_bands': ('doc_a', 'count')},
+                            num_buckets=num_buckets)
 
 
 def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
                   num_perm=128, num_bands=32, shingle_k=3, seed=1234):
-    """MinHash-LSH near-dup clusters: LSH candidates → exact Jaccard verify
-    on the candidate docs only → union-find clusters → (id, cluster_id).
+    """MinHash-LSH near-dup clusters: LSH candidates → DISTRIBUTED exact
+    Jaccard verify (hashed-shingle ngram_jaccard_pairs over the candidate
+    docs only, restricted to candidate pairs) → union-find clusters →
+    (id, cluster_id).
 
-    The verify + clustering steps materialize only the CANDIDATE pairs and
-    their texts (bounded by the LSH hit set, not the corpus). Union-find
-    runs on the driver over verified pairs — documented assumption:
-    verified-duplicate pairs fit driver memory (at 100 TB shard this stage
-    by band-hash range and cluster per shard).
+    Driver-side state is bounded by the candidate PAIR list and the
+    verified edges — never candidate texts (verify runs as a Ray pipeline
+    over the filtered docs). At 100 TB shard the candidate list by
+    band-hash range and cluster per shard, merging cross-shard edges.
     """
+    import ray
     cand = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
                               shingle_k, seed).to_pandas()
     if len(cand) == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          'cluster_id': pa.array([], pa.int64())})
-    need = sorted(set(cand['doc_a']) | set(cand['doc_b']))
-    need_set = set(need)
+    need = np.unique(np.concatenate([cand['doc_a'].to_numpy(),
+                                     cand['doc_b'].to_numpy()]))
+    need_ref = ray.put(pa.array(need, type=pa.int64()))
 
     def pick(tbl: pa.Table) -> pa.Table:
-        mask = pa.array([i in need_set
-                         for i in tbl.column(id_col).to_pylist()])
-        return tbl.filter(mask)
+        return tbl.filter(pc.is_in(tbl.column(id_col),
+                                   value_set=ray.get(need_ref)))
 
-    docs = ds.map_batches(pick, batch_format='pyarrow').to_pandas()
-    text_of = dict(zip(docs[id_col], docs[text_col]))
-    # exact verify
-    verified = []
-    sh_cache: dict = {}
-
-    def shingles_of(d):
-        if d not in sh_cache:
-            lengths, flat = T.word_shingles([text_of[d]], shingle_k)
-            sh_cache[d] = set(flat.tolist())
-        return sh_cache[d]
-
-    for a, b in zip(cand['doc_a'], cand['doc_b']):
-        sa, sb = shingles_of(a), shingles_of(b)
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        if union and inter / union >= threshold:
-            verified.append((a, b))
-    # union-find
+    docs_c = ds.map_batches(pick, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    # exact jaccard over candidate docs (uncapped — the candidate set is
+    # LSH-bounded), then keep only LSH-candidate pairs
+    exact = ngram_jaccard_pairs(docs_c, text_col, id_col, k=shingle_k,
+                                threshold=threshold, max_df=None).to_pandas()
+    if len(exact) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         'cluster_id': pa.array([], pa.int64())})
+    verified = exact.merge(cand[['doc_a', 'doc_b']],
+                           on=['doc_a', 'doc_b'])
+    # union-find over verified dup edges only (tiny)
     parent: dict = {}
 
     def find(x):
@@ -242,11 +259,12 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
             x = parent[x]
         return x
 
-    for a, b in verified:
+    for a, b in zip(verified['doc_a'], verified['doc_b']):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    members = sorted({d for pair in verified for d in pair})
+    members = sorted({int(d) for col in ('doc_a', 'doc_b')
+                      for d in verified[col]})
     return pa.table({
         id_col: pa.array(members, type=pa.int64()),
         'cluster_id': pa.array([find(d) for d in members], type=pa.int64()),
@@ -261,11 +279,16 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
     ``num_chunks - 1`` shares a chunk); chunk-bucket exchange, verify
     hamming distance per bucket. Returns (doc_a, doc_b, hamming)."""
     def sig(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pylist()
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        lengths, flat = T.word_shingles(texts, 1)  # token-level
-        hashes = T.hash_shingles(flat)
+        text = tbl.column(text_col).combine_chunks()
+        lengths, _, hashes = T.shingle_hash_explode(text, 1)  # token-level
         s = T.simhash64(lengths, hashes)
+        # empty texts carry no tokens: drop them from the index (their
+        # all-zero signatures would otherwise pair with each other)
+        nonempty = np.asarray(pc.greater(
+            pc.utf8_length(pc.fill_null(text, '')), 0)
+            .to_numpy(zero_copy_only=False), dtype=bool)
+        ids, s = ids[nonempty], s[nonempty]
         n = len(ids)
         bits = 64 // num_chunks
         chunks = np.empty((n, num_chunks), dtype=np.uint64)
@@ -310,8 +333,9 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
 
     from .conversations import bucket_exchange
     cand = bucket_exchange(index, 'chunk_val', pairs, num_buckets)
-    return pre_aggregate(cand, ['doc_a', 'doc_b'],
-                         {'hamming': ('hamming', 'min')})
+    return bucket_aggregate(cand, ['doc_a', 'doc_b'],
+                            {'hamming': ('hamming', 'min')},
+                            num_buckets=num_buckets)
 
 
 def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -43,41 +44,50 @@ def broadcast_join(ds, small, on, how: str = 'inner',
                           concurrency=concurrency)
 
 
-def _key_set_ref(ds, on):
-    keys = set()
-    for b in ds.iter_batches(batch_size=None, batch_format='pyarrow'):
-        keys.update(b.column(on).to_pylist())
+def _key_array_ref(ds, on):
+    """Distinct key values of ``ds[on]`` as ONE Arrow array, broadcast via
+    the object store. Each block is pre-deduplicated distributed-side
+    (unique per block), so the driver concatenates distinct-per-block
+    chunks only. Bound: the global distinct key set must fit in memory —
+    at larger cardinalities swap in a Bloom filter built from the same
+    per-block uniques (same shape, documented)."""
+    uniq = ds.map_batches(
+        lambda t: pa.table({on: pc.unique(t.column(on).combine_chunks())}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    chunks = [b.column(on) for b in
+              uniq.iter_batches(batch_size=None, batch_format='pyarrow')]
+    if not chunks:
+        return ray.put(pa.array([], type=pa.null()))
+    keys = pc.unique(pa.concat_arrays(
+        [c.combine_chunks().cast(chunks[0].type) for c in chunks]))
     return ray.put(keys)
 
 
 def semi_join(ds, keys_ds, on):
-    """Keep rows whose key exists in keys_ds (broadcast key set —
-    at larger key cardinalities swap in a Bloom filter, same shape)."""
-    ref = _key_set_ref(keys_ds, on)
+    """Keep rows whose key exists in keys_ds (broadcast key array +
+    vectorized ``pc.is_in`` per batch; no shuffle)."""
+    ref = _key_array_ref(keys_ds, on)
 
     class Filter:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys
-                             for k in tbl.column(on).to_pylist()])
-            return tbl.filter(mask)
+            return tbl.filter(pc.is_in(tbl.column(on), value_set=self.keys))
 
     return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
 
 
 def anti_join(ds, keys_ds, on):
-    ref = _key_set_ref(keys_ds, on)
+    ref = _key_array_ref(keys_ds, on)
 
     class Filter:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.keys
-                             for k in tbl.column(on).to_pylist()])
-            return tbl.filter(mask)
+            return tbl.filter(pc.invert(
+                pc.is_in(tbl.column(on), value_set=self.keys)))
 
     return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
 

@@ -54,14 +54,15 @@ def conv_census(ds, key='conv_id'):
 
 def _add_salt(tbl: pa.Table, mega: dict, chunk_rows: int,
               num_buckets: int) -> pa.Table:
-    conv = tbl.column('conv_id').combine_chunks().to_numpy(
-        zero_copy_only=False)
+    conv_col = tbl.column('conv_id').combine_chunks()
+    conv = conv_col.to_numpy(zero_copy_only=False)
     turn = tbl.column('turn_idx').combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.int64)
     salt = np.zeros(len(conv), dtype=np.int32)
     if mega:
-        is_mega = np.fromiter((c in mega for c in conv), dtype=bool,
-                              count=len(conv))
+        is_mega = np.asarray(
+            pc.is_in(conv_col, value_set=pa.array(list(mega)))
+            .to_numpy(zero_copy_only=False), dtype=bool)
         salt[is_mega] = (turn[is_mega] // chunk_rows).astype(np.int32)
     h = pd.util.hash_array(conv, hash_key=_HASH_KEY, categorize=False)
     bucket = ((h ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
@@ -191,10 +192,8 @@ def flagship_features_salted(ok_ds, max_group_rows: int = 100_000,
     # -- boundary summaries over mega rows only ---------------------------
     def only_mega(tbl: pa.Table) -> pa.Table:
         m = ray.get(mega_ref)
-        conv = tbl.column('conv_id').to_numpy(zero_copy_only=False)
-        mask = np.fromiter((c in m for c in conv), dtype=bool,
-                           count=len(conv))
-        return tbl.filter(pa.array(mask))
+        return tbl.filter(pc.is_in(tbl.column('conv_id'),
+                                   value_set=pa.array(list(m))))
 
     mega_rows = ok_ds.map_batches(only_mega, batch_format='pyarrow',
                                   zero_copy_batch=True)
