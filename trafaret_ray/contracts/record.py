@@ -481,9 +481,37 @@ class List(Contract, metaclass=_ListMeta):
         return '<List(%r)>' % (self.contract,)
 
 
-# Iterable: at the batch level any Arrow list-typed column is already
-# materialized as a list; Iterable == List (reference base.py:788-873).
-Iterable = List
+class Iterable(List):
+    """Reference ``Iterable`` (base.py:788-873): the scalar path accepts
+    ANY sized iterable (tuple, set, str, dict view, ...) with the
+    "value is not iterable" message; non-sized iterables (generators)
+    raise TypeError from ``len`` exactly as the reference does. The batch
+    path is identical to List — an Arrow list column is already
+    materialized as a list."""
+
+    def _scalar_check(self, value, context=None):
+        from collections.abc import Iterable as AbcIterable
+        if not isinstance(value, AbcIterable):
+            raise DataError('value is not iterable', value=value,
+                            code=codes.IS_NOT_A_LIST)
+        if len(value) < self.min_length:
+            raise DataError('list length is less than %s' % self.min_length,
+                            value=value, code=codes.TOO_SHORT)
+        if self.max_length is not None and len(value) > self.max_length:
+            raise DataError('list length is greater than %s'
+                            % self.max_length, value=value,
+                            code=codes.TOO_LONG)
+        out = []
+        errors = {}
+        for i, v in enumerate(value):
+            try:
+                out.append(self.contract.check(v, context))
+            except DataError as e:
+                errors[i] = e
+        if errors:
+            raise DataError(error=errors,
+                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
+        return out
 
 
 class Tuple(Contract):

@@ -231,6 +231,42 @@ def language_id(texts: list) -> tuple[np.ndarray, np.ndarray]:
     return out, conf
 
 
+def stopword_distinct_ratios(text: pa.Array, stopwords,
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (stopword_ratio, distinct_word_ratio) per doc with
+    single-space-split + lowercase semantics (string_split(lower(text),
+    ' ') parity with the SQL oracle). One Arrow split, one C word-hash
+    pass, segment sums — no per-doc Python."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, '')), ' ')
+    wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    flat = words.flatten()
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wc, out=offsets[1:])
+    stop_mask = pc.is_in(flat, value_set=pa.array(sorted(stopwords)))\
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(stop_mask)])
+    stop_counts = cs[offsets[1:]] - cs[offsets[:-1]]
+    wh = pd.util.hash_array(flat.to_numpy(zero_copy_only=False),
+                            hash_key=_HASH_KEY, categorize=False)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), wc)
+    order = np.lexsort((wh, doc_of))
+    d, h = doc_of[order], wh[order]
+    if len(d):
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        distinct = np.bincount(d[keep], minlength=n).astype(np.int64)
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
+    denom = np.maximum(wc, 1).astype(np.float64)
+    return stop_counts / denom, distinct / denom
+
+
 def quality_features(text: pa.Array) -> dict[str, pa.Array]:
     """Vectorized quality signals: char/word counts, mean word length,
     punctuation ratio, uppercase ratio, digit ratio, stopword ratio (en),
@@ -241,17 +277,8 @@ def quality_features(text: pa.Array) -> dict[str, pa.Array]:
     n_upper = pc.count_substring_regex(text, r"[A-Z]")
     n_digit = pc.count_substring_regex(text, r"[0-9]")
     nc = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
-    texts = text.to_pylist()
-    stop_ratio = np.zeros(len(texts), dtype=np.float64)
-    distinct_ratio = np.zeros(len(texts), dtype=np.float64)
-    en_stops = _LANG_STOPWORDS['en']
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        ws = t.lower().split()
-        if ws:
-            stop_ratio[i] = sum(w in en_stops for w in ws) / len(ws)
-            distinct_ratio[i] = len(set(ws)) / len(ws)
+    stop_ratio, distinct_ratio = stopword_distinct_ratios(
+        text, _LANG_STOPWORDS['en'])
     return {
         'n_chars': pc.cast(n_chars, pa.int64()),
         'n_words': n_words,

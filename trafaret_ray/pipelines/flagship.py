@@ -103,6 +103,18 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
         with open(os.path.join(stage_dir, '_SUCCESS'), 'w') as f:
             f.write('ok')
 
+    def write_atomic(ds_out, stage_dir, **kwargs):
+        """Write to a temp dir and rename: a crash mid-write leaves no
+        partial part-files in the stage dir, so a resumed run can't read
+        duplicated rows (state/checkpoint.py pattern)."""
+        import shutil
+        tmp = stage_dir + '.__tmp__'
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds_out.write_parquet(tmp, **kwargs)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.replace(tmp, stage_dir)
+        mark(stage_dir)
+
     # -- stage 1: validate + split (one pass, partitioned on validity) ----
     if not (resume and done(validated_dir)):
         # include_paths -> per-input-shard lineage survives into the
@@ -119,8 +131,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
 
         tagged = ds.map_batches(tag_with_flag, batch_format='pyarrow',
                                 batch_size=batch_size, zero_copy_batch=True)
-        tagged.write_parquet(validated_dir, partition_cols=['_ok'])
-        mark(validated_dir)
+        write_atomic(tagged, validated_dir, partition_cols=['_ok'])
 
     # -- stage 2: features over the ok partition --------------------------
     ok_path = os.path.join(validated_dir, '_ok=true')
@@ -137,8 +148,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
                                              num_buckets=num_buckets)
         else:
             feats = feature_dataset(ok_ds, num_buckets, gap_us)
-        feats.write_parquet(features_dir)
-        mark(features_dir)
+        write_atomic(feats, features_dir)
 
     # -- lineage metrics --------------------------------------------------
     q_path = os.path.join(validated_dir, '_ok=false')

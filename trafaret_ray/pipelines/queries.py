@@ -556,19 +556,14 @@ def q_quality_scores(sf_dir: str):
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
     def score(tbl: pa.Table) -> pa.Table:
-        from ..functions.text import whitespace_token_count, _LANG_STOPWORDS
+        from ..functions.text import (whitespace_token_count,
+                                      stopword_distinct_ratios,
+                                      _LANG_STOPWORDS)
         text = tbl.column('text').combine_chunks()
         n_chars = pc.utf8_length(text)
         n_words = whitespace_token_count(text)
-        texts = text.to_pylist()
-        stop = _LANG_STOPWORDS['en']
-        stop_ratio = np.zeros(len(texts))
-        distinct_ratio = np.zeros(len(texts))
-        for i, t in enumerate(texts):
-            ws = t.lower().split(' ') if t else []
-            if ws:
-                stop_ratio[i] = sum(w in stop for w in ws) / len(ws)
-                distinct_ratio[i] = len(set(ws)) / len(ws)
+        stop_ratio, distinct_ratio = stopword_distinct_ratios(
+            text, _LANG_STOPWORDS['en'])
         return pa.table({
             'doc_id': tbl.column('doc_id'),
             'n_words': n_words,
@@ -677,6 +672,30 @@ def q_embedding_near_dup(sf_dir: str):
                               num_buckets=16)
 
 
+def q_embedding_dup_detect(sf_dir: str):
+    """ORACLE-CHECKED embedding-LSH dedup: the corpus unioned with a
+    planted exact copy of itself (vec_id + 1_000_000) runs through the
+    random-hyperplane LSH near-dup at threshold 0.95. Identical vectors
+    share every projection sign, so LSH finds each planted pair with
+    certainty, and the fixtures' max natural cosine is ~0.6 (verified),
+    so the EXACT expected output is the n planted pairs at cos 1.0 —
+    SQL-expressible, giving the approximate-LSH code path a byte-level
+    driver check (recall is covered separately in tests/test_dedup.py)."""
+    from ..stages.dedup import embedding_near_dup
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+
+    def shift(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'vec_id': pc.add(tbl.column('vec_id'),
+                             pa.scalar(1_000_000, type=pa.int64())),
+            'embedding': tbl.column('embedding'),
+        })
+
+    doubled = ds.union(ds.map_batches(shift, batch_format='pyarrow'))
+    return embedding_near_dup(doubled, threshold=0.95, num_planes=6,
+                              num_buckets=16).sort(['id_a', 'id_b'])
+
+
 def q_langid_docs(sf_dir: str):
     """Stopword-voting language ID per doc (heuristic → rows-only)."""
     from ..functions.text import language_id
@@ -702,6 +721,7 @@ QUERIES.update({
     'q_minhash_dedup_docs': q_minhash_dedup_docs,
     'q_simhash_candidates_docs': q_simhash_candidates_docs,
     'q_embedding_near_dup': q_embedding_near_dup,
+    'q_embedding_dup_detect': q_embedding_dup_detect,
     'q_langid_docs': q_langid_docs,
 })
 
@@ -754,6 +774,16 @@ ORACLE_SQL.update({
                cast(sum(n_bpe) AS BIGINT)       AS total_bpe,
                round(sum(n_bpe) * 1.0 / count(*), 6) AS avg_bpe
         FROM t GROUP BY source ORDER BY source
+    """,
+    # identical vectors: cos = (v.v)/(|v||v|) = 1 +- 1 ulp -> rounds to
+    # exactly 1.0; the fixtures' max natural cosine is ~0.6 so only the
+    # planted pairs qualify at 0.95 (see q_embedding_dup_detect docstring)
+    'q_embedding_dup_detect': """
+        SELECT vec_id            AS id_a,
+               vec_id + 1000000  AS id_b,
+               1.0               AS cos_sim
+        FROM embeddings
+        ORDER BY id_a
     """,
     'q_cosine_pairs': """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb

@@ -81,19 +81,22 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
     Returns (group, approx_distinct)."""
 
     def sketch(tbl: pa.Table) -> pa.Table:
+        gtype = tbl.schema.field(group_col).type
         df = tbl.select([group_col, value_col]).to_pandas()
         rows_g, rows_s = [], []
         for g, sub in df.groupby(group_col, sort=False):
             h = HLL(p).add(sub[value_col].to_numpy())
             rows_g.append(g)
             rows_s.append(h.regs.tobytes())
-        return pa.table({group_col: pa.array(rows_g),
+        # typed empty: schema-less blocks break downstream schema checks
+        return pa.table({group_col: pa.array(rows_g, type=gtype),
                          'sketch': pa.array(rows_s, type=pa.binary())})
 
     sketches = ds.map_batches(sketch, batch_format='pyarrow',
                               zero_copy_batch=True)
 
     def merge_group(tbl: pa.Table) -> pa.Table:
+        gtype = tbl.schema.field(group_col).type
         df = tbl.to_pandas()
         out_g, out_e = [], []
         for g, sub in df.groupby(group_col, sort=False):
@@ -102,8 +105,9 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
                 np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
             out_g.append(g)
             out_e.append(hll_estimate(regs))
-        return pa.table({group_col: pa.array(out_g),
-                         'approx_distinct': pa.array(out_e)})
+        return pa.table({group_col: pa.array(out_g, type=gtype),
+                         'approx_distinct': pa.array(out_e,
+                                                     type=pa.float64())})
 
     from .conversations import bucket_exchange
     return bucket_exchange(sketches, group_col, merge_group, num_buckets=8)
