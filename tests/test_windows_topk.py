@@ -1,0 +1,77 @@
+"""hopping_window and grouped_topk operator semantics (tiny inputs with
+hand-computed expectations)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events():
+    # two users; timestamps in microseconds at 0, 10min, 70min
+    us = [0, 600_000_000, 4_200_000_000]
+    return pa.table({
+        'user_id': pa.array([1, 1, 2], type=pa.int64()),
+        'ts': pa.array(us, type=pa.int64()).cast(pa.timestamp('us')),
+        'v': pa.array([1.0, 2.0, 5.0]),
+    })
+
+
+class TestHoppingWindow:
+    def test_each_event_in_two_windows(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.streaming import hopping_window
+        out = hopping_window(rd.from_arrow(_events()), 'user_id', 'ts',
+                             3_600_000_000, 1_800_000_000,
+                             {'n': ('v', 'count'), 's': ('v', 'sum')})\
+            .to_pandas().sort_values(['user_id', 'window_start'])\
+            .reset_index(drop=True)
+        # user 1: events at 0 and 10min are in windows starting -30min and
+        # 0; user 2: event at 70min in windows 30min and 60min
+        u1 = out[out.user_id == 1]
+        assert list(u1['n']) == [2, 2]
+        assert list(u1['s']) == [3.0, 3.0]
+        starts = u1['window_start'].astype('datetime64[us]')\
+            .astype('int64').to_numpy()
+        assert list(starts) == [-1_800_000_000, 0]
+        u2 = out[out.user_id == 2]
+        assert list(u2['n']) == [1, 1]
+
+    def test_rejects_non_divisible_hop(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.streaming import hopping_window
+        with pytest.raises(ValueError):
+            hopping_window(rd.from_arrow(_events()), 'user_id', 'ts',
+                           3_600_000_000, 7, {'n': ('v', 'count')})
+
+
+class TestGroupedTopk:
+    def test_topk_with_tiebreak(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import grouped_topk
+        rng = np.random.default_rng(3)
+        n = 5000
+        tbl = pa.table({
+            'g': pa.array(rng.integers(0, 20, n)),
+            'x': pa.array(rng.integers(0, 100, n)),
+            'id': pa.array(np.arange(n)),
+        })
+        out = grouped_topk(rd.from_arrow(tbl), 'g', 'x', 3,
+                           tiebreak='id').to_pandas()
+        import pandas as pd
+        df = tbl.to_pandas()
+        expect = df.sort_values(['g', 'x', 'id'],
+                                ascending=[True, False, True])\
+            .groupby('g').head(3)
+        got = out.sort_values(['g', 'x', 'id'],
+                              ascending=[True, False, True])
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      expect.reset_index(drop=True))
+
+    def test_small_groups_survive(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import grouped_topk
+        tbl = pa.table({'g': pa.array([1]), 'x': pa.array([7]),
+                        'id': pa.array([0])})
+        out = grouped_topk(rd.from_arrow(tbl), 'g', 'x', 5,
+                           tiebreak='id').to_pandas()
+        assert len(out) == 1

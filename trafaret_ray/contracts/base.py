@@ -58,16 +58,24 @@ class Contract(metaclass=ContractMeta):
     # -- scalar convenience (parity with reference check/is_valid) ---------
     def check(self, value, context=None):
         """Validate one Python value; return the coerced value or raise
-        DataError. Mirrors reference Trafaret.check (base.py:104-124)."""
-        special = self._scalar_check(value, context)
-        if special is not NotImplemented:
-            return special
-        arr = _infer_array(value)
-        if arr is None:
-            raise DataError(error=self._unrepresentable_message(value),
-                            value=value, code=self._unrepresentable_code())
-        res = self.apply(arr)
-        res.scalar_raise()
+        DataError. Mirrors reference Trafaret.check (base.py:104-124);
+        like the reference's _failure, the raising node is recorded on
+        ``DataError.trafaret`` (innermost node wins)."""
+        try:
+            special = self._scalar_check(value, context)
+            if special is not NotImplemented:
+                return special
+            arr = _infer_array(value)
+            if arr is None:
+                raise DataError(error=self._unrepresentable_message(value),
+                                value=value,
+                                code=self._unrepresentable_code())
+            res = self.apply(arr)
+            res.scalar_raise()
+        except DataError as e:
+            if e.trafaret is None:
+                e.trafaret = self
+            raise
         out = res.values[0]
         return out.as_py() if isinstance(out, pa.Scalar) else out
 

@@ -21,18 +21,21 @@ class DataError(Exception):
     """Scalar-path validation error (reference: trafaret/dataerror.py:4-63).
 
     ``error`` is a message string or a dict of child DataErrors / messages,
-    mirroring the input structure.
+    mirroring the input structure. ``trafaret`` carries the raising node
+    (reference dataerror.py:14-28) for tools that introspect errors.
     """
 
-    __slots__ = ('error', 'name', 'value', 'code')
+    __slots__ = ('error', 'name', 'value', 'code', 'trafaret')
 
     _EMPTY = object()
 
-    def __init__(self, error=None, name=None, value=_EMPTY, code=None):
+    def __init__(self, error=None, name=None, value=_EMPTY, code=None,
+                 trafaret=None):
         self.error = error
         self.name = name
         self.value = value
         self.code = code
+        self.trafaret = trafaret
 
     def __str__(self):
         return str(self.error)

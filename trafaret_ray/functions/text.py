@@ -209,25 +209,40 @@ _LANG_STOPWORDS = {
 }
 
 
-def language_id(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """Stopword-voting language ID. Returns (lang codes, confidence).
-    Deterministic tie-break: alphabetical language order."""
+def language_id(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Stopword-voting language ID, vectorized: ONE Arrow split +
+    lowercase pass, one ``pc.is_in`` per language over the flat word
+    array, segment sums per doc. Single-space split semantics (SQL
+    ``string_split(lower(text), ' ')`` parity — the q_langid_docs oracle
+    computes the identical votes). Returns (lang codes, confidence);
+    ties break alphabetically, zero votes → 'unknown'."""
+    if isinstance(texts, list):
+        texts = pa.array(texts, type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
     langs = sorted(_LANG_STOPWORDS)
-    stop_maps = [_LANG_STOPWORDS[lg] for lg in langs]
-    out = np.empty(len(texts), dtype=object)
-    conf = np.zeros(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        if not t:
-            out[i] = 'unknown'
-            continue
-        words = t.lower().split()
-        scores = [sum(w in sm for w in words) for sm in stop_maps]
-        best = max(range(len(langs)), key=lambda j: (scores[j], -j))
-        if scores[best] == 0:
-            out[i] = 'unknown'
-        else:
-            out[i] = langs[best]
-            conf[i] = scores[best] / max(len(words), 1)
+    out = np.full(n, 'unknown', dtype=object)
+    conf = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out, conf
+    words = pc.split_pattern(pc.utf8_lower(pc.fill_null(texts, '')), ' ')
+    wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    flat = words.flatten()
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wc, out=offsets[1:])
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lg in enumerate(langs):
+        m = pc.is_in(flat, value_set=pa.array(sorted(_LANG_STOPWORDS[lg])))\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(m)])
+        scores[:, j] = cs[offsets[1:]] - cs[offsets[:-1]]
+    best = np.argmax(scores, axis=1)          # first max = alphabetical
+    mx = scores[np.arange(n), best]
+    hit = mx > 0
+    out[hit] = np.array(langs, dtype=object)[best[hit]]
+    conf[hit] = mx[hit] / np.maximum(wc[hit], 1)
     return out, conf
 
 

@@ -697,12 +697,14 @@ def q_embedding_dup_detect(sf_dir: str):
 
 
 def q_langid_docs(sf_dir: str):
-    """Stopword-voting language ID per doc (heuristic → rows-only)."""
+    """Stopword-voting language ID per doc — fully vectorized and
+    SQL-expressible (per-language vote counts + alphabetical-first
+    argmax), so the driver byte-checks it against DuckDB."""
     from ..functions.text import language_id
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
     def lid(tbl: pa.Table) -> pa.Table:
-        langs, conf = language_id(tbl.column('text').to_pylist())
+        langs, conf = language_id(tbl.column('text'))
         return pa.table({
             'doc_id': tbl.column('doc_id'),
             'lang_pred': pa.array(langs, type=pa.string()),
@@ -774,6 +776,39 @@ ORACLE_SQL.update({
                cast(sum(n_bpe) AS BIGINT)       AS total_bpe,
                round(sum(n_bpe) * 1.0 / count(*), 6) AS avg_bpe
         FROM t GROUP BY source ORDER BY source
+    """,
+    # per-language stopword votes + alphabetical-first argmax — identical
+    # vote/tie-break/confidence arithmetic to functions/text.language_id
+    'q_langid_docs': """
+        WITH w AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS lws
+          FROM documents),
+        s AS (
+          SELECT doc_id, len(lws) AS nw,
+            len(list_filter(lws, x -> x IN
+              ('das','der','die','ein','ist','mit','nicht','und','zu')))
+              AS s_de,
+            len(list_filter(lws, x -> x IN
+              ('a','and','for','in','is','it','of','that','the','to')))
+              AS s_en,
+            len(list_filter(lws, x -> x IN
+              ('el','en','es','la','las','los','por','que','un','una')))
+              AS s_es,
+            len(list_filter(lws, x -> x IN
+              ('dans','est','et','la','le','les','pour','un','une')))
+              AS s_fr
+          FROM w),
+        m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS mx FROM s)
+        SELECT doc_id,
+               CASE WHEN mx = 0 THEN 'unknown'
+                    WHEN s_de = mx THEN 'de'
+                    WHEN s_en = mx THEN 'en'
+                    WHEN s_es = mx THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               CASE WHEN mx = 0 THEN 0.0
+                    ELSE round(mx * 1.0 / greatest(nw, 1), 6)
+               END AS confidence
+        FROM m ORDER BY doc_id
     """,
     # identical vectors: cos = (v.v)/(|v||v|) = 1 +- 1 ulp -> rounds to
     # exactly 1.0; the fixtures' max natural cosine is ~0.6 so only the
@@ -921,6 +956,79 @@ ORACLE_SQL['q_tumbling_events'] = """
     FROM events
     GROUP BY user_id, window_start
     ORDER BY user_id, window_start
+"""
+
+
+def q_hopping_events(sf_dir: str):
+    """Sliding 1-hour windows hopping every 30 min per user (each event
+    lands in 2 windows): count + fixed-point-exact value sum
+    (stages/streaming.py:hopping_window)."""
+    from ..stages.streaming import hopping_window
+    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'ts': tbl.column('ts'),
+                         'value6': _fixed6(tbl.column('value'))})
+
+    ds = ds.map_batches(scale, batch_format='pyarrow', zero_copy_batch=True)
+    out = hopping_window(ds, 'user_id', 'ts', 3_600_000_000, 1_800_000_000,
+                         {'n_events': ('value6', 'count'),
+                          'sum_value6': ('value6', 'sum')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'n_events': tbl.column('n_events'),
+                         'sum_value': _unfix6(tbl.column('sum_value6')),
+                         'window_start': tbl.column('window_start')})
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort(['user_id', 'window_start'])
+
+
+QUERIES['q_hopping_events'] = q_hopping_events
+ORACLE_SQL['q_hopping_events'] = """
+    WITH e AS (
+      SELECT user_id,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS value6,
+             epoch_us(ts) AS tus
+      FROM events),
+    x AS (
+      SELECT user_id, value6,
+             ((tus // 1800000000) - j) * 1800000000 AS ws
+      FROM e, unnest([0, 1]) AS t(j))
+    SELECT user_id,
+           count(*) AS n_events,
+           round(cast(sum(value6) AS DOUBLE) / 1e6, 6) AS sum_value,
+           to_timestamp(ws // 1000000)::TIMESTAMP AS window_start
+    FROM x
+    GROUP BY user_id, ws
+    ORDER BY user_id, window_start
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: 3 longest docs per language, deterministic doc_id
+    tiebreak (stages/aggregate.py:grouped_topk — local per-batch prune,
+    one bucket exchange of survivors)."""
+    from ..stages.aggregate import grouped_topk
+    ds = _read(sf_dir, 'documents', ['lang', 'doc_id', 'n_chars'])
+    out = grouped_topk(ds, 'lang', 'n_chars', 3, descending=True,
+                       tiebreak='doc_id')
+    return out.map_batches(
+        lambda t: t.select(['lang', 'doc_id', 'n_chars']),
+        batch_format='pyarrow').sort(['lang', 'doc_id'])
+
+
+QUERIES['q_top_docs_per_lang'] = q_top_docs_per_lang
+ORACLE_SQL['q_top_docs_per_lang'] = """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 3
+    ORDER BY lang, doc_id
 """
 
 

@@ -147,3 +147,39 @@ def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
 
     return partials.groupby(BUCKET_COL).map_groups(
         merge_bucket, batch_format='pyarrow')
+
+
+def grouped_topk(ds, group_col: str, order_col: str, k: int,
+                 descending: bool = True, tiebreak: str | None = None,
+                 num_buckets: int = 32):
+    """Top-k rows per group with a deterministic tiebreak column.
+
+    Scale: each batch first prunes to its LOCAL per-group top-k (the only
+    rows that can survive the global answer), so the exchange moves at
+    most k rows per (group, batch); the bucket task repeats the same
+    prune over the co-located group. Output is unsorted across groups —
+    follow with ``.sort`` if order matters.
+    """
+    sort_keys = [(group_col, 'ascending'),
+                 (order_col, 'descending' if descending else 'ascending')]
+    if tiebreak:
+        sort_keys.append((tiebreak, 'ascending'))
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        tbl = tbl.sort_by(sort_keys)
+        groups = tbl.column(group_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts = np.ones(len(groups), dtype=bool)
+        starts[1:] = groups[1:] != groups[:-1]
+        # rank within group = position - group start position
+        idx = np.arange(len(groups))
+        gstart = np.maximum.accumulate(np.where(starts, idx, 0))
+        keep = (idx - gstart) < k
+        return tbl.filter(pa.array(keep))
+
+    pruned = ds.map_batches(prune, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    from .conversations import bucket_exchange
+    return bucket_exchange(pruned, group_col, prune, num_buckets)

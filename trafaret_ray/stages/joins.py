@@ -95,68 +95,60 @@ def anti_join(ds, keys_ds, on):
 def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
               suffixes=('', '_r')):
     """Partitioned hash join of two LARGE datasets: both sides bucket on
-    the key in one exchange (union of tagged rows), then a pandas merge
-    per bucket. Skewed keys concentrate in one bucket — salt hot keys
-    upstream if the key histogram is heavy-tailed."""
-    lcols = left.schema().names
-    rcols = right.schema().names
-    shared = (set(lcols) & set(rcols)) - {on}
+    the key in one exchange (union of tagged, schema-aligned rows), then
+    an Arrow-native hash join per bucket. Skewed keys concentrate in one
+    bucket — salt hot keys upstream if the key histogram is heavy-tailed.
 
-    def tag(side):
+    Schemas come from the INPUT datasets only (parquet metadata — no
+    derived-dataset .schema() calls, which would force partial
+    executions); each side pays exactly one map (rename + pad + tag +
+    bucket fused) before the exchange.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    shared = (set(lcols) & set(rcols)) - {on}
+    rmap = {n: (n if n == on or n not in shared else n + suffixes[1])
+            for n in rcols}
+    types = dict(zip(lcols, lschema.types))
+    for n, t in zip(rcols, rschema.types):
+        types[rmap[n]] = t
+    all_names = list(dict.fromkeys(lcols + [rmap[n] for n in rcols]))
+    lnames = [n for n in all_names if n in lcols]
+    rnames = [rmap[n] for n in rcols if rmap[n] != on]
+
+    def prep(side, colmap):
         def fn(tbl: pa.Table) -> pa.Table:
-            return tbl.append_column('_side', pa.array([side] * tbl.num_rows,
-                                                       type=pa.int8()))
+            cols = {}
+            for name in all_names:
+                src = colmap.get(name)
+                cols[name] = (tbl.column(src) if src is not None
+                              else pa.nulls(tbl.num_rows, type=types[name]))
+            cols['_side'] = pa.array(
+                np.full(tbl.num_rows, side, dtype=np.int8))
+            return add_bucket(pa.table(cols), on, num_buckets)
         return fn
 
-    def pad(tbl: pa.Table, all_names, types) -> pa.Table:
-        cols = {}
-        for name in all_names:
-            if name in tbl.column_names:
-                cols[name] = tbl.column(name)
-            else:
-                cols[name] = pa.nulls(tbl.num_rows, type=types[name])
-        return pa.table(cols)
-
-    # align schemas for union (renaming right's shared columns)
-    def rename_right(tbl: pa.Table) -> pa.Table:
-        names = [n if n == on or n not in shared else n + suffixes[1]
-                 for n in tbl.column_names]
-        return tbl.rename_columns(names)
-
-    lt = left.map_batches(tag(0), batch_format='pyarrow')
-    rt = right.map_batches(rename_right, batch_format='pyarrow')\
-        .map_batches(tag(1), batch_format='pyarrow')
-
-    lschema = lt.schema()
-    rschema = rt.schema()
-    types = {}
-    for s in (lschema, rschema):
-        for name, typ in zip(s.names, s.types):
-            types[name] = typ
-    all_names = list(dict.fromkeys(list(lschema.names) + list(rschema.names)))
-
-    lt = lt.map_batches(lambda t: pad(t, all_names, types),
-                        batch_format='pyarrow')
-    rt = rt.map_batches(lambda t: pad(t, all_names, types),
-                        batch_format='pyarrow')
+    lt = left.map_batches(prep(0, {n: n for n in lcols}),
+                          batch_format='pyarrow', zero_copy_batch=True)
+    rt = right.map_batches(prep(1, {rmap[n]: n for n in rcols}),
+                           batch_format='pyarrow', zero_copy_batch=True)
     both = lt.union(rt)
-    bucketed = both.map_batches(
-        lambda t: add_bucket(t, on, num_buckets), batch_format='pyarrow')
 
-    lnames = [n for n in all_names
-              if n in lschema.names and n != '_side']
-    rnames = [n for n in all_names
-              if n in rschema.names and n != '_side' and n != on]
+    _JOIN_TYPE = {'inner': 'inner', 'left': 'left outer',
+                  'right': 'right outer', 'outer': 'full outer'}[how]
 
     def merge(tbl: pa.Table) -> pa.Table:
-        df = tbl.drop_columns([BUCKET_COL]).to_pandas()
-        l = df[df['_side'] == 0][lnames]
-        r = df[df['_side'] == 1][[on] + rnames]
-        out = l.merge(r, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        side = tbl.column('_side')
+        l = tbl.filter(pc.equal(side, 0)).select(lnames)
+        r = tbl.filter(pc.equal(side, 1)).select([on] + rnames)
+        # Arrow C++ hash join inside the bucket (no pandas round-trip)
+        return l.join(r, keys=on, join_type=_JOIN_TYPE)\
+            .select(all_names).combine_chunks()
 
-    return bucketed.groupby(BUCKET_COL).map_groups(merge,
-                                                   batch_format='pyarrow')
+    return both.groupby(BUCKET_COL).map_groups(merge,
+                                               batch_format='pyarrow')
 
 
 def asof_join(left, right, by: str, on: str, value_cols,

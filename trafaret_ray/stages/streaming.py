@@ -53,6 +53,46 @@ def tumbling_window(ds, key: str, ts_col: str, window_us: int,
     return out.map_batches(finish, batch_format='pyarrow')
 
 
+def hopping_window(ds, key: str, ts_col: str, window_us: int, hop_us: int,
+                   aggs: dict[str, tuple[str, str]]):
+    """Sliding/hopping windows: each row belongs to ``window_us / hop_us``
+    overlapping windows; rows explode to one copy per window (vectorized
+    np.repeat — the explosion factor is the overlap count, a small
+    constant) and partial-aggregate exactly like tumbling. No sort, no
+    per-entity exchange. Emits ``window_start`` (timestamp[us])."""
+    if window_us % hop_us:
+        raise ValueError('window_us must be a multiple of hop_us')
+    k = window_us // hop_us
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column(ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        base = (ts // hop_us)
+        # windows starting at (base - j) * hop for j in 0..k-1 all contain
+        # ts (start <= ts < start + window)
+        j = np.tile(np.arange(k, dtype=np.int64), n)
+        win = (np.repeat(base, k) - j) * hop_us
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = tbl.take(idx)
+        return out.append_column('window_start_us',
+                                 pa.array(win, type=pa.int64()))
+
+    derived = ds.map_batches(derive, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    out = pre_aggregate(derived, [key, 'window_start_us'], aggs)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        cols = {name: tbl.column(name) for name in tbl.column_names}
+        cols['window_start'] = tbl.column('window_start_us')\
+            .combine_chunks().cast(pa.timestamp('us'))
+        del cols['window_start_us']
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
 class StreamingSessionizer:
     """Stateful actor stage: incremental gap-sessionization.
 
