@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     'q_simhash_candidates_docs', 'q_token_stats', 'q_quality_scores',
     'q_bpe_token_stats', 'q_langid_docs', 'q_ann_topk', 'q_cosine_pairs',
     'q_embedding_near_dup', 'q_embedding_dup_detect', 'q_tumbling_events',
-    'q_hopping_events', 'q_top_docs_per_lang',
+    'q_hopping_events', 'q_top_docs_per_lang', 'q_value_quantiles',
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',
 ]
 
@@ -88,17 +88,26 @@ def run_headline() -> dict:
 
     from trafaret_ray.pipelines.flagship import flagship
     _warmup(path)
-    t0 = time.perf_counter()
-    ds = rd.read_parquet(path)
-    feats, _q = flagship(ds, num_buckets=max(8 * NUM_CPUS, 64))
-    n_rows = 0
-    for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
-        n_rows += b.num_rows
-    headline_sec = time.perf_counter() - t0
+    # best-of-3: run-to-run variance on this VM is large (BASELINE.md);
+    # CLAUDE.md makes warm-up + best-of-N mandatory for any timing
+    headline_sec, n_rows = None, 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(path)
+        feats, _q = flagship(ds, num_buckets=max(8 * NUM_CPUS, 64))
+        n_rows = 0
+        for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
+            n_rows += b.num_rows
+        sec = time.perf_counter() - t0
+        headline_sec = sec if headline_sec is None else min(headline_sec,
+                                                           sec)
 
     qtimes = {}
     import __ray_entry__ as entrymod
     queries = entrymod.queries()
+    # one untimed query warms the worker-side import of the query module
+    # (steady-state measurement; same rationale as _warmup)
+    queries['q1_pricing_summary'](SF_DIR).to_pandas()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         res = queries[name](SF_DIR)

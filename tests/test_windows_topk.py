@@ -75,3 +75,22 @@ class TestGroupedTopk:
         out = grouped_topk(rd.from_arrow(tbl), 'g', 'x', 5,
                            tiebreak='id').to_pandas()
         assert len(out) == 1
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_group(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import grouped_quantiles
+        rng = np.random.default_rng(11)
+        tbl = pa.table({'g': pa.array(np.repeat(['a', 'b'], 500)),
+                        'v': pa.array(rng.normal(size=1000))})
+        out = grouped_quantiles(rd.from_arrow(tbl), 'g', 'v',
+                                [0.5, 0.9]).to_pandas()\
+            .sort_values(['g', 'q']).reset_index(drop=True)
+        df = tbl.to_pandas()
+        for g in ('a', 'b'):
+            vals = df[df.g == g]['v'].to_numpy()
+            for q in (0.5, 0.9):
+                expect = round(float(np.percentile(vals, q * 100)), 6)
+                got = out[(out.g == g) & (out.q == q)]['value'].iloc[0]
+                assert got == expect

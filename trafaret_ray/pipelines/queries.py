@@ -1032,6 +1032,27 @@ ORACLE_SQL['q_top_docs_per_lang'] = """
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p95/p99 of event value per event type (grouped exact
+    quantiles — one group exchange, vectorized percentile per group;
+    stages/aggregate.py:grouped_quantiles)."""
+    from ..stages.aggregate import grouped_quantiles
+    ds = _read(sf_dir, 'events', ['event_type', 'value'])
+    return grouped_quantiles(ds, 'event_type', 'value',
+                             [0.5, 0.95, 0.99]).sort(['event_type', 'q'])
+
+
+QUERIES['q_value_quantiles'] = q_value_quantiles
+ORACLE_SQL['q_value_quantiles'] = """
+    SELECT event_type, q, round(value, 6) AS value FROM (
+      SELECT event_type,
+             unnest([0.5, 0.95, 0.99]) AS q,
+             unnest(quantile_cont(value, [0.5, 0.95, 0.99])) AS value
+      FROM events GROUP BY event_type)
+    ORDER BY event_type, q
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event type — two-phase distinct
     (stages/sketches.py:exact_distinct); the HLL sketch variant is

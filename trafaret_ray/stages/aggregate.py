@@ -149,6 +149,47 @@ def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         merge_bucket, batch_format='pyarrow')
 
 
+def grouped_quantiles(ds, group_col: str, value_col: str, qs,
+                      num_buckets: int = 32, ndigits: int = 6):
+    """EXACT per-group quantiles (linear interpolation, quantile_cont
+    semantics): one hash exchange co-locates each group, then a single
+    vectorized np.percentile per group over the sorted bucket.
+
+    Scale note: a group's values must fit one bucket task (same bound as
+    any exact quantile); for sketch-sized state use a mergeable histogram
+    instead. Output columns: group, q, value.
+    """
+    qs = list(qs)
+
+    def bucket_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             'q': pa.array([], pa.float64()),
+                             'value': pa.array([], pa.float64())})
+        tbl = tbl.sort_by([(group_col, 'ascending')])
+        groups = tbl.column(group_col).combine_chunks()
+        vals = tbl.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        gnp = groups.to_numpy(zero_copy_only=False)
+        starts = np.ones(len(gnp), dtype=bool)
+        starts[1:] = gnp[1:] != gnp[:-1]
+        lo = np.nonzero(starts)[0]
+        hi = np.append(lo[1:], len(gnp))
+        out_g, out_q, out_v = [], [], []
+        for s, e in zip(lo, hi):
+            pv = np.percentile(vals[s:e], [q * 100 for q in qs],
+                               method='linear')
+            out_g.extend([gnp[s]] * len(qs))
+            out_q.extend(qs)
+            out_v.extend(np.round(pv, ndigits))
+        return pa.table({group_col: pa.array(out_g, type=groups.type),
+                         'q': pa.array(out_q, type=pa.float64()),
+                         'value': pa.array(out_v, type=pa.float64())})
+
+    from .conversations import bucket_exchange
+    return bucket_exchange(ds, group_col, bucket_fn, num_buckets)
+
+
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  descending: bool = True, tiebreak: str | None = None,
                  num_buckets: int = 32):
