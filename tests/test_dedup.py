@@ -101,6 +101,32 @@ class TestDedupRay:
         assert clusters[0] == clusters[100]
         assert clusters[1] == clusters[101]
 
+    def test_minhash_dedup_many_batches(self, ray_session):
+        """Candidates spanning many input blocks: 200 planted dup pairs
+        over a 1000-doc corpus split into 16 blocks — the distributed
+        verify must recover every planted cluster with the driver holding
+        only edges."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import minhash_dedup
+        rng = np.random.default_rng(5)
+        vocab = [f'w{i}' for i in range(500)]
+        texts, ids = [], []
+        for i in range(600):
+            ids.append(i)
+            texts.append(' '.join(rng.choice(vocab, size=30)))
+        # plant 200 exact dups of the first 200 docs, ids offset by 10000
+        for i in range(200):
+            ids.append(10000 + i)
+            texts.append(texts[i])
+        tbl = pa.table({'doc_id': pa.array(ids, type=pa.int64()),
+                        'text': pa.array(texts)})
+        ds = rd.from_arrow(tbl).repartition(16)
+        out = minhash_dedup(ds, threshold=0.9).to_pydict()
+        clusters = dict(zip(out['doc_id'], out['cluster_id']))
+        for i in range(200):
+            assert clusters.get(i) is not None
+            assert clusters[i] == clusters[10000 + i]
+
     def test_simhash_exact_dup_distance_zero(self, ray_session):
         import ray.data as rd
         from trafaret_ray.stages.dedup import simhash_candidates

@@ -44,6 +44,19 @@ class TestJoins:
         assert len(o) == len(e)
         assert (o['name'].to_numpy() == e['name'].to_numpy()).all()
 
+    def test_hash_join_left_and_outer(self, ray_session, tables):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import hash_join
+        left, right = tables
+        for how in ('left', 'outer'):
+            out = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                            on='k', how=how, num_buckets=8).to_pandas()
+            exp = left.to_pandas().merge(right.to_pandas(), on='k',
+                                         how=how)
+            assert len(out) == len(exp), how
+            # unmatched left keys (15..19) carry null names
+            assert out[out.k >= 15]['name'].isna().all(), how
+
     def test_semi_anti(self, ray_session, tables):
         import ray.data as rd
         from trafaret_ray.stages.joins import semi_join, anti_join

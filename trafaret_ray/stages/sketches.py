@@ -124,7 +124,9 @@ def exact_distinct(ds, group_col: str, value_col: str):
 
     pairs = ds.map_batches(dedup, batch_format='pyarrow',
                            zero_copy_batch=True)
-    uniq = pre_aggregate(pairs, [group_col, value_col],
-                         {'_one': (value_col, 'count')})
+    # (group, value) is high-cardinality -> hash-bucket merge, not a sort
+    from .aggregate import bucket_aggregate
+    uniq = bucket_aggregate(pairs, [group_col, value_col],
+                            {'_one': (value_col, 'count')})
     return pre_aggregate(uniq, [group_col],
                          {'n_distinct': ('_one', 'count')})

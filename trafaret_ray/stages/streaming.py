@@ -20,14 +20,16 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .aggregate import pre_aggregate
+from .aggregate import bucket_aggregate
 
 
 def tumbling_window(ds, key: str, ts_col: str, window_us: int,
                     aggs: dict[str, tuple[str, str]]):
     """Per (key, window) aggregate; window = floor(epoch_us / window_us).
     Emits ``window_start`` (timestamp[us]). Streams with one partial/final
-    aggregation — no sort, no per-entity exchange."""
+    aggregation — no sort, no per-entity exchange. The (key, window) key
+    space is high-cardinality, so the final merge is bucket_aggregate
+    (hash exchange), not a Ray sort."""
 
     def derive(tbl: pa.Table) -> pa.Table:
         # cast to timestamp(us) FIRST: a ns input (pandas round-trip)
@@ -41,7 +43,7 @@ def tumbling_window(ds, key: str, ts_col: str, window_us: int,
 
     derived = ds.map_batches(derive, batch_format='pyarrow',
                              zero_copy_batch=True)
-    out = pre_aggregate(derived, [key, 'window_start_us'], aggs)
+    out = bucket_aggregate(derived, [key, 'window_start_us'], aggs)
 
     def finish(tbl: pa.Table) -> pa.Table:
         cols = {name: tbl.column(name) for name in tbl.column_names}
@@ -81,7 +83,7 @@ def hopping_window(ds, key: str, ts_col: str, window_us: int, hop_us: int,
 
     derived = ds.map_batches(derive, batch_format='pyarrow',
                              zero_copy_batch=True)
-    out = pre_aggregate(derived, [key, 'window_start_us'], aggs)
+    out = bucket_aggregate(derived, [key, 'window_start_us'], aggs)
 
     def finish(tbl: pa.Table) -> pa.Table:
         cols = {name: tbl.column(name) for name in tbl.column_names}
