@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     'q_ffill_events', 'q_asof_events', 'q_rolling_events',
     'q_exact_dedup_docs', 'q_ngram_jaccard_pairs', 'q_minhash_dedup_docs',
     'q_simhash_candidates_docs', 'q_token_stats', 'q_quality_scores',
-    'q_bpe_token_stats', 'q_langid_docs', 'q_ann_topk', 'q_cosine_pairs',
+    'q_bpe_token_stats', 'q_langid_docs', 'q_ann_topk', 'q_ivf_topk',
+    'q_cosine_pairs',
     'q_embedding_near_dup', 'q_embedding_dup_detect', 'q_tumbling_events',
     'q_hopping_events', 'q_top_docs_per_lang', 'q_value_quantiles',
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',

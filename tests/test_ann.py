@@ -1,0 +1,77 @@
+"""IVF index: exactness at full probe, recall/prune trade at low probe."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _corpus(n=400, dim=16, n_groups=8, seed=4):
+    """Clustered gaussian corpus so the coarse quantizer has structure."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_groups, dim)) * 4
+    rows = centers[rng.integers(0, n_groups, n)] \
+        + rng.standard_normal((n, dim))
+    return pa.table({
+        'vec_id': pa.array(np.arange(n, dtype=np.int64)),
+        'embedding': pa.array([list(map(float, r)) for r in rows],
+                              type=pa.list_(pa.float32())),
+    }), rows
+
+
+def _brute_topk(rows, q, k, exclude):
+    sims = (rows @ q) / (np.linalg.norm(rows, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-sims, kind='stable')
+    return [i for i in order if i not in exclude][:k]
+
+
+class TestIVF:
+    def test_full_probe_is_exact(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivf_topk
+        tbl, rows = _corpus()
+        q = rows[0]
+        got = ivf_topk(rd.from_arrow(tbl), q, k=10, n_clusters=8,
+                       nprobe=8, exclude_ids=[0]).to_pandas()
+        expect = _brute_topk(rows, q, 10, {0})
+        assert list(got['vec_id']) == expect
+
+    def test_pruned_probe_recall(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivf_topk
+        tbl, rows = _corpus()
+        q = rows[0]
+        got = ivf_topk(rd.from_arrow(tbl), q, k=10, n_clusters=8,
+                       nprobe=3, exclude_ids=[0]).to_pandas()
+        expect = set(_brute_topk(rows, q, 10, {0}))
+        recall = len(set(got['vec_id']) & expect) / 10
+        assert recall >= 0.7, recall
+
+    def test_assignment_covers_all(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivf_assign
+        tbl, _ = _corpus()
+        assigned, cents = ivf_assign(rd.from_arrow(tbl), n_clusters=8)
+        df = assigned.to_pandas()
+        assert len(df) == tbl.num_rows
+        assert df['_centroid'].between(0, len(cents) - 1).all()
+
+
+class TestDeterministicSample:
+    def test_stable_and_rate(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.functions.text import (deterministic_sample,
+                                                 hash_sample_mask)
+        ids = np.arange(20000, dtype=np.int64)
+        tbl = pa.table({'user_id': pa.array(ids)})
+        out1 = deterministic_sample(rd.from_arrow(tbl), 'user_id', 0.1)\
+            .to_pandas()
+        out2 = deterministic_sample(
+            rd.from_arrow(tbl).repartition(7), 'user_id', 0.1).to_pandas()
+        # partitioning-independent membership
+        assert sorted(out1['user_id']) == sorted(out2['user_id'])
+        assert 0.08 < len(out1) / len(ids) < 0.12
+        # per-value mask equals dataset filter
+        mask = hash_sample_mask(ids, 0.1)
+        assert sorted(ids[mask]) == sorted(out1['user_id'])
+        # different salt -> different sample
+        m2 = hash_sample_mask(ids, 0.1, salt='v2')
+        assert (mask != m2).any()

@@ -188,6 +188,39 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1)
 
 
+def hash_sample_mask(values, rate: float, salt: str = '') -> np.ndarray:
+    """Deterministic Bernoulli sample mask: keep iff
+    hash(value + salt-key) / 2^64 < rate. Stable across runs, machines
+    and partitionings (pure function of the value), so a sampled
+    pipeline is reproducible and a resumed job samples identically.
+    Sampling by a KEY column (user_id, doc_id) keeps or drops all of an
+    entity's rows together."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        values = values.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(np.asarray(values), hash_key=_HASH_KEY,
+                           categorize=False)
+    if salt:
+        # hash_key only affects object dtypes — mix the salt in
+        # arithmetically so numeric columns re-salt too
+        s64 = pd.util.hash_array(np.array([salt], dtype=object),
+                                 hash_key=_HASH_KEY)[0]
+        h = (h ^ s64) * np.uint64(0x9E3779B97F4A7C15)
+    return h < np.uint64(int(rate * 2**64)) if rate < 1.0 \
+        else np.ones(len(h), dtype=bool)
+
+
+def deterministic_sample(ds, col: str, rate: float, salt: str = ''):
+    """Filter a Dataset to a deterministic hash sample on ``col`` —
+    the scale-safe sampling primitive (no coordination, no RNG state;
+    every worker computes the same membership)."""
+    def f(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pa.array(
+            hash_sample_mask(tbl.column(col), rate, salt)))
+    return ds.map_batches(f, batch_format='pyarrow', zero_copy_batch=True)
+
+
 def rolling_fingerprint(text: pa.Array, window: int = 64) -> pa.Array:
     """Deterministic document fingerprint: uint64 polynomial rolling hash
     of the full text (content-addressed identity for exact dedup)."""

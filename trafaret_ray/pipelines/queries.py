@@ -393,7 +393,25 @@ def q_ann_topk(sf_dir: str):
                       descending=[True, False]).limit(k)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-indexed cosine top-k (stages/ann.py): coarse k-means quantizer
+    + cluster-probed scan. Run with nprobe == n_clusters (exact mode) so
+    the result byte-matches the same brute-force SQL oracle as q_ann_topk
+    — the driver thereby checks the whole IVF plumbing; the pruned-probe
+    recall trade is asserted in tests/test_ann.py."""
+    import pyarrow.parquet as pq
+    from ..stages.ann import ivf_topk
+    t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
+                       columns=['vec_id', 'embedding'])
+    qvec = np.array(t0.filter(pc.equal(t0.column('vec_id'), 0))
+                    .column('embedding').to_pylist()[0], dtype=np.float64)
+    emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return ivf_topk(emb, qvec, k=10, n_clusters=16, nprobe=16,
+                    exclude_ids=[0])
+
+
 QUERIES = {
+    'q_ivf_topk': q_ivf_topk,
     'q1_pricing_summary': q1_pricing_summary,
     'q_top_customers': q_top_customers,
     'q_region_revenue': q_region_revenue,
@@ -519,6 +537,20 @@ ORACLE_SQL = {
                sum(len(string_split(text, ' ')))
                  / count(text)                        AS avg_tokens
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    # exact-mode IVF (nprobe == n_clusters) reduces to brute force —
+    # same oracle as q_ann_topk
+    'q_ivf_topk': """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                   WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qe FROM q)), 6)
+                 AS cos_sim
+        FROM embeddings
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
     """,
     'q_ann_topk': """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings

@@ -1,0 +1,118 @@
+"""Approximate nearest neighbor search: IVF (inverted-file) index.
+
+The scale path for similarity search over an embedding column
+(SURVEY.md §2.9): a coarse k-means quantizer is trained on a driver-side
+SAMPLE (tiny), centroids broadcast via ``ray.put``, every batch assigns
+its vectors vectorized (one matmul), and a query probes only the
+``nprobe`` nearest clusters — the corpus scan is pruned to
+``nprobe / n_clusters`` of the data, each batch emitting only its local
+top-k. With ``nprobe == n_clusters`` the search is EXACT (equals the
+brute-force oracle — used by the driver-checked q_ivf_topk); lower
+nprobe trades recall for a proportional scan cut (recall asserted in
+tests/test_ann.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def _batch_matrix(tbl: pa.Table, emb_col: str) -> np.ndarray:
+    la = tbl.column(emb_col).combine_chunks()
+    return np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64).reshape(len(la), -1)
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
+               seed: int = 0) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side sample (numpy, determinstic
+    seed). Fine for a coarse quantizer: the sample is small and the
+    centroids only need to partition space roughly evenly."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cents = sample[rng.choice(n, size=min(n_clusters, n), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(ds, emb_col: str = 'embedding', n_clusters: int = 64,
+               sample_size: int = 4096, iters: int = 10, seed: int = 0):
+    """Train the coarse quantizer on a sample and append a ``_centroid``
+    column (vectorized assignment per batch). Returns (dataset,
+    centroids). At 100 TB: write the assigned dataset partitioned by
+    centroid so probes read only their clusters' files."""
+    sample_tbl = ds.limit(sample_size).take_batch(sample_size,
+                                                  batch_format='pyarrow')
+    sample = _batch_matrix(sample_tbl, emb_col)
+    cents = kmeans_fit(sample, n_clusters, iters, seed)
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            self.cnorm2 = (self.cents ** 2).sum(axis=1)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return tbl.append_column('_centroid',
+                                         pa.array([], type=pa.int32()))
+            mat = _batch_matrix(tbl, emb_col)
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c), vectorized
+            scores = self.cnorm2[None, :] - 2.0 * (mat @ self.cents.T)
+            assign = scores.argmin(axis=1).astype(np.int32)
+            return tbl.append_column('_centroid', pa.array(assign))
+
+    return ds.map_batches(Assign, batch_format='pyarrow',
+                          concurrency=2), cents
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, emb_col: str = 'embedding',
+             id_col: str = 'vec_id', n_clusters: int = 64,
+             nprobe: int = 8, sample_size: int = 4096, seed: int = 0,
+             exclude_ids=()):
+    """Cosine top-k for one query via IVF probing: only rows assigned
+    to the ``nprobe`` centroids nearest the query are scored (one matmul
+    per surviving batch slice); each batch emits its local top-k and a
+    global sort+limit finishes. Returns (vec_id, cos_sim) rows."""
+    assigned, cents = ivf_assign(ds, emb_col, n_clusters, sample_size,
+                                 seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qnorm = np.linalg.norm(q)
+    cd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(cd, kind='stable')[:nprobe].astype(np.int32)
+    probe_arr = pa.array(probe, type=pa.int32())
+    excl = pa.array(list(exclude_ids), type=pa.int64())
+
+    def topk_batch(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          'cos_sim': pa.array([], pa.float64())})
+        tbl = tbl.filter(pc.is_in(tbl.column('_centroid'),
+                                  value_set=probe_arr))
+        if len(excl):
+            tbl = tbl.filter(pc.invert(pc.is_in(tbl.column(id_col),
+                                                value_set=excl)))
+        if tbl.num_rows == 0:
+            return empty
+        mat = _batch_matrix(tbl, emb_col)
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qnorm)
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        loc = np.argsort(-sims, kind='stable')[:k]
+        return pa.table({
+            id_col: pa.array(ids[loc]),
+            'cos_sim': pa.array(np.round(sims[loc], 6), type=pa.float64()),
+        })
+
+    cands = assigned.map_batches(topk_batch, batch_format='pyarrow')
+    return cands.sort(['cos_sim', id_col],
+                      descending=[True, False]).limit(k)
