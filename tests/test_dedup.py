@@ -65,6 +65,18 @@ class TestTextFunctions:
         assert q['punct_ratio'][0].as_py() > 0
         assert q['digit_ratio'][1].as_py() == 0
 
+    def test_repetition_signals(self):
+        sig = T.repetition_signals(pa.array([
+            'a\nb\na\na',          # 4 lines, 2 distinct -> dup 0.5
+            'x y x y x y',         # bigrams: xy,yx,xy,yx,xy -> top 3/5
+            'one two three',       # all distinct -> dup 0, top 1/2
+            'solo',                # no bigram -> 0
+        ]))
+        assert list(np.round(sig['dup_line_frac'], 6)) == [0.5, 0, 0, 0]
+        # doc 0 is a single space-token (newlines aren't word splits)
+        assert list(np.round(sig['top_bigram_frac'], 6)) \
+            == [0, 0.6, 0.5, 0]
+
     def test_token_counts(self):
         t = pa.array(['a b  c', 'one'])
         assert T.whitespace_token_count(t).to_pylist() == [4, 1]

@@ -188,6 +188,67 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1)
 
 
+def _segment_counts(keys_doc: np.ndarray, keys_hash: np.ndarray,
+                    n_docs: int):
+    """Per-doc (total, distinct, max-run) over (doc, hash) pairs via one
+    lexsort — the shared kernel for repetition signals."""
+    total = np.bincount(keys_doc, minlength=n_docs).astype(np.int64)
+    if len(keys_doc) == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return total, z, z
+    order = np.lexsort((keys_hash, keys_doc))
+    d, h = keys_doc[order], keys_hash[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    distinct = np.bincount(d[new], minlength=n_docs).astype(np.int64)
+    # run length of each (doc, hash) group -> max per doc
+    starts = np.nonzero(new)[0]
+    runs = np.diff(np.append(starts, len(d)))
+    maxrun = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(maxrun, d[starts], runs)
+    return total, distinct, maxrun
+
+
+def repetition_signals(text: pa.Array) -> dict[str, np.ndarray]:
+    """Gopher-style repetition quality signals, fully vectorized:
+    ``dup_line_frac`` (1 - distinct/total lines, split on newline) and
+    ``top_bigram_frac`` (count of the most frequent word 2-gram / total
+    2-grams; 0 for docs with < 2 words). Single-space / newline split
+    semantics shared with the q_repetition_scores SQL oracle."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    filled = pc.fill_null(text, '')
+    out = {}
+    # lines
+    lines = pc.split_pattern(filled, '\n')
+    lc = pc.list_value_length(lines).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    lh = pd.util.hash_array(lines.flatten().to_numpy(zero_copy_only=False),
+                            hash_key=_HASH_KEY, categorize=False)
+    ld = np.repeat(np.arange(n, dtype=np.int64), lc)
+    total, distinct, _ = _segment_counts(ld, lh, n)
+    denom = np.maximum(total, 1).astype(np.float64)
+    out['dup_line_frac'] = (total - distinct) / denom
+    # word bigrams (NON-distinct: counts matter)
+    words = pc.split_pattern(filled, ' ')
+    wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    wh = pd.util.hash_array(words.flatten().to_numpy(zero_copy_only=False),
+                            hash_key=_HASH_KEY, categorize=False)
+    m = len(wh)
+    if m >= 2:
+        ng = m - 1
+        acc = wh[:ng] * _GRAM_P + wh[1:1 + ng]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), wc)
+        valid = doc_of[:ng] == doc_of[1:1 + ng]
+        bt, _, bmax = _segment_counts(doc_of[:ng][valid], acc[valid], n)
+    else:
+        bt = bmax = np.zeros(n, dtype=np.int64)
+    out['top_bigram_frac'] = bmax / np.maximum(bt, 1).astype(np.float64)
+    return out
+
+
 def hash_sample_mask(values, rate: float, salt: str = '') -> np.ndarray:
     """Deterministic Bernoulli sample mask: keep iff
     hash(value + salt-key) / 2^64 < rate. Stable across runs, machines

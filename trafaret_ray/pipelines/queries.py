@@ -610,6 +610,26 @@ def q_quality_scores(sf_dir: str):
                           zero_copy_batch=True).sort('doc_id')
 
 
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition signals per doc: duplicate-line fraction
+    and top-bigram fraction (functions/text.py:repetition_signals —
+    one split + hash + lexsort pass, no per-doc Python)."""
+    from ..functions.text import repetition_signals
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def score(tbl: pa.Table) -> pa.Table:
+        sig = repetition_signals(tbl.column('text'))
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'dup_line_frac': pa.array(np.round(sig['dup_line_frac'], 6)),
+            'top_bigram_frac': pa.array(
+                np.round(sig['top_bigram_frac'], 6)),
+        })
+
+    return ds.map_batches(score, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
 def q_bpe_token_stats(sf_dir: str):
     """BPE-ish pre-token counts per source (regex piece counting)."""
     from ..functions.text import bpe_ish_token_count
@@ -750,6 +770,7 @@ def q_langid_docs(sf_dir: str):
 QUERIES.update({
     'q_ngram_jaccard_pairs': q_ngram_jaccard_pairs,
     'q_quality_scores': q_quality_scores,
+    'q_repetition_scores': q_repetition_scores,
     'q_bpe_token_stats': q_bpe_token_stats,
     'q_cosine_pairs': q_cosine_pairs,
     'q_minhash_dedup_docs': q_minhash_dedup_docs,
@@ -797,6 +818,29 @@ ORACLE_SQL.update({
                round(len(list_distinct(lws)) * 1.0 / len(lws), 6)
                  AS distinct_word_ratio
         FROM w ORDER BY doc_id
+    """,
+    'q_repetition_scores': """
+        WITH l AS (
+          SELECT doc_id, string_split(text, chr(10)) AS lines
+          FROM documents),
+        lf AS (
+          SELECT doc_id,
+                 round((len(lines) - len(list_distinct(lines))) * 1.0
+                       / greatest(len(lines), 1), 6) AS dup_line_frac
+          FROM l),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (
+          SELECT w.doc_id, ws[x] || ' ' || ws[x + 1] AS bg
+          FROM w, unnest(range(1, len(ws))) AS t(x)),
+        cnt AS (SELECT doc_id, bg, count(*) AS c
+                FROM g GROUP BY doc_id, bg),
+        bf AS (SELECT doc_id,
+                      round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+               FROM cnt GROUP BY doc_id)
+        SELECT lf.doc_id, lf.dup_line_frac,
+               coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM lf LEFT JOIN bf ON lf.doc_id = bf.doc_id
+        ORDER BY lf.doc_id
     """,
     'q_bpe_token_stats': """
         WITH t AS (
