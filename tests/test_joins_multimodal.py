@@ -69,6 +69,25 @@ class TestJoins:
         assert set(semi['k']) <= set(range(15))
         assert set(anti['k']).isdisjoint(set(range(15)))
 
+    def test_bloom_semi_join(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import (bloom_build, bloom_contains,
+                                               semi_join_bloom)
+        rng = np.random.default_rng(9)
+        keys = pa.table({'k': np.arange(0, 5000, dtype=np.int64)})
+        probe = pa.table({'k': rng.integers(0, 50000, 20000)})
+        bloom = bloom_build(rd.from_arrow(keys), 'k', m_bits=1 << 18, k=4)
+        mask = bloom_contains(bloom, probe.column('k').to_numpy())
+        truth = probe.column('k').to_numpy() < 5000
+        # no false negatives
+        assert mask[truth].all()
+        # false-positive rate near theory ((1-e^{-kn/m})^k ~ 0.24% here)
+        fp = mask[~truth].mean()
+        assert fp < 0.02, fp
+        out = semi_join_bloom(rd.from_arrow(probe), rd.from_arrow(keys),
+                              'k', m_bits=1 << 18).to_pandas()
+        assert truth.sum() <= len(out) <= truth.sum() + (~truth).sum() * 0.02
+
     def test_asof_join_matches_merge_asof(self, ray_session):
         import ray.data as rd
         from trafaret_ray.stages.joins import asof_join

@@ -63,6 +63,78 @@ def _key_array_ref(ds, on):
     return ray.put(keys)
 
 
+_BLOOM_SEED2 = '123456789abcdef0'
+
+
+def _bloom_hashes(values: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher construction, public knowledge)."""
+    h1 = pd.util.hash_array(values, hash_key='0123456789abcdef',
+                            categorize=False)
+    h2 = pd.util.hash_array(values, hash_key=_BLOOM_SEED2,
+                            categorize=False) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits))\
+        .astype(np.int64)
+
+
+def bloom_build(ds, on: str, m_bits: int = 1 << 23, k: int = 4):
+    """Distributed Bloom filter over ``ds[on]``: each batch emits ONE
+    packed bitmap partial (m_bits/8 bytes) built vectorized; the driver
+    ORs the partials (a few MB each, count = number of blocks). The
+    filter is the scale path for existence checks whose exact key set
+    exceeds broadcast size. Returns (packed uint8 bitmap, m_bits, k)."""
+    nbytes = m_bits // 8
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        vals = tbl.column(on).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bits = np.zeros(m_bits, dtype=bool)
+        if len(vals):
+            pos = _bloom_hashes(vals, m_bits, k)
+            bits[pos.reshape(-1)] = True
+        return pa.table({'bm': pa.array([np.packbits(bits).tobytes()],
+                                        type=pa.binary())})
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    parts = ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=None, batch_format='pyarrow'):
+        for bm in b.column('bm'):
+            merged |= np.frombuffer(bm.as_py(), dtype=np.uint8)
+    return merged, m_bits, k
+
+
+def bloom_contains(bloom, values: np.ndarray) -> np.ndarray:
+    """Membership mask: True for every present value (no false
+    negatives), plus ~(1-e^(-kn/m))^k false positives."""
+    bitmap, m_bits, k = bloom
+    bits = np.unpackbits(bitmap)
+    pos = _bloom_hashes(np.asarray(values), m_bits, k)
+    return bits[pos].all(axis=0).astype(bool)
+
+
+def semi_join_bloom(ds, keys_ds, on: str, m_bits: int = 1 << 23,
+                    k: int = 4):
+    """Bloom-filtered semi join: keeps ALL matching rows plus a small
+    false-positive fraction — the pre-filter for key sides too large to
+    broadcast exactly (follow with exact ``semi_join`` on the survivors,
+    or a hash_join, when exactness is required)."""
+    import ray as _ray
+    bloom_ref = _ray.put(bloom_build(keys_ds, on, m_bits, k))
+
+    class Filter:
+        def __init__(self):
+            self.bloom = _ray.get(bloom_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            vals = tbl.column(on).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return tbl.filter(pa.array(bloom_contains(self.bloom, vals)))
+
+    return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
+
+
 def semi_join(ds, keys_ds, on):
     """Keep rows whose key exists in keys_ds (broadcast key array +
     vectorized ``pc.is_in`` per batch; no shuffle)."""
