@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no image/audio libraries, so the DECODE KERNELS ARE
-STUBBED: each stage tries its real library import in ``__init__`` (once
-per actor) and otherwise uses a clearly-marked deterministic fake that
-preserves shapes/dtypes — the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested.
+Decode support tiers:
+  * REAL, dependency-free: PPM (P6) and uncompressed 24/32-bit BMP
+    images (pure numpy header parse + nearest-neighbor resize), and
+    PCM WAV audio (stdlib ``wave``).
+  * REAL behind an import-try: PIL for compressed images (absent in
+    this container — the ``__init__`` probes once per actor).
+  * STUB fallback, clearly marked: a deterministic byte-derived fake
+    that preserves shapes/dtypes so the Ray-side plumbing (schema,
+    batch sizing, actor signature, output layout) stays testable.
 
 Batch-size guidance: payloads are large; size ``batch_size`` so
 batch_bytes × concurrency fits the worker heap (e.g. 64 images × 1 MB ×
@@ -17,6 +21,98 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+# -- dependency-free codecs (PPM / BMP / WAV) -------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b'P6\n%d %d\n255\n' % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_image_payload(payload: bytes):
+    """Real decode for PPM (P6) and uncompressed 24/32-bit BMP; returns
+    (h, w, 3) uint8 or None when the format is unrecognized."""
+    if payload[:2] == b'P6':
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+        parts = payload[2:].split(maxsplit=3)
+        if len(parts) < 4:
+            return None
+        w, h = int(parts[0]), int(parts[1])
+        data = parts[3]
+        need = w * h * 3
+        if len(data) < need:
+            return None
+        return np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, 3)
+    if payload[:2] == b'BM' and len(payload) >= 54:
+        off = int.from_bytes(payload[10:14], 'little')
+        w = int.from_bytes(payload[18:22], 'little', signed=True)
+        h = int.from_bytes(payload[22:26], 'little', signed=True)
+        bpp = int.from_bytes(payload[28:30], 'little')
+        comp = int.from_bytes(payload[30:34], 'little')
+        if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        nch = bpp // 8
+        stride = ((w * nch + 3) // 4) * 4
+        rows = abs(h)
+        if len(payload) < off + stride * rows:
+            return None
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=stride * rows, offset=off)
+        img = raw.reshape(rows, stride)[:, :w * nch]\
+            .reshape(rows, w, nch)
+        if h > 0:                       # bottom-up storage
+            img = img[::-1]
+        # BGR(A) -> RGB
+        return np.ascontiguousarray(img[:, :, 2::-1][:, :, :3])
+    return None
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    ys = (np.arange(out_h) * img.shape[0]) // out_h
+    xs = (np.arange(out_w) * img.shape[1]) // out_w
+    return img[ys][:, xs]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float [-1, 1] mono -> PCM16 WAV bytes (stdlib wave)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767)
+                      .astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_payload(payload: bytes):
+    """Real PCM WAV decode (stdlib): returns (float32 mono samples,
+    sample_rate) or None when the payload is not a PCM WAV."""
+    import io
+    import wave
+    if payload[:4] != b'RIFF':
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), 'rb') as w:
+            nch, width, rate = (w.getnchannels(), w.getsampwidth(),
+                                w.getframerate())
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        a = np.frombuffer(frames, dtype=np.int16).astype(np.float32) / 32768
+    elif width == 1:
+        a = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+             - 128) / 128
+    else:
+        return None
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1)
+    return a, rate
 
 MEDIA_SCHEMA = pa.schema([
     ('media_id', pa.int64()),
@@ -60,7 +156,9 @@ def _fake_pixels(payloads: list[bytes], w: int, h: int) -> np.ndarray:
 class DecodeImage:
     """Actor stage: payload -> pixels (h, w, 3 uint8 as fixed-size list).
 
-    Real path: PIL.Image.open — stubbed when PIL is absent.
+    Per payload: REAL dependency-free decode for PPM/BMP, then PIL (if
+    importable — probed once per actor) for compressed formats, then the
+    clearly-marked deterministic stub.
     Use: ``ds.map_batches(DecodeImage, batch_format='pyarrow',
     batch_size=64, concurrency=N, num_cpus=1)``.
     """
@@ -73,16 +171,20 @@ class DecodeImage:
         except ImportError:
             self._pil = None  # stub path
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        payloads = tbl.column('payload').to_pylist()
+    def _decode_one(self, p: bytes) -> np.ndarray:
+        img = decode_image_payload(p)
+        if img is not None:
+            return resize_nearest(img, self.out_w, self.out_h)
         if self._pil is not None:  # pragma: no cover - lib absent here
             import io
-            pixels = np.stack([
-                np.asarray(self._pil.open(io.BytesIO(p))
-                           .convert('RGB').resize((self.out_w, self.out_h)))
-                for p in payloads])
-        else:
-            pixels = _fake_pixels(payloads, self.out_w, self.out_h)
+            return np.asarray(self._pil.open(io.BytesIO(p))
+                              .convert('RGB')
+                              .resize((self.out_w, self.out_h)))
+        return _fake_pixels([p], self.out_w, self.out_h)[0]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column('payload').to_pylist()
+        pixels = np.stack([self._decode_one(p) for p in payloads])
         flat = pixels.reshape(len(payloads), -1)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.reshape(-1), type=pa.uint8()), flat.shape[1])
@@ -120,8 +222,11 @@ class ImageEmbed:
 
 
 class AudioFeatures:
-    """Actor stage: audio payload -> frame energies (stub: byte-window
-    RMS; real path would be an soundfile/librosa decode + STFT)."""
+    """Actor stage: audio payload -> windowed RMS energies.
+
+    REAL PCM-WAV decode via the stdlib (decode_wav_payload); non-WAV
+    payloads fall back to the byte-window RMS stub (a real path for
+    compressed codecs would be soundfile/librosa, absent here)."""
 
     def __init__(self, n_windows: int = 16):
         self.n_windows = n_windows
@@ -135,7 +240,11 @@ class AudioFeatures:
         payloads = tbl.column('payload').to_pylist()
         feats = np.empty((len(payloads), self.n_windows), dtype=np.float32)
         for i, p in enumerate(payloads):
-            a = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+            dec = decode_wav_payload(p)
+            if dec is not None:
+                a, _rate = dec
+            else:
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
             win = np.resize(a, (self.n_windows,
                                 max(1, len(a) // self.n_windows)))
             feats[i] = np.sqrt((win ** 2).mean(axis=1))
