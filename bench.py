@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     'q_cosine_pairs',
     'q_embedding_near_dup', 'q_embedding_dup_detect', 'q_tumbling_events',
     'q_hopping_events', 'q_top_docs_per_lang', 'q_value_quantiles',
+    'q_hist_quantiles',
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',
 ]
 

@@ -77,6 +77,25 @@ class TestGroupedTopk:
         assert len(out) == 1
 
 
+class TestHistogramQuantiles:
+    def test_accuracy_vs_exact(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import histogram_quantiles
+        rng = np.random.default_rng(13)
+        tbl = pa.table({'g': pa.array(np.repeat(['a', 'b'], 4000)),
+                        'v': pa.array(rng.normal(size=8000))})
+        out = histogram_quantiles(rd.from_arrow(tbl), 'g', 'v',
+                                  [0.5, 0.95], n_bins=4096).to_pandas()
+        df = tbl.to_pandas()
+        for g in ('a', 'b'):
+            vals = df[df.g == g]['v'].to_numpy()
+            span = vals.max() - vals.min()
+            for q in (0.5, 0.95):
+                exact = np.percentile(vals, q * 100)
+                got = out[(out.g == g) & (out.q == q)]['value'].iloc[0]
+                assert abs(got - exact) <= span / 4096 * 2, (g, q)
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import ray.data as rd

@@ -1118,6 +1118,18 @@ def q_value_quantiles(sf_dir: str):
                              [0.5, 0.95, 0.99]).sort(['event_type', 'q'])
 
 
+def q_hist_quantiles(sf_dir: str):
+    """Approximate per-group quantiles via the mergeable histogram
+    sketch (stages/sketches.py:histogram_quantiles — the 100-TB path;
+    approximate by design → rows-only driver check, accuracy vs the
+    exact operator asserted in tests/test_windows_topk.py)."""
+    from ..stages.sketches import histogram_quantiles
+    ds = _read(sf_dir, 'events', ['event_type', 'value'])
+    return histogram_quantiles(ds, 'event_type', 'value',
+                               [0.5, 0.95, 0.99]).sort(['event_type', 'q'])
+
+
+QUERIES['q_hist_quantiles'] = q_hist_quantiles
 QUERIES['q_value_quantiles'] = q_value_quantiles
 ORACLE_SQL['q_value_quantiles'] = """
     SELECT event_type, q, round(value, 6) AS value FROM (

@@ -113,6 +113,96 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
     return bucket_exchange(sketches, group_col, merge_group, num_buckets=8)
 
 
+def histogram_quantiles(ds, group_col: str, value_col: str, qs,
+                        n_bins: int = 4096, ndigits: int = 6):
+    """Approximate per-group quantiles via a MERGEABLE fixed-bin
+    histogram — the scale path when a group's values exceed one task
+    (exact counterpart: stages/aggregate.grouped_quantiles).
+
+    Two passes: (1) tiny min/max partials per group (broadcast), (2) one
+    histogram partial per (group, batch) — n_bins int64 counts, a few KB
+    — merged by vector add in a small exchange. The answer is the
+    midpoint of the bin holding the target RANK, so rank error is ≤ 1
+    sample and value error is ≤ (max-min)/n_bins of that sample's bin;
+    against interpolated exact quantiles (quantile_cont) the gap can
+    additionally reach the local sample spacing — material only in
+    sparse tails (e.g. p99 of a 200-sample group). Returns
+    (group, q, value).
+    """
+    import ray
+
+    from .aggregate import pre_aggregate
+    from .conversations import bucket_exchange
+
+    qs = list(qs)
+    bounds = pre_aggregate(ds.map_batches(
+        lambda t: t.select([group_col, value_col]), batch_format='pyarrow',
+        zero_copy_batch=True), [group_col],
+        {'lo': (value_col, 'min'), 'hi': (value_col, 'max')}).to_pandas()
+    b_keys = pa.array(bounds[group_col])
+    b_lo = bounds['lo'].to_numpy(dtype=np.float64)
+    b_hi = bounds['hi'].to_numpy(dtype=np.float64)
+    bref = ray.put((b_keys, b_lo, b_hi))
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys, lo, hi = ray.get(bref)
+        gtype = tbl.schema.field(group_col).type
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=gtype),
+                             'counts': pa.array([], type=pa.binary())})
+        gi = pc.index_in(tbl.column(group_col), value_set=keys)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        span = np.maximum(hi - lo, 1e-300)
+        binf = (v - lo[gi]) / span[gi] * n_bins
+        bins = np.clip(binf.astype(np.int64), 0, n_bins - 1)
+        out_g, out_c = [], []
+        for g in np.unique(gi):
+            m = gi == g
+            counts = np.bincount(bins[m], minlength=n_bins)
+            out_g.append(keys[int(g)].as_py())
+            out_c.append(counts.astype(np.int64).tobytes())
+        return pa.table({group_col: pa.array(out_g, type=gtype),
+                         'counts': pa.array(out_c, type=pa.binary())})
+
+    partials = ds.map_batches(hist, batch_format='pyarrow',
+                              zero_copy_batch=True)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        keys, lo, hi = ray.get(bref)
+        gtype = tbl.schema.field(group_col).type \
+            if group_col in tbl.column_names else keys.type
+        out_g, out_q, out_v = [], [], []
+        if tbl.num_rows:
+            df = tbl.to_pandas()
+            for g, sub in df.groupby(group_col, sort=False):
+                acc = np.zeros(n_bins, dtype=np.int64)
+                for c in sub['counts']:
+                    acc += np.frombuffer(c, dtype=np.int64)
+                total = acc.sum()
+                cum = np.cumsum(acc)
+                import pyarrow.compute as pc
+                gidx = pc.index_in(pa.array([g], type=keys.type),
+                                   value_set=keys)[0].as_py()
+                span = max(hi[gidx] - lo[gidx], 1e-300)
+                for q in qs:
+                    target = q * (total - 1)
+                    b = int(np.searchsorted(cum, target + 1))
+                    b = min(b, n_bins - 1)
+                    # midpoint of the hit bin
+                    val = lo[gidx] + (b + 0.5) / n_bins * span
+                    out_g.append(g)
+                    out_q.append(q)
+                    out_v.append(round(float(val), ndigits))
+        return pa.table({group_col: pa.array(out_g, type=gtype),
+                         'q': pa.array(out_q, type=pa.float64()),
+                         'value': pa.array(out_v, type=pa.float64())})
+
+    return bucket_exchange(partials, group_col, merge, num_buckets=8)
+
+
 def exact_distinct(ds, group_col: str, value_col: str):
     """Exact COUNT(DISTINCT value) per group, two-phase: distinct
     (group, value) partials per batch → one exchange of distinct pairs →
