@@ -101,6 +101,13 @@ class Contract(metaclass=ContractMeta):
     def __call__(self, value, context=None):
         return self.check(value, context=context)
 
+    async def async_check(self, value, context=None):
+        """Await-able mirror of ``check`` (reference
+        async_mixins.py:10-14). Leaf contracts run their sync kernel;
+        composites override to AWAIT children so coroutine UDFs
+        (async Call fns, async Dict keys) compose."""
+        return self.check(value, context=context)
+
     # -- composition sugar (reference base.py:142-149) ---------------------
     def __or__(self, other):
         return Or(self, other)
@@ -158,6 +165,10 @@ class And(Contract):
     def _scalar_check(self, value, context=None):
         # run scalar path sequentially so python-only nodes (Call) compose
         return self.right.check(self.left.check(value, context), context)
+
+    async def async_check(self, value, context=None):
+        res = await self.left.async_check(value, context=context)
+        return await self.right.async_check(res, context=context)
 
     def __repr__(self):
         return '<And(%r, %r)>' % (self.left, self.right)
@@ -241,6 +252,16 @@ class Or(Contract):
             except DataError as e:
                 errors.append(e)
         raise DataError(error=dict(enumerate(errors)), code=codes.NOTHING_MATCH)
+
+    async def async_check(self, value, context=None):
+        errors = []
+        for alt in self.alts:
+            try:
+                return await alt.async_check(value, context=context)
+            except DataError as e:
+                errors.append(e)
+        raise DataError(error=dict(enumerate(errors)),
+                        code=codes.NOTHING_MATCH)
 
     def __or__(self, other):
         return Or(*(self.alts + (ensure_contract(other),)))
@@ -337,6 +358,12 @@ class Forward(Contract):
             return CheckResult.fail_all(arr, codes.TRAFARET_IS_NOT_SET,
                                         'trafaret is not set yet')
         return self.contract.apply(arr)
+
+    async def async_check(self, value, context=None):
+        if self.contract is None:
+            raise DataError('trafaret not set yet', value=value,
+                            code=codes.TRAFARET_IS_NOT_SET)
+        return await self.contract.async_check(value, context=context)
 
     def _scalar_check(self, value, context=None):
         if self.contract is None:

@@ -174,6 +174,25 @@ class Key:
             yield self.name, DataError(error='is required',
                                        code=codes.REQUIRED), (self.name,)
 
+    async def async_call(self, data, context=None):
+        """Async generator mirror of _scalar_call (reference
+        async_mixins.py:157-181)."""
+        if self.name in data or self.default is not _empty:
+            default = self.default() if callable(self.default) \
+                else self.default
+            raw = data.get(self.name, default)
+            try:
+                result = await self.contract.async_check(raw,
+                                                         context=context)
+            except DataError as de:
+                yield self.name, de, (self.name,)
+            else:
+                yield self.get_name(), result, (self.name,)
+            return
+        if not self.optional:
+            yield self.name, DataError(error='is required',
+                                       code=codes.REQUIRED), (self.name,)
+
     def __repr__(self):
         return '<Key "%s"%s %s>' % (
             self.name,
@@ -378,6 +397,67 @@ class Dict(Contract):
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
         return collect
 
+    async def async_check(self, value, context=None):
+        """Async mirror of the scalar path (reference
+        async_mixins.py:110-154): Key.async_call async-generators are
+        awaited; plain sync generator keys still work."""
+        import inspect
+        if not isinstance(value, dict):
+            raise DataError(error='value is not a dict', value=value,
+                            code=codes.IS_NOT_A_DICT)
+        collect = {}
+        errors = {}
+        touched = set()
+        for key in self.keys:
+            if isinstance(key, _CallableKey):
+                # raw fn so an async-generator key surfaces as such
+                key_run = (key.fn(value, context=context)
+                           if key._with_context else key.fn(value))
+            else:
+                caller = getattr(key, 'async_call', None) \
+                    or getattr(key, 'scalar_call', None)
+                if caller is None and isinstance(key, Key):
+                    caller = key._scalar_call
+                key_run = caller(value, context)
+            if inspect.isasyncgen(key_run):
+                async for k, v, names in key_run:
+                    touched.update(names)
+                    if isinstance(v, DataError):
+                        errors[k] = v
+                    else:
+                        collect[k] = v
+            else:
+                for k, v, names in key_run:
+                    touched.update(names)
+                    if isinstance(v, DataError):
+                        errors[k] = v
+                    else:
+                        collect[k] = v
+        if not self.ignore_any:
+            for k in value:
+                if k in touched or k in self.ignore:
+                    continue
+                if not self.allow_any and k not in self.extras:
+                    if k in collect:
+                        errors[k] = DataError('%s key was shadowed' % k,
+                                              code=codes.SHADOWED)
+                    else:
+                        errors[k] = DataError('%s is not allowed key' % k,
+                                              code=codes.NOT_ALLOWED)
+                elif k in collect:
+                    errors[k] = DataError('%s key was shadowed' % k,
+                                          code=codes.SHADOWED)
+                else:
+                    try:
+                        collect[k] = await self.extras_contract.async_check(
+                            value[k], context=context)
+                    except DataError as de:
+                        errors[k] = de
+        if errors:
+            raise DataError(error=errors,
+                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
+        return collect
+
     def __repr__(self):
         return '<Dict(%s)>' % (', '.join(repr(k) for k in self.keys))
 
@@ -477,6 +557,37 @@ class List(Contract, metaclass=_ListMeta):
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
         return out
 
+    def _async_precheck(self, value):
+        if not isinstance(value, list):
+            raise DataError('value is not a list', value=value,
+                            code=codes.IS_NOT_A_LIST)
+        self._async_length_check(value)
+
+    def _async_length_check(self, value):
+        if len(value) < self.min_length:
+            raise DataError('list length is less than %s' % self.min_length,
+                            value=value, code=codes.TOO_SHORT)
+        if self.max_length is not None and len(value) > self.max_length:
+            raise DataError('list length is greater than %s'
+                            % self.max_length, value=value,
+                            code=codes.TOO_LONG)
+
+    async def async_check(self, value, context=None):
+        """Async element transform (reference async_mixins.py:34-48)."""
+        self._async_precheck(value)
+        out = []
+        errors = {}
+        for i, v in enumerate(value):
+            try:
+                out.append(await self.contract.async_check(v,
+                                                           context=context))
+            except DataError as e:
+                errors[i] = e
+        if errors:
+            raise DataError(error=errors,
+                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
+        return out
+
     def __repr__(self):
         return '<List(%r)>' % (self.contract,)
 
@@ -512,6 +623,13 @@ class Iterable(List):
             raise DataError(error=errors,
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
         return out
+
+    def _async_precheck(self, value):
+        from collections.abc import Iterable as AbcIterable
+        if not isinstance(value, AbcIterable):
+            raise DataError('value is not iterable', value=value,
+                            code=codes.IS_NOT_A_LIST)
+        self._async_length_check(value)
 
 
 class Tuple(Contract):
@@ -613,6 +731,28 @@ class Tuple(Contract):
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
         return tuple(result)
 
+    async def async_check(self, value, context=None):
+        """Async per-slot transform (reference async_mixins.py:51-64)."""
+        try:
+            tup = tuple(value)
+        except TypeError:
+            raise DataError('value must be convertable to tuple',
+                            value=value, code=codes.TUPLE_LIKE)
+        if len(tup) != self.length:
+            raise DataError('value must contain %s items' % self.length,
+                            value=value, code=codes.LOT_ELEMENTS)
+        result = []
+        errors = {}
+        for i, (c, v) in enumerate(zip(self.contracts, tup)):
+            try:
+                result.append(await c.async_check(v, context=context))
+            except DataError as e:
+                errors[i] = e
+        if errors:
+            raise DataError(error=errors, value=value,
+                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
+        return tuple(result)
+
     def __repr__(self):
         return '<Tuple(%s)>' % (', '.join(repr(c) for c in self.contracts))
 
@@ -685,6 +825,34 @@ class Mapping(Contract):
                 pair_err['key'] = e
             try:
                 cv = self.value_contract.check(v, context)
+            except DataError as e:
+                pair_err['value'] = e
+            if pair_err:
+                errors[k] = DataError(error=pair_err)
+            else:
+                checked[ck] = cv
+        if errors:
+            raise DataError(error=errors,
+                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
+        return checked
+
+    async def async_check(self, value, context=None):
+        """Async per-pair transform (reference async_mixins.py:67-93)."""
+        if not isinstance(value, dict):
+            raise DataError('value is not a dict', value=value,
+                            code=codes.IS_NOT_A_DICT)
+        checked = {}
+        errors = {}
+        for k, v in value.items():
+            pair_err = {}
+            ck = cv = None
+            try:
+                ck = await self.key_contract.async_check(k, context=context)
+            except DataError as e:
+                pair_err['key'] = e
+            try:
+                cv = await self.value_contract.async_check(v,
+                                                           context=context)
             except DataError as e:
                 pair_err['value'] = e
             if pair_err:

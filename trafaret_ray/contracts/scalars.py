@@ -751,6 +751,20 @@ class Call(Contract):
             raise res
         return res
 
+    async def async_check(self, value, context=None):
+        # coroutine fns awaited; plain fns fall through to the sync path
+        # (reference async_mixins.py:96-107)
+        import inspect
+        if not inspect.iscoroutinefunction(self.fn):
+            return self.check(value, context=context)
+        if self._with_context:
+            res = await self.fn(value, context=context)
+        else:
+            res = await self.fn(value)
+        if isinstance(res, DataError):
+            raise res
+        return res
+
     def __repr__(self):
         name = getattr(self.fn, '__name__', str(self.fn))
         return '<Call(%s)>' % name
