@@ -45,6 +45,13 @@ class TestImageCodecs:
     def test_unknown_format_returns_none(self):
         assert decode_image_payload(b'\x89PNG...') is None
 
+    def test_ppm_whitespace_valued_first_pixel(self):
+        # a first data byte of 0x20/0x0A must not be eaten as header ws
+        px = np.full((2, 2, 3), 0x20, dtype=np.uint8)
+        assert (decode_image_payload(encode_ppm(px)) == px).all()
+        px[0, 0, 0] = 0x0A
+        assert (decode_image_payload(encode_ppm(px)) == px).all()
+
     def test_resize_nearest_identity(self):
         px = _img(4, 4)
         assert (resize_nearest(px, 4, 4) == px).all()

@@ -97,6 +97,15 @@ class TestHistogramQuantiles:
 
 
 class TestGroupedQuantiles:
+    def test_nulls_ignored_like_quantile_cont(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import grouped_quantiles
+        tbl = pa.table({'g': pa.array(['a', 'a', 'a']),
+                        'v': pa.array([1.0, None, 3.0])})
+        out = grouped_quantiles(rd.from_arrow(tbl), 'g', 'v',
+                                [0.5]).to_pandas()
+        assert out['value'].iloc[0] == 2.0
+
     def test_matches_numpy_per_group(self, ray_session):
         import ray.data as rd
         from trafaret_ray.stages.aggregate import grouped_quantiles

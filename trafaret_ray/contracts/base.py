@@ -356,7 +356,7 @@ class Forward(Contract):
     def apply(self, arr):
         if self.contract is None:
             return CheckResult.fail_all(arr, codes.TRAFARET_IS_NOT_SET,
-                                        'trafaret is not set yet')
+                                        'trafaret not set yet')
         return self.contract.apply(arr)
 
     async def async_check(self, value, context=None):
@@ -367,7 +367,7 @@ class Forward(Contract):
 
     def _scalar_check(self, value, context=None):
         if self.contract is None:
-            raise DataError(error='trafaret is not set yet', value=value,
+            raise DataError(error='trafaret not set yet', value=value,
                             code=codes.TRAFARET_IS_NOT_SET)
         return self.contract.check(value, context)
 

@@ -532,12 +532,15 @@ class List(Contract, metaclass=_ListMeta):
         return CheckResult(null_out(values, res.ok), res.ok,
                            res.codes, res.msgs)
 
-    def _scalar_check(self, value, context=None):
-        """Per-value path (threads context to element contracts —
-        reference base.py:848-859)."""
+    def _precheck(self, value):
+        """Type + length gate shared by the sync and async paths;
+        Iterable overrides only the type test."""
         if not isinstance(value, list):
             raise DataError('value is not a list', value=value,
                             code=codes.IS_NOT_A_LIST)
+        self._length_check(value)
+
+    def _length_check(self, value):
         if len(value) < self.min_length:
             raise DataError('list length is less than %s' % self.min_length,
                             value=value, code=codes.TOO_SHORT)
@@ -545,6 +548,11 @@ class List(Contract, metaclass=_ListMeta):
             raise DataError('list length is greater than %s'
                             % self.max_length, value=value,
                             code=codes.TOO_LONG)
+
+    def _scalar_check(self, value, context=None):
+        """Per-value path (threads context to element contracts —
+        reference base.py:848-859)."""
+        self._precheck(value)
         out = []
         errors = {}
         for i, v in enumerate(value):
@@ -557,24 +565,9 @@ class List(Contract, metaclass=_ListMeta):
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
         return out
 
-    def _async_precheck(self, value):
-        if not isinstance(value, list):
-            raise DataError('value is not a list', value=value,
-                            code=codes.IS_NOT_A_LIST)
-        self._async_length_check(value)
-
-    def _async_length_check(self, value):
-        if len(value) < self.min_length:
-            raise DataError('list length is less than %s' % self.min_length,
-                            value=value, code=codes.TOO_SHORT)
-        if self.max_length is not None and len(value) > self.max_length:
-            raise DataError('list length is greater than %s'
-                            % self.max_length, value=value,
-                            code=codes.TOO_LONG)
-
     async def async_check(self, value, context=None):
         """Async element transform (reference async_mixins.py:34-48)."""
-        self._async_precheck(value)
+        self._precheck(value)
         out = []
         errors = {}
         for i, v in enumerate(value):
@@ -598,38 +591,15 @@ class Iterable(List):
     "value is not iterable" message; non-sized iterables (generators)
     raise TypeError from ``len`` exactly as the reference does. The batch
     path is identical to List — an Arrow list column is already
-    materialized as a list."""
+    materialized as a list. Only the type gate differs from List; the
+    length checks and element loops (sync and async) are inherited."""
 
-    def _scalar_check(self, value, context=None):
+    def _precheck(self, value):
         from collections.abc import Iterable as AbcIterable
         if not isinstance(value, AbcIterable):
             raise DataError('value is not iterable', value=value,
                             code=codes.IS_NOT_A_LIST)
-        if len(value) < self.min_length:
-            raise DataError('list length is less than %s' % self.min_length,
-                            value=value, code=codes.TOO_SHORT)
-        if self.max_length is not None and len(value) > self.max_length:
-            raise DataError('list length is greater than %s'
-                            % self.max_length, value=value,
-                            code=codes.TOO_LONG)
-        out = []
-        errors = {}
-        for i, v in enumerate(value):
-            try:
-                out.append(self.contract.check(v, context))
-            except DataError as e:
-                errors[i] = e
-        if errors:
-            raise DataError(error=errors,
-                            code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
-        return out
-
-    def _async_precheck(self, value):
-        from collections.abc import Iterable as AbcIterable
-        if not isinstance(value, AbcIterable):
-            raise DataError('value is not iterable', value=value,
-                            code=codes.IS_NOT_A_LIST)
-        self._async_length_check(value)
+        self._length_check(value)
 
 
 class Tuple(Contract):

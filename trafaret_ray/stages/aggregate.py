@@ -162,8 +162,15 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs,
     qs = list(qs)
 
     def bucket_fn(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        gtype = tbl.schema.field(group_col).type \
+            if group_col in tbl.column_names else pa.string()
+        # quantile_cont semantics: NULL values are ignored (a null would
+        # otherwise NaN-poison the whole group's percentiles)
+        if tbl.num_rows:
+            tbl = tbl.filter(pc.is_valid(tbl.column(value_col)))
         if tbl.num_rows == 0:
-            return pa.table({group_col: pa.array([], pa.string()),
+            return pa.table({group_col: pa.array([], gtype),
                              'q': pa.array([], pa.float64()),
                              'value': pa.array([], pa.float64())})
         tbl = tbl.sort_by([(group_col, 'ascending')])

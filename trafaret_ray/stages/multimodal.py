@@ -35,16 +35,34 @@ def decode_image_payload(payload: bytes):
     """Real decode for PPM (P6) and uncompressed 24/32-bit BMP; returns
     (h, w, 3) uint8 or None when the format is unrecognized."""
     if payload[:2] == b'P6':
-        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
-        parts = payload[2:].split(maxsplit=3)
-        if len(parts) < 4:
+        # header: P6 <ws> width <ws> height <ws> maxval <ONE ws> data.
+        # Parse positionally — split() would also eat DATA bytes that
+        # happen to be ASCII whitespace (0x20/0x09/0x0A...), truncating
+        # ~2% of valid images.
+        i, vals = 2, []
+        n = len(payload)
+        while len(vals) < 3 and i < n:
+            while i < n and payload[i:i + 1].isspace():
+                i += 1
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            if j == i:
+                return None
+            try:
+                vals.append(int(payload[i:j]))
+            except ValueError:
+                return None
+            i = j
+        if len(vals) < 3:
             return None
-        w, h = int(parts[0]), int(parts[1])
-        data = parts[3]
+        i += 1                      # exactly one whitespace after maxval
+        w, h = vals[0], vals[1]
         need = w * h * 3
-        if len(data) < need:
+        if w <= 0 or h <= 0 or len(payload) < i + need:
             return None
-        return np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, 3)
+        return np.frombuffer(payload, dtype=np.uint8, count=need,
+                             offset=i).reshape(h, w, 3)
     if payload[:2] == b'BM' and len(payload) >= 54:
         off = int.from_bytes(payload[10:14], 'little')
         w = int.from_bytes(payload[18:22], 'little', signed=True)

@@ -148,6 +148,10 @@ def histogram_quantiles(ds, group_col: str, value_col: str, qs,
         import pyarrow.compute as pc
         keys, lo, hi = ray.get(bref)
         gtype = tbl.schema.field(group_col).type
+        # NULLs are ignored (NaN would land in bin 0 via INT64_MIN clip,
+        # silently dragging low quantiles down)
+        if tbl.num_rows:
+            tbl = tbl.filter(pc.is_valid(tbl.column(value_col)))
         if tbl.num_rows == 0:
             return pa.table({group_col: pa.array([], type=gtype),
                              'counts': pa.array([], type=pa.binary())})
