@@ -175,8 +175,11 @@ class Key:
                                        code=codes.REQUIRED), (self.name,)
 
     async def async_call(self, data, context=None):
-        """Async generator mirror of _scalar_call (reference
-        async_mixins.py:157-181)."""
+        """Async generator mirror of the reference's KeyAsyncMixin
+        (async_mixins.py:157-181). NOTE a deliberate reference quirk:
+        the async path reports errors under get_name() (the RENAMED
+        name), while the sync path reports under the original name —
+        both matched exactly."""
         if self.name in data or self.default is not _empty:
             default = self.default() if callable(self.default) \
                 else self.default
@@ -185,7 +188,7 @@ class Key:
                 result = await self.contract.async_check(raw,
                                                          context=context)
             except DataError as de:
-                yield self.name, de, (self.name,)
+                yield self.get_name(), de, (self.name,)
             else:
                 yield self.get_name(), result, (self.name,)
             return
@@ -352,6 +355,30 @@ class Dict(Contract):
                 res.msgs[i] = 'value is not a dict'
         return res
 
+    def _sweep_extras(self, value, touched, collect, errors):
+        """Shared untouched-key policy (shadow / not-allowed); returns the
+        keys whose values still need the extras contract — the caller
+        checks them sync or async."""
+        pending = []
+        if self.ignore_any:
+            return pending
+        for k in value:
+            if k in touched or k in self.ignore:
+                continue
+            if not self.allow_any and k not in self.extras:
+                if k in collect:
+                    errors[k] = DataError('%s key was shadowed' % k,
+                                          code=codes.SHADOWED)
+                else:
+                    errors[k] = DataError('%s is not allowed key' % k,
+                                          code=codes.NOT_ALLOWED)
+            elif k in collect:
+                errors[k] = DataError('%s key was shadowed' % k,
+                                      code=codes.SHADOWED)
+            else:
+                pending.append(k)
+        return pending
+
     def _scalar_check(self, value, context=None):
         """Per-value path mirroring reference Dict.transform
         (base.py:1132-1179) exactly — including the absent-key vs
@@ -372,26 +399,11 @@ class Dict(Contract):
                     errors[k] = v
                 else:
                     collect[k] = v
-        if not self.ignore_any:
-            for k in value:
-                if k in touched or k in self.ignore:
-                    continue
-                if not self.allow_any and k not in self.extras:
-                    if k in collect:
-                        errors[k] = DataError('%s key was shadowed' % k,
-                                              code=codes.SHADOWED)
-                    else:
-                        errors[k] = DataError('%s is not allowed key' % k,
-                                              code=codes.NOT_ALLOWED)
-                elif k in collect:
-                    errors[k] = DataError('%s key was shadowed' % k,
-                                          code=codes.SHADOWED)
-                else:
-                    try:
-                        collect[k] = self.extras_contract.check(value[k],
-                                                                context)
-                    except DataError as de:
-                        errors[k] = de
+        for k in self._sweep_extras(value, touched, collect, errors):
+            try:
+                collect[k] = self.extras_contract.check(value[k], context)
+            except DataError as de:
+                errors[k] = de
         if errors:
             raise DataError(error=errors,
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
@@ -433,26 +445,12 @@ class Dict(Contract):
                         errors[k] = v
                     else:
                         collect[k] = v
-        if not self.ignore_any:
-            for k in value:
-                if k in touched or k in self.ignore:
-                    continue
-                if not self.allow_any and k not in self.extras:
-                    if k in collect:
-                        errors[k] = DataError('%s key was shadowed' % k,
-                                              code=codes.SHADOWED)
-                    else:
-                        errors[k] = DataError('%s is not allowed key' % k,
-                                              code=codes.NOT_ALLOWED)
-                elif k in collect:
-                    errors[k] = DataError('%s key was shadowed' % k,
-                                          code=codes.SHADOWED)
-                else:
-                    try:
-                        collect[k] = await self.extras_contract.async_check(
-                            value[k], context=context)
-                    except DataError as de:
-                        errors[k] = de
+        for k in self._sweep_extras(value, touched, collect, errors):
+            try:
+                collect[k] = await self.extras_contract.async_check(
+                    value[k], context=context)
+            except DataError as de:
+                errors[k] = de
         if errors:
             raise DataError(error=errors,
                             code=codes.SOME_ELEMENTS_DID_NOT_MATCH)
@@ -798,7 +796,8 @@ class Mapping(Contract):
             except DataError as e:
                 pair_err['value'] = e
             if pair_err:
-                errors[k] = DataError(error=pair_err)
+                errors[k] = DataError(error=pair_err,
+                                      code=codes.PAIR_MEMBERS_DID_NOT_MATCH)
             else:
                 checked[ck] = cv
         if errors:
@@ -826,7 +825,8 @@ class Mapping(Contract):
             except DataError as e:
                 pair_err['value'] = e
             if pair_err:
-                errors[k] = DataError(error=pair_err)
+                errors[k] = DataError(error=pair_err,
+                                      code=codes.PAIR_MEMBERS_DID_NOT_MATCH)
             else:
                 checked[ck] = cv
         if errors:

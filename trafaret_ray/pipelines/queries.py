@@ -357,19 +357,23 @@ def q_token_stats(sf_dir: str):
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Deterministic query vector: the embedding of ``vec_id`` (shared by
+    q_ann_topk / q_ivf_topk so the two oracles stay equivalent)."""
+    import pyarrow.parquet as pq
+    t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
+                       columns=['vec_id', 'embedding'])
+    return np.array(t0.filter(pc.equal(t0.column('vec_id'), vec_id))
+                    .column('embedding').to_pylist()[0], dtype=np.float64)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast the query vector, one numpy
     matmul per batch, global top-10 via sort+limit on the tiny per-batch
     candidate set. Scale path: each batch emits only its local top-k."""
-    import ray.data as rd
     k = 10
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    # deterministic query: the embedding of vec_id 0
-    import pyarrow.parquet as pq
-    t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
-                       columns=['vec_id', 'embedding'])
-    qvec = np.array(t0.filter(pc.equal(t0.column('vec_id'), 0))
-                    .column('embedding').to_pylist()[0], dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     qnorm = np.linalg.norm(qvec)
 
     def topk_batch(tbl: pa.Table) -> pa.Table:
@@ -399,15 +403,10 @@ def q_ivf_topk(sf_dir: str):
     the result byte-matches the same brute-force SQL oracle as q_ann_topk
     — the driver thereby checks the whole IVF plumbing; the pruned-probe
     recall trade is asserted in tests/test_ann.py."""
-    import pyarrow.parquet as pq
     from ..stages.ann import ivf_topk
-    t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
-                       columns=['vec_id', 'embedding'])
-    qvec = np.array(t0.filter(pc.equal(t0.column('vec_id'), 0))
-                    .column('embedding').to_pylist()[0], dtype=np.float64)
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return ivf_topk(emb, qvec, k=10, n_clusters=16, nprobe=16,
-                    exclude_ids=[0])
+    return ivf_topk(emb, _query_vec(sf_dir), k=10, n_clusters=16,
+                    nprobe=16, exclude_ids=[0])
 
 
 QUERIES = {
@@ -825,8 +824,10 @@ ORACLE_SQL.update({
           FROM documents),
         lf AS (
           SELECT doc_id,
-                 round((len(lines) - len(list_distinct(lines))) * 1.0
-                       / greatest(len(lines), 1), 6) AS dup_line_frac
+                 -- coalesce: NULL text -> 0.0 (engine fills null to '')
+                 coalesce(round((len(lines) - len(list_distinct(lines)))
+                                * 1.0 / greatest(len(lines), 1), 6), 0.0)
+                   AS dup_line_frac
           FROM l),
         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         g AS (

@@ -107,11 +107,13 @@ def bloom_build(ds, on: str, m_bits: int = 1 << 23, k: int = 4):
 
 def bloom_contains(bloom, values: np.ndarray) -> np.ndarray:
     """Membership mask: True for every present value (no false
-    negatives), plus ~(1-e^(-kn/m))^k false positives."""
+    negatives), plus ~(1-e^(-kn/m))^k false positives. Tests bits on the
+    packed bitmap directly (np.packbits MSB-first order) — no per-call
+    8x unpack allocation in the filter hot path."""
     bitmap, m_bits, k = bloom
-    bits = np.unpackbits(bitmap)
     pos = _bloom_hashes(np.asarray(values), m_bits, k)
-    return bits[pos].all(axis=0).astype(bool)
+    bits = (bitmap[pos >> 3] >> (7 - (pos & 7)).astype(np.uint8)) & 1
+    return bits.all(axis=0).astype(bool)
 
 
 def semi_join_bloom(ds, keys_ds, on: str, m_bits: int = 1 << 23,

@@ -57,9 +57,12 @@ def decode_image_payload(payload: bytes):
         if len(vals) < 3:
             return None
         i += 1                      # exactly one whitespace after maxval
-        w, h = vals[0], vals[1]
+        w, h, maxval = vals
         need = w * h * 3
-        if w <= 0 or h <= 0 or len(payload) < i + need:
+        # only 8-bit rasters decode on this tier; 16-bit (maxval > 255)
+        # would misread as interleaved byte pairs — fall back instead
+        if w <= 0 or h <= 0 or not (0 < maxval <= 255) \
+                or len(payload) < i + need:
             return None
         return np.frombuffer(payload, dtype=np.uint8, count=need,
                              offset=i).reshape(h, w, 3)

@@ -181,7 +181,9 @@ def histogram_quantiles(ds, group_col: str, value_col: str, qs,
         out_g, out_q, out_v = [], [], []
         if tbl.num_rows:
             df = tbl.to_pandas()
-            for g, sub in df.groupby(group_col, sort=False):
+            # dropna=False: a NULL group is a group (SQL GROUP BY parity;
+            # hist ships null-key partials and index_in matches null)
+            for g, sub in df.groupby(group_col, sort=False, dropna=False):
                 acc = np.zeros(n_bins, dtype=np.int64)
                 for c in sub['counts']:
                     acc += np.frombuffer(c, dtype=np.int64)
