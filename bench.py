@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     'q_ffill_events', 'q_asof_events', 'q_rolling_events',
     'q_exact_dedup_docs', 'q_ngram_jaccard_pairs', 'q_minhash_dedup_docs',
     'q_simhash_candidates_docs', 'q_token_stats', 'q_quality_scores',
-    'q_repetition_scores',
+    'q_repetition_scores', 'q_normalized_docs',
     'q_bpe_token_stats', 'q_langid_docs', 'q_ann_topk', 'q_ivf_topk',
     'q_cosine_pairs',
     'q_embedding_near_dup', 'q_embedding_dup_detect', 'q_tumbling_events',

@@ -65,6 +65,11 @@ class TestTextFunctions:
         assert q['punct_ratio'][0].as_py() > 0
         assert q['digit_ratio'][1].as_py() == 0
 
+    def test_normalize_text(self):
+        out = T.normalize_text(pa.array([
+            '  Hello\t\tWORLD \n x ', 'ok']))
+        assert out.to_pylist() == ['hello world x', 'ok']
+
     def test_repetition_signals(self):
         sig = T.repetition_signals(pa.array([
             'a\nb\na\na',          # 4 lines, 2 distinct -> dup 0.5

@@ -188,6 +188,15 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1)
 
 
+def normalize_text(text: pa.Array) -> pa.Array:
+    """Canonical cleaning pass for training text: collapse all whitespace
+    runs to single spaces, trim, lowercase — three Arrow kernels, no
+    Python. (Both engines use RE2 ``\\s`` semantics, so the
+    q_normalized_docs oracle matches byte-for-byte.)"""
+    collapsed = pc.replace_substring_regex(text, r'\s+', ' ')
+    return pc.utf8_lower(pc.utf8_trim_whitespace(collapsed))
+
+
 def _segment_counts(keys_doc: np.ndarray, keys_hash: np.ndarray,
                     n_docs: int):
     """Per-doc (total, distinct, max-run) over (doc, hash) pairs via one

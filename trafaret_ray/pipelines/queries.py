@@ -609,6 +609,34 @@ def q_quality_scores(sf_dir: str):
                           zero_copy_batch=True).sort('doc_id')
 
 
+def q_normalized_docs(sf_dir: str):
+    """Text-cleaning stage: whitespace collapse + trim + lowercase per doc
+    (functions/text.py:normalize_text — three Arrow kernels)."""
+    from ..functions.text import normalize_text
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def norm(tbl: pa.Table) -> pa.Table:
+        out = normalize_text(tbl.column('text').combine_chunks())
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'text_norm': out,
+            'n_chars_norm': pc.cast(pc.utf8_length(out), pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
+QUERIES['q_normalized_docs'] = q_normalized_docs
+ORACLE_SQL['q_normalized_docs'] = """
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_norm,
+           length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS n_chars_norm
+    FROM documents ORDER BY doc_id
+"""
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition signals per doc: duplicate-line fraction
     and top-bigram fraction (functions/text.py:repetition_signals —
