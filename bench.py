@@ -61,6 +61,14 @@ def _tune(ctx):
     ).setLevel(logging.ERROR)
 
 
+def _buckets() -> int:
+    """Exchange bucket count: ~30k rows per bucket task, clamped to
+    [64, 8 x CPUs] — reproduces the measured optima at both 2M turns
+    (64-66 buckets, 1.37M rows/s) and 10M turns (256 buckets,
+    1.6M rows/s) on this VM."""
+    return min(max(8 * NUM_CPUS, 64), max(64, N_TURNS // 30000))
+
+
 def transcripts_path() -> str:
     """Cache the deterministic transcripts input under /tmp (sharded
     parquet); warm the page cache with one untimed read."""
@@ -97,7 +105,7 @@ def run_headline() -> dict:
     for _ in range(3):
         t0 = time.perf_counter()
         ds = rd.read_parquet(path)
-        feats, _q = flagship(ds, num_buckets=max(8 * NUM_CPUS, 64))
+        feats, _q = flagship(ds, num_buckets=_buckets())
         n_rows = 0
         for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
             n_rows += b.num_rows
@@ -180,7 +188,7 @@ def _warmup(path):
     from trafaret_ray.pipelines.flagship import flagship
     first = sorted(p for p in os.listdir(path) if p.endswith('.parquet'))[0]
     feats, _ = flagship(rd.read_parquet(os.path.join(path, first)),
-                        num_buckets=max(8 * NUM_CPUS, 64))
+                        num_buckets=_buckets())
     for _ in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
         pass
 
@@ -207,7 +215,7 @@ def _headline_only() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = rd.read_parquet(path)
-        feats, _q = flagship(ds, num_buckets=max(8 * NUM_CPUS, 64))
+        feats, _q = flagship(ds, num_buckets=_buckets())
         feats.write_parquet(out_dir)
         sec = time.perf_counter() - t0
         best = sec if best is None else min(best, sec)
