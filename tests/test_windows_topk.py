@@ -77,6 +77,32 @@ class TestGroupedTopk:
         assert len(out) == 1
 
 
+class TestTimeRangeWindow:
+    def test_bounds_with_tied_timestamps(self):
+        from trafaret_ray.stages import window as W
+        # one group; ties at t=100 must include ALL peers (SQL RANGE)
+        ts = np.array([0, 50, 100, 100, 200], dtype=np.int64)
+        starts = np.array([True, False, False, False, False])
+        lo, hi = W.time_range_bounds(ts, starts, 60)
+        assert list(lo) == [0, 0, 1, 1, 4]
+        assert list(hi) == [0, 1, 3, 3, 4]   # rows 2 and 3 are peers
+
+    def test_sum_across_groups(self):
+        from trafaret_ray.stages import window as W
+        ts = np.array([0, 10, 0, 10], dtype=np.int64)
+        starts = np.array([True, False, True, False])
+        v = np.array([1, 2, 10, 20], dtype=np.int64)
+        sums, counts = W.time_range_sum(v, ts, starts, 100)
+        assert list(sums) == [1, 3, 10, 30]   # no cross-group leakage
+        assert list(counts) == [1, 2, 1, 2]
+
+    def test_running_sum(self):
+        from trafaret_ray.stages import window as W
+        starts = np.array([True, False, True, False, False])
+        v = np.array([1, 2, 5, 5, 5], dtype=np.int64)
+        assert list(W.running_sum(v, starts)) == [1, 3, 5, 10, 15]
+
+
 class TestHistogramQuantiles:
     def test_accuracy_vs_exact(self, ray_session):
         import ray.data as rd

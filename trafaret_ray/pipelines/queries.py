@@ -1011,6 +1011,75 @@ def q_rolling_events(sf_dir: str):
     return _per_user(ds, fn).sort('event_id')
 
 
+def q_time_window_events(sf_dir: str):
+    """Trailing 1-hour RANGE window per user: count + exact sum of value
+    (stages/window.py:time_range_sum — one searchsorted over the shifted
+    keys, SQL peer semantics for tied timestamps, fixed-point sums)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        sums, counts = W.time_range_sum(v6, ts_us, starts, 3_600_000_000)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'n_window': pa.array(counts, type=pa.int64()),
+            'sum_window': pa.array(
+                np.round(sums.astype(np.float64) / 1e6, 6)),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_time_window_events'] = q_time_window_events
+ORACLE_SQL['q_time_window_events'] = """
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events)
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_window,
+           round(cast(sum(v6) OVER w AS DOUBLE) / 1e6, 6) AS sum_window
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                           AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+
+def q_cumsum_events(sf_dir: str):
+    """Running total per user ordered by (ts, event_id): exact int64
+    cumulative sums (stages/window.py:running_sum)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        run = W.running_sum(v6, starts)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'cum_value': pa.array(
+                np.round(run.astype(np.float64) / 1e6, 6)),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_cumsum_events'] = q_cumsum_events
+ORACLE_SQL['q_cumsum_events'] = """
+    SELECT event_id, user_id,
+           round(cast(sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / 1e6, 6) AS cum_value
+    FROM events ORDER BY event_id
+"""
+
+
 QUERIES['q_rolling_events'] = q_rolling_events
 ORACLE_SQL['q_rolling_events'] = """
     SELECT event_id, user_id,

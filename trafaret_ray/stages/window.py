@@ -268,3 +268,58 @@ def rolling_min_max(values: np.ndarray, starts: np.ndarray, k: int):
         mins = np.where(valid, np.fmin(mins, v[jj]), mins)
         maxs = np.where(valid, np.fmax(maxs, v[jj]), maxs)
     return mins, maxs
+
+
+def time_range_bounds(ts_us: np.ndarray, starts: np.ndarray,
+                      range_us: int):
+    """Per-row window [lo, hi] for RANGE BETWEEN range_us PRECEDING AND
+    CURRENT ROW over ts-sorted groups, with SQL peer semantics: the
+    window ENDS at the last row sharing this row's timestamp (standard
+    RANGE/CURRENT ROW includes all peers).
+
+    Vectorized across ALL groups at once: timestamps are normalized and
+    shifted by group ordinal x span so one global searchsorted respects
+    group boundaries (falls back to a per-group loop only if the shifted
+    key would overflow int64 — astronomically large buckets)."""
+    n = len(ts_us)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    gs = group_start_index(starts)
+    g = np.cumsum(starts) - 1
+    ts0 = ts_us - ts_us.min()
+    span = int(ts0.max()) + int(range_us) + 1
+    if int(g[-1]) * span < (1 << 62):
+        shifted = ts0 + g * span
+        lo = np.searchsorted(shifted, shifted - range_us, side='left')
+        hi = np.searchsorted(shifted, shifted, side='right') - 1
+    else:  # pragma: no cover - pathological span
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        bounds = np.append(gs[starts], n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts_us[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - range_us, 'left')
+            hi[s:e] = s + np.searchsorted(seg, seg, 'right') - 1
+    return np.maximum(lo, gs), hi
+
+
+def time_range_sum(values: np.ndarray, ts_us: np.ndarray,
+                   starts: np.ndarray, range_us: int):
+    """Windowed sum/count over the trailing time range per group (int64
+    values stay exact int64 — pair with fixed-point scaling for
+    byte-stable float sums). Returns (sums, counts)."""
+    lo, hi = time_range_bounds(ts_us, starts, range_us)
+    csum = np.concatenate([[0], np.cumsum(values)])
+    sums = csum[hi + 1] - csum[lo]
+    counts = (hi + 1 - lo).astype(np.int64)
+    return sums, counts
+
+
+def running_sum(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum within each group (ROWS UNBOUNDED PRECEDING);
+    int64 in, exact int64 out."""
+    cs = np.cumsum(values)
+    gs = group_start_index(starts)
+    base = cs[gs] - values[gs]
+    return cs - base
