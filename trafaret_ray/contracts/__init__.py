@@ -27,7 +27,7 @@ from .regexp_net import (  # noqa: F401
 )
 from .constructor import construct, construct_key, C  # noqa: F401
 from .utils import (  # noqa: F401
-    fold, unfold, guard, GuardError, ignore,
+    fold, unfold, split, guard, GuardError, ignore,
 )
 from .validator import (  # noqa: F401
     BatchValidator, validate_split, drop_quarantine, only_quarantine,

@@ -189,14 +189,10 @@ class Or(Contract):
     __slots__ = ('alts',)
 
     def __init__(self, *alts):
-        flat = []
-        for a in alts:
-            a = ensure_contract(a)
-            if isinstance(a, Or):
-                flat.extend(a.alts)
-            else:
-                flat.append(a)
-        self.alts = tuple(flat)
+        # NOT flattened: the reference nests Or(Or(a, b), c) — chained
+        # ``a | b | c`` nests too (Trafaret.__or__ wraps; reference
+        # test_base.py TestTrafaretMeta::test_repr)
+        self.alts = tuple(ensure_contract(a) for a in alts)
         self.accepts_null = any(a.accepts_null for a in self.alts)
 
     def apply(self, arr: pa.Array) -> CheckResult:
@@ -262,9 +258,6 @@ class Or(Contract):
                 errors.append(e)
         raise DataError(error=dict(enumerate(errors)),
                         code=codes.NOTHING_MATCH)
-
-    def __or__(self, other):
-        return Or(*(self.alts + (ensure_contract(other),)))
 
     def __repr__(self):
         return '<Or(%s)>' % (', '.join(repr(a) for a in self.alts))
@@ -372,4 +365,17 @@ class Forward(Contract):
         return self.contract.check(value, context)
 
     def __repr__(self):
-        return '<Forward(%r)>' % (self.contract,)
+        # recursion guard: self-referential schemas print <recur>
+        # (reference base.py:1411-1418)
+        if getattr(self, '_recur_repr', False):
+            return '<recur>'
+        self._recur_repr = True
+        r = '<Forward(%r)>' % (self.contract,)
+        self._recur_repr = False
+        return r
+
+
+def deprecated(message):
+    """Emit a DeprecationWarning (reference base.py:61-62)."""
+    import warnings
+    warnings.warn(message, DeprecationWarning)

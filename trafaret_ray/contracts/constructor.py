@@ -40,7 +40,8 @@ def construct(arg):
         return Type(arg)
     if callable(arg):
         return Call(arg)
-    raise ValueError('%r can not be constructed' % (arg,))
+    # unknown values pass through unchanged (reference constructor.py:60-61)
+    return arg
 
 
 def construct_key(key, value) -> Key:
@@ -57,6 +58,9 @@ def construct_key(key, value) -> Key:
 
 class _CMeta(type):
     def __and__(cls, other):
+        return construct(other)
+
+    def __or__(cls, other):
         return construct(other)
 
 

@@ -95,8 +95,10 @@ class DateTime(Contract):
                 msgs[i] = 'invalid value'
         return CheckResult(out, final_ok, codes_, msgs)
 
+    _ACCEPT = (_dt.datetime,)   # Date widens to dates (rfc_3339.py:43-46)
+
     def _scalar_check(self, value, context=None):
-        if isinstance(value, _dt.datetime):
+        if isinstance(value, self._ACCEPT):
             return self._post(value)
         if _du_parse is None:
             raise DataError('dateutil unavailable', code=self.ERROR_CODE)
@@ -114,6 +116,7 @@ class Date(DateTime):
 
     OUT_TYPE = pa.date32()
     ERROR_CODE = codes.NOT_DATE
+    _ACCEPT = (_dt.datetime, _dt.date)
 
     def _post(self, value):
         if isinstance(value, _dt.datetime):

@@ -196,6 +196,11 @@ class Key:
             yield self.name, DataError(error='is required',
                                        code=codes.REQUIRED), (self.name,)
 
+    # the reference Key IS callable (base.py:957-982): key(data) yields
+    # the generator protocol triples
+    def __call__(self, data, context=None):
+        return self._scalar_call(data, context)
+
     def __repr__(self):
         return '<Key "%s"%s %s>' % (
             self.name,
@@ -238,12 +243,18 @@ class Dict(Contract):
                 # reference: any callable can be a key (base.py:1007-1042)
                 self.keys.append(_CallableKey(a))
             else:
-                raise RuntimeError('Dict args must be Keys, cross-field '
-                                   'checks or callables, got %r' % (a,))
+                raise RuntimeError(
+                    'Keys in single attributes must be callables')
         import itertools
         for key, contract in itertools.chain(contracts.items(),
                                              keys_map.items()):
-            key_ = Key(key) if isinstance(key, str) else key
+            if isinstance(key, str):
+                key_ = Key(key)
+            elif isinstance(key, Key) or hasattr(key, 'set_trafaret') \
+                    or callable(key):
+                key_ = key
+            else:
+                raise RuntimeError('Non callable Keys are not supported')
             key_.set_contract(ensure_contract(contract))
             self.keys.append(key_)
 
@@ -271,10 +282,16 @@ class Dict(Contract):
         return Dict(*self.keys, **kw2)
 
     def merge(self, other):
-        """Concatenate key sets, union extra/ignore policies
+        """Concatenate key sets, union extra/ignore policies; accepts a
+        Dict, a mapping, or a list/tuple of Keys
         (reference base.py:1200-1221)."""
         if isinstance(other, dict):
             other = Dict(other)
+        elif isinstance(other, (list, tuple)):
+            other = Dict(*other)
+        elif not isinstance(other, Dict):
+            raise TypeError('You must merge Dict with another Dict, a '
+                            'mapping, or a list of Keys')
         kw = self._clone_kw()
         okw = other._clone_kw()
         if 'allow_extra' in okw:
@@ -383,7 +400,8 @@ class Dict(Contract):
         """Per-value path mirroring reference Dict.transform
         (base.py:1132-1179) exactly — including the absent-key vs
         present-None distinction the batch path cannot represent."""
-        if not isinstance(value, dict):
+        from collections.abc import Mapping as _AbcMapping
+        if not isinstance(value, _AbcMapping):
             raise DataError(error='value is not a dict', value=value,
                             code=codes.IS_NOT_A_DICT)
         collect = {}
@@ -414,7 +432,8 @@ class Dict(Contract):
         async_mixins.py:110-154): Key.async_call async-generators are
         awaited; plain sync generator keys still work."""
         import inspect
-        if not isinstance(value, dict):
+        from collections.abc import Mapping as _AbcMapping
+        if not isinstance(value, _AbcMapping):
             raise DataError(error='value is not a dict', value=value,
                             code=codes.IS_NOT_A_DICT)
         collect = {}
@@ -457,7 +476,19 @@ class Dict(Contract):
         return collect
 
     def __repr__(self):
-        return '<Dict(%s)>' % (', '.join(repr(k) for k in self.keys))
+        r = '<Dict('
+        options = []
+        if self.allow_any:
+            options.append('any')
+        if self.ignore:
+            options.append('ignore=(%s)' % ', '.join(self.ignore))
+        if self.extras:
+            options.append('extras=(%s)' % ', '.join(self.extras))
+        r += ', '.join(options)
+        if options:
+            r += ' | '
+        r += ', '.join(sorted(repr(k) for k in self.keys))
+        return r + ')>'
 
 
 def DictKeys(keys):
@@ -466,10 +497,26 @@ def DictKeys(keys):
 
 
 class _ListMeta(type(Contract)):
-    def __getitem__(cls, sl):
-        # reference parity: t.List[1:10] without an element trafaret is a
-        # usage error (reference test_base.py:478-481)
-        raise RuntimeError('Trafaret is required for List initialization')
+    """Square-bracket sugar (reference SquareBracketsMeta,
+    base.py:746-784): ``List[Int]``, ``List[Int, 1:]``, ``List[:10, Int]``;
+    a bare slice without an element trafaret is a usage error."""
+
+    def __getitem__(cls, args):
+        if not isinstance(args, tuple):
+            args = (args,)
+        slice_ = None
+        contract = None
+        for arg in args:
+            if isinstance(arg, slice):
+                slice_ = arg
+            elif isinstance(arg, Contract) or isinstance(arg, type):
+                contract = arg
+        if contract is None:
+            raise RuntimeError('Trafaret is required for List initialization')
+        if slice_ is not None:
+            return cls(contract, min_length=slice_.start or 0,
+                       max_length=slice_.stop)
+        return cls(contract)
 
 
 class List(Contract, metaclass=_ListMeta):
@@ -580,7 +627,15 @@ class List(Contract, metaclass=_ListMeta):
         return out
 
     def __repr__(self):
-        return '<List(%r)>' % (self.contract,)
+        options = []
+        if self.min_length:
+            options.append('min_length=%s' % self.min_length)
+        if self.max_length:
+            options.append('max_length=%s' % self.max_length)
+        r = '<List('
+        if options:
+            r += ', '.join(options) + ' | '
+        return r + repr(self.contract) + ')>'
 
 
 class Iterable(List):
@@ -779,7 +834,8 @@ class Mapping(Contract):
                            res.codes, res.msgs)
 
     def _scalar_check(self, value, context=None):
-        if not isinstance(value, dict):
+        from collections.abc import Mapping as _AbcMapping
+        if not isinstance(value, _AbcMapping):
             raise DataError('value is not a dict', value=value,
                             code=codes.IS_NOT_A_DICT)
         checked = {}
@@ -807,7 +863,8 @@ class Mapping(Contract):
 
     async def async_check(self, value, context=None):
         """Async per-pair transform (reference async_mixins.py:67-93)."""
-        if not isinstance(value, dict):
+        from collections.abc import Mapping as _AbcMapping
+        if not isinstance(value, _AbcMapping):
             raise DataError('value is not a dict', value=value,
                             code=codes.IS_NOT_A_DICT)
         checked = {}
@@ -1058,7 +1115,9 @@ class KeysSubset:
         sub_py = {k: v.to_pylist() for k, v in sub.items()}
         for i in range(n):
             r = {k: sub_py[k][i] for k in sub_py}
-            res = self.fn(r)
+            res = _keyssubset_run(self.fn, r)
+            if isinstance(res, DataError):
+                res = res.error
             for name, v in res.items():
                 if isinstance(v, DataError):
                     row_errors.setdefault(int(i), {})[name] = FieldError(
@@ -1173,10 +1232,28 @@ subdict.scalar_call = _subdict_scalar_call
 
 
 def _keyssubset_scalar_call(self, value, context=None):
-    sub = {k: value[k] for k in self.keys if k in value}
-    res = self.fn(sub)
-    for k, v in res.items():
-        yield k, v, self.keys
+    sub = {k: value.get(k) for k in self.keys if k in value}
+    res = _keyssubset_run(self.fn, sub)
+    if isinstance(res, DataError):
+        # a raised DataError carries {name: DataError} (reference
+        # keys.py:33-38; non-DataError values are a usage error)
+        for k, e in res.error.items():
+            if not isinstance(e, DataError):
+                raise RuntimeError('Please use DataError instance')
+            yield k, e, self.keys
+    else:
+        for k, v in res.items():
+            yield k, v, self.keys
+
+
+def _keyssubset_run(fn, sub):
+    """Run the subset fn — a raw callable or a Contract (Call) — catching
+    a raised DataError (reference uses catch_error on the trafaret)."""
+    checker = fn.check if hasattr(fn, 'check') else fn
+    try:
+        return checker(sub)
+    except DataError as e:
+        return e
 
 
 KeysSubset.scalar_call = _keyssubset_scalar_call

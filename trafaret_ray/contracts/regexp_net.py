@@ -91,7 +91,7 @@ class RegexpRaw(Contract):
         return mo if self._return_match_object else mo.group()
 
     def __repr__(self):
-        return '<%s>' % type(self).__name__
+        return '<Regexp "%s">' % self.raw_pattern
 
 
 class Regexp(RegexpRaw):
@@ -119,11 +119,13 @@ class RegexpString(String):
             s = pc.utf8_lower(s)
         elif self.str_method == 'upper':
             s = pc.utf8_upper(s)
+        # reference semantics: re.match = anchored at the START only
+        # (the class regex carries its own $ when it wants a full match)
         m = _np_mask(pc.match_substring_regex(
-            s.fill_null(''), '^(?:%s)$' % self.regex))
+            s.fill_null(''), '^(?:%s)' % self.regex))
         out = s if self.str_method else res.values
         res2 = res.merge_fail(m | ~res.ok, codes.DOES_NOT_MATCH_RE,
-                              'value does not match pattern')
+                              'does not match pattern %s' % self.regex)
         return CheckResult(null_out(out, res2.ok), res2.ok,
                            res2.codes, res2.msgs)
 
@@ -136,10 +138,13 @@ class RegexpString(String):
         res.scalar_raise()
         return res.values[0].as_py()
 
+    def __repr__(self):
+        return '<RegexpString "%s">' % self.regex
+
 
 class Hex(RegexpString):
     """``^[0-9a-f]*$`` after lower() (reference internet.py:52-57)."""
-    regex = '[0-9a-f]*'
+    regex = r'^[0-9a-f]*$'
     str_method = 'lower'
 
     def __repr__(self):
@@ -148,7 +153,7 @@ class Hex(RegexpString):
 
 class URLSafe(RegexpString):
     """``^[0-9A-Za-z_-]*$`` (reference internet.py:60-64)."""
-    regex = '[0-9A-Za-z_-]*'
+    regex = r'^[0-9A-Za-z-_]*$'
 
     def __repr__(self):
         return '<URLSafe>'
@@ -165,10 +170,14 @@ _EMAIL_RE = (
     + _TLD_RE
 )
 
+# URL host labels allow underscores and a bare alnum TLD form, matching
+# the reference URL_REGEXP's acceptance (internet.py:67-77,
+# tests/test_internet.py:62-63: example_underscore.net is valid)
 _URL_RE = (
     r"(?:https?|ftp)://"
     r"(?:[^\s:@/]+(?::[^\s:@/]*)?@)?"
-    r"(?:(?:[A-Z0-9](?:[A-Z0-9-]{0,61}[A-Z0-9])?\.)+" + _TLD_RE +
+    r"(?:(?:[A-Z0-9](?:[A-Z0-9-_]{0,61}[A-Z0-9])?\.)+"
+    r"(?:[A-Z]{2,63}\.?|[A-Z0-9-]{2,}\.?)"
     r"|localhost"
     r"|\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
     r"(?::\d+)?"
@@ -211,12 +220,21 @@ def _url_idna_encode(value):
         raise DataError('value is not URL', value=value)
 
 
+def _to_str():
+    """bytes/str -> str gate (reference internet.py:39: to_str sits
+    OUTSIDE the email OnError, so non-strings report
+    'value is not a string')."""
+    from .scalars import FromBytes
+    return OnError(FromBytes('utf-8') | String(),
+                   'value is not a string', code=codes.IS_NOT_A_STRING)
+
+
 def _email():
     """str -> normalized email (reference internet.py:15-49): length-capped
     String, regex pass, idna-encoded retry for unicode domains."""
     rx = Regexp('(?i)^%s$' % _EMAIL_RE)
     return WithRepr(
-        OnError(
+        _to_str() & OnError(
             String(max_length=254)
             & (rx | (Call(_email_idna_encode) & rx)),
             'value is not a valid email address',

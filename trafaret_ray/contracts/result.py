@@ -31,6 +31,9 @@ class DataError(Exception):
 
     def __init__(self, error=None, name=None, value=_EMPTY, code=None,
                  trafaret=None):
+        if not isinstance(error, (str, bytes, dict)):
+            raise RuntimeError('Only str or dict is supported, got %r'
+                               % error)
         self.error = error
         self.name = name
         self.value = value
@@ -68,15 +71,15 @@ class DataError(Exception):
 
 
 def extract_error(contract, value):
-    """Run check and return ``as_dict()`` of the error (reference:
-    base.py:1516-1537). Accepts a contract or any checker callable
+    """Run check; return ``as_dict()`` of the error, or the CHECK RESULT
+    when nothing raised (reference base.py:1529-1537 — it does not
+    require an error). Accepts a contract or any checker callable
     (e.g. ``extract_error(d.check, value)``)."""
     checker = getattr(contract, 'check', contract)
     try:
-        checker(value)
+        return checker(value)
     except DataError as e:
         return e.as_dict()
-    raise AssertionError('no error raised')
 
 
 def catch(checker, *a, **kw):

@@ -40,11 +40,16 @@ def _is_binary_type(t):
 
 
 class Any(Contract):
-    """Accept anything (reference base.py:269-280)."""
+    """Accept anything (reference base.py:269-280) — including python
+    objects Arrow can't represent (the scalar path passes them through
+    untouched)."""
     accepts_null = True
 
     def apply(self, arr):
         return CheckResult.success(arr)
+
+    def _scalar_check(self, value, context=None):
+        return value
 
     def __repr__(self):
         return '<Any>'
@@ -317,15 +322,27 @@ class Float(Contract, metaclass=_NumberMeta):
         self.gt = gt
         self.lt = lt
 
-    # instance-level bounds sugar (reference numeric.py:131-141)
+    # instance-level bounds sugar (reference numeric.py:127-141)
     def __lt__(self, lt):
         return type(self)(gte=self.gte, lte=self.lte, gt=self.gt, lt=lt)
 
     def __gt__(self, gt):
         return type(self)(gte=self.gte, lte=self.lte, gt=gt, lt=self.lt)
 
+    def __le__(self, lte):
+        return type(self)(gte=self.gte, lte=lte, gt=self.gt, lt=self.lt)
+
+    def __ge__(self, gte):
+        return type(self)(gte=gte, lte=self.lte, gt=self.gt, lt=self.lt)
+
     def _wrong_type_msg(self):
         return 'value is not %s' % self.value_type_name
+
+    # values Arrow can't even represent (complex, arbitrary objects) get
+    # the numeric wrong-type message, matching the reference
+    # (numeric.py:96-102: 'value is not float' / 'value is not int')
+    def _unrepresentable_message(self, value):
+        return self._wrong_type_msg()
 
     def _not_number_msg(self):
         return "value can't be converted to %s" % self.value_type_name
@@ -484,6 +501,14 @@ class ToDecimal(Float):
     value_type_name = 'Decimal'
     convert = True
     DECIMAL_TYPE = pa.decimal128(38, 18)
+
+    def _scalar_check(self, value, context=None):
+        if value is None:
+            # reference parity: Decimal(None) raises TypeError, which the
+            # reference's _converter does NOT catch (numeric.py:195-203)
+            import decimal
+            decimal.Decimal(value)
+        return NotImplemented
 
     def apply(self, arr):
         t = arr.type

@@ -19,7 +19,8 @@ from .result import DataError
 
 
 def unfold(data, prefix='', delimeter='__'):
-    """Nested dict/list -> flat 'a__0__b'-keyed dict (reference utils.py:8-49)."""
+    """Nested dict/list -> flat 'a__0__b'-keyed dict; a prefix joins with
+    the delimiter like any other path segment (reference utils.py:8-49)."""
     result = {}
 
     def _unfold(value, key):
@@ -30,20 +31,22 @@ def unfold(data, prefix='', delimeter='__'):
             for i, v in enumerate(value):
                 _unfold(v, '%s%s%s' % (key, delimeter, i) if key else str(i))
         else:
-            result[prefix + key] = value
+            result[key] = value
 
-    _unfold(data, '')
+    _unfold(data, prefix)
     return result
 
 
 def fold(data, prefix='', delimeter='__'):
-    """Inverse of unfold: flat delimited keys -> nested dicts/lists; all-digit
-    key groups become lists (reference utils.py:52-103)."""
+    """Inverse of unfold: flat delimited keys -> nested dicts/lists;
+    all-digit key groups become lists; ``delimeter`` may be a tuple of
+    delimiters (e.g. ('[', ']') for form keys); a prefix names the
+    top-level key to extract (reference utils.py:64-103)."""
+    delims = list(delimeter) if isinstance(delimeter, (tuple, list)) \
+        else [delimeter]
     root = {}
-    for flat_key, value in data.items():
-        key = flat_key[len(prefix):] if prefix and flat_key.startswith(prefix) \
-            else flat_key
-        parts = key.split(delimeter)
+    for flat_key, value in sorted(data.items()):
+        parts = split(flat_key, delims)
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})
@@ -57,7 +60,8 @@ def fold(data, prefix='', delimeter='__'):
             return [items[k] for k in sorted(items, key=int)]
         return items
 
-    return _listify(root)
+    out = _listify(root)
+    return out[prefix] if prefix else out
 
 
 class GuardError(DataError):
@@ -126,3 +130,17 @@ class _Ignore(Contract):
 
 
 ignore = _Ignore()
+
+
+def split(str, delimeters):  # noqa: A002 - reference signature parity
+    """Split a key by a delimiter list, dropping empty pieces
+    (reference utils.py:52-61)."""
+    if not delimeters:
+        return [str]
+    rest = delimeters[1:]
+    return [
+        subkey
+        for key in str.split(delimeters[0])
+        for subkey in split(key, rest)
+        if subkey
+    ]
