@@ -5,15 +5,11 @@ tests are executed in place from /root/reference/tests).
 
 Usage:
     cd /tmp && PYTHONPATH=/root/repo:/root/repo/tools \\
-      python -m pytest /root/reference/tests -p reference_suite_shim \\
-        -q --ignore=/root/reference/tests/test_lib.py
+      python -m pytest /root/reference/tests -p reference_suite_shim -q
 
-(test_lib.py exercises the reference's internal lib helpers
-``with_context_caller`` / ``get_callable_args`` — plumbing of its
-interpreter, not part of the validation surface this engine mirrors.)
-
-Current status: 209/209 pass (every other test file, including the bson
-tests via the dependency-free MongoId).
+Current status: 211/211 pass — EVERY reference test file, including the
+bson tests (dependency-free MongoId) and the lib introspection helpers
+(contracts/lib.py).
 """
 
 import sys
@@ -29,10 +25,15 @@ import trafaret_ray.contracts.contrib as _contrib
 
 sys.modules['trafaret'] = _c
 
+import trafaret_ray.contracts.lib as _lib
 lib = types.ModuleType('trafaret.lib')
 from collections.abc import Mapping as AbcMapping  # noqa: E402
 lib.AbcMapping = AbcMapping
-lib.STR_TYPES = (str, bytes)
+lib.STR_TYPES = _lib.STR_TYPES
+lib.get_callable_args = _lib.get_callable_args
+lib.with_context_caller = _lib.with_context_caller
+lib.WithContextCaller = _lib.WithContextCaller
+lib.WithoutContextCaller = _lib.WithoutContextCaller
 sys.modules['trafaret.lib'] = lib
 
 base = types.ModuleType('trafaret.base')
