@@ -103,6 +103,28 @@ class TestTimeRangeWindow:
         assert list(W.running_sum(v, starts)) == [1, 3, 5, 10, 15]
 
 
+class TestReshape:
+    def test_group_ranks_ties_and_groups(self):
+        from trafaret_ray.stages.reshape import group_ranks
+        starts = np.array([True, False, False, False, True, False])
+        v = np.array([5.0, 5.0, 3.0, 1.0, 2.0, 9.0])
+        rank, dense = group_ranks(v, starts, descending=True)
+        assert list(rank) == [1, 1, 3, 4, 2, 1]
+        assert list(dense) == [1, 1, 2, 3, 2, 1]
+
+    def test_melt(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.reshape import melt
+        tbl = pa.table({'id': pa.array([1, 2]),
+                        'a': pa.array([10.0, 20.0]),
+                        'b': pa.array([1, 2])})
+        out = melt(rd.from_arrow(tbl), ['id'], ['a', 'b']).to_pandas()\
+            .sort_values(['id', 'variable']).reset_index(drop=True)
+        assert len(out) == 4
+        assert list(out['variable']) == ['a', 'b', 'a', 'b']
+        assert list(out['value']) == [10.0, 1.0, 20.0, 2.0]
+
+
 class TestHistogramQuantiles:
     def test_accuracy_vs_exact(self, ray_session):
         import ray.data as rd

@@ -1093,6 +1093,71 @@ ORACLE_SQL['q_rolling_events'] = """
 """
 
 
+def q_rank_events(sf_dir: str):
+    """Window ranks per user by value desc: rank() (gaps after ties) and
+    dense_rank() — one lexsort per bucket, no per-group loop
+    (stages/reshape.py:group_ranks)."""
+    from ..stages.reshape import group_ranks
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = tbl.column('value').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rank, dense = group_ranks(v, starts, descending=True)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'value_rank': pa.array(rank),
+            'value_dense_rank': pa.array(dense),
+        })
+
+    return per_conversation(ds, fn, key='user_id', order=('event_id',),
+                            num_buckets=32).sort('event_id')
+
+
+QUERIES['q_rank_events'] = q_rank_events
+ORACLE_SQL['q_rank_events'] = """
+    SELECT event_id, user_id,
+           rank() OVER w       AS value_rank,
+           dense_rank() OVER w AS value_dense_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)
+    ORDER BY event_id
+"""
+
+
+def q_melt_lineitem(sf_dir: str):
+    """Wide -> long UNPIVOT of lineitem's four measures (pure map, no
+    exchange; stages/reshape.py:melt)."""
+    from ..stages.reshape import melt
+    ds = _read(sf_dir, 'lineitem',
+               ['l_orderkey', 'l_linenumber', 'l_quantity',
+                'l_extendedprice', 'l_discount', 'l_tax'])
+    out = melt(ds, ['l_orderkey', 'l_linenumber'],
+               ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax'])
+
+    def round6(tbl: pa.Table) -> pa.Table:
+        i = tbl.column_names.index('value')
+        return tbl.set_column(i, 'value',
+                              pc.round(tbl.column('value'), ndigits=6))
+
+    return out.map_batches(round6, batch_format='pyarrow')\
+        .sort(['l_orderkey', 'l_linenumber', 'variable'])
+
+
+QUERIES['q_melt_lineitem'] = q_melt_lineitem
+ORACLE_SQL['q_melt_lineitem'] = """
+    SELECT l_orderkey, l_linenumber, variable,
+           round(value, 6) AS value
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME variable VALUE value)
+    ORDER BY l_orderkey, l_linenumber, variable
+"""
+
+
 def q_tumbling_events(sf_dir: str):
     """Tumbling 1-hour windows per user: event count + value sum
     (streaming-shaped batch windowing; stages/streaming.py)."""

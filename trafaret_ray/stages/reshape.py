@@ -1,0 +1,68 @@
+"""Reshape operators: melt (wide -> long) and per-group window ranks.
+
+Both are pure per-batch / per-bucket vectorized transforms — melt never
+shuffles at all; ranks ride the standard per-entity exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = 'variable', value_name: str = 'value'):
+    """Wide -> long (SQL UNPIVOT): each row explodes to one row per value
+    column, labeled with the column name. Pure map — the explosion factor
+    is len(value_cols), no exchange; value columns unify to float64."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {k: tbl.column(k) for k in id_cols}
+            cols[var_name] = pa.array(np.full(n, c, dtype=object),
+                                      type=pa.string())
+            cols[value_name] = pc.cast(tbl.column(c), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def group_ranks(values: np.ndarray, starts: np.ndarray,
+                descending: bool = True):
+    """Per-group rank() and dense_rank() of ``values`` over groups marked
+    by ``starts`` (SQL semantics: rank has gaps after ties, dense_rank
+    does not). One lexsort over the whole bucket — no per-group loop.
+
+    Returns (rank, dense_rank) int64 arrays aligned with the input rows.
+    """
+    n = len(values)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    g = np.cumsum(starts) - 1
+    key = -values if descending else values
+    order = np.lexsort((key, g))
+    gs, ks = g[order], key[order]
+    pos = np.arange(n, dtype=np.int64)
+    gstart = np.zeros(n, dtype=np.int64)
+    new_g = np.ones(n, dtype=bool)
+    new_g[1:] = gs[1:] != gs[:-1]
+    gstart = np.maximum.accumulate(np.where(new_g, pos, 0))
+    # first position of each tie run (same group AND same key)
+    new_val = np.ones(n, dtype=bool)
+    new_val[1:] = new_g[1:] | (ks[1:] != ks[:-1])
+    run_first = np.maximum.accumulate(np.where(new_val, pos, 0))
+    rank_sorted = run_first - gstart + 1
+    # dense rank: count of distinct values so far within the group
+    cnv = np.cumsum(new_val)
+    dense_sorted = cnv - np.maximum.accumulate(
+        np.where(new_g, cnv - 1, 0))
+    rank = np.empty(n, dtype=np.int64)
+    dense = np.empty(n, dtype=np.int64)
+    rank[order] = rank_sorted
+    dense[order] = dense_sorted
+    return rank, dense
