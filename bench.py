@@ -30,7 +30,7 @@ BENCH_QUERIES = [
     'q_priority_revenue', 'q_sessionize_events', 'q_lag_events',
     'q_ffill_events', 'q_asof_events', 'q_rolling_events',
     'q_time_window_events', 'q_cumsum_events', 'q_rank_events',
-    'q_melt_lineitem',
+    'q_melt_lineitem', 'q_pivot_lineitem',
     'q_exact_dedup_docs', 'q_ngram_jaccard_pairs', 'q_minhash_dedup_docs',
     'q_simhash_candidates_docs', 'q_token_stats', 'q_quality_scores',
     'q_repetition_scores', 'q_normalized_docs',

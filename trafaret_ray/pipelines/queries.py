@@ -1158,6 +1158,65 @@ ORACLE_SQL['q_melt_lineitem'] = """
 """
 
 
+def q_pivot_lineitem(sf_dir: str):
+    """Long -> wide aggregating PIVOT: melted lineitem measures pivot
+    back to one row per (orderkey, linenumber), duplicate cells summing
+    exactly via fixed-point int64 (stages/reshape.py:pivot — one hash
+    exchange)."""
+    from ..stages.reshape import melt, pivot
+    measures = ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax']
+    ds = _read(sf_dir, 'lineitem',
+               ['l_orderkey', 'l_linenumber'] + measures)
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        cols = {'l_orderkey': tbl.column('l_orderkey'),
+                'l_linenumber': tbl.column('l_linenumber')}
+        for m in measures:
+            cols[m] = _fixed6(tbl.column(m))
+        return pa.table(cols)
+
+    long = melt(ds.map_batches(scale, batch_format='pyarrow',
+                               zero_copy_batch=True),
+                ['l_orderkey', 'l_linenumber'], measures)
+
+    def reint(tbl: pa.Table) -> pa.Table:
+        # melt unifies to float64; the fixed-point values cast back exact
+        i = tbl.column_names.index('value')
+        return tbl.set_column(i, 'value',
+                              pc.cast(tbl.column('value'), pa.int64()))
+
+    long = long.map_batches(reint, batch_format='pyarrow')
+    wide = pivot(long, ['l_orderkey', 'l_linenumber'], 'variable', 'value',
+                 measures, aggfunc='sum')
+
+    def unfix(tbl: pa.Table) -> pa.Table:
+        cols = {c: tbl.column(c) for c in ('l_orderkey', 'l_linenumber')}
+        for m in measures:
+            cols[m] = _unfix6(tbl.column(m))
+        return pa.table(cols)
+
+    return wide.map_batches(unfix, batch_format='pyarrow')\
+        .sort(['l_orderkey', 'l_linenumber'])
+
+
+QUERIES['q_pivot_lineitem'] = q_pivot_lineitem
+ORACLE_SQL['q_pivot_lineitem'] = """
+    SELECT l_orderkey, l_linenumber,
+           round(cast(sum(cast(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6, 6) AS l_quantity,
+           round(cast(sum(cast(floor(l_extendedprice * 1e6 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e6, 6)
+             AS l_extendedprice,
+           round(cast(sum(cast(floor(l_discount * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6, 6) AS l_discount,
+           round(cast(sum(cast(floor(l_tax * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6, 6) AS l_tax
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def q_tumbling_events(sf_dir: str):
     """Tumbling 1-hour windows per user: event count + value sum
     (streaming-shaped batch windowing; stages/streaming.py)."""

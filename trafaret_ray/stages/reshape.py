@@ -31,6 +31,38 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
     return ds.map_batches(f, batch_format='pyarrow', zero_copy_batch=True)
 
 
+def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
+          variables: list[str], aggfunc: str = 'first',
+          num_buckets: int = 32):
+    """Long -> wide (SQL PIVOT): co-locate each id with one hash exchange
+    on the first id column, then one pandas pivot per bucket. The output
+    column set must be DECLARED (``variables``) — discovering it would
+    need an extra distinct pass, and a 100-TB pivot with unbounded
+    variables is a design smell anyway. ``aggfunc`` resolves duplicate
+    (id, variable) cells ('first'/'sum'/'min'/'max'; for byte-stable
+    float sums feed fixed-point int64 values)."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        gtypes = {c: tbl.schema.field(c).type for c in id_cols} \
+            if tbl.num_rows else {c: pa.int64() for c in id_cols}
+        vtype = tbl.schema.field(value_col).type if tbl.num_rows \
+            else pa.float64()
+        if tbl.num_rows == 0:
+            cols = {c: pa.array([], type=gtypes[c]) for c in id_cols}
+            for v in variables:
+                cols[v] = pa.array([], type=vtype)
+            return pa.table(cols)
+        df = tbl.to_pandas()
+        wide = df.pivot_table(index=id_cols, columns=var_col,
+                              values=value_col, aggfunc=aggfunc)\
+            .reindex(columns=variables).reset_index()
+        wide.columns = [str(c) for c in wide.columns]
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    from .conversations import bucket_exchange
+    return bucket_exchange(ds, id_cols[0], f, num_buckets)
+
+
 def group_ranks(values: np.ndarray, starts: np.ndarray,
                 descending: bool = True):
     """Per-group rank() and dense_rank() of ``values`` over groups marked
