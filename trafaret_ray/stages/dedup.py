@@ -250,24 +250,23 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
                          'cluster_id': pa.array([], pa.int64())})
     verified = exact.merge(cand[['doc_a', 'doc_b']],
                            on=['doc_a', 'doc_b'])
-    # union-find over verified dup edges only (tiny)
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(verified['doc_a'], verified['doc_b']):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members = sorted({int(d) for col in ('doc_a', 'doc_b')
-                      for d in verified[col]})
+    if len(verified) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         'cluster_id': pa.array([], pa.int64())})
+    # DISTRIBUTED clustering: min-label propagation keeps the component
+    # state in a Dataset (stages/graph.py) — no driver union-find; the
+    # labeling (component = min member id) is identical to a min-root
+    # union-find, so outputs are unchanged
+    import ray.data as rd
+    from .graph import connected_components
+    edges = rd.from_pandas(
+        verified[['doc_a', 'doc_b']].rename(
+            columns={'doc_a': 'src', 'doc_b': 'dst'}))
+    cc = connected_components(edges, num_buckets=8).to_pandas()\
+        .sort_values('node').reset_index(drop=True)
     return pa.table({
-        id_col: pa.array(members, type=pa.int64()),
-        'cluster_id': pa.array([find(d) for d in members], type=pa.int64()),
+        id_col: pa.array(cc['node'].to_numpy(np.int64)),
+        'cluster_id': pa.array(cc['component'].to_numpy(np.int64)),
     })
 
 

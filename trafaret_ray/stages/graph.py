@@ -1,0 +1,113 @@
+"""Distributed connected components via min-label propagation.
+
+The clustering step of near-duplicate dedup is a connected-components
+problem over verified duplicate edges. A driver-side union-find bounds
+the job by driver memory; this operator keeps ALL state distributed:
+labels live in a Dataset and each iteration is exactly TWO hash-bucket
+exchanges over (int64, int64) rows — one join propagating labels across
+both edge directions at once, one min-aggregate — with labels
+materialized per round. Convergence is detected from the label sum (a
+monotonically non-increasing integer; unchanged == fixpoint), computed
+driver-side by streaming the already-materialized label blocks.
+
+Converges in O(component diameter) iterations; near-dup clusters are
+low-diameter (near-cliques), so 2-4 iterations is typical. Node ids
+must be non-negative (-1 is the internal edge/label tag).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .aggregate import bucket_aggregate
+from .conversations import bucket_exchange
+
+
+def _empty_nl() -> pa.Table:
+    return pa.table({'node': pa.array([], pa.int64()),
+                     'label': pa.array([], pa.int64())})
+
+
+def connected_components(edges, src: str = 'src', dst: str = 'dst',
+                         num_buckets: int = 16, max_iters: int = 25):
+    """edges: Dataset of int64 (src, dst) pairs -> Dataset of
+    (node, component) where component = min node id in the component
+    (identical labeling to a min-root union-find)."""
+
+    def init_nodes(tbl: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([
+            tbl.column(src).combine_chunks().cast(pa.int64()),
+            tbl.column(dst).combine_chunks().cast(pa.int64())])
+        return pa.table({'node': n, 'label': n})
+
+    labels = bucket_aggregate(
+        edges.map_batches(init_nodes, batch_format='pyarrow',
+                          zero_copy_batch=True),
+        ['node'], {'label': ('label', 'min')},
+        num_buckets=num_buckets).materialize()
+
+    # both directions tagged once: each edge contributes (src, peer=dst)
+    # and (dst, peer=src) rows keyed by the label-holding node
+    def tag_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(src).combine_chunks().cast(pa.int64())
+        b = tbl.column(dst).combine_chunks().cast(pa.int64())
+        return pa.table({
+            'node': pa.concat_arrays([a, b]),
+            'peer': pa.concat_arrays([b, a]),
+            'label': pa.array(np.full(2 * tbl.num_rows, -1,
+                                      dtype=np.int64)),
+        })
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format='pyarrow',
+                                     zero_copy_batch=True).materialize()
+
+    def tag_labels(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': tbl.column('node'),
+            'peer': pa.array(np.full(tbl.num_rows, -1, dtype=np.int64)),
+            'label': tbl.column('label'),
+        })
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        """Per node-bucket: send this node's label to every peer, and
+        keep the node's own label row (so one downstream min-aggregate
+        sees both candidates)."""
+        if tbl.num_rows == 0:
+            return _empty_nl()
+        df = tbl.to_pandas()
+        lab = df[df['peer'] == -1][['node', 'label']]
+        edg = df[df['peer'] != -1][['node', 'peer']]
+        m = edg.merge(lab, on='node', how='inner')
+        return pa.table({
+            'node': pa.array(np.concatenate([
+                m['peer'].to_numpy(np.int64),
+                lab['node'].to_numpy(np.int64)])),
+            'label': pa.array(np.concatenate([
+                m['label'].to_numpy(np.int64),
+                lab['label'].to_numpy(np.int64)])),
+        })
+
+    def label_sum(lbl) -> int:
+        total = 0
+        for b in lbl.iter_batches(batch_size=None, batch_format='pyarrow'):
+            total += int(np.sum(b.column('label').to_numpy(
+                zero_copy_only=False), dtype=np.int64))
+        return total
+
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        both = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format='pyarrow'))
+        cand = bucket_exchange(both, 'node', join_bucket, num_buckets)
+        labels = bucket_aggregate(cand, ['node'],
+                                  {'label': ('label', 'min')},
+                                  num_buckets=num_buckets).materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(['node', 'component']),
+        batch_format='pyarrow')
