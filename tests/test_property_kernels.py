@@ -1,0 +1,77 @@
+"""Property-based checks of the pure-numpy window/rank kernels against
+straight-line oracles (pandas window functions / brute-force loops).
+No Ray needed — these exercise the kernels the bucket tasks run."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from trafaret_ray.stages.reshape import group_ranks
+from trafaret_ray.stages import window as W
+
+
+def _groups(draw_groups, draw_vals):
+    """(starts, values, group_ids) from drawn per-group sizes."""
+    sizes = draw_groups
+    n = sum(sizes)
+    starts = np.zeros(n, dtype=bool)
+    g = np.empty(n, dtype=np.int64)
+    pos = 0
+    for gi, s in enumerate(sizes):
+        starts[pos] = True
+        g[pos:pos + s] = gi
+        pos += s
+    return starts, np.array(draw_vals[:n], dtype=np.float64), g
+
+
+sizes_st = st.lists(st.integers(1, 6), min_size=1, max_size=5)
+vals_st = st.lists(st.integers(-3, 3), min_size=30, max_size=30)
+
+
+class TestGroupRanksProperty:
+    @settings(max_examples=60, deadline=None)
+    @given(sizes=sizes_st, vals=vals_st)
+    def test_matches_pandas_rank(self, sizes, vals):
+        starts, v, g = _groups(sizes, vals)
+        rank, dense = group_ranks(v, starts, descending=True)
+        df = pd.DataFrame({'g': g, 'v': v})
+        exp_rank = df.groupby('g')['v'].rank(method='min',
+                                             ascending=False)
+        exp_dense = df.groupby('g')['v'].rank(method='dense',
+                                              ascending=False)
+        assert list(rank) == [int(x) for x in exp_rank]
+        assert list(dense) == [int(x) for x in exp_dense]
+
+
+class TestTimeRangeProperty:
+    @settings(max_examples=60, deadline=None)
+    @given(sizes=sizes_st,
+           deltas=st.lists(st.integers(0, 5), min_size=30, max_size=30),
+           vals=vals_st,
+           rng=st.integers(0, 8))
+    def test_matches_bruteforce(self, sizes, deltas, vals, rng):
+        starts, v, g = _groups(sizes, vals)
+        n = len(v)
+        # ts: cumulative non-negative deltas, restarting per group,
+        # sorted within each group (the kernel's precondition)
+        ts = np.zeros(n, dtype=np.int64)
+        for i in range(1, n):
+            ts[i] = deltas[i] if starts[i] else ts[i - 1] + deltas[i]
+        vi = v.astype(np.int64)
+        sums, counts = W.time_range_sum(vi, ts, starts, rng)
+        for i in range(n):
+            # SQL RANGE ... CURRENT ROW: all rows of the group with
+            # ts[i] - rng <= ts[j] <= ts[i] (peers after i included)
+            mask = (g == g[i]) & (ts >= ts[i] - rng) & (ts <= ts[i])
+            assert counts[i] == mask.sum(), i
+            assert sums[i] == vi[mask].sum(), i
+
+    @settings(max_examples=40, deadline=None)
+    @given(sizes=sizes_st, vals=vals_st)
+    def test_running_sum(self, sizes, vals):
+        starts, v, g = _groups(sizes, vals)
+        vi = v.astype(np.int64)
+        run = W.running_sum(vi, starts)
+        df = pd.DataFrame({'g': g, 'v': vi})
+        exp = df.groupby('g')['v'].cumsum()
+        assert list(run) == list(exp)
