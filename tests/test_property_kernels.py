@@ -28,6 +28,25 @@ sizes_st = st.lists(st.integers(1, 6), min_size=1, max_size=5)
 vals_st = st.lists(st.integers(-3, 3), min_size=30, max_size=30)
 
 
+class TestFixedPointCrossEngine:
+    @settings(max_examples=80, deadline=None)
+    @given(xs=st.lists(st.floats(min_value=-1e7, max_value=1e7,
+                                 allow_nan=False, allow_infinity=False),
+                       min_size=1, max_size=12))
+    def test_fixed6_matches_duckdb_floor(self, xs):
+        """The byte-determinism mechanism: floor(x*1e6+0.5) as int64 must
+        be IDENTICAL between pyarrow and DuckDB for the same doubles —
+        and its int sum is order-independent by construction."""
+        import duckdb
+        import pyarrow as pa
+        from trafaret_ray.pipelines.queries import _fixed6
+        ours = _fixed6(pa.array(xs, type=pa.float64())).to_pylist()
+        theirs = duckdb.sql(
+            'SELECT cast(floor(x * 1e6 + 0.5) AS BIGINT) AS v FROM '
+            '(SELECT unnest(?::DOUBLE[]) AS x)', params=[xs]).df()
+        assert ours == [int(v) for v in theirs['v']]
+
+
 class TestGroupRanksProperty:
     @settings(max_examples=60, deadline=None)
     @given(sizes=sizes_st, vals=vals_st)
