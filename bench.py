@@ -28,7 +28,8 @@ N_TURNS = int(os.environ.get('GRAFT_BENCH_TURNS', str(int(20_000_000 * SF))))
 BENCH_QUERIES = [
     'q1_pricing_summary', 'q_top_customers', 'q_region_revenue',
     'q_priority_revenue', 'q_sessionize_events', 'q_lag_events',
-    'q_ffill_events', 'q_asof_events', 'q_rolling_events',
+    'q_ffill_events', 'q_asof_events', 'q_asof_events_stage',
+    'q_rolling_events',
     'q_time_window_events', 'q_cumsum_events', 'q_rank_events',
     'q_melt_lineitem', 'q_pivot_lineitem',
     'q_exact_dedup_docs', 'q_ngram_jaccard_pairs', 'q_minhash_dedup_docs',

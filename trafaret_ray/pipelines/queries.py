@@ -318,6 +318,37 @@ def q_asof_events(sf_dir: str):
     return _per_user(ds, fn).sort('event_id')
 
 
+def q_asof_events_stage(sf_dir: str):
+    """The DATASET-LEVEL as-of join operator (stages/joins.py:asof_join —
+    co-bucketed sides, one exchange) on the same purchases-vs-clicks
+    alignment as q_asof_events; byte-matched to the identical oracle."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import asof_join
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type', 'value'])
+
+    def side(etype):
+        def f(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.equal(tbl.column('event_type'), etype))\
+                .drop_columns(['event_type'])
+        return f
+
+    purchases = ds.map_batches(side('purchase'), batch_format='pyarrow',
+                               zero_copy_batch=True)\
+        .map_batches(lambda t: t.select(['user_id', 'ts', 'event_id',
+                                         'value']), batch_format='pyarrow')
+    clicks = bucket_aggregate(
+        ds.map_batches(side('click'), batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['user_id', 'ts'], {'last_click_value': ('value', 'max')})
+    out = asof_join(purchases, clicks, by='user_id', on='ts',
+                    value_cols=['last_click_value'], suffix='')
+    return out.map_batches(
+        lambda t: t.select(['event_id', 'user_id', 'value',
+                            'last_click_value']),
+        batch_format='pyarrow').sort('event_id')
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -975,6 +1006,24 @@ def q_priority_revenue(sf_dir: str):
 
     return out.map_batches(finalize, batch_format='pyarrow')\
         .sort('o_orderpriority')
+
+
+QUERIES['q_asof_events_stage'] = q_asof_events_stage
+ORACLE_SQL['q_asof_events_stage'] = """
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value,
+           c.click_value AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p.event_id
+"""
 
 
 QUERIES['q_priority_revenue'] = q_priority_revenue
