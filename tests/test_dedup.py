@@ -113,7 +113,7 @@ class TestDedupRay:
         import ray.data as rd
         from trafaret_ray.stages.dedup import minhash_dedup
         out = minhash_dedup(rd.from_arrow(corpus()),
-                            threshold=0.5).to_pydict()
+                            threshold=0.5).to_pandas()
         clusters = dict(zip(out['doc_id'], out['cluster_id']))
         assert clusters[0] == clusters[100]
         assert clusters[1] == clusters[101]
@@ -138,7 +138,7 @@ class TestDedupRay:
         tbl = pa.table({'doc_id': pa.array(ids, type=pa.int64()),
                         'text': pa.array(texts)})
         ds = rd.from_arrow(tbl).repartition(16)
-        out = minhash_dedup(ds, threshold=0.9).to_pydict()
+        out = minhash_dedup(ds, threshold=0.9).to_pandas()
         clusters = dict(zip(out['doc_id'], out['cluster_id']))
         for i in range(200):
             assert clusters.get(i) is not None

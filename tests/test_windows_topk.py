@@ -112,6 +112,16 @@ class TestReshape:
         assert list(rank) == [1, 1, 3, 4, 2, 1]
         assert list(dense) == [1, 1, 2, 3, 2, 1]
 
+    def test_group_ranks_nan_peers(self):
+        """SQL rank()/dense_rank() treat NULLs as PEERS of each other:
+        two NaNs in one group must share a rank (DuckDB parity)."""
+        from trafaret_ray.stages.reshape import group_ranks
+        starts = np.array([True, False, False, False, False])
+        v = np.array([5.0, 3.0, np.nan, np.nan, 2.0])
+        rank, dense = group_ranks(v, starts, descending=True)
+        assert list(rank) == [1, 2, 4, 4, 3]
+        assert list(dense) == [1, 2, 4, 4, 3]
+
     def test_melt(self, ray_session):
         import ray.data as rd
         from trafaret_ray.stages.reshape import melt

@@ -60,9 +60,12 @@ def word_shingles(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
 _GRAM_P = np.uint64(0x100000001B3)   # FNV-1a prime, k-gram combiner
 
 
-def shingle_hash_explode(text_col: pa.Array, k: int = 3
+def shingle_hash_explode(text_col: pa.Array, k: int = 3,
+                         distinct: bool = True
                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """DISTINCT word-k-gram hashes per document, fully vectorized.
+    """Word-k-gram hashes per document, fully vectorized; DISTINCT per
+    doc by default (``distinct=False`` keeps every occurrence — used by
+    SimHash, whose signature is term-frequency weighted).
 
     One Arrow split over the whole batch, one C-level word-hash pass, a
     rolling polynomial combine for the k-gram hash, then a lexsort-based
@@ -102,12 +105,13 @@ def shingle_hash_explode(text_col: pa.Array, k: int = 3
     valid = doc_of[:ng] == doc_of[k - 1:k - 1 + ng]
     gh = acc[valid]
     gd = doc_of[:ng][valid]
-    order = np.lexsort((gh, gd))
-    gd, gh = gd[order], gh[order]
-    if len(gd):
-        keep = np.ones(len(gd), dtype=bool)
-        keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
-        gd, gh = gd[keep], gh[keep]
+    if distinct:
+        order = np.lexsort((gh, gd))
+        gd, gh = gd[order], gh[order]
+        if len(gd):
+            keep = np.ones(len(gd), dtype=bool)
+            keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+            gd, gh = gd[keep], gh[keep]
     lengths = np.bincount(gd, minlength=n).astype(np.int64)
     return lengths, gd, gh
 

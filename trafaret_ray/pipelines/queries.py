@@ -341,8 +341,20 @@ def q_asof_events_stage(sf_dir: str):
         ds.map_batches(side('click'), batch_format='pyarrow',
                        zero_copy_batch=True),
         ['user_id', 'ts'], {'last_click_value': ('value', 'max')})
-    out = asof_join(purchases, clicks, by='user_id', on='ts',
-                    value_cols=['last_click_value'], suffix='')
+    # both sides are DERIVED datasets — hand asof_join their known
+    # schemas (from the parquet read's free metadata) so it never calls
+    # .schema() on a derived dataset (forces partial execution)
+    et = dict(zip(ds.schema().names, ds.schema().types))
+    out = asof_join(
+        purchases, clicks, by='user_id', on='ts',
+        value_cols=['last_click_value'], suffix='',
+        left_schema=pa.schema([('user_id', et['user_id']),
+                               ('ts', et['ts']),
+                               ('event_id', et['event_id']),
+                               ('value', et['value'])]),
+        right_schema=pa.schema([('user_id', et['user_id']),
+                                ('ts', et['ts']),
+                                ('last_click_value', et['value'])]))
     return out.map_batches(
         lambda t: t.select(['event_id', 'user_id', 'value',
                             'last_click_value']),
@@ -971,7 +983,10 @@ ORACLE_SQL.update({
 def q_priority_revenue(sf_dir: str):
     """Large×large partitioned hash join (lineitem ⋈ orders on orderkey —
     one bucket exchange of both sides; stages/joins.py:hash_join) then
-    partial-aggregated revenue per order priority."""
+    partial-aggregated revenue per order priority. The fact side is
+    pre-aggregated per l_orderkey BEFORE the join (~4 lineitem rows per
+    order collapse to one partial), cutting join-exchange bytes ~4×."""
+    from ..stages.aggregate import bucket_aggregate
     from ..stages.joins import hash_join
     lineitem = _read(sf_dir, 'lineitem',
                      ['l_orderkey', 'l_extendedprice', 'l_discount'])
@@ -984,20 +999,32 @@ def q_priority_revenue(sf_dir: str):
 
     lrev = lineitem.map_batches(rev, batch_format='pyarrow',
                                 zero_copy_batch=True)
+    per_order = bucket_aggregate(lrev, ['o_orderkey'],
+                                 {'rev6': ('rev6', 'sum'),
+                                  'n_items': ('rev6', 'count')},
+                                 num_buckets=16)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
-    joined = hash_join(lrev, orders, on='o_orderkey', num_buckets=16)
+    li = dict(zip(lineitem.schema().names, lineitem.schema().types))
+    joined = hash_join(
+        per_order, orders, on='o_orderkey', num_buckets=16,
+        left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
+                               ('rev6', pa.int64()),
+                               ('n_items', pa.int64())]))
 
-    # the join's null-padded union floatifies rev6; restore exact int64
-    # (integer-valued doubles cast exactly) so sums stay order-independent
+    # the join's null-padded union floatifies the int64 partials; restore
+    # exact int64 (integer-valued doubles cast exactly) so sums stay
+    # order-independent
     def reint(tbl: pa.Table) -> pa.Table:
-        i = tbl.column_names.index('rev6')
-        return tbl.set_column(i, 'rev6',
-                              pc.cast(tbl.column('rev6'), pa.int64()))
+        cols = {}
+        for n in tbl.column_names:
+            cols[n] = (pc.cast(tbl.column(n), pa.int64())
+                       if n in ('rev6', 'n_items') else tbl.column(n))
+        return pa.table(cols)
 
     joined = joined.map_batches(reint, batch_format='pyarrow')
     out = pre_aggregate(joined, ['o_orderpriority'],
                         {'rev6': ('rev6', 'sum'),
-                         'n_items': ('rev6', 'count')})
+                         'n_items': ('n_items', 'sum')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({'o_orderpriority': tbl.column('o_orderpriority'),

@@ -214,60 +214,98 @@ def minhash_candidates(ds, text_col='text', id_col='doc_id', num_perm=128,
 
 
 def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
-                  num_perm=128, num_bands=32, shingle_k=3, seed=1234):
+                  num_perm=128, num_bands=32, shingle_k=3, seed=1234,
+                  num_buckets=32):
     """MinHash-LSH near-dup clusters: LSH candidates → DISTRIBUTED exact
     Jaccard verify (hashed-shingle ngram_jaccard_pairs over the candidate
-    docs only, restricted to candidate pairs) → union-find clusters →
-    (id, cluster_id).
+    docs only) → DISTRIBUTED pair intersect (one doc_a-bucket exchange) →
+    distributed connected components → Dataset of (id, cluster_id).
 
-    Driver-side state is bounded by the candidate PAIR list and the
-    verified edges — never candidate texts (verify runs as a Ray pipeline
-    over the filtered docs). At 100 TB shard the candidate list by
-    band-hash range and cluster per shard, merging cross-shard edges.
+    Candidate pairs and verified edges live ONLY in Datasets end-to-end —
+    the driver never holds a pair list, so a hot near-dup cluster (m docs
+    → m² candidate pairs) cannot exhaust driver memory. The one
+    broadcast object is the distinct candidate DOC-ID array used to
+    pre-filter the corpus (bounded by corpus doc count at 8 bytes/id —
+    the standard broadcast-small-side pattern; at 10^12 docs swap the
+    semi_join for bloom_build + semi_join_bloom, same plan otherwise).
     """
-    import ray
+    import ray.data as rd
+
+    from .conversations import bucket_exchange
+    from .graph import connected_components
+    from .joins import semi_join
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      'cluster_id': pa.array([], pa.int64())})
     cand = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
-                              shingle_k, seed).to_pandas()
-    if len(cand) == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         'cluster_id': pa.array([], pa.int64())})
-    need = np.unique(np.concatenate([cand['doc_a'].to_numpy(),
-                                     cand['doc_b'].to_numpy()]))
-    need_ref = ray.put(pa.array(need, type=pa.int64()))
+                              shingle_k, seed,
+                              num_buckets=num_buckets).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
 
-    def pick(tbl: pa.Table) -> pa.Table:
-        return tbl.filter(pc.is_in(tbl.column(id_col),
-                                   value_set=ray.get(need_ref)))
+    # pre-filter the corpus to candidate docs (ids, never pairs)
+    ids_of_pairs = cand.map_batches(
+        lambda t: pa.table({id_col: pa.concat_arrays([
+            t.column('doc_a').combine_chunks(),
+            t.column('doc_b').combine_chunks()])}),
+        batch_format='pyarrow', zero_copy_batch=True)
+    docs_c = semi_join(ds, ids_of_pairs, id_col)
 
-    docs_c = ds.map_batches(pick, batch_format='pyarrow',
-                            zero_copy_batch=True)
     # exact jaccard over candidate docs (uncapped — the candidate set is
-    # LSH-bounded), then keep only LSH-candidate pairs
+    # LSH-bounded), still a Dataset of (doc_a, doc_b, jaccard)
     exact = ngram_jaccard_pairs(docs_c, text_col, id_col, k=shingle_k,
-                                threshold=threshold, max_df=None).to_pandas()
-    if len(exact) == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         'cluster_id': pa.array([], pa.int64())})
-    verified = exact.merge(cand[['doc_a', 'doc_b']],
-                           on=['doc_a', 'doc_b'])
-    if len(verified) == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         'cluster_id': pa.array([], pa.int64())})
+                                threshold=threshold, max_df=None,
+                                num_buckets=num_buckets)
+
+    # keep only LSH-candidate pairs: co-locate both pair sets by doc_a
+    # in one bucket exchange and intersect per bucket
+    def tag(side):
+        def f(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+                return pa.table({'doc_a': pa.array([], pa.int64()),
+                                 'doc_b': pa.array([], pa.int64()),
+                                 '_side': pa.array([], pa.int8())})
+            return pa.table({
+                'doc_a': tbl.column('doc_a').combine_chunks()
+                .cast(pa.int64()),
+                'doc_b': tbl.column('doc_b').combine_chunks()
+                .cast(pa.int64()),
+                '_side': pa.array(np.full(tbl.num_rows, side,
+                                          dtype=np.int8)),
+            })
+        return f
+
+    both = exact.map_batches(tag(0), batch_format='pyarrow').union(
+        cand.map_batches(tag(1), batch_format='pyarrow'))
+
+    _EMPTY_E = pa.table({'src': pa.array([], pa.int64()),
+                         'dst': pa.array([], pa.int64())})
+
+    def intersect(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _EMPTY_E
+        df = tbl.to_pandas()
+        ex = df[df['_side'] == 0][['doc_a', 'doc_b']]
+        cd = df[df['_side'] == 1][['doc_a', 'doc_b']]
+        m = ex.merge(cd, on=['doc_a', 'doc_b'])
+        return pa.table({
+            'src': pa.array(m['doc_a'].to_numpy(dtype=np.int64)),
+            'dst': pa.array(m['doc_b'].to_numpy(dtype=np.int64))})
+
+    edges = bucket_exchange(both, 'doc_a', intersect,
+                            num_buckets).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
     # DISTRIBUTED clustering: min-label propagation keeps the component
     # state in a Dataset (stages/graph.py) — no driver union-find; the
     # labeling (component = min member id) is identical to a min-root
     # union-find, so outputs are unchanged
-    import ray.data as rd
-    from .graph import connected_components
-    edges = rd.from_pandas(
-        verified[['doc_a', 'doc_b']].rename(
-            columns={'doc_a': 'src', 'doc_b': 'dst'}))
-    cc = connected_components(edges, num_buckets=8).to_pandas()\
-        .sort_values('node').reset_index(drop=True)
-    return pa.table({
-        id_col: pa.array(cc['node'].to_numpy(np.int64)),
-        'cluster_id': pa.array(cc['component'].to_numpy(np.int64)),
-    })
+    cc = connected_components(edges, num_buckets=8)
+    return cc.map_batches(
+        lambda t: pa.table({id_col: t.column('node'),
+                            'cluster_id': t.column('component')}),
+        batch_format='pyarrow').sort(id_col)
 
 
 def simhash_candidates(ds, text_col='text', id_col='doc_id',
@@ -280,7 +318,11 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
     def sig(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         text = tbl.column(text_col).combine_chunks()
-        lengths, _, hashes = T.shingle_hash_explode(text, 1)  # token-level
+        # token-level, NON-distinct: SimHash signatures are term-
+        # frequency weighted (a doc dominated by one repeated token must
+        # vote that token's bits once per occurrence)
+        lengths, _, hashes = T.shingle_hash_explode(text, 1,
+                                                    distinct=False)
         s = T.simhash64(lengths, hashes)
         # empty texts carry no tokens: drop them from the index (their
         # all-zero signatures would otherwise pair with each other)

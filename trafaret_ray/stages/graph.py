@@ -8,7 +8,8 @@ exchanges over (int64, int64) rows — one join propagating labels across
 both edge directions at once, one min-aggregate — with labels
 materialized per round. Convergence is detected from the label sum (a
 monotonically non-increasing integer; unchanged == fixpoint), computed
-driver-side by streaming the already-materialized label blocks.
+as a distributed Sum aggregate — one scalar reaches the driver per
+round.
 
 Converges in O(component diameter) iterations; near-dup clusters are
 low-diameter (near-cliques), so 2-4 iterations is typical. Node ids
@@ -89,13 +90,13 @@ def connected_components(edges, src: str = 'src', dst: str = 'dst',
         })
 
     def label_sum(lbl) -> int:
-        total = 0
-        for b in lbl.iter_batches(batch_size=None, batch_format='pyarrow'):
-            total += int(np.sum(b.column('label').to_numpy(
-                zero_copy_only=False), dtype=np.int64))
-        return total
+        # distributed Sum aggregate over the materialized labels — ONE
+        # int64 scalar reaches the driver per round, not O(nodes) rows
+        s = lbl.sum('label')
+        return int(s) if s is not None else 0
 
     prev = label_sum(labels)
+    converged = False
     for _ in range(max_iters):
         both = tagged_edges.union(
             labels.map_batches(tag_labels, batch_format='pyarrow'))
@@ -105,8 +106,15 @@ def connected_components(edges, src: str = 'src', dst: str = 'dst',
                                   num_buckets=num_buckets).materialize()
         cur = label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        import warnings
+        warnings.warn(
+            f'connected_components: no fixpoint after {max_iters} '
+            'iterations — labels may split long-diameter components; '
+            'raise max_iters', RuntimeWarning)
 
     return labels.map_batches(
         lambda t: t.rename_columns(['node', 'component']),

@@ -78,13 +78,23 @@ def _bloom_hashes(values: np.ndarray, m_bits: int, k: int) -> np.ndarray:
         .astype(np.int64)
 
 
-def bloom_build(ds, on: str, m_bits: int = 1 << 23, k: int = 4):
-    """Distributed Bloom filter over ``ds[on]``: each batch emits ONE
-    packed bitmap partial (m_bits/8 bytes) built vectorized; the driver
-    ORs the partials (a few MB each, count = number of blocks). The
-    filter is the scale path for existence checks whose exact key set
-    exceeds broadcast size. Returns (packed uint8 bitmap, m_bits, k)."""
+def bloom_build(ds, on: str, m_bits: int = 1 << 23, k: int = 4,
+                num_shards: int = 32):
+    """Distributed Bloom filter over ``ds[on]``. Each batch builds one
+    packed bitmap partial vectorized and SPLITS it into ``num_shards``
+    byte-range shards; a groupby on shard id ORs each range across all
+    partials in parallel (OR is associative — a tree merge, not a driver
+    loop). The driver assembles exactly one m_bits/8 buffer from the
+    num_shards merged pieces, so at 200k input blocks the driver cost is
+    one bitmap, not 200k. The filter is the scale path for existence
+    checks whose exact key set exceeds broadcast size. Returns (packed
+    uint8 bitmap, m_bits, k)."""
+    # packbits pads to whole bytes and shards split on byte boundaries:
+    # round m_bits up so both divisions are exact.
+    align = 8 * num_shards
+    m_bits = ((m_bits + align - 1) // align) * align
     nbytes = m_bits // 8
+    shard_bytes = nbytes // num_shards
 
     def partial(tbl: pa.Table) -> pa.Table:
         vals = tbl.column(on).combine_chunks().to_numpy(
@@ -93,15 +103,37 @@ def bloom_build(ds, on: str, m_bits: int = 1 << 23, k: int = 4):
         if len(vals):
             pos = _bloom_hashes(vals, m_bits, k)
             bits[pos.reshape(-1)] = True
-        return pa.table({'bm': pa.array([np.packbits(bits).tobytes()],
+        packed = np.packbits(bits)
+        # drop all-zero shards — most batches touch a sparse bit range
+        shards, payloads = [], []
+        for s in range(num_shards):
+            piece = packed[s * shard_bytes:(s + 1) * shard_bytes]
+            if piece.any():
+                shards.append(s)
+                payloads.append(piece.tobytes())
+        return pa.table({'shard': pa.array(shards, type=pa.int32()),
+                         'bm': pa.array(payloads, type=pa.binary())})
+
+    def or_shard(tbl: pa.Table) -> pa.Table:
+        acc = np.zeros(shard_bytes, dtype=np.uint8)
+        for bm in tbl.column('bm'):
+            acc |= np.frombuffer(bm.as_py(), dtype=np.uint8)
+        return pa.table({'shard': tbl.column('shard').slice(0, 1),
+                         'bm': pa.array([acc.tobytes()],
                                         type=pa.binary())})
 
-    merged = np.zeros(nbytes, dtype=np.uint8)
     parts = ds.map_batches(partial, batch_format='pyarrow',
                            zero_copy_batch=True)
-    for b in parts.iter_batches(batch_size=None, batch_format='pyarrow'):
-        for bm in b.column('bm'):
-            merged |= np.frombuffer(bm.as_py(), dtype=np.uint8)
+    merged_shards = parts.groupby('shard').map_groups(
+        or_shard, batch_format='pyarrow')
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for b in merged_shards.iter_batches(batch_size=None,
+                                        batch_format='pyarrow'):
+        for s, bm in zip(b.column('shard'), b.column('bm')):
+            off = s.as_py() * shard_bytes
+            merged[off:off + shard_bytes] = np.frombuffer(
+                bm.as_py(), dtype=np.uint8)
     return merged, m_bits, k
 
 
@@ -167,7 +199,8 @@ def anti_join(ds, keys_ds, on):
 
 
 def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
-              suffixes=('', '_r')):
+              suffixes=('', '_r'), left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Partitioned hash join of two LARGE datasets: both sides bucket on
     the key in one exchange (union of tagged, schema-aligned rows), then
     an Arrow-native hash join per bucket. Skewed keys concentrate in one
@@ -176,10 +209,13 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
     Schemas come from the INPUT datasets only (parquet metadata — no
     derived-dataset .schema() calls, which would force partial
     executions); each side pays exactly one map (rename + pad + tag +
-    bucket fused) before the exchange.
+    bucket fused) before the exchange. When a side is itself a DERIVED
+    dataset (a map/aggregate output), pass its known schema via
+    ``left_schema``/``right_schema`` so ``.schema()`` is never called on
+    it (CLAUDE.md invariant).
     """
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     shared = (set(lcols) & set(rcols)) - {on}
@@ -226,44 +262,53 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
 
 
 def asof_join(left, right, by: str, on: str, value_cols,
-              num_buckets: int = 32, suffix: str = '_state'):
+              num_buckets: int = 32, suffix: str = '_state',
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Dataset-level point-in-time as-of join: for each left row the
     LATEST right row with ``right.on < left.on`` (strict) sharing ``by``.
     Both sides co-bucket by the entity in ONE exchange; per bucket a
-    vectorized merge-rank match (stages/window.py:asof_backward)."""
+    vectorized merge-rank match (stages/window.py:asof_backward).
+
+    The padded exchange schema is derived from the INPUT datasets'
+    schemas (parquet metadata — free) plus ``value_cols``; calling
+    ``.schema()`` on the derived tagged datasets would force two partial
+    executions per call (CLAUDE.md invariant), which is what hash_join
+    already avoids. When a side is itself a derived dataset, pass its
+    known schema via ``left_schema``/``right_schema``."""
     from .window import asof_backward
 
-    def tag(side, keep):
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = [c for c in lschema.names if c not in (by, on)]
+    lnt = ([(by, ltypes[by]), (on, ltypes[on])]
+           + [(c, ltypes[c]) for c in lcols])
+    rnt = [(c, rtypes[c]) for c in value_cols]
+    merged_nt = list({n: t for n, t in lnt + rnt}.items()) \
+        + [('_side', pa.int8())]
+
+    # one fused map per side: select + pad + tag + bucket
+    def prep(side, keep):
         def fn(tbl: pa.Table) -> pa.Table:
-            cols = {by: tbl.column(by), on: tbl.column(on)}
-            for c in keep:
-                cols[c] = tbl.column(c)
-            t = pa.table(cols)
-            return t.append_column('_side', pa.array([side] * t.num_rows,
-                                                     type=pa.int8()))
+            cols = {}
+            for n, t in merged_nt:
+                if n == '_side':
+                    cols[n] = pa.array(
+                        np.full(tbl.num_rows, side, dtype=np.int8))
+                elif n in (by, on) or n in keep:
+                    cols[n] = tbl.column(n)
+                else:
+                    cols[n] = pa.nulls(tbl.num_rows, type=t)
+            return add_bucket(pa.table(cols), by, num_buckets)
         return fn
 
-    lcols = [c for c in left.schema().names if c not in (by, on)]
-    lt = left.map_batches(tag(0, lcols), batch_format='pyarrow')
-    rt = right.map_batches(tag(1, value_cols), batch_format='pyarrow')
-
-    # pad to a common schema
-    def pad_missing(names_types):
-        def fn(tbl: pa.Table) -> pa.Table:
-            cols = {n: (tbl.column(n) if n in tbl.column_names
-                        else pa.nulls(tbl.num_rows, type=t))
-                    for n, t in names_types}
-            return pa.table(cols)
-        return fn
-
-    lnt = list(zip(lt.schema().names, lt.schema().types))
-    rnt = list(zip(rt.schema().names, rt.schema().types))
-    merged_nt = list({n: t for n, t in lnt + rnt}.items())
-    both = lt.map_batches(pad_missing(merged_nt), batch_format='pyarrow')\
-        .union(rt.map_batches(pad_missing(merged_nt),
-                              batch_format='pyarrow'))
-    bucketed = both.map_batches(lambda t: add_bucket(t, by, num_buckets),
-                                batch_format='pyarrow')
+    lt = left.map_batches(prep(0, set(lcols)), batch_format='pyarrow',
+                          zero_copy_batch=True)
+    rt = right.map_batches(prep(1, set(value_cols)),
+                           batch_format='pyarrow', zero_copy_batch=True)
+    bucketed = lt.union(rt)
 
     def match(tbl: pa.Table) -> pa.Table:
         tbl = tbl.drop_columns([BUCKET_COL])

@@ -84,9 +84,15 @@ def group_ranks(values: np.ndarray, starts: np.ndarray,
     new_g = np.ones(n, dtype=bool)
     new_g[1:] = gs[1:] != gs[:-1]
     gstart = np.maximum.accumulate(np.where(new_g, pos, 0))
-    # first position of each tie run (same group AND same key)
+    # first position of each tie run (same group AND same key).
+    # SQL rank()/dense_rank() treat NULLs as PEERS, so NaN must compare
+    # equal to NaN here (plain != would give every NaN its own rank);
+    # np.lexsort already groups NaNs together at the end of each group.
+    neq = ks[1:] != ks[:-1]
+    if ks.dtype.kind == 'f':
+        neq &= ~(np.isnan(ks[1:]) & np.isnan(ks[:-1]))
     new_val = np.ones(n, dtype=bool)
-    new_val[1:] = new_g[1:] | (ks[1:] != ks[:-1])
+    new_val[1:] = new_g[1:] | neq
     run_first = np.maximum.accumulate(np.where(new_val, pos, 0))
     rank_sorted = run_first - gstart + 1
     # dense rank: count of distinct values so far within the group

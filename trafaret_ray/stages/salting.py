@@ -238,7 +238,14 @@ def flagship_features_salted(ok_ds, max_group_rows: int = 100_000,
 
 def _patch_chunks(feats: pa.Table, conv, salt, starts, cmap,
                   gap_us) -> pa.Table:
-    """Fix up chunk-local features with carried boundary state."""
+    """Fix up chunk-local features with carried boundary state.
+
+    Fully vectorized: the only Python loop is over CHUNKS (≈rows /
+    chunk_rows — tiny), never rows. String columns are patched in place
+    with ``pc.replace_with_mask`` (replacements only for masked slots);
+    the carried-tool patch is a masked fill over each chunk's
+    null-prefix (rows before the first local tool event), not a per-row
+    walk."""
     n = feats.num_rows
     cols = {name: feats.column(name).combine_chunks()
             for name in feats.column_names}
@@ -251,50 +258,99 @@ def _patch_chunks(feats: pa.Table, conv, salt, starts, cmap,
         np.int64).copy()
     is_new = cols['is_new_session'].to_numpy(zero_copy_only=False).copy()
     tsp = cols['time_since_prev_s'].to_numpy(zero_copy_only=False).copy()
-    prev_role = cols['prev_role'].to_pylist()
-    prev_tl = cols['prev_text_len'].to_pylist()
-    next_role = cols['next_role'].to_pylist()
-    tool_ffill = cols['tool_ffill'].to_pylist()
-    last_tool = cols['last_tool'].to_pylist()
-    last_tool_ts = cols['last_tool_ts'].cast(pa.int64()).to_pylist()
     tst = cols['time_since_tool_s'].to_numpy(zero_copy_only=False).copy()
 
     lo_idx = np.nonzero(starts)[0]
+    ng = len(lo_idx)
+    sizes = np.diff(np.append(lo_idx, n))
     ends = np.append(lo_idx[1:], n) - 1
-    for gi, lo in enumerate(lo_idx):
-        c, s = conv[lo], int(salt[lo])
-        hi = ends[gi]
-        nxt = cmap.get(('next', c, s), '__absent__')
-        if nxt != '__absent__' and next_role[hi] is None and nxt is not None:
-            next_role[hi] = nxt
-        if s == 0 or (c, s) not in cmap:
-            continue
-        cr = cmap[(c, s)]
-        # lag-1 fields on the chunk's first row
-        prev_role[lo] = cr['prev_role']
-        prev_tl[lo] = cr['prev_text_len']
-        tsp[lo] = (ts_us[lo] - cr['prev_ts']) / 1e6
-        # session accounting
-        first_new = cr['boundary_new']
-        is_new[lo] = first_new
-        span = slice(lo, hi + 1)
-        if first_new:
-            sess[span] += cr['session_base'] - 0
-        else:
-            # the chunk's local session 0 continues the open session
-            sess[span] += cr['session_base'] - 1
-            run0 = np.nonzero(is_new[lo:hi + 1])[0]
-            stop = (lo + run0[run0 > 0][0]) if len(run0[run0 > 0]) else hi + 1
-            pos[lo:stop] += cr['open_run']
-        # carried tool state: rows before the chunk's first local tool event
-        if cr['tool'] is not None:
-            for i in range(lo, hi + 1):
-                if last_tool[i] is None:
-                    last_tool[i] = cr['tool']
-                    last_tool_ts[i] = cr['tool_ts']
-                    tst[i] = (ts_us[i] - cr['tool_ts']) / 1e6
-                if tool_ffill[i] is None:
-                    tool_ffill[i] = cr['tool']
+    idx = np.arange(n)
+
+    # gather per-GROUP carried state (loop over chunks, not rows)
+    g_carry = [cmap.get((conv[lo], int(salt[lo])))
+               if salt[lo] > 0 else None for lo in lo_idx]
+    g_next = [cmap.get(('next', conv[lo], int(salt[lo]))) for lo in lo_idx]
+    has = np.array([cr is not None for cr in g_carry], dtype=bool)
+
+    def gvals(field, default, dtype):
+        return np.array([cr[field] if cr is not None else default
+                         for cr in g_carry], dtype=dtype)
+
+    g_prev_ts = gvals('prev_ts', 0, np.int64)
+    g_first_new = gvals('boundary_new', False, bool)
+    g_session_base = gvals('session_base', 0, np.int64)
+    g_open_run = gvals('open_run', 0, np.int64)
+    g_tool = np.array([cr['tool'] if cr is not None else None
+                       for cr in g_carry], dtype=object)
+    g_tool_ts = np.array([cr['tool_ts'] if cr is not None
+                          and cr['tool'] is not None else 0
+                          for cr in g_carry], dtype=np.int64)
+
+    # -- lag-1 fields on each carried chunk's first row -------------------
+    lo_has = lo_idx[has]
+    tsp[lo_has] = (ts_us[lo_has] - g_prev_ts[has]) / 1e6
+    is_new[lo_has] = g_first_new[has]
+
+    mask = np.zeros(n, dtype=bool)
+    mask[lo_has] = True
+    cols['prev_role'] = pc.replace_with_mask(
+        cols['prev_role'], pa.array(mask),
+        pa.array([cr['prev_role'] for cr in g_carry if cr is not None],
+                 type=pa.string()))
+    cols['prev_text_len'] = pc.replace_with_mask(
+        cols['prev_text_len'], pa.array(mask),
+        pa.array([cr['prev_text_len'] for cr in g_carry if cr is not None],
+                 type=cols['prev_text_len'].type))
+
+    # -- lead-1 on each chunk's last row (next chunk's first role) --------
+    nr_null = pc.is_null(cols['next_role']).to_numpy(zero_copy_only=False)
+    g_patch_next = np.array(
+        [nx is not None and nr_null[ends[gi]]
+         for gi, nx in enumerate(g_next)], dtype=bool)
+    nmask = np.zeros(n, dtype=bool)
+    nmask[ends[g_patch_next]] = True
+    cols['next_role'] = pc.replace_with_mask(
+        cols['next_role'], pa.array(nmask),
+        pa.array([nx for gi, nx in enumerate(g_next) if g_patch_next[gi]],
+                 type=pa.string()))
+
+    # -- session accounting (per-row adds via repeat over group sizes) ----
+    g_sess_add = np.where(has,
+                          g_session_base - (~g_first_new).astype(np.int64),
+                          0)
+    sess += np.repeat(g_sess_add, sizes)
+    # pos offset: continued-session chunks add open_run to the prefix up
+    # to the first LOCAL new session strictly after the chunk start
+    rel = idx - np.repeat(lo_idx, sizes)
+    new_after = is_new & (rel > 0)
+    first_new_after = np.minimum.reduceat(
+        np.where(new_after, idx, n), lo_idx) if ng else np.array([], int)
+    stop = np.minimum(first_new_after, ends + 1)
+    g_pos_add = np.where(has & ~g_first_new, g_open_run, 0)
+    pos += np.where(idx < np.repeat(stop, sizes),
+                    np.repeat(g_pos_add, sizes), 0)
+
+    # -- carried tool state: masked fill over each chunk's null-prefix ---
+    row_ctool = np.repeat(
+        np.array([t is not None for t in g_tool]), sizes)
+    row_tool_ts = np.repeat(g_tool_ts, sizes)
+    lt_null = pc.is_null(cols['last_tool']).to_numpy(zero_copy_only=False)
+    mask_lt = lt_null & row_ctool
+    row_tool = np.repeat(g_tool, sizes)
+    cols['last_tool'] = pc.replace_with_mask(
+        cols['last_tool'], pa.array(mask_lt),
+        pa.array(row_tool[mask_lt], type=pa.string()))
+    lt_ts = pc.replace_with_mask(
+        cols['last_tool_ts'].cast(pa.int64()), pa.array(mask_lt),
+        pa.array(row_tool_ts[mask_lt], type=pa.int64()))
+    cols['last_tool_ts'] = lt_ts.cast(pa.timestamp('us'))
+    tst = np.where(mask_lt, (ts_us - row_tool_ts) / 1e6, tst)
+    tf_null = pc.is_null(cols['tool_ffill']).to_numpy(zero_copy_only=False)
+    mask_tf = tf_null & row_ctool
+    cols['tool_ffill'] = pc.replace_with_mask(
+        cols['tool_ffill'], pa.array(mask_tf),
+        pa.array(row_tool[mask_tf], type=pa.string()))
+
     # session_base for salt>0 chunks whose first row IS new already counts
     # it: when first_new, local session 0 is a NEW session and session_base
     # sessions came before -> ids shift by session_base (applied above).
@@ -305,14 +361,6 @@ def _patch_chunks(feats: pa.Table, conv, salt, starts, cmap,
     out['time_since_prev_s'] = pa.array(
         tsp, type=pa.float64(),
         mask=np.isnan(tsp))
-    out['prev_role'] = pa.array(prev_role, type=pa.string())
-    out['prev_text_len'] = pa.array(
-        [None if v is None else int(v) for v in prev_tl], type=pa.int32())
-    out['next_role'] = pa.array(next_role, type=pa.string())
-    out['tool_ffill'] = pa.array(tool_ffill, type=pa.string())
-    out['last_tool'] = pa.array(last_tool, type=pa.string())
-    out['last_tool_ts'] = pa.array(last_tool_ts,
-                                   type=pa.int64()).cast(pa.timestamp('us'))
     out['time_since_tool_s'] = pa.array(tst, type=pa.float64(),
                                         mask=np.isnan(tst))
     return pa.table(out)

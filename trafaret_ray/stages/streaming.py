@@ -112,34 +112,42 @@ class StreamingSessionizer:
         self.state: dict = {}   # entity -> (last_ts, session_count)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        from .window import group_starts
+        if tbl.num_rows == 0:
+            return tbl.append_column('session_id',
+                                     pa.array([], type=pa.int64()))
         tbl = tbl.sort_by([(self.key, 'ascending'),
                            (self.ts_col, 'ascending')])
-        df = tbl.to_pandas()
-        keys = df[self.key].to_numpy()
+        keys = tbl.column(self.key).to_numpy(zero_copy_only=False)
         ts = tbl.column(self.ts_col).combine_chunks()\
             .cast(pa.timestamp('us')).cast(pa.int64())\
             .to_numpy(zero_copy_only=False)
-        session_id = np.empty(len(df), dtype=np.int64)
-        last_key = None
-        last_ts = 0
-        count = 0
-        for i, (k, t) in enumerate(zip(keys, ts)):
-            if k != last_key:
-                prev = self.state.get(k)
-                if prev is None:
-                    count = 0
-                    session_id[i] = 0
-                else:
-                    last_ts, count = prev
-                    if t - last_ts > self.gap_us:
-                        count += 1
-                    session_id[i] = count
-                last_key = k
-            else:
-                if t - last_ts > self.gap_us:
-                    count += 1
-                session_id[i] = count
-            last_ts = t
-            self.state[k] = (last_ts, count)
-        df = df.assign(session_id=session_id)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        n = len(keys)
+        starts = group_starts(keys)
+        lo = np.nonzero(starts)[0]
+        sizes = np.diff(np.append(lo, n))
+        hi = np.append(lo[1:], n) - 1
+
+        # carry lookup once per ENTITY (not per row): segmented kernels
+        # do the per-row work
+        carried = [self.state.get(k) for k in keys[lo]]
+        base = np.array([c[1] if c is not None else 0 for c in carried],
+                        dtype=np.int64)
+        prev_ts = np.array([c[0] if c is not None else 0 for c in carried],
+                           dtype=np.int64)
+        has_prev = np.array([c is not None for c in carried], dtype=bool)
+
+        inc = np.zeros(n, dtype=np.int64)
+        inc[1:] = ((ts[1:] - ts[:-1] > self.gap_us)
+                   & ~starts[1:]).astype(np.int64)
+        inc[lo] = (has_prev & (ts[lo] - prev_ts > self.gap_us))\
+            .astype(np.int64)
+        c = np.cumsum(inc)
+        session_id = np.repeat(base, sizes) + c \
+            - np.repeat(c[lo] - inc[lo], sizes)
+
+        # update carried state once per entity with its LAST row
+        for k, t, s in zip(keys[lo], ts[hi], session_id[hi]):
+            self.state[k] = (int(t), int(s))
+        return tbl.append_column('session_id',
+                                 pa.array(session_id, type=pa.int64()))
