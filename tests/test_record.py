@@ -142,6 +142,27 @@ class TestNestedStruct:
         assert err['payload']['nested']['x'] == \
             "value can't be converted to int"
 
+    def test_struct_payload_nested_codes(self):
+        """Bound + enum failures inside a struct payload quarantine with
+        the some_elements_did_not_match wrapper and per-field messages
+        (the shape q_struct_payload_events relies on)."""
+        import json
+        c = t.Dict(event_id=t.Int(gte=0),
+                   payload=t.Dict(k=t.Int(lt=80), et=t.Enum('a', 'b')))
+        pl = pa.StructArray.from_arrays(
+            [pa.array([5, 99, 7], type=pa.int64()),
+             pa.array(['a', 'b', 'z'])], names=['k', 'et'])
+        tbl = pa.table({'event_id': pa.array([1, 2, 3], type=pa.int64()),
+                        'payload': pl})
+        ok, q = t.BatchValidator(c).split(tbl)
+        assert ok.num_rows == 1 and q.num_rows == 2
+        errs = [json.loads(e) for e in q.column('_errors').to_pylist()]
+        assert errs[0]['payload']['code'] == 'some_elements_did_not_match'
+        assert errs[0]['payload']['nested']['k'] == \
+            'value should be less than 80'
+        assert errs[1]['payload']['nested']['et'] == \
+            "value doesn't match any variant"
+
 
 class TestList:
     def test_batch(self):

@@ -1517,3 +1517,67 @@ ORACLE_SQL['q_session_stats'] = """
     FROM g GROUP BY user_id, session_id
     ORDER BY user_id, session_id
 """
+
+
+def q_struct_payload_events(sf_dir: str):
+    """Dict-on-StructArray end-to-end: the events ``props`` JSON string
+    parses into a nested struct payload (vectorized regex extract), a
+    Dict-of-Dict contract validates it on the StructArray directly
+    (contracts/record.py Dict struct path; reference Dict semantics
+    base.py:1007-1221), rows failing the nested keys quarantine with
+    nested error codes, and surviving payloads flatten back to columns.
+
+    Scale: pure map stage — contract compiled once per actor, zero
+    shuffle; the final sort exists only for the driver's deterministic
+    compare."""
+    import trafaret_ray.contracts as t
+    from ..contracts import BatchValidator
+    ds = _read(sf_dir, 'events',
+               ['event_id', 'event_type', 'value', 'props'])
+
+    contract = t.Dict(
+        event_id=t.Int(gte=0),
+        value=t.Float(lt=400),
+        payload=t.Dict(
+            k=t.Int(lt=80),
+            event_type=t.Enum('click', 'view', 'purchase', 'signup')))
+
+    class Gate:
+        def __init__(self):
+            self.v = BatchValidator(contract)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            k = pc.cast(pc.struct_field(
+                pc.extract_regex(tbl.column('props').combine_chunks(),
+                                 r'"k": (?P<k>-?\d+)'), 'k'), pa.int64())
+            payload = pa.StructArray.from_arrays(
+                [k, tbl.column('event_type').combine_chunks()],
+                names=['k', 'event_type'])
+            inp = pa.table({'event_id': tbl.column('event_id'),
+                            'value': tbl.column('value'),
+                            'payload': payload})
+            ok, _quar = self.v.split(inp)
+            pl = ok.column('payload').combine_chunks()
+            return pa.table({
+                'event_id': ok.column('event_id'),
+                'k': pc.struct_field(pl, 'k'),
+                'event_type': pc.struct_field(pl, 'event_type'),
+                'value': ok.column('value')})
+
+    return ds.map_batches(Gate, batch_format='pyarrow',
+                          zero_copy_batch=True,
+                          concurrency=2).sort('event_id')
+
+
+QUERIES['q_struct_payload_events'] = q_struct_payload_events
+ORACLE_SQL['q_struct_payload_events'] = """
+    SELECT event_id,
+           cast(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k,
+           event_type, value
+    FROM events
+    WHERE event_id >= 0
+      AND value < 400
+      AND cast(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) < 80
+      AND event_type IN ('click', 'view', 'purchase', 'signup')
+    ORDER BY event_id
+"""
