@@ -44,6 +44,27 @@ class TestJoins:
         assert len(o) == len(e)
         assert (o['name'].to_numpy() == e['name'].to_numpy()).all()
 
+    def test_hash_join_composite_key(self, ray_session):
+        """Composite-key join: bucket on the combined hash of both key
+        columns and feed Arrow's multi-key join per bucket."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import hash_join
+        rng = np.random.default_rng(11)
+        left = pa.table({'a': rng.integers(0, 20, 400),
+                         'b': rng.integers(0, 5, 400),
+                         'x': np.arange(400, dtype=np.int64)})
+        right = pa.table({'a': rng.integers(0, 20, 150),
+                          'b': rng.integers(0, 5, 150),
+                          'y': np.arange(150, dtype=np.int64)})
+        out = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on=['a', 'b'], num_buckets=8).to_pandas()
+        exp = left.to_pandas().merge(right.to_pandas(), on=['a', 'b'])
+        o = out.sort_values(['a', 'b', 'x', 'y']).reset_index(drop=True)
+        e = exp.sort_values(['a', 'b', 'x', 'y']).reset_index(drop=True)
+        assert len(o) == len(e) > 0
+        assert (o[['a', 'b', 'x', 'y']].to_numpy()
+                == e[['a', 'b', 'x', 'y']].to_numpy()).all()
+
     def test_hash_join_left_and_outer(self, ray_session, tables):
         import ray.data as rd
         from trafaret_ray.stages.joins import hash_join
@@ -87,6 +108,18 @@ class TestJoins:
         out = semi_join_bloom(rd.from_arrow(probe), rd.from_arrow(keys),
                               'k', m_bits=1 << 18).to_pandas()
         assert truth.sum() <= len(out) <= truth.sum() + (~truth).sum() * 0.02
+
+    def test_bloom_odd_m_bits(self, ray_session):
+        """m_bits not divisible by 8*num_shards rounds UP instead of
+        crashing in the shard merge; membership stays false-negative
+        free."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import bloom_build, bloom_contains
+        keys = pa.table({'k': np.arange(0, 100, dtype=np.int64)})
+        bloom = bloom_build(rd.from_arrow(keys), 'k', m_bits=100_003, k=3)
+        _, m_bits, _ = bloom
+        assert m_bits >= 100_003 and m_bits % (8 * 32) == 0
+        assert bloom_contains(bloom, np.arange(0, 100)).all()
 
     def test_asof_join_matches_merge_asof(self, ray_session):
         import ray.data as rd

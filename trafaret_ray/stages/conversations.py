@@ -34,11 +34,23 @@ def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
-def add_bucket(table: pa.Table, key: str = 'conv_id',
+def add_bucket(table: pa.Table, key='conv_id',
                num_buckets: int = 64) -> pa.Table:
-    vals = table.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+    """Append the int32 hash bucket of ``key`` (one column name or a
+    list — composite keys combine per-column hashes with the same
+    golden-ratio mix as bucket_aggregate, so single-key buckets are
+    unchanged)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for k in keys:
+        vals = table.column(k).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = (h * np.uint64(0x9E3779B97F4A7C15)
+             + pd.util.hash_array(vals, hash_key=_HASH_KEY,
+                                  categorize=False))
     return table.append_column(
-        BUCKET_COL, pa.array(bucket_of(vals, num_buckets), type=pa.int32()))
+        BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int32),
+                             type=pa.int32()))
 
 
 def sort_bucket(table: pa.Table, key: str = 'conv_id',

@@ -292,8 +292,12 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
             'src': pa.array(m['doc_a'].to_numpy(dtype=np.int64)),
             'dst': pa.array(m['doc_b'].to_numpy(dtype=np.int64))})
 
+    # coalesce the (small) edge set to a few blocks before the iterative
+    # clustering: connected_components pays per-BLOCK task overhead every
+    # round, and the exchange above leaves ~num_buckets mostly-empty
+    # blocks (measured 6x slower CC on this VM when skipped)
     edges = bucket_exchange(both, 'doc_a', intersect,
-                            num_buckets).materialize()
+                            num_buckets).repartition(8).materialize()
     if edges.count() == 0:
         return rd.from_arrow(empty)
 

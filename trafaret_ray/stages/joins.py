@@ -202,9 +202,10 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
               suffixes=('', '_r'), left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None):
     """Partitioned hash join of two LARGE datasets: both sides bucket on
-    the key in one exchange (union of tagged, schema-aligned rows), then
-    an Arrow-native hash join per bucket. Skewed keys concentrate in one
-    bucket — salt hot keys upstream if the key histogram is heavy-tailed.
+    the key (one column name or a composite list) in one exchange (union
+    of tagged, schema-aligned rows), then an Arrow-native hash join per
+    bucket. Skewed keys concentrate in one bucket — salt hot keys
+    upstream if the key histogram is heavy-tailed.
 
     Schemas come from the INPUT datasets only (parquet metadata — no
     derived-dataset .schema() calls, which would force partial
@@ -214,19 +215,20 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
     ``left_schema``/``right_schema`` so ``.schema()`` is never called on
     it (CLAUDE.md invariant).
     """
+    on_keys = [on] if isinstance(on, str) else list(on)
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
-    shared = (set(lcols) & set(rcols)) - {on}
-    rmap = {n: (n if n == on or n not in shared else n + suffixes[1])
+    shared = (set(lcols) & set(rcols)) - set(on_keys)
+    rmap = {n: (n if n in on_keys or n not in shared else n + suffixes[1])
             for n in rcols}
     types = dict(zip(lcols, lschema.types))
     for n, t in zip(rcols, rschema.types):
         types[rmap[n]] = t
     all_names = list(dict.fromkeys(lcols + [rmap[n] for n in rcols]))
     lnames = [n for n in all_names if n in lcols]
-    rnames = [rmap[n] for n in rcols if rmap[n] != on]
+    rnames = [rmap[n] for n in rcols if rmap[n] not in on_keys]
 
     def prep(side, colmap):
         def fn(tbl: pa.Table) -> pa.Table:
@@ -237,7 +239,7 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
                               else pa.nulls(tbl.num_rows, type=types[name]))
             cols['_side'] = pa.array(
                 np.full(tbl.num_rows, side, dtype=np.int8))
-            return add_bucket(pa.table(cols), on, num_buckets)
+            return add_bucket(pa.table(cols), on_keys, num_buckets)
         return fn
 
     lt = left.map_batches(prep(0, {n: n for n in lcols}),
@@ -252,9 +254,9 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
     def merge(tbl: pa.Table) -> pa.Table:
         side = tbl.column('_side')
         l = tbl.filter(pc.equal(side, 0)).select(lnames)
-        r = tbl.filter(pc.equal(side, 1)).select([on] + rnames)
+        r = tbl.filter(pc.equal(side, 1)).select(on_keys + rnames)
         # Arrow C++ hash join inside the bucket (no pandas round-trip)
-        return l.join(r, keys=on, join_type=_JOIN_TYPE)\
+        return l.join(r, keys=on_keys, join_type=_JOIN_TYPE)\
             .select(all_names).combine_chunks()
 
     return both.groupby(BUCKET_COL).map_groups(merge,
