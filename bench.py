@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     'q_hopping_events', 'q_top_docs_per_lang', 'q_value_quantiles',
     'q_hist_quantiles',
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',
-    'q_struct_payload_events',
+    'q_struct_payload_events', 'q_partsupp_returns',
 ]
 
 

@@ -1581,3 +1581,80 @@ ORACLE_SQL['q_struct_payload_events'] = """
       AND event_type IN ('click', 'view', 'purchase', 'signup')
     ORDER BY event_id
 """
+
+
+def q_partsupp_returns(sf_dir: str):
+    """COMPOSITE-KEY partitioned left join: per (part, supplier) total
+    shipped quantity vs returned ('R') quantity. Both sides are partial
+    aggregates bucketed on the combined key hash in one exchange
+    (stages/joins.py:hash_join with a key list); derived-side schemas
+    are passed explicitly so no derived .schema() call runs. Fixed-point
+    sums keep the parallel aggregation byte-stable vs the oracle."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import hash_join
+    li = _read(sf_dir, 'lineitem',
+               ['l_partkey', 'l_suppkey', 'l_quantity', 'l_returnflag'])
+
+    def qty(tbl: pa.Table) -> pa.Table:
+        return pa.table({'l_partkey': tbl.column('l_partkey'),
+                         'l_suppkey': tbl.column('l_suppkey'),
+                         'qty6': _fixed6(tbl.column('l_quantity'))})
+
+    def ret(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column('l_returnflag'), 'R'))
+        return pa.table({'l_partkey': t.column('l_partkey'),
+                         'l_suppkey': t.column('l_suppkey'),
+                         'ret6': _fixed6(t.column('l_quantity'))})
+
+    keys = ['l_partkey', 'l_suppkey']
+    all_q = bucket_aggregate(
+        li.map_batches(qty, batch_format='pyarrow', zero_copy_batch=True),
+        keys, {'qty6': ('qty6', 'sum'), 'n_lines': ('qty6', 'count')},
+        num_buckets=16)
+    ret_q = bucket_aggregate(
+        li.map_batches(ret, batch_format='pyarrow', zero_copy_batch=True),
+        keys, {'ret6': ('ret6', 'sum')}, num_buckets=16)
+
+    kt = dict(zip(li.schema().names, li.schema().types))
+    joined = hash_join(
+        all_q, ret_q, on=keys, how='left', num_buckets=16,
+        left_schema=pa.schema([(k, kt[k]) for k in keys]
+                              + [('qty6', pa.int64()),
+                                 ('n_lines', pa.int64())]),
+        right_schema=pa.schema([(k, kt[k]) for k in keys]
+                               + [('ret6', pa.int64())]))
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        qty6 = pc.cast(tbl.column('qty6'), pa.int64())
+        ret6 = pc.cast(pc.fill_null(
+            pc.cast(tbl.column('ret6'), pa.float64()), 0.0), pa.int64())
+        return pa.table({
+            'l_partkey': tbl.column('l_partkey'),
+            'l_suppkey': tbl.column('l_suppkey'),
+            'total_qty': _unfix6(qty6),
+            'n_lines': pc.cast(tbl.column('n_lines'), pa.int64()),
+            'returned_qty': _unfix6(ret6)})
+
+    return joined.map_batches(finalize, batch_format='pyarrow')\
+        .sort(['l_partkey', 'l_suppkey'])
+
+
+QUERIES['q_partsupp_returns'] = q_partsupp_returns
+ORACLE_SQL['q_partsupp_returns'] = """
+    WITH a AS (
+      SELECT l_partkey, l_suppkey,
+             sum(cast(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS qty6,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    r AS (
+      SELECT l_partkey, l_suppkey,
+             sum(cast(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS ret6
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT a.l_partkey, a.l_suppkey,
+           round(cast(a.qty6 AS DOUBLE) / 1e6, 6)              AS total_qty,
+           a.n_lines,
+           round(cast(coalesce(r.ret6, 0) AS DOUBLE) / 1e6, 6) AS returned_qty
+    FROM a LEFT JOIN r USING (l_partkey, l_suppkey)
+    ORDER BY a.l_partkey, a.l_suppkey
+"""
