@@ -237,3 +237,51 @@ class TestDeterminism:
             else:
                 na, nb = pd.isna(a), pd.isna(b)
                 assert (na == nb).all() and (a[~na] == b[~nb]).all(), col
+
+
+class TestRunFlagshipResume:
+    """run_flagship: checkpointed stages, per-partition lineage metrics,
+    resume skips completed stages (north rule: resumable from checkpoint
+    with per-partition lineage + metrics)."""
+
+    def test_checkpoint_lineage_and_resume(self, ray_session, tmp_path):
+        import os
+        from trafaret_ray.pipelines.flagship import run_flagship
+        from trafaret_ray.sources.transcripts import write_transcripts
+        inp = str(tmp_path / 'in')
+        out = str(tmp_path / 'out')
+        files = write_transcripts(inp, n_turns=4000, seed=3,
+                                  malformed_frac=0.05, rows_per_file=1500)
+        import pyarrow.parquet as pq
+        n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+
+        m1 = run_flagship(inp, out, num_buckets=4)
+        assert m1['rows_ok'] > 0 and m1['rows_quarantined'] > 0
+        assert m1['rows_ok'] + m1['rows_quarantined'] == n_rows
+        # per-input-shard lineage covers every shard
+        assert set(m1['per_file']) == {os.path.basename(f) for f in files}
+        assert sum(v['rows_ok'] + v['rows_quarantined']
+                   for v in m1['per_file'].values()) == n_rows
+        assert m1['error_codes']  # quarantine carries reference codes
+        feat_dir = os.path.join(out, 'features')
+        val_dir = os.path.join(out, 'validated')
+        assert os.path.exists(os.path.join(feat_dir, '_SUCCESS'))
+
+        # full resume: nothing recomputed (stage dirs untouched)
+        v_mtime = os.path.getmtime(val_dir)
+        f_mtime = os.path.getmtime(feat_dir)
+        m2 = run_flagship(inp, out, num_buckets=4)
+        assert m2 == m1
+        assert os.path.getmtime(val_dir) == v_mtime
+        assert os.path.getmtime(feat_dir) == f_mtime
+
+        # partial resume: lose the features stage -> only it re-runs
+        os.remove(os.path.join(feat_dir, '_SUCCESS'))
+        m3 = run_flagship(inp, out, num_buckets=4)
+        assert m3 == m1
+        assert os.path.getmtime(val_dir) == v_mtime
+        assert os.path.exists(os.path.join(feat_dir, '_SUCCESS'))
+
+        # feature output row count == validated ok rows
+        import ray.data as rd
+        assert rd.read_parquet(feat_dir).count() == m1['rows_ok']
