@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     'q_hist_quantiles',
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',
     'q_struct_payload_events', 'q_partsupp_returns',
+    'q_value_bands_events',
 ]
 
 

@@ -234,3 +234,68 @@ class TestReaders:
         ds = readers.read_binary(str(tmp_path))
         rows = ds.take_all()
         assert sorted(len(r['bytes']) for r in rows) == [3, 4]
+
+
+class TestRangeJoin:
+    def _bands(self):
+        return pa.table({'lo': pa.array([0.0, 10.0, 50.0]),
+                         'hi': pa.array([10.0, 50.0, 100.0]),
+                         'band': pa.array(['low', 'mid', 'high'])})
+
+    def test_broadcast_banding(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import range_join_broadcast
+        rng = np.random.default_rng(3)
+        vals = np.round(rng.uniform(-5, 110, 500), 3)
+        tbl = pa.table({'id': np.arange(500, dtype=np.int64), 'v': vals})
+        out = range_join_broadcast(rd.from_arrow(tbl), self._bands(),
+                                   'v').to_pandas()
+        exp_in = ((vals >= 0) & (vals < 100)).sum()
+        assert len(out) == exp_in
+        m = out.set_index('id')
+        for i, v in enumerate(vals):
+            if 0 <= v < 10:
+                assert m.loc[i, 'band'] == 'low'
+            elif 50 <= v < 100:
+                assert m.loc[i, 'band'] == 'high'
+        # left join keeps unmatched with null band
+        outl = range_join_broadcast(rd.from_arrow(tbl), self._bands(),
+                                    'v', how='left').to_pandas()
+        assert len(outl) == 500
+        assert outl['band'].isna().sum() == 500 - exp_in
+
+    def test_broadcast_rejects_overlap(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from trafaret_ray.stages.joins import range_join_broadcast
+        bad = pa.table({'lo': pa.array([0.0, 5.0]),
+                        'hi': pa.array([10.0, 15.0]),
+                        'band': pa.array(['a', 'b'])})
+        with pytest.raises(ValueError):
+            range_join_broadcast(rd.from_arrow(pa.table(
+                {'v': pa.array([1.0])})), bad, 'v')
+
+    def test_binned_overlapping_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import range_join_binned
+        rng = np.random.default_rng(7)
+        vals = np.round(rng.uniform(0, 100, 300), 3)
+        left = pa.table({'id': np.arange(300, dtype=np.int64), 'v': vals})
+        lo = np.round(rng.uniform(0, 90, 40), 3)
+        span = rng.uniform(1, 25, 40)
+        right = pa.table({'lo': lo, 'hi': np.round(lo + span, 3),
+                          'iv': np.arange(40, dtype=np.int64)})
+        out = range_join_binned(rd.from_arrow(left).repartition(4),
+                                rd.from_arrow(right).repartition(2),
+                                'v', bin_width=10.0,
+                                num_buckets=8).to_pandas()
+        # brute force oracle
+        ldf, rdf = left.to_pandas(), right.to_pandas()
+        exp = ldf.merge(rdf, how='cross')
+        exp = exp[(exp['lo'] <= exp['v']) & (exp['v'] < exp['hi'])]
+        got = out.sort_values(['id', 'iv']).reset_index(drop=True)
+        want = exp[['id', 'v', 'iv']].sort_values(['id', 'iv'])\
+            .reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got[['id', 'iv']].to_numpy()
+                == want[['id', 'iv']].to_numpy()).all()

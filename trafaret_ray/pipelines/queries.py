@@ -1658,3 +1658,45 @@ ORACLE_SQL['q_partsupp_returns'] = """
     FROM a LEFT JOIN r USING (l_partkey, l_suppkey)
     ORDER BY a.l_partkey, a.l_suppkey
 """
+
+
+def q_value_bands_events(sf_dir: str):
+    """Range (interval) join: band each event's value against a small
+    non-overlapping banding table (stages/joins.py:range_join_broadcast
+    — broadcast sorted edges, one searchsorted per batch, no shuffle),
+    then aggregate per band with fixed-point sums."""
+    from ..stages.joins import range_join_broadcast
+    ds = _read(sf_dir, 'events', ['event_id', 'value'])
+    bands = pa.table({'lo': pa.array([0.0, 50.0, 200.0]),
+                      'hi': pa.array([50.0, 200.0, 500.0]),
+                      'band': pa.array(['low', 'mid', 'high'])})
+    joined = range_join_broadcast(ds, bands, 'value')
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        return pa.table({'band': tbl.column('band'),
+                         'v6': _fixed6(tbl.column('value'))})
+
+    out = pre_aggregate(joined.map_batches(prep, batch_format='pyarrow'),
+                        ['band'], {'n_events': ('v6', 'count'),
+                                   'v6': ('v6', 'sum')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'band': tbl.column('band'),
+                         'n_events': tbl.column('n_events'),
+                         'sum_value': _unfix6(tbl.column('v6'))})
+
+    return out.map_batches(finalize, batch_format='pyarrow').sort('band')
+
+
+QUERIES['q_value_bands_events'] = q_value_bands_events
+ORACLE_SQL['q_value_bands_events'] = """
+    SELECT b.band,
+           count(*) AS n_events,
+           round(cast(sum(cast(floor(e.value * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6, 6) AS sum_value
+    FROM events e
+    JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'),
+                 (200.0, 500.0, 'high')) AS b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band ORDER BY b.band
+"""

@@ -338,3 +338,136 @@ def asof_join(left, right, by: str, on: str, value_cols,
 
     return bucketed.groupby(BUCKET_COL).map_groups(match,
                                                    batch_format='pyarrow')
+
+
+def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
+                         lo_col: str = 'lo', hi_col: str = 'hi',
+                         how: str = 'inner', concurrency: int = 2):
+    """Range (interval) join against a SMALL banding table: match each
+    row where ``lo <= value < hi``. Intervals must be NON-OVERLAPPING
+    (the banding/dimension-lookup case) — matching is then one
+    searchsorted per batch over the broadcast sorted edges, O(n log m)
+    with no shuffle. For overlapping or large interval sets use
+    ``range_join_binned``. ``how='left'`` keeps unmatched rows with null
+    band columns."""
+    import ray as _ray
+    idf = intervals.to_pandas().sort_values(lo_col).reset_index(drop=True)
+    los = idf[lo_col].to_numpy(dtype=np.float64)
+    his = idf[hi_col].to_numpy(dtype=np.float64)
+    if (los[1:] < his[:-1]).any():
+        raise ValueError('range_join_broadcast requires non-overlapping '
+                         'intervals; use range_join_binned')
+    band_cols = [c for c in idf.columns if c not in (lo_col, hi_col)]
+    ref = _ray.put((los, his, {c: idf[c].to_numpy() for c in band_cols},
+                    pa.Table.from_pandas(idf[band_cols],
+                                         preserve_index=False).schema))
+
+    class Matcher:
+        def __init__(self):
+            self.los, self.his, self.bands, self.bschema = _ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            v = tbl.column(value_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            idx = np.searchsorted(self.los, v, side='right') - 1
+            ok = (idx >= 0) & (v < self.his[np.maximum(idx, 0)])
+            if how == 'inner':
+                keep = np.nonzero(ok)[0]
+                out = tbl.take(pa.array(keep, type=pa.int64()))
+                sel = idx[keep]
+                for c, vals in self.bands.items():
+                    out = out.append_column(
+                        c, pa.array(vals[sel],
+                                    type=self.bschema.field(c).type))
+                return out
+            cols = {n: tbl.column(n) for n in tbl.column_names}
+            safe = np.maximum(idx, 0)
+            for c, vals in self.bands.items():
+                cols[c] = pa.array(vals[safe],
+                                   type=self.bschema.field(c).type,
+                                   mask=~ok)
+            return pa.table(cols)
+
+    return ds.map_batches(Matcher, batch_format='pyarrow',
+                          zero_copy_batch=True, concurrency=concurrency)
+
+
+def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
+                      hi_col: str = 'hi', bin_width: float = 1.0,
+                      num_buckets: int = 32):
+    """Range join of two LARGE datasets (intervals may overlap): left
+    rows key by ``floor(value / bin_width)``; each right interval
+    explodes to every bin it overlaps; one bucket exchange co-locates
+    bin-mates and a per-bucket merge applies the exact lo <= v < hi
+    filter. Explosion factor = interval span / bin_width — pick
+    bin_width near the typical span. Returns left columns + right's
+    non-edge columns."""
+    from .conversations import BUCKET_COL, add_bucket
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        t = tbl.append_column('_bin', pa.array(
+            np.floor(v / bin_width).astype(np.int64)))
+        t = t.append_column('_side', pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+        return add_bucket(t, '_bin', num_buckets)
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        lo = tbl.column(lo_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        hi = tbl.column(hi_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(lo / bin_width).astype(np.int64)
+        # hi is exclusive: the last covered bin holds values < hi
+        b1 = np.floor(np.nextafter(hi, -np.inf) / bin_width)\
+            .astype(np.int64)
+        counts = np.maximum(b1 - b0 + 1, 0)
+        rows = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), counts)
+        bins = np.concatenate([np.arange(a, a + c) for a, c in
+                               zip(b0, counts) if c > 0]) \
+            if counts.sum() else np.array([], dtype=np.int64)
+        t = tbl.take(pa.array(rows, type=pa.int64()))
+        t = t.append_column('_bin', pa.array(bins, type=pa.int64()))
+        t = t.append_column('_side', pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+        return add_bucket(t, '_bin', num_buckets)
+
+    import pandas as _pd
+    lt = left.map_batches(tag_left, batch_format='pyarrow',
+                          zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format='pyarrow',
+                           zero_copy_batch=True)
+
+    lnt = [(n, t) for n, t in zip(left.schema().names, left.schema().types)]
+    rnt = [(n, t) for n, t in zip(right.schema().names,
+                                  right.schema().types)]
+    lnames = [n for n, _ in lnt]
+    rnames = [n for n, _ in rnt]
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns([BUCKET_COL])
+        df = tbl.to_pandas()
+        # select sides by NAME (an empty side must keep its columns)
+        l = df[df['_side'] == 0][lnames + ['_bin']]
+        r = df[df['_side'] == 1][rnames + ['_bin']]
+        m = l.merge(r, on='_bin', suffixes=('', '_r'))
+        m = m[(m[lo_col] <= m[value_col]) & (m[value_col] < m[hi_col])]
+        m = m.drop(columns=['_bin', lo_col, hi_col])
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    # pad both sides to a shared schema for the union
+    merged_nt = list({n: t for n, t in lnt + rnt}.items()) + \
+        [('_bin', pa.int64()), ('_side', pa.int8()),
+         (BUCKET_COL, pa.int32())]
+
+    def pad(tbl: pa.Table) -> pa.Table:
+        cols = {n: (tbl.column(n) if n in tbl.column_names
+                    else pa.nulls(tbl.num_rows, type=t))
+                for n, t in merged_nt}
+        return pa.table(cols)
+
+    both = lt.map_batches(pad, batch_format='pyarrow').union(
+        rt.map_batches(pad, batch_format='pyarrow'))
+    return both.groupby(BUCKET_COL).map_groups(merge,
+                                               batch_format='pyarrow')
