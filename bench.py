@@ -144,6 +144,13 @@ def main():
         # the num_cpus budget.
         lo = int(os.environ.get('GRAFT_SCALE_LO', '4'))
         hi = int(os.environ.get('GRAFT_SCALE_HI', str(lo * 4)))
+        # Pin each leg's WHOLE process tree (workers + raylet + object
+        # store + driver) to exactly N host CPUs: at num_cpus=N Ray's
+        # helper threads otherwise burn cores beyond the budget, which
+        # inflates the small leg and understates scaling. A pinned run
+        # is the faithful stand-in for an N-node vs 4N-node cluster,
+        # where a node's budget bounds EVERYTHING on it.
+        pin = os.environ.get('GRAFT_SCALE_PIN', '1') == '1'
         results = {}
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -152,10 +159,13 @@ def main():
             # 10M-turn input for scaling runs: amortizes fixed per-stage
             # costs so software scaling dominates the measurement
             env.setdefault('GRAFT_BENCH_TURNS', '10000000')
+            cmd = [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), 'bench.py')]
+            if pin:
+                cmd = ['taskset', '-c', f'0-{ncpu - 1}'] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), 'bench.py')],
-                env=env, capture_output=True, text=True, check=True).stdout
+                cmd, env=env, capture_output=True, text=True,
+                check=True).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
         tplo = results[lo]['rows_per_sec']
         tphi = results[hi]['rows_per_sec']
@@ -164,7 +174,7 @@ def main():
             f'sec_{lo}': results[lo]['value'],
             f'sec_{hi}': results[hi]['value'],
             f'turns_per_sec_{lo}': tplo, f'turns_per_sec_{hi}': tphi,
-            'cpus_lo': lo, 'cpus_hi': hi,
+            'cpus_lo': lo, 'cpus_hi': hi, 'pinned': pin,
             'scaling_efficiency': round(eff, 3),
             'n_turns': results[hi].get('rows', N_TURNS),
         }))

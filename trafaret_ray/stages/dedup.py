@@ -40,7 +40,8 @@ def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
 
 def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                         k: int = 3, threshold: float = 0.5,
-                        num_buckets: int = 32, max_df: int | None = 50):
+                        num_buckets: int = 32, max_df: int | None = 50,
+                        candidates=None):
     """EXACT word-k-gram Jaccard similar pairs (doc_a, doc_b, jaccard).
 
     ONE shingling pass + ONE exchange: each doc explodes to DISTINCT
@@ -59,6 +60,11 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
     by ``pc.index_in`` against the broadcast size table (one row per doc
     with ≥1 kept shingle — at 100 TB broadcast becomes a hash_join on
     doc id, same plan otherwise).
+
+    ``candidates``: optional Dataset of (doc_a, doc_b) pairs; when given,
+    output is RESTRICTED to those pairs, and the restriction rides the
+    SAME (doc_a, doc_b) bucket merge as the pair partials (a marker row
+    per candidate, max-combined) — no extra exchange.
     """
     import ray as _ray
 
@@ -134,16 +140,57 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
     size_vals = sizes['sz'].to_numpy(dtype=np.float64)
     sz_ref = _ray.put((size_keys, size_vals))
 
-    merged = bucket_aggregate(
-        partial.map_batches(_side(False), batch_format='pyarrow'),
-        ['doc_a', 'doc_b'], {'common': ('common', 'sum')},
-        num_buckets=num_buckets)
+    pair_partials = partial.map_batches(_side(False),
+                                        batch_format='pyarrow')
+    if candidates is None:
+        merged = bucket_aggregate(pair_partials, ['doc_a', 'doc_b'],
+                                  {'common': ('common', 'sum')},
+                                  num_buckets=num_buckets)
+    else:
+        # candidate marker rows (common=0, is_cand=1) ride the same
+        # (doc_a, doc_b) bucket merge; real partials carry is_cand=0
+        def mark(is_cand: int):
+            def f(tbl: pa.Table) -> pa.Table:
+                if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+                    return pa.table(
+                        {'doc_a': pa.array([], pa.int64()),
+                         'doc_b': pa.array([], pa.int64()),
+                         'common': pa.array([], pa.int64()),
+                         'is_cand': pa.array([], pa.int8())})
+                common = (tbl.column('common') if not is_cand
+                          else pa.array(np.zeros(tbl.num_rows, np.int64)))
+                return pa.table({
+                    'doc_a': tbl.column('doc_a').combine_chunks()
+                    .cast(pa.int64()),
+                    'doc_b': tbl.column('doc_b').combine_chunks()
+                    .cast(pa.int64()),
+                    'common': common,
+                    'is_cand': pa.array(np.full(tbl.num_rows, is_cand,
+                                                dtype=np.int8))})
+            return f
+
+        both = pair_partials.map_batches(mark(0), batch_format='pyarrow')\
+            .union(candidates.map_batches(mark(1),
+                                          batch_format='pyarrow'))
+        merged = bucket_aggregate(both, ['doc_a', 'doc_b'],
+                                  {'common': ('common', 'sum'),
+                                   'is_cand': ('is_cand', 'max')},
+                                  num_buckets=num_buckets)
 
     def jaccard(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
             return pa.table({'doc_a': pa.array([], pa.int64()),
                              'doc_b': pa.array([], pa.int64()),
                              'jaccard': pa.array([], pa.float64())})
+        if candidates is not None:
+            # keep only marked candidate pairs with real shingle overlap
+            tbl = tbl.filter(pc.and_(
+                pc.greater(pc.cast(tbl.column('is_cand'), pa.int64()), 0),
+                pc.greater(pc.cast(tbl.column('common'), pa.int64()), 0)))
+            if tbl.num_rows == 0:
+                return pa.table({'doc_a': pa.array([], pa.int64()),
+                                 'doc_b': pa.array([], pa.int64()),
+                                 'jaccard': pa.array([], pa.float64())})
         keys, vals = _ray.get(sz_ref)
         sz_a = vals[pc.index_in(tbl.column('doc_a'), value_set=keys)
                     .to_numpy(zero_copy_only=False)]
@@ -217,8 +264,9 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
                   num_perm=128, num_bands=32, shingle_k=3, seed=1234,
                   num_buckets=32):
     """MinHash-LSH near-dup clusters: LSH candidates → DISTRIBUTED exact
-    Jaccard verify (hashed-shingle ngram_jaccard_pairs over the candidate
-    docs only) → DISTRIBUTED pair intersect (one doc_a-bucket exchange) →
+    Jaccard verify, restricted to the candidate pairs inside the
+    verify's own (doc_a, doc_b) bucket merge (hashed-shingle
+    ngram_jaccard_pairs with candidates= over the candidate docs only) →
     distributed connected components → Dataset of (id, cluster_id).
 
     Candidate pairs and verified edges live ONLY in Datasets end-to-end —
@@ -231,7 +279,6 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
     """
     import ray.data as rd
 
-    from .conversations import bucket_exchange
     from .graph import connected_components
     from .joins import semi_join
 
@@ -252,52 +299,26 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
     docs_c = semi_join(ds, ids_of_pairs, id_col)
 
     # exact jaccard over candidate docs (uncapped — the candidate set is
-    # LSH-bounded), still a Dataset of (doc_a, doc_b, jaccard)
+    # LSH-bounded), RESTRICTED to the LSH candidate pairs inside the
+    # verify's own (doc_a, doc_b) bucket merge (candidates= — no extra
+    # exchange); still a Dataset of (doc_a, doc_b, jaccard)
     exact = ngram_jaccard_pairs(docs_c, text_col, id_col, k=shingle_k,
                                 threshold=threshold, max_df=None,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets, candidates=cand)
 
-    # keep only LSH-candidate pairs: co-locate both pair sets by doc_a
-    # in one bucket exchange and intersect per bucket
-    def tag(side):
-        def f(tbl: pa.Table) -> pa.Table:
-            if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
-                return pa.table({'doc_a': pa.array([], pa.int64()),
-                                 'doc_b': pa.array([], pa.int64()),
-                                 '_side': pa.array([], pa.int8())})
-            return pa.table({
-                'doc_a': tbl.column('doc_a').combine_chunks()
-                .cast(pa.int64()),
-                'doc_b': tbl.column('doc_b').combine_chunks()
-                .cast(pa.int64()),
-                '_side': pa.array(np.full(tbl.num_rows, side,
-                                          dtype=np.int8)),
-            })
-        return f
-
-    both = exact.map_batches(tag(0), batch_format='pyarrow').union(
-        cand.map_batches(tag(1), batch_format='pyarrow'))
-
-    _EMPTY_E = pa.table({'src': pa.array([], pa.int64()),
-                         'dst': pa.array([], pa.int64())})
-
-    def intersect(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return _EMPTY_E
-        df = tbl.to_pandas()
-        ex = df[df['_side'] == 0][['doc_a', 'doc_b']]
-        cd = df[df['_side'] == 1][['doc_a', 'doc_b']]
-        m = ex.merge(cd, on=['doc_a', 'doc_b'])
-        return pa.table({
-            'src': pa.array(m['doc_a'].to_numpy(dtype=np.int64)),
-            'dst': pa.array(m['doc_b'].to_numpy(dtype=np.int64))})
+    def as_edges(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+            return pa.table({'src': pa.array([], pa.int64()),
+                             'dst': pa.array([], pa.int64())})
+        return pa.table({'src': tbl.column('doc_a'),
+                         'dst': tbl.column('doc_b')})
 
     # coalesce the (small) edge set to a few blocks before the iterative
     # clustering: connected_components pays per-BLOCK task overhead every
-    # round, and the exchange above leaves ~num_buckets mostly-empty
+    # round, and the verify exchange leaves ~num_buckets mostly-empty
     # blocks (measured 6x slower CC on this VM when skipped)
-    edges = bucket_exchange(both, 'doc_a', intersect,
-                            num_buckets).repartition(8).materialize()
+    edges = exact.map_batches(as_edges, batch_format='pyarrow')\
+        .repartition(8).materialize()
     if edges.count() == 0:
         return rd.from_arrow(empty)
 
