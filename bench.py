@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     'q_hist_quantiles',
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',
     'q_struct_payload_events', 'q_partsupp_returns',
-    'q_value_bands_events',
+    'q_value_bands_events', 'q_session_paths_events',
+    'q_quality_filter_docs',
 ]
 
 

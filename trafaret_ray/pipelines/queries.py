@@ -1700,3 +1700,115 @@ ORACLE_SQL['q_value_bands_events'] = """
       ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band ORDER BY b.band
 """
+
+
+def q_session_paths_events(sf_dir: str):
+    """Training-example construction: ordered per-session event-path
+    strings ('click>view>...') — gap sessionization + ordered string
+    concatenation as a two-level group inside ONE bucket pass (strings
+    join per session; session count bounds the loop, never rows across
+    sessions). Byte-matched against DuckDB's ordered string_agg."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        et = tbl.column('event_type').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_new, session_id = W.sessionize(ts_us, starts, GAP_US)
+        lo = np.nonzero(is_new)[0]
+        hi = np.append(lo[1:], len(ts_us)) - 1
+        paths = ['>'.join(et[a:b + 1]) for a, b in zip(lo, hi)]
+        return pa.table({
+            'user_id': pa.array(users[lo]),
+            'session_id': pa.array(session_id[lo].astype(np.int64)),
+            'path': pa.array(paths, type=pa.string()),
+            'n_events': pa.array((hi - lo + 1).astype(np.int64)),
+        })
+
+    return _per_user(ds, fn).sort(['user_id', 'session_id'])
+
+
+QUERIES['q_session_paths_events'] = q_session_paths_events
+ORACLE_SQL['q_session_paths_events'] = """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    g AS (
+      SELECT *, cast(sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1
+                     AS BIGINT) AS session_id
+      FROM f)
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+
+def q_quality_filter_docs(sf_dir: str):
+    """Quantile-gated quality filter: keep docs at or above their
+    language's MEDIAN word count — exact grouped quantiles
+    (stages/aggregate.grouped_quantiles) broadcast as a per-lang
+    threshold, then a vectorized filter. The canonical 'drop the bottom
+    half per language' curation step."""
+    import ray as _ray
+    from ..stages.aggregate import grouped_quantiles
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'])
+
+    def words(tbl: pa.Table) -> pa.Table:
+        from ..functions.text import whitespace_token_count
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'lang': tbl.column('lang'),
+            'n_words': pc.cast(whitespace_token_count(
+                tbl.column('text').combine_chunks()), pa.int64()),
+        })
+
+    scored = ds.map_batches(words, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    med = grouped_quantiles(scored, 'lang', 'n_words', [0.5])\
+        .to_pandas()
+    med_ref = _ray.put(dict(zip(med['lang'], med['value'])))
+
+    class Gate:
+        def __init__(self):
+            self.med = _ray.get(med_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            langs = tbl.column('lang').to_numpy(zero_copy_only=False)
+            thr = np.array([self.med[l] for l in
+                            pd.unique(langs)])[pd.factorize(langs)[0]] \
+                if len(langs) else np.array([])
+            nw = tbl.column('n_words').to_numpy(zero_copy_only=False)
+            return tbl.filter(pa.array(nw >= thr))
+
+    return scored.map_batches(Gate, batch_format='pyarrow',
+                              concurrency=2).sort('doc_id')
+
+
+QUERIES['q_quality_filter_docs'] = q_quality_filter_docs
+ORACLE_SQL['q_quality_filter_docs'] = """
+    WITH s AS (
+      SELECT doc_id, lang,
+             cast(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents),
+    m AS (SELECT lang, median(n_words) AS med FROM s GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.n_words
+    FROM s JOIN m USING (lang)
+    WHERE s.n_words >= m.med
+    ORDER BY s.doc_id
+"""
