@@ -5,8 +5,9 @@ Runs the headline flagship transcript pipeline plus the query suite over
 ``ray.init(address='local', num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints
 ONE JSON line.
 
-``--scaling``: runs the headline pipeline in two fresh processes at 8 and
-32 CPUs on the same input and reports both throughputs plus the scaling
+``--scaling``: runs the headline pipeline in two fresh processes at N and
+4N CPUs (default 2 vs 8) on the same input — each pinned to exactly that
+many host CPUs — and reports both throughputs plus the scaling
 efficiency (the sandbox stand-in for the N vs 4N cluster criterion —
 BASELINE.md).
 """
@@ -137,13 +138,12 @@ def run_headline() -> dict:
 
 def main():
     if '--scaling' in sys.argv:
-        # N vs 4N parallelism levels. Default 4 vs 16 — measured as the
-        # most informative span on this VM (BASELINE.md): with 512 MiB
-        # blocks the pipeline reaches 0.69 efficiency there (vs the raw
-        # CPU probe's 0.21 hardware ceiling over the same span), while a
-        # 1-CPU baseline is inflated by Ray helper threads running outside
-        # the num_cpus budget.
-        lo = int(os.environ.get('GRAFT_SCALE_LO', '4'))
+        # N vs 4N parallelism levels. Default 2 vs 8: the span inside
+        # this host's near-linear hardware region (the raw CPU probe
+        # scales at 0.91 over 2->8 procs but saturates beyond ~8-16 —
+        # BASELINE.md round 3), so software efficiency is measured
+        # against hardware that can actually serve both legs.
+        lo = int(os.environ.get('GRAFT_SCALE_LO', '2'))
         hi = int(os.environ.get('GRAFT_SCALE_HI', str(lo * 4)))
         # Pin each leg's WHOLE process tree (workers + raylet + object
         # store + driver) to exactly N host CPUs: at num_cpus=N Ray's
@@ -157,9 +157,10 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_HEADLINE_ONLY='1',
                        PYTHONPATH='/root/repo')
-            # 10M-turn input for scaling runs: amortizes fixed per-stage
-            # costs so software scaling dominates the measurement
-            env.setdefault('GRAFT_BENCH_TURNS', '10000000')
+            # 20M-turn input for scaling runs: amortizes the ~5 s fixed
+            # per-stage cost (measured via T = f + c/N fit) so software
+            # scaling dominates the measurement
+            env.setdefault('GRAFT_BENCH_TURNS', '20000000')
             cmd = [sys.executable, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), 'bench.py')]
             if pin:
