@@ -75,3 +75,39 @@ class TestDeterministicSample:
         # different salt -> different sample
         m2 = hash_sample_mask(ids, 0.1, salt='v2')
         assert (mask != m2).any()
+
+
+class TestIVFIndexOnDisk:
+    def test_build_search_exact_and_pruned(self, ray_session, tmp_path):
+        """On-disk IVF: partition-by-centroid layout; full probe equals
+        brute force, a pruned probe opens ONLY its clusters' dirs."""
+        import os
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivf_build, ivf_search
+        tbl, rows = _corpus()
+        idx = str(tmp_path / 'ivf')
+        ivf_build(rd.from_arrow(tbl), idx, n_clusters=8, seed=0)
+        parts = [d for d in os.listdir(idx) if d.startswith('_centroid=')]
+        assert 1 < len(parts) <= 8
+        assert os.path.exists(os.path.join(idx, 'centroids.npy'))
+
+        q = rows[0]
+        got = ivf_search(idx, q, k=10, nprobe=8,
+                         exclude_ids=[0]).to_pandas()
+        assert list(got['vec_id']) == _brute_topk(rows, q, 10, {0})
+
+        pruned = ivf_search(idx, q, k=10, nprobe=2,
+                            exclude_ids=[0]).to_pandas()
+        expect = set(_brute_topk(rows, q, 10, {0}))
+        assert len(set(pruned['vec_id']) & expect) / 10 >= 0.5
+
+    def test_rebuild_is_atomic(self, ray_session, tmp_path):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivf_build, ivf_search
+        tbl, rows = _corpus()
+        idx = str(tmp_path / 'ivf')
+        ivf_build(rd.from_arrow(tbl), idx, n_clusters=4, seed=0)
+        # rebuild over the same path replaces, never mixes
+        ivf_build(rd.from_arrow(tbl), idx, n_clusters=4, seed=1)
+        got = ivf_search(idx, rows[3], k=5, nprobe=4).to_pandas()
+        assert list(got['vec_id'])[0] == 3  # self-match tops at full probe

@@ -116,3 +116,84 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, emb_col: str = 'embedding',
     cands = assigned.map_batches(topk_batch, batch_format='pyarrow')
     return cands.sort(['cos_sim', id_col],
                       descending=[True, False]).limit(k)
+
+
+def ivf_build(ds, index_dir: str, emb_col: str = 'embedding',
+              id_col: str = 'vec_id', n_clusters: int = 64,
+              sample_size: int = 4096, iters: int = 10, seed: int = 0):
+    """Materialize the IVF index ON DISK in the 100-TB layout the probe
+    path needs: rows written partitioned by coarse-centroid assignment
+    (hive dirs ``_centroid=<c>/`` — a probe then reads ONLY its
+    clusters' files, never the corpus) plus the centroid matrix and
+    metadata in the index root. Build is one assignment map + one
+    partitioned write; no driver materialization."""
+    import json as _json
+    import os
+
+    assigned, cents = ivf_assign(ds, emb_col, n_clusters, sample_size,
+                                 iters, seed)
+    tmp = index_dir.rstrip('/') + '.__tmp__'
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned.write_parquet(tmp, partition_cols=['_centroid'])
+    np.save(os.path.join(tmp, 'centroids.npy'), cents)
+    with open(os.path.join(tmp, 'meta.json'), 'w') as f:
+        _json.dump({'n_clusters': int(len(cents)), 'emb_col': emb_col,
+                    'id_col': id_col, 'dim': int(cents.shape[1])}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
+               nprobe: int = 8, exclude_ids=()):
+    """Probe an on-disk IVF index: pick the ``nprobe`` centroids nearest
+    the query, ``read_parquet`` ONLY those partitions' directories
+    (partition pruning at the read — the other clusters' files are never
+    opened), score per batch and finish with a global sort+limit.
+    Returns a Dataset of (id, cos_sim) rows."""
+    import json as _json
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, 'centroids.npy'))
+    with open(os.path.join(index_dir, 'meta.json')) as f:
+        meta = _json.load(f)
+    emb_col, id_col = meta['emb_col'], meta['id_col']
+    q = np.asarray(query, dtype=np.float64)
+    qnorm = np.linalg.norm(q)
+    cd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(cd, kind='stable')[:nprobe]
+    dirs = [os.path.join(index_dir, f'_centroid={c}') for c in probe]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith('.parquet')]
+    if not files:
+        return rd.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             'cos_sim': pa.array([], pa.float64())}))
+    ds = rd.read_parquet(files, columns=[id_col, emb_col])
+    excl = pa.array(list(exclude_ids), type=pa.int64())
+
+    def topk_batch(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          'cos_sim': pa.array([], pa.float64())})
+        if len(excl):
+            tbl = tbl.filter(pc.invert(pc.is_in(tbl.column(id_col),
+                                                value_set=excl)))
+        if tbl.num_rows == 0:
+            return empty
+        mat = _batch_matrix(tbl, emb_col)
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qnorm)
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        loc = np.argsort(-sims, kind='stable')[:k]
+        return pa.table({
+            id_col: pa.array(ids[loc]),
+            'cos_sim': pa.array(np.round(sims[loc], 6),
+                                type=pa.float64()),
+        })
+
+    cands = ds.map_batches(topk_batch, batch_format='pyarrow')
+    return cands.sort(['cos_sim', id_col],
+                      descending=[True, False]).limit(k)
