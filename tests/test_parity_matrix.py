@@ -358,3 +358,38 @@ class TestDictPolicies:
                          t.Mapping(t.AnyString(), t.Any()))})
         assert c.check({'params': {'aaa': 123}}) == {'params': {'aaa': 123}}
         assert c.check({'params': [1, 2]}) == {'params': [1, 2]}
+
+
+class TestStreamingLagger:
+    def test_matches_pandas_shift_across_batches(self, ray_session):
+        """Multi-batch feed to ONE lagger: output equals a global
+        per-entity pandas shift (state carries across batch boundaries)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        from trafaret_ray.stages.streaming import StreamingLagger
+        rng = np.random.default_rng(12)
+        n = 600
+        df = pd.DataFrame({
+            'user_id': rng.integers(0, 9, n),
+            'ts': pd.to_datetime(
+                np.sort(rng.integers(0, 10**9, n)), unit='s'),
+            'value': np.round(rng.standard_normal(n), 3),
+        })
+        lagger = StreamingLagger()
+        outs = []
+        for i in range(0, n, 200):   # ts-ordered batches, one actor
+            outs.append(lagger(pa.Table.from_pandas(
+                df.iloc[i:i + 200], preserve_index=False)).to_pandas())
+        got = pd.concat(outs).sort_values(
+            ['user_id', 'ts']).reset_index(drop=True)
+        exp = df.sort_values(['user_id', 'ts']).reset_index(drop=True)
+        g = exp.groupby('user_id')
+        exp['prev_value'] = g['value'].shift(1)
+        exp['gap_s'] = (exp['ts'] - g['ts'].shift(1)).dt.total_seconds()
+        assert np.allclose(got['prev_value'].to_numpy(dtype=float),
+                           exp['prev_value'].to_numpy(dtype=float),
+                           equal_nan=True)
+        assert np.allclose(got['gap_s'].to_numpy(dtype=float),
+                           exp['gap_s'].to_numpy(dtype=float),
+                           equal_nan=True)

@@ -151,3 +151,79 @@ class StreamingSessionizer:
             self.state[k] = (int(t), int(s))
         return tbl.append_column('session_id',
                                  pa.array(session_id, type=pa.int64()))
+
+
+class StreamingLagger:
+    """Stateful actor stage: lag-1 features with state carried ACROSS
+    batches — the actor-pool form of per-entity lag for a partitioned,
+    ordered stream (each entity's rows must reach ONE actor in ts order,
+    i.e. feed it bucket-sorted blocks; same contract as
+    StreamingSessionizer).
+
+    Emits ``prev_<col>`` for every requested value column plus
+    ``gap_s`` (seconds since the entity's previous row). The first row
+    an actor ever sees for an entity gets nulls — unless a carried state
+    exists from an earlier batch, which is the point.
+    """
+
+    def __init__(self, key: str = 'user_id', ts_col: str = 'ts',
+                 value_cols=('value',)):
+        self.key = key
+        self.ts_col = ts_col
+        self.value_cols = list(value_cols)
+        self.state: dict = {}   # entity -> (last_ts, {col: last_value})
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from .window import group_starts
+        if tbl.num_rows == 0:
+            out = tbl
+            for c in self.value_cols:
+                out = out.append_column(f'prev_{c}', pa.array([]))
+            return out.append_column('gap_s',
+                                     pa.array([], type=pa.float64()))
+        tbl = tbl.sort_by([(self.key, 'ascending'),
+                           (self.ts_col, 'ascending')])
+        keys = tbl.column(self.key).to_numpy(zero_copy_only=False)
+        ts = tbl.column(self.ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        n = len(keys)
+        starts = group_starts(keys)
+        lo = np.nonzero(starts)[0]
+        hi = np.append(lo[1:], n) - 1
+
+        carried = [self.state.get(k) for k in keys[lo]]
+        has_prev = np.array([c is not None for c in carried], dtype=bool)
+        prev_ts_first = np.array([c[0] if c is not None else 0
+                                  for c in carried], dtype=np.int64)
+
+        # gap: within-batch diff everywhere, carried diff on first rows
+        gap = np.empty(n, dtype=np.float64)
+        gap[1:] = (ts[1:] - ts[:-1]) / 1e6
+        gap[lo] = np.where(has_prev, (ts[lo] - prev_ts_first) / 1e6,
+                           np.nan)
+        out = tbl
+        for c in self.value_cols:
+            col = tbl.column(c).combine_chunks()
+            # shift-by-one inside the batch: null row 0, then rows 0..n-2
+            shifted = pa.concat_arrays([
+                pa.nulls(1, type=col.type), col.slice(0, n - 1)])
+            # entity firsts: carried value (null when no carry)
+            first_vals = pa.array(
+                [self.state[k][1].get(c) if self.state.get(k) is not None
+                 else None for k in keys[lo]], type=col.type)
+            mask = np.zeros(n, dtype=bool)
+            mask[lo] = True
+            import pyarrow.compute as pc
+            shifted = pc.replace_with_mask(shifted, pa.array(mask),
+                                           first_vals)
+            out = out.append_column(f'prev_{c}', shifted)
+        out = out.append_column('gap_s', pa.array(gap, type=pa.float64(),
+                                                  mask=np.isnan(gap)))
+        # carry each entity's LAST row (once per entity)
+        for gi, k in enumerate(keys[lo]):
+            h = hi[gi]
+            self.state[k] = (int(ts[h]),
+                             {c: tbl.column(c)[h].as_py()
+                              for c in self.value_cols})
+        return out
