@@ -94,3 +94,24 @@ class TestTimeRangeProperty:
         df = pd.DataFrame({'g': g, 'v': vi})
         exp = df.groupby('g')['v'].cumsum()
         assert list(run) == list(exp)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_interval_bins_complete(data):
+    """Candidate completeness of the binned range join: whenever
+    lo <= v < hi, the value's bin is among the interval's bins (no
+    matching pair can be missed by the bin co-partition)."""
+    from trafaret_ray.stages.joins import interval_bins
+    w = data.draw(st.floats(min_value=1e-3, max_value=1e3,
+                            allow_nan=False, allow_infinity=False))
+    lo = data.draw(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False, allow_infinity=False))
+    span = data.draw(st.floats(min_value=0.0, max_value=1e4,
+                               allow_nan=False, allow_infinity=False))
+    hi = lo + span
+    v = data.draw(st.floats(min_value=-1e6, max_value=2e6,
+                            allow_nan=False, allow_infinity=False))
+    rows, bins = interval_bins(np.array([lo]), np.array([hi]), w)
+    if lo <= v < hi:
+        assert int(np.floor(v / w)) in set(bins.tolist())

@@ -392,6 +392,23 @@ def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
                           zero_copy_batch=True, concurrency=concurrency)
 
 
+def interval_bins(lo: np.ndarray, hi: np.ndarray, bin_width: float):
+    """(row_idx, bin_id) pairs covering every bin each half-open
+    interval [lo, hi) overlaps — the candidate-generation core of
+    ``range_join_binned``. Completeness invariant (property-tested):
+    lo <= v < hi implies floor(v / bin_width) is among the interval's
+    bins."""
+    b0 = np.floor(lo / bin_width).astype(np.int64)
+    # hi is exclusive: the last covered bin holds values < hi
+    b1 = np.floor(np.nextafter(hi, -np.inf) / bin_width).astype(np.int64)
+    counts = np.maximum(b1 - b0 + 1, 0)
+    rows = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+    bins = np.concatenate([np.arange(a, a + c) for a, c in
+                           zip(b0, counts) if c > 0]) \
+        if counts.sum() else np.array([], dtype=np.int64)
+    return rows, bins
+
+
 def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
                       hi_col: str = 'hi', bin_width: float = 1.0,
                       num_buckets: int = 32):
@@ -418,15 +435,7 @@ def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
             zero_copy_only=False).astype(np.float64)
         hi = tbl.column(hi_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
-        b0 = np.floor(lo / bin_width).astype(np.int64)
-        # hi is exclusive: the last covered bin holds values < hi
-        b1 = np.floor(np.nextafter(hi, -np.inf) / bin_width)\
-            .astype(np.int64)
-        counts = np.maximum(b1 - b0 + 1, 0)
-        rows = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), counts)
-        bins = np.concatenate([np.arange(a, a + c) for a, c in
-                               zip(b0, counts) if c > 0]) \
-            if counts.sum() else np.array([], dtype=np.int64)
+        rows, bins = interval_bins(lo, hi, bin_width)
         t = tbl.take(pa.array(rows, type=pa.int64()))
         t = t.append_column('_bin', pa.array(bins, type=pa.int64()))
         t = t.append_column('_side', pa.array(
