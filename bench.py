@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     'q_session_stats', 'q_distinct_users', 'q_hll_distinct_users',
     'q_struct_payload_events', 'q_partsupp_returns',
     'q_value_bands_events', 'q_session_paths_events',
-    'q_quality_filter_docs',
+    'q_quality_filter_docs', 'q_normalized_dedup_docs',
 ]
 
 

@@ -1812,3 +1812,43 @@ ORACLE_SQL['q_quality_filter_docs'] = """
     WHERE s.n_words >= m.med
     ORDER BY s.doc_id
 """
+
+
+def q_normalized_dedup_docs(sf_dir: str):
+    """Composed curation pipeline: normalize (whitespace collapse + trim
+    + lowercase) THEN exact-dedup on the normalized text — catches dups
+    that differ only in casing/spacing. Normalization is a zero-shuffle
+    map; dedup exchanges one fingerprint partial per distinct text per
+    batch (stages/dedup.py:exact_dedup discipline), never the text."""
+    from ..functions.text import normalize_text
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def norm(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'text_norm': normalize_text(
+                tbl.column('text').combine_chunks()),
+        })
+
+    normed = ds.map_batches(norm, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    out = bucket_aggregate(normed, ['text_norm'],
+                           {'doc_id': ('doc_id', 'min'),
+                            'n_dups': ('doc_id', 'count')})
+    return out.map_batches(
+        lambda t: t.select(['doc_id', 'text_norm', 'n_dups']),
+        batch_format='pyarrow').sort('doc_id')
+
+
+QUERIES['q_normalized_dedup_docs'] = q_normalized_dedup_docs
+ORACLE_SQL['q_normalized_dedup_docs'] = """
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+               AS text_norm
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, text_norm,
+           count(*) AS n_dups
+    FROM n GROUP BY text_norm ORDER BY min(doc_id)
+"""
