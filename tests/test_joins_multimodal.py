@@ -299,3 +299,36 @@ class TestRangeJoin:
         assert len(got) == len(want)
         assert (got[['id', 'iv']].to_numpy()
                 == want[['id', 'iv']].to_numpy()).all()
+
+
+class TestAsofBroadcast:
+    def test_matches_merge_asof(self, ray_session):
+        """Broadcast as-of (no exchange) equals pandas merge_asof with
+        strict-backward semantics."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join_broadcast
+        rng = np.random.default_rng(6)
+        left = pa.table({
+            'ent': rng.integers(0, 6, 250),
+            'ts': rng.integers(0, 5000, 250),
+            'x': np.arange(250, dtype=np.int64),
+        })
+        sdf = pd.DataFrame({
+            'ent': rng.integers(0, 6, 60),
+            'ts': rng.integers(0, 5000, 60),
+            'cfg': rng.integers(0, 9, 60),
+        }).groupby(['ent', 'ts'], as_index=False).agg(cfg=('cfg', 'max'))
+        out = asof_join_broadcast(
+            rd.from_arrow(left).repartition(4),
+            pa.Table.from_pandas(sdf), by='ent', on='ts',
+            value_cols=['cfg']).to_pandas()
+        exp = pd.merge_asof(
+            left.to_pandas().sort_values('ts', kind='stable'),
+            sdf.sort_values('ts', kind='stable'),
+            on='ts', by='ent', allow_exact_matches=False,
+            direction='backward')
+        o = out.sort_values('x').reset_index(drop=True)
+        e = exp.sort_values('x').reset_index(drop=True)
+        a, b = o['cfg_state'].to_numpy(), e['cfg'].to_numpy()
+        assert (pd.isna(a) == pd.isna(b)).all()
+        assert (a[~pd.isna(a)] == b[~pd.isna(b)]).all()

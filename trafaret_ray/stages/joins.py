@@ -4,11 +4,20 @@
 Selection guide (SURVEY.md §4.2):
   * one side fits in memory        → ``broadcast_join`` (no shuffle)
   * both sides large               → ``hash_join`` (one bucket exchange of
-                                     both sides, pairwise merge per bucket)
+                                     both sides, pairwise merge per bucket;
+                                     single or composite key)
   * existence filter               → ``semi_join`` / ``anti_join``
-                                     (broadcast the key set; no shuffle)
+                                     (broadcast the key set; no shuffle);
+                                     ``semi_join_bloom`` beyond broadcast
   * temporal alignment             → ``asof_join`` (strict-< backward,
-                                     co-bucketed by entity)
+                                     co-bucketed by entity);
+                                     ``asof_join_broadcast`` when the
+                                     state side is small (no shuffle)
+  * interval / banding             → ``range_join_broadcast`` (small,
+                                     non-overlapping bands — searchsorted,
+                                     no shuffle); ``range_join_binned``
+                                     (large overlapping sets — one bin
+                                     exchange)
 """
 
 from __future__ import annotations
@@ -480,3 +489,55 @@ def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
         rt.map_batches(pad, batch_format='pyarrow'))
     return both.groupby(BUCKET_COL).map_groups(merge,
                                                batch_format='pyarrow')
+
+
+def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
+                        value_cols, suffix: str = '_state',
+                        concurrency: int = 2):
+    """As-of join against a SMALL state table (config/dimension history):
+    the state broadcasts once via the object store and every batch runs
+    the same strict-< backward match kernel locally — NO exchange at all,
+    the no-shuffle analog of ``broadcast_join``. Use the dataset-level
+    ``asof_join`` when the state side is large."""
+    import ray as _ray
+
+    from .window import asof_backward
+
+    sdf = state.to_pandas()
+    ref = _ray.put((sdf[by].to_numpy(),
+                    pd.to_datetime(sdf[on]).astype('datetime64[us]')
+                    .astype(np.int64).to_numpy()
+                    if sdf[on].dtype.kind in 'M'
+                    else sdf[on].to_numpy(np.int64),
+                    {c: sdf[c].to_numpy() for c in value_cols}))
+
+    class Matcher:
+        def __init__(self):
+            self.by_vals, self.ts, self.vals = _ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            out_cols = {c: tbl.column(c) for c in tbl.column_names}
+            if n == 0:
+                for c in value_cols:
+                    out_cols[c + suffix] = pa.array([])
+                return pa.table(out_cols)
+            lby = tbl.column(by).to_numpy(zero_copy_only=False)
+            on_arr = tbl.column(on).combine_chunks()
+            if pa.types.is_timestamp(on_arr.type):
+                lts = on_arr.cast(pa.timestamp('us')).cast(pa.int64())\
+                    .to_numpy(zero_copy_only=False)
+            else:
+                lts = on_arr.to_numpy(zero_copy_only=False)
+            # shared factorization so group codes line up across sides
+            codes, _ = pd.factorize(np.concatenate([lby, self.by_vals]))
+            lcodes, rcodes = codes[:n], codes[n:]
+            idx, ok = asof_backward(lts, lcodes, self.ts, rcodes)
+            for c in value_cols:
+                vals = self.vals[c]
+                taken = np.asarray(vals)[np.minimum(idx, len(vals) - 1)]
+                out_cols[c + suffix] = pa.array(taken, mask=~ok)
+            return pa.table(out_cols)
+
+    return ds.map_batches(Matcher, batch_format='pyarrow',
+                          zero_copy_batch=True, concurrency=concurrency)
