@@ -332,3 +332,42 @@ class TestAsofBroadcast:
         a, b = o['cfg_state'].to_numpy(), e['cfg'].to_numpy()
         assert (pd.isna(a) == pd.isna(b)).all()
         assert (a[~pd.isna(a)] == b[~pd.isna(b)]).all()
+
+
+class TestSaltedJoin:
+    def test_skewed_key_matches_pandas(self, ray_session):
+        """One key holds half the left rows: the salted join must equal
+        a plain pandas merge, for inner and left, with the hot key's
+        rows spread across salts."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import salted_hash_join
+        rng = np.random.default_rng(8)
+        keys = np.concatenate([np.full(3000, 7, dtype=np.int64),
+                               rng.integers(0, 50, 3000)])
+        rng.shuffle(keys)
+        left = pa.table({'k': keys,
+                         'x': np.arange(6000, dtype=np.int64)})
+        right = pa.table({'k': np.arange(0, 40, dtype=np.int64),
+                          'name': [f'n{i}' for i in range(40)]})
+        for how in ('inner', 'left'):
+            out = salted_hash_join(
+                rd.from_arrow(left).repartition(4),
+                rd.from_arrow(right), on='k', hot_keys=[7],
+                how=how, num_buckets=8, salt_factor=4).to_pandas()
+            exp = left.to_pandas().merge(right.to_pandas(), on='k',
+                                         how=how)
+            o = out.sort_values(['k', 'x']).reset_index(drop=True)
+            e = exp.sort_values(['k', 'x']).reset_index(drop=True)
+            assert len(o) == len(e), how
+            a, b = o['name'].to_numpy(), e['name'].to_numpy()
+            assert (pd.isna(a) == pd.isna(b)).all()
+            assert (a[~pd.isna(a)] == b[~pd.isna(b)]).all()
+
+    def test_rejects_outer(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from trafaret_ray.stages.joins import salted_hash_join
+        t = pa.table({'k': pa.array([1], type=pa.int64())})
+        with pytest.raises(ValueError):
+            salted_hash_join(rd.from_arrow(t), rd.from_arrow(t), 'k',
+                             hot_keys=[1], how='outer')

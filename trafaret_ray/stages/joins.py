@@ -541,3 +541,56 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
 
     return ds.map_batches(Matcher, batch_format='pyarrow',
                           zero_copy_batch=True, concurrency=concurrency)
+
+
+def salted_hash_join(left, right, on: str, hot_keys, how: str = 'inner',
+                     num_buckets: int = 32, salt_factor: int = 8,
+                     suffixes=('', '_r'),
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None):
+    """Skew-hardened ``hash_join``: rows carrying a HOT key spread over
+    ``salt_factor`` sub-buckets on the left (round-robin within each
+    batch — any assignment yields the same join result), while the
+    right side REPLICATES its hot-key rows to every salt; cold keys take
+    salt 0 on both sides. The exchange then buckets on (key, salt), so
+    no single bucket holds a hot key's full row set. One exchange, same
+    output as hash_join. ``how`` is limited to inner/left: replicating
+    the right side would duplicate unmatched right rows under right/full
+    outer semantics."""
+    if how not in ('inner', 'left'):
+        raise ValueError('salted_hash_join supports inner/left only')
+    hot_arr = pa.array(list(hot_keys))
+
+    def salt_left(tbl: pa.Table) -> pa.Table:
+        hot = pc.is_in(tbl.column(on), value_set=hot_arr)\
+            .to_numpy(zero_copy_only=False)
+        salt = np.where(hot, np.arange(len(hot)) % salt_factor, 0)
+        return tbl.append_column('_salt',
+                                 pa.array(salt.astype(np.int32)))
+
+    def salt_right(tbl: pa.Table) -> pa.Table:
+        hot = pc.is_in(tbl.column(on), value_set=hot_arr)\
+            .to_numpy(zero_copy_only=False)
+        reps = np.where(hot, salt_factor, 1)
+        idx = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), reps)
+        run_start = np.repeat(np.cumsum(reps) - reps, reps)
+        salts = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - run_start).astype(np.int32)
+        out = tbl.take(pa.array(idx, type=pa.int64()))
+        return out.append_column('_salt', pa.array(salts))
+
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lt = left.map_batches(salt_left, batch_format='pyarrow',
+                          zero_copy_batch=True)
+    rt = right.map_batches(salt_right, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    joined = hash_join(
+        lt, rt, on=[on, '_salt'], how=how, num_buckets=num_buckets,
+        suffixes=suffixes,
+        left_schema=pa.schema(list(zip(lschema.names, lschema.types))
+                              + [('_salt', pa.int32())]),
+        right_schema=pa.schema(list(zip(rschema.names, rschema.types))
+                               + [('_salt', pa.int32())]))
+    return joined.map_batches(lambda t: t.drop_columns(['_salt']),
+                              batch_format='pyarrow')
