@@ -1852,3 +1852,77 @@ ORACLE_SQL['q_normalized_dedup_docs'] = """
            count(*) AS n_dups
     FROM n GROUP BY text_norm ORDER BY min(doc_id)
 """
+
+
+def q_token_rarity_docs(sf_dir: str):
+    """Corpus-statistics quality signal: per doc the mean GLOBAL count
+    of its tokens and its rare-token count (global count <= 2) — the
+    integer-exact stand-in for LM logprob scoring. Two passes: a
+    bucket-aggregated vocabulary (one partial exchange), broadcast as an
+    Arrow key array + count vector, then a zero-shuffle per-doc rollup
+    (index_in + bincount). Integer sums make the result byte-stable."""
+    import ray as _ray
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        return pa.table({'tok': words.flatten()})
+
+    vocab = bucket_aggregate(
+        ds.map_batches(explode, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['tok'], {'cnt': ('tok', 'count')}).to_pandas()
+    keys = pa.array(vocab['tok'].to_numpy())
+    vals = vocab['cnt'].to_numpy(dtype=np.int64)
+    ref = _ray.put((keys, vals))
+
+    class Score:
+        def __init__(self):
+            self.keys, self.vals = _ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            words = pc.split_pattern(
+                pc.fill_null(tbl.column('text').combine_chunks(), ''),
+                ' ')
+            wc = pc.list_value_length(words).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = words.flatten()
+            idx = pc.index_in(flat, value_set=self.keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cnts = self.vals[idx]
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), wc)
+            sums = np.bincount(doc_of, weights=cnts,
+                               minlength=n).astype(np.int64)
+            rare = np.bincount(doc_of, weights=(cnts <= 2),
+                               minlength=n).astype(np.int64)
+            return pa.table({
+                'doc_id': tbl.column('doc_id'),
+                'n_tokens': pa.array(wc),
+                'mean_token_count': pa.array(np.round(
+                    sums.astype(np.float64) / wc, 6)),
+                'n_rare': pa.array(rare),
+            })
+
+    return ds.map_batches(Score, batch_format='pyarrow',
+                          zero_copy_batch=True,
+                          concurrency=2).sort('doc_id')
+
+
+QUERIES['q_token_rarity_docs'] = q_token_rarity_docs
+ORACLE_SQL['q_token_rarity_docs'] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(cast(sum(v.cnt) AS DOUBLE) / count(*), 6)
+             AS mean_token_count,
+           cast(sum(CASE WHEN v.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare
+    FROM toks t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
