@@ -183,3 +183,19 @@ class TestSketches:
             .set_index('g')['approx_distinct']
         for g in ('a', 'b'):
             assert abs(approx[g] - exact[g]) / exact[g] < 0.05, g
+
+    def test_ngram_jaccard_sizes_join_mode(self, ray_session):
+        """sizes_mode='join' (the 10^12-doc scale path: size table never
+        on the driver) produces exactly the broadcast-mode result."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import ngram_jaccard_pairs
+        a = ngram_jaccard_pairs(rd.from_arrow(corpus()), threshold=0.5,
+                                num_buckets=8).to_pandas()\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        b = ngram_jaccard_pairs(rd.from_arrow(corpus()), threshold=0.5,
+                                num_buckets=8, sizes_mode='join')\
+            .to_pandas()[['doc_a', 'doc_b', 'jaccard']]\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        assert a[['doc_a', 'doc_b']].values.tolist() \
+            == b[['doc_a', 'doc_b']].values.tolist()
+        assert np.allclose(a['jaccard'], b['jaccard'])

@@ -41,7 +41,7 @@ def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
 def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                         k: int = 3, threshold: float = 0.5,
                         num_buckets: int = 32, max_df: int | None = 50,
-                        candidates=None):
+                        candidates=None, sizes_mode: str = 'broadcast'):
     """EXACT word-k-gram Jaccard similar pairs (doc_a, doc_b, jaccard).
 
     ONE shingling pass + ONE exchange: each doc explodes to DISTINCT
@@ -52,6 +52,12 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
     df-capped per-doc size partials AND the pair partials in a single
     pass; only those tiny partials flow downstream. Docs with < k words
     emit zero shingles (oracle parity: its NULL shingles never join).
+
+    ``sizes_mode``: 'broadcast' (default) attaches capped per-doc sizes
+    via a broadcast table + ``pc.index_in`` — bounded by one 16-byte row
+    per doc with ≥1 kept shingle. 'join' is the 10^12-doc scale path:
+    sizes stay a Dataset and attach through two partitioned hash joins
+    (doc_a then doc_b) — no driver-side size table at all.
 
     A stop-shingle appearing in d docs emits d² pairs, so hashes with
     document frequency > ``max_df`` are DROPPED on both engines (the
@@ -126,19 +132,22 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
             return tbl.filter(mask if want_sizes else pc.invert(mask))
         return f
 
-    sizes = bucket_aggregate(
+    sizes_ds = bucket_aggregate(
         partial.map_batches(_side(True), batch_format='pyarrow'),
         ['doc_a'], {'sz': ('common', 'sum')},
-        num_buckets=num_buckets).to_pandas()
-    if len(sizes) == 0 or 'doc_a' not in sizes.columns:
-        import ray.data as _rd
-        return _rd.from_arrow(pa.table(
-            {'doc_a': pa.array([], pa.int64()),
-             'doc_b': pa.array([], pa.int64()),
-             'jaccard': pa.array([], pa.float64())}))
-    size_keys = pa.array(sizes['doc_a'].to_numpy(dtype=np.int64))
-    size_vals = sizes['sz'].to_numpy(dtype=np.float64)
-    sz_ref = _ray.put((size_keys, size_vals))
+        num_buckets=num_buckets)
+    sz_ref = None
+    if sizes_mode == 'broadcast':
+        sizes = sizes_ds.to_pandas()
+        if len(sizes) == 0 or 'doc_a' not in sizes.columns:
+            import ray.data as _rd
+            return _rd.from_arrow(pa.table(
+                {'doc_a': pa.array([], pa.int64()),
+                 'doc_b': pa.array([], pa.int64()),
+                 'jaccard': pa.array([], pa.float64())}))
+        size_keys = pa.array(sizes['doc_a'].to_numpy(dtype=np.int64))
+        size_vals = sizes['sz'].to_numpy(dtype=np.float64)
+        sz_ref = _ray.put((size_keys, size_vals))
 
     pair_partials = partial.map_batches(_side(False),
                                         batch_format='pyarrow')
@@ -177,34 +186,100 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                                    'is_cand': ('is_cand', 'max')},
                                   num_buckets=num_buckets)
 
-    def jaccard(tbl: pa.Table) -> pa.Table:
+    _EMPTY_J = pa.table({'doc_a': pa.array([], pa.int64()),
+                         'doc_b': pa.array([], pa.int64()),
+                         'jaccard': pa.array([], pa.float64())})
+
+    def _restrict(tbl: pa.Table):
+        """Candidate filter shared by both size modes; None if drained."""
         if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
-            return pa.table({'doc_a': pa.array([], pa.int64()),
-                             'doc_b': pa.array([], pa.int64()),
-                             'jaccard': pa.array([], pa.float64())})
+            return None
         if candidates is not None:
             # keep only marked candidate pairs with real shingle overlap
             tbl = tbl.filter(pc.and_(
                 pc.greater(pc.cast(tbl.column('is_cand'), pa.int64()), 0),
                 pc.greater(pc.cast(tbl.column('common'), pa.int64()), 0)))
             if tbl.num_rows == 0:
-                return pa.table({'doc_a': pa.array([], pa.int64()),
-                                 'doc_b': pa.array([], pa.int64()),
-                                 'jaccard': pa.array([], pa.float64())})
-        keys, vals = _ray.get(sz_ref)
-        sz_a = vals[pc.index_in(tbl.column('doc_a'), value_set=keys)
-                    .to_numpy(zero_copy_only=False)]
-        sz_b = vals[pc.index_in(tbl.column('doc_b'), value_set=keys)
-                    .to_numpy(zero_copy_only=False)]
+                return None
+        return tbl
+
+    def _finish(tbl: pa.Table, sz_a, sz_b) -> pa.Table:
         common = tbl.column('common').to_numpy(zero_copy_only=False)\
             .astype(np.float64)
         j = np.round(common / (sz_a + sz_b - common), 6)
         out = pa.table({'doc_a': tbl.column('doc_a'),
                         'doc_b': tbl.column('doc_b'),
                         'jaccard': pa.array(j, type=pa.float64())})
-        return out.filter(pc.greater_equal(out.column('jaccard'), threshold))
+        return out.filter(pc.greater_equal(out.column('jaccard'),
+                                           threshold))
 
-    return merged.map_batches(jaccard, batch_format='pyarrow')
+    if sizes_mode == 'broadcast':
+        def jaccard(tbl: pa.Table) -> pa.Table:
+            tbl = _restrict(tbl)
+            if tbl is None:
+                return _EMPTY_J
+            keys, vals = _ray.get(sz_ref)
+            sz_a = vals[pc.index_in(tbl.column('doc_a'), value_set=keys)
+                        .to_numpy(zero_copy_only=False)]
+            sz_b = vals[pc.index_in(tbl.column('doc_b'), value_set=keys)
+                        .to_numpy(zero_copy_only=False)]
+            return _finish(tbl, sz_a, sz_b)
+
+        return merged.map_batches(jaccard, batch_format='pyarrow')
+
+    # sizes_mode == 'join': sizes stay a Dataset; attach via two
+    # partitioned hash joins (explicit schemas — all inputs are derived)
+    from .joins import hash_join
+
+    def ren(a_name, sz_name):
+        def f(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+                return pa.table({a_name: pa.array([], pa.int64()),
+                                 sz_name: pa.array([], pa.int64())})
+            return pa.table({
+                a_name: tbl.column('doc_a').combine_chunks()
+                .cast(pa.int64()),
+                sz_name: pc.cast(tbl.column('sz'), pa.int64())})
+        return f
+
+    mcols = [('doc_a', pa.int64()), ('doc_b', pa.int64()),
+             ('common', pa.int64())]
+    if candidates is not None:
+        mcols.append(('is_cand', pa.int8()))
+
+    def coerce_m(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+            return pa.table({n: pa.array([], t) for n, t in mcols})
+        return pa.table({n: tbl.column(n).combine_chunks().cast(t)
+                         for n, t in mcols})
+
+    merged = merged.map_batches(coerce_m, batch_format='pyarrow')
+    j1 = hash_join(
+        merged, sizes_ds.map_batches(ren('doc_a', 'sz_a'),
+                                     batch_format='pyarrow'),
+        on='doc_a', num_buckets=num_buckets,
+        left_schema=pa.schema(mcols),
+        right_schema=pa.schema([('doc_a', pa.int64()),
+                                ('sz_a', pa.int64())]))
+    j2 = hash_join(
+        j1, sizes_ds.map_batches(ren('doc_b', 'sz_b'),
+                                 batch_format='pyarrow'),
+        on='doc_b', num_buckets=num_buckets,
+        left_schema=pa.schema(mcols + [('sz_a', pa.int64())]),
+        right_schema=pa.schema([('doc_b', pa.int64()),
+                                ('sz_b', pa.int64())]))
+
+    def jaccard_joined(tbl: pa.Table) -> pa.Table:
+        tbl = _restrict(tbl)
+        if tbl is None:
+            return _EMPTY_J
+        sz_a = pc.cast(tbl.column('sz_a'), pa.float64())\
+            .to_numpy(zero_copy_only=False)
+        sz_b = pc.cast(tbl.column('sz_b'), pa.float64())\
+            .to_numpy(zero_copy_only=False)
+        return _finish(tbl, sz_a, sz_b)
+
+    return j2.map_batches(jaccard_joined, batch_format='pyarrow')
 
 
 def minhash_signature_ds(ds, text_col='text', id_col='doc_id',
