@@ -199,3 +199,15 @@ class TestSketches:
         assert a[['doc_a', 'doc_b']].values.tolist() \
             == b[['doc_a', 'doc_b']].values.tolist()
         assert np.allclose(a['jaccard'], b['jaccard'])
+
+    def test_minhash_dedup_bloom_ids_mode(self, ray_session):
+        """ids_mode='bloom' (no exact id broadcast) yields the identical
+        clustering: Bloom false positives only admit extra docs into the
+        verify, where the candidate-pair restriction drops them."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import minhash_dedup
+        a = minhash_dedup(rd.from_arrow(corpus()),
+                          threshold=0.5).to_pandas()
+        b = minhash_dedup(rd.from_arrow(corpus()), threshold=0.5,
+                          ids_mode='bloom').to_pandas()
+        assert a.values.tolist() == b.values.tolist()

@@ -337,7 +337,7 @@ def minhash_candidates(ds, text_col='text', id_col='doc_id', num_perm=128,
 
 def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
                   num_perm=128, num_bands=32, shingle_k=3, seed=1234,
-                  num_buckets=32):
+                  num_buckets=32, ids_mode: str = 'broadcast'):
     """MinHash-LSH near-dup clusters: LSH candidates → DISTRIBUTED exact
     Jaccard verify, restricted to the candidate pairs inside the
     verify's own (doc_a, doc_b) bucket merge (hashed-shingle
@@ -349,13 +349,16 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
     → m² candidate pairs) cannot exhaust driver memory. The one
     broadcast object is the distinct candidate DOC-ID array used to
     pre-filter the corpus (bounded by corpus doc count at 8 bytes/id —
-    the standard broadcast-small-side pattern; at 10^12 docs swap the
-    semi_join for bloom_build + semi_join_bloom, same plan otherwise).
+    the standard broadcast-small-side pattern). ``ids_mode='bloom'`` is
+    the 10^12-doc path: the pre-filter becomes a distributed Bloom
+    filter whose false positives only admit extra docs into the verify,
+    where the candidate-pair restriction drops them — the OUTPUT is
+    identical in both modes (tested).
     """
     import ray.data as rd
 
     from .graph import connected_components
-    from .joins import semi_join
+    from .joins import semi_join, semi_join_bloom
 
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       'cluster_id': pa.array([], pa.int64())})
@@ -371,7 +374,10 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
             t.column('doc_a').combine_chunks(),
             t.column('doc_b').combine_chunks()])}),
         batch_format='pyarrow', zero_copy_batch=True)
-    docs_c = semi_join(ds, ids_of_pairs, id_col)
+    if ids_mode == 'bloom':
+        docs_c = semi_join_bloom(ds, ids_of_pairs, id_col)
+    else:
+        docs_c = semi_join(ds, ids_of_pairs, id_col)
 
     # exact jaccard over candidate docs (uncapped — the candidate set is
     # LSH-bounded), RESTRICTED to the LSH candidate pairs inside the
