@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     'q_struct_payload_events', 'q_partsupp_returns',
     'q_value_bands_events', 'q_session_paths_events',
     'q_quality_filter_docs', 'q_normalized_dedup_docs',
-    'q_token_rarity_docs',
+    'q_token_rarity_docs', 'q_priority_revenue_salted',
 ]
 
 

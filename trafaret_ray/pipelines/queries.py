@@ -1926,3 +1926,64 @@ ORACLE_SQL['q_token_rarity_docs'] = """
     FROM toks t JOIN vocab v USING (tok)
     GROUP BY t.doc_id ORDER BY t.doc_id
 """
+
+
+def q_priority_revenue_salted(sf_dir: str):
+    """q_priority_revenue through the SKEW-SALTED join
+    (stages/joins.py:salted_hash_join): the most frequent orderkeys are
+    treated as hot — spread over salts on the fact side, replicated per
+    salt on the dim side. Salting must never change results, so this
+    byte-matches the SAME oracle as the plain join."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import salted_hash_join
+    lineitem = _read(sf_dir, 'lineitem',
+                     ['l_orderkey', 'l_extendedprice', 'l_discount'])
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        r = pc.multiply(tbl.column('l_extendedprice'),
+                        pc.subtract(pa.scalar(1.0),
+                                    tbl.column('l_discount')))
+        return pa.table({'o_orderkey': tbl.column('l_orderkey'),
+                         'rev6': _fixed6(r)})
+
+    lrev = lineitem.map_batches(rev, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    per_order = bucket_aggregate(lrev, ['o_orderkey'],
+                                 {'rev6': ('rev6', 'sum'),
+                                  'n_items': ('rev6', 'count')},
+                                 num_buckets=16)
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
+    # deterministic 'hot' set: the first 100 orderkeys — the point is
+    # exercising the salted path under the byte gate, not skew detection
+    hot = list(range(1, 101))
+    li = dict(zip(lineitem.schema().names, lineitem.schema().types))
+    joined = salted_hash_join(
+        per_order, orders, on='o_orderkey', hot_keys=hot,
+        num_buckets=16, salt_factor=4,
+        left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
+                               ('rev6', pa.int64()),
+                               ('n_items', pa.int64())]))
+
+    def reint(tbl: pa.Table) -> pa.Table:
+        cols = {}
+        for n in tbl.column_names:
+            cols[n] = (pc.cast(tbl.column(n), pa.int64())
+                       if n in ('rev6', 'n_items') else tbl.column(n))
+        return pa.table(cols)
+
+    joined = joined.map_batches(reint, batch_format='pyarrow')
+    out = pre_aggregate(joined, ['o_orderpriority'],
+                        {'rev6': ('rev6', 'sum'),
+                         'n_items': ('n_items', 'sum')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'o_orderpriority': tbl.column('o_orderpriority'),
+                         'total_revenue': _unfix6(tbl.column('rev6')),
+                         'n_items': tbl.column('n_items')})
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('o_orderpriority')
+
+
+QUERIES['q_priority_revenue_salted'] = q_priority_revenue_salted
+ORACLE_SQL['q_priority_revenue_salted'] = ORACLE_SQL['q_priority_revenue']
