@@ -1,0 +1,86 @@
+"""End-to-end LLM training-data curation pipeline: the composition a
+100-TB corpus actually runs, chaining the engine's curation operators
+with the minimum shuffle budget.
+
+    normalize (map) → language filter (map) → quality gate (map)
+      → exact dedup on normalized text (one partial exchange + semi join)
+      → MinHash-LSH near-dedup, keep cluster canonicals (LSH index
+        exchange + distributed verify + anti join)
+
+Each stage is the already-tested operator; this module only wires them.
+Shuffle budget: one fingerprint-partial exchange + the LSH index
+exchange — the raw text crosses the wire zero times after the read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
+                     langs=('en', 'de', 'es'), min_words: int = 5,
+                     near_threshold: float = 0.7, num_buckets: int = 32):
+    """corpus Dataset → curated Dataset (id, text_norm, lang, n_words).
+
+    Kept rows: detected language in ``langs``, at least ``min_words``
+    whitespace tokens after normalization, first (min id) per exact
+    normalized duplicate group, and first per near-duplicate cluster at
+    ``near_threshold`` jaccard. Deterministic end-to-end (fixed LSH
+    seeds), so reruns are byte-identical."""
+    from ..functions.text import (language_id, normalize_text,
+                                  whitespace_token_count)
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.dedup import minhash_dedup
+    from ..stages.joins import anti_join, semi_join
+
+    def clean(tbl: pa.Table) -> pa.Table:
+        norm = normalize_text(tbl.column(text_col).combine_chunks())
+        lang, _conf = language_id(norm)
+        nw = whitespace_token_count(norm)
+        out = pa.table({
+            id_col: tbl.column(id_col),
+            'text_norm': norm,
+            'lang': pa.array(lang),
+            'n_words': pc.cast(nw, pa.int64()),
+        })
+        keep = pc.and_(
+            pc.is_in(out.column('lang'),
+                     value_set=pa.array(list(langs))),
+            pc.greater_equal(out.column('n_words'),
+                             pa.scalar(min_words, type=pa.int64())))
+        return out.filter(keep)
+
+    cleaned = ds.map_batches(clean, batch_format='pyarrow',
+                             zero_copy_batch=True)
+
+    # exact dedup on the normalized text: canonical = min id per text
+    canon = bucket_aggregate(
+        cleaned.map_batches(
+            lambda t: t.select([id_col, 'text_norm']),
+            batch_format='pyarrow'),
+        ['text_norm'], {id_col: (id_col, 'min')},
+        num_buckets=num_buckets)
+    ids_only = canon.map_batches(lambda t: t.select([id_col])
+                                 if id_col in t.column_names else
+                                 pa.table({id_col: pa.array([],
+                                                            pa.int64())}),
+                                 batch_format='pyarrow')
+    exact_unique = semi_join(cleaned, ids_only, id_col)
+
+    # near-dedup over the exact-unique survivors: drop every cluster
+    # member except the canonical (min id)
+    clusters = minhash_dedup(exact_unique, text_col='text_norm',
+                             id_col=id_col, threshold=near_threshold,
+                             num_buckets=num_buckets)
+
+    def non_canon(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or id_col not in tbl.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        keep = pc.not_equal(tbl.column(id_col),
+                            tbl.column('cluster_id'))
+        return tbl.filter(keep).select([id_col])
+
+    drop_ids = clusters.map_batches(non_canon, batch_format='pyarrow')
+    return anti_join(exact_unique, drop_ids, id_col)

@@ -1987,3 +1987,19 @@ def q_priority_revenue_salted(sf_dir: str):
 
 QUERIES['q_priority_revenue_salted'] = q_priority_revenue_salted
 ORACLE_SQL['q_priority_revenue_salted'] = ORACLE_SQL['q_priority_revenue']
+
+
+def q_curate_docs(sf_dir: str):
+    """The end-to-end curation composition (pipelines/curation.py):
+    normalize → language filter → quality gate → exact dedup →
+    near-dedup keep-canonical. Deterministic but LSH-based → rows-only
+    driver check; the gates and dedup steps are individually
+    oracle-checked by their own queries."""
+    from .curation import curate_documents
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return curate_documents(ds, langs=('en', 'de', 'es'), min_words=5,
+                            near_threshold=0.5,
+                            num_buckets=16).sort('doc_id')
+
+
+QUERIES['q_curate_docs'] = q_curate_docs
