@@ -2003,3 +2003,71 @@ def q_curate_docs(sf_dir: str):
 
 
 QUERIES['q_curate_docs'] = q_curate_docs
+
+
+def q_list_payload_embeddings(sf_dir: str):
+    """List-payload contracts end-to-end: the embeddings list<float>
+    column validates through Dict + List(Float bounds, fixed length) —
+    vectorized over the ListArray (contracts/record.py List.apply;
+    reference List semantics base.py:788-884) — out-of-bound vectors
+    quarantine, survivors emit order-independent list stats."""
+    import trafaret_ray.contracts as t
+    from ..contracts import BatchValidator
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'label', 'embedding'])
+
+    contract = t.Dict(
+        vec_id=t.Int(gte=0),
+        label=t.Int(gte=0, lte=9),
+        embedding=t.List(t.Float(gte=-0.5, lte=0.5),
+                         min_length=64, max_length=64))
+
+    class Gate:
+        def __init__(self):
+            self.v = BatchValidator(contract)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            ok, _q = self.v.split(tbl)
+            emb = ok.column('embedding').combine_chunks()
+            n = len(emb)
+            if n == 0:
+                return pa.table({'vec_id': pa.array([], pa.int64()),
+                                 'label': pa.array([], pa.int64()),
+                                 'n_dims': pa.array([], pa.int64()),
+                                 'emb_min': pa.array([], pa.float64()),
+                                 'emb_max': pa.array([], pa.float64())})
+            flat = np.asarray(emb.flatten().to_numpy(
+                zero_copy_only=False), dtype=np.float64)
+            lens = pc.list_value_length(emb).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            return pa.table({
+                'vec_id': ok.column('vec_id'),
+                'label': pc.cast(ok.column('label'), pa.int64()),
+                'n_dims': pa.array(lens),
+                'emb_min': pa.array(np.round(
+                    np.minimum.reduceat(flat, offs), 6)),
+                'emb_max': pa.array(np.round(
+                    np.maximum.reduceat(flat, offs), 6)),
+            })
+
+    return ds.map_batches(Gate, batch_format='pyarrow',
+                          zero_copy_batch=True,
+                          concurrency=2).sort('vec_id')
+
+
+QUERIES['q_list_payload_embeddings'] = q_list_payload_embeddings
+ORACLE_SQL['q_list_payload_embeddings'] = """
+    SELECT vec_id, cast(label AS BIGINT) AS label,
+           cast(len(embedding) AS BIGINT) AS n_dims,
+           round(cast(list_aggregate(embedding, 'min') AS DOUBLE), 6)
+             AS emb_min,
+           round(cast(list_aggregate(embedding, 'max') AS DOUBLE), 6)
+             AS emb_max
+    FROM embeddings
+    WHERE vec_id >= 0 AND label BETWEEN 0 AND 9
+      AND len(embedding) = 64
+      AND list_aggregate(embedding, 'min') >= -0.5
+      AND list_aggregate(embedding, 'max') <= 0.5
+    ORDER BY vec_id
+"""
