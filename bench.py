@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     'q_value_bands_events', 'q_session_paths_events',
     'q_quality_filter_docs', 'q_normalized_dedup_docs',
     'q_token_rarity_docs', 'q_priority_revenue_salted',
-    'q_curate_docs', 'q_list_payload_embeddings',
+    'q_curate_docs', 'q_list_payload_embeddings', 'q_chunk_docs',
 ]
 
 

@@ -412,3 +412,35 @@ def quality_features(text: pa.Array) -> dict[str, pa.Array]:
         'stopword_ratio': pa.array(stop_ratio),
         'distinct_word_ratio': pa.array(distinct_ratio),
     }
+
+
+def chunk_token_windows(text_col: pa.Array, chunk: int = 128,
+                        overlap: int = 32):
+    """Split each doc into overlapping whitespace-token windows — the
+    training-example chunking step. Stride S = chunk - overlap; chunk i
+    covers tokens [i*S, min(i*S + chunk, n)); docs with n <= chunk emit
+    exactly one window. Returns (doc_idx, chunk_id, chunk_text,
+    n_tokens) numpy arrays. One Arrow split pass; the only per-item work
+    is the string join per WINDOW (strings force a join; total joined
+    bytes ≈ corpus bytes x chunk/stride)."""
+    if overlap >= chunk:
+        raise ValueError('overlap must be smaller than chunk')
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    stride = chunk - overlap
+    words = pc.split_pattern(pc.fill_null(text_col, ''), ' ')
+    wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    tok_off = np.zeros(len(wc), dtype=np.int64)
+    np.cumsum(wc[:-1], out=tok_off[1:])
+    n_chunks = np.where(wc <= chunk, 1,
+                        1 + np.ceil((wc - chunk) / stride).astype(np.int64))
+    doc_idx = np.repeat(np.arange(len(wc), dtype=np.int64), n_chunks)
+    run_start = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - run_start
+    starts = tok_off[doc_idx] + chunk_id * stride
+    ends = np.minimum(starts + chunk, tok_off[doc_idx] + wc[doc_idx])
+    texts = np.array([' '.join(flat[a:b]) for a, b in zip(starts, ends)],
+                     dtype=object)
+    return doc_idx, chunk_id, texts, (ends - starts)

@@ -2071,3 +2071,47 @@ ORACLE_SQL['q_list_payload_embeddings'] = """
       AND list_aggregate(embedding, 'max') <= 0.5
     ORDER BY vec_id
 """
+
+
+def q_chunk_docs(sf_dir: str):
+    """Training-example chunking: overlapping 32-token windows with
+    8-token overlap per doc (functions/text.py:chunk_token_windows —
+    map-only explode, zero shuffle; explosion factor chunk/stride)."""
+    from ..functions.text import chunk_token_windows
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def chunks(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column('doc_id').to_numpy(zero_copy_only=False)
+        di, ci, texts, nt = chunk_token_windows(
+            tbl.column('text'), chunk=32, overlap=8)
+        return pa.table({
+            'doc_id': pa.array(ids[di], type=pa.int64()),
+            'chunk_id': pa.array(ci),
+            'chunk_text': pa.array(texts, type=pa.string()),
+            'n_tokens': pa.array(nt),
+        })
+
+    return ds.map_batches(chunks, batch_format='pyarrow',
+                          zero_copy_batch=True)\
+        .sort(['doc_id', 'chunk_id'])
+
+
+QUERIES['q_chunk_docs'] = q_chunk_docs
+ORACLE_SQL['q_chunk_docs'] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, ws, n, x AS chunk_id
+      FROM w, unnest(range(0,
+        CASE WHEN n <= 32 THEN 1
+             ELSE 1 + cast(ceil((n - 32) * 1.0 / 24) AS BIGINT) END))
+        t(x))
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ws, chunk_id * 24 + 1,
+                                      least(chunk_id * 24 + 32, n)), ' ')
+             AS chunk_text,
+           cast(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+"""
