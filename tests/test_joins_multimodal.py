@@ -371,3 +371,44 @@ class TestSaltedJoin:
         with pytest.raises(ValueError):
             salted_hash_join(rd.from_arrow(t), rd.from_arrow(t), 'k',
                              hot_keys=[1], how='outer')
+
+
+class TestRangeJoinRegressions:
+    def test_binned_preserves_int64_ids(self, ray_session):
+        """64-bit ids above 2^53 must survive the binned range join
+        bit-exact (the Arrow-native merge never floatifies them)."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import range_join_binned
+        big = np.array([2**62 + 12345, 2**62 + 12346], dtype=np.int64)
+        left = pa.table({'id': big, 'v': pa.array([1.5, 2.5])})
+        right = pa.table({'lo': pa.array([0.0]), 'hi': pa.array([10.0]),
+                          'iv': np.array([2**62 + 99], dtype=np.int64)})
+        out = range_join_binned(rd.from_arrow(left),
+                                rd.from_arrow(right), 'v',
+                                bin_width=5.0, num_buckets=4).to_pandas()
+        assert out['id'].dtype == np.int64
+        assert sorted(out['id']) == sorted(big)
+        assert (out['iv'] == 2**62 + 99).all()
+
+    def test_broadcast_empty_bands(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import range_join_broadcast
+        empty = pa.table({'lo': pa.array([], pa.float64()),
+                          'hi': pa.array([], pa.float64()),
+                          'band': pa.array([], pa.string())})
+        ds = rd.from_arrow(pa.table({'v': pa.array([1.0, 2.0])}))
+        assert len(range_join_broadcast(ds, empty, 'v').to_pandas()) == 0
+        outl = range_join_broadcast(ds, empty, 'v', how='left').to_pandas()
+        assert len(outl) == 2 and outl['band'].isna().all()
+
+    def test_asof_broadcast_empty_state(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join_broadcast
+        left = pa.table({'ent': pa.array([1, 2], type=pa.int64()),
+                         'ts': pa.array([10, 20], type=pa.int64())})
+        state = pa.table({'ent': pa.array([], pa.int64()),
+                          'ts': pa.array([], pa.int64()),
+                          'cfg': pa.array([], pa.int64())})
+        out = asof_join_broadcast(rd.from_arrow(left), state, by='ent',
+                                  on='ts', value_cols=['cfg']).to_pandas()
+        assert len(out) == 2 and out['cfg_state'].isna().all()

@@ -378,8 +378,13 @@ def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
         def __call__(self, tbl: pa.Table) -> pa.Table:
             v = tbl.column(value_col).combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.float64)
-            idx = np.searchsorted(self.los, v, side='right') - 1
-            ok = (idx >= 0) & (v < self.his[np.maximum(idx, 0)])
+            if len(self.los) == 0:
+                # empty banding table: zero matches, not a crash
+                idx = np.zeros(len(v), dtype=np.int64)
+                ok = np.zeros(len(v), dtype=bool)
+            else:
+                idx = np.searchsorted(self.los, v, side='right') - 1
+                ok = (idx >= 0) & (v < self.his[np.maximum(idx, 0)])
             if how == 'inner':
                 keep = np.nonzero(ok)[0]
                 out = tbl.take(pa.array(keep, type=pa.int64()))
@@ -392,9 +397,10 @@ def range_join_broadcast(ds, intervals: pa.Table, value_col: str,
             cols = {n: tbl.column(n) for n in tbl.column_names}
             safe = np.maximum(idx, 0)
             for c, vals in self.bands.items():
-                cols[c] = pa.array(vals[safe],
-                                   type=self.bschema.field(c).type,
-                                   mask=~ok)
+                ftype = self.bschema.field(c).type
+                cols[c] = (pa.nulls(len(v), type=ftype)
+                           if len(vals) == 0 else
+                           pa.array(vals[safe], type=ftype, mask=~ok))
             return pa.table(cols)
 
     return ds.map_batches(Matcher, batch_format='pyarrow',
@@ -412,32 +418,38 @@ def interval_bins(lo: np.ndarray, hi: np.ndarray, bin_width: float):
     b1 = np.floor(np.nextafter(hi, -np.inf) / bin_width).astype(np.int64)
     counts = np.maximum(b1 - b0 + 1, 0)
     rows = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
-    bins = np.concatenate([np.arange(a, a + c) for a, c in
-                           zip(b0, counts) if c > 0]) \
-        if counts.sum() else np.array([], dtype=np.int64)
+    # vectorized ragged ranges: global arange minus each run's start,
+    # offset by the interval's first bin (no per-interval Python loop)
+    run_start = np.repeat(np.cumsum(counts) - counts, counts)
+    bins = (np.arange(int(counts.sum()), dtype=np.int64) - run_start
+            + b0[rows]) if len(rows) else np.array([], dtype=np.int64)
     return rows, bins
 
 
 def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
                       hi_col: str = 'hi', bin_width: float = 1.0,
-                      num_buckets: int = 32):
+                      num_buckets: int = 32, suffixes=('', '_r'),
+                      left_schema: pa.Schema | None = None,
+                      right_schema: pa.Schema | None = None):
     """Range join of two LARGE datasets (intervals may overlap): left
     rows key by ``floor(value / bin_width)``; each right interval
-    explodes to every bin it overlaps; one bucket exchange co-locates
-    bin-mates and a per-bucket merge applies the exact lo <= v < hi
-    filter. Explosion factor = interval span / bin_width — pick
-    bin_width near the typical span. Returns left columns + right's
-    non-edge columns."""
-    from .conversations import BUCKET_COL, add_bucket
+    explodes to every bin it overlaps; ``hash_join`` on the bin
+    co-locates bin-mates (Arrow-native merge — int64 columns survive
+    null padding intact) and a post-filter applies the exact
+    lo <= v < hi predicate. A (value, interval) match shares exactly one
+    bin (the value's), so no dedup is needed. Explosion factor =
+    interval span / bin_width — pick bin_width near the typical span.
+    Returns left columns + right's non-edge columns (shared names take
+    ``suffixes[1]``). Pass ``left_schema``/``right_schema`` when a side
+    is a derived dataset (CLAUDE.md invariant)."""
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
 
     def tag_left(tbl: pa.Table) -> pa.Table:
         v = tbl.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
-        t = tbl.append_column('_bin', pa.array(
+        return tbl.append_column('_bin', pa.array(
             np.floor(v / bin_width).astype(np.int64)))
-        t = t.append_column('_side', pa.array(
-            np.zeros(t.num_rows, dtype=np.int8)))
-        return add_bucket(t, '_bin', num_buckets)
 
     def tag_right(tbl: pa.Table) -> pa.Table:
         lo = tbl.column(lo_col).combine_chunks().to_numpy(
@@ -446,49 +458,37 @@ def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
             zero_copy_only=False).astype(np.float64)
         rows, bins = interval_bins(lo, hi, bin_width)
         t = tbl.take(pa.array(rows, type=pa.int64()))
-        t = t.append_column('_bin', pa.array(bins, type=pa.int64()))
-        t = t.append_column('_side', pa.array(
-            np.ones(t.num_rows, dtype=np.int8)))
-        return add_bucket(t, '_bin', num_buckets)
+        return t.append_column('_bin', pa.array(bins, type=pa.int64()))
 
-    import pandas as _pd
-    lt = left.map_batches(tag_left, batch_format='pyarrow',
+    lb = left.map_batches(tag_left, batch_format='pyarrow',
                           zero_copy_batch=True)
-    rt = right.map_batches(tag_right, batch_format='pyarrow',
+    rb = right.map_batches(tag_right, batch_format='pyarrow',
                            zero_copy_batch=True)
+    joined = hash_join(
+        lb, rb, on='_bin', num_buckets=num_buckets, suffixes=suffixes,
+        left_schema=pa.schema(list(zip(lschema.names, lschema.types))
+                              + [('_bin', pa.int64())]),
+        right_schema=pa.schema(list(zip(rschema.names, rschema.types))
+                               + [('_bin', pa.int64())]))
 
-    lnt = [(n, t) for n, t in zip(left.schema().names, left.schema().types)]
-    rnt = [(n, t) for n, t in zip(right.schema().names,
-                                  right.schema().types)]
-    lnames = [n for n, _ in lnt]
-    rnames = [n for n, _ in rnt]
+    shared = set(lschema.names) & set(rschema.names)
+    rmap = {n: (n + suffixes[1] if n in shared else n)
+            for n in rschema.names}
+    lo_name, hi_name = rmap[lo_col], rmap[hi_col]
+    out_nt = list(zip(lschema.names, lschema.types)) \
+        + [(rmap[n], t) for n, t in zip(rschema.names, rschema.types)
+           if n not in (lo_col, hi_col)]
 
-    def merge(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.drop_columns([BUCKET_COL])
-        df = tbl.to_pandas()
-        # select sides by NAME (an empty side must keep its columns)
-        l = df[df['_side'] == 0][lnames + ['_bin']]
-        r = df[df['_side'] == 1][rnames + ['_bin']]
-        m = l.merge(r, on='_bin', suffixes=('', '_r'))
-        m = m[(m[lo_col] <= m[value_col]) & (m[value_col] < m[hi_col])]
-        m = m.drop(columns=['_bin', lo_col, hi_col])
-        return pa.Table.from_pandas(m, preserve_index=False)
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or value_col not in tbl.column_names:
+            return pa.table({n: pa.array([], type=t) for n, t in out_nt})
+        keep = pc.and_(
+            pc.less_equal(tbl.column(lo_name), tbl.column(value_col)),
+            pc.less(tbl.column(value_col), tbl.column(hi_name)))
+        t2 = tbl.filter(keep)
+        return pa.table({n: t2.column(n) for n, t in out_nt})
 
-    # pad both sides to a shared schema for the union
-    merged_nt = list({n: t for n, t in lnt + rnt}.items()) + \
-        [('_bin', pa.int64()), ('_side', pa.int8()),
-         (BUCKET_COL, pa.int32())]
-
-    def pad(tbl: pa.Table) -> pa.Table:
-        cols = {n: (tbl.column(n) if n in tbl.column_names
-                    else pa.nulls(tbl.num_rows, type=t))
-                for n, t in merged_nt}
-        return pa.table(cols)
-
-    both = lt.map_batches(pad, batch_format='pyarrow').union(
-        rt.map_batches(pad, batch_format='pyarrow'))
-    return both.groupby(BUCKET_COL).map_groups(merge,
-                                               batch_format='pyarrow')
+    return joined.map_batches(finish, batch_format='pyarrow')
 
 
 def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
@@ -534,9 +534,16 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
             lcodes, rcodes = codes[:n], codes[n:]
             idx, ok = asof_backward(lts, lcodes, self.ts, rcodes)
             for c in value_cols:
-                vals = self.vals[c]
-                taken = np.asarray(vals)[np.minimum(idx, len(vals) - 1)]
-                out_cols[c + suffix] = pa.array(taken, mask=~ok)
+                vals = np.asarray(self.vals[c])
+                if len(vals) == 0:
+                    # empty state: every row is unmatched, typed nulls
+                    out_cols[c + suffix] = (
+                        pa.array([None] * n) if vals.dtype == object
+                        else pa.array(np.zeros(n, dtype=vals.dtype),
+                                      mask=np.ones(n, dtype=bool)))
+                else:
+                    taken = vals[np.minimum(idx, len(vals) - 1)]
+                    out_cols[c + suffix] = pa.array(taken, mask=~ok)
             return pa.table(out_cols)
 
     return ds.map_batches(Matcher, batch_format='pyarrow',
