@@ -2115,3 +2115,57 @@ ORACLE_SQL['q_chunk_docs'] = """
            cast(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens
     FROM c ORDER BY doc_id, chunk_id
 """
+
+
+def q_brand_revenue(sf_dir: str):
+    """Broadcast join coverage: lineitem ⋈ part on partkey with the part
+    dim broadcast once via the object store (stages/joins.py:
+    broadcast_join — no shuffle for the join itself), then partial-
+    aggregated revenue per brand with fixed-point sums."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import broadcast_join
+    lineitem = _read(sf_dir, 'lineitem',
+                     ['l_partkey', 'l_extendedprice', 'l_discount'])
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        r = pc.multiply(tbl.column('l_extendedprice'),
+                        pc.subtract(pa.scalar(1.0),
+                                    tbl.column('l_discount')))
+        return pa.table({'p_partkey': tbl.column('l_partkey'),
+                         'rev6': _fixed6(r)})
+
+    lrev = lineitem.map_batches(rev, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    part = pq.read_table(f'{sf_dir}/part.parquet',
+                         columns=['p_partkey', 'p_brand'])
+    joined = broadcast_join(lrev, part, on='p_partkey')
+
+    # pandas merge floatifies int64 under the hood on some paths; pin it
+    def reint(tbl: pa.Table) -> pa.Table:
+        i = tbl.column_names.index('rev6')
+        return tbl.set_column(i, 'rev6',
+                              pc.cast(tbl.column('rev6'), pa.int64()))
+
+    out = pre_aggregate(joined.map_batches(reint, batch_format='pyarrow'),
+                        ['p_brand'], {'rev6': ('rev6', 'sum'),
+                                      'n_items': ('rev6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'p_brand': tbl.column('p_brand'),
+                         'revenue': _unfix6(tbl.column('rev6')),
+                         'n_items': tbl.column('n_items')})
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('p_brand')
+
+
+QUERIES['q_brand_revenue'] = q_brand_revenue
+ORACLE_SQL['q_brand_revenue'] = """
+    SELECT p_brand,
+           round(cast(sum(cast(floor(l_extendedprice * (1 - l_discount)
+                                     * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6, 6) AS revenue,
+           count(*)        AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+"""
