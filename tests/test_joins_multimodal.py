@@ -412,3 +412,22 @@ class TestRangeJoinRegressions:
         out = asof_join_broadcast(rd.from_arrow(left), state, by='ent',
                                   on='ts', value_cols=['cfg']).to_pandas()
         assert len(out) == 2 and out['cfg_state'].isna().all()
+
+
+class TestAsofSparseRight:
+    def test_bucket_with_no_right_rows(self, ray_session):
+        """A hash bucket holding left rows but ZERO right rows must emit
+        null matches, not crash (sparse/skewed right side)."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join
+        left = pa.table({'ent': pa.array([1, 2, 3], type=pa.int64()),
+                         'ts': pa.array([10, 20, 30], type=pa.int64()),
+                         'x': pa.array([0, 1, 2], type=pa.int64())})
+        right = pa.table({'ent': pa.array([999], type=pa.int64()),
+                          'ts': pa.array([5], type=pa.int64()),
+                          'state': pa.array([7], type=pa.int64())})
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        by='ent', on='ts', value_cols=['state'],
+                        num_buckets=4).to_pandas()
+        assert len(out) == 3
+        assert out['state_state'].isna().all()

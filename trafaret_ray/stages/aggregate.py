@@ -105,9 +105,7 @@ def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     ``group_by``. Output rows are NOT globally sorted — follow with
     ``.sort`` if order matters.
     """
-    import pandas as pd
-
-    from .conversations import BUCKET_COL, _HASH_KEY
+    from .conversations import BUCKET_COL, add_bucket
 
     plan, finals = _build_plan(aggs)
     uniq = list(dict.fromkeys(plan.values()))
@@ -119,17 +117,9 @@ def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         cols = {k: agged.column(k) for k in keys}
         for pcol, (col, fn) in plan.items():
             cols[pcol] = agged.column(f'{col}_{fn}')
-        out = pa.table(cols)
-        h = np.zeros(out.num_rows, dtype=np.uint64)
-        for k in keys:
-            vals = out.column(k).combine_chunks().to_numpy(
-                zero_copy_only=False)
-            h = (h * np.uint64(0x9E3779B97F4A7C15)
-                 + pd.util.hash_array(vals, hash_key=_HASH_KEY,
-                                      categorize=False))
-        return out.append_column(
-            BUCKET_COL, pa.array((h % np.uint64(num_buckets))
-                                 .astype(np.int32), type=pa.int32()))
+        # the ONE composite-key bucket hash (conversations.add_bucket) —
+        # keeps this exchange co-partitioned with hash_join/bucket_exchange
+        return add_bucket(pa.table(cols), keys, num_buckets)
 
     partials = ds.map_batches(partial, batch_format='pyarrow',
                               zero_copy_batch=True)

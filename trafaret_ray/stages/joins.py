@@ -339,9 +339,14 @@ def asof_join(left, right, by: str, on: str, value_cols,
         out_cols = {}
         for c in (by, on, *lcols):
             out_cols[c] = tbl.column(c).take(pa.array(li, type=pa.int64()))
+        # a bucket can hold left rows but ZERO right rows (sparse/skewed
+        # right side): every match is null then — masked take, never an
+        # index into the empty ri
+        idxs = (ri[idx] if len(ri)
+                else np.zeros(len(li), dtype=np.int64))
         for c in value_cols:
             src = tbl.column(c).combine_chunks()
-            taken = src.take(pa.array(ri[idx], mask=~ok))
+            taken = src.take(pa.array(idxs, mask=~ok))
             out_cols[c + suffix] = taken
         return pa.table(out_cols)
 
