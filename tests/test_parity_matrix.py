@@ -393,3 +393,36 @@ class TestStreamingLagger:
         assert np.allclose(got['gap_s'].to_numpy(dtype=float),
                            exp['gap_s'].to_numpy(dtype=float),
                            equal_nan=True)
+
+
+class TestStreamingSessionizerDifferential:
+    def test_randomized_vs_pandas(self, ray_session):
+        """Randomized differential: multi-batch actor feed vs a global
+        pandas sessionization (cumsum of gap breaks per entity)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        from trafaret_ray.stages.streaming import StreamingSessionizer
+        gap = 1000
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            n = 500
+            df = pd.DataFrame({
+                'user_id': rng.integers(0, 7, n),
+                'ts': pd.to_datetime(np.sort(
+                    rng.integers(0, 500_000, n)), unit='us'),
+            })
+            s = StreamingSessionizer(gap_us=gap)
+            outs = [s(pa.Table.from_pandas(df.iloc[i:i + 100],
+                                           preserve_index=False))
+                    .to_pandas() for i in range(0, n, 100)]
+            got = pd.concat(outs).sort_values(
+                ['user_id', 'ts']).reset_index(drop=True)
+            exp = df.sort_values(['user_id', 'ts']).reset_index(drop=True)
+            g = exp.groupby('user_id')
+            gaps = (exp['ts'] - g['ts'].shift(1)).dt.total_seconds() * 1e6
+            brk = (gaps > gap).fillna(False)
+            exp['session_id'] = brk.groupby(exp['user_id']).cumsum()\
+                .astype(np.int64)
+            assert got['session_id'].tolist() \
+                == exp['session_id'].tolist(), seed
