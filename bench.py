@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     'q_quality_filter_docs', 'q_normalized_dedup_docs',
     'q_token_rarity_docs', 'q_priority_revenue_salted',
     'q_curate_docs', 'q_list_payload_embeddings', 'q_chunk_docs',
-    'q_brand_revenue',
+    'q_brand_revenue', 'q_cum_distinct_events', 'q_ewma_events',
 ]
 
 

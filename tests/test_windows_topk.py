@@ -180,3 +180,25 @@ class TestGroupedQuantiles:
                 expect = round(float(np.percentile(vals, q * 100)), 6)
                 got = out[(out.g == g) & (out.q == q)]['value'].iloc[0]
                 assert got == expect
+
+
+class TestEwma:
+    def test_distributed_matches_global_pandas(self, ray_session):
+        """q_ewma_events' bucketed recursion equals a single-machine
+        pandas ewm over the globally sorted frame (partitioning must not
+        change any user's recursion order)."""
+        import pandas as pd
+        from trafaret_ray.pipelines.queries import q_ewma_events
+        out = q_ewma_events('/root/testdata/sf0.001').to_pandas()
+        df = pd.read_parquet('/root/testdata/sf0.001/events.parquet',
+                             columns=['event_id', 'user_id', 'ts',
+                                      'value'])
+        df = df.sort_values(['user_id', 'ts', 'event_id'])
+        exp = df.groupby('user_id', sort=False)['value']\
+            .ewm(alpha=0.3, adjust=False).mean()\
+            .reset_index(level=0, drop=True)
+        df = df.assign(ewma=np.round(exp.to_numpy(), 6))\
+            .sort_values('event_id').reset_index(drop=True)
+        got = out.sort_values('event_id').reset_index(drop=True)
+        assert np.allclose(got['ewma_value'], df['ewma'],
+                           rtol=0, atol=1e-9)

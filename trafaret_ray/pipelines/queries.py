@@ -2169,3 +2169,86 @@ ORACLE_SQL['q_brand_revenue'] = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def q_cum_distinct_events(sf_dir: str):
+    """Running per-user DISTINCT count: how many distinct event types the
+    user has seen up to and including each event — first-occurrence flags
+    via one lexsort over (user, type, ts, event_id), then a per-user
+    running sum in time order. One hash exchange, segmented kernels."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        et = tbl.column('event_type').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        codes, _ = pd.factorize(et)
+        codes = codes.astype(np.int64)
+        n = len(users)
+        # rows arrive sorted by (user, ts, event_id); order by
+        # (user, type) keeping time order within ties -> first occurrence
+        # of each (user, type) = run start in that ordering
+        order = np.lexsort((np.arange(n), codes, users))
+        first_sorted = np.ones(n, dtype=bool)
+        first_sorted[1:] = (users[order][1:] != users[order][:-1]) \
+            | (codes[order][1:] != codes[order][:-1])
+        first = np.empty(n, dtype=np.int64)
+        first[order] = first_sorted.astype(np.int64)
+        # running sum per user in the original (time) order
+        c = np.cumsum(first)
+        lo = np.nonzero(starts)[0]
+        sizes = np.diff(np.append(lo, n))
+        base = np.repeat(c[lo] - first[lo], sizes)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'n_distinct_types': pa.array(c - base),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_cum_distinct_events'] = q_cum_distinct_events
+ORACLE_SQL['q_cum_distinct_events'] = """
+    WITH f AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           cast(sum(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_distinct_types
+    FROM f ORDER BY event_id
+"""
+
+
+def q_ewma_events(sf_dir: str, alpha: float = 0.3):
+    """Per-user exponential moving average of value (adjust=False
+    recursion y_i = (1-a)y_{i-1} + a x_i) in (ts, event_id) order — the
+    classic decayed-history feature. One hash exchange; inside each
+    bucket pandas GroupBy.ewm runs the recursion in C per user. No SQL
+    oracle (recursive form) → rows-only driver check; distributed-vs-
+    single-machine parity is pinned in tests/test_windows_topk.py."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        df = tbl.select(['event_id', 'user_id', 'value']).to_pandas()
+        ew = df.groupby('user_id', sort=False)['value']\
+            .ewm(alpha=alpha, adjust=False).mean()\
+            .reset_index(level=0, drop=True)
+        return pa.table({
+            'event_id': pa.array(df['event_id'].to_numpy()),
+            'user_id': pa.array(df['user_id'].to_numpy()),
+            'ewma_value': pa.array(np.round(ew.to_numpy(), 6)),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_ewma_events'] = q_ewma_events
