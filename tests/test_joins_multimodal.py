@@ -431,3 +431,21 @@ class TestAsofSparseRight:
                         num_buckets=4).to_pandas()
         assert len(out) == 3
         assert out['state_state'].isna().all()
+
+    def test_asof_broadcast_empty_block_schema(self, ray_session):
+        """A zero-row block must emit the SAME typed column as matched
+        blocks (no null-typed schema drift across blocks)."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join_broadcast
+        left = pa.table({'ent': pa.array([1, 2], type=pa.int64()),
+                         'ts': pa.array([10, 20], type=pa.int64())})
+        state = pa.table({'ent': pa.array([1], type=pa.int64()),
+                          'ts': pa.array([5], type=pa.int64()),
+                          'cfg': pa.array(['on'], type=pa.string())})
+        # second block filters to empty upstream
+        ds = rd.from_arrow(left).repartition(2)\
+            .filter(lambda r: r['ent'] != 2)
+        out = asof_join_broadcast(ds, state, by='ent', on='ts',
+                                  value_cols=['cfg'])
+        df = out.to_pandas()
+        assert len(df) == 1 and df['cfg_state'].iloc[0] == 'on'

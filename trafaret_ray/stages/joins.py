@@ -509,23 +509,28 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
     from .window import asof_backward
 
     sdf = state.to_pandas()
+    # carry the state columns' ARROW types: every null/empty path must
+    # emit the same column type as matched blocks, or blocks disagree on
+    # schema downstream
+    vtypes = {c: state.schema.field(c).type for c in value_cols}
     ref = _ray.put((sdf[by].to_numpy(),
                     pd.to_datetime(sdf[on]).astype('datetime64[us]')
                     .astype(np.int64).to_numpy()
                     if sdf[on].dtype.kind in 'M'
                     else sdf[on].to_numpy(np.int64),
-                    {c: sdf[c].to_numpy() for c in value_cols}))
+                    {c: sdf[c].to_numpy() for c in value_cols},
+                    vtypes))
 
     class Matcher:
         def __init__(self):
-            self.by_vals, self.ts, self.vals = _ray.get(ref)
+            self.by_vals, self.ts, self.vals, self.vtypes = _ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
             n = tbl.num_rows
             out_cols = {c: tbl.column(c) for c in tbl.column_names}
             if n == 0:
                 for c in value_cols:
-                    out_cols[c + suffix] = pa.array([])
+                    out_cols[c + suffix] = pa.nulls(0, self.vtypes[c])
                 return pa.table(out_cols)
             lby = tbl.column(by).to_numpy(zero_copy_only=False)
             on_arr = tbl.column(on).combine_chunks()
@@ -542,13 +547,11 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
                 vals = np.asarray(self.vals[c])
                 if len(vals) == 0:
                     # empty state: every row is unmatched, typed nulls
-                    out_cols[c + suffix] = (
-                        pa.array([None] * n) if vals.dtype == object
-                        else pa.array(np.zeros(n, dtype=vals.dtype),
-                                      mask=np.ones(n, dtype=bool)))
+                    out_cols[c + suffix] = pa.nulls(n, self.vtypes[c])
                 else:
                     taken = vals[np.minimum(idx, len(vals) - 1)]
-                    out_cols[c + suffix] = pa.array(taken, mask=~ok)
+                    out_cols[c + suffix] = pa.array(
+                        taken, mask=~ok).cast(self.vtypes[c])
             return pa.table(out_cols)
 
     return ds.map_batches(Matcher, batch_format='pyarrow',
