@@ -52,8 +52,14 @@ def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
                              pa.scalar(min_words, type=pa.int64())))
         return out.filter(keep)
 
+    # cleaned feeds TWO consumers (the dedup census and the semi join)
+    # and exact_unique feeds several executions inside minhash_dedup —
+    # Ray re-derives lazy datasets per consumer, so normalize+langid
+    # would otherwise run 4-5x. Materialize once into the object store
+    # (spillable); a 100-TB run checkpoints these stage outputs to
+    # parquet instead (state/checkpoint.py), same shape.
     cleaned = ds.map_batches(clean, batch_format='pyarrow',
-                             zero_copy_batch=True)
+                             zero_copy_batch=True).materialize()
 
     # exact dedup on the normalized text: canonical = min id per text
     canon = bucket_aggregate(
@@ -67,7 +73,7 @@ def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
                                  pa.table({id_col: pa.array([],
                                                             pa.int64())}),
                                  batch_format='pyarrow')
-    exact_unique = semi_join(cleaned, ids_only, id_col)
+    exact_unique = semi_join(cleaned, ids_only, id_col).materialize()
 
     # near-dedup over the exact-unique survivors: drop every cluster
     # member except the canonical (min id)
