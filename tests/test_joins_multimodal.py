@@ -449,3 +449,36 @@ class TestAsofSparseRight:
                                   value_cols=['cfg'])
         df = out.to_pandas()
         assert len(df) == 1 and df['cfg_state'].iloc[0] == 'on'
+
+
+class TestNullKeySemantics:
+    def test_hash_join_nulls_never_match(self, ray_session):
+        """SQL inner-join parity: null keys never match (incl. null=null),
+        verified against DuckDB."""
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.joins import hash_join
+        left = pa.table({'k': pa.array([1, None, 2, None], type=pa.int64()),
+                         'x': pa.array([0, 1, 2, 3], type=pa.int64())})
+        right = pa.table({'k': pa.array([1, None], type=pa.int64()),
+                          'name': pa.array(['a', 'b'])})
+        out = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on='k', num_buckets=4).to_pandas()
+        exp = duckdb.sql(
+            "SELECT count(*) n FROM (SELECT unnest([1, NULL, 2, NULL]) k)"
+            " l JOIN (SELECT unnest([1, NULL]) k) r USING (k)")\
+            .df()['n'][0]
+        assert len(out) == exp == 1
+        assert out['k'].tolist() == [1]
+
+    def test_semi_join_null_modes(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.joins import semi_join
+        left = pa.table({'k': pa.array([1, None, 2], type=pa.int64())})
+        keys = pa.table({'k': pa.array([1, None], type=pa.int64())})
+        isin = semi_join(rd.from_arrow(left), rd.from_arrow(keys),
+                         'k').to_pandas()
+        assert len(isin) == 2                       # pandas isin default
+        sql = semi_join(rd.from_arrow(left), rd.from_arrow(keys),
+                        'k', match_nulls=False).to_pandas()
+        assert sql['k'].tolist() == [1]             # SQL IN semantics

@@ -178,9 +178,14 @@ def semi_join_bloom(ds, keys_ds, on: str, m_bits: int = 1 << 23,
     return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
 
 
-def semi_join(ds, keys_ds, on):
+def semi_join(ds, keys_ds, on, match_nulls: bool = True):
     """Keep rows whose key exists in keys_ds (broadcast key array +
-    vectorized ``pc.is_in`` per batch; no shuffle)."""
+    vectorized ``pc.is_in`` per batch; no shuffle).
+
+    ``match_nulls=True`` (default): a null key matches a null in
+    keys_ds — pandas ``isin`` semantics. ``False``: SQL ``IN``
+    semantics, where a null key never matches (inner joins and the
+    oracle queries use the SQL behavior)."""
     ref = _key_array_ref(keys_ds, on)
 
     class Filter:
@@ -188,7 +193,11 @@ def semi_join(ds, keys_ds, on):
             self.keys = ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            return tbl.filter(pc.is_in(tbl.column(on), value_set=self.keys))
+            mask = pc.is_in(tbl.column(on), value_set=self.keys)
+            if not match_nulls:
+                mask = pc.and_(mask, tbl.column(on).combine_chunks()
+                               .is_valid())
+            return tbl.filter(mask)
 
     return ds.map_batches(Filter, batch_format='pyarrow', concurrency=2)
 
