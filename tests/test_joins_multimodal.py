@@ -482,3 +482,24 @@ class TestNullKeySemantics:
         sql = semi_join(rd.from_arrow(left), rd.from_arrow(keys),
                         'k', match_nulls=False).to_pandas()
         assert sql['k'].tolist() == [1]             # SQL IN semantics
+
+    def test_asof_null_ts_never_matches(self, ray_session):
+        """SQL ASOF semantics: null-ts left rows get no match; null-ts
+        state rows are never 'prior to' anything — both variants."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join, asof_join_broadcast
+        left = pa.table({'ent': pa.array([1, 1], type=pa.int64()),
+                         'ts': pa.array([10, None], type=pa.int64()),
+                         'x': pa.array([0, 1], type=pa.int64())})
+        state = pa.table({'ent': pa.array([1, 1], type=pa.int64()),
+                          'ts': pa.array([5, None], type=pa.int64()),
+                          'cfg': pa.array([7, 99], type=pa.int64())})
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(state),
+                        by='ent', on='ts', value_cols=['cfg'],
+                        num_buckets=2).to_pandas()
+        m = out.set_index('x')['cfg_state']
+        assert m[0] == 7 and pd.isna(m[1])
+        outb = asof_join_broadcast(rd.from_arrow(left), state, by='ent',
+                                   on='ts', value_cols=['cfg'])\
+            .to_pandas().set_index('x')['cfg_state']
+        assert outb[0] == 7 and pd.isna(outb[1])

@@ -340,11 +340,17 @@ def asof_join(left, right, by: str, on: str, value_cols,
             on_np = on_vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
         else:
             on_np = on_vals.to_numpy(zero_copy_only=False)
+        # SQL ASOF semantics for nulls: a null-ts state row is never
+        # 'prior to' anything, and a null-ts left row never matches
+        # (NaN would otherwise sort last and grab the latest state)
+        on_valid = np.asarray(on_vals.is_valid().to_numpy(
+            zero_copy_only=False), dtype=bool)
         lmask = side == 0
         rmask = side == 1
         li = np.nonzero(lmask)[0]
-        ri = np.nonzero(rmask)[0]
+        ri = np.nonzero(rmask & on_valid)[0]
         idx, ok = asof_backward(on_np[li], codes[li], on_np[ri], codes[ri])
+        ok &= on_valid[li]
         out_cols = {}
         for c in (by, on, *lcols):
             out_cols[c] = tbl.column(c).take(pa.array(li, type=pa.int64()))
@@ -518,6 +524,8 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
     from .window import asof_backward
 
     sdf = state.to_pandas()
+    # null-ts state rows are never 'prior to' anything (SQL ASOF)
+    sdf = sdf[sdf[on].notna()].reset_index(drop=True)
     # carry the state columns' ARROW types: every null/empty path must
     # emit the same column type as matched blocks, or blocks disagree on
     # schema downstream
@@ -552,6 +560,9 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
             codes, _ = pd.factorize(np.concatenate([lby, self.by_vals]))
             lcodes, rcodes = codes[:n], codes[n:]
             idx, ok = asof_backward(lts, lcodes, self.ts, rcodes)
+            # a null-ts left row never matches (SQL ASOF)
+            ok &= np.asarray(on_arr.is_valid().to_numpy(
+                zero_copy_only=False), dtype=bool)
             for c in value_cols:
                 vals = np.asarray(self.vals[c])
                 if len(vals) == 0:
