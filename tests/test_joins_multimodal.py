@@ -503,3 +503,18 @@ class TestNullKeySemantics:
                                    on='ts', value_cols=['cfg'])\
             .to_pandas().set_index('x')['cfg_state']
         assert outb[0] == 7 and pd.isna(outb[1])
+
+    def test_binned_null_values_and_edges(self, ray_session):
+        """Null left values and null interval edges produce zero matches
+        instead of junk bins or crashes."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import range_join_binned
+        left = pa.table({'id': pa.array([0, 1, 2], type=pa.int64()),
+                         'v': pa.array([1.0, None, 50.0])})
+        right = pa.table({'lo': pa.array([0.0, None]),
+                          'hi': pa.array([10.0, 100.0]),
+                          'iv': pa.array([5, 6], type=pa.int64())})
+        out = range_join_binned(rd.from_arrow(left),
+                                rd.from_arrow(right), 'v',
+                                bin_width=5.0, num_buckets=4).to_pandas()
+        assert out[['id', 'iv']].values.tolist() == [[0, 5]]

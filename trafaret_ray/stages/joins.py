@@ -472,6 +472,11 @@ def range_join_binned(left, right, value_col: str, lo_col: str = 'lo',
             np.floor(v / bin_width).astype(np.int64)))
 
     def tag_right(tbl: pa.Table) -> pa.Table:
+        # drop null-edged intervals up front: floor(NaN) casts to junk
+        # bins (a null edge can never bound a match anyway)
+        tbl = tbl.filter(pc.and_(
+            tbl.column(lo_col).combine_chunks().is_valid(),
+            tbl.column(hi_col).combine_chunks().is_valid()))
         lo = tbl.column(lo_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
         hi = tbl.column(hi_col).combine_chunks().to_numpy(
