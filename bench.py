@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     'q_token_rarity_docs', 'q_priority_revenue_salted',
     'q_curate_docs', 'q_list_payload_embeddings', 'q_chunk_docs',
     'q_brand_revenue', 'q_cum_distinct_events', 'q_ewma_events',
+    'q_distinct_pairs_events', 'q_intersect_users_events',
 ]
 
 

@@ -2252,3 +2252,62 @@ def q_ewma_events(sf_dir: str, alpha: float = 0.3):
 
 
 QUERIES['q_ewma_events'] = q_ewma_events
+
+
+def q_distinct_pairs_events(sf_dir: str):
+    """SELECT DISTINCT over a composite key: one partial-distinct per
+    batch then a hash-bucket merge (same two-phase shape as
+    exact_distinct, emitting the rows themselves)."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'])
+    out = bucket_aggregate(ds, ['user_id', 'event_type'],
+                           {'n': ('user_id', 'count')})
+    return out.map_batches(
+        lambda t: t.select(['user_id', 'event_type']),
+        batch_format='pyarrow').sort(['user_id', 'event_type'])
+
+
+QUERIES['q_distinct_pairs_events'] = q_distinct_pairs_events
+ORACLE_SQL['q_distinct_pairs_events'] = """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+"""
+
+
+def q_intersect_users_events(sf_dir: str):
+    """INTERSECT: users who both clicked AND purchased — per-side
+    distinct partials, then a broadcast semi join of the smaller side's
+    key set (no shuffle for the intersect itself)."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import semi_join
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'])
+
+    def side(etype):
+        def f(tbl: pa.Table) -> pa.Table:
+            t = tbl.filter(pc.equal(tbl.column('event_type'), etype))
+            return t.select(['user_id'])
+        return f
+
+    clicks = bucket_aggregate(
+        ds.map_batches(side('click'), batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['user_id'], {'n': ('user_id', 'count')})
+    purchases = ds.map_batches(side('purchase'), batch_format='pyarrow',
+                               zero_copy_batch=True)
+    both = semi_join(
+        clicks.map_batches(lambda t: t.select(['user_id'])
+                           if 'user_id' in t.column_names
+                           else pa.table({'user_id': pa.array(
+                               [], pa.int64())}),
+                           batch_format='pyarrow'),
+        purchases, 'user_id', match_nulls=False)
+    return both.sort('user_id')
+
+
+QUERIES['q_intersect_users_events'] = q_intersect_users_events
+ORACLE_SQL['q_intersect_users_events'] = """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+"""
