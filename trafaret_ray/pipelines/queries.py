@@ -2311,3 +2311,69 @@ ORACLE_SQL['q_intersect_users_events'] = """
     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
     ORDER BY user_id
 """
+
+
+def q_except_langs_docs(sf_dir: str):
+    """EXCEPT: languages present in source 'src0' but absent from
+    'src18' — per-side distinct partials, then an anti join against the
+    broadcast key set (no shuffle for the except itself)."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import anti_join
+    ds = _read(sf_dir, 'documents', ['lang', 'source'])
+
+    def side(src):
+        def f(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.equal(tbl.column('source'), src))\
+                .select(['lang'])
+        return f
+
+    a = bucket_aggregate(
+        ds.map_batches(side('src0'), batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['lang'], {'n': ('lang', 'count')})
+    b = ds.map_batches(side('src18'), batch_format='pyarrow',
+                       zero_copy_batch=True)
+    out = anti_join(
+        a.map_batches(lambda t: t.select(['lang'])
+                      if 'lang' in t.column_names
+                      else pa.table({'lang': pa.array([], pa.string())}),
+                      batch_format='pyarrow'),
+        b, 'lang')
+    return out.sort('lang')
+
+
+QUERIES['q_except_langs_docs'] = q_except_langs_docs
+ORACLE_SQL['q_except_langs_docs'] = """
+    SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+    EXCEPT
+    SELECT DISTINCT lang FROM documents WHERE source = 'src18'
+    ORDER BY lang
+"""
+
+
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Exact top-20 most frequent tokens via the two-pass heavy-hitters
+    sketch (stages/sketches.py:heavy_hitters — truncated local
+    summaries, candidate union, exact recount; the full vocabulary
+    never shuffles)."""
+    from ..stages.sketches import heavy_hitters
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        return pa.table({'tok': words.flatten()})
+
+    toks = ds.map_batches(explode, batch_format='pyarrow',
+                          zero_copy_batch=True)
+    return heavy_hitters(toks, 'tok', k=20, expansion=16)
+
+
+QUERIES['q_heavy_hitter_tokens'] = q_heavy_hitter_tokens
+ORACLE_SQL['q_heavy_hitter_tokens'] = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT tok, count(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 20
+"""

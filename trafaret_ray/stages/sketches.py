@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .aggregate import pre_aggregate
 
@@ -226,3 +227,57 @@ def exact_distinct(ds, group_col: str, value_col: str):
                             {'_one': (value_col, 'count')})
     return pre_aggregate(uniq, [group_col],
                          {'n_distinct': ('_one', 'count')})
+
+
+def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
+                  num_buckets: int = 32):
+    """EXACT top-k most frequent values in two passes, without ever
+    exchanging the full key space (the Misra-Gries/Space-Saving shape):
+
+      1. per-batch LOCAL top-(k*expansion) counts (np.unique — a
+         truncated summary; heavy keys cannot hide below the local
+         cut in every batch when expansion covers the skew),
+      2. candidate union via one bucket merge of the tiny summaries,
+         keep the global top-(k*expansion) candidate keys,
+      3. broadcast the candidate set and take EXACT counts over one
+         more pass, then top-k (count desc, value asc tie-break).
+
+    Exactness holds when every true top-k key reaches a local summary
+    in at least the batches carrying most of its mass — guaranteed for
+    Zipf-shaped data with modest expansion; raise ``expansion`` for
+    flatter distributions. Returns a Dataset (value, n)."""
+    import ray as _ray
+
+    from .aggregate import bucket_aggregate
+
+    m = k * expansion
+
+    def local_top(tbl: pa.Table) -> pa.Table:
+        vals = tbl.column(col).combine_chunks()
+        vals = vals.drop_null().to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return pa.table({col: pa.array([], pa.string()),
+                             'n': pa.array([], pa.int64())})
+        uniq, counts = np.unique(vals, return_counts=True)
+        top = np.argsort(-counts, kind='stable')[:m]
+        return pa.table({col: pa.array(uniq[top]),
+                         'n': pa.array(counts[top], type=pa.int64())})
+
+    partials = ds.map_batches(local_top, batch_format='pyarrow',
+                              zero_copy_batch=True)
+    cand = bucket_aggregate(partials, [col], {'n': ('n', 'sum')},
+                            num_buckets=num_buckets).to_pandas()
+    cand = cand.sort_values(['n', col],
+                            ascending=[False, True]).head(m)
+    cand_ref = _ray.put(pa.array(cand[col].to_numpy()))
+
+    def exact(tbl: pa.Table) -> pa.Table:
+        keep = tbl.filter(pc.is_in(tbl.column(col),
+                                   value_set=_ray.get(cand_ref)))
+        return keep.select([col])
+
+    counted = bucket_aggregate(
+        ds.map_batches(exact, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        [col], {'n': (col, 'count')}, num_buckets=num_buckets)
+    return counted.sort(['n', col], descending=[True, False]).limit(k)
