@@ -49,6 +49,17 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f'{sf_dir}/{table}.parquet', columns=columns)
 
 
+def _typed_result(ds, schema: pa.Schema) -> pd.DataFrame:
+    """Collect a SMALL result with a guaranteed schema: an all-empty
+    filtered Dataset loses its columns (CLAUDE.md invariant), which
+    would fail the driver's column compare on legitimately-empty
+    results (e.g. an EXCEPT with nothing left)."""
+    df = ds.to_pandas()
+    if list(df.columns) != list(schema.names):
+        return schema.empty_table().to_pandas()
+    return df
+
+
 # ---------------------------------------------------------------------------
 # relational aggregates / joins
 # ---------------------------------------------------------------------------
@@ -2301,7 +2312,8 @@ def q_intersect_users_events(sf_dir: str):
                                [], pa.int64())}),
                            batch_format='pyarrow'),
         purchases, 'user_id', match_nulls=False)
-    return both.sort('user_id')
+    return _typed_result(both.sort('user_id'),
+                         pa.schema([('user_id', pa.int64())]))
 
 
 QUERIES['q_intersect_users_events'] = q_intersect_users_events
@@ -2339,7 +2351,8 @@ def q_except_langs_docs(sf_dir: str):
                       else pa.table({'lang': pa.array([], pa.string())}),
                       batch_format='pyarrow'),
         b, 'lang')
-    return out.sort('lang')
+    return _typed_result(out.sort('lang'),
+                         pa.schema([('lang', pa.string())]))
 
 
 QUERIES['q_except_langs_docs'] = q_except_langs_docs
