@@ -211,3 +211,37 @@ class TestSketches:
         b = minhash_dedup(rd.from_arrow(corpus()), threshold=0.5,
                           ids_mode='bloom').to_pandas()
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestHeavyHitters:
+    def test_skewed_exact_via_sketch(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import heavy_hitters
+        rng = np.random.default_rng(2)
+        # Zipf-ish: a few heavy keys + long tail
+        vals = np.concatenate([
+            np.repeat([f'top{i}' for i in range(5)], 500),
+            np.array([f'tail{i}' for i in range(2000)])])
+        rng.shuffle(vals)
+        ds = rd.from_arrow(pa.table({'v': vals})).repartition(8)
+        out = heavy_hitters(ds, 'v', k=5, expansion=8).to_pandas()
+        assert sorted(out['v']) == [f'top{i}' for i in range(5)]
+        assert (out['n'] == 500).all()
+
+    def test_flat_distribution_falls_back_exact(self, ray_session):
+        """Flat data defeats the truncated summaries: the certification
+        threshold fails and the exact full-count fallback must produce
+        the true top-k anyway."""
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import heavy_hitters
+        rng = np.random.default_rng(4)
+        # 4000 distinct keys, nearly uniform; true top-3 appear +2 times
+        base = np.array([f'k{i:05d}' for i in range(4000)])
+        vals = np.concatenate([np.repeat(base, 2),
+                               np.repeat(['k00007', 'k00011', 'k00013'],
+                                         2)])
+        rng.shuffle(vals)
+        ds = rd.from_arrow(pa.table({'v': vals})).repartition(16)
+        out = heavy_hitters(ds, 'v', k=3, expansion=2).to_pandas()
+        assert sorted(out['v']) == ['k00007', 'k00011', 'k00013']
+        assert (out['n'] == 4).all()

@@ -55,7 +55,7 @@ def _typed_result(ds, schema: pa.Schema) -> pd.DataFrame:
     would fail the driver's column compare on legitimately-empty
     results (e.g. an EXCEPT with nothing left)."""
     df = ds.to_pandas()
-    if list(df.columns) != list(schema.names):
+    if len(df) == 0 and list(df.columns) != list(schema.names):
         return schema.empty_table().to_pandas()
     return df
 
@@ -2291,7 +2291,10 @@ def q_intersect_users_events(sf_dir: str):
     key set (no shuffle for the intersect itself)."""
     from ..stages.aggregate import bucket_aggregate
     from ..stages.joins import semi_join
-    ds = _read(sf_dir, 'events', ['user_id', 'event_type'])
+    # both set-op sides derive from one scan: materialize the pruned
+    # read so Ray doesn't re-execute it per consumer
+    ds = _read(sf_dir, 'events',
+               ['user_id', 'event_type']).materialize()
 
     def side(etype):
         def f(tbl: pa.Table) -> pa.Table:
@@ -2305,13 +2308,11 @@ def q_intersect_users_events(sf_dir: str):
         ['user_id'], {'n': ('user_id', 'count')})
     purchases = ds.map_batches(side('purchase'), batch_format='pyarrow',
                                zero_copy_batch=True)
+    # semi_join's default null-matches-null IS SQL INTERSECT semantics
     both = semi_join(
-        clicks.map_batches(lambda t: t.select(['user_id'])
-                           if 'user_id' in t.column_names
-                           else pa.table({'user_id': pa.array(
-                               [], pa.int64())}),
+        clicks.map_batches(lambda t: t.select(['user_id']),
                            batch_format='pyarrow'),
-        purchases, 'user_id', match_nulls=False)
+        purchases, 'user_id')
     return _typed_result(both.sort('user_id'),
                          pa.schema([('user_id', pa.int64())]))
 
@@ -2331,7 +2332,7 @@ def q_except_langs_docs(sf_dir: str):
     broadcast key set (no shuffle for the except itself)."""
     from ..stages.aggregate import bucket_aggregate
     from ..stages.joins import anti_join
-    ds = _read(sf_dir, 'documents', ['lang', 'source'])
+    ds = _read(sf_dir, 'documents', ['lang', 'source']).materialize()
 
     def side(src):
         def f(tbl: pa.Table) -> pa.Table:
@@ -2346,9 +2347,7 @@ def q_except_langs_docs(sf_dir: str):
     b = ds.map_batches(side('src18'), batch_format='pyarrow',
                        zero_copy_batch=True)
     out = anti_join(
-        a.map_batches(lambda t: t.select(['lang'])
-                      if 'lang' in t.column_names
-                      else pa.table({'lang': pa.array([], pa.string())}),
+        a.map_batches(lambda t: t.select(['lang']),
                       batch_format='pyarrow'),
         b, 'lang')
     return _typed_result(out.sort('lang'),
@@ -2373,8 +2372,9 @@ def q_heavy_hitter_tokens(sf_dir: str):
     ds = _read(sf_dir, 'documents', ['text'])
 
     def explode(tbl: pa.Table) -> pa.Table:
-        words = pc.split_pattern(
-            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        # NO fill_null: a null doc must emit zero tokens (flatten skips
+        # null list slots — matching unnest(string_split(NULL)))
+        words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
         return pa.table({'tok': words.flatten()})
 
     toks = ds.map_batches(explode, batch_format='pyarrow',

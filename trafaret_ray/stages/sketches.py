@@ -231,21 +231,26 @@ def exact_distinct(ds, group_col: str, value_col: str):
 
 def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
                   num_buckets: int = 32):
-    """EXACT top-k most frequent values in two passes, without ever
-    exchanging the full key space (the Misra-Gries/Space-Saving shape):
+    """EXACT top-k most frequent values, normally in two passes without
+    ever exchanging the full key space (the Misra-Gries/Space-Saving
+    shape) — with a PROVEN exactness check and an exact fallback:
 
       1. per-batch LOCAL top-(k*expansion) counts (np.unique — a
-         truncated summary; heavy keys cannot hide below the local
-         cut in every batch when expansion covers the skew),
+         truncated summary), plus the batch's truncation CUT (the
+         smallest kept count; 0 when nothing was dropped),
       2. candidate union via one bucket merge of the tiny summaries,
-         keep the global top-(k*expansion) candidate keys,
-      3. broadcast the candidate set and take EXACT counts over one
-         more pass, then top-k (count desc, value asc tie-break).
+      3. broadcast the candidates, EXACT counts over one more pass,
+         top-k by (count desc, value asc).
 
-    Exactness holds when every true top-k key reaches a local summary
-    in at least the batches carrying most of its mass — guaranteed for
-    Zipf-shaped data with modest expansion; raise ``expansion`` for
-    flatter distributions. Returns a Dataset (value, n)."""
+    Exactness proof: a key absent from batch b's summary has local
+    count <= cut_b, so any missed key's global count <= T = sum(cut_b).
+    If the k-th exact candidate count > T the result is provably exact;
+    otherwise the operator FALLS BACK to a full exact group count —
+    output is always exact, the sketch only saves work when the
+    distribution allows. The driver-side candidate union is bounded by
+    the distinct keys that survive ANY local top — small for the skewed
+    distributions heavy hitters target; flat data takes the fallback
+    anyway. Returns a Dataset (value, n)."""
     import ray as _ray
 
     from .aggregate import bucket_aggregate
@@ -253,31 +258,54 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
     m = k * expansion
 
     def local_top(tbl: pa.Table) -> pa.Table:
+        ctype = tbl.schema.field(col).type
         vals = tbl.column(col).combine_chunks()
         vals = vals.drop_null().to_numpy(zero_copy_only=False)
         if len(vals) == 0:
-            return pa.table({col: pa.array([], pa.string()),
-                             'n': pa.array([], pa.int64())})
+            return pa.table({col: pa.array([], type=ctype),
+                             'n': pa.array([], pa.int64()),
+                             '_cut': pa.array([], pa.int64())})
         uniq, counts = np.unique(vals, return_counts=True)
         top = np.argsort(-counts, kind='stable')[:m]
-        return pa.table({col: pa.array(uniq[top]),
-                         'n': pa.array(counts[top], type=pa.int64())})
+        # the batch's truncation bound rides on its first summary row
+        cuts = np.zeros(len(top), dtype=np.int64)
+        if len(uniq) > m:
+            cuts[0] = int(counts[top].min())
+        return pa.table({
+            col: pa.array(uniq[top]).cast(ctype),
+            'n': pa.array(counts[top], type=pa.int64()),
+            '_cut': pa.array(cuts),
+        })
 
     partials = ds.map_batches(local_top, batch_format='pyarrow',
                               zero_copy_batch=True)
-    cand = bucket_aggregate(partials, [col], {'n': ('n', 'sum')},
+    cand = bucket_aggregate(partials, [col],
+                            {'n': ('n', 'sum'), 'cut': ('_cut', 'sum')},
                             num_buckets=num_buckets).to_pandas()
+    threshold = int(cand['cut'].sum()) if len(cand) else 0
     cand = cand.sort_values(['n', col],
                             ascending=[False, True]).head(m)
     cand_ref = _ray.put(pa.array(cand[col].to_numpy()))
 
-    def exact(tbl: pa.Table) -> pa.Table:
+    def pick(tbl: pa.Table) -> pa.Table:
         keep = tbl.filter(pc.is_in(tbl.column(col),
                                    value_set=_ray.get(cand_ref)))
         return keep.select([col])
 
     counted = bucket_aggregate(
-        ds.map_batches(exact, batch_format='pyarrow',
+        ds.map_batches(pick, batch_format='pyarrow',
                        zero_copy_batch=True),
         [col], {'n': (col, 'count')}, num_buckets=num_buckets)
-    return counted.sort(['n', col], descending=[True, False]).limit(k)
+    top = counted.sort(['n', col], descending=[True, False]).limit(k)\
+        .to_pandas()
+    kth = int(top['n'].iloc[-1]) if len(top) >= k else 0
+    if kth > threshold:
+        import ray.data as rd
+        return rd.from_pandas(top)
+    # the sketch cannot certify exactness on this distribution: run the
+    # full exact group count (one exchange over the whole key space)
+    full = bucket_aggregate(
+        ds.map_batches(lambda t: t.select([col]),
+                       batch_format='pyarrow', zero_copy_batch=True),
+        [col], {'n': (col, 'count')}, num_buckets=num_buckets)
+    return full.sort(['n', col], descending=[True, False]).limit(k)
