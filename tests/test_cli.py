@@ -1,0 +1,40 @@
+"""The ray-job CLI entry point, end-to-end in a subprocess (it owns its
+own Ray session, so it must not share the test fixture's)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+
+def test_cli_run_and_resume(tmp_path):
+    from trafaret_ray.sources.transcripts import write_transcripts
+    inp = str(tmp_path / 'in')
+    out = str(tmp_path / 'out')
+    write_transcripts(inp, n_turns=2000, seed=11, malformed_frac=0.05,
+                      rows_per_file=1000)
+    env = dict(os.environ, PYTHONPATH='/root/repo')
+    env.pop('RAY_ADDRESS', None)   # the CLI picks local mode itself
+    cmd = [sys.executable, '-m', 'trafaret_ray.run', '--input', inp,
+           '--out', out, '--num-buckets', '4', '--num-cpus', '4']
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert m1['rows_ok'] > 0 and m1['rows_quarantined'] > 0
+    assert m1['per_file'] and m1['error_codes']
+    feat_dir = os.path.join(out, 'features')
+    n_feat = sum(pq.read_metadata(os.path.join(feat_dir, f)).num_rows
+                 for f in os.listdir(feat_dir) if f.endswith('.parquet'))
+    assert n_feat == m1['rows_ok']
+
+    # resume: identical metrics, stages untouched
+    v_mtime = os.path.getmtime(os.path.join(out, 'validated'))
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2 == m1
+    assert os.path.getmtime(os.path.join(out, 'validated')) == v_mtime
