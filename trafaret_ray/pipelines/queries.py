@@ -2390,3 +2390,69 @@ ORACLE_SQL['q_heavy_hitter_tokens'] = """
     FROM toks GROUP BY tok
     ORDER BY n DESC, tok ASC LIMIT 20
 """
+
+
+def q_user_value_stats(sf_dir: str):
+    """Mergeable MOMENT partials: per-user mean and sample std of value
+    from fixed-point sum/sum-of-squares partials (sum6 = floor(v*1e6),
+    sq12 = floor(v²*1e12) — integer sums are order-independent, so the
+    parallel aggregation is byte-stable; both engines then compute the
+    identical float formula from identical integers)."""
+    ds = _read(sf_dir, 'events', ['user_id', 'value'])
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        v = tbl.column('value')
+        sq = pc.multiply(pc.cast(v, pa.float64()),
+                         pc.cast(v, pa.float64()))
+        sq12 = pc.cast(pc.floor(pc.add(pc.multiply(
+            sq, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'v6': _fixed6(v), 'sq6': sq12})
+
+    out = pre_aggregate(ds.map_batches(moments, batch_format='pyarrow',
+                                       zero_copy_batch=True),
+                        ['user_id'],
+                        {'s1': ('v6', 'sum'), 's2': ('sq6', 'sum'),
+                         'n': ('v6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        # explicit half-up rounding in the integer micro-unit domain:
+        # np.round is half-even but SQL round is half-away, and a mean
+        # lands exactly on the 5e-7 boundary often enough to matter
+        s1i = tbl.column('s1').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        s2 = tbl.column('s2').to_numpy(zero_copy_only=False)\
+            .astype(np.float64) / 1e6
+        n = tbl.column('n').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        s1 = s1i / 1e6
+        mean = np.floor(s1i / n + 0.5) / 1e6
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        std = np.floor(np.sqrt(var) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            'user_id': tbl.column('user_id'),
+            'n_events': pc.cast(tbl.column('n'), pa.int64()),
+            'mean_value': pa.array(mean),
+            'std_value': pa.array(std),
+        })
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('user_id')
+
+
+QUERIES['q_user_value_stats'] = q_user_value_stats
+ORACLE_SQL['q_user_value_stats'] = """
+    WITH m AS (
+      SELECT user_id,
+             sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))          AS s1i,
+             sum(cast(floor(value * value * 1e6 + 0.5) AS BIGINT))  AS s2i,
+             count(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT user_id, n AS n_events,
+           floor(cast(s1i AS DOUBLE) / n + 0.5) / 1e6 AS mean_value,
+           floor(sqrt((cast(s2i AS DOUBLE) / 1e6
+                       - (cast(s1i AS DOUBLE) / 1e6)
+                         * (cast(s1i AS DOUBLE) / 1e6) / n)
+                      / (n - 1)) * 1e6 + 0.5) / 1e6 AS std_value
+    FROM m ORDER BY user_id
+"""
