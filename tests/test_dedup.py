@@ -245,3 +245,19 @@ class TestHeavyHitters:
         out = heavy_hitters(ds, 'v', k=3, expansion=2).to_pandas()
         assert sorted(out['v']) == ['k00007', 'k00011', 'k00013']
         assert (out['n'] == 4).all()
+
+
+class TestRedaction:
+    def test_patterns_and_counts(self, ray_session):
+        import pyarrow as pa
+        from trafaret_ray.functions.text import redact_text
+        out = redact_text(pa.array([
+            'mail bob@example.com or alice@test.org',
+            'see https://a.io/x and http://b.co',
+            'call 555-123-4567',
+            'nothing here', None]))
+        assert out.to_pylist() == [
+            'mail <EMAIL> or <EMAIL>',
+            'see <URL> and <URL>',
+            'call <PHONE>',
+            'nothing here', None]

@@ -444,3 +444,25 @@ def chunk_token_windows(text_col: pa.Array, chunk: int = 128,
     texts = np.array([' '.join(flat[a:b]) for a, b in zip(starts, ends)],
                      dtype=object)
     return doc_idx, chunk_id, texts, (ends - starts)
+
+
+# PII-ish patterns (RE2-compatible, shared verbatim with the SQL oracle)
+REDACT_PATTERNS = (
+    (r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>'),
+    (r'\bhttps?://[^\s]+', '<URL>'),
+    (r'\b\d{3}-\d{3}-\d{4}\b', '<PHONE>'),
+)
+
+
+def redact_text(text: pa.Array) -> pa.Array:
+    """Safety scrubbing for training text: replace email / URL / phone
+    patterns with typed placeholder tokens — one RE2 pass per pattern,
+    no Python. Patterns are applied in REDACT_PATTERNS order (email
+    before URL so 'user@host' inside a URL is still one <URL>)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = text
+    for pat, repl in REDACT_PATTERNS:
+        out = pc.replace_substring_regex(out, pattern=pat,
+                                         replacement=repl)
+    return out

@@ -2456,3 +2456,112 @@ ORACLE_SQL['q_user_value_stats'] = """
                       / (n - 1)) * 1e6 + 0.5) / 1e6 AS std_value
     FROM m ORDER BY user_id
 """
+
+
+def q_redact_docs(sf_dir: str):
+    """Safety scrubbing: email/URL/phone patterns replaced with typed
+    placeholders (functions/text.py:redact_text — one RE2 pass per
+    pattern, zero shuffle), plus the per-doc match count. The synthetic
+    corpus carries little PII, so the strong assertions live in
+    tests/test_dedup.py::TestRedaction; this query byte-checks the
+    identical regex semantics against DuckDB over the full table."""
+    from ..functions.text import REDACT_PATTERNS, redact_text
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def scrub(tbl: pa.Table) -> pa.Table:
+        text = tbl.column('text').combine_chunks()
+        n = pa.nulls(tbl.num_rows, pa.int64())
+        total = np.zeros(tbl.num_rows, dtype=np.int64)
+        for pat, _repl in REDACT_PATTERNS:
+            total += pc.count_substring_regex(text, pat)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'text_redacted': redact_text(text),
+            'n_redactions': pa.array(total),
+        })
+
+    return ds.map_batches(scrub, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
+QUERIES['q_redact_docs'] = q_redact_docs
+ORACLE_SQL['q_redact_docs'] = r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\bhttps?://[^\s]+', '<URL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_redacted,
+           cast(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\bhttps?://[^\s]+'))
+            + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+            AS BIGINT) AS n_redactions
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_decontaminate_docs(sf_dir: str, k: int = 5):
+    """Benchmark decontamination: drop every corpus doc sharing ANY
+    word-k-gram with the benchmark set (docs 0-19 stand in for an
+    external eval set). The benchmark's 64-bit shingle-hash set
+    broadcasts once; each corpus batch explodes its own hashes
+    (functions/text.py:shingle_hash_explode) and a per-doc any-overlap
+    test drops contaminated docs — zero shuffle, the corpus text never
+    moves. Hash-vs-string equivalence as in q_ngram_jaccard_pairs."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+    from ..functions import text as T
+
+    bench_tbl = pq.read_table(f'{sf_dir}/documents.parquet',
+                              columns=['doc_id', 'text'])
+    bench_tbl = bench_tbl.filter(pc.less(bench_tbl.column('doc_id'), 20))
+    _, _, bh = T.shingle_hash_explode(bench_tbl.column('text'), k)
+    bench_ref = _ray.put(pa.array(np.unique(bh.view(np.int64)),
+                                  type=pa.int64()))
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    class Decontaminate:
+        def __init__(self):
+            self.bench = _ray.get(bench_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            tbl = tbl.filter(pc.greater_equal(tbl.column('doc_id'), 20))
+            if tbl.num_rows == 0:
+                return pa.table({'doc_id': pa.array([], pa.int64())})
+            _, gd, gh = T.shingle_hash_explode(tbl.column('text'), k)
+            hits = pc.is_in(pa.array(gh.view(np.int64), type=pa.int64()),
+                            value_set=self.bench)\
+                .to_numpy(zero_copy_only=False)
+            dirty = np.zeros(tbl.num_rows, dtype=bool)
+            if len(gd):
+                dirty = np.bincount(gd[hits.astype(bool)],
+                                    minlength=tbl.num_rows) > 0
+            return pa.table({'doc_id':
+                             tbl.column('doc_id').filter(
+                                 pa.array(~dirty))})
+
+    return ds.map_batches(Decontaminate, batch_format='pyarrow',
+                          zero_copy_batch=True,
+                          concurrency=2).sort('doc_id')
+
+
+QUERIES['q_decontaminate_docs'] = q_decontaminate_docs
+ORACLE_SQL['q_decontaminate_docs'] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             ws[x] || ' ' || ws[x+1] || ' ' || ws[x+2] || ' '
+                   || ws[x+3] || ' ' || ws[x+4] AS s
+      FROM w, unnest(range(1, greatest(len(ws) - 3, 2))) AS t(x)
+      WHERE ws[x+4] IS NOT NULL),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+    bad AS (SELECT DISTINCT sh.doc_id FROM sh
+            JOIN bench USING (s) WHERE sh.doc_id >= 20)
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+"""
