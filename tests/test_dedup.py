@@ -261,3 +261,25 @@ class TestRedaction:
             'see <URL> and <URL>',
             'call <PHONE>',
             'nothing here', None]
+
+    def test_redaction_null_text_propagates(self, ray_session):
+        """Null text yields NULL redacted text and NULL count (oracle
+        parity), never garbage from a NaN->int cast."""
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq, tempfile, os
+        from trafaret_ray.pipelines.queries import (QUERIES, ORACLE_SQL)
+        tbl = pa.table({'doc_id': pa.array([0, 1, 2], type=pa.int64()),
+                        'text': pa.array(['mail a@b.co', None, 'x'])})
+        d = tempfile.mkdtemp()
+        pq.write_table(tbl, os.path.join(d, 'documents.parquet'))
+        got = QUERIES['q_redact_docs'](d).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+        exp = con.sql(ORACLE_SQL['q_redact_docs']).df()
+        assert got['text_redacted'].tolist()[0] == '<EMAIL>'.join(
+            ['mail ', ''])
+        a, b = got['n_redactions'], exp['n_redactions']
+        assert (pd.isna(a) == pd.isna(b)).all()
+        assert a.iloc[0] == b.iloc[0] == 1 and pd.isna(a.iloc[1])

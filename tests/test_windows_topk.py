@@ -202,3 +202,28 @@ class TestEwma:
         got = out.sort_values('event_id').reset_index(drop=True)
         assert np.allclose(got['ewma_value'], df['ewma'],
                            rtol=0, atol=1e-9)
+
+    def test_value_stats_degenerate_groups(self, ray_session):
+        """n=1 groups get NULL std on both engines; identical values
+        (var clamped at 0) give std 0 instead of a sqrt crash."""
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq, tempfile, os
+        from trafaret_ray.pipelines.queries import QUERIES, ORACLE_SQL
+        tbl = pa.table({
+            'user_id': pa.array([1, 2, 2, 3, 3], type=pa.int64()),
+            'value': pa.array([5.0, 0.0115, 0.0115, 1.0, 2.0])})
+        d = tempfile.mkdtemp()
+        pq.write_table(tbl, os.path.join(d, 'events.parquet'))
+        got = QUERIES['q_user_value_stats'](d).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+        exp = con.sql(ORACLE_SQL['q_user_value_stats']).df()
+        for c in ('n_events', 'mean_value', 'std_value'):
+            a, b = got[c], exp[c]
+            assert (pd.isna(a) == pd.isna(b)).all(), c
+            m = ~pd.isna(a)
+            assert (a[m].to_numpy() == b[m].to_numpy()).all(), c
+        assert pd.isna(got['std_value'].iloc[0])   # n=1 -> NULL
+        assert got['std_value'].iloc[1] == 0.0     # clamped var

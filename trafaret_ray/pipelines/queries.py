@@ -2394,20 +2394,21 @@ ORACLE_SQL['q_heavy_hitter_tokens'] = """
 
 def q_user_value_stats(sf_dir: str):
     """Mergeable MOMENT partials: per-user mean and sample std of value
-    from fixed-point sum/sum-of-squares partials (sum6 = floor(v*1e6),
-    sq12 = floor(v²*1e12) — integer sums are order-independent, so the
+    from fixed-point sum/sum-of-squares partials (v6 = floor(v*1e6),
+    sq6 = floor(v²*1e6) — integer sums are order-independent, so the
     parallel aggregation is byte-stable; both engines then compute the
-    identical float formula from identical integers)."""
+    identical float formula from identical integers). Degenerate groups
+    follow SQL: n=1 → NULL std; fixed-point noise clamps at var=0."""
     ds = _read(sf_dir, 'events', ['user_id', 'value'])
 
     def moments(tbl: pa.Table) -> pa.Table:
         v = tbl.column('value')
         sq = pc.multiply(pc.cast(v, pa.float64()),
                          pc.cast(v, pa.float64()))
-        sq12 = pc.cast(pc.floor(pc.add(pc.multiply(
+        sq6 = pc.cast(pc.floor(pc.add(pc.multiply(
             sq, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())
         return pa.table({'user_id': tbl.column('user_id'),
-                         'v6': _fixed6(v), 'sq6': sq12})
+                         'v6': _fixed6(v), 'sq6': sq6})
 
     out = pre_aggregate(ds.map_batches(moments, batch_format='pyarrow',
                                        zero_copy_batch=True),
@@ -2427,13 +2428,17 @@ def q_user_value_stats(sf_dir: str):
             .astype(np.float64)
         s1 = s1i / 1e6
         mean = np.floor(s1i / n + 0.5) / 1e6
-        var = (s2 - s1 * s1 / n) / (n - 1)
-        std = np.floor(np.sqrt(var) * 1e6 + 0.5) / 1e6
+        # SQL parity on degenerate groups: n=1 divides by zero -> NULL
+        # in DuckDB; fixed-point noise can make var slightly negative,
+        # where DuckDB sqrt() ERRORS -- clamp at 0 on both engines
+        with np.errstate(divide='ignore', invalid='ignore'):
+            var = np.maximum((s2 - s1 * s1 / n) / (n - 1), 0.0)
+            std = np.floor(np.sqrt(var) * 1e6 + 0.5) / 1e6
         return pa.table({
             'user_id': tbl.column('user_id'),
             'n_events': pc.cast(tbl.column('n'), pa.int64()),
             'mean_value': pa.array(mean),
-            'std_value': pa.array(std),
+            'std_value': pa.array(std, mask=(n <= 1)),
         })
 
     return out.map_batches(finalize, batch_format='pyarrow')\
@@ -2450,10 +2455,12 @@ ORACLE_SQL['q_user_value_stats'] = """
       FROM events GROUP BY user_id)
     SELECT user_id, n AS n_events,
            floor(cast(s1i AS DOUBLE) / n + 0.5) / 1e6 AS mean_value,
-           floor(sqrt((cast(s2i AS DOUBLE) / 1e6
+           CASE WHEN n > 1 THEN
+             floor(sqrt(greatest((cast(s2i AS DOUBLE) / 1e6
                        - (cast(s1i AS DOUBLE) / 1e6)
                          * (cast(s1i AS DOUBLE) / 1e6) / n)
-                      / (n - 1)) * 1e6 + 0.5) / 1e6 AS std_value
+                      / (n - 1), 0)) * 1e6 + 0.5) / 1e6
+           END AS std_value
     FROM m ORDER BY user_id
 """
 
@@ -2470,15 +2477,20 @@ def q_redact_docs(sf_dir: str):
 
     def scrub(tbl: pa.Table) -> pa.Table:
         text = tbl.column('text').combine_chunks()
-        n = pa.nulls(tbl.num_rows, pa.int64())
-        total = np.zeros(tbl.num_rows, dtype=np.int64)
+        # null text -> NULL count (oracle parity): accumulate in float
+        # (null counts surface as NaN) and mask at the end
+        valid = np.asarray(text.is_valid().to_numpy(
+            zero_copy_only=False), dtype=bool)
+        total = np.zeros(tbl.num_rows, dtype=np.float64)
         for pat, _repl in REDACT_PATTERNS:
             total += pc.count_substring_regex(text, pat)\
-                .to_numpy(zero_copy_only=False).astype(np.int64)
+                .to_numpy(zero_copy_only=False)
+        n_red = pa.array(np.where(valid, np.nan_to_num(total),
+                                  0).astype(np.int64), mask=~valid)
         return pa.table({
             'doc_id': tbl.column('doc_id'),
             'text_redacted': redact_text(text),
-            'n_redactions': pa.array(total),
+            'n_redactions': n_red,
         })
 
     return ds.map_batches(scrub, batch_format='pyarrow',
@@ -2514,9 +2526,12 @@ def q_decontaminate_docs(sf_dir: str, k: int = 5):
     import ray as _ray
     from ..functions import text as T
 
+    # predicate pushdown: only the benchmark rows' row groups are read
+    # (the docstring's 'corpus text never moves' must hold at the driver
+    # too)
     bench_tbl = pq.read_table(f'{sf_dir}/documents.parquet',
-                              columns=['doc_id', 'text'])
-    bench_tbl = bench_tbl.filter(pc.less(bench_tbl.column('doc_id'), 20))
+                              columns=['doc_id', 'text'],
+                              filters=[('doc_id', '<', 20)])
     _, _, bh = T.shingle_hash_explode(bench_tbl.column('text'), k)
     bench_ref = _ray.put(pa.array(np.unique(bh.view(np.int64)),
                                   type=pa.int64()))
