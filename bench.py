@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     'q_distinct_pairs_events', 'q_intersect_users_events',
     'q_except_langs_docs', 'q_heavy_hitter_tokens',
     'q_user_value_stats', 'q_redact_docs', 'q_decontaminate_docs',
+    'q_profile_events',
 ]
 
 

@@ -2580,3 +2580,37 @@ ORACLE_SQL['q_decontaminate_docs'] = """
     WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
     ORDER BY doc_id
 """
+
+
+def q_profile_events(sf_dir: str):
+    """Per-column data profile over the numeric event columns
+    (stages/sketches.py:profile_columns): row/null/exact-distinct
+    counts + extremes from one stats pass and one distinct-partial
+    exchange."""
+    from ..stages.sketches import profile_columns
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+    return profile_columns(ds, ['event_id', 'user_id', 'value'])
+
+
+QUERIES['q_profile_events'] = q_profile_events
+ORACLE_SQL['q_profile_events'] = """
+    SELECT 'event_id' AS "column", count(*) AS n_rows,
+           count(*) - count(event_id) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct,
+           round(cast(min(event_id) AS DOUBLE), 6) AS vmin,
+           round(cast(max(event_id) AS DOUBLE), 6) AS vmax
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           round(cast(min(user_id) AS DOUBLE), 6),
+           round(cast(max(user_id) AS DOUBLE), 6)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           round(cast(min(value) AS DOUBLE), 6),
+           round(cast(max(value) AS DOUBLE), 6)
+    FROM events
+    ORDER BY "column"
+"""

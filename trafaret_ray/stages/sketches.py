@@ -309,3 +309,94 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
                        batch_format='pyarrow', zero_copy_batch=True),
         [col], {'n': (col, 'count')}, num_buckets=num_buckets)
     return full.sort(['n', col], descending=[True, False]).limit(k)
+
+
+def profile_columns(ds, cols, num_buckets: int = 16):
+    """One-pass per-column data profile: row count, null count, exact
+    distinct count, min and max — the schema-discovery / data-quality
+    staple. Each batch emits ONE partial row per column (counts +
+    extremes) plus distinct-partial rows; a tiny merge finishes.
+    Returns a Dataset (column, n_rows, n_nulls, n_distinct, vmin, vmax)
+    with extremes as float64 (numeric columns only)."""
+    from .aggregate import bucket_aggregate
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        rows = {'column': [], 'n_rows': [], 'n_nulls': [],
+                'vmin': [], 'vmax': []}
+        for c in cols:
+            col = tbl.column(c).combine_chunks()
+            rows['column'].append(c)
+            rows['n_rows'].append(tbl.num_rows)
+            rows['n_nulls'].append(col.null_count)
+            valid = col.drop_null()
+            if len(valid):
+                rows['vmin'].append(float(pc.min(valid).as_py()))
+                rows['vmax'].append(float(pc.max(valid).as_py()))
+            else:
+                rows['vmin'].append(None)
+                rows['vmax'].append(None)
+        return pa.table({
+            'column': pa.array(rows['column'], pa.string()),
+            'n_rows': pa.array(rows['n_rows'], pa.int64()),
+            'n_nulls': pa.array(rows['n_nulls'], pa.int64()),
+            'vmin': pa.array(rows['vmin'], pa.float64()),
+            'vmax': pa.array(rows['vmax'], pa.float64()),
+        })
+
+    stats = pre_aggregate(
+        ds.map_batches(partial, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['column'], {'n_rows': ('n_rows', 'sum'),
+                     'n_nulls': ('n_nulls', 'sum'),
+                     'vmin': ('vmin', 'min'),
+                     'vmax': ('vmax', 'max')})
+
+    # exact distinct per column: per-batch distinct partials tagged by
+    # column, one bucket merge (same shape as exact_distinct)
+    def distinct_partial(tbl: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            u = pc.unique(tbl.column(c).combine_chunks().drop_null())
+            out_c.extend([c] * len(u))
+            out_v.extend(pc.cast(u, pa.float64()).to_pylist())
+        return pa.table({'column': pa.array(out_c, pa.string()),
+                         'v': pa.array(out_v, pa.float64())})
+
+    dcounts = bucket_aggregate(
+        bucket_aggregate(
+            ds.map_batches(distinct_partial, batch_format='pyarrow',
+                           zero_copy_batch=True),
+            ['column', 'v'], {'n': ('v', 'count')},
+            num_buckets=num_buckets),
+        ['column'], {'n_distinct': ('v', 'count')},
+        num_buckets=num_buckets)
+
+    from .joins import hash_join
+    out = hash_join(
+        stats, dcounts.map_batches(
+            lambda t: t.select(['column', 'n_distinct'])
+            if 'n_distinct' in t.column_names
+            else pa.table({'column': pa.array([], pa.string()),
+                           'n_distinct': pa.array([], pa.int64())}),
+            batch_format='pyarrow'),
+        on='column', num_buckets=4,
+        left_schema=pa.schema([('column', pa.string()),
+                               ('n_rows', pa.int64()),
+                               ('n_nulls', pa.int64()),
+                               ('vmin', pa.float64()),
+                               ('vmax', pa.float64())]),
+        right_schema=pa.schema([('column', pa.string()),
+                                ('n_distinct', pa.int64())]))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'column': tbl.column('column'),
+            'n_rows': pc.cast(tbl.column('n_rows'), pa.int64()),
+            'n_nulls': pc.cast(tbl.column('n_nulls'), pa.int64()),
+            'n_distinct': pc.cast(tbl.column('n_distinct'), pa.int64()),
+            'vmin': pc.round(tbl.column('vmin'), ndigits=6),
+            'vmax': pc.round(tbl.column('vmax'), ndigits=6),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')\
+        .sort('column')
