@@ -283,3 +283,27 @@ class TestRedaction:
         a, b = got['n_redactions'], exp['n_redactions']
         assert (pd.isna(a) == pd.isna(b)).all()
         assert a.iloc[0] == b.iloc[0] == 1 and pd.isna(a.iloc[1])
+
+
+class TestProfile:
+    def test_edge_columns(self, ray_session):
+        """All-null column still profiles (n_distinct=0, null extremes);
+        int64 beyond 2^53 doesn't crash; -0.0 == 0.0 for DISTINCT."""
+        import pandas as pd
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import profile_columns
+        tbl = pa.table({
+            'big': pa.array([2**53 + 1, 2**53 + 3, 2**53 + 1],
+                            type=pa.int64()),
+            'allnull': pa.array([None, None, None], type=pa.float64()),
+            'zeros': pa.array([0.0, -0.0, 1.0]),
+        })
+        out = profile_columns(rd.from_arrow(tbl).repartition(2),
+                              ['big', 'allnull', 'zeros']).to_pandas()\
+            .set_index('column')
+        assert out.loc['big', 'n_distinct'] == 2
+        assert out.loc['allnull', 'n_distinct'] == 0
+        assert out.loc['allnull', 'n_nulls'] == 3
+        assert pd.isna(out.loc['allnull', 'vmin'])
+        assert out.loc['zeros', 'n_distinct'] == 2   # -0.0 == 0.0
+        assert (out['n_rows'] == 3).all()

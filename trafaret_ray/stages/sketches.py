@@ -312,12 +312,16 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
 
 
 def profile_columns(ds, cols, num_buckets: int = 16):
-    """One-pass per-column data profile: row count, null count, exact
-    distinct count, min and max — the schema-discovery / data-quality
-    staple. Each batch emits ONE partial row per column (counts +
-    extremes) plus distinct-partial rows; a tiny merge finishes.
-    Returns a Dataset (column, n_rows, n_nulls, n_distinct, vmin, vmax)
-    with extremes as float64 (numeric columns only)."""
+    """Per-column data profile: row count, null count, exact distinct
+    count, min and max — the schema-discovery / data-quality staple.
+    TWO lean passes over the input: a stats pass emitting one partial
+    row per column per batch, and a distinct pass emitting hashed
+    per-batch uniques (values never leave the batch as Python objects;
+    int64 beyond 2^53 and float negative zero are handled via
+    normalize-then-hash). All-null columns still profile (n_distinct=0,
+    null extremes). Returns a Dataset
+    (column, n_rows, n_nulls, n_distinct, vmin, vmax) with extremes as
+    float64 (numeric columns only)."""
     from .aggregate import bucket_aggregate
 
     def partial(tbl: pa.Table) -> pa.Table:
@@ -351,35 +355,41 @@ def profile_columns(ds, cols, num_buckets: int = 16):
                      'vmin': ('vmin', 'min'),
                      'vmax': ('vmax', 'max')})
 
-    # exact distinct per column: per-batch distinct partials tagged by
-    # column, one bucket merge (same shape as exact_distinct)
+    # exact distinct per column over 64-bit HASHES of the per-batch
+    # uniques: exact for any type width (no lossy float casts), with
+    # float -0.0 normalized to 0.0 first (SQL DISTINCT equality)
+    _EMPTY_D = pa.table({'column': pa.array([], pa.string()),
+                         'h': pa.array([], pa.int64())})
+
     def distinct_partial(tbl: pa.Table) -> pa.Table:
-        out_c, out_v = [], []
+        parts = []
         for c in cols:
             u = pc.unique(tbl.column(c).combine_chunks().drop_null())
-            out_c.extend([c] * len(u))
-            out_v.extend(pc.cast(u, pa.float64()).to_pylist())
-        return pa.table({'column': pa.array(out_c, pa.string()),
-                         'v': pa.array(out_v, pa.float64())})
+            if pa.types.is_floating(u.type):
+                u = pc.unique(pc.add(u, pa.scalar(0.0, u.type)))
+            if len(u) == 0:
+                continue
+            h = pd.util.hash_array(
+                u.to_numpy(zero_copy_only=False), hash_key=_HASH_KEY,
+                categorize=False).view(np.int64)
+            parts.append(pa.table({
+                'column': pa.array(np.repeat(c, len(h)), pa.string()),
+                'h': pa.array(h, pa.int64())}))
+        return pa.concat_tables(parts) if parts else _EMPTY_D
 
-    dcounts = bucket_aggregate(
+    dcounts = pre_aggregate(
         bucket_aggregate(
             ds.map_batches(distinct_partial, batch_format='pyarrow',
                            zero_copy_batch=True),
-            ['column', 'v'], {'n': ('v', 'count')},
+            ['column', 'h'], {'n': ('h', 'count')},
             num_buckets=num_buckets),
-        ['column'], {'n_distinct': ('v', 'count')},
-        num_buckets=num_buckets)
+        ['column'], {'n_distinct': ('h', 'count')})
 
     from .joins import hash_join
+    # LEFT join: an all-null column has no distinct row but must still
+    # appear in the profile (n_distinct coalesces to 0 below)
     out = hash_join(
-        stats, dcounts.map_batches(
-            lambda t: t.select(['column', 'n_distinct'])
-            if 'n_distinct' in t.column_names
-            else pa.table({'column': pa.array([], pa.string()),
-                           'n_distinct': pa.array([], pa.int64())}),
-            batch_format='pyarrow'),
-        on='column', num_buckets=4,
+        stats, dcounts, on='column', how='left', num_buckets=4,
         left_schema=pa.schema([('column', pa.string()),
                                ('n_rows', pa.int64()),
                                ('n_nulls', pa.int64()),
@@ -389,11 +399,13 @@ def profile_columns(ds, cols, num_buckets: int = 16):
                                 ('n_distinct', pa.int64())]))
 
     def finish(tbl: pa.Table) -> pa.Table:
+        nd = pc.cast(pc.fill_null(pc.cast(tbl.column('n_distinct'),
+                                          pa.float64()), 0.0), pa.int64())
         return pa.table({
             'column': tbl.column('column'),
             'n_rows': pc.cast(tbl.column('n_rows'), pa.int64()),
             'n_nulls': pc.cast(tbl.column('n_nulls'), pa.int64()),
-            'n_distinct': pc.cast(tbl.column('n_distinct'), pa.int64()),
+            'n_distinct': nd,
             'vmin': pc.round(tbl.column('vmin'), ndigits=6),
             'vmax': pc.round(tbl.column('vmax'), ndigits=6),
         })
