@@ -518,3 +518,48 @@ class TestNullKeySemantics:
                                 rd.from_arrow(right), 'v',
                                 bin_width=5.0, num_buckets=4).to_pandas()
         assert out[['id', 'iv']].values.tolist() == [[0, 5]]
+
+
+class TestJoinDifferentialFuzz:
+    def test_hash_join_randomized_vs_duckdb(self, ray_session):
+        """Randomized differential: hash_join (inner/left/outer) over
+        tables with duplicate and NULL keys must match DuckDB exactly."""
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.joins import hash_join
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            n_l, n_r = 80, 40
+            lk = rng.integers(0, 12, n_l).astype(float)
+            lk[rng.random(n_l) < 0.1] = np.nan
+            rk = rng.integers(0, 12, n_r).astype(float)
+            rk[rng.random(n_r) < 0.1] = np.nan
+            left = pa.table({
+                'k': pa.array([None if np.isnan(v) else int(v)
+                               for v in lk], type=pa.int64()),
+                'x': pa.array(np.arange(n_l, dtype=np.int64))})
+            right = pa.table({
+                'k': pa.array([None if np.isnan(v) else int(v)
+                               for v in rk], type=pa.int64()),
+                'y': pa.array(np.arange(n_r, dtype=np.int64))})
+            con = duckdb.connect()
+            con.register('l', left.to_pandas())
+            con.register('r', right.to_pandas())
+            for how, sql in (('inner', 'JOIN'), ('left', 'LEFT JOIN'),
+                             ('outer', 'FULL JOIN')):
+                got = hash_join(rd.from_arrow(left),
+                                rd.from_arrow(right), on='k', how=how,
+                                num_buckets=4).to_pandas()
+                exp = con.sql(
+                    f'SELECT coalesce(l.k, r.k) AS k, x, y '
+                    f'FROM l {sql} r ON l.k = r.k').df()
+                g = got.sort_values(['k', 'x', 'y'], na_position='last')\
+                    .reset_index(drop=True)
+                e = exp.sort_values(['k', 'x', 'y'], na_position='last')\
+                    .reset_index(drop=True)
+                assert len(g) == len(e), (seed, how)
+                for c in ('x', 'y'):
+                    a = g[c].to_numpy(dtype=float)
+                    b = e[c].to_numpy(dtype=float)
+                    assert np.allclose(a, b, equal_nan=True), (seed, how,
+                                                               c)
