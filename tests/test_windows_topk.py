@@ -227,3 +227,45 @@ class TestEwma:
             assert (a[m].to_numpy() == b[m].to_numpy()).all(), c
         assert pd.isna(got['std_value'].iloc[0])   # n=1 -> NULL
         assert got['std_value'].iloc[1] == 0.0     # clamped var
+
+
+class TestAggregateDifferentialFuzz:
+    def test_bucket_aggregate_randomized_vs_duckdb(self, ray_session):
+        """Randomized differential: partial/final aggregation over keys
+        and values WITH NULLS must match DuckDB GROUP BY (null keys form
+        their own group; sum/count skip null values; min/max exact)."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import bucket_aggregate
+        for seed in (3, 4, 5):
+            rng = np.random.default_rng(seed)
+            n = 300
+            k = rng.integers(0, 15, n).astype(float)
+            k[rng.random(n) < 0.08] = np.nan
+            v = rng.integers(-50, 50, n).astype(float)
+            v[rng.random(n) < 0.08] = np.nan
+            tbl = pa.table({
+                'k': pa.array([None if np.isnan(x) else int(x)
+                               for x in k], type=pa.int64()),
+                'v': pa.array([None if np.isnan(x) else int(x)
+                               for x in v], type=pa.int64())})
+            got = bucket_aggregate(
+                rd.from_arrow(tbl).repartition(5), ['k'],
+                {'s': ('v', 'sum'), 'c': ('v', 'count'),
+                 'lo': ('v', 'min'), 'hi': ('v', 'max')},
+                num_buckets=4).to_pandas()
+            con = duckdb.connect()
+            con.register('t', tbl.to_pandas())
+            exp = con.sql('SELECT k, sum(v) s, count(v) c, min(v) lo, '
+                          'max(v) hi FROM t GROUP BY k').df()
+            g = got.sort_values('k', na_position='last')\
+                .reset_index(drop=True)
+            e = exp.sort_values('k', na_position='last')\
+                .reset_index(drop=True)
+            assert len(g) == len(e), seed
+            for c in ('s', 'c', 'lo', 'hi'):
+                a = g[c].to_numpy(dtype=float)
+                b = e[c].to_numpy(dtype=float)
+                assert np.allclose(a, b, equal_nan=True), (seed, c)
