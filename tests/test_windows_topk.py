@@ -269,3 +269,21 @@ class TestAggregateDifferentialFuzz:
                 a = g[c].to_numpy(dtype=float)
                 b = e[c].to_numpy(dtype=float)
                 assert np.allclose(a, b, equal_nan=True), (seed, c)
+
+    def test_all_null_group_sum_is_null(self, ray_session):
+        """SQL parity: a group whose values are ALL null sums to NULL,
+        not 0 (DuckDB semantics), across partial/final phases."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import (bucket_aggregate,
+                                                   pre_aggregate)
+        tbl = pa.table({'k': pa.array([1, 1, 2], type=pa.int64()),
+                        'v': pa.array([None, None, 5], type=pa.int64())})
+        for op in (bucket_aggregate, pre_aggregate):
+            out = op(rd.from_arrow(tbl).repartition(2), ['k'],
+                     {'s': ('v', 'sum'), 'c': ('v', 'count')})\
+                .to_pandas().sort_values('k').reset_index(drop=True)
+            assert pd.isna(out['s'].iloc[0]) and out['c'].iloc[0] == 0
+            assert out['s'].iloc[1] == 5 and out['c'].iloc[1] == 1

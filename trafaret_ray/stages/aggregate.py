@@ -38,11 +38,13 @@ def _build_plan(aggs: dict[str, tuple[str, str]]):
 
 def _group_table(tbl: pa.Table, keys, specs_src) -> pa.Table:
     """Arrow-native grouped aggregation; returns key cols + '{col}_{fn}'
-    columns. Null keys form their own group (pandas dropna=False parity)
-    and 'count' counts non-null values (pandas .count() parity)."""
+    columns. SQL semantics throughout: null keys form their own group,
+    'count' counts non-null values, and a sum over ONLY nulls is NULL
+    (not 0) — matching the DuckDB oracle; null partials are then skipped
+    by the merge phase, so mixed groups still sum correctly."""
     # options built here: pyarrow *Options objects don't pickle
     import pyarrow.compute as _pc
-    specs = [(col, fn, _pc.ScalarAggregateOptions(min_count=0))
+    specs = [(col, fn, _pc.ScalarAggregateOptions(min_count=1))
              if fn == 'sum' else (col, fn) for col, fn in specs_src]
     return tbl.group_by(keys).aggregate(specs)
 
