@@ -287,3 +287,49 @@ class TestAggregateDifferentialFuzz:
                 .to_pandas().sort_values('k').reset_index(drop=True)
             assert pd.isna(out['s'].iloc[0]) and out['c'].iloc[0] == 0
             assert out['s'].iloc[1] == 5 and out['c'].iloc[1] == 1
+
+    def test_topk_null_group_is_one_group(self, ray_session):
+        """SQL parity: NULL group keys form ONE group (a nullable int
+        group column materializes as NaN in numpy, and NaN != NaN would
+        otherwise make every null row its own run)."""
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import grouped_topk
+        tbl = pa.table({
+            'g': pa.array([1, None, 1, None, 2, None], type=pa.int64()),
+            'v': pa.array([3.0, 5.0, 4.0, 1.0, 2.0, 7.0]),
+            't': pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())})
+        out = grouped_topk(rd.from_arrow(tbl), 'g', 'v', 1, tiebreak='t')\
+            .to_pandas().sort_values('t').reset_index(drop=True)
+        ora = duckdb.sql(
+            "SELECT g, v, t FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY g ORDER BY v DESC, t) rn FROM tbl) "
+            "WHERE rn <= 1 ORDER BY t").df().reset_index(drop=True)
+        assert list(out['t']) == list(ora['t'])
+
+    def test_windows_null_ts(self, ray_session):
+        """A NULL timestamp groups under a NULL window (tumbling) and
+        lands in exactly ONE null window, not k copies (hopping)."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from trafaret_ray.stages.streaming import (hopping_window,
+                                                   tumbling_window)
+        tbl = pa.table({
+            'k': pa.array(['x', 'x', 'y', 'x'], type=pa.string()),
+            'ts': pa.array([1_000_000, None, 3_000_000, 1_500_000],
+                           type=pa.timestamp('us')),
+            'v': pa.array([1.0, 2.0, 3.0, 4.0])})
+        out = tumbling_window(rd.from_arrow(tbl), 'k', 'ts', 2_000_000,
+                              {'n': ('v', 'count'), 's': ('v', 'sum')})\
+            .to_pandas()
+        nullrow = out[out['window_start'].isna()]
+        assert len(nullrow) == 1 and nullrow['s'].iloc[0] == 2.0
+        assert out[~out['window_start'].isna()]['n'].sum() == 3
+
+        hop = hopping_window(rd.from_arrow(tbl), 'k', 'ts',
+                             2_000_000, 1_000_000, {'n': ('v', 'count')})\
+            .to_pandas()
+        hnull = hop[hop['window_start'].isna()]
+        assert len(hnull) == 1 and hnull['n'].iloc[0] == 1

@@ -209,10 +209,19 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         if tbl.num_rows == 0:
             return tbl
         tbl = tbl.sort_by(sort_keys)
-        groups = tbl.column(group_col).combine_chunks().to_numpy(
-            zero_copy_only=False)
+        col = tbl.column(group_col).combine_chunks()
+        groups = col.to_numpy(zero_copy_only=False)
         starts = np.ones(len(groups), dtype=bool)
-        starts[1:] = groups[1:] != groups[:-1]
+        neq = groups[1:] != groups[:-1]
+        # SQL GROUP BY: NULLs are one group (a nullable int materializes
+        # as NaN here, and NaN != NaN would make every null its own run)
+        if groups.dtype.kind == 'f':
+            neq &= ~(np.isnan(groups[1:]) & np.isnan(groups[:-1]))
+        if col.null_count:
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            neq = (neq | (nulls[1:] ^ nulls[:-1])) \
+                & ~(nulls[1:] & nulls[:-1])
+        starts[1:] = neq
         # rank within group = position - group start position
         idx = np.arange(len(groups))
         gstart = np.maximum.accumulate(np.where(starts, idx, 0))

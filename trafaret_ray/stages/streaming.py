@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .aggregate import bucket_aggregate
 
@@ -34,12 +35,14 @@ def tumbling_window(ds, key: str, ts_col: str, window_us: int,
     def derive(tbl: pa.Table) -> pa.Table:
         # cast to timestamp(us) FIRST: a ns input (pandas round-trip)
         # cast straight to int64 would inflate window ids 1000x
-        ts = tbl.column(ts_col).combine_chunks()\
-            .cast(pa.timestamp('us')).cast(pa.int64())\
-            .to_numpy(zero_copy_only=False)
-        win = (ts // window_us) * window_us
-        return tbl.append_column('window_start_us',
-                                 pa.array(win, type=pa.int64()))
+        col = tbl.column(ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())
+        ts = col.fill_null(0).to_numpy(zero_copy_only=False)
+        win = pa.array((ts // window_us) * window_us, type=pa.int64())
+        if col.null_count:  # SQL: a NULL ts groups under a NULL window
+            win = pc.if_else(col.is_null(), pa.nulls(len(col), pa.int64()),
+                             win)
+        return tbl.append_column('window_start_us', win)
 
     derived = ds.map_batches(derive, batch_format='pyarrow',
                              zero_copy_batch=True)
@@ -67,19 +70,29 @@ def hopping_window(ds, key: str, ts_col: str, window_us: int, hop_us: int,
     k = window_us // hop_us
 
     def derive(tbl: pa.Table) -> pa.Table:
-        ts = tbl.column(ts_col).combine_chunks()\
-            .cast(pa.timestamp('us')).cast(pa.int64())\
-            .to_numpy(zero_copy_only=False)
+        col = tbl.column(ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())
+        ts = col.fill_null(0).to_numpy(zero_copy_only=False)
         n = len(ts)
         base = (ts // hop_us)
         # windows starting at (base - j) * hop for j in 0..k-1 all contain
         # ts (start <= ts < start + window)
         j = np.tile(np.arange(k, dtype=np.int64), n)
-        win = (np.repeat(base, k) - j) * hop_us
+        win = pa.array((np.repeat(base, k) - j) * hop_us, type=pa.int64())
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        if col.null_count:  # a NULL ts row lands in ONE null window, not k
+            # keep a single copy of each null-ts row with a null window id
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            rep = np.repeat(nulls, k)
+            first = np.zeros(n * k, dtype=bool)
+            first[::k] = True
+            keep = ~rep | first
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k)[keep])
+            win = pc.if_else(pa.array(rep[keep]),
+                             pa.nulls(int(keep.sum()), pa.int64()),
+                             win.filter(pa.array(keep)))
         out = tbl.take(idx)
-        return out.append_column('window_start_us',
-                                 pa.array(win, type=pa.int64()))
+        return out.append_column('window_start_us', win)
 
     derived = ds.map_batches(derive, batch_format='pyarrow',
                              zero_copy_batch=True)
