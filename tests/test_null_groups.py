@@ -1,0 +1,140 @@
+"""NULL-group-key parity: SQL GROUP BY treats NULL keys as ONE group,
+COUNT(DISTINCT) skips NULL values, and PIVOT keeps null-id rows without
+expanding unobserved id combinations.
+
+Also pins the pyarrow 16.1 hash-grouper bug: a composite key mixing a
+null-bearing string column with a double column emits DUPLICATE groups
+(6 identical (null, 10.0) rows -> 2 output groups). _group_table recodes
+null keys as (fill, validity) pairs so the grouper never sees one.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _frame(seed=7, n=4000):
+    rng = np.random.default_rng(seed)
+    g = rng.choice(['a', 'b', 'c', None], n).tolist()
+    v = [None if rng.random() < 0.15 else int(rng.integers(0, 40))
+         for _ in range(n)]
+    return g, v, pa.table({'g': pa.array(g, type=pa.string()),
+                           'v': pa.array(v, type=pa.int64())})
+
+
+class TestArrowGrouperNullRecode:
+    def test_composite_string_double_null_key(self):
+        """Direct pin of the pyarrow duplicate-group shape."""
+        from trafaret_ray.stages.aggregate import _group_table
+        rows = 6
+        t = pa.table({'g': pa.array([None] * rows, type=pa.string()),
+                      'v': pa.array([10.0] * rows),
+                      'c': pa.array([1] * rows, type=pa.int64())})
+        # mimic the exchange: per-row tables concatenated
+        t = pa.concat_tables([t.slice(i, 1) for i in range(rows)])
+        out = _group_table(t, ['g', 'v'], [('c', 'sum')])
+        assert out.num_rows == 1
+        assert out.column('c_sum')[0].as_py() == rows
+        assert not out.column('g')[0].is_valid
+
+    def test_key_also_aggregated_keeps_nulls(self):
+        """A column used as BOTH key and agg source must count its own
+        nulls as missing (exact_distinct's null-pair detector)."""
+        from trafaret_ray.stages.aggregate import _group_table
+        t = pa.table({'g': pa.array(['a', 'a', None], type=pa.string()),
+                      'v': pa.array([1, None, None], type=pa.int64())})
+        out = _group_table(t, ['g', 'v'], [('v', 'count')])
+        got = {(r['g'], r['v']): r['v_count']
+               for r in out.to_pylist()}
+        assert got == {('a', 1): 1, ('a', None): 0, (None, None): 0}
+
+
+class TestNullGroupDifferential:
+    def test_exact_distinct_vs_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import exact_distinct
+        g, v, tbl = _frame()
+        got = exact_distinct(rd.from_arrow(tbl).repartition(6), 'g', 'v')\
+            .to_pandas().sort_values('g', na_position='first')\
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute('select g, count(distinct v) as n_distinct '
+                          'from t group by g order by g nulls first').df()
+        assert got['g'].fillna('<N>').tolist() == \
+            exp['g'].fillna('<N>').tolist()
+        assert got['n_distinct'].tolist() == exp['n_distinct'].tolist()
+
+    def test_pre_aggregate_null_string_keys(self, ray_session):
+        """Used to crash Ray's sort groupby (None in searchsorted)."""
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import pre_aggregate
+        g, v, tbl = _frame(seed=11)
+        got = pre_aggregate(rd.from_arrow(tbl).repartition(6), ['g'],
+                            {'s': ('v', 'sum'), 'c': ('v', 'count')})\
+            .to_pandas().sort_values('g', na_position='first')\
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute('select g, sum(v) as s, count(v) as c from t '
+                          'group by g order by g nulls first').df()
+        assert got['g'].fillna('<N>').tolist() == \
+            exp['g'].fillna('<N>').tolist()
+        assert got['s'].tolist() == exp['s'].astype('Int64').tolist()
+        assert got['c'].tolist() == exp['c'].tolist()
+
+    def test_hll_null_group_kept_null_values_skipped(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import hll_distinct
+        g, v, tbl = _frame(seed=13)
+        got = hll_distinct(rd.from_arrow(tbl).repartition(6), 'g', 'v',
+                           p=14).to_pandas()\
+            .sort_values('g', na_position='first').reset_index(drop=True)
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute('select g, count(distinct v) as n from t '
+                          'group by g order by g nulls first').df()
+        assert got['g'].fillna('<N>').tolist() == \
+            exp['g'].fillna('<N>').tolist()
+        for a, b in zip(got['approx_distinct'], exp['n']):
+            assert abs(a - b) <= max(2, 0.05 * b)
+
+
+class TestPivotNullIds:
+    def test_null_id_rows_kept_no_cartesian(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.reshape import pivot
+        rng = np.random.default_rng(17)
+        n = 3000
+        ids = rng.choice(['x1', 'x2', None], n).tolist()
+        sub = rng.integers(0, 3, n)          # second id col, partial
+        var = rng.choice(['p', 'q'], n).tolist()
+        val = rng.integers(0, 100, n)
+        # make (x1, 2) unobserved: pivot must NOT invent it
+        keep = ~((np.array([i == 'x1' for i in ids])) & (sub == 2))
+        tbl = pa.table({'id': pa.array(np.array(ids, dtype=object)[keep]),
+                        'sub': pa.array(sub[keep], type=pa.int64()),
+                        'var': pa.array(np.array(var)[keep]),
+                        'val': pa.array(val[keep], type=pa.int64())})
+        got = pivot(rd.from_arrow(tbl).repartition(5), ['id', 'sub'],
+                    'var', 'val', ['p', 'q'], aggfunc='sum').to_pandas()\
+            .sort_values(['id', 'sub'], na_position='first')\
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute(
+            "select id, sub, sum(val) filter (var='p') as p, "
+            "sum(val) filter (var='q') as q from t group by id, sub "
+            "order by id nulls first, sub").df()
+        assert len(got) == len(exp)
+        assert got['id'].fillna('<N>').tolist() == \
+            exp['id'].fillna('<N>').tolist()
+        for c in ('p', 'q'):
+            assert np.allclose(got[c].to_numpy(dtype=float),
+                               exp[c].to_numpy(dtype=float),
+                               equal_nan=True)

@@ -46,7 +46,53 @@ def _group_table(tbl: pa.Table, keys, specs_src) -> pa.Table:
     import pyarrow.compute as _pc
     specs = [(col, fn, _pc.ScalarAggregateOptions(min_count=1))
              if fn == 'sum' else (col, fn) for col, fn in specs_src]
-    return tbl.group_by(keys).aggregate(specs)
+    # pyarrow 16.1's hash grouper emits DUPLICATE groups when a
+    # composite key mixes a null-bearing string column with a numeric
+    # one (single-key nulls group fine; observed: 6 identical
+    # (null, 10.0) rows -> 2 output groups). Never feed the grouper a
+    # null key: group on (fill_null(col), is_valid(col)) pairs — a 1:1
+    # recoding — and restore the nulls on the way out.
+    # The recoded key lives in RENAMED companion columns so a column
+    # that is both a group key and an aggregation source (exact_distinct
+    # counts its own key to detect null pairs) keeps its nulls.
+    gkeys, restore = [], {}            # key col -> (filled, validity)
+    for k in list(keys):
+        col = tbl.column(k)
+        fill = _zero_scalar(col.type) if col.null_count else None
+        if fill is None:               # no nulls (or exotic key type)
+            gkeys.append(k)
+            continue
+        kname, vname = f'__key_{k}', f'__valid_{k}'
+        tbl = tbl.append_column(kname, _pc.fill_null(col, fill))
+        tbl = tbl.append_column(vname, _pc.is_valid(col))
+        gkeys += [kname, vname]
+        restore[k] = (kname, vname)
+    agged = tbl.group_by(gkeys).aggregate(specs)
+    for k, (kname, vname) in restore.items():
+        col = agged.column(kname)
+        null = pa.scalar(None, type=col.type)
+        agged = agged.append_column(
+            k, _pc.if_else(agged.column(vname), col, null))
+        agged = agged.drop_columns([kname, vname])
+    return agged
+
+
+def _zero_scalar(t: pa.DataType):
+    """An arbitrary in-domain fill constant for a key type (a validity
+    companion column disambiguates real zeros from filled nulls)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar('', type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return pa.scalar(b'\x00' * t.byte_width
+                         if pa.types.is_fixed_size_binary(t) else b'',
+                         type=t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, type=t)
+    try:                               # ints, floats, temporal, decimal
+        return pa.scalar(0, type=t)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+        return None
 
 
 def _finalize_fn(keys, finals):
@@ -73,28 +119,13 @@ def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     non-null column for row counts). ``mean`` adds hidden sum/count
     partials and divides at the end.
     """
-    plan, finals = _build_plan(aggs)
-    uniq = list(dict.fromkeys(plan.values()))     # distinct (col, fn)
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        agged = _group_table(tbl, keys, uniq)
-        cols = {k: agged.column(k) for k in keys}
-        for pcol, (col, fn) in plan.items():
-            cols[pcol] = agged.column(f'{col}_{fn}')
-        return pa.table(cols)
-
-    partials = ds.map_batches(partial, batch_format='pyarrow',
-                              zero_copy_batch=True)
-
-    from ray.data.aggregate import Max, Min, Sum
-    agg_objs = []
-    for pcol, (col, fn) in plan.items():
-        cls = {'sum': Sum, 'count': Sum, 'min': Min, 'max': Max}[_MERGE[fn]]
-        agg_objs.append(cls(pcol, alias_name=pcol))
-    merged = partials.groupby(keys).aggregate(*agg_objs)
-
-    return merged.map_batches(_finalize_fn(keys, finals),
-                              batch_format='pyarrow')
+    # The merge phase is the same hash-bucket exchange as
+    # bucket_aggregate: Ray's native sort-based groupby crashes on NULL
+    # string keys (its range partitioner searchsorted's object arrays
+    # containing None) and is measured ~8x slower besides. For the
+    # low-cardinality keys this entry point targets, the partials are
+    # tiny either way; 8 buckets keep the exchange shallow.
+    return bucket_aggregate(ds, keys, aggs, num_buckets=8)
 
 
 def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],

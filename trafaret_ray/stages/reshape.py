@@ -53,9 +53,13 @@ def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
                 cols[v] = pa.array([], type=vtype)
             return pa.table(cols)
         df = tbl.to_pandas()
-        wide = df.pivot_table(index=id_cols, columns=var_col,
-                              values=value_col, aggfunc=aggfunc)\
-            .reindex(columns=variables).reset_index()
+        # groupby(dropna=False)+unstack, NOT pivot_table: SQL GROUP BY
+        # keeps NULL id keys as a group, and pivot_table's dropna=False
+        # expands the index to the CARTESIAN product of id values —
+        # unstack keeps only observed id combinations.
+        wide = df.groupby(id_cols + [var_col], sort=False,
+                          dropna=False)[value_col].agg(aggfunc)\
+            .unstack(var_col).reindex(columns=variables).reset_index()
         wide.columns = [str(c) for c in wide.columns]
         return pa.Table.from_pandas(wide, preserve_index=False)
 

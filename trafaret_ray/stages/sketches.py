@@ -85,9 +85,11 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
         gtype = tbl.schema.field(group_col).type
         df = tbl.select([group_col, value_col]).to_pandas()
         rows_g, rows_s = [], []
-        for g, sub in df.groupby(group_col, sort=False):
-            h = HLL(p).add(sub[value_col].to_numpy())
-            rows_g.append(g)
+        # dropna=False: NULL group keys are one group (SQL GROUP BY);
+        # NULL values are NOT counted (SQL COUNT(DISTINCT) semantics)
+        for g, sub in df.groupby(group_col, sort=False, dropna=False):
+            h = HLL(p).add(sub[value_col].dropna().to_numpy())
+            rows_g.append(None if pd.isna(g) else g)
             rows_s.append(h.regs.tobytes())
         # typed empty: schema-less blocks break downstream schema checks
         return pa.table({group_col: pa.array(rows_g, type=gtype),
@@ -100,11 +102,11 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
         gtype = tbl.schema.field(group_col).type
         df = tbl.to_pandas()
         out_g, out_e = [], []
-        for g, sub in df.groupby(group_col, sort=False):
+        for g, sub in df.groupby(group_col, sort=False, dropna=False):
             regs = np.zeros(1 << p, dtype=np.uint8)
             for b in sub['sketch']:
                 np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
-            out_g.append(g)
+            out_g.append(None if pd.isna(g) else g)
             out_e.append(hll_estimate(regs))
         return pa.table({group_col: pa.array(out_g, type=gtype),
                          'approx_distinct': pa.array(out_e,
@@ -225,8 +227,19 @@ def exact_distinct(ds, group_col: str, value_col: str):
     from .aggregate import bucket_aggregate
     uniq = bucket_aggregate(pairs, [group_col, value_col],
                             {'_one': (value_col, 'count')})
-    return pre_aggregate(uniq, [group_col],
-                         {'n_distinct': ('_one', 'count')})
+
+    # SQL COUNT(DISTINCT v): NULL values don't count, but an all-null
+    # group still appears with 0. After the merge, _one is >0 for a
+    # distinct non-null value (its per-batch counts summed) and 0 for
+    # the group's NULL-value pair — clamp to a 0/1 indicator and SUM.
+    def indicator(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        one = pc.cast(pc.greater(tbl.column('_one'), 0), pa.int64())
+        return tbl.set_column(tbl.column_names.index('_one'), '_one', one)
+
+    return pre_aggregate(uniq.map_batches(indicator, batch_format='pyarrow',
+                                          zero_copy_batch=True),
+                         [group_col], {'n_distinct': ('_one', 'sum')})
 
 
 def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
