@@ -138,3 +138,32 @@ class TestPivotNullIds:
             assert np.allclose(got[c].to_numpy(dtype=float),
                                exp[c].to_numpy(dtype=float),
                                equal_nan=True)
+
+
+class TestHeavyHittersNull:
+    def test_null_is_a_group_certified_and_fallback(self, ray_session):
+        """SQL GROUP BY: NULL is a (often dominant) group. Covers both
+        the certified-exact sketch path (skewed) and the full-count
+        fallback (flat distribution)."""
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.sketches import heavy_hitters
+        rng = np.random.default_rng(10)
+        skewed = rng.choice(['x', 'y', 'z', None], 6000,
+                            p=(.2, .15, .1, .55)).tolist()
+        # ~50 flat distinct values + nulls, expansion=2 -> local tops
+        # truncate, the certificate fails, the exact fallback runs
+        flat = [None if rng.random() < 0.3 else f'v{rng.integers(0, 50)}'
+                for _ in range(6000)]
+        for vals, expansion in ((skewed, 16), (flat, 2)):
+            tbl = pa.table({'c': pa.array(vals, type=pa.string())})
+            got = heavy_hitters(rd.from_arrow(tbl).repartition(6), 'c',
+                                k=3, expansion=expansion).to_pandas()
+            con = duckdb.connect()
+            con.register('t', tbl)
+            exp = con.execute(
+                'select c, count(*) as n from t group by c '
+                'order by n desc, c asc nulls last limit 3').df()
+            assert got['c'].fillna('<N>').tolist() == \
+                exp['c'].fillna('<N>').tolist(), expansion
+            assert got['n'].tolist() == exp['n'].tolist(), expansion

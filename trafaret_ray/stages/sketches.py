@@ -272,21 +272,29 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
 
     def local_top(tbl: pa.Table) -> pa.Table:
         ctype = tbl.schema.field(col).type
-        vals = tbl.column(col).combine_chunks()
-        vals = vals.drop_null().to_numpy(zero_copy_only=False)
-        if len(vals) == 0:
+        arr = tbl.column(col).combine_chunks()
+        n_null = arr.null_count              # SQL GROUP BY: NULL is a
+        vals = arr.drop_null().to_numpy(zero_copy_only=False)  # group
+        if len(vals) == 0 and n_null == 0:
             return pa.table({col: pa.array([], type=ctype),
                              'n': pa.array([], pa.int64()),
                              '_cut': pa.array([], pa.int64())})
         uniq, counts = np.unique(vals, return_counts=True)
         top = np.argsort(-counts, kind='stable')[:m]
-        # the batch's truncation bound rides on its first summary row
-        cuts = np.zeros(len(top), dtype=np.int64)
+        # the batch's truncation bound rides on its first summary row;
+        # the NULL count is exact per batch (never truncated), so it
+        # rides along as one more candidate row without touching cut
+        cuts = np.zeros(len(top) + (1 if n_null else 0), dtype=np.int64)
         if len(uniq) > m:
             cuts[0] = int(counts[top].min())
+        keys = pa.array(uniq[top]).cast(ctype)
+        ns = counts[top]
+        if n_null:
+            keys = pa.concat_arrays([keys, pa.array([None], type=ctype)])
+            ns = np.append(ns, n_null)
         return pa.table({
-            col: pa.array(uniq[top]).cast(ctype),
-            'n': pa.array(counts[top], type=pa.int64()),
+            col: keys,
+            'n': pa.array(ns, type=pa.int64()),
             '_cut': pa.array(cuts),
         })
 
@@ -298,30 +306,61 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
     threshold = int(cand['cut'].sum()) if len(cand) else 0
     cand = cand.sort_values(['n', col],
                             ascending=[False, True]).head(m)
-    cand_ref = _ray.put(pa.array(cand[col].to_numpy()))
+    null_cand = cand[col].isna().any()
+    cand_ref = _ray.put(pa.array(cand[col].dropna().to_numpy()))
 
     def pick(tbl: pa.Table) -> pa.Table:
-        keep = tbl.filter(pc.is_in(tbl.column(col),
-                                   value_set=_ray.get(cand_ref)))
-        return keep.select([col])
+        mask = pc.is_in(tbl.column(col), value_set=_ray.get(cand_ref))
+        if null_cand:
+            mask = pc.or_kleene(mask, pc.is_null(tbl.column(col)))
+        keep = tbl.filter(pc.fill_null(mask, False)).select([col])
+        # count ROWS per value (count(col) would skip the NULL group)
+        return keep.append_column(
+            '_one', pa.array(np.ones(keep.num_rows, dtype=np.int64)))
 
     counted = bucket_aggregate(
         ds.map_batches(pick, batch_format='pyarrow',
                        zero_copy_batch=True),
-        [col], {'n': (col, 'count')}, num_buckets=num_buckets)
-    top = counted.sort(['n', col], descending=[True, False]).limit(k)\
-        .to_pandas()
+        [col], {'n': ('_one', 'count')}, num_buckets=num_buckets)
+    # counted is <= m+1 rows — sort driver-side (Ray's range sort also
+    # chokes on None in object key arrays; SQL order: n desc, value asc
+    # NULLS LAST)
+    top = counted.to_pandas().sort_values(
+        ['n', col], ascending=[False, True],
+        na_position='last', kind='stable').head(k).reset_index(drop=True)
     kth = int(top['n'].iloc[-1]) if len(top) >= k else 0
     if kth > threshold:
         import ray.data as rd
         return rd.from_pandas(top)
     # the sketch cannot certify exactness on this distribution: run the
     # full exact group count (one exchange over the whole key space)
+    def ones(t: pa.Table) -> pa.Table:
+        return t.select([col]).append_column(
+            '_one', pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
     full = bucket_aggregate(
-        ds.map_batches(lambda t: t.select([col]),
-                       batch_format='pyarrow', zero_copy_batch=True),
-        [col], {'n': (col, 'count')}, num_buckets=num_buckets)
-    return full.sort(['n', col], descending=[True, False]).limit(k)
+        ds.map_batches(ones, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        [col], {'n': ('_one', 'count')}, num_buckets=num_buckets)\
+        .materialize()                  # read twice below (split on null)
+    # the NULL group (at most one row) joins the top-k driver-side so
+    # the distributed sort never sees a null key
+    import ray.data as rd
+    nonnull = full.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(col))),
+        batch_format='pyarrow', zero_copy_batch=True)
+    topk = nonnull.sort(['n', col], descending=[True, False])\
+        .limit(k).to_pandas()
+    nullrow = full.map_batches(
+        lambda t: t.filter(pc.is_null(t.column(col))),
+        batch_format='pyarrow', zero_copy_batch=True).to_pandas()
+    if len(nullrow):
+        import pandas as _pd
+        topk = _pd.concat([topk, nullrow], ignore_index=True)
+    topk = topk.sort_values(['n', col], ascending=[False, True],
+                            na_position='last', kind='stable')\
+        .head(k).reset_index(drop=True)
+    return rd.from_pandas(topk)
 
 
 def profile_columns(ds, cols, num_buckets: int = 16):
