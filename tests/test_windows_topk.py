@@ -333,3 +333,41 @@ class TestAggregateDifferentialFuzz:
             .to_pandas()
         hnull = hop[hop['window_start'].isna()]
         assert len(hnull) == 1 and hnull['n'].iloc[0] == 1
+
+
+class TestGroupPositions:
+    def test_randomized_vs_duckdb(self):
+        """row_number/percent_rank/cume_dist/ntile against DuckDB window
+        functions over random heavy-tie data (total order pinned by a
+        unique tiebreak, as SQL requires for a deterministic compare)."""
+        import duckdb
+        import pandas as pd
+        from trafaret_ray.stages.reshape import group_positions
+        rng = np.random.default_rng(3)
+        for trial in range(5):
+            n = int(rng.integers(1, 400))
+            g = np.sort(rng.integers(0, 8, n))
+            v = rng.integers(0, 6, n).astype(float)
+            if trial % 2:                       # NaN peers too
+                v[rng.random(n) < 0.1] = np.nan
+            tb = rng.permutation(n).astype(np.int64)
+            starts = np.ones(n, dtype=bool)
+            starts[1:] = g[1:] != g[:-1]
+            rn, pct, cume, tile = group_positions(
+                v, tb, starts, descending=True, tiles=4)
+            con = duckdb.connect()
+            con.register('t', pd.DataFrame({'g': g, 'v': v, 'tb': tb}))
+            exp = con.execute("""
+              SELECT row_number() OVER w2 rn, percent_rank() OVER w pct,
+                     cume_dist() OVER w cume, ntile(4) OVER w2 tile, tb
+              FROM t
+              WINDOW w AS (PARTITION BY g ORDER BY v DESC),
+                     w2 AS (PARTITION BY g ORDER BY v DESC, tb ASC)
+              """).df().sort_values('tb')
+            got = pd.DataFrame({'rn': rn, 'pct': pct, 'cume': cume,
+                                'tile': tile, 'tb': tb}).sort_values('tb')
+            for c in ('rn', 'tile'):
+                assert got[c].tolist() == exp[c].tolist(), (trial, c)
+            for c in ('pct', 'cume'):
+                assert np.allclose(got[c].to_numpy(),
+                                   exp[c].to_numpy()), (trial, c)

@@ -1213,6 +1213,118 @@ ORACLE_SQL['q_rank_events'] = """
 """
 
 
+def q_window_positions_events(sf_dir: str):
+    """The positional window-function family per user by value desc:
+    row_number()/ntile(4) over a TOTAL order (event_id tiebreak — SQL
+    leaves tie order undefined, the oracle comparison needs it pinned)
+    and percent_rank()/cume_dist() over value peers. One lexsort per
+    bucket (stages/reshape.py:group_positions), same single exchange as
+    q_rank_events."""
+    from ..stages.reshape import group_positions
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = tbl.column('value').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        eid = tbl.column('event_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rn, pct, cume, tile = group_positions(v, eid, starts,
+                                              descending=True, tiles=4)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'rn': pa.array(rn),
+            'pct_rank': pa.array(pct),
+            'cume': pa.array(cume),
+            'tile': pa.array(tile),
+        })
+
+    return per_conversation(ds, fn, key='user_id', order=('event_id',),
+                            num_buckets=32).sort('event_id')
+
+
+QUERIES['q_window_positions_events'] = q_window_positions_events
+ORACLE_SQL['q_window_positions_events'] = """
+    SELECT event_id, user_id,
+           row_number()  OVER w2 AS rn,
+           percent_rank() OVER w  AS pct_rank,
+           cume_dist()    OVER w  AS cume,
+           ntile(4)       OVER w2 AS tile
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY value DESC),
+           w2 AS (PARTITION BY user_id ORDER BY value DESC,
+                  event_id ASC)
+    ORDER BY event_id
+"""
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-event z-score of value within its user — group-wise
+    normalization, the feature-scaling staple. ONE exchange on user_id;
+    in-bucket segmented fixed-point moment sums (np.add.reduceat over
+    int64 micro-units — order-independent, so mean/std are byte-stable)
+    then a vectorized (v - mean)/std per row. SQL degenerates: a 1-row
+    group and a zero std both yield NULL."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = tbl.column('value').combine_chunks()
+        v6 = _fixed6(v).to_numpy(zero_copy_only=False)
+        sq = pc.multiply(pc.cast(v, pa.float64()),
+                         pc.cast(v, pa.float64()))
+        sq6 = pc.cast(pc.floor(pc.add(pc.multiply(
+            sq, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        lo = np.nonzero(starts)[0]
+        sizes = np.diff(np.append(lo, len(v6)))
+        s1i = np.add.reduceat(v6, lo).astype(np.float64)
+        s2i = np.add.reduceat(sq6, lo).astype(np.float64)
+        ng = sizes.astype(np.float64)
+        s1 = s1i / 1e6
+        s2 = s2i / 1e6
+        mean_g = np.floor(s1i / ng + 0.5) / 1e6
+        with np.errstate(divide='ignore', invalid='ignore'):
+            var = np.maximum((s2 - s1 * s1 / ng) / (ng - 1), 0.0)
+            std_g = np.floor(np.sqrt(var) * 1e6 + 0.5) / 1e6
+        mean = np.repeat(mean_g, sizes)
+        std = np.repeat(std_g, sizes)
+        bad = np.repeat((ng <= 1), sizes) | (std == 0) | ~np.isfinite(std)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            z = (v.to_numpy(zero_copy_only=False) - mean) / std
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'z_value': pa.array(z, mask=bad),
+        })
+
+    return per_conversation(ds, fn, key='user_id', order=('event_id',),
+                            num_buckets=32).sort('event_id')
+
+
+QUERIES['q_zscore_events'] = q_zscore_events
+ORACLE_SQL['q_zscore_events'] = """
+    WITH m AS (
+      SELECT user_id,
+             sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))         AS s1i,
+             sum(cast(floor(value * value * 1e6 + 0.5) AS BIGINT)) AS s2i,
+             count(*) AS n
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT user_id,
+             floor(s1i / n + 0.5) / 1e6 AS mean,
+             CASE WHEN n > 1 THEN
+               floor(sqrt(greatest(
+                 (s2i / 1e6 - (s1i / 1e6) * (s1i / 1e6) / n) / (n - 1),
+                 0.0)) * 1e6 + 0.5) / 1e6
+             END AS std
+      FROM m)
+    SELECT e.event_id, e.user_id,
+           (e.value - s.mean) / nullif(s.std, 0.0) AS z_value
+    FROM events e JOIN s USING (user_id)
+    ORDER BY e.event_id
+"""
+
+
 def q_melt_lineitem(sf_dir: str):
     """Wide -> long UNPIVOT of lineitem's four measures (pure map, no
     exchange; stages/reshape.py:melt)."""

@@ -67,6 +67,74 @@ def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
     return bucket_exchange(ds, id_cols[0], f, num_buckets)
 
 
+def group_positions(values: np.ndarray, tiebreak: np.ndarray,
+                    starts: np.ndarray, descending: bool = True,
+                    tiles: int = 4):
+    """The positional SQL window functions per group, one lexsort over
+    the whole bucket: row_number() / percent_rank() / cume_dist() /
+    ntile(tiles).
+
+    ``tiebreak`` makes the row_number/ntile order TOTAL (SQL leaves tie
+    order undefined — an oracle comparison needs it pinned); rank-based
+    percent_rank/cume_dist treat equal ``values`` as peers (NaN == NaN,
+    like group_ranks). percent_rank of a 1-row group is 0.0; ntile
+    follows SQL's fill rule (first n%tiles buckets get one extra row).
+
+    Returns (row_number, percent_rank, cume_dist, ntile) arrays aligned
+    with the input rows.
+    """
+    n = len(values)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        f = np.zeros(0, dtype=np.float64)
+        return z, f, f.copy(), z.copy()
+    g = np.cumsum(starts) - 1
+    key = -values if descending else values
+    order = np.lexsort((tiebreak, key, g))
+    gs, ks = g[order], key[order]
+    pos = np.arange(n, dtype=np.int64)
+    new_g = np.ones(n, dtype=bool)
+    new_g[1:] = gs[1:] != gs[:-1]
+    gstart = np.maximum.accumulate(np.where(new_g, pos, 0))
+    rn_sorted = pos - gstart + 1
+    gb = np.nonzero(new_g)[0]
+    gsizes = np.diff(np.append(gb, n))
+    ng = np.repeat(gsizes, gsizes)
+    # tie runs over VALUES (peers; NaN compares equal to NaN)
+    neq = ks[1:] != ks[:-1]
+    if ks.dtype.kind == 'f':
+        neq &= ~(np.isnan(ks[1:]) & np.isnan(ks[:-1]))
+    new_val = np.ones(n, dtype=bool)
+    new_val[1:] = new_g[1:] | neq
+    run_first = np.maximum.accumulate(np.where(new_val, pos, 0))
+    rank_sorted = run_first - gstart + 1
+    vb = np.nonzero(new_val)[0]
+    vsizes = np.diff(np.append(vb, n))
+    run_last = np.repeat(vb + vsizes - 1, vsizes)
+    peer_last = run_last - gstart + 1
+    cume_sorted = peer_last.astype(np.float64) / ng
+    pct_sorted = np.where(
+        ng > 1, (rank_sorted - 1).astype(np.float64)
+        / np.maximum(ng - 1, 1), 0.0)
+    # SQL NTILE: the first n%tiles buckets take ceil(n/tiles) rows
+    size = ng // tiles
+    rem = ng % tiles
+    r0 = rn_sorted - 1
+    big = rem * (size + 1)
+    tile_sorted = np.where(
+        r0 < big, r0 // np.maximum(size + 1, 1),
+        rem + (r0 - big) // np.maximum(size, 1)) + 1
+    rn = np.empty(n, dtype=np.int64)
+    pct = np.empty(n, dtype=np.float64)
+    cume = np.empty(n, dtype=np.float64)
+    tile = np.empty(n, dtype=np.int64)
+    rn[order] = rn_sorted
+    pct[order] = pct_sorted
+    cume[order] = cume_sorted
+    tile[order] = tile_sorted
+    return rn, pct, cume, tile
+
+
 def group_ranks(values: np.ndarray, starts: np.ndarray,
                 descending: bool = True):
     """Per-group rank() and dense_rank() of ``values`` over groups marked
