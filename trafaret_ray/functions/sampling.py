@@ -1,0 +1,82 @@
+"""Deterministic dataset splitting / sampling on an integer key.
+
+``hash_split`` assigns every row to a named split (train/val/test …)
+from a multiplicative hash of a NON-NEGATIVE integer key — pure int64
+arithmetic that an ANSI-SQL oracle reproduces exactly (DuckDB BIGINT):
+
+    b = (((key % 2^31) * 2654435761) % 2^32) % mod
+
+The 2^31 pre-fold keeps the product inside int64 for ANY non-negative
+key (2^31 * 2654435761 < 2^63); numpy's wrap-on-overflow would
+otherwise silently diverge from SQL's overflow error. Knuth's golden
+multiplier decorrelates the low bits used by the final ``mod``. Keys
+MUST be non-negative: numpy's floored ``%`` and SQL's truncated ``%``
+disagree on negatives.
+
+For string/arbitrary keys use
+``functions.text.hash_sample_mask`` (pandas 64-bit hash — stronger,
+but not SQL-expressible; rows-only checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = 2654435761
+
+
+def split_buckets(keys: np.ndarray, mod: int = 10_000,
+                  salt: int = 0) -> np.ndarray:
+    """The int64 bucket in [0, mod) for each key (vectorized)."""
+    k = keys.astype(np.int64, copy=False)
+    folded = (k + np.int64(salt)) % np.int64(2 ** 31)
+    return ((folded * np.int64(_KNUTH)) % np.int64(2 ** 32)) \
+        % np.int64(mod)
+
+
+def split_sql_expr(key_col: str, fractions: dict[str, float],
+                   mod: int = 10_000, salt: int = 0) -> str:
+    """The matching ANSI-SQL CASE expression for the oracle side."""
+    b = (f'((({key_col} + {salt}) % 2147483648) * {_KNUTH}) '
+         f'% 4294967296 % {mod}')
+    cum, arms = 0.0, []
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        arms.append(f"WHEN {b} < {int(round(cum * mod))} THEN '{name}'")
+    return ('CASE ' + ' '.join(arms)
+            + f" ELSE '{items[-1][0]}' END")
+
+
+def hash_split(ds, col: str, fractions: dict[str, float] | None = None,
+               mod: int = 10_000, salt: int = 0,
+               out_col: str = 'split'):
+    """Append a deterministic split label per row.
+
+    ``fractions`` maps split name -> fraction (must sum to ~1; the last
+    split takes the remainder, so rounding never drops rows). The
+    assignment is a pure function of (key, salt) — stable across runs,
+    re-partitioning, and engines — which is what makes train/test
+    leakage auditable: the same key lands in the same split everywhere.
+    """
+    if fractions is None:
+        fractions = {'train': 0.8, 'val': 0.1, 'test': 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f'fractions sum to {total}, expected 1')
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names[:-1]])
+    edges = np.round(bounds * mod).astype(np.int64)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = split_buckets(keys, mod=mod, salt=salt)
+        lab = np.array(names, dtype=object)[np.searchsorted(
+            edges, b, side='right')]
+        return tbl.append_column(out_col,
+                                 pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format='pyarrow',
+                          zero_copy_batch=True)

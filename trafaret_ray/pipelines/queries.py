@@ -1076,6 +1076,108 @@ ORACLE_SQL['q_priority_revenue'] = """
 """
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue from RETURNED items.
+    Two pre-aggregations collapse the fact side before each exchange
+    (per-orderkey before lineitem ⋈ orders, per-custkey before
+    ⋈ customer), nation attaches via a 25-row broadcast, and the top-20
+    order is TOTAL (rev desc, custkey asc — exact int64 revenue, so the
+    cut is deterministic on both engines)."""
+    import ray
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import hash_join
+
+    lineitem = _read(sf_dir, 'lineitem',
+                     ['l_orderkey', 'l_extendedprice', 'l_discount',
+                      'l_returnflag'])
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.equal(tbl.column('l_returnflag'),
+                                  pa.scalar('R')))
+        r = pc.multiply(tbl.column('l_extendedprice'),
+                        pc.subtract(pa.scalar(1.0),
+                                    tbl.column('l_discount')))
+        return pa.table({'o_orderkey': tbl.column('l_orderkey'),
+                         'rev6': _fixed6(r)})
+
+    li = dict(zip(lineitem.schema().names, lineitem.schema().types))
+    per_order = bucket_aggregate(
+        lineitem.map_batches(rev, batch_format='pyarrow',
+                             zero_copy_batch=True),
+        ['o_orderkey'], {'rev6': ('rev6', 'sum')}, num_buckets=16)
+
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    joined = hash_join(
+        per_order, orders, on='o_orderkey', num_buckets=16,
+        left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
+                               ('rev6', pa.int64())]))
+
+    def to_cust(tbl: pa.Table) -> pa.Table:
+        # the join's null-padding floatified rev6 — restore exact int64
+        return pa.table({'c_custkey': tbl.column('o_custkey'),
+                         'rev6': pc.cast(tbl.column('rev6'), pa.int64())})
+
+    per_cust = bucket_aggregate(
+        joined.map_batches(to_cust, batch_format='pyarrow'),
+        ['c_custkey'], {'rev6': ('rev6', 'sum')}, num_buckets=16)
+
+    customer = _read(sf_dir, 'customer',
+                     ['c_custkey', 'c_name', 'c_acctbal', 'c_nationkey'])
+    cu = dict(zip(customer.schema().names, customer.schema().types))
+    with_cust = hash_join(
+        per_cust, customer, on='c_custkey', num_buckets=16,
+        left_schema=pa.schema([('c_custkey', cu['c_custkey']),
+                               ('rev6', pa.int64())]))
+
+    nation = _read(sf_dir, 'nation', ['n_nationkey', 'n_name']).to_pandas()
+    nref = ray.put((pa.array(nation['n_nationkey'].to_numpy()),
+                    pa.array(nation['n_name'], type=pa.string())))
+
+    def attach_nation(tbl: pa.Table) -> pa.Table:
+        keys, names = ray.get(nref)
+        idx = pc.index_in(tbl.column('c_nationkey'), value_set=keys)
+        return pa.table({
+            'c_custkey': tbl.column('c_custkey'),
+            'c_name': tbl.column('c_name'),
+            'c_acctbal': tbl.column('c_acctbal'),
+            'n_name': names.take(idx),
+            'rev6': pc.cast(tbl.column('rev6'), pa.int64()),
+        })
+
+    top = with_cust.map_batches(attach_nation, batch_format='pyarrow')\
+        .sort(['rev6', 'c_custkey'], descending=[True, False]).limit(20)
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'c_custkey': tbl.column('c_custkey'),
+            'c_name': tbl.column('c_name'),
+            'c_acctbal': tbl.column('c_acctbal'),
+            'n_name': tbl.column('n_name'),
+            'revenue': _unfix6(tbl.column('rev6')),
+        })
+
+    return top.map_batches(finalize, batch_format='pyarrow')\
+        .sort(['revenue', 'c_custkey'], descending=[True, False])
+
+
+QUERIES['q_returned_revenue'] = q_returned_revenue
+ORACLE_SQL['q_returned_revenue'] = """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(cast(sum(cast(floor(l_extendedprice * (1 - l_discount)
+                                     * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6, 6) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum(cast(floor(l_extendedprice * (1 - l_discount)
+                            * 1e6 + 0.5) AS BIGINT)) DESC, c_custkey
+    LIMIT 20
+"""
+
+
 def q_rolling_events(sf_dir: str):
     """Rolling-window aggregates per user over the last 5 events
     (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW): mean/min/max of value —
@@ -1323,6 +1425,32 @@ ORACLE_SQL['q_zscore_events'] = """
     FROM events e JOIN s USING (user_id)
     ORDER BY e.event_id
 """
+
+
+def q_split_events(sf_dir: str):
+    """Deterministic train/val/test assignment per event — pure int64
+    multiplicative hash of the key, so the SAME rows land in the SAME
+    split on every run, partitioning, and engine (the leakage-audit
+    property; functions/sampling.py:hash_split). Zero shuffle — one
+    vectorized map."""
+    from ..functions.sampling import hash_split
+    ds = _read(sf_dir, 'events', ['event_id'])
+    return hash_split(ds, 'event_id', _SPLIT_FRACS).sort('event_id')
+
+
+_SPLIT_FRACS = {'train': 0.8, 'val': 0.1, 'test': 0.1}
+
+QUERIES['q_split_events'] = q_split_events
+
+
+def _split_oracle() -> str:
+    from ..functions.sampling import split_sql_expr
+    return (
+        'SELECT event_id, ' + split_sql_expr('event_id', _SPLIT_FRACS)
+        + ' AS split FROM events ORDER BY event_id')
+
+
+ORACLE_SQL['q_split_events'] = _split_oracle()
 
 
 def q_melt_lineitem(sf_dir: str):
