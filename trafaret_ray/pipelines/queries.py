@@ -1427,6 +1427,56 @@ ORACLE_SQL['q_zscore_events'] = """
 """
 
 
+def q_winsorize_events(sf_dir: str):
+    """Per-user outlier clipping (winsorization): clamp value into the
+    user's [p10, p90]. One exchange on user_id; the bucket sorts by
+    (user, value) so BOTH per-group quantiles interpolate from array
+    positions with no per-group loop, quantile bounds round to 6
+    decimals on both engines (the q_value_quantiles precedent), then a
+    vectorized clip per row."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = tbl.column('value').combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lo = np.nonzero(starts)[0]
+        sizes = np.diff(np.append(lo, len(v)))
+
+        def q_at(q: float) -> np.ndarray:
+            h = (sizes - 1) * q
+            f = np.floor(h).astype(np.int64)
+            frac = h - f
+            lower = v[lo + f]
+            upper = v[np.minimum(lo + f + 1, lo + sizes - 1)]
+            return np.floor((lower + frac * (upper - lower)) * 1e6
+                            + 0.5) / 1e6
+
+        lo_b = np.repeat(q_at(0.10), sizes)
+        hi_b = np.repeat(q_at(0.90), sizes)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'value_w': pa.array(np.minimum(np.maximum(v, lo_b), hi_b)),
+        })
+
+    return per_conversation(ds, fn, key='user_id', order=('value',),
+                            num_buckets=32).sort('event_id')
+
+
+QUERIES['q_winsorize_events'] = q_winsorize_events
+ORACLE_SQL['q_winsorize_events'] = """
+    WITH b AS (
+      SELECT user_id,
+             round(quantile_cont(value, 0.10), 6) AS lo,
+             round(quantile_cont(value, 0.90), 6) AS hi
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           least(greatest(e.value, b.lo), b.hi) AS value_w
+    FROM events e JOIN b USING (user_id)
+    ORDER BY e.event_id
+"""
+
+
 def q_split_events(sf_dir: str):
     """Deterministic train/val/test assignment per event — pure int64
     multiplicative hash of the key, so the SAME rows land in the SAME

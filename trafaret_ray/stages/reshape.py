@@ -61,7 +61,17 @@ def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
                           dropna=False)[value_col].agg(aggfunc)\
             .unstack(var_col).reindex(columns=variables).reset_index()
         wide.columns = [str(c) for c in wide.columns]
-        return pa.Table.from_pandas(wide, preserve_index=False)
+        # Pin the output schema to the INPUT field types: pandas re-infers
+        # per bucket, so a bucket whose id values are all NULL comes back
+        # as float64 (vs string elsewhere) and a fully-observed bucket
+        # emits int64 values while one with missing cells emits float64 —
+        # block schema unification then fails nondeterministically
+        # depending on how groups packed into tasks. from_pandas with an
+        # explicit schema maps NaN -> null losslessly.
+        target = pa.schema([(c, gtypes[c]) for c in id_cols]
+                           + [(str(v), vtype) for v in variables])
+        return pa.Table.from_pandas(wide, schema=target,
+                                    preserve_index=False)
 
     from .conversations import bucket_exchange
     return bucket_exchange(ds, id_cols[0], f, num_buckets)
