@@ -466,3 +466,30 @@ def redact_text(text: pa.Array) -> pa.Array:
         out = pc.replace_substring_regex(out, pattern=pat,
                                          replacement=repl)
     return out
+
+
+def json_scalar(text, key: str):
+    """Extract a top-level scalar JSON field as its raw token (string
+    array; nulls where the key is absent or the cell is null) — one RE2
+    pass over the batch, no per-row json.loads. Handles string values
+    (escaped quotes included), numbers, booleans and null; nested
+    objects/arrays and duplicate keys are out of scope (a columnar
+    engine should promote such payloads to struct columns at ingest —
+    see contracts on pa.StructArray). Cast the result with
+    pyarrow.compute.cast for typed use."""
+    import re
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    pat = ('"' + re.escape(key)
+           + r'"\s*:\s*(?P<v>"(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?'
+           + r'(?:[eE][+-]?\d+)?|true|false|null)')
+    struct = pc.extract_regex(pc.fill_null(text, ''), pattern=pat)
+    raw = pc.struct_field(struct, 'v')
+    # string values come back with their quotes: strip them and unescape
+    quoted = pc.match_substring_regex(raw, r'^".*"$')
+    stripped = pc.replace_substring_regex(
+        pc.utf8_trim(raw, '"'), pattern=r'\\(.)', replacement=r'\1')
+    unquoted = pc.if_else(quoted, stripped, raw)
+    # JSON null -> SQL NULL
+    return pc.if_else(pc.equal(unquoted, 'null'),
+                      pa.nulls(len(text), type=pa.string()), unquoted)

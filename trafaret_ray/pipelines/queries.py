@@ -1594,6 +1594,61 @@ ORACLE_SQL['q_pivot_lineitem'] = """
 """
 
 
+def q_explode_embeddings(sf_dir: str):
+    """UNNEST the list<float> embedding column to (vec_id, pos, val)
+    rows (stages/reshape.py:explode_list). Pure map, no exchange — the
+    values child flattens zero-copy and ids replicate with one take per
+    column; SQL unnest semantics (empty/NULL lists emit nothing)."""
+    from ..stages.reshape import explode_list
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return explode_list(ds, 'embedding', ['vec_id'])\
+        .sort(['vec_id', 'pos'])
+
+
+QUERIES['q_explode_embeddings'] = q_explode_embeddings
+ORACLE_SQL['q_explode_embeddings'] = """
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+    ORDER BY vec_id, pos
+"""
+
+
+def q_json_props_events(sf_dir: str):
+    """Vectorized JSON field extraction (functions/text.py:json_scalar —
+    one RE2 pass per batch, no per-row json.loads) feeding a partial
+    aggregation per event_type. Only the two needed columns leave the
+    read; the exchange moves 5 partial rows per block."""
+    from ..functions.text import json_scalar
+    ds = _read(sf_dir, 'events', ['event_type', 'props'])
+
+    def extract(tbl: pa.Table) -> pa.Table:
+        k = pc.cast(json_scalar(tbl.column('props'), 'k'), pa.int64())
+        return pa.table({'event_type': tbl.column('event_type'), 'k': k})
+
+    ds = ds.map_batches(extract, batch_format='pyarrow',
+                        zero_copy_batch=True)
+    out = pre_aggregate(ds, ['event_type'],
+                        {'n_k': ('k', 'count'),
+                         'sum_k': ('k', 'sum'),
+                         'max_k': ('k', 'max')})
+    return out.sort('event_type')
+
+
+QUERIES['q_json_props_events'] = q_json_props_events
+ORACLE_SQL['q_json_props_events'] = """
+    SELECT event_type,
+           count(k) AS n_k,
+           sum(k) AS sum_k,
+           max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def q_tumbling_events(sf_dir: str):
     """Tumbling 1-hour windows per user: event count + value sum
     (streaming-shaped batch windowing; stages/streaming.py)."""
@@ -2288,6 +2343,86 @@ def q_priority_revenue_salted(sf_dir: str):
 
 QUERIES['q_priority_revenue_salted'] = q_priority_revenue_salted
 ORACLE_SQL['q_priority_revenue_salted'] = ORACLE_SQL['q_priority_revenue']
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-table chain: tiny dim filter broadcast as a
+    semi join (customer segment -> qualifying custkeys, ray.put once),
+    date-pruned orders, and a lineitem side pre-aggregated per orderkey
+    BEFORE the one large x large hash join — the exchange moves one
+    int64 partial row per order, not raw lineitem rows. Global top-10
+    via sort+limit on the already-small join output."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import hash_join, semi_join
+    import datetime
+    cut = pa.scalar(datetime.datetime(1998, 6, 1), type=pa.timestamp('us'))
+
+    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
+    bkeys = cust.map_batches(
+        lambda t: pa.table({'o_custkey': t.filter(pc.equal(
+            t.column('c_mktsegment'), 'BUILDING')).column('c_custkey')}),
+        batch_format='pyarrow', zero_copy_batch=True)
+
+    orders = _read(sf_dir, 'orders',
+                   ['o_orderkey', 'o_custkey', 'o_orderdate'])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column('o_orderdate'), cut)),
+        batch_format='pyarrow', zero_copy_batch=True)
+    orders = semi_join(orders, bkeys, 'o_custkey', match_nulls=False)
+
+    lineitem = _read(sf_dir, 'lineitem',
+                     ['l_orderkey', 'l_extendedprice', 'l_discount',
+                      'l_shipdate'])
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.greater(tbl.column('l_shipdate'), cut))
+        r = pc.multiply(tbl.column('l_extendedprice'),
+                        pc.subtract(pa.scalar(1.0),
+                                    tbl.column('l_discount')))
+        return pa.table({'o_orderkey': tbl.column('l_orderkey'),
+                         'rev6': _fixed6(r)})
+
+    lrev = lineitem.map_batches(rev, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    per_order = bucket_aggregate(lrev, ['o_orderkey'],
+                                 {'rev6': ('rev6', 'sum')},
+                                 num_buckets=16)
+    li = dict(zip(lineitem.schema().names, lineitem.schema().types))
+    joined = hash_join(
+        per_order, orders, on='o_orderkey', num_buckets=16,
+        left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
+                               ('rev6', pa.int64())]))
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        # inner-join union padding floatifies int64 partials; integer-
+        # valued doubles cast back exactly
+        rev6 = pc.cast(tbl.column('rev6'), pa.int64())
+        return pa.table({'l_orderkey': tbl.column('o_orderkey'),
+                         'revenue': _unfix6(rev6),
+                         'o_orderdate': tbl.column('o_orderdate')})
+
+    out = joined.map_batches(finalize, batch_format='pyarrow')
+    return out.sort(['revenue', 'l_orderkey'],
+                    descending=[True, False]).limit(10)
+
+
+QUERIES['q_shipping_priority'] = q_shipping_priority
+ORACLE_SQL['q_shipping_priority'] = """
+    SELECT l_orderkey,
+           round(cast(sum(cast(floor(l_extendedprice * (1 - l_discount)
+                                     * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6, 6) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
 
 
 def q_curate_docs(sf_dir: str):

@@ -31,6 +31,37 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
     return ds.map_batches(f, batch_format='pyarrow', zero_copy_batch=True)
 
 
+def explode_list(ds, list_col: str, id_cols: list[str],
+                 pos_name: str = 'pos', value_name: str = 'val'):
+    """UNNEST a list column: one output row per element, with the
+    element's 0-based position. SQL unnest semantics — empty and NULL
+    lists produce no rows.
+
+    Pure map, no exchange: the flattened values child is taken from the
+    ListArray without copying element storage (``pc.list_flatten``), id
+    columns replicate via one vectorized ``take`` per column, and
+    positions come from a single arange-minus-starts pass. The explosion
+    factor is the mean list length — size ``batch_size`` upstream so
+    batch_rows x list_len stays within the worker heap (a 4k-dim
+    embedding batch of 100k rows is 400M output rows: use small batches
+    for wide lists)."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column(list_col).combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(arr), 0)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        starts = np.cumsum(lens) - lens
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        cols = {c: tbl.column(c).take(pa.array(parent)) for c in id_cols}
+        cols[pos_name] = pa.array(pos)
+        cols[value_name] = pc.list_flatten(arr)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format='pyarrow', zero_copy_batch=True)
+
+
 def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
           variables: list[str], aggfunc: str = 'first',
           num_buckets: int = 32):
