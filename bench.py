@@ -51,7 +51,10 @@ BENCH_QUERIES = [
     'q_distinct_pairs_events', 'q_intersect_users_events',
     'q_except_langs_docs', 'q_heavy_hitter_tokens',
     'q_user_value_stats', 'q_redact_docs', 'q_decontaminate_docs',
-    'q_profile_events',
+    'q_profile_events', 'q_returned_revenue', 'q_zscore_events',
+    'q_window_positions_events', 'q_split_events', 'q_winsorize_events',
+    'q_explode_embeddings', 'q_json_props_events', 'q_shipping_priority',
+    'q_rollup_pricing',
 ]
 
 

@@ -167,3 +167,58 @@ class TestHeavyHittersNull:
             assert got['c'].fillna('<N>').tolist() == \
                 exp['c'].fillna('<N>').tolist(), expansion
             assert got['n'].tolist() == exp['n'].tolist(), expansion
+
+
+class TestRollupAggregate:
+    def test_matches_duckdb_with_null_keys(self, ray_session):
+        """ROLLUP with a genuine NULL key: grouping_id disambiguates a
+        rolled-up NULL from a data NULL, matching DuckDB's GROUPING()."""
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import rollup_aggregate
+        rng = np.random.default_rng(5)
+        n = 4000
+        tbl = pa.table({
+            'a': pa.array(rng.choice(['x', 'y', None], n).tolist(),
+                          type=pa.string()),
+            'b': pa.array(rng.integers(0, 3, n), type=pa.int64()),
+            'v': pa.array(rng.integers(0, 50, n), type=pa.int64()),
+        })
+        got = rollup_aggregate(
+            rd.from_arrow(tbl).repartition(5), ['a', 'b'],
+            {'s': ('v', 'sum'), 'n': ('v', 'count'),
+             'mn': ('v', 'min'), 'mx': ('v', 'max')}).to_pandas()
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute(
+            'select a, b, sum(v) as s, count(v) as n, min(v) as mn, '
+            'max(v) as mx, grouping(a, b) as grouping_id '
+            'from t group by rollup(a, b)').df()
+
+        def norm(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if df[c].dtype.kind in 'iuf':
+                    df[c] = df[c].astype('float64')
+            return df.sort_values(list(df.columns), na_position='first')\
+                .reset_index(drop=True)
+
+        g, e = norm(got), norm(exp)
+        assert len(g) == len(e)
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            if gv.dtype.kind == 'f':
+                assert np.allclose(gv.to_numpy(dtype=float),
+                                   ev.to_numpy(dtype=float),
+                                   equal_nan=True), c
+            else:
+                assert gv.fillna('<N>').tolist() == \
+                    ev.fillna('<N>').tolist(), c
+
+    def test_mean_rejected(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import rollup_aggregate
+        tbl = pa.table({'a': ['x'], 'v': [1]})
+        with pytest.raises(ValueError, match='not re-mergeable'):
+            rollup_aggregate(rd.from_arrow(tbl), ['a'],
+                             {'m': ('v', 'mean')})

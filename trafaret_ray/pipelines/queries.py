@@ -2345,6 +2345,56 @@ QUERIES['q_priority_revenue_salted'] = q_priority_revenue_salted
 ORACLE_SQL['q_priority_revenue_salted'] = ORACLE_SQL['q_priority_revenue']
 
 
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP over (l_returnflag, l_linestatus): all prefix
+    levels + grand total in ONE pass — the raw input aggregates once at
+    the finest level and each coarser level re-merges the previous
+    level's tiny output (stages/aggregate.py:rollup_aggregate).
+    grouping_id carries SQL GROUPING() so rolled-up NULLs are
+    unambiguous. Fixed-point int64 sums keep every level byte-stable."""
+    from ..stages.aggregate import rollup_aggregate
+    ds = _read(sf_dir, 'lineitem',
+               ['l_returnflag', 'l_linestatus', 'l_quantity'])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'l_returnflag': tbl.column('l_returnflag'),
+            'l_linestatus': tbl.column('l_linestatus'),
+            'qty6': _fixed6(tbl.column('l_quantity')),
+        })
+
+    ds = ds.map_batches(derive, batch_format='pyarrow',
+                        zero_copy_batch=True)
+    out = rollup_aggregate(ds, ['l_returnflag', 'l_linestatus'],
+                           {'sum_qty6': ('qty6', 'sum'),
+                            'n_items': ('qty6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'l_returnflag': tbl.column('l_returnflag'),
+            'l_linestatus': tbl.column('l_linestatus'),
+            'sum_qty': _unfix6(tbl.column('sum_qty6')),
+            'n_items': tbl.column('n_items'),
+            'grouping_id': tbl.column('grouping_id'),
+        })
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort(['grouping_id', 'l_returnflag', 'l_linestatus'])
+
+
+QUERIES['q_rollup_pricing'] = q_rollup_pricing
+ORACLE_SQL['q_rollup_pricing'] = """
+    SELECT l_returnflag, l_linestatus,
+           round(cast(sum(cast(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6, 6) AS sum_qty,
+           count(l_quantity) AS n_items,
+           grouping(l_returnflag, l_linestatus) AS grouping_id
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY grouping_id, l_returnflag, l_linestatus
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped 3-table chain: tiny dim filter broadcast as a
     semi join (customer segment -> qualifying custkeys, ray.put once),

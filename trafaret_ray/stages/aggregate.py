@@ -172,6 +172,92 @@ def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         merge_bucket, batch_format='pyarrow')
 
 
+def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                     num_buckets: int = 32,
+                     grouping_col: str = 'grouping_id'):
+    """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level of the key
+    list plus the grand total, in ONE pass over the input.
+
+    The finest level runs as a normal ``bucket_aggregate``; each coarser
+    level re-aggregates the PREVIOUS level's (already tiny) output —
+    sum/count/min/max partials are mergeable, so the raw input is read
+    exactly once no matter how many levels roll up. Rolled-up key
+    columns are typed NULLs and ``grouping_col`` carries the SQL
+    ``GROUPING(keys...)`` bitmask (0 = finest, 2**i - 1 = last i keys
+    rolled), which disambiguates a rolled-up NULL from a genuine NULL
+    key. ``mean`` is not mergeable across levels — compute sum and
+    count, divide downstream.
+    """
+    for out, (_, fn) in aggs.items():
+        if fn not in _MERGE:
+            raise ValueError(
+                f'rollup_aggregate: {fn!r} ({out}) is not re-mergeable '
+                "across levels; use sum/count/min/max and derive means "
+                'downstream')
+    out_names = list(aggs)
+    ordered = keys + out_names + [grouping_col]
+
+    def with_grouping(gid):
+        def f(tbl: pa.Table) -> pa.Table:
+            cols = {c: (tbl.column(c) if c != grouping_col else
+                        pa.array(np.full(tbl.num_rows, gid,
+                                         dtype=np.int64)))
+                    for c in ordered}
+            return pa.table(cols)
+        return f
+
+    finest = bucket_aggregate(ds, keys, aggs, num_buckets)
+    levels = [finest.map_batches(with_grouping(0),
+                                 batch_format='pyarrow').materialize()]
+    prev = levels[0]
+    for i in range(1, len(keys) + 1):
+        kept = keys[:len(keys) - i]
+        rolled = keys[len(keys) - i:]
+        # merge spec: re-aggregate outputs (count -> sum of counts);
+        # rolled keys ride along as 'min' ONLY to preserve their Arrow
+        # type — a post-map nulls them out
+        remerge = {out: (out, _MERGE[aggs[out][1]]) for out in out_names}
+        remerge.update({k: (k, 'min') for k in rolled})
+        if kept:
+            cur = bucket_aggregate(prev, kept, remerge, num_buckets=8)
+        else:
+            const = '__rollup_all'
+
+            def tag(tbl: pa.Table) -> pa.Table:
+                return tbl.append_column(
+                    const, pa.array(np.zeros(tbl.num_rows,
+                                             dtype=np.int8)))
+
+            cur = bucket_aggregate(
+                prev.map_batches(tag, batch_format='pyarrow'),
+                [const], remerge, num_buckets=1).map_batches(
+                lambda t: t.drop_columns([const]),
+                batch_format='pyarrow')
+
+        def nullify(tbl: pa.Table, _rolled=tuple(rolled),
+                    _gid=(1 << i) - 1) -> pa.Table:
+            cols = {}
+            for c in ordered:
+                if c == grouping_col:
+                    cols[c] = pa.array(np.full(tbl.num_rows, _gid,
+                                               dtype=np.int64))
+                elif c in _rolled:
+                    cols[c] = pa.nulls(tbl.num_rows,
+                                       type=tbl.schema.field(c).type)
+                else:
+                    cols[c] = tbl.column(c)
+            return pa.table(cols)
+
+        prev = cur.map_batches(nullify,
+                               batch_format='pyarrow').materialize()
+        levels.append(prev)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def grouped_quantiles(ds, group_col: str, value_col: str, qs,
                       num_buckets: int = 32, ndigits: int = 6):
     """EXACT per-group quantiles (linear interpolation, quantile_cont
