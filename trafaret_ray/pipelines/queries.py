@@ -2396,29 +2396,32 @@ ORACLE_SQL['q_rollup_pricing'] = """
 
 
 def q_shipping_priority(sf_dir: str):
-    """TPC-H Q3-shaped 3-table chain: tiny dim filter broadcast as a
-    semi join (customer segment -> qualifying custkeys, ray.put once),
-    date-pruned orders, and a lineitem side pre-aggregated per orderkey
-    BEFORE the one large x large hash join — the exchange moves one
-    int64 partial row per order, not raw lineitem rows. Global top-10
-    via sort+limit on the already-small join output."""
+    """TPC-H Q3-shaped 3-table chain: the tiny customer dim is read
+    driver-side ONCE and its qualifying custkeys broadcast into a fused
+    filter over date-pruned orders (pc.is_in per batch — the
+    q_region_revenue small-dim idiom; at cluster scale the array ships
+    via ray.put exactly once), and the lineitem side pre-aggregates per
+    orderkey BEFORE the one large x large hash join — the exchange
+    moves one int64 partial row per order, not raw lineitem rows.
+    Global top-10 via sort+limit on the already-small join output."""
     from ..stages.aggregate import bucket_aggregate
-    from ..stages.joins import hash_join, semi_join
+    from ..stages.joins import hash_join
     import datetime
     cut = pa.scalar(datetime.datetime(1998, 6, 1), type=pa.timestamp('us'))
 
-    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
-    bkeys = cust.map_batches(
-        lambda t: pa.table({'o_custkey': t.filter(pc.equal(
-            t.column('c_mktsegment'), 'BUILDING')).column('c_custkey')}),
-        batch_format='pyarrow', zero_copy_batch=True)
+    cust = _read(sf_dir, 'customer',
+                 ['c_custkey', 'c_mktsegment']).to_pandas()
+    bkeys = pa.array(
+        cust.loc[cust['c_mktsegment'] == 'BUILDING',
+                 'c_custkey'].to_numpy())
 
     orders = _read(sf_dir, 'orders',
                    ['o_orderkey', 'o_custkey', 'o_orderdate'])
     orders = orders.map_batches(
-        lambda t: t.filter(pc.less(t.column('o_orderdate'), cut)),
+        lambda t: t.filter(pc.and_(
+            pc.less(t.column('o_orderdate'), cut),
+            pc.is_in(t.column('o_custkey'), value_set=bkeys))),
         batch_format='pyarrow', zero_copy_batch=True)
-    orders = semi_join(orders, bkeys, 'o_custkey', match_nulls=False)
 
     lineitem = _read(sf_dir, 'lineitem',
                      ['l_orderkey', 'l_extendedprice', 'l_discount',

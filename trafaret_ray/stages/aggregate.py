@@ -178,15 +178,17 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level of the key
     list plus the grand total, in ONE pass over the input.
 
-    The finest level runs as a normal ``bucket_aggregate``; each coarser
-    level re-aggregates the PREVIOUS level's (already tiny) output —
-    sum/count/min/max partials are mergeable, so the raw input is read
-    exactly once no matter how many levels roll up. Rolled-up key
-    columns are typed NULLs and ``grouping_col`` carries the SQL
-    ``GROUPING(keys...)`` bitmask (0 = finest, 2**i - 1 = last i keys
-    rolled), which disambiguates a rolled-up NULL from a genuine NULL
-    key. ``mean`` is not mergeable across levels — compute sum and
-    count, divide downstream.
+    The finest level runs as a normal ``bucket_aggregate`` and is
+    materialized ONCE (its output is already group-sized, not
+    input-sized); every coarser level re-aggregates that same finest
+    output — sum/count/min/max partials are mergeable, so the raw input
+    is read exactly once and the whole rollup costs exactly TWO
+    executions (finest + the union of levels) no matter how many keys
+    roll up. Rolled-up key columns are typed NULLs and ``grouping_col``
+    carries the SQL ``GROUPING(keys...)`` bitmask (0 = finest,
+    2**i - 1 = last i keys rolled), which disambiguates a rolled-up
+    NULL from a genuine NULL key. ``mean`` is not mergeable across
+    levels — compute sum and count, divide downstream.
     """
     for out, (_, fn) in aggs.items():
         if fn not in _MERGE:
@@ -197,29 +199,35 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     out_names = list(aggs)
     ordered = keys + out_names + [grouping_col]
 
-    def with_grouping(gid):
+    finest = bucket_aggregate(ds, keys, aggs, num_buckets).materialize()
+
+    def with_grouping(gid, rolled=()):
         def f(tbl: pa.Table) -> pa.Table:
-            cols = {c: (tbl.column(c) if c != grouping_col else
-                        pa.array(np.full(tbl.num_rows, gid,
-                                         dtype=np.int64)))
-                    for c in ordered}
+            cols = {}
+            for c in ordered:
+                if c == grouping_col:
+                    cols[c] = pa.array(np.full(tbl.num_rows, gid,
+                                               dtype=np.int64))
+                elif c in rolled:
+                    cols[c] = pa.nulls(tbl.num_rows,
+                                       type=tbl.schema.field(c).type)
+                else:
+                    cols[c] = tbl.column(c)
             return pa.table(cols)
         return f
 
-    finest = bucket_aggregate(ds, keys, aggs, num_buckets)
-    levels = [finest.map_batches(with_grouping(0),
-                                 batch_format='pyarrow').materialize()]
-    prev = levels[0]
+    out = finest.map_batches(with_grouping(0), batch_format='pyarrow')
     for i in range(1, len(keys) + 1):
         kept = keys[:len(keys) - i]
-        rolled = keys[len(keys) - i:]
+        rolled = tuple(keys[len(keys) - i:])
         # merge spec: re-aggregate outputs (count -> sum of counts);
         # rolled keys ride along as 'min' ONLY to preserve their Arrow
-        # type — a post-map nulls them out
-        remerge = {out: (out, _MERGE[aggs[out][1]]) for out in out_names}
+        # type — with_grouping nulls them out
+        remerge = {out_n: (out_n, _MERGE[aggs[out_n][1]])
+                   for out_n in out_names}
         remerge.update({k: (k, 'min') for k in rolled})
         if kept:
-            cur = bucket_aggregate(prev, kept, remerge, num_buckets=8)
+            cur = bucket_aggregate(finest, kept, remerge, num_buckets=8)
         else:
             const = '__rollup_all'
 
@@ -229,32 +237,12 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
                                              dtype=np.int8)))
 
             cur = bucket_aggregate(
-                prev.map_batches(tag, batch_format='pyarrow'),
+                finest.map_batches(tag, batch_format='pyarrow'),
                 [const], remerge, num_buckets=1).map_batches(
                 lambda t: t.drop_columns([const]),
                 batch_format='pyarrow')
-
-        def nullify(tbl: pa.Table, _rolled=tuple(rolled),
-                    _gid=(1 << i) - 1) -> pa.Table:
-            cols = {}
-            for c in ordered:
-                if c == grouping_col:
-                    cols[c] = pa.array(np.full(tbl.num_rows, _gid,
-                                               dtype=np.int64))
-                elif c in _rolled:
-                    cols[c] = pa.nulls(tbl.num_rows,
-                                       type=tbl.schema.field(c).type)
-                else:
-                    cols[c] = tbl.column(c)
-            return pa.table(cols)
-
-        prev = cur.map_batches(nullify,
-                               batch_format='pyarrow').materialize()
-        levels.append(prev)
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
+        out = out.union(cur.map_batches(
+            with_grouping((1 << i) - 1, rolled), batch_format='pyarrow'))
     return out
 
 
