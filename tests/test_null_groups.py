@@ -222,3 +222,37 @@ class TestRollupAggregate:
         with pytest.raises(ValueError, match='not re-mergeable'):
             rollup_aggregate(rd.from_arrow(tbl), ['a'],
                              {'m': ('v', 'mean')})
+
+    def test_cube_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import cube_aggregate
+        rng = np.random.default_rng(9)
+        n = 3000
+        tbl = pa.table({
+            'a': pa.array(rng.choice(['p', 'q', None], n).tolist(),
+                          type=pa.string()),
+            'b': pa.array(rng.choice(['u', None], n).tolist(),
+                          type=pa.string()),
+            'v': pa.array(rng.integers(0, 9, n), type=pa.int64()),
+        })
+        got = cube_aggregate(rd.from_arrow(tbl).repartition(4),
+                             ['a', 'b'], {'s': ('v', 'sum')}).to_pandas()
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute(
+            'select a, b, sum(v) as s, grouping(a, b) as grouping_id '
+            'from t group by cube(a, b)').df()
+
+        def norm(df):
+            df = df.copy()
+            df['s'] = df['s'].astype('float64')
+            return df.sort_values(['grouping_id', 'a', 'b', 's'],
+                                  na_position='first')\
+                .reset_index(drop=True)
+
+        g, e = norm(got), norm(exp)
+        assert len(g) == len(e) == 12  # (3a+null-roll) x (2b+null-roll)
+        for c in g.columns:
+            assert g[c].fillna('<N>').tolist() == \
+                e[c].fillna('<N>').tolist(), c

@@ -80,3 +80,33 @@ def hash_split(ds, col: str, fractions: dict[str, float] | None = None,
 
     return ds.map_batches(assign, batch_format='pyarrow',
                           zero_copy_batch=True)
+
+
+def stratified_sample(ds, group_col: str, key_col: str, k: int,
+                      salt: int = 0, num_buckets: int = 32):
+    """Deterministic stratified sample: the k rows per group with the
+    smallest key hash — a pure function of (key, salt), so the sample
+    is stable across runs, partitionings and engines, and an ANSI-SQL
+    oracle reproduces it exactly (row_number() over the same hash
+    expression).
+
+    Physically this is grouped top-k: each batch prunes to its local
+    per-group k before the one exchange, so at most k rows per
+    (group, batch) move. Keys must be non-negative integers (see
+    split_buckets).
+    """
+    from ..stages.aggregate import grouped_topk
+
+    def with_hash(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # mod = 2^32: the full fold, no extra reduction
+        h = split_buckets(keys, mod=2 ** 32, salt=salt)
+        return tbl.append_column('_strat_h', pa.array(h))
+
+    top = grouped_topk(ds.map_batches(with_hash, batch_format='pyarrow',
+                                      zero_copy_batch=True),
+                       group_col, '_strat_h', k, descending=False,
+                       tiebreak=key_col, num_buckets=num_buckets)
+    return top.map_batches(lambda t: t.drop_columns(['_strat_h']),
+                           batch_format='pyarrow')

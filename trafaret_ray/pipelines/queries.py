@@ -1503,6 +1503,33 @@ def _split_oracle() -> str:
 ORACLE_SQL['q_split_events'] = _split_oracle()
 
 
+def q_stratified_events(sf_dir: str):
+    """Deterministic stratified sampling: the 50 events per event_type
+    with the smallest key hash (functions/sampling.py:
+    stratified_sample). Physically grouped top-k — each batch prunes
+    to its local per-group 50 before the one exchange — and the sample
+    is a pure function of event_id, reproduced exactly by the SQL
+    row_number() oracle."""
+    from ..functions.sampling import stratified_sample
+    ds = _read(sf_dir, 'events', ['event_id', 'event_type'])
+    out = stratified_sample(ds, 'event_type', 'event_id', k=50)
+    return out.sort(['event_type', 'event_id'])
+
+
+QUERIES['q_stratified_events'] = q_stratified_events
+ORACLE_SQL['q_stratified_events'] = """
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ((event_id % 2147483648) * 2654435761)
+                        % 4294967296, event_id) AS rn
+      FROM events)
+    WHERE rn <= 50
+    ORDER BY event_type, event_id
+"""
+
+
 def q_melt_lineitem(sf_dir: str):
     """Wide -> long UNPIVOT of lineitem's four measures (pure map, no
     exchange; stages/reshape.py:melt)."""
@@ -2392,6 +2419,42 @@ ORACLE_SQL['q_rollup_pricing'] = """
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY grouping_id, l_returnflag, l_linestatus
+"""
+
+
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE over (lang, source): all four grouping sets in one
+    input pass + one re-merge execution
+    (stages/aggregate.py:cube_aggregate). Character counts sum as
+    exact int64 so every level is byte-stable."""
+    from ..stages.aggregate import cube_aggregate
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'source', 'text'])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'lang': tbl.column('lang'),
+            'source': tbl.column('source'),
+            'chars': pc.cast(pc.utf8_length(
+                pc.fill_null(tbl.column('text'), '')), pa.int64()),
+        })
+
+    ds = ds.map_batches(derive, batch_format='pyarrow',
+                        zero_copy_batch=True)
+    out = cube_aggregate(ds, ['lang', 'source'],
+                         {'n_docs': ('chars', 'count'),
+                          'sum_chars': ('chars', 'sum')})
+    return out.sort(['grouping_id', 'lang', 'source'])
+
+
+QUERIES['q_cube_docs'] = q_cube_docs
+ORACLE_SQL['q_cube_docs'] = """
+    SELECT lang, source,
+           count(coalesce(length(text), 0)) AS n_docs,
+           sum(coalesce(length(text), 0)) AS sum_chars,
+           grouping(lang, source) AS grouping_id
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    ORDER BY grouping_id, lang, source
 """
 
 

@@ -172,30 +172,43 @@ def bucket_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         merge_bucket, batch_format='pyarrow')
 
 
-def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
-                     num_buckets: int = 32,
-                     grouping_col: str = 'grouping_id'):
-    """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level of the key
-    list plus the grand total, in ONE pass over the input.
+def grouping_sets_aggregate(ds, keys: list[str], sets,
+                            aggs: dict[str, tuple[str, str]],
+                            num_buckets: int = 32,
+                            grouping_col: str = 'grouping_id'):
+    """SQL ``GROUP BY GROUPING SETS``: aggregate at several key subsets
+    in ONE pass over the input.
 
-    The finest level runs as a normal ``bucket_aggregate`` and is
-    materialized ONCE (its output is already group-sized, not
-    input-sized); every coarser level re-aggregates that same finest
-    output — sum/count/min/max partials are mergeable, so the raw input
-    is read exactly once and the whole rollup costs exactly TWO
-    executions (finest + the union of levels) no matter how many keys
-    roll up. Rolled-up key columns are typed NULLs and ``grouping_col``
-    carries the SQL ``GROUPING(keys...)`` bitmask (0 = finest,
-    2**i - 1 = last i keys rolled), which disambiguates a rolled-up
-    NULL from a genuine NULL key. ``mean`` is not mergeable across
-    levels — compute sum and count, divide downstream.
+    The finest level (the full ``keys`` tuple) runs as a normal
+    ``bucket_aggregate`` and is materialized ONCE (its output is already
+    group-sized, not input-sized); every requested set re-aggregates
+    that same finest output — sum/count/min/max partials are mergeable,
+    so the raw input is read exactly once and the whole thing costs
+    exactly TWO executions (finest + the union of sets) no matter how
+    many sets are asked for. Rolled-up key columns are typed NULLs and
+    ``grouping_col`` carries the SQL ``GROUPING(keys...)`` bitmask
+    (keys[0] is the most-significant bit; a set bit means that key is
+    rolled up), which disambiguates a rolled-up NULL from a genuine
+    NULL key. ``mean`` is not mergeable across levels — compute sum and
+    count, divide downstream.
+
+    ``sets``: iterable of key subsets (each a list/tuple preserving
+    ``keys`` membership; order within a set is irrelevant).
+    ``rollup_aggregate`` and ``cube_aggregate`` are the standard
+    instantiations.
     """
     for out, (_, fn) in aggs.items():
         if fn not in _MERGE:
             raise ValueError(
-                f'rollup_aggregate: {fn!r} ({out}) is not re-mergeable '
-                "across levels; use sum/count/min/max and derive means "
-                'downstream')
+                f'grouping_sets_aggregate: {fn!r} ({out}) is not '
+                're-mergeable across levels; use sum/count/min/max and '
+                'derive means downstream')
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f'grouping set {s} has keys {unknown} '
+                             f'outside {keys}')
     out_names = list(aggs)
     ordered = keys + out_names + [grouping_col]
 
@@ -216,34 +229,66 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
             return pa.table(cols)
         return f
 
-    out = finest.map_batches(with_grouping(0), batch_format='pyarrow')
-    for i in range(1, len(keys) + 1):
-        kept = keys[:len(keys) - i]
-        rolled = tuple(keys[len(keys) - i:])
-        # merge spec: re-aggregate outputs (count -> sum of counts);
-        # rolled keys ride along as 'min' ONLY to preserve their Arrow
-        # type — with_grouping nulls them out
-        remerge = {out_n: (out_n, _MERGE[aggs[out_n][1]])
-                   for out_n in out_names}
-        remerge.update({k: (k, 'min') for k in rolled})
-        if kept:
-            cur = bucket_aggregate(finest, kept, remerge, num_buckets=8)
+    out = None
+    for s in sets:
+        kept = [k for k in keys if k in s]
+        rolled = tuple(k for k in keys if k not in s)
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in s)
+        if not rolled:
+            cur = finest.map_batches(with_grouping(0),
+                                     batch_format='pyarrow')
         else:
-            const = '__rollup_all'
+            # merge spec: re-aggregate outputs (count -> sum of
+            # counts); rolled keys ride along as 'min' ONLY to preserve
+            # their Arrow type — with_grouping nulls them out
+            remerge = {out_n: (out_n, _MERGE[aggs[out_n][1]])
+                       for out_n in out_names}
+            remerge.update({k: (k, 'min') for k in rolled})
+            if kept:
+                agged = bucket_aggregate(finest, kept, remerge,
+                                         num_buckets=8)
+            else:
+                const = '__gsets_all'
 
-            def tag(tbl: pa.Table) -> pa.Table:
-                return tbl.append_column(
-                    const, pa.array(np.zeros(tbl.num_rows,
-                                             dtype=np.int8)))
+                def tag(tbl: pa.Table) -> pa.Table:
+                    return tbl.append_column(
+                        const, pa.array(np.zeros(tbl.num_rows,
+                                                 dtype=np.int8)))
 
-            cur = bucket_aggregate(
-                finest.map_batches(tag, batch_format='pyarrow'),
-                [const], remerge, num_buckets=1).map_batches(
-                lambda t: t.drop_columns([const]),
-                batch_format='pyarrow')
-        out = out.union(cur.map_batches(
-            with_grouping((1 << i) - 1, rolled), batch_format='pyarrow'))
+                agged = bucket_aggregate(
+                    finest.map_batches(tag, batch_format='pyarrow'),
+                    [const], remerge, num_buckets=1).map_batches(
+                    lambda t: t.drop_columns([const]),
+                    batch_format='pyarrow')
+            cur = agged.map_batches(with_grouping(gid, rolled),
+                                    batch_format='pyarrow')
+        out = cur if out is None else out.union(cur)
     return out
+
+
+def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                     num_buckets: int = 32,
+                     grouping_col: str = 'grouping_id'):
+    """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level of the key
+    list plus the grand total (see grouping_sets_aggregate for the
+    one-input-pass / two-execution physical plan)."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs, num_buckets,
+                                   grouping_col)
+
+
+def cube_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                   num_buckets: int = 32,
+                   grouping_col: str = 'grouping_id'):
+    """SQL ``GROUP BY CUBE(keys...)``: all 2**len(keys) key subsets
+    (see grouping_sets_aggregate for the one-input-pass /
+    two-execution physical plan)."""
+    from itertools import combinations
+    sets = [c for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs, num_buckets,
+                                   grouping_col)
 
 
 def grouped_quantiles(ds, group_col: str, value_col: str, qs,
