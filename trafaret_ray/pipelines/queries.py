@@ -1503,6 +1503,67 @@ def _split_oracle() -> str:
 ORACLE_SQL['q_split_events'] = _split_oracle()
 
 
+def q_late_events(sf_dir: str):
+    """Per-user event-time WATERMARK late-row tagging over a
+    deterministically disordered arrival (hash of event_id — the
+    replayable stand-in for network reordering). Same semantics as the
+    stateful LateRowTagger actor (stages/streaming.py), here in the
+    batch-replay form: one exchange on user_id, then a SEGMENTED
+    shifted running-max per user (offset-trick cummax — no per-row
+    loop, no per-group loop); a row is late iff its ts is strictly
+    below the user's prior max ts minus 7 days."""
+    LATENESS_US = 7 * 24 * 3600 * 1_000_000
+    from ..functions.sampling import split_buckets
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'])
+
+    def with_arrival(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column('event_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return tbl.append_column(
+            'arr', pa.array(split_buckets(keys, mod=2 ** 32)))
+
+    ds = ds.map_batches(with_arrival, batch_format='pyarrow',
+                        zero_copy_batch=True)
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        ts = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        g = np.cumsum(starts) - 1
+        # segmented inclusive cummax via the offset trick: adding
+        # g * (range+1) makes every later group strictly dominate, so
+        # one global maximum.accumulate respects group boundaries
+        big = np.int64(int(ts.max()) - int(ts.min()) + 1)
+        cm = np.maximum.accumulate(ts + g * big) - g * big
+        prior = np.empty_like(ts)
+        prior[1:] = cm[:-1]
+        late = np.zeros(len(ts), dtype=bool)
+        late[1:] = ts[1:] < prior[1:] - np.int64(LATENESS_US)
+        late[starts] = False
+        return pa.table({'event_id': tbl.column('event_id'),
+                         'user_id': tbl.column('user_id'),
+                         'late': pa.array(late)})
+
+    return per_conversation(ds, fn, key='user_id',
+                            order=('arr', 'event_id'),
+                            num_buckets=32).sort('event_id')
+
+
+QUERIES['q_late_events'] = q_late_events
+ORACLE_SQL['q_late_events'] = """
+    SELECT event_id, user_id,
+           coalesce(epoch_us(ts) <
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY ((event_id % 2147483648) * 2654435761)
+                        % 4294967296, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - 604800000000, false) AS late
+    FROM events
+    ORDER BY event_id
+"""
+
+
 def q_stratified_events(sf_dir: str):
     """Deterministic stratified sampling: the 50 events per event_type
     with the smallest key hash (functions/sampling.py:

@@ -240,3 +240,71 @@ class StreamingLagger:
                              {c: tbl.column(c)[h].as_py()
                               for c in self.value_cols})
         return out
+
+
+class LateRowTagger:
+    """Stateful actor stage: event-time WATERMARK tracking with
+    late-row tagging (the allowed-lateness model of the streaming
+    engines Ray Data lacks natively).
+
+    The watermark is ``max(event ts seen so far) - lateness_us``,
+    carried across batches; a row is late iff its ts is strictly below
+    the watermark AT ITS ARRIVAL (rows inside a batch advance the
+    watermark in row order — vectorized as a shifted running max, no
+    per-row Python). Late rows are TAGGED (``late`` bool column), not
+    dropped — route them like quarantine: keep a side output, or filter
+    and aggregate the on-time stream.
+
+    Ordering contract (same as StreamingSessionizer): arrival order =
+    the order batches reach ONE actor — run with ``concurrency=1`` (or
+    one actor per key-hash bucket for per-partition watermarks) and
+    ``preserve_order`` execution when replaying a log deterministically.
+    """
+
+    def __init__(self, ts_col: str = 'ts',
+                 lateness_us: int = 5 * 60 * 1_000_000):
+        self.ts_col = ts_col
+        self.lateness_us = lateness_us
+        self.max_ts: int | None = None   # max event ts seen so far
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column('late',
+                                     pa.array([], type=pa.bool_()))
+        ts = tbl.column(self.ts_col).combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        run = np.maximum.accumulate(ts)
+        # max ts BEFORE each row: carried max for row 0, shifted running
+        # max after — then the row itself advances the watermark
+        before = np.empty_like(ts)
+        # a first-ever row has no history: watermark undefined, never
+        # late (before = its own ts keeps the arithmetic in-range)
+        before[0] = self.max_ts if self.max_ts is not None else ts[0]
+        before[1:] = run[:-1]
+        if self.max_ts is not None:
+            before = np.maximum(before, np.int64(self.max_ts))
+        late = ts < before - np.int64(self.lateness_us)
+        self.max_ts = int(max(run[-1],
+                              self.max_ts if self.max_ts is not None
+                              else run[-1]))
+        return tbl.append_column('late', pa.array(late))
+
+
+def watermark_tumbling(ds, key: str, ts_col: str, window_us: int,
+                       lateness_us: int,
+                       aggs: dict[str, tuple[str, str]]):
+    """Tumbling windows over the ON-TIME stream of an out-of-order log:
+    tag rows against the watermark (one LateRowTagger actor — a global
+    watermark, the deterministic-replay configuration), window-aggregate
+    the on-time rows, and return ``(windows, tagged)`` so the caller can
+    audit or reroute the late side exactly like quarantine."""
+    tagged = ds.map_batches(LateRowTagger,
+                            fn_constructor_kwargs={
+                                'ts_col': ts_col,
+                                'lateness_us': lateness_us},
+                            batch_format='pyarrow', concurrency=1)
+    on_time = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column('late'))),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return tumbling_window(on_time, key, ts_col, window_us, aggs), tagged
