@@ -371,3 +371,35 @@ class TestGroupPositions:
             for c in ('pct', 'cume'):
                 assert np.allclose(got[c].to_numpy(),
                                    exp[c].to_numpy()), (trial, c)
+
+
+class TestGlobalTopk:
+    def test_matches_sorted_limit_and_handles_nulls(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import global_topk
+        rng = np.random.default_rng(21)
+        n = 5000
+        vals = rng.normal(size=n)
+        vals[rng.choice(n, 50, replace=False)] = np.nan
+        tbl = pa.table({
+            'id': pa.array(np.arange(n, dtype=np.int64)),
+            'v': pa.array(vals, from_pandas=True),  # NaN -> null
+        })
+        got = global_topk(rd.from_arrow(tbl).repartition(7),
+                          [('v', 'descending'), ('id', 'ascending')],
+                          25).to_pandas()
+        con = duckdb.connect()
+        con.register('t', tbl)
+        exp = con.execute('select id, v from t '
+                          'order by v desc nulls last, id limit 25').df()
+        assert got['id'].tolist() == exp['id'].tolist()
+        assert np.allclose(got['v'], exp['v'])
+
+    def test_fewer_rows_than_k(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import global_topk
+        tbl = pa.table({'id': pa.array([3, 1, 2], type=pa.int64())})
+        got = global_topk(rd.from_arrow(tbl), [('id', 'ascending')],
+                          10).to_pandas()
+        assert got['id'].tolist() == [1, 2, 3]

@@ -157,8 +157,9 @@ def q_top_customers(sf_dir: str):
         return tbl.append_column('c_name', dim_names.take(idx))
 
     joined = per_cust.map_batches(attach, batch_format='pyarrow')
-    top = joined.sort(['revenue', 'o_custkey'],
-                      descending=[True, False]).limit(10)
+    from ..stages.aggregate import global_topk
+    top = global_topk(joined, [('revenue', 'descending'),
+                               ('o_custkey', 'ascending')], 10)
     return top.map_batches(
         lambda t: t.select(['o_custkey', 'c_name', 'revenue', 'n_orders']),
         batch_format='pyarrow')
@@ -447,8 +448,9 @@ def q_ann_topk(sf_dir: str):
 
     cands = emb.map_batches(topk_batch, batch_format='pyarrow',
                             zero_copy_batch=True)
-    return cands.sort(['cos_sim', 'vec_id'],
-                      descending=[True, False]).limit(k)
+    from ..stages.aggregate import global_topk
+    return global_topk(cands, [('cos_sim', 'descending'),
+                               ('vec_id', 'ascending')], k)
 
 
 def q_ivf_topk(sf_dir: str):
@@ -1144,8 +1146,10 @@ def q_returned_revenue(sf_dir: str):
             'rev6': pc.cast(tbl.column('rev6'), pa.int64()),
         })
 
-    top = with_cust.map_batches(attach_nation, batch_format='pyarrow')\
-        .sort(['rev6', 'c_custkey'], descending=[True, False]).limit(20)
+    from ..stages.aggregate import global_topk
+    top = global_topk(
+        with_cust.map_batches(attach_nation, batch_format='pyarrow'),
+        [('rev6', 'descending'), ('c_custkey', 'ascending')], 20)
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({
@@ -2579,8 +2583,9 @@ def q_shipping_priority(sf_dir: str):
                          'o_orderdate': tbl.column('o_orderdate')})
 
     out = joined.map_batches(finalize, batch_format='pyarrow')
-    return out.sort(['revenue', 'l_orderkey'],
-                    descending=[True, False]).limit(10)
+    from ..stages.aggregate import global_topk
+    return global_topk(out, [('revenue', 'descending'),
+                             ('l_orderkey', 'ascending')], 10)
 
 
 QUERIES['q_shipping_priority'] = q_shipping_priority

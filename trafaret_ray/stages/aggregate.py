@@ -339,6 +339,32 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs,
     return bucket_exchange(ds, group_col, bucket_fn, num_buckets)
 
 
+def global_topk(ds, sort_keys: list[tuple[str, str]], k: int):
+    """ORDER BY ... LIMIT k without a full distributed sort.
+
+    Each batch prunes to its local top-k (only rows that can survive
+    globally), then ONE merge task sorts the at-most k x blocks
+    survivors — no range-partitioned sort exchange over the full
+    dataset (``.sort().limit(k)`` would shuffle every row; at 100 TB
+    the difference is the whole job). Output is the globally sorted
+    top-k. ``sort_keys``: pyarrow ``sort_by`` spec, e.g.
+    ``[('revenue', 'descending'), ('id', 'ascending')]`` — include a
+    tiebreak for determinism.
+    """
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows <= k:
+            return tbl
+        return tbl.sort_by(sort_keys).slice(0, k)
+
+    pruned = ds.map_batches(prune, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    # the survivors are tiny (k per block): one final merge task
+    return pruned.repartition(1).map_batches(
+        lambda t: t.sort_by(sort_keys).slice(0, k),
+        batch_format='pyarrow')
+
+
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  descending: bool = True, tiebreak: str | None = None,
                  num_buckets: int = 32):

@@ -114,8 +114,9 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, emb_col: str = 'embedding',
         })
 
     cands = assigned.map_batches(topk_batch, batch_format='pyarrow')
-    return cands.sort(['cos_sim', id_col],
-                      descending=[True, False]).limit(k)
+    from .aggregate import global_topk
+    return global_topk(cands, [('cos_sim', 'descending'),
+                               (id_col, 'ascending')], k)
 
 
 def ivf_build(ds, index_dir: str, emb_col: str = 'embedding',
@@ -195,5 +196,6 @@ def ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
         })
 
     cands = ds.map_batches(topk_batch, batch_format='pyarrow')
-    return cands.sort(['cos_sim', id_col],
-                      descending=[True, False]).limit(k)
+    from .aggregate import global_topk
+    return global_topk(cands, [('cos_sim', 'descending'),
+                               (id_col, 'ascending')], k)
