@@ -2487,6 +2487,87 @@ ORACLE_SQL['q_rollup_pricing'] = """
 """
 
 
+def q_corr_lineitem(sf_dir: str):
+    """Per-group Pearson correlation from mergeable fixed-point moment
+    partials (n, Σx, Σy, Σx², Σy², Σxy as int64 micro-units — integer
+    sums are order-independent, so the parallel aggregation is
+    byte-stable; both engines then evaluate the IDENTICAL float formula
+    over identical integers, with explicit floor-half-up rounding).
+    int64 headroom: first moments carry 1e6 micro-units, but the
+    SQUARED/product terms carry 1e2 centi-units — price² is ~1.2e10 per
+    row, so 1e6 scaling would overflow int64 within ~800 rows (DuckDB
+    silently promotes its sum to int128; Arrow wraps — the mismatch
+    this query exists to catch)."""
+    ds = _read(sf_dir, 'lineitem',
+               ['l_returnflag', 'l_quantity', 'l_extendedprice'])
+
+    def _fixed2(col) -> pa.Array:
+        scaled = pc.add(pc.multiply(col, pa.scalar(1e2)), pa.scalar(0.5))
+        return pc.cast(pc.floor(scaled), pa.int64())
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        x = pc.cast(tbl.column('l_quantity'), pa.float64())
+        y = pc.cast(tbl.column('l_extendedprice'), pa.float64())
+        return pa.table({
+            'l_returnflag': tbl.column('l_returnflag'),
+            'x6': _fixed6(x), 'y6': _fixed6(y),
+            'xx2': _fixed2(pc.multiply(x, x)),
+            'yy2': _fixed2(pc.multiply(y, y)),
+            'xy2': _fixed2(pc.multiply(x, y)),
+        })
+
+    out = pre_aggregate(ds.map_batches(moments, batch_format='pyarrow',
+                                       zero_copy_batch=True),
+                        ['l_returnflag'],
+                        {'n': ('x6', 'count'),
+                         'sx': ('x6', 'sum'), 'sy': ('y6', 'sum'),
+                         'sxx': ('xx2', 'sum'), 'syy': ('yy2', 'sum'),
+                         'sxy': ('xy2', 'sum')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        f = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+             .astype(np.float64) for c in
+             ('n', 'sx', 'sy', 'sxx', 'syy', 'sxy')}
+        n = f['n']
+        sx, sy = f['sx'] / 1e6, f['sy'] / 1e6
+        sxx, syy, sxy = f['sxx'] / 1e2, f['syy'] / 1e2, f['sxy'] / 1e2
+        num = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        corr = np.floor(num / den * 1e6 + 0.5) / 1e6
+        return pa.table({
+            'l_returnflag': tbl.column('l_returnflag'),
+            'n_items': pc.cast(tbl.column('n'), pa.int64()),
+            'corr_qty_price': pa.array(corr),
+        })
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('l_returnflag')
+
+
+QUERIES['q_corr_lineitem'] = q_corr_lineitem
+ORACLE_SQL['q_corr_lineitem'] = """
+    WITH p AS (
+      SELECT l_returnflag,
+             count(l_quantity) AS n,
+             sum(cast(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS sx,
+             sum(cast(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+               AS sy,
+             sum(cast(floor(l_quantity * l_quantity * 1e2 + 0.5)
+                      AS BIGINT)) AS sxx,
+             sum(cast(floor(l_extendedprice * l_extendedprice * 1e2
+                            + 0.5) AS BIGINT)) AS syy,
+             sum(cast(floor(l_quantity * l_extendedprice * 1e2 + 0.5)
+                      AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n AS n_items,
+           floor((n * (sxy / 1e2) - (sx / 1e6) * (sy / 1e6))
+                 / (sqrt(n * (sxx / 1e2) - (sx / 1e6) * (sx / 1e6))
+                    * sqrt(n * (syy / 1e2) - (sy / 1e6) * (sy / 1e6)))
+                 * 1e6 + 0.5) / 1e6 AS corr_qty_price
+    FROM p ORDER BY l_returnflag
+"""
+
+
 def q_cube_docs(sf_dir: str):
     """GROUP BY CUBE over (lang, source): all four grouping sets in one
     input pass + one re-merge execution
