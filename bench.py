@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     'q_window_positions_events', 'q_split_events', 'q_winsorize_events',
     'q_explode_embeddings', 'q_json_props_events', 'q_shipping_priority',
     'q_rollup_pricing', 'q_cube_docs', 'q_stratified_events',
-    'q_late_events', 'q_corr_lineitem',
+    'q_late_events', 'q_corr_lineitem', 'q_mode_user_events',
+    'q_centroids_embeddings',
 ]
 
 

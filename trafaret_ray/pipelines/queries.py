@@ -2487,6 +2487,89 @@ ORACLE_SQL['q_rollup_pricing'] = """
 """
 
 
+def q_mode_user_events(sf_dir: str):
+    """Per-group MODE (most frequent value, lexicographic tiebreak) as a
+    composition: partial (user, event_type) counts, then grouped top-1 —
+    at most one row per (group, batch) survives to the final exchange.
+    Deterministic unlike SQL mode(): ties break on the value itself,
+    pinned identically in the row_number() oracle."""
+    from ..stages.aggregate import bucket_aggregate, grouped_topk
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'])
+    counts = bucket_aggregate(ds, ['user_id', 'event_type'],
+                              {'n': ('event_type', 'count')},
+                              num_buckets=16)
+    top = grouped_topk(counts, 'user_id', 'n', k=1, descending=True,
+                       tiebreak='event_type', num_buckets=8)
+    return top.map_batches(
+        lambda t: t.select(['user_id', 'event_type', 'n']),
+        batch_format='pyarrow').sort('user_id')
+
+
+QUERIES['q_mode_user_events'] = q_mode_user_events
+ORACLE_SQL['q_mode_user_events'] = """
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, event_type, count(event_type) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(event_type) DESC,
+                                         event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    ORDER BY user_id
+"""
+
+
+def q_centroids_embeddings(sf_dir: str):
+    """Per-label centroid of the embedding vectors: UNNEST the list
+    column (zero-copy flatten) then ONE partial aggregation per
+    (label, dim) — the mean of each coordinate. List-column aggregation
+    as a two-operator composition; float32 coordinates widen exactly to
+    float64 and sum as int64 fixed-point, so the parallel mean is
+    byte-stable against the SQL unnest oracle."""
+    from ..stages.reshape import explode_list
+    ds = _read(sf_dir, 'embeddings', ['label', 'embedding'])
+    flat = explode_list(ds, 'embedding', ['label'])
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        return pa.table({'label': tbl.column('label'),
+                         'pos': tbl.column('pos'),
+                         'v6': _fixed6(pc.cast(tbl.column('val'),
+                                               pa.float64()))})
+
+    agged = pre_aggregate(flat.map_batches(scale, batch_format='pyarrow',
+                                           zero_copy_batch=True),
+                          ['label', 'pos'],
+                          {'s': ('v6', 'sum'), 'n': ('v6', 'count')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        s = tbl.column('s').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        n = tbl.column('n').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        # explicit half-up in the micro-unit domain (SQL round parity)
+        mean = np.floor(s / n + 0.5) / 1e6
+        return pa.table({'label': tbl.column('label'),
+                         'pos': tbl.column('pos'),
+                         'centroid': pa.array(mean)})
+
+    return agged.map_batches(finalize, batch_format='pyarrow')\
+        .sort(['label', 'pos'])
+
+
+QUERIES['q_centroids_embeddings'] = q_centroids_embeddings
+ORACLE_SQL['q_centroids_embeddings'] = """
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             cast(floor(cast(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS v6
+      FROM embeddings)
+    SELECT label, pos,
+           floor(cast(sum(v6) AS DOUBLE) / count(v6) + 0.5) / 1e6
+             AS centroid
+    FROM flat GROUP BY label, pos
+    ORDER BY label, pos
+"""
+
+
 def q_corr_lineitem(sf_dir: str):
     """Per-group Pearson correlation from mergeable fixed-point moment
     partials (n, Σx, Σy, Σx², Σy², Σxy as int64 micro-units — integer
