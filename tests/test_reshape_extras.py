@@ -62,6 +62,19 @@ class TestExplodeList:
             if lens.sum() else np.array([])
         assert np.allclose(out['val'].to_numpy(), flat)
 
+    def test_fixed_size_list(self, ray_session):
+        import ray.data as rd
+        tbl = pa.table({
+            'id': pa.array([1, 2], type=pa.int64()),
+            'v': pa.array([[1.0, 2.0], [3.0, 4.0]],
+                          type=pa.list_(pa.float64(), 2)),
+        })
+        out = explode_list(rd.from_arrow(tbl), 'v', ['id'])\
+            .to_pandas().sort_values(['id', 'pos']).reset_index(drop=True)
+        assert out['id'].tolist() == [1, 1, 2, 2]
+        assert out['pos'].tolist() == [0, 1, 0, 1]
+        assert out['val'].tolist() == [1.0, 2.0, 3.0, 4.0]
+
     def test_all_empty_keeps_schema_types(self, ray_session):
         import ray.data as rd
         tbl = pa.table({'id': pa.array([1, 2], type=pa.int64()),

@@ -403,3 +403,40 @@ class TestGlobalTopk:
         got = global_topk(rd.from_arrow(tbl), [('id', 'ascending')],
                           10).to_pandas()
         assert got['id'].tolist() == [1, 2, 3]
+
+
+class TestGroupPositionsDifferentialFuzz:
+    def test_randomized_vs_duckdb_with_ties(self):
+        """Randomized differential for the positional window family:
+        heavy ties (few distinct values) so percent_rank/cume_dist peer
+        runs and ntile fill rules are actually exercised."""
+        import duckdb
+        from trafaret_ray.stages.reshape import group_positions
+        from trafaret_ray.stages.window import group_starts
+        for seed, tiles in ((13, 3), (14, 4), (15, 5)):
+            rng = np.random.default_rng(seed)
+            n = 400
+            g = np.sort(rng.integers(0, 12, n))
+            v = rng.integers(0, 5, n).astype(np.float64)  # heavy ties
+            tb = rng.permutation(n).astype(np.int64)
+            starts = group_starts(g)
+            rn, pct, cume, tile = group_positions(
+                v, tb, starts, descending=True, tiles=tiles)
+            con = duckdb.connect()
+            con.register('t', pa.table({
+                'g': pa.array(g), 'v': pa.array(v),
+                'tb': pa.array(tb)}))
+            exp = con.execute(f"""
+                SELECT row_number()  OVER w2 AS rn,
+                       percent_rank() OVER w  AS pct,
+                       cume_dist()    OVER w  AS cume,
+                       ntile({tiles}) OVER w2 AS tile
+                FROM t
+                WINDOW w  AS (PARTITION BY g ORDER BY v DESC),
+                       w2 AS (PARTITION BY g ORDER BY v DESC, tb ASC)
+                ORDER BY g, v DESC, tb""").df()
+            order = np.lexsort((tb, -v, g))
+            assert rn[order].tolist() == exp['rn'].tolist(), seed
+            assert np.allclose(pct[order], exp['pct']), seed
+            assert np.allclose(cume[order], exp['cume']), seed
+            assert tile[order].tolist() == exp['tile'].tolist(), seed
