@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     'q_explode_embeddings', 'q_json_props_events', 'q_shipping_priority',
     'q_rollup_pricing', 'q_cube_docs', 'q_stratified_events',
     'q_late_events', 'q_corr_lineitem', 'q_mode_user_events',
-    'q_centroids_embeddings',
+    'q_centroids_embeddings', 'q_tfidf_docs',
 ]
 
 

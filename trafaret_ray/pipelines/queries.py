@@ -3385,3 +3385,81 @@ ORACLE_SQL['q_profile_events'] = """
     FROM events
     ORDER BY "column"
 """
+
+def q_tfidf_docs(sf_dir: str):
+    """Per-(doc, token) TF-IDF over the corpus — the classic two-pass
+    corpus statistic. One exchange builds the (doc_id, tok) term counts
+    (bucket_aggregate, high-cardinality), the vocabulary document
+    frequencies re-aggregate that already-collapsed table and broadcast
+    (vocab is bounded; at open-vocab scale swap the broadcast for a
+    hash join on tok), and one doc-bucket exchange co-locates each
+    doc's terms to compute doc length + the final score without ever
+    touching the raw text again. N comes free from parquet metadata.
+    tf/df are exact ints; tfidf rounds at 6 like every float column."""
+    import ray as _ray
+    import pyarrow.parquet as _pq
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    n_docs = _pq.read_metadata(f'{sf_dir}/documents.parquet').num_rows
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        wc = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
+                         'tok': words.flatten()})
+
+    tf = bucket_aggregate(
+        ds.map_batches(explode, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['doc_id', 'tok'], {'tf': ('tok', 'count')},
+        num_buckets=16).materialize()
+
+    dfp = bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                           num_buckets=4).to_pandas()
+    ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
+                    dfp['df'].to_numpy(dtype=np.int64)))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        keys, dfs = _ray.get(ref)
+        dl = tbl.group_by(['doc_id']).aggregate([('tf', 'sum')])
+        di = pc.index_in(tbl.column('doc_id'),
+                         value_set=dl.column('doc_id'))
+        doc_len = dl.column('tf_sum').take(di).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ti = pc.index_in(tbl.column('tok'), value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dfv = dfs[ti]
+        tfv = tbl.column('tf').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        tfidf = np.round((tfv / doc_len) * np.log(float(n_docs) / dfv),
+                         6)
+        return pa.table({'doc_id': tbl.column('doc_id'),
+                         'tok': tbl.column('tok'),
+                         'tf': pc.cast(tbl.column('tf'), pa.int64()),
+                         'df': pa.array(dfv),
+                         'tfidf': pa.array(tfidf)})
+
+    out = bucket_exchange(tf, 'doc_id', score, num_buckets=16)
+    return out.sort(['doc_id', 'tok'])
+
+
+QUERIES['q_tfidf_docs'] = q_tfidf_docs
+ORACLE_SQL['q_tfidf_docs'] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(tok) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    df AS (SELECT tok, count(tok) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           round((cast(tf.tf AS DOUBLE) / dl.doc_len)
+                 * ln(cast(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n
+    ORDER BY doc_id, tok
+"""
