@@ -102,3 +102,28 @@ class TestDecodeStagesRealPayloads:
         e_loud = np.array(out['energies'][1])
         assert e_quiet.max() < 0.01
         assert e_loud.min() > 0.5
+
+
+class TestMediaQueries:
+    """queries() entries for the multimodal paths (rows-only: binary
+    codecs have no SQL oracle; determinism is the gate)."""
+
+    SF = '/root/testdata/sf0.001'
+
+    def test_media_embed_deterministic(self, ray_session):
+        from trafaret_ray.pipelines.queries import QUERIES
+        a = QUERIES['q_media_embed'](self.SF).to_pandas()
+        b = QUERIES['q_media_embed'](self.SF).to_pandas()
+        assert len(a) > 0 and a.equals(b)
+        assert list(a.columns) == ['media_id', 'dim', 'norm', 'mean']
+        assert (a['dim'] == 64).all() and (a['norm'] > 0).all()
+
+    def test_audio_energy_sine_rms(self, ray_session):
+        from trafaret_ray.pipelines.queries import QUERIES
+        a = QUERIES['q_audio_energy'](self.SF).to_pandas()
+        b = QUERIES['q_audio_energy'](self.SF).to_pandas()
+        assert len(a) > 0 and a.equals(b)
+        # windowed RMS of a pure sine stays near amp/sqrt(2), and the
+        # synthetic amps live in [0.1, 0.9] -> rms in ~[0.07, 0.65]
+        assert a['rms_mean'].between(0.05, 0.70).all()
+        assert (a['rms_peak'] >= a['rms_mean']).all()

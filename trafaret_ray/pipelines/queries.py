@@ -3463,3 +3463,84 @@ ORACLE_SQL['q_tfidf_docs'] = """
     FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n
     ORDER BY doc_id, tok
 """
+
+def q_media_embed(sf_dir: str):
+    """Multimodal image path end-to-end over REAL binary payloads: a
+    deterministic seeded PPM corpus (size scales with the sf documents
+    count — no external data) streams through the two actor-pool stages
+    DecodeImage -> ImageEmbed (real P6 decode + nearest resize, model
+    'load' once per actor) and reduces each embedding to scalar
+    features. Rows-only by design: binary codecs are not
+    SQL-expressible; determinism is pinned by the seed."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.multimodal import encode_ppm, decode_pipeline
+    n = min(int(_pq.read_metadata(
+        f'{sf_dir}/documents.parquet').num_rows), 2048)
+    rng = np.random.default_rng(123)
+    payloads = [encode_ppm(rng.integers(0, 256, (24, 24, 3),
+                                        dtype=np.uint8))
+                for _ in range(n)]
+    tbl = pa.table({'media_id': pa.array(np.arange(n, dtype=np.int64)),
+                    'payload': pa.array(payloads, type=pa.binary())})
+    emb = decode_pipeline(rd.from_arrow(tbl), concurrency=2,
+                          batch_size=128)
+
+    def feats(t: pa.Table) -> pa.Table:
+        la = t.column('embedding').combine_chunks()
+        m = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                       dtype=np.float64).reshape(len(la), -1)
+        return pa.table({
+            'media_id': t.column('media_id'),
+            'dim': pa.array(np.full(len(la), m.shape[1],
+                                    dtype=np.int64)),
+            'norm': pa.array(np.round(np.sqrt((m ** 2).sum(axis=1)),
+                                      6)),
+            'mean': pa.array(np.round(m.mean(axis=1), 6)),
+        })
+
+    return emb.map_batches(feats, batch_format='pyarrow')\
+        .sort('media_id')
+
+
+QUERIES['q_media_embed'] = q_media_embed
+
+
+def q_audio_energy(sf_dir: str):
+    """Multimodal audio path: deterministic seeded PCM-WAV payloads
+    (real stdlib WAV encode/decode) -> AudioFeatures actor stage
+    (windowed RMS) -> per-clip scalar features. Rows-only by design
+    (binary codec), seed-pinned deterministic."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.multimodal import encode_wav, AudioFeatures
+    n = min(int(_pq.read_metadata(
+        f'{sf_dir}/documents.parquet').num_rows), 2048)
+    rng = np.random.default_rng(321)
+    t_ax = np.arange(1600, dtype=np.float64) / 16000.0
+    payloads = []
+    for i in range(n):
+        freq = 100.0 + float(rng.integers(0, 400))
+        amp = 0.1 + 0.8 * float(rng.random())
+        payloads.append(encode_wav(amp * np.sin(2 * np.pi * freq * t_ax)))
+    tbl = pa.table({'media_id': pa.array(np.arange(n, dtype=np.int64)),
+                    'payload': pa.array(payloads, type=pa.binary())})
+    feats = rd.from_arrow(tbl).map_batches(
+        AudioFeatures, batch_format='pyarrow', batch_size=256,
+        concurrency=2, num_cpus=1)
+
+    def reduce_(t: pa.Table) -> pa.Table:
+        la = t.column('energies').combine_chunks()
+        m = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                       dtype=np.float64).reshape(len(la), -1)
+        return pa.table({
+            'media_id': t.column('media_id'),
+            'rms_mean': pa.array(np.round(m.mean(axis=1), 6)),
+            'rms_peak': pa.array(np.round(m.max(axis=1), 6)),
+        })
+
+    return feats.map_batches(reduce_, batch_format='pyarrow')\
+        .sort('media_id')
+
+
+QUERIES['q_audio_energy'] = q_audio_energy
