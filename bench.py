@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     'q_rollup_pricing', 'q_cube_docs', 'q_stratified_events',
     'q_late_events', 'q_corr_lineitem', 'q_mode_user_events',
     'q_centroids_embeddings', 'q_tfidf_docs',
+    'q_media_embed', 'q_audio_energy',
 ]
 
 
