@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _KNUTH = 2654435761
 
@@ -80,6 +81,109 @@ def hash_split(ds, col: str, fractions: dict[str, float] | None = None,
 
     return ds.map_batches(assign, batch_format='pyarrow',
                           zero_copy_batch=True)
+
+
+def weighted_mix(ds, group_col: str, key_col: str,
+                 rates: dict[str, float], default_rate: float = 0.0,
+                 mod: int = 10_000, salt: int = 0):
+    """Deterministic weighted corpus mixing: keep each row with a
+    per-source probability — the standard "sample source s at rate w_s
+    to hit target corpus proportions" step of LLM pre-training data
+    assembly. The keep decision is a pure function of (key, salt), so
+    the mixed corpus is identical across runs, partitionings and
+    engines, and composes with ``hash_split`` (different salts stay
+    independent). Zero shuffle — one vectorized filter map; sources not
+    in ``rates`` get ``default_rate``.
+    """
+    names = list(rates)
+    thresholds = np.array(
+        [int(round(rates[n] * mod)) for n in names] +
+        [int(round(default_rate * mod))], dtype=np.int64)
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = split_buckets(keys, mod=mod, salt=salt)
+        idx = pc.index_in(
+            tbl.column(group_col),
+            value_set=pa.array(names, type=pa.string()))
+        idx = idx.combine_chunks().fill_null(len(names)).to_numpy(
+            zero_copy_only=False)
+        return tbl.filter(pa.array(b < thresholds[idx]))
+
+    return ds.map_batches(keep, batch_format='pyarrow',
+                          zero_copy_batch=True)
+
+
+def mix_sql_expr(group_col: str, key_col: str, rates: dict[str, float],
+                 default_rate: float = 0.0, mod: int = 10_000,
+                 salt: int = 0) -> str:
+    """The matching ANSI-SQL WHERE predicate for ``weighted_mix``."""
+    b = (f'((({key_col} + {salt}) % 2147483648) * {_KNUTH}) '
+         f'% 4294967296 % {mod}')
+    arms = ' '.join(
+        f"WHEN '{n}' THEN {int(round(r * mod))}"
+        for n, r in rates.items())
+    return (f'{b} < CASE {group_col} {arms} '
+            f'ELSE {int(round(default_rate * mod))} END')
+
+
+def shard_positions(ds, key_col: str, num_shards: int, salt: int = 0,
+                    order_salt: int = 1):
+    """Deterministic global shuffle for training-data export: every row
+    gets a shard id (hash of key) and its position inside the shard
+    (rank of a SECOND, independent hash — the within-shard shuffle
+    order). This is how a 100-TB corpus is shuffled in practice: no
+    global random permutation, just hash-sharding plus an in-shard
+    hash order, both pure functions of the key — resumable, stable
+    across engines, and reproduced exactly by a SQL row_number()
+    oracle.
+
+    One hash exchange on the shard id; each shard sorts its rows by
+    (order hash, key) — vectorized argsort — and emits positions.
+    """
+    from ..stages.conversations import bucket_exchange
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(keys.astype(np.int64)),
+            'shard': pa.array(split_buckets(keys, mod=num_shards,
+                                            salt=salt)),
+            '_h': pa.array(split_buckets(keys, mod=2 ** 32,
+                                         salt=order_salt)),
+        })
+
+    def rank(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or key_col not in tbl.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             'shard': pa.array([], pa.int64()),
+                             'pos': pa.array([], pa.int64())})
+        sh = tbl.column('shard').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = tbl.column('_h').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        k = tbl.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((k, h, sh))
+        # position within each shard run of the sorted order
+        sh_sorted = sh[order]
+        starts = np.concatenate(([True], sh_sorted[1:] != sh_sorted[:-1]))
+        seg = np.cumsum(starts) - 1
+        first = np.flatnonzero(starts)
+        pos_sorted = np.arange(len(sh_sorted), dtype=np.int64) \
+            - first[seg]
+        pos = np.empty(len(sh_sorted), dtype=np.int64)
+        pos[order] = pos_sorted
+        return pa.table({key_col: pa.array(k.astype(np.int64)),
+                         'shard': pa.array(sh.astype(np.int64)),
+                         'pos': pa.array(pos)})
+
+    tagged = ds.map_batches(tag, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    return bucket_exchange(tagged, 'shard', rank,
+                           num_buckets=min(num_shards, 64))
 
 
 def stratified_sample(ds, group_col: str, key_col: str, k: int,

@@ -3544,3 +3544,127 @@ def q_audio_energy(sf_dir: str):
 
 
 QUERIES['q_audio_energy'] = q_audio_energy
+
+
+# ---------------------------------------------------------------------------
+# training-data assembly: mixing, packing, shuffle-export
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {'src0': 1.0, 'src1': 0.75, 'src2': 0.5, 'src3': 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_mix_docs(sf_dir: str):
+    """Weighted corpus mixing: per-source deterministic keep rates to
+    hit target training proportions (functions/sampling.py:
+    weighted_mix). Pure function of (doc_id, salt) — identical mixed
+    corpus on every run/partitioning/engine; zero shuffle, one
+    vectorized filter map over pruned columns."""
+    from ..functions.sampling import weighted_mix
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source'])
+    return weighted_mix(ds, 'source', 'doc_id', _MIX_RATES,
+                        default_rate=_MIX_DEFAULT, salt=5).sort('doc_id')
+
+
+QUERIES['q_mix_docs'] = q_mix_docs
+
+
+def _mix_oracle() -> str:
+    from ..functions.sampling import mix_sql_expr
+    return ('SELECT doc_id, source FROM documents WHERE '
+            + mix_sql_expr('source', 'doc_id', _MIX_RATES,
+                           default_rate=_MIX_DEFAULT, salt=5)
+            + ' ORDER BY doc_id')
+
+
+ORACLE_SQL['q_mix_docs'] = _mix_oracle()
+
+_PACK_BUDGET = 256
+
+
+def q_pack_docs(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing: documents in doc_id
+    order form one virtual token stream cut into 256-token training
+    sequences; each doc reports its global token offset, spanned
+    sequence ids and in-sequence offset (stages/packing.py). Physical
+    shape: one RANGE exchange + per-bucket numpy cumsum + a
+    num_buckets-row prefix on the driver — the global prefix sum never
+    materializes the corpus anywhere."""
+    import pyarrow.parquet as _pq
+    from ..stages.packing import concat_chunk_pack
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def ntok(tbl: pa.Table) -> pa.Table:
+        toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
+                      pa.scalar(1, type=pa.int64()))
+        return pa.table({'doc_id': tbl.column('doc_id'),
+                         'n_tokens': pc.cast(toks, pa.int64())})
+
+    md = _pq.ParquetFile(f'{sf_dir}/documents.parquet').metadata
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            if c.path_in_schema == 'doc_id' and c.statistics is not None:
+                s = c.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    out = concat_chunk_pack(
+        ds.map_batches(ntok, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        'doc_id', 'n_tokens', _PACK_BUDGET, int(lo), int(hi),
+        num_buckets=16)
+    return out.sort('doc_id')
+
+
+QUERIES['q_pack_docs'] = q_pack_docs
+ORACLE_SQL['q_pack_docs'] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_tok
+      FROM t)
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // {_PACK_BUDGET}                         AS seq_first,
+           (start_tok + greatest(n_tokens - 1, 0))
+             // {_PACK_BUDGET}                                 AS seq_last,
+           start_tok % {_PACK_BUDGET}                          AS tok_offset
+    FROM c ORDER BY doc_id
+"""
+
+_SHARD_N, _SHARD_SALT, _SHARD_OSALT = 16, 7, 3
+
+
+def q_shard_docs(sf_dir: str):
+    """Deterministic shuffle-export layout: shard = hash(doc_id), pos =
+    rank of an independent second hash inside the shard — the practical
+    100-TB "global shuffle" (no random permutation; hash-sharding +
+    in-shard hash order, resumable and engine-stable;
+    functions/sampling.py:shard_positions). One hash exchange."""
+    from ..functions.sampling import shard_positions
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+    return shard_positions(ds, 'doc_id', _SHARD_N, salt=_SHARD_SALT,
+                           order_salt=_SHARD_OSALT).sort('doc_id')
+
+
+QUERIES['q_shard_docs'] = q_shard_docs
+ORACLE_SQL['q_shard_docs'] = f"""
+    WITH h AS (
+      SELECT doc_id,
+             (((doc_id + {_SHARD_SALT}) % 2147483648) * 2654435761)
+               % 4294967296 % {_SHARD_N}   AS shard,
+             (((doc_id + {_SHARD_OSALT}) % 2147483648) * 2654435761)
+               % 4294967296                AS h2
+      FROM documents)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id)
+             - 1 AS pos
+    FROM h ORDER BY doc_id
+"""
