@@ -44,9 +44,31 @@ def _unfix6(col, ndigits: int = 6) -> pa.Array:
                     ndigits=ndigits)
 
 
+_READ_TARGET_BYTES = 2 << 20
+
+
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned parquet read with size-aware block sizing.
+
+    Ray's default parallelism splits ANY file into ~2x-CPU blocks; a
+    10 MB table then becomes 64 sub-200KB blocks, and every downstream
+    all-to-all exchange pays a 64-task map wave for kilobytes of data —
+    measured 5x wall on the multi-exchange queries at sf0.1. Cap blocks
+    at ~2 MiB compressed each for SMALL files only: beyond 64 computed
+    blocks (≈128 MiB) the override is skipped entirely, so at real
+    scale Ray's own size-based splitting governs."""
+    import os
+
     import ray.data as rd
-    return rd.read_parquet(f'{sf_dir}/{table}.parquet', columns=columns)
+    path = f'{sf_dir}/{table}.parquet'
+    nb = None
+    try:
+        est = max(1, -(-os.path.getsize(path) // _READ_TARGET_BYTES))
+        if est < 64:
+            nb = est
+    except OSError:
+        pass
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
 def _typed_result(ds, schema: pa.Schema) -> pd.DataFrame:
