@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     'q_late_events', 'q_corr_lineitem', 'q_mode_user_events',
     'q_centroids_embeddings', 'q_tfidf_docs',
     'q_media_embed', 'q_audio_energy',
-    'q_mix_docs', 'q_pack_docs', 'q_shard_docs',
+    'q_mix_docs', 'q_pack_docs', 'q_shard_docs', 'q_token_budget_docs',
 ]
 
 

@@ -3690,3 +3690,68 @@ ORACLE_SQL['q_shard_docs'] = f"""
              - 1 AS pos
     FROM h ORDER BY doc_id
 """
+
+
+_BUDGET_TOKENS = 1000
+
+
+def q_token_budget_docs(sf_dir: str):
+    """Per-source token-budget capping: each source contributes docs in
+    doc_id order only until its token budget is exhausted (the
+    data-mixing step that caps any one corpus's contribution to a
+    training run). One hash exchange on source; inside each bucket a
+    SEGMENTED numpy cumsum (offset trick — no per-group loop) computes
+    each doc's tokens-before-it, and rows with cum_before >= budget
+    drop. Exact and engine-stable: token counts are the shared
+    single-space-split definition."""
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source', 'text'])
+
+    def ntok(tbl: pa.Table) -> pa.Table:
+        toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
+                      pa.scalar(1, type=pa.int64()))
+        return pa.table({'doc_id': tbl.column('doc_id'),
+                         'source': tbl.column('source'),
+                         'n_tokens': pc.cast(toks, pa.int64())})
+
+    def cap(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        nt = tbl.column('n_tokens').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # segmented exclusive cumsum: global cumsum minus each group's
+        # running offset at its start
+        cs = np.cumsum(nt, dtype=np.int64)
+        before = cs - nt
+        group_base = np.zeros(len(nt), dtype=np.int64)
+        group_base[starts] = before[starts]
+        group_base = np.maximum.accumulate(group_base)
+        cum_before = before - group_base
+        keep = cum_before < _BUDGET_TOKENS
+        out = pa.table({'doc_id': tbl.column('doc_id'),
+                        'source': tbl.column('source'),
+                        'n_tokens': tbl.column('n_tokens'),
+                        'cum_before': pa.array(cum_before)})
+        return out.filter(pa.array(keep))
+
+    return per_conversation(
+        ds.map_batches(ntok, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        cap, key='source', order=('doc_id',),
+        num_buckets=16).sort('doc_id')
+
+
+QUERIES['q_token_budget_docs'] = q_token_budget_docs
+ORACLE_SQL['q_token_budget_docs'] = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cum_before
+      FROM t)
+    SELECT doc_id, source, n_tokens, cum_before
+    FROM c WHERE cum_before < {_BUDGET_TOKENS}
+    ORDER BY doc_id
+"""
