@@ -107,6 +107,18 @@ def transcripts_path() -> str:
     return path
 
 
+def _read_blocks(path: str) -> int | None:
+    """Size-aware block count for the transcripts read: ~5 MiB
+    compressed per block (measured optimum at 2M turns: 8 blocks over
+    41 MB = 1.67M rows/s vs 1.40M at Ray's 64-way default split).
+    Disengages (None) beyond 64 computed blocks so big inputs keep
+    Ray's own size-based splitting — same policy as queries._read."""
+    total = sum(os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if f.endswith('.parquet'))
+    est = max(1, total // (5 << 20))
+    return int(est) if est < 64 else None
+
+
 def run_headline() -> dict:
     import ray
     import ray.data as rd
@@ -123,9 +135,10 @@ def run_headline() -> dict:
     # best-of-3: run-to-run variance on this VM is large (BASELINE.md);
     # CLAUDE.md makes warm-up + best-of-N mandatory for any timing
     headline_sec, n_rows = None, 0
+    nb = _read_blocks(path)
     for _ in range(3):
         t0 = time.perf_counter()
-        ds = rd.read_parquet(path)
+        ds = rd.read_parquet(path, override_num_blocks=nb)
         feats, _q = flagship(ds, num_buckets=_buckets())
         n_rows = 0
         for b in feats.iter_batches(batch_size=None, batch_format='pyarrow'):
@@ -242,10 +255,11 @@ def _headline_only() -> dict:
     _warmup(path)
     out_dir = f'/tmp/trafaret_ray_bench/out_{NUM_CPUS}'
     best, n_rows = None, 0
+    nb = _read_blocks(path)
     for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        ds = rd.read_parquet(path)
+        ds = rd.read_parquet(path, override_num_blocks=nb)
         feats, _q = flagship(ds, num_buckets=_buckets())
         feats.write_parquet(out_dir)
         sec = time.perf_counter() - t0
