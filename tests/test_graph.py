@@ -45,3 +45,17 @@ class TestConnectedComponents:
                 parent[max(ra, rb)] = min(ra, rb)
         for n, c in comp.items():
             assert find(n) == c, n
+
+    def test_distributed_path_matches_local(self, ray_session):
+        # local_edges_max=0 forces the iterative propagation path; both
+        # paths must emit the identical min-node labeling
+        rng = np.random.default_rng(7)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 40, size=(60, 2)) if a != b]
+        assert _cc(edges) == _cc(edges, local_edges_max=0)
+
+    def test_distributed_chain(self, ray_session):
+        # diameter > 1 on the distributed path (multi-round convergence)
+        comp = _cc([(i, i + 1) for i in range(5, 11)],
+                   local_edges_max=0)
+        assert all(comp[i] == 5 for i in range(5, 12))

@@ -14,6 +14,10 @@ round.
 Converges in O(component diameter) iterations; near-dup clusters are
 low-diameter (near-cliques), so 2-4 iterations is typical. Node ids
 must be non-negative (-1 is the internal edge/label tag).
+
+Small edge sets (<= ``local_edges_max``) skip the iteration entirely and
+cluster in a single Ray task (``_local_cc``) — every per-round exchange
+is pure fixed overhead at that size. Both paths emit the same labeling.
 """
 
 from __future__ import annotations
@@ -30,11 +34,61 @@ def _empty_nl() -> pa.Table:
                      'label': pa.array([], pa.int64())})
 
 
+def _local_cc(tbl: pa.Table, src: str, dst: str) -> pa.Table:
+    """Whole-graph components inside ONE task: vectorized min-label
+    hooking (np.minimum.at over both edge directions) + pointer-doubling
+    compression (lab = lab[lab]) until fixpoint — O(E) work per round,
+    O(log diameter) rounds. Labels are indices into the SORTED unique
+    node array, so min index == min node id: the output labeling is
+    byte-identical to the distributed propagation path."""
+    if tbl.num_rows == 0:
+        return pa.table({'node': pa.array([], pa.int64()),
+                         'component': pa.array([], pa.int64())})
+    a = tbl.column(src).combine_chunks().cast(pa.int64())\
+        .to_numpy(zero_copy_only=False)
+    b = tbl.column(dst).combine_chunks().cast(pa.int64())\
+        .to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    return pa.table({'node': pa.array(nodes),
+                     'component': pa.array(nodes[lab])})
+
+
 def connected_components(edges, src: str = 'src', dst: str = 'dst',
-                         num_buckets: int = 16, max_iters: int = 25):
+                         num_buckets: int = 16, max_iters: int = 25,
+                         local_edges_max: int = 2_000_000):
     """edges: Dataset of int64 (src, dst) pairs -> Dataset of
     (node, component) where component = min node id in the component
-    (identical labeling to a min-root union-find)."""
+    (identical labeling to a min-root union-find).
+
+    SIZE-AWARE SHAPE: verified-duplicate edge sets are tiny relative to
+    the corpus (LSH-bounded), and the iterative propagation pays 2-3
+    pipeline executions PER ROUND — measured 3.4-5.5 s on a 256-edge
+    graph on this VM, all Ray floor. When the edge count (free: input is
+    materialized) is <= ``local_edges_max`` (~32 MB of int64 pairs), the
+    whole graph clusters in ONE Ray task via ``_local_cc`` instead —
+    same output, one execution. Larger graphs take the distributed
+    propagation path unchanged. Pass ``local_edges_max=0`` to force the
+    distributed path."""
+    # both paths consume `edges` at least twice — materialize once
+    # (no-op if the caller already did, the common case)
+    edges = edges.materialize()
+    if local_edges_max and edges.count() <= local_edges_max:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_cc(t, src, dst), batch_format='pyarrow',
+            zero_copy_batch=True)
 
     def init_nodes(tbl: pa.Table) -> pa.Table:
         n = pa.concat_arrays([
