@@ -154,6 +154,82 @@ class TestJoins:
         assert (pd.isna(a) == pd.isna(b)).all()
         assert (a[~pd.isna(a)] == b[~pd.isna(b)]).all()
 
+    def _asof_fixture(self, seed=11):
+        rng = np.random.default_rng(seed)
+        left = pa.table({
+            'ent': rng.integers(0, 8, 250),
+            'ts': rng.integers(0, 5_000, 250),
+            'x': rng.standard_normal(250),
+        })
+        rdf = pd.DataFrame({
+            'ent': rng.integers(0, 8, 150),
+            'ts': rng.integers(0, 5_000, 150),
+            'state': rng.integers(0, 100, 150),
+        }).groupby(['ent', 'ts'], as_index=False)\
+            .agg(state=('state', 'max'))
+        return left, rdf
+
+    def test_asof_direction_exact_tolerance_vs_pandas(self, ray_session):
+        """direction x allow_exact x tolerance differential against
+        pandas merge_asof on random co-keyed data."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join
+        left, rdf = self._asof_fixture()
+        ldf = left.to_pandas().reset_index()
+        cases = [('backward', False, None), ('backward', True, None),
+                 ('forward', False, None), ('forward', True, None),
+                 ('backward', False, 300), ('forward', True, 300)]
+        for direction, exact, tol in cases:
+            out = asof_join(rd.from_arrow(left),
+                            rd.from_arrow(pa.Table.from_pandas(rdf)),
+                            by='ent', on='ts', value_cols=['state'],
+                            num_buckets=4, direction=direction,
+                            tolerance=tol, allow_exact=exact).to_pandas()
+            exp = pd.merge_asof(ldf.sort_values('ts', kind='stable'),
+                                rdf.sort_values('ts', kind='stable'),
+                                on='ts', by='ent', direction=direction,
+                                allow_exact_matches=exact, tolerance=tol)\
+                .set_index('index').sort_index()
+            o = out.sort_values(['ent', 'ts', 'x']).reset_index(drop=True)
+            e = exp.sort_values(['ent', 'ts', 'x']).reset_index(drop=True)
+            a = o['state_state'].to_numpy()
+            b = e['state'].to_numpy()
+            assert (pd.isna(a) == pd.isna(b)).all(), (direction, exact,
+                                                      tol)
+            ok = ~pd.isna(a)
+            assert (a[ok] == b[ok]).all(), (direction, exact, tol)
+
+    def test_asof_nearest_vs_reference(self, ray_session):
+        """nearest = argmin |delta| with the backward candidate winning
+        distance ties — per-row reference oracle (pandas' nearest tie
+        rule is unspecified, so the spec is pinned here)."""
+        import ray.data as rd
+        from trafaret_ray.stages.joins import asof_join
+        left, rdf = self._asof_fixture(seed=5)
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(
+            pa.Table.from_pandas(rdf)), by='ent', on='ts',
+            value_cols=['state'], num_buckets=4,
+            direction='nearest').to_pandas()
+        got = {}
+        for ent, ts, st in zip(out['ent'], out['ts'],
+                               out['state_state']):
+            got.setdefault((ent, ts), set()).add(
+                None if pd.isna(st) else int(st))
+        ldf = left.to_pandas()
+        for ent, ts in zip(ldf['ent'], ldf['ts']):
+            cand = rdf[rdf['ent'] == ent]
+            if cand.empty:
+                expect = None
+            else:
+                cts = cand['ts'].to_numpy()
+                d = np.abs(cts - ts)
+                dm = d.min()
+                tied = cand[d == dm]
+                back = tied[tied['ts'] <= ts]
+                row = back.iloc[-1] if len(back) else tied.iloc[0]
+                expect = int(row['state'])
+            assert expect in got[(ent, ts)], (ent, ts)
+
 
 class TestMultimodal:
     def test_image_pipeline_plumbing(self, ray_session):

@@ -395,6 +395,79 @@ def q_asof_events_stage(sf_dir: str):
         batch_format='pyarrow').sort('event_id')
 
 
+def _asof_sides(sf_dir: str):
+    """Shared purchases/clicks split for the as-of direction family:
+    left = purchases, right = clicks deduped to (user, ts) -> max(value)
+    so every direction's match is unambiguous on both engines."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type', 'value'])
+
+    def side(etype, cols):
+        def f(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.equal(tbl.column('event_type'), etype))\
+                .select(cols)
+        return f
+
+    purchases = ds.map_batches(
+        side('purchase', ['user_id', 'ts', 'event_id', 'value']),
+        batch_format='pyarrow', zero_copy_batch=True)
+    clicks = bucket_aggregate(
+        ds.map_batches(side('click', ['user_id', 'ts', 'value']),
+                       batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id', 'ts'], {'click_value': ('value', 'max')})
+    et = dict(zip(ds.schema().names, ds.schema().types))
+    lschema = pa.schema([('user_id', et['user_id']), ('ts', et['ts']),
+                         ('event_id', et['event_id']),
+                         ('value', et['value'])])
+    rschema = pa.schema([('user_id', et['user_id']), ('ts', et['ts']),
+                         ('click_value', et['value'])])
+    return purchases, clicks, lschema, rschema
+
+
+def q_asof_forward_events(sf_dir: str):
+    """FORWARD as-of with a 6-hour tolerance: for each purchase the
+    EARLIEST strictly-later click value per user within 6h — the
+    label-attribution shape (outcome-after-action), mirror of the
+    backward state join. Exercises asof_join(direction='forward',
+    tolerance=...) end-to-end against a correlated-subquery oracle."""
+    from ..stages.joins import asof_join
+    purchases, clicks, lschema, rschema = _asof_sides(sf_dir)
+    out = asof_join(purchases, clicks, by='user_id', on='ts',
+                    value_cols=['click_value'], suffix='',
+                    left_schema=lschema, right_schema=rschema,
+                    direction='forward',
+                    tolerance=6 * 3600 * 1_000_000)
+    return out.map_batches(
+        lambda t: pa.table({
+            'event_id': t.column('event_id'),
+            'user_id': t.column('user_id'),
+            'value': t.column('value'),
+            'next_click_value': t.column('click_value'),
+        }), batch_format='pyarrow').sort('event_id')
+
+
+def q_asof_nearest_events(sf_dir: str):
+    """NEAREST as-of: the click value minimizing |click.ts - purchase.ts|
+    per user, backward candidate winning distance ties (the pinned
+    deterministic tie rule, tests/test_joins_multimodal.py). Oracle =
+    order candidates by (abs delta, ts): the smaller ts of a tied pair
+    IS the backward one."""
+    from ..stages.joins import asof_join
+    purchases, clicks, lschema, rschema = _asof_sides(sf_dir)
+    out = asof_join(purchases, clicks, by='user_id', on='ts',
+                    value_cols=['click_value'], suffix='',
+                    left_schema=lschema, right_schema=rschema,
+                    direction='nearest')
+    return out.map_batches(
+        lambda t: pa.table({
+            'event_id': t.column('event_id'),
+            'user_id': t.column('user_id'),
+            'value': t.column('value'),
+            'nearest_click_value': t.column('click_value'),
+        }), batch_format='pyarrow').sort('event_id')
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1069,6 +1142,42 @@ def q_priority_revenue(sf_dir: str):
     return out.map_batches(finalize, batch_format='pyarrow')\
         .sort('o_orderpriority')
 
+
+QUERIES['q_asof_forward_events'] = q_asof_forward_events
+ORACLE_SQL['q_asof_forward_events'] = """
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value,
+           (SELECT c.click_value FROM clicks c
+             WHERE c.user_id = p.user_id AND c.ts > p.ts
+               AND c.ts <= p.ts + INTERVAL 6 HOUR
+             ORDER BY c.ts LIMIT 1) AS next_click_value
+    FROM purchases p
+    ORDER BY p.event_id
+"""
+
+QUERIES['q_asof_nearest_events'] = q_asof_nearest_events
+ORACLE_SQL['q_asof_nearest_events'] = """
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value,
+           (SELECT c.click_value FROM clicks c
+             WHERE c.user_id = p.user_id
+             ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+             LIMIT 1) AS nearest_click_value
+    FROM purchases p
+    ORDER BY p.event_id
+"""
 
 QUERIES['q_asof_events_stage'] = q_asof_events_stage
 ORACLE_SQL['q_asof_events_stage'] = """

@@ -284,11 +284,21 @@ def hash_join(left, right, on, how: str = 'inner', num_buckets: int = 32,
 def asof_join(left, right, by: str, on: str, value_cols,
               num_buckets: int = 32, suffix: str = '_state',
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
+              right_schema: pa.Schema | None = None,
+              direction: str = 'backward', tolerance: int | None = None,
+              allow_exact: bool = False):
     """Dataset-level point-in-time as-of join: for each left row the
     LATEST right row with ``right.on < left.on`` (strict) sharing ``by``.
     Both sides co-bucket by the entity in ONE exchange; per bucket a
     vectorized merge-rank match (stages/window.py:asof_backward).
+
+    ``direction``: 'backward' (default, latest prior), 'forward'
+    (earliest later), or 'nearest' (smallest |delta|, backward wins
+    ties). ``allow_exact`` admits equal-``on`` rows (pandas merge_asof's
+    allow_exact_matches; default False = the zero-leakage strict match;
+    'nearest' treats it as True by convention). ``tolerance`` unmatches
+    rows whose |left.on - right.on| exceeds it, in the ``on`` column's
+    int64 units (microseconds for timestamps).
 
     The padded exchange schema is derived from the INPUT datasets'
     schemas (parquet metadata — free) plus ``value_cols``; calling
@@ -349,7 +359,22 @@ def asof_join(left, right, by: str, on: str, value_cols,
         rmask = side == 1
         li = np.nonzero(lmask)[0]
         ri = np.nonzero(rmask & on_valid)[0]
-        idx, ok = asof_backward(on_np[li], codes[li], on_np[ri], codes[ri])
+        if direction == 'backward':
+            idx, ok = asof_backward(on_np[li], codes[li], on_np[ri],
+                                    codes[ri], allow_exact=allow_exact)
+        elif direction == 'forward':
+            from .window import asof_forward
+            idx, ok = asof_forward(on_np[li], codes[li], on_np[ri],
+                                   codes[ri], allow_exact=allow_exact)
+        elif direction == 'nearest':
+            from .window import asof_nearest
+            idx, ok = asof_nearest(on_np[li], codes[li], on_np[ri],
+                                   codes[ri])
+        else:
+            raise ValueError(f'unknown asof direction: {direction!r}')
+        if tolerance is not None and len(ri):
+            delta = np.abs(on_np[li] - on_np[ri][idx])
+            ok &= delta <= tolerance
         ok &= on_valid[li]
         out_cols = {}
         for c in (by, on, *lcols):

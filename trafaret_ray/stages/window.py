@@ -158,22 +158,25 @@ def bfill_column(arr: pa.Array, starts: np.ndarray) -> pa.Array:
 
 
 def asof_backward(left_ts: np.ndarray, left_group: np.ndarray,
-                  right_ts: np.ndarray, right_group: np.ndarray):
+                  right_ts: np.ndarray, right_group: np.ndarray,
+                  allow_exact: bool = False):
     """Per-group strict-backward as-of match (zero temporal leakage).
 
     Returns (right_index, matched) per left row: the index into the
     UNSORTED right arrays of the LATEST right row with ``right.ts <
     left.ts`` in the same group — strict ``<``, so a same-timestamp state
-    row never leaks into its own turn (SURVEY.md §4.3). Group keys must be
-    comparable scalars (factorized int codes recommended); neither side
-    needs to be pre-sorted.
+    row never leaks into its own turn (SURVEY.md §4.3); ``allow_exact``
+    relaxes to ``<=`` (pandas merge_asof's allow_exact_matches). Group
+    keys must be comparable scalars (factorized int codes recommended);
+    neither side needs to be pre-sorted.
 
     Fully vectorized merge-rank algorithm, no per-group loop:
     interleave both sides sorted by (group, ts, side) with left rows
     ordered BEFORE right rows at equal ts (this is what makes the match
-    strict); then for each left row the count of right rows earlier in its
-    group picks the matching right row by rank. Among right ties on ts the
-    last by input order wins (stable sort) — the deterministic tie-break.
+    strict; allow_exact flips that tie order); then for each left row the
+    count of right rows earlier in its group picks the matching right row
+    by rank. Among right ties on ts the last by input order wins (stable
+    sort) — the deterministic tie-break.
     """
     m, r = len(left_ts), len(right_ts)
     if r == 0 or m == 0:
@@ -186,7 +189,8 @@ def asof_backward(left_ts: np.ndarray, left_group: np.ndarray,
     g_all = np.concatenate([left_group, r_g])
     side = np.concatenate([np.zeros(m, dtype=np.int8),
                            np.ones(r, dtype=np.int8)])
-    order = np.lexsort((side, ts_all, g_all))
+    sort_side = (np.int8(1) - side) if allow_exact else side
+    order = np.lexsort((sort_side, ts_all, g_all))
     is_right = side[order] == 1
     cum_right = np.cumsum(is_right)
     starts = group_starts(g_all[order])
@@ -208,6 +212,39 @@ def asof_backward(left_ts: np.ndarray, left_group: np.ndarray,
     out_idx[orig_left_idx] = match_right
     out_ok[orig_left_idx] = matched_sorted
     return out_idx, out_ok
+
+
+def asof_forward(left_ts: np.ndarray, left_group: np.ndarray,
+                 right_ts: np.ndarray, right_group: np.ndarray,
+                 allow_exact: bool = False):
+    """Per-group forward as-of match: the EARLIEST right row with
+    ``right.ts > left.ts`` (``>=`` when ``allow_exact``) in the same
+    group. The exact timestamp-negated mirror of ``asof_backward`` —
+    same vectorized merge-rank, same input-order tie-break among equal
+    right timestamps."""
+    return asof_backward(-np.asarray(left_ts, dtype=np.int64), left_group,
+                         -np.asarray(right_ts, dtype=np.int64),
+                         right_group, allow_exact=allow_exact)
+
+
+def asof_nearest(left_ts: np.ndarray, left_group: np.ndarray,
+                 right_ts: np.ndarray, right_group: np.ndarray,
+                 allow_exact: bool = True):
+    """Per-group nearest as-of match: the right row minimizing
+    ``|right.ts - left.ts|``; on a distance tie the BACKWARD candidate
+    wins (deterministic). ``allow_exact=True`` (default, pandas-like)
+    lets an equal-timestamp row match at distance zero."""
+    bi, bok = asof_backward(left_ts, left_group, right_ts, right_group,
+                            allow_exact=allow_exact)
+    fi, fok = asof_forward(left_ts, left_group, right_ts, right_group,
+                           allow_exact=False)
+    lts = np.asarray(left_ts, dtype=np.int64)
+    rts = np.asarray(right_ts, dtype=np.int64)
+    bd = np.where(bok, lts - rts[bi], np.iinfo(np.int64).max)
+    fd = np.where(fok, rts[fi] - lts, np.iinfo(np.int64).max)
+    use_f = fok & (~bok | (fd < bd))
+    idx = np.where(use_f, fi, bi)
+    return idx, bok | fok
 
 
 def rolling_window_bounds(starts: np.ndarray, k: int):
