@@ -256,3 +256,44 @@ class TestRollupAggregate:
         for c in g.columns:
             assert g[c].fillna('<N>').tolist() == \
                 e[c].fillna('<N>').tolist(), c
+
+
+class TestLatestByKey:
+    """latest_by_key = CDC latest-wins compaction (stages/aggregate)."""
+
+    def _run(self, tbl, keys, order_by):
+        import ray.data as rd
+        from trafaret_ray.stages.aggregate import latest_by_key
+        return latest_by_key(rd.from_arrow(tbl), keys, order_by,
+                             num_buckets=4).to_pandas()
+
+    def test_matches_pandas_idxmax(self, ray_session):
+        import pandas as pd
+        rng = np.random.default_rng(3)
+        n = 5_000
+        tbl = pa.table({
+            'k': rng.integers(0, 200, n),
+            'ts': rng.integers(0, 1_000_000, n),
+            'uid': np.arange(n, dtype=np.int64),
+            'v': rng.standard_normal(n),
+        })
+        out = self._run(tbl, 'k', ['ts', 'uid']).sort_values('k')\
+            .reset_index(drop=True)
+        df = tbl.to_pandas().sort_values(['k', 'ts', 'uid'])
+        exp = df.groupby('k', as_index=False).last()
+        assert len(out) == len(exp)
+        for c in ('k', 'ts', 'uid'):
+            assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+        assert np.allclose(out['v'], exp['v'])
+
+    def test_composite_key_and_null_group(self, ray_session):
+        tbl = pa.table({
+            'a': pa.array([1, 1, None, None, 2], pa.int64()),
+            'b': pa.array(['x', 'x', 'y', 'y', 'y']),
+            'ts': pa.array([5, 9, 1, 3, 7], pa.int64()),
+            'v': pa.array([10, 20, 30, 40, 50], pa.int64()),
+        })
+        out = self._run(tbl, ['a', 'b'], ['ts'])
+        got = {(None if pd.isna(a) else int(a), b): int(v)
+               for a, b, v in zip(out['a'], out['b'], out['v'])}
+        assert got == {(1, 'x'): 20, (None, 'y'): 40, (2, 'y'): 50}

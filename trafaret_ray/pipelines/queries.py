@@ -1143,6 +1143,39 @@ def q_priority_revenue(sf_dir: str):
         .sort('o_orderpriority')
 
 
+def q_latest_events(sf_dir: str):
+    """Latest-wins compaction (CDC upsert / snapshot): each user's most
+    recent event row, order (ts, event_id) — event_id breaks same-ts
+    ties deterministically. stages/aggregate.latest_by_key: per-batch
+    argmax prune, ONE bucket exchange of the pruned rows."""
+    from ..stages.aggregate import latest_by_key
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type', 'value'])
+    out = latest_by_key(ds, 'user_id', ['ts', 'event_id'])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'user_id': tbl.column('user_id'),
+            'ts_us': pc.cast(pc.cast(tbl.column('ts'),
+                                     pa.timestamp('us')), pa.int64()),
+            'event_id': tbl.column('event_id'),
+            'event_type': tbl.column('event_type'),
+            'value': tbl.column('value'),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')\
+        .sort('user_id')
+
+
+QUERIES['q_latest_events'] = q_latest_events
+ORACLE_SQL['q_latest_events'] = """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+"""
+
 QUERIES['q_asof_forward_events'] = q_asof_forward_events
 ORACLE_SQL['q_asof_forward_events'] = """
     WITH clicks AS (

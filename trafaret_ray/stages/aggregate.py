@@ -408,3 +408,56 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
                             zero_copy_batch=True)
     from .conversations import bucket_exchange
     return bucket_exchange(pruned, group_col, prune, num_buckets)
+
+
+def _latest_indices(tbl: pa.Table, keys, order_by) -> np.ndarray:
+    """Indices of the max-``order_by``-tuple row per distinct key tuple.
+    Only the key/order columns leave Arrow (for code computation); the
+    surviving rows are taken from the original table zero-copy."""
+    import pandas as pd
+    if len(keys) == 1:
+        codes = pd.factorize(tbl.column(keys[0]).to_pandas(),
+                             use_na_sentinel=False)[0]
+    else:
+        codes = pd.MultiIndex.from_frame(pd.DataFrame(
+            {k: tbl.column(k).to_pandas() for k in keys}))\
+            .factorize(use_na_sentinel=False)[0]
+    order_np = []
+    for c in order_by:
+        col = tbl.column(c).combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp('us')).cast(pa.int64())
+        order_np.append(col.to_numpy(zero_copy_only=False))
+    # lexsort: codes primary, then order_by asc (last listed = primary)
+    order = np.lexsort((*reversed(order_np), codes))
+    sc = codes[order]
+    last = np.nonzero(np.r_[sc[1:] != sc[:-1], True])[0]
+    return order[last]
+
+
+def latest_by_key(ds, keys, order_by, num_buckets: int = 32):
+    """Latest-wins compaction (the CDC-upsert / snapshot shape): ONE
+    surviving row per distinct ``keys`` tuple — the row with the maximum
+    ``order_by`` tuple (e.g. ``['ts', 'event_id']``). Per-batch local
+    argmax prunes to <= 1 row per key per batch, then ONE hash-bucket
+    exchange of the pruned rows and the same argmax per bucket: shuffle
+    bytes are O(distinct keys per batch), never the raw changelog.
+
+    ``order_by`` must be a strict total order within each key (append a
+    unique id as the final tiebreak) — cross-batch ties would otherwise
+    resolve by arrival order, which is not deterministic. Null key
+    cells form one group (SQL GROUP BY semantics); ``order_by`` columns
+    must be non-null."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        return tbl.take(pa.array(
+            np.sort(_latest_indices(tbl, keys, order_by)),
+            type=pa.int64()))
+
+    pruned = ds.map_batches(prune, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    from .conversations import bucket_exchange
+    return bucket_exchange(pruned, keys, prune, num_buckets)
