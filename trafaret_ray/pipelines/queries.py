@@ -2791,6 +2791,79 @@ def q_corr_lineitem(sf_dir: str):
         .sort('l_returnflag')
 
 
+def q_regression_events(sf_dir: str):
+    """Per-group simple linear regression (value ~ hour-of-day) from
+    mergeable moment partials — the q_corr_lineitem fixed-point
+    discipline: x (hour) is an EXACT small int so Σx/Σx²/Σ(x·y6) are
+    exact int64 sums (x·y6 loses nothing — integer times fixed-point);
+    y carries 1e6 micro-units. Both engines evaluate the identical
+    slope/intercept float formula over identical integers."""
+    ds = _read(sf_dir, 'events', ['event_type', 'ts', 'value'])
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(tbl.column('ts'), pa.timestamp('us')),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        x = pa.array((us // 3_600_000_000) % 24, type=pa.int64())
+        y6 = _fixed6(pc.cast(tbl.column('value'), pa.float64()))
+        return pa.table({
+            'event_type': tbl.column('event_type'),
+            'x': x, 'xx': pc.multiply(x, x),
+            'y6': y6, 'xy6': pc.multiply(x, y6),
+        })
+
+    out = pre_aggregate(ds.map_batches(moments, batch_format='pyarrow',
+                                       zero_copy_batch=True),
+                        ['event_type'],
+                        {'n': ('x', 'count'), 'sx': ('x', 'sum'),
+                         'sxx': ('xx', 'sum'), 'sy6': ('y6', 'sum'),
+                         'sxy6': ('xy6', 'sum')})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        f = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+             .astype(np.float64) for c in ('n', 'sx', 'sxx', 'sy6',
+                                           'sxy6')}
+        n, sx, sxx = f['n'], f['sx'], f['sxx']
+        sy, sxy = f['sy6'] / 1e6, f['sxy6'] / 1e6
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = num / den
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            'event_type': tbl.column('event_type'),
+            'n_events': pc.cast(tbl.column('n'), pa.int64()),
+            'slope_value_hour': pa.array(
+                np.floor(slope * 1e6 + 0.5) / 1e6),
+            'intercept_value': pa.array(
+                np.floor(intercept * 1e6 + 0.5) / 1e6),
+        })
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('event_type')
+
+
+QUERIES['q_regression_events'] = q_regression_events
+ORACLE_SQL['q_regression_events'] = """
+    WITH p AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(cast(hour(ts) AS BIGINT)) AS sx,
+             sum(cast(hour(ts) * hour(ts) AS BIGINT)) AS sxx,
+             sum(cast(floor(value * 1e6 + 0.5) AS BIGINT)) AS sy6,
+             sum(cast(hour(ts) AS BIGINT)
+                 * cast(floor(value * 1e6 + 0.5) AS BIGINT)) AS sxy6
+      FROM events GROUP BY event_type)
+    SELECT event_type, n AS n_events,
+           floor((n * (sxy6 / 1e6) - (sx * 1.0) * (sy6 / 1e6))
+                 / (n * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0))
+                 * 1e6 + 0.5) / 1e6 AS slope_value_hour,
+           floor(((sy6 / 1e6)
+                  - ((n * (sxy6 / 1e6) - (sx * 1.0) * (sy6 / 1e6))
+                     / (n * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0)))
+                    * (sx * 1.0)) / n * 1e6 + 0.5) / 1e6
+             AS intercept_value
+    FROM p ORDER BY event_type
+"""
+
 QUERIES['q_corr_lineitem'] = q_corr_lineitem
 ORACLE_SQL['q_corr_lineitem'] = """
     WITH p AS (
