@@ -2039,6 +2039,73 @@ def q_hist_quantiles(sf_dir: str):
                                [0.5, 0.95, 0.99]).sort(['event_type', 'q'])
 
 
+def q_quantile_bins_events(sf_dir: str):
+    """Equal-frequency discretization: per event type, bin each value by
+    the type's exact quartiles (grouped_quantiles) and aggregate per
+    bin. The thresholds and values are compared in int64 fixed-point
+    micro-units (bin = count of thresholds strictly below v6), so the
+    bin assignment is integer-exact on both engines; the tiny per-group
+    threshold table is the standard broadcast small side."""
+    import ray as _ray
+    from ..stages.aggregate import grouped_quantiles
+    ds = _read(sf_dir, 'events', ['event_type', 'value'])
+    qt = grouped_quantiles(ds, 'event_type', 'value',
+                           [0.25, 0.5, 0.75]).to_pandas()
+    th6 = {}
+    for et, g in qt.groupby('event_type'):
+        th6[et] = np.sort(np.floor(
+            g['value'].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64))
+    th_ref = _ray.put(th6)
+
+    class Binner:
+        def __init__(self):
+            self.th6 = _ray.get(th_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            v6 = _fixed6(pc.cast(tbl.column('value'), pa.float64()))\
+                .to_numpy(zero_copy_only=False)
+            ets = tbl.column('event_type').to_pandas()
+            bins = np.zeros(len(v6), dtype=np.int64)
+            for et, th in self.th6.items():
+                m = (ets == et).to_numpy()
+                if m.any():
+                    bins[m] = np.searchsorted(th, v6[m], side='left')
+            return pa.table({
+                'event_type': tbl.column('event_type'),
+                'bin': pa.array(bins),
+                'v6': pa.array(v6, type=pa.int64()),
+            })
+
+    binned = ds.map_batches(Binner, batch_format='pyarrow',
+                            concurrency=2)
+    out = pre_aggregate(binned, ['event_type', 'bin'],
+                        {'n_events': ('v6', 'count'),
+                         'sum_value6': ('v6', 'sum')})
+    return out.sort(['event_type', 'bin'])
+
+
+QUERIES['q_quantile_bins_events'] = q_quantile_bins_events
+ORACLE_SQL['q_quantile_bins_events'] = """
+    WITH th AS (
+      SELECT event_type,
+             unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS t
+      FROM events GROUP BY event_type),
+    th6 AS (
+      SELECT event_type, cast(floor(t * 1e6 + 0.5) AS BIGINT) AS t6
+      FROM th),
+    bins AS (
+      SELECT e.event_type,
+             cast(floor(e.value * 1e6 + 0.5) AS BIGINT) AS v6,
+             (SELECT count(*) FROM th6 t
+               WHERE t.event_type = e.event_type
+                 AND t.t6 < cast(floor(e.value * 1e6 + 0.5) AS BIGINT))
+               AS bin
+      FROM events e)
+    SELECT event_type, bin, count(*) AS n_events, sum(v6) AS sum_value6
+    FROM bins GROUP BY event_type, bin
+    ORDER BY event_type, bin
+"""
+
 QUERIES['q_hist_quantiles'] = q_hist_quantiles
 QUERIES['q_value_quantiles'] = q_value_quantiles
 ORACLE_SQL['q_value_quantiles'] = """
