@@ -2801,6 +2801,83 @@ ORACLE_SQL['q_centroids_embeddings'] = """
 """
 
 
+def q_nearest_centroid_embeddings(sf_dir: str):
+    """Nearest-centroid classification over the embedding column: each
+    vector is assigned to the closest per-label centroid (euclidean),
+    output = the (true label, assigned label) confusion counts. The
+    centroids are the byte-stable fixed-point means
+    (q_centroids_embeddings), broadcast once; distances round to int64
+    micro-units before the argmin with a label tie-break, so the
+    assignment is integer-deterministic on both engines."""
+    import ray as _ray
+    cent = q_centroids_embeddings(sf_dir).to_pandas()
+    labels = np.sort(cent['label'].unique())
+    ndim = int(cent['pos'].max()) + 1
+    C = np.zeros((len(labels), ndim))
+    li = {l: i for i, l in enumerate(labels)}
+    C[[li[l] for l in cent['label']],
+      cent['pos'].to_numpy(np.int64)] = cent['centroid'].to_numpy()
+    cref = _ray.put((labels.astype(np.int64), C))
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'label', 'embedding'])
+
+    class Assign:
+        def __init__(self):
+            self.labels, self.C = _ray.get(cref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            emb = tbl.column('embedding').combine_chunks()
+            n = len(emb)
+            if n == 0:
+                return pa.table({'label': pa.array([], pa.int64()),
+                                 'assigned': pa.array([], pa.int64())})
+            X = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(n, -1)
+            d6 = np.empty((n, len(self.labels)), dtype=np.int64)
+            for j in range(len(self.labels)):
+                d = np.sqrt(((X - self.C[j]) ** 2).sum(axis=1))
+                d6[:, j] = np.floor(d * 1e6 + 0.5).astype(np.int64)
+            # argmin returns the FIRST minimum = smallest label on ties
+            assigned = self.labels[np.argmin(d6, axis=1)]
+            return pa.table({
+                'label': pc.cast(tbl.column('label'), pa.int64()),
+                'assigned': pa.array(assigned),
+            })
+
+    out = pre_aggregate(
+        ds.map_batches(Assign, batch_format='pyarrow', concurrency=2),
+        ['label', 'assigned'], {'n_vecs': ('assigned', 'count')})
+    return out.sort(['label', 'assigned'])
+
+
+QUERIES['q_nearest_centroid_embeddings'] = q_nearest_centroid_embeddings
+ORACLE_SQL['q_nearest_centroid_embeddings'] = """
+    WITH flat AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             cast(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    cent AS (
+      SELECT label AS clabel, pos,
+             floor(cast(sum(cast(floor(val * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) + 0.5) / 1e6 AS c
+      FROM flat GROUP BY label, pos),
+    dists AS (
+      SELECT f.vec_id, f.label, c.clabel,
+             cast(floor(sqrt(sum((f.val - c.c) * (f.val - c.c)))
+                        * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM flat f JOIN cent c USING (pos)
+      GROUP BY f.vec_id, f.label, c.clabel),
+    assign AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d6, clabel) AS rn
+      FROM dists)
+    SELECT label, clabel AS assigned, count(*) AS n_vecs
+    FROM assign WHERE rn = 1
+    GROUP BY label, clabel
+    ORDER BY label, assigned
+"""
+
+
 def q_corr_lineitem(sf_dir: str):
     """Per-group Pearson correlation from mergeable fixed-point moment
     partials (n, Σx, Σy, Σx², Σy², Σxy as int64 micro-units — integer
