@@ -2801,6 +2801,65 @@ ORACLE_SQL['q_centroids_embeddings'] = """
 """
 
 
+def q_time_range_join_events(sf_dir: str):
+    """LARGE x LARGE interval join (stages/joins.py:range_join_binned):
+    every purchase opens a 30-minute window [ts, ts+30m) and the query
+    counts ALL clicks (any user) inside it — overlapping intervals, so
+    the broadcast-banding path doesn't apply. Bin width = the window
+    span (explosion factor <= 2); the exact predicate filters after the
+    bin-key hash join, and the high-cardinality per-purchase count
+    finishes in a bucket aggregate."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import range_join_binned
+    ds = _read(sf_dir, 'events', ['event_id', 'ts', 'event_type'])
+    win_us = 30 * 60 * 1_000_000
+
+    def clicks_fn(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column('event_type'), 'click'))
+        us = pc.cast(pc.cast(t.column('ts'), pa.timestamp('us')),
+                     pa.int64())
+        return pa.table({'ts_us': us})
+
+    def purch_fn(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column('event_type'), 'purchase'))
+        us = pc.cast(pc.cast(t.column('ts'), pa.timestamp('us')),
+                     pa.int64())
+        return pa.table({
+            'event_id': t.column('event_id'),
+            'lo': us,
+            'hi': pc.add(us, pa.scalar(win_us, pa.int64())),
+        })
+
+    clicks = ds.map_batches(clicks_fn, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    purch = ds.map_batches(purch_fn, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    eid_t = dict(zip(ds.schema().names, ds.schema().types))['event_id']
+    joined = range_join_binned(
+        clicks, purch, 'ts_us', bin_width=float(win_us),
+        left_schema=pa.schema([('ts_us', pa.int64())]),
+        right_schema=pa.schema([('event_id', eid_t),
+                                ('lo', pa.int64()),
+                                ('hi', pa.int64())]))
+    out = bucket_aggregate(joined, ['event_id'],
+                           {'n_clicks': ('ts_us', 'count')})
+    return out.sort('event_id')
+
+
+QUERIES['q_time_range_join_events'] = q_time_range_join_events
+ORACLE_SQL['q_time_range_join_events'] = """
+    WITH clicks AS (
+      SELECT ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, count(*) AS n_clicks
+    FROM purch p JOIN clicks c
+      ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+"""
+
+
 def q_nearest_centroid_embeddings(sf_dir: str):
     """Nearest-centroid classification over the embedding column: each
     vector is assigned to the closest per-label centroid (euclidean),
