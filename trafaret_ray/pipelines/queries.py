@@ -425,6 +425,28 @@ def _asof_sides(sf_dir: str):
     return purchases, clicks, lschema, rschema
 
 
+def q_asof_broadcast_events(sf_dir: str):
+    """The NO-SHUFFLE as-of variant (stages/joins.py:asof_join_broadcast)
+    on the q_asof_events_stage alignment: the deduped click-state table
+    is small, so it broadcasts once and every batch matches locally —
+    zero exchanges. Byte-matched to the identical ASOF LEFT JOIN
+    oracle."""
+    from ..stages.joins import asof_join_broadcast
+    purchases, clicks, _ls, _rs = _asof_sides(sf_dir)
+    state = pa.concat_tables(
+        b for b in clicks.iter_batches(batch_size=None,
+                                       batch_format='pyarrow'))
+    out = asof_join_broadcast(purchases, state, by='user_id', on='ts',
+                              value_cols=['click_value'], suffix='')
+    return out.map_batches(
+        lambda t: pa.table({
+            'event_id': t.column('event_id'),
+            'user_id': t.column('user_id'),
+            'value': t.column('value'),
+            'last_click_value': t.column('click_value'),
+        }), batch_format='pyarrow').sort('event_id')
+
+
 def q_asof_forward_events(sf_dir: str):
     """FORWARD as-of with a 6-hour tolerance: for each purchase the
     EARLIEST strictly-later click value per user within 6h — the
@@ -1174,6 +1196,23 @@ ORACLE_SQL['q_latest_events'] = """
     QUALIFY row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) = 1
     ORDER BY user_id
+"""
+
+QUERIES['q_asof_broadcast_events'] = q_asof_broadcast_events
+ORACLE_SQL['q_asof_broadcast_events'] = """
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value,
+           c.click_value AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p.event_id
 """
 
 QUERIES['q_asof_forward_events'] = q_asof_forward_events
