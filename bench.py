@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     'q_asof_forward_events', 'q_asof_nearest_events', 'q_latest_events',
     'q_regression_events', 'q_quantile_bins_events',
     'q_nearest_centroid_embeddings', 'q_time_range_join_events',
-    'q_asof_broadcast_events',
+    'q_asof_broadcast_events', 'q_quarantine_audit_events',
 ]
 
 

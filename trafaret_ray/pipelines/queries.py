@@ -2237,6 +2237,62 @@ ORACLE_SQL['q_session_stats'] = """
 """
 
 
+def q_quarantine_audit_events(sf_dir: str):
+    """Quarantine analytics: run a deliberately strict contract over
+    events and aggregate the REJECTION channel — (field, error code)
+    counts, the lineage report a 100-TB ingest job ships alongside its
+    output. The oracle re-states each field predicate in SQL with the
+    reference's literal error-code strings (contracts/codes.py — the
+    output contract), so the driver byte-checks the error taxonomy
+    itself, not just the survivor rows."""
+    import trafaret_ray.contracts as t
+    from ..contracts import BatchValidator
+
+    contract = t.Dict(
+        event_id=t.Int(gte=0),
+        value=t.Float(lt=300.0),
+        event_type=t.Enum('click', 'view', 'purchase'),
+        user_id=t.Int(lte=120))
+
+    class Audit:
+        def __init__(self):
+            self.v = BatchValidator(contract)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            cres, _n = self.v.apply_table(tbl)
+            fields, codes = [], []
+            for errs in cres.row_errors.values():
+                for f, e in errs.items():
+                    fields.append(f)
+                    codes.append(e.code or 'unknown')
+            return pa.table({'field': pa.array(fields, pa.string()),
+                             'code': pa.array(codes, pa.string())})
+
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'event_type',
+                                  'value'])
+    out = pre_aggregate(
+        ds.map_batches(Audit, batch_format='pyarrow', concurrency=2),
+        ['field', 'code'], {'n_rows': ('code', 'count')})
+    return out.sort(['field', 'code'])
+
+
+QUERIES['q_quarantine_audit_events'] = q_quarantine_audit_events
+ORACLE_SQL['q_quarantine_audit_events'] = """
+    WITH errs AS (
+      SELECT 'value' AS field, 'too_big' AS code
+      FROM events WHERE NOT (value < 300.0)
+      UNION ALL
+      SELECT 'event_type', 'does_not_match_any'
+      FROM events WHERE event_type NOT IN ('click', 'view', 'purchase')
+      UNION ALL
+      SELECT 'user_id', 'too_big'
+      FROM events WHERE user_id > 120)
+    SELECT field, code, count(*) AS n_rows
+    FROM errs GROUP BY field, code
+    ORDER BY field, code
+"""
+
+
 def q_struct_payload_events(sf_dir: str):
     """Dict-on-StructArray end-to-end: the events ``props`` JSON string
     parses into a nested struct payload (vectorized regex extract), a
