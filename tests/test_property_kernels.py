@@ -115,3 +115,72 @@ def test_interval_bins_complete(data):
     rows, bins = interval_bins(np.array([lo]), np.array([hi]), w)
     if lo <= v < hi:
         assert int(np.floor(v / w)) in set(bins.tolist())
+
+
+class TestAsofDirectionsProperty:
+    """asof_backward/forward/nearest vs a per-row brute-force oracle,
+    random groups/timestamps including cross-group and tie cases."""
+
+    ts_st = st.lists(st.integers(0, 12), min_size=1, max_size=20)
+    g_st = st.lists(st.integers(0, 3), min_size=1, max_size=20)
+
+    @staticmethod
+    def _brute(lts, lg, rts, rg, direction, allow_exact):
+        out = []
+        for t, g in zip(lts, lg):
+            cands = []
+            for j, (rt, rgj) in enumerate(zip(rts, rg)):
+                if rgj != g:
+                    continue
+                if direction == 'backward':
+                    hit = rt <= t if allow_exact else rt < t
+                    key = (rt, j)        # latest ts, then last input
+                else:
+                    hit = rt >= t if allow_exact else rt > t
+                    key = (-rt, j)       # earliest ts, then last input
+                if hit:
+                    cands.append((key, j))
+            out.append(max(cands)[1] if cands else None)
+        return out
+
+    @given(lts=ts_st, lg=g_st, rts=ts_st, rg=g_st,
+           direction=st.sampled_from(['backward', 'forward']),
+           allow_exact=st.booleans())
+    @settings(max_examples=150, deadline=None)
+    def test_matches_bruteforce(self, lts, lg, rts, rg, direction,
+                                allow_exact):
+        m = min(len(lts), len(lg))
+        r = min(len(rts), len(rg))
+        lts, lg = np.array(lts[:m]), np.array(lg[:m])
+        rts, rg = np.array(rts[:r]), np.array(rg[:r])
+        fn = W.asof_backward if direction == 'backward' else W.asof_forward
+        idx, ok = fn(lts, lg, rts, rg, allow_exact=allow_exact)
+        exp = self._brute(lts, lg, rts, rg, direction, allow_exact)
+        for i in range(m):
+            if exp[i] is None:
+                assert not ok[i], i
+            else:
+                assert ok[i] and idx[i] == exp[i], (i, idx[i], exp[i])
+
+    @given(lts=ts_st, lg=g_st, rts=ts_st, rg=g_st)
+    @settings(max_examples=100, deadline=None)
+    def test_nearest_distance_and_tiebreak(self, lts, lg, rts, rg):
+        m = min(len(lts), len(lg))
+        r = min(len(rts), len(rg))
+        lts, lg = np.array(lts[:m]), np.array(lg[:m])
+        rts, rg = np.array(rts[:r]), np.array(rg[:r])
+        idx, ok = W.asof_nearest(lts, lg, rts, rg)
+        for i in range(m):
+            same = [j for j in range(r) if rg[j] == lg[i]]
+            if not same:
+                assert not ok[i]
+                continue
+            assert ok[i]
+            dmin = min(abs(int(rts[j]) - int(lts[i])) for j in same)
+            got_d = abs(int(rts[idx[i]]) - int(lts[i]))
+            assert got_d == dmin, (i, got_d, dmin)
+            # on a distance tie the backward candidate wins
+            if got_d > 0 and any(
+                    abs(int(rts[j]) - int(lts[i])) == dmin
+                    and rts[j] < lts[i] for j in same):
+                assert rts[idx[i]] < lts[i], i
