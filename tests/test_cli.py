@@ -38,3 +38,26 @@ def test_cli_run_and_resume(tmp_path):
     m2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m2 == m1
     assert os.path.getmtime(os.path.join(out, 'validated')) == v_mtime
+
+
+def test_cli_curate(tmp_path):
+    out = str(tmp_path / 'curated')
+    env = dict(os.environ, PYTHONPATH='/root/repo')
+    env.pop('RAY_ADDRESS', None)
+    cmd = [sys.executable, '-m', 'trafaret_ray.run', '--pipeline',
+           'curate', '--input',
+           '/root/testdata/sf0.001/documents.parquet', '--out', out,
+           '--num-buckets', '4', '--num-cpus', '4',
+           '--near-threshold', '0.5']
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m['pipeline'] == 'curate'
+    assert 0 < m['docs_kept'] < m['docs_in']
+    n = sum(pq.read_metadata(os.path.join(out, f)).num_rows
+            for f in os.listdir(out) if f.endswith('.parquet'))
+    assert n == m['docs_kept']
+    # deterministic end-to-end: the query-suite curation at the same
+    # settings keeps the same count (445 at sf0.001, CORRECTNESS r3)
+    assert m['docs_kept'] == 445

@@ -10,6 +10,14 @@ with the same --out resumes: completed stages are skipped via their
 _SUCCESS markers. On a cluster, submit with ``ray job submit --
 python -m trafaret_ray.run ...`` and omit --num-cpus (the job uses the
 cluster's resources; streaming execution end-to-end).
+
+``--pipeline curate`` instead runs the corpus-curation pipeline
+(normalize → language/quality gate → exact dedup → near-dedup keep-
+canonical) over a documents-shaped parquet input:
+
+    python -m trafaret_ray.run --pipeline curate --input docs/ \
+        --out curated/ [--langs en,de] [--min-words 5] \
+        [--near-threshold 0.7]
 """
 
 from __future__ import annotations
@@ -23,6 +31,10 @@ def main(argv=None):
     p.add_argument('--input', required=True,
                    help='parquet path/dir of transcripts (input_hint schema)')
     p.add_argument('--out', required=True, help='output directory')
+    p.add_argument('--pipeline', choices=('flagship', 'curate'),
+                   default='flagship',
+                   help='flagship transcript features (default) or the '
+                        'documents corpus-curation pipeline')
     p.add_argument('--num-buckets', type=int, default=256)
     p.add_argument('--gap-minutes', type=float, default=30.0)
     p.add_argument('--batch-size', type=int, default=131072)
@@ -31,6 +43,13 @@ def main(argv=None):
     p.add_argument('--no-resume', action='store_true')
     p.add_argument('--num-cpus', type=int, default=None,
                    help='local-mode CPU count (omit on a real cluster)')
+    # curate-only options
+    p.add_argument('--langs', default='en,de,es',
+                   help='comma-separated language allowlist (curate)')
+    p.add_argument('--min-words', type=int, default=5)
+    p.add_argument('--near-threshold', type=float, default=0.7)
+    p.add_argument('--id-col', default='doc_id')
+    p.add_argument('--text-col', default='text')
     args = p.parse_args(argv)
 
     import ray
@@ -46,15 +65,34 @@ def main(argv=None):
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     ctx.target_max_block_size = 512 * 1024 * 1024
 
-    from trafaret_ray.pipelines.flagship import run_flagship
-    metrics = run_flagship(
-        args.input, args.out,
-        num_buckets=args.num_buckets,
-        gap_us=int(args.gap_minutes * 60 * 1_000_000),
-        batch_size=args.batch_size,
-        resume=not args.no_resume,
-        max_group_rows=args.max_group_rows,
-    )
+    if args.pipeline == 'curate':
+        import time
+        import ray.data as rd
+        from trafaret_ray.pipelines.curation import curate_documents
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(args.input)
+        n_in = ds.count()
+        curated = curate_documents(
+            ds, id_col=args.id_col, text_col=args.text_col,
+            langs=tuple(s for s in args.langs.split(',') if s),
+            min_words=args.min_words,
+            near_threshold=args.near_threshold,
+            num_buckets=args.num_buckets)
+        curated.write_parquet(args.out)
+        n_out = rd.read_parquet(args.out).count()
+        metrics = {'pipeline': 'curate', 'docs_in': n_in,
+                   'docs_kept': n_out,
+                   'wall_s': round(time.perf_counter() - t0, 3)}
+    else:
+        from trafaret_ray.pipelines.flagship import run_flagship
+        metrics = run_flagship(
+            args.input, args.out,
+            num_buckets=args.num_buckets,
+            gap_us=int(args.gap_minutes * 60 * 1_000_000),
+            batch_size=args.batch_size,
+            resume=not args.no_resume,
+            max_group_rows=args.max_group_rows,
+        )
     print(json.dumps(metrics, sort_keys=True))
     ray.shutdown()
 
