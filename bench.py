@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     'q_regression_events', 'q_quantile_bins_events',
     'q_nearest_centroid_embeddings', 'q_time_range_join_events',
     'q_asof_broadcast_events', 'q_quarantine_audit_events',
+    'q_outer_join_users',
 ]
 
 

@@ -2237,6 +2237,72 @@ ORACLE_SQL['q_session_stats'] = """
 """
 
 
+def q_outer_join_users(sf_dir: str):
+    """FULL OUTER partitioned hash join (stages/joins.py:hash_join
+    how='outer'): per-user high-value click counts vs per-user
+    high-value purchase revenue — the thresholds make both sides carry
+    EXCLUSIVE users, so the outer join's null-padding on each side is
+    actually exercised (and Arrow's key coalescing across sides must
+    match SQL's)."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import hash_join
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type', 'value'])
+
+    def side(etype, th, as_rev):
+        def f(tbl: pa.Table) -> pa.Table:
+            t = tbl.filter(pc.and_(
+                pc.equal(tbl.column('event_type'), etype),
+                pc.greater(tbl.column('value'), pa.scalar(float(th)))))
+            cols = {'user_id': t.column('user_id')}
+            if as_rev:
+                cols['v6'] = _fixed6(pc.cast(t.column('value'),
+                                             pa.float64()))
+            return pa.table(cols)
+        return f
+
+    clicks = bucket_aggregate(
+        ds.map_batches(side('click', 150, False),
+                       batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id'], {'n_clicks': ('user_id', 'count')})
+    purch = bucket_aggregate(
+        ds.map_batches(side('purchase', 140, True),
+                       batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id'], {'rev6': ('v6', 'sum')})
+    joined = hash_join(
+        clicks, purch, on='user_id', how='outer',
+        left_schema=pa.schema([('user_id', pa.int64()),
+                               ('n_clicks', pa.int64())]),
+        right_schema=pa.schema([('user_id', pa.int64()),
+                                ('rev6', pa.int64())]))
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'n_clicks': tbl.column('n_clicks'),
+                         'big_purchase_rev': _unfix6(tbl.column('rev6'))})
+
+    return joined.map_batches(finalize, batch_format='pyarrow')\
+        .sort('user_id')
+
+
+QUERIES['q_outer_join_users'] = q_outer_join_users
+ORACLE_SQL['q_outer_join_users'] = """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' AND value > 150
+      GROUP BY user_id),
+    p AS (
+      SELECT user_id,
+             round(cast(sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6, 6) AS big_purchase_rev
+      FROM events WHERE event_type = 'purchase' AND value > 140
+      GROUP BY user_id)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           c.n_clicks, p.big_purchase_rev
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    ORDER BY user_id
+"""
+
+
 def q_quarantine_audit_events(sf_dir: str):
     """Quarantine analytics: run a deliberately strict contract over
     events and aggregate the REJECTION channel — (field, error code)
