@@ -59,3 +59,21 @@ class TestConnectedComponents:
         comp = _cc([(i, i + 1) for i in range(5, 11)],
                    local_edges_max=0)
         assert all(comp[i] == 5 for i in range(5, 12))
+
+    def test_unconverged_warns(self, ray_session):
+        # a chain longer than max_iters can propagate must WARN instead
+        # of silently returning split components (ADVICE r2)
+        import warnings
+
+        import ray.data as rd
+        from trafaret_ray.stages.graph import connected_components
+        edges = [(i, i + 1) for i in range(0, 30)]
+        tbl = pa.table({'src': pa.array([a for a, _ in edges], pa.int64()),
+                        'dst': pa.array([b for _, b in edges], pa.int64())})
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter('always')
+            connected_components(rd.from_arrow(tbl), num_buckets=2,
+                                 max_iters=1, local_edges_max=0)\
+                .materialize()
+        assert any('no fixpoint' in str(w.message) for w in caught
+                   if issubclass(w.category, RuntimeWarning))

@@ -1522,6 +1522,47 @@ ORACLE_SQL['q_rank_events'] = """
 """
 
 
+def q_rank_nulls_events(sf_dir: str):
+    """Window ranks over a NULL-BEARING key: values under 50 become
+    NULL, survivors quantize to floor(value) so non-null ties exist too.
+    Gates the NULLs-are-peers / NULLs-sort-last semantics of
+    stages/reshape.py:group_ranks (NaN==NaN tie runs; lexsort places
+    NaN last in both directions) against DuckDB, which the all-non-null
+    events fixture in q_rank_events never exercises (ADVICE r2).
+    floor() on exact parquet doubles is deterministic on both engines —
+    no float-sum ordering hazard."""
+    from ..stages.reshape import group_ranks
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = tbl.column('value').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        key = np.where(v >= 50.0, np.floor(v), np.nan)
+        rank, dense = group_ranks(key, starts, descending=True)
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'value_rank': pa.array(rank),
+            'value_dense_rank': pa.array(dense),
+        })
+
+    return per_conversation(ds, fn, key='user_id', order=('event_id',),
+                            num_buckets=32).sort('event_id')
+
+
+QUERIES['q_rank_nulls_events'] = q_rank_nulls_events
+ORACLE_SQL['q_rank_nulls_events'] = """
+    SELECT event_id, user_id,
+           rank() OVER w       AS value_rank,
+           dense_rank() OVER w AS value_dense_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CASE WHEN value >= 50.0
+                               THEN floor(value) END DESC)
+    ORDER BY event_id
+"""
+
+
 def q_window_positions_events(sf_dir: str):
     """The positional window-function family per user by value desc:
     row_number()/ntile(4) over a TOTAL order (event_id tiebreak — SQL
