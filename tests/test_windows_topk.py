@@ -440,3 +440,46 @@ class TestGroupPositionsDifferentialFuzz:
             assert np.allclose(pct[order], exp['pct']), seed
             assert np.allclose(cume[order], exp['cume']), seed
             assert tile[order].tolist() == exp['tile'].tolist(), seed
+
+    def test_randomized_vs_duckdb_with_nulls(self):
+        """Same differential with ~30% NULLs in the ordering key: NULLs
+        are PEERS (one tie run) and sort LAST in both directions on both
+        engines (DuckDB default NULLS LAST; lexsort places NaN last)."""
+        import duckdb
+
+        from trafaret_ray.stages.reshape import group_positions, group_ranks
+        from trafaret_ray.stages.window import group_starts
+        for seed in (23, 24):
+            rng = np.random.default_rng(seed)
+            n = 300
+            g = np.sort(rng.integers(0, 10, n))
+            v = rng.integers(0, 4, n).astype(np.float64)
+            v[rng.random(n) < 0.3] = np.nan
+            tb = rng.permutation(n).astype(np.int64)
+            starts = group_starts(g)
+            rn, pct, cume, tile = group_positions(
+                v, tb, starts, descending=True, tiles=4)
+            rank, dense = group_ranks(v, starts, descending=True)
+            con = duckdb.connect()
+            # from_pandas=True maps NaN -> NULL for the SQL side
+            con.register('t', pa.table({
+                'g': pa.array(g), 'v': pa.array(v, from_pandas=True),
+                'tb': pa.array(tb)}))
+            exp = con.execute("""
+                SELECT row_number()   OVER w2 AS rn,
+                       percent_rank() OVER w  AS pct,
+                       cume_dist()    OVER w  AS cume,
+                       ntile(4)       OVER w2 AS tile,
+                       rank()         OVER w  AS rk,
+                       dense_rank()   OVER w  AS dr
+                FROM t
+                WINDOW w  AS (PARTITION BY g ORDER BY v DESC),
+                       w2 AS (PARTITION BY g ORDER BY v DESC, tb ASC)
+                ORDER BY g, v DESC NULLS LAST, tb""").df()
+            order = np.lexsort((tb, -v, g))
+            assert rn[order].tolist() == exp['rn'].tolist(), seed
+            assert np.allclose(pct[order], exp['pct']), seed
+            assert np.allclose(cume[order], exp['cume']), seed
+            assert tile[order].tolist() == exp['tile'].tolist(), seed
+            assert rank[order].tolist() == exp['rk'].tolist(), seed
+            assert dense[order].tolist() == exp['dr'].tolist(), seed
