@@ -82,6 +82,21 @@ def _typed_result(ds, schema: pa.Schema) -> pd.DataFrame:
     return df
 
 
+def _small_df(ds, cols) -> pd.DataFrame:
+    """Driver-side SMALL-side pull (broadcast dims, censuses, quantile
+    cut tables): ``to_pandas`` that keeps its columns when the dataset
+    is empty — an all-empty Dataset loses its schema (CLAUDE.md
+    invariant), and the downstream column access would otherwise crash
+    a job whose filter legitimately matched nothing."""
+    df = ds.to_pandas()
+    if len(df) == 0:
+        for c in cols:
+            if c not in df.columns:
+                df[c] = pd.Series(dtype=object)
+        return df[list(cols)]
+    return df
+
+
 # ---------------------------------------------------------------------------
 # relational aggregates / joins
 # ---------------------------------------------------------------------------
@@ -170,8 +185,9 @@ def q_top_customers(sf_dir: str):
                          'n_orders': tbl.column('n_orders')})
 
     per_cust = per_cust.map_batches(finalize, batch_format='pyarrow')
-    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_name']).to_pandas()
-    dim_keys = pa.array(cust['c_custkey'].to_numpy())
+    cust = _small_df(_read(sf_dir, 'customer', ['c_custkey', 'c_name']),
+                     ['c_custkey', 'c_name'])
+    dim_keys = pa.array(cust['c_custkey'].to_numpy(dtype=np.int64))
     dim_names = pa.array(cust['c_name'], type=pa.string())
 
     def attach(tbl: pa.Table) -> pa.Table:
@@ -191,13 +207,18 @@ def q_region_revenue(sf_dir: str):
     """3-way broadcast join (customer→nation→region are tiny dims) +
     partial aggregation: the fact table never shuffles raw rows."""
     import ray
-    nation = _read(sf_dir, 'nation', ['n_nationkey', 'n_regionkey']).to_pandas()
-    region = _read(sf_dir, 'region', ['r_regionkey', 'r_name']).to_pandas()
-    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
+    nation = _small_df(_read(sf_dir, 'nation',
+                             ['n_nationkey', 'n_regionkey']),
+                       ['n_nationkey', 'n_regionkey'])
+    region = _small_df(_read(sf_dir, 'region', ['r_regionkey', 'r_name']),
+                       ['r_regionkey', 'r_name'])
+    cust = _small_df(_read(sf_dir, 'customer',
+                           ['c_custkey', 'c_nationkey']),
+                     ['c_custkey', 'c_nationkey'])
     n2r = dict(zip(nation['n_nationkey'], nation['n_regionkey']))
     r2name = dict(zip(region['r_regionkey'], region['r_name']))
     # dim as parallel Arrow arrays: lookup is pc.index_in + take per batch
-    cust_keys = pa.array(cust['c_custkey'].to_numpy())
+    cust_keys = pa.array(cust['c_custkey'].to_numpy(dtype=np.int64))
     cust_region = pa.array(
         [r2name[n2r[nk]] for nk in cust['c_nationkey']], type=pa.string())
     ref = ray.put((cust_keys, cust_region))
@@ -433,9 +454,10 @@ def q_asof_broadcast_events(sf_dir: str):
     oracle."""
     from ..stages.joins import asof_join_broadcast
     purchases, clicks, _ls, _rs = _asof_sides(sf_dir)
-    state = pa.concat_tables(
-        b for b in clicks.iter_batches(batch_size=None,
+    batches = list(clicks.iter_batches(batch_size=None,
                                        batch_format='pyarrow'))
+    # zero batches on an empty input: concat_tables needs >= 1 table
+    state = pa.concat_tables(batches) if batches else _rs.empty_table()
     out = asof_join_broadcast(purchases, state, by='user_id', on='ts',
                               value_cols=['click_value'], suffix='')
     return out.map_batches(
@@ -535,17 +557,27 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.parquet as pq
     t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
                        columns=['vec_id', 'embedding'])
-    return np.array(t0.filter(pc.equal(t0.column('vec_id'), vec_id))
-                    .column('embedding').to_pylist()[0], dtype=np.float64)
+    rows = t0.filter(pc.equal(t0.column('vec_id'), vec_id))\
+        .column('embedding').to_pylist()
+    if not rows:          # empty corpus / id absent: caller emits 0 rows
+        return None
+    return np.array(rows[0], dtype=np.float64)
+
+
+_TOPK_EMPTY = pa.schema([('vec_id', pa.int64()),
+                         ('cos_sim', pa.float64())])
 
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast the query vector, one numpy
     matmul per batch, global top-10 via sort+limit on the tiny per-batch
     candidate set. Scale path: each batch emits only its local top-k."""
+    import ray.data as rd
     k = 10
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qvec = _query_vec(sf_dir)
+    if qvec is None:
+        return rd.from_arrow(_TOPK_EMPTY.empty_table())
     qnorm = np.linalg.norm(qvec)
 
     def topk_batch(tbl: pa.Table) -> pa.Table:
@@ -576,9 +608,14 @@ def q_ivf_topk(sf_dir: str):
     the result byte-matches the same brute-force SQL oracle as q_ann_topk
     — the driver thereby checks the whole IVF plumbing; the pruned-probe
     recall trade is asserted in tests/test_ann.py."""
+    import ray.data as rd
+
     from ..stages.ann import ivf_topk
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return ivf_topk(emb, _query_vec(sf_dir), k=10, n_clusters=16,
+    qvec = _query_vec(sf_dir)
+    if qvec is None:
+        return rd.from_arrow(_TOPK_EMPTY.empty_table())
+    return ivf_topk(emb, qvec, k=10, n_clusters=16,
                     nprobe=16, exclude_ids=[0])
 
 
@@ -863,6 +900,12 @@ def q_cosine_pairs(sf_dir: str):
     t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
                        columns=['vec_id', 'embedding'])
     t0 = t0.filter(pc.less(t0.column('vec_id'), cap))
+    if t0.num_rows == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            'id_a': pa.array([], pa.int64()),
+            'id_b': pa.array([], pa.int64()),
+            'cos_sim': pa.array([], pa.float64())}))
     ids0 = t0.column('vec_id').to_numpy(zero_copy_only=False)
     la = t0.column('embedding').combine_chunks()
     mat0 = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
@@ -1334,8 +1377,10 @@ def q_returned_revenue(sf_dir: str):
         left_schema=pa.schema([('c_custkey', cu['c_custkey']),
                                ('rev6', pa.int64())]))
 
-    nation = _read(sf_dir, 'nation', ['n_nationkey', 'n_name']).to_pandas()
-    nref = ray.put((pa.array(nation['n_nationkey'].to_numpy()),
+    nation = _small_df(_read(sf_dir, 'nation', ['n_nationkey', 'n_name']),
+                       ['n_nationkey', 'n_name'])
+    nref = ray.put((pa.array(nation['n_nationkey'].to_numpy(
+                        dtype=np.int64)),
                     pa.array(nation['n_name'], type=pa.string())))
 
     def attach_nation(tbl: pa.Table) -> pa.Table:
@@ -2129,8 +2174,9 @@ def q_quantile_bins_events(sf_dir: str):
     import ray as _ray
     from ..stages.aggregate import grouped_quantiles
     ds = _read(sf_dir, 'events', ['event_type', 'value'])
-    qt = grouped_quantiles(ds, 'event_type', 'value',
-                           [0.25, 0.5, 0.75]).to_pandas()
+    qt = _small_df(grouped_quantiles(ds, 'event_type', 'value',
+                                     [0.25, 0.5, 0.75]),
+                   ['event_type', 'q', 'value'])
     th6 = {}
     for et, g in qt.groupby('event_type'):
         th6[et] = np.sort(np.floor(
@@ -2661,8 +2707,8 @@ def q_quality_filter_docs(sf_dir: str):
 
     scored = ds.map_batches(words, batch_format='pyarrow',
                             zero_copy_batch=True)
-    med = grouped_quantiles(scored, 'lang', 'n_words', [0.5])\
-        .to_pandas()
+    med = _small_df(grouped_quantiles(scored, 'lang', 'n_words', [0.5]),
+                    ['lang', 'q', 'value'])
     med_ref = _ray.put(dict(zip(med['lang'], med['value'])))
 
     class Gate:
@@ -2754,8 +2800,9 @@ def q_token_rarity_docs(sf_dir: str):
     vocab = bucket_aggregate(
         ds.map_batches(explode, batch_format='pyarrow',
                        zero_copy_batch=True),
-        ['tok'], {'cnt': ('tok', 'count')}).to_pandas()
-    keys = pa.array(vocab['tok'].to_numpy())
+        ['tok'], {'cnt': ('tok', 'count')})
+    vocab = _small_df(vocab, ['tok', 'cnt'])
+    keys = pa.array(vocab['tok'].to_numpy(), type=pa.string())
     vals = vocab['cnt'].to_numpy(dtype=np.int64)
     ref = _ray.put((keys, vals))
 
@@ -3071,7 +3118,14 @@ def q_nearest_centroid_embeddings(sf_dir: str):
     micro-units before the argmin with a label tie-break, so the
     assignment is integer-deterministic on both engines."""
     import ray as _ray
-    cent = q_centroids_embeddings(sf_dir).to_pandas()
+    cent = _small_df(q_centroids_embeddings(sf_dir),
+                     ['label', 'pos', 'centroid'])
+    if len(cent) == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            'label': pa.array([], pa.int64()),
+            'assigned': pa.array([], pa.int64()),
+            'n_vecs': pa.array([], pa.int64())}))
     labels = np.sort(cent['label'].unique())
     ndim = int(cent['pos'].max()) + 1
     C = np.zeros((len(labels), ndim))
@@ -3343,14 +3397,18 @@ def q_shipping_priority(sf_dir: str):
     import datetime
     cut = pa.scalar(datetime.datetime(1998, 6, 1), type=pa.timestamp('us'))
 
-    cust = _read(sf_dir, 'customer',
-                 ['c_custkey', 'c_mktsegment']).to_pandas()
+    cust = _small_df(_read(sf_dir, 'customer',
+                           ['c_custkey', 'c_mktsegment']),
+                     ['c_custkey', 'c_mktsegment'])
     bkeys = pa.array(
         cust.loc[cust['c_mktsegment'] == 'BUILDING',
-                 'c_custkey'].to_numpy())
+                 'c_custkey'].to_numpy(dtype=np.int64))
 
     orders = _read(sf_dir, 'orders',
                    ['o_orderkey', 'o_custkey', 'o_orderdate'])
+    # capture the schema BEFORE the filter map: parquet metadata is
+    # free, a derived .schema() forces a partial execution (CLAUDE.md)
+    oschema = orders.schema()
     orders = orders.map_batches(
         lambda t: t.filter(pc.and_(
             pc.less(t.column('o_orderdate'), cut),
@@ -3378,7 +3436,8 @@ def q_shipping_priority(sf_dir: str):
     joined = hash_join(
         per_order, orders, on='o_orderkey', num_buckets=16,
         left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
-                               ('rev6', pa.int64())]))
+                               ('rev6', pa.int64())]),
+        right_schema=oschema)
 
     def finalize(tbl: pa.Table) -> pa.Table:
         # inner-join union padding floatifies int64 partials; integer-
@@ -4060,8 +4119,8 @@ def q_tfidf_docs(sf_dir: str):
         ['doc_id', 'tok'], {'tf': ('tok', 'count')},
         num_buckets=16).materialize()
 
-    dfp = bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
-                           num_buckets=4).to_pandas()
+    dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                                     num_buckets=4), ['tok', 'df'])
     ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
                     dfp['df'].to_numpy(dtype=np.int64)))
 
@@ -4252,6 +4311,15 @@ def q_pack_docs(sf_dir: str):
                 s = c.statistics
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:          # empty input: no row-group stats, no docs
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            'doc_id': pa.array([], pa.int64()),
+            'n_tokens': pa.array([], pa.int64()),
+            'start_tok': pa.array([], pa.int64()),
+            'seq_first': pa.array([], pa.int64()),
+            'seq_last': pa.array([], pa.int64()),
+            'tok_offset': pa.array([], pa.int64())}))
     out = concat_chunk_pack(
         ds.map_batches(ntok, batch_format='pyarrow',
                        zero_copy_batch=True),

@@ -496,7 +496,14 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
     precision, lower for recall. Returns (id_a, id_b, cos_sim)."""
     import pyarrow.parquet  # noqa: F401
 
-    first = ds.take_batch(1, batch_format='pyarrow')
+    _PAIRS_EMPTY = pa.table({'id_a': pa.array([], pa.int64()),
+                             'id_b': pa.array([], pa.int64()),
+                             'cos_sim': pa.array([], pa.float64())})
+    try:
+        first = ds.take_batch(1, batch_format='pyarrow')
+    except ValueError:        # empty corpus: no pairs
+        import ray.data as rd
+        return rd.from_arrow(_PAIRS_EMPTY)
     dim = len(first[emb_col][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, num_planes))

@@ -142,6 +142,15 @@ def histogram_quantiles(ds, group_col: str, value_col: str, qs,
         lambda t: t.select([group_col, value_col]), batch_format='pyarrow',
         zero_copy_batch=True), [group_col],
         {'lo': (value_col, 'min'), 'hi': (value_col, 'max')}).to_pandas()
+    if len(bounds) == 0 or group_col not in bounds.columns:
+        # empty input lost its schema (CLAUDE.md invariant): no groups,
+        # no quantiles — emit the typed empty result
+        import ray.data as rd
+        gtype = dict(zip(ds.schema().names, ds.schema().types))[group_col]
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], type=gtype),
+            'q': pa.array([], pa.float64()),
+            'value': pa.array([], pa.float64())}))
     b_keys = pa.array(bounds[group_col])
     b_lo = bounds['lo'].to_numpy(dtype=np.float64)
     b_hi = bounds['hi'].to_numpy(dtype=np.float64)
@@ -303,6 +312,18 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
     cand = bucket_aggregate(partials, [col],
                             {'n': ('n', 'sum'), 'cut': ('_cut', 'sum')},
                             num_buckets=num_buckets).to_pandas()
+    if len(cand) == 0 or col not in cand.columns:
+        # empty input lost its schema (CLAUDE.md invariant): no values,
+        # no heavy hitters — emit the typed empty result. A fully-empty
+        # DERIVED input has schema()=None (0 blocks, nothing to infer);
+        # string is the only defensible default for a token/value column
+        # no row of which ever existed.
+        import ray.data as rd
+        sch = ds.schema()
+        ctype = (dict(zip(sch.names, sch.types))[col]
+                 if sch is not None else pa.string())
+        return rd.from_arrow(pa.table({col: pa.array([], type=ctype),
+                                       'n': pa.array([], pa.int64())}))
     threshold = int(cand['cut'].sum()) if len(cand) else 0
     cand = cand.sort_values(['n', col],
                             ascending=[False, True]).head(m)
