@@ -47,8 +47,15 @@ def _unfix6(col, ndigits: int = 6) -> pa.Array:
 _READ_TARGET_BYTES = 2 << 20
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, require=()):
     """Pruned parquet read with size-aware block sizing.
+
+    ``require``: column names that must be NON-NULL for a row to enter
+    the pipeline — the temporal operators (sessionize, lag, as-of,
+    windows) are defined over a valid event time, so rows without one
+    are excluded IDENTICALLY on both engines (the matching oracle
+    carries ``WHERE <col> IS NOT NULL``); in the production pipeline the
+    contract gate quarantines them before this point.
 
     Ray's default parallelism splits ANY file into ~2x-CPU blocks; a
     10 MB table then becomes 64 sub-200KB blocks, and every downstream
@@ -68,7 +75,19 @@ def _read(sf_dir: str, table: str, columns=None):
             nb = est
     except OSError:
         pass
-    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    ds = rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    if require:
+        req = list(require)
+
+        def _valid(tbl: pa.Table) -> pa.Table:
+            m = pc.is_valid(tbl.column(req[0]))
+            for c in req[1:]:
+                m = pc.and_(m, pc.is_valid(tbl.column(c)))
+            return tbl.filter(m)
+
+        ds = ds.map_batches(_valid, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    return ds
 
 
 def _typed_result(ds, schema: pa.Schema) -> pd.DataFrame:
@@ -80,6 +99,44 @@ def _typed_result(ds, schema: pa.Schema) -> pd.DataFrame:
     if len(df) == 0 and list(df.columns) != list(schema.names):
         return schema.empty_table().to_pandas()
     return df
+
+
+def _sort_ns(ds, cols, str_cols=()):
+    """Deterministic output sort that tolerates NULL STRING keys.
+
+    Ray's range sort compares Python objects for string blocks, and
+    ``None < 'a'`` raises TypeError — so a null group key (a legal SQL
+    GROUP BY result) crashes the final ordering sort. For each key named
+    in ``str_cols`` (the caller knows its output columns — deriving them
+    from a derived-dataset ``.schema()`` would force a partial
+    execution), sort by (is-null flag, ''-filled copy) — nulls last,
+    total order preserved — and drop the helpers after. Other keys sort
+    natively (Arrow handles numeric/temporal nulls)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    str_cols = set(str_cols)
+    if not str_cols:
+        return ds.sort(cols)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in str_cols:
+                col = tbl.column(c)
+                tbl = tbl.append_column(
+                    f'__nn_{c}', pc.cast(pc.is_null(col), pa.int8()))
+                tbl = tbl.append_column(f'__sv_{c}', pc.fill_null(col, ''))
+        return tbl
+
+    keys, helper = [], []
+    for c in cols:
+        if c in str_cols:
+            keys += [f'__nn_{c}', f'__sv_{c}']
+            helper += [f'__nn_{c}', f'__sv_{c}']
+        else:
+            keys.append(c)
+    out = ds.map_batches(tag, batch_format='pyarrow',
+                         zero_copy_batch=True).sort(keys)
+    return out.map_batches(lambda t: t.drop_columns(helper),
+                           batch_format='pyarrow')
 
 
 def _small_df(ds, cols) -> pd.DataFrame:
@@ -217,10 +274,14 @@ def q_region_revenue(sf_dir: str):
                      ['c_custkey', 'c_nationkey'])
     n2r = dict(zip(nation['n_nationkey'], nation['n_regionkey']))
     r2name = dict(zip(region['r_regionkey'], region['r_name']))
-    # dim as parallel Arrow arrays: lookup is pc.index_in + take per batch
+    # dim as parallel Arrow arrays: lookup is pc.index_in + take per
+    # batch. A null / dangling c_nationkey resolves to a null region
+    # (.get chain) and the row is FILTERED in Attach — the same
+    # exclusion the oracle's INNER joins produce.
     cust_keys = pa.array(cust['c_custkey'].to_numpy(dtype=np.int64))
     cust_region = pa.array(
-        [r2name[n2r[nk]] for nk in cust['c_nationkey']], type=pa.string())
+        [r2name.get(n2r.get(nk)) for nk in cust['c_nationkey']],
+        type=pa.string())
     ref = ray.put((cust_keys, cust_region))
 
     class Attach:
@@ -229,7 +290,8 @@ def q_region_revenue(sf_dir: str):
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
             idx = pc.index_in(tbl.column('o_custkey'), value_set=self.keys)
-            return tbl.append_column('r_name', self.names.take(idx))
+            out = tbl.append_column('r_name', self.names.take(idx))
+            return out.filter(pc.is_valid(out.column('r_name')))
 
     orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
     with_region = orders.map_batches(Attach, batch_format='pyarrow',
@@ -243,7 +305,9 @@ def q_region_revenue(sf_dir: str):
                                      zero_copy_batch=True)
     out = pre_aggregate(scaled, ['r_name'],
                         {'rev6': ('rev6', 'sum'),
-                         'n_orders': ('rev6', 'count')})
+                         # count(*) parity: r_name is never null after
+                         # the Attach filter; rev6 CAN be (null price)
+                         'n_orders': ('r_name', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({'r_name': tbl.column('r_name'),
@@ -266,8 +330,10 @@ def _per_user(ds, fn, num_buckets=32):
 def q_sessionize_events(sf_dir: str):
     """Gap sessionization (30-min) per user → per-user session/event counts.
     One hash exchange; per-bucket vectorized kernels; the per-user rollup
-    happens inside the bucket (users are bucket-local)."""
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'])
+    happens inside the bucket (users are bucket-local). Rows with a NULL
+    ts carry no event time and are excluded on both engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         ts_us = tbl.column('ts').combine_chunks()\
@@ -289,8 +355,10 @@ def q_sessionize_events(sf_dir: str):
 
 
 def q_lag_events(sf_dir: str):
-    """lag/lead features per user ordered by (ts, event_id)."""
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+    """lag/lead features per user ordered by (ts, event_id). NULL-ts
+    rows have no position in the order — excluded on both engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         value = tbl.column('value').combine_chunks()
@@ -332,9 +400,11 @@ def q_asof_events(sf_dir: str):
     """Point-in-time as-of join: for each purchase, the latest prior click
     value per user, strict < (zero leakage). The click side is first
     deduplicated to one row per (user, ts) so the match is unambiguous on
+    both engines. NULL-ts rows can't be time-aligned — excluded on
     both engines."""
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
-                                  'event_type', 'value'])
+                                  'event_type', 'value'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         etype = tbl.column('event_type').combine_chunks()
@@ -380,7 +450,8 @@ def q_asof_events_stage(sf_dir: str):
     from ..stages.aggregate import bucket_aggregate
     from ..stages.joins import asof_join
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
-                                  'event_type', 'value'])
+                                  'event_type', 'value'],
+               require=('ts',))
 
     def side(etype):
         def f(tbl: pa.Table) -> pa.Table:
@@ -419,10 +490,12 @@ def q_asof_events_stage(sf_dir: str):
 def _asof_sides(sf_dir: str):
     """Shared purchases/clicks split for the as-of direction family:
     left = purchases, right = clicks deduped to (user, ts) -> max(value)
-    so every direction's match is unambiguous on both engines."""
+    so every direction's match is unambiguous on both engines. NULL-ts
+    rows can't be time-aligned — excluded on both engines."""
     from ..stages.aggregate import bucket_aggregate
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
-                                  'event_type', 'value'])
+                                  'event_type', 'value'],
+               require=('ts',))
 
     def side(etype, cols):
         def f(tbl: pa.Table) -> pa.Table:
@@ -581,6 +654,10 @@ def q_ann_topk(sf_dir: str):
     qnorm = np.linalg.norm(qvec)
 
     def topk_batch(tbl: pa.Table) -> pa.Table:
+        from ..stages.ann import drop_null_vectors
+        tbl = drop_null_vectors(tbl, 'embedding')
+        if tbl.num_rows == 0:
+            return _TOPK_EMPTY.empty_table()
         la = tbl.column('embedding').combine_chunks()
         mat = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                          dtype=np.float64).reshape(len(la), -1)
@@ -691,7 +768,7 @@ ORACLE_SQL = {
           SELECT user_id, ts,
                  lag(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_ts
-          FROM events),
+          FROM events WHERE ts IS NOT NULL),
         f AS (
           SELECT user_id,
                  CASE WHEN prev_ts IS NULL
@@ -707,7 +784,7 @@ ORACLE_SQL = {
         SELECT event_id, user_id, value,
                lag(value) OVER w AS prev_value,
                cast(epoch_us(ts - lag(ts) OVER w) AS DOUBLE) / 1e6 AS gap_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
@@ -723,11 +800,11 @@ ORACLE_SQL = {
     'q_asof_events': """
         WITH clicks AS (
           SELECT user_id, ts, max(value) AS click_value
-          FROM events WHERE event_type = 'click'
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL
           GROUP BY user_id, ts),
         purchases AS (
           SELECT event_id, user_id, ts, value
-          FROM events WHERE event_type = 'purchase')
+          FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
         SELECT p.event_id, p.user_id, p.value,
                c.click_value AS last_click_value
         FROM purchases p
@@ -899,7 +976,8 @@ def q_cosine_pairs(sf_dir: str):
     cap, threshold = 1000, 0.3
     t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
                        columns=['vec_id', 'embedding'])
-    t0 = t0.filter(pc.less(t0.column('vec_id'), cap))
+    t0 = t0.filter(pc.and_(pc.less(t0.column('vec_id'), cap),
+                           pc.is_valid(t0.column('embedding'))))
     if t0.num_rows == 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({
@@ -919,7 +997,9 @@ def q_cosine_pairs(sf_dir: str):
             self.ids0, self.mat0, self.norm0 = ray.get(ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            tbl = tbl.filter(pc.less(tbl.column('vec_id'), cap))
+            tbl = tbl.filter(pc.and_(
+                pc.less(tbl.column('vec_id'), cap),
+                pc.is_valid(tbl.column('embedding'))))
             if tbl.num_rows == 0:
                 return pa.table({'id_a': pa.array([], pa.int64()),
                                  'id_b': pa.array([], pa.int64()),
@@ -1139,6 +1219,7 @@ ORACLE_SQL.update({
                vec_id + 1000000  AS id_b,
                1.0               AS cos_sim
         FROM embeddings
+        WHERE embedding IS NOT NULL   -- a NULL vector can't pair
         ORDER BY id_a
     """,
     'q_cosine_pairs': """
@@ -1174,7 +1255,9 @@ def q_priority_revenue(sf_dir: str):
                                 zero_copy_batch=True)
     per_order = bucket_aggregate(lrev, ['o_orderkey'],
                                  {'rev6': ('rev6', 'sum'),
-                                  'n_items': ('rev6', 'count')},
+                                  # count(*) parity: o_orderkey is never
+                                  # null; rev6 CAN be (null price/disc)
+                                  'n_items': ('o_orderkey', 'count')},
                                  num_buckets=16)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     li = dict(zip(lineitem.schema().names, lineitem.schema().types))
@@ -1204,18 +1287,20 @@ def q_priority_revenue(sf_dir: str):
                          'total_revenue': _unfix6(tbl.column('rev6')),
                          'n_items': tbl.column('n_items')})
 
-    return out.map_batches(finalize, batch_format='pyarrow')\
-        .sort('o_orderpriority')
+    return _sort_ns(out.map_batches(finalize, batch_format='pyarrow'),
+                    'o_orderpriority', str_cols=['o_orderpriority'])
 
 
 def q_latest_events(sf_dir: str):
     """Latest-wins compaction (CDC upsert / snapshot): each user's most
     recent event row, order (ts, event_id) — event_id breaks same-ts
     ties deterministically. stages/aggregate.latest_by_key: per-batch
-    argmax prune, ONE bucket exchange of the pruned rows."""
+    argmax prune, ONE bucket exchange of the pruned rows. A CDC record
+    needs an event time: NULL-ts rows are excluded on both engines."""
     from ..stages.aggregate import latest_by_key
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
-                                  'event_type', 'value'])
+                                  'event_type', 'value'],
+               require=('ts',))
     out = latest_by_key(ds, 'user_id', ['ts', 'event_id'])
 
     def finish(tbl: pa.Table) -> pa.Table:
@@ -1235,7 +1320,7 @@ def q_latest_events(sf_dir: str):
 QUERIES['q_latest_events'] = q_latest_events
 ORACLE_SQL['q_latest_events'] = """
     SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) = 1
     ORDER BY user_id
@@ -1245,11 +1330,11 @@ QUERIES['q_asof_broadcast_events'] = q_asof_broadcast_events
 ORACLE_SQL['q_asof_broadcast_events'] = """
     WITH clicks AS (
       SELECT user_id, ts, max(value) AS click_value
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
       GROUP BY user_id, ts),
     purchases AS (
       SELECT event_id, user_id, ts, value
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT p.event_id, p.user_id, p.value,
            c.click_value AS last_click_value
     FROM purchases p
@@ -1262,11 +1347,11 @@ QUERIES['q_asof_forward_events'] = q_asof_forward_events
 ORACLE_SQL['q_asof_forward_events'] = """
     WITH clicks AS (
       SELECT user_id, ts, max(value) AS click_value
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
       GROUP BY user_id, ts),
     purchases AS (
       SELECT event_id, user_id, ts, value
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT p.event_id, p.user_id, p.value,
            (SELECT c.click_value FROM clicks c
              WHERE c.user_id = p.user_id AND c.ts > p.ts
@@ -1280,11 +1365,11 @@ QUERIES['q_asof_nearest_events'] = q_asof_nearest_events
 ORACLE_SQL['q_asof_nearest_events'] = """
     WITH clicks AS (
       SELECT user_id, ts, max(value) AS click_value
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
       GROUP BY user_id, ts),
     purchases AS (
       SELECT event_id, user_id, ts, value
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT p.event_id, p.user_id, p.value,
            (SELECT c.click_value FROM clicks c
              WHERE c.user_id = p.user_id
@@ -1298,11 +1383,11 @@ QUERIES['q_asof_events_stage'] = q_asof_events_stage
 ORACLE_SQL['q_asof_events_stage'] = """
     WITH clicks AS (
       SELECT user_id, ts, max(value) AS click_value
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
       GROUP BY user_id, ts),
     purchases AS (
       SELECT event_id, user_id, ts, value
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT p.event_id, p.user_id, p.value,
            c.click_value AS last_click_value
     FROM purchases p
@@ -1455,21 +1540,31 @@ def q_rolling_events(sf_dir: str):
 def q_time_window_events(sf_dir: str):
     """Trailing 1-hour RANGE window per user: count + exact sum of value
     (stages/window.py:time_range_sum — one searchsorted over the shifted
-    keys, SQL peer semantics for tied timestamps, fixed-point sums)."""
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+    keys, SQL peer semantics for tied timestamps, fixed-point sums).
+    NULL-ts rows are excluded on both engines; NULL values skip the sum
+    but still count toward count(*), and an all-null window sums to
+    NULL."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         ts_us = tbl.column('ts').combine_chunks()\
             .cast(pa.timestamp('us')).cast(pa.int64())\
             .to_numpy(zero_copy_only=False)
-        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        v6f = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        nn = ~np.isnan(v6f)
+        v6 = np.where(nn, v6f, 0.0).astype(np.int64)
         sums, counts = W.time_range_sum(v6, ts_us, starts, 3_600_000_000)
+        nonnull, _ = W.time_range_sum(nn.astype(np.int64), ts_us, starts,
+                                      3_600_000_000)
         return pa.table({
             'event_id': tbl.column('event_id'),
             'user_id': tbl.column('user_id'),
             'n_window': pa.array(counts, type=pa.int64()),
             'sum_window': pa.array(
-                np.round(sums.astype(np.float64) / 1e6, 6)),
+                np.round(sums.astype(np.float64) / 1e6, 6),
+                mask=nonnull == 0),
         })
 
     return _per_user(ds, fn).sort('event_id')
@@ -1480,7 +1575,7 @@ ORACLE_SQL['q_time_window_events'] = """
     WITH s AS (
       SELECT event_id, user_id, ts,
              cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT event_id, user_id,
            count(*) OVER w AS n_window,
            round(cast(sum(v6) OVER w AS DOUBLE) / 1e6, 6) AS sum_window
@@ -1494,17 +1589,25 @@ ORACLE_SQL['q_time_window_events'] = """
 
 def q_cumsum_events(sf_dir: str):
     """Running total per user ordered by (ts, event_id): exact int64
-    cumulative sums (stages/window.py:running_sum)."""
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+    cumulative sums (stages/window.py:running_sum). NULL-ts rows are
+    excluded on both engines; NULL values skip the sum (SQL semantics),
+    and a prefix with no non-null value yet is NULL, not 0."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
-        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        v6f = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        nn = ~np.isnan(v6f)
+        v6 = np.where(nn, v6f, 0.0).astype(np.int64)
         run = W.running_sum(v6, starts)
+        seen = W.running_sum(nn.astype(np.int64), starts)
         return pa.table({
             'event_id': tbl.column('event_id'),
             'user_id': tbl.column('user_id'),
             'cum_value': pa.array(
-                np.round(run.astype(np.float64) / 1e6, 6)),
+                np.round(run.astype(np.float64) / 1e6, 6),
+                mask=seen == 0),
         })
 
     return _per_user(ds, fn).sort('event_id')
@@ -1517,7 +1620,7 @@ ORACLE_SQL['q_cumsum_events'] = """
                       OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                  / 1e6, 6) AS cum_value
-    FROM events ORDER BY event_id
+    FROM events WHERE ts IS NOT NULL ORDER BY event_id
 """
 
 
@@ -2032,9 +2135,12 @@ ORACLE_SQL['q_json_props_events'] = """
 
 def q_tumbling_events(sf_dir: str):
     """Tumbling 1-hour windows per user: event count + value sum
-    (streaming-shaped batch windowing; stages/streaming.py)."""
+    (streaming-shaped batch windowing; stages/streaming.py). NULL-ts
+    rows have no window — excluded on both engines; n_events counts
+    ROWS (user_id is never null), value nulls only skip the sum."""
     from ..stages.streaming import tumbling_window
-    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
+    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'],
+               require=('ts',))
 
     def scale(tbl: pa.Table) -> pa.Table:
         return pa.table({'user_id': tbl.column('user_id'),
@@ -2043,7 +2149,7 @@ def q_tumbling_events(sf_dir: str):
 
     ds = ds.map_batches(scale, batch_format='pyarrow', zero_copy_batch=True)
     out = tumbling_window(ds, 'user_id', 'ts', 3_600_000_000,
-                          {'n_events': ('value6', 'count'),
+                          {'n_events': ('user_id', 'count'),
                            'sum_value6': ('value6', 'sum')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
@@ -2064,7 +2170,7 @@ ORACLE_SQL['q_tumbling_events'] = """
                       AS DOUBLE) / 1e6, 6) AS sum_value,
            to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP
              AS window_start
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY user_id, window_start
     ORDER BY user_id, window_start
 """
@@ -2073,9 +2179,11 @@ ORACLE_SQL['q_tumbling_events'] = """
 def q_hopping_events(sf_dir: str):
     """Sliding 1-hour windows hopping every 30 min per user (each event
     lands in 2 windows): count + fixed-point-exact value sum
-    (stages/streaming.py:hopping_window)."""
+    (stages/streaming.py:hopping_window). NULL-ts rows have no
+    window — excluded on both engines; n_events counts ROWS."""
     from ..stages.streaming import hopping_window
-    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
+    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'],
+               require=('ts',))
 
     def scale(tbl: pa.Table) -> pa.Table:
         return pa.table({'user_id': tbl.column('user_id'),
@@ -2084,7 +2192,7 @@ def q_hopping_events(sf_dir: str):
 
     ds = ds.map_batches(scale, batch_format='pyarrow', zero_copy_batch=True)
     out = hopping_window(ds, 'user_id', 'ts', 3_600_000_000, 1_800_000_000,
-                         {'n_events': ('value6', 'count'),
+                         {'n_events': ('user_id', 'count'),
                           'sum_value6': ('value6', 'sum')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
@@ -2103,7 +2211,7 @@ ORACLE_SQL['q_hopping_events'] = """
       SELECT user_id,
              cast(floor(value * 1e6 + 0.5) AS BIGINT) AS value6,
              epoch_us(ts) AS tus
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     x AS (
       SELECT user_id, value6,
              ((tus // 1800000000) - j) * 1800000000 AS ws
@@ -2878,7 +2986,9 @@ def q_priority_revenue_salted(sf_dir: str):
                                 zero_copy_batch=True)
     per_order = bucket_aggregate(lrev, ['o_orderkey'],
                                  {'rev6': ('rev6', 'sum'),
-                                  'n_items': ('rev6', 'count')},
+                                  # count(*) parity: o_orderkey is never
+                                  # null; rev6 CAN be (null price/disc)
+                                  'n_items': ('o_orderkey', 'count')},
                                  num_buckets=16)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     # deterministic 'hot' set: the first 100 orderkeys — the point is
@@ -2909,8 +3019,8 @@ def q_priority_revenue_salted(sf_dir: str):
                          'total_revenue': _unfix6(tbl.column('rev6')),
                          'n_items': tbl.column('n_items')})
 
-    return out.map_batches(finalize, batch_format='pyarrow')\
-        .sort('o_orderpriority')
+    return _sort_ns(out.map_batches(finalize, batch_format='pyarrow'),
+                    'o_orderpriority', str_cols=['o_orderpriority'])
 
 
 QUERIES['q_priority_revenue_salted'] = q_priority_revenue_salted
@@ -3126,6 +3236,15 @@ def q_nearest_centroid_embeddings(sf_dir: str):
             'label': pa.array([], pa.int64()),
             'assigned': pa.array([], pa.int64()),
             'n_vecs': pa.array([], pa.int64())}))
+    # a NULL label is a real SQL group: the GROUP BY builds a NULL-label
+    # centroid that COMPETES in the assignment, with NULLS-LAST in the
+    # tie-break (ORDER BY d6, clabel). Map it to a sentinel above every
+    # real label so argmin's first-minimum rule reproduces that order,
+    # and map back to null on output.
+    _NULL_LAB = np.int64(1) << 62
+    _labf = cent['label'].to_numpy(dtype=np.float64)
+    cent = cent.assign(label=np.where(
+        np.isnan(_labf), np.float64(_NULL_LAB), _labf).astype(np.int64))
     labels = np.sort(cent['label'].unique())
     ndim = int(cent['pos'].max()) + 1
     C = np.zeros((len(labels), ndim))
@@ -3140,27 +3259,37 @@ def q_nearest_centroid_embeddings(sf_dir: str):
             self.labels, self.C = _ray.get(cref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
+            from ..stages.ann import drop_null_vectors
+            tbl = drop_null_vectors(tbl, 'embedding')
             emb = tbl.column('embedding').combine_chunks()
             n = len(emb)
             if n == 0:
                 return pa.table({'label': pa.array([], pa.int64()),
-                                 'assigned': pa.array([], pa.int64())})
+                                 'assigned': pa.array([], pa.int64()),
+                                 '_one': pa.array([], pa.int64())})
             X = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
                            dtype=np.float64).reshape(n, -1)
             d6 = np.empty((n, len(self.labels)), dtype=np.int64)
             for j in range(len(self.labels)):
                 d = np.sqrt(((X - self.C[j]) ** 2).sum(axis=1))
                 d6[:, j] = np.floor(d * 1e6 + 0.5).astype(np.int64)
-            # argmin returns the FIRST minimum = smallest label on ties
+            # argmin returns the FIRST minimum = smallest label on ties;
+            # the NULL-label sentinel sorts last (SQL NULLS LAST)
             assigned = self.labels[np.argmin(d6, axis=1)]
+            a = pa.array(assigned)
+            a = pc.if_else(pc.equal(a, pa.scalar(int(_NULL_LAB))),
+                           pa.nulls(n, pa.int64()), a)
             return pa.table({
                 'label': pc.cast(tbl.column('label'), pa.int64()),
-                'assigned': pa.array(assigned),
+                'assigned': a,
+                # count(*) parity: never-null row marker ('count' counts
+                # NON-NULL values, and label/assigned may be null groups)
+                '_one': pa.array(np.ones(n, dtype=np.int64)),
             })
 
     out = pre_aggregate(
         ds.map_batches(Assign, batch_format='pyarrow', concurrency=2),
-        ['label', 'assigned'], {'n_vecs': ('assigned', 'count')})
+        ['label', 'assigned'], {'n_vecs': ('_one', 'count')})
     return out.sort(['label', 'assigned'])
 
 
@@ -3368,7 +3497,8 @@ def q_cube_docs(sf_dir: str):
     out = cube_aggregate(ds, ['lang', 'source'],
                          {'n_docs': ('chars', 'count'),
                           'sum_chars': ('chars', 'sum')})
-    return out.sort(['grouping_id', 'lang', 'source'])
+    return _sort_ns(out, ['grouping_id', 'lang', 'source'],
+                    str_cols=['lang', 'source'])
 
 
 QUERIES['q_cube_docs'] = q_cube_docs

@@ -21,6 +21,18 @@ import pyarrow.compute as pc
 import ray
 
 
+def drop_null_vectors(tbl: pa.Table, emb_col: str) -> pa.Table:
+    """Rows with a NULL embedding cannot enter the vector math — the
+    ListArray flatten would silently skip the null slot and MISALIGN the
+    matrix against the id column (or crash the reshape). Dropping them
+    matches the SQL oracles, whose ``unnest(embedding)`` emits nothing
+    for a NULL list. Call before every ``_batch_matrix``."""
+    col = tbl.column(emb_col)
+    if col.null_count:
+        tbl = tbl.filter(pc.is_valid(col))
+    return tbl
+
+
 def _batch_matrix(tbl: pa.Table, emb_col: str) -> np.ndarray:
     la = tbl.column(emb_col).combine_chunks()
     return np.asarray(la.flatten().to_numpy(zero_copy_only=False),
@@ -53,6 +65,7 @@ def ivf_assign(ds, emb_col: str = 'embedding', n_clusters: int = 64,
     centroid so probes read only their clusters' files."""
     sample_tbl = ds.limit(sample_size).take_batch(sample_size,
                                                   batch_format='pyarrow')
+    sample_tbl = drop_null_vectors(sample_tbl, emb_col)
     sample = _batch_matrix(sample_tbl, emb_col)
     cents = kmeans_fit(sample, n_clusters, iters, seed)
     cents_ref = ray.put(cents)
@@ -63,6 +76,7 @@ def ivf_assign(ds, emb_col: str = 'embedding', n_clusters: int = 64,
             self.cnorm2 = (self.cents ** 2).sum(axis=1)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
+            tbl = drop_null_vectors(tbl, emb_col)
             if tbl.num_rows == 0:
                 return tbl.append_column('_centroid',
                                          pa.array([], type=pa.int32()))
@@ -101,6 +115,9 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, emb_col: str = 'embedding',
         if len(excl):
             tbl = tbl.filter(pc.invert(pc.is_in(tbl.column(id_col),
                                                 value_set=excl)))
+        if tbl.num_rows == 0:
+            return empty
+        tbl = drop_null_vectors(tbl, emb_col)
         if tbl.num_rows == 0:
             return empty
         mat = _batch_matrix(tbl, emb_col)
@@ -182,6 +199,9 @@ def ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
         if len(excl):
             tbl = tbl.filter(pc.invert(pc.is_in(tbl.column(id_col),
                                                 value_set=excl)))
+        if tbl.num_rows == 0:
+            return empty
+        tbl = drop_null_vectors(tbl, emb_col)
         if tbl.num_rows == 0:
             return empty
         mat = _batch_matrix(tbl, emb_col)

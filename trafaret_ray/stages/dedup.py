@@ -499,17 +499,27 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
     _PAIRS_EMPTY = pa.table({'id_a': pa.array([], pa.int64()),
                              'id_b': pa.array([], pa.int64()),
                              'cos_sim': pa.array([], pa.float64())})
+    from .ann import drop_null_vectors
     try:
-        first = ds.take_batch(1, batch_format='pyarrow')
+        first = drop_null_vectors(
+            ds.take_batch(64, batch_format='pyarrow'), emb_col)
     except ValueError:        # empty corpus: no pairs
         import ray.data as rd
         return rd.from_arrow(_PAIRS_EMPTY)
-    dim = len(first[emb_col][0])
+    if first.num_rows == 0:   # nothing but NULL vectors in the probe
+        import ray.data as rd
+        return rd.from_arrow(_PAIRS_EMPTY)
+    dim = len(first[emb_col][0].as_py())
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, num_planes))
 
     def bucketize(tbl: pa.Table) -> pa.Table:
+        tbl = drop_null_vectors(tbl, emb_col)
         la = tbl.column(emb_col).combine_chunks()
+        if len(la) == 0:
+            return tbl.append_column('bucket',
+                                     pa.array([], pa.int64()))\
+                      .append_column('norm', pa.array([], pa.float64()))
         mat = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                          dtype=np.float64).reshape(len(la), -1)
         signs = (mat @ planes) > 0
