@@ -182,6 +182,8 @@ def q1_pricing_summary(sf_dir: str):
             'disc6': _fixed6(tbl.column('l_discount')),
             'disc_price6': _fixed6(disc),
             'charge6': _fixed6(charge),
+            # count(*) parity under NULL measures: a never-null marker
+            '_one': pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
         })
 
     ds = ds.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True)
@@ -192,7 +194,7 @@ def q1_pricing_summary(sf_dir: str):
          'sum_disc_price6': ('disc_price6', 'sum'),
          'sum_charge6': ('charge6', 'sum'),
          'sum_disc6': ('disc6', 'sum'),
-         'count_order': ('qty6', 'count')})
+         'count_order': ('_one', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         cnt = pc.cast(tbl.column('count_order'), pa.float64())
@@ -1249,15 +1251,17 @@ def q_priority_revenue(sf_dir: str):
         r = pc.multiply(tbl.column('l_extendedprice'),
                         pc.subtract(pa.scalar(1.0), tbl.column('l_discount')))
         return pa.table({'o_orderkey': tbl.column('l_orderkey'),
-                         'rev6': _fixed6(r)})
+                         'rev6': _fixed6(r),
+                         '_one': pa.array(np.ones(tbl.num_rows,
+                                                  dtype=np.int64))})
 
     lrev = lineitem.map_batches(rev, batch_format='pyarrow',
                                 zero_copy_batch=True)
     per_order = bucket_aggregate(lrev, ['o_orderkey'],
                                  {'rev6': ('rev6', 'sum'),
-                                  # count(*) parity: o_orderkey is never
-                                  # null; rev6 CAN be (null price/disc)
-                                  'n_items': ('o_orderkey', 'count')},
+                                  # count(*) parity: _one is never null;
+                                  # rev6 CAN be (null price/disc)
+                                  'n_items': ('_one', 'count')},
                                  num_buckets=16)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     li = dict(zip(lineitem.schema().names, lineitem.schema().types))
@@ -1767,28 +1771,37 @@ def q_zscore_events(sf_dir: str):
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         v = tbl.column('value').combine_chunks()
-        v6 = _fixed6(v).to_numpy(zero_copy_only=False)
+        # avg/stddev skip NULLs (SQL): moments over non-null values
+        # only; a null-value row still gets a row out, with z NULL
+        v6f = _fixed6(v).to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        nnrow = ~np.isnan(v6f)
+        v6 = np.where(nnrow, v6f, 0.0).astype(np.int64)
         sq = pc.multiply(pc.cast(v, pa.float64()),
                          pc.cast(v, pa.float64()))
-        sq6 = pc.cast(pc.floor(pc.add(pc.multiply(
+        sq6f = pc.cast(pc.floor(pc.add(pc.multiply(
             sq, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())\
-            .to_numpy(zero_copy_only=False)
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        sq6 = np.where(nnrow, sq6f, 0.0).astype(np.int64)
         lo = np.nonzero(starts)[0]
         sizes = np.diff(np.append(lo, len(v6)))
         s1i = np.add.reduceat(v6, lo).astype(np.float64)
         s2i = np.add.reduceat(sq6, lo).astype(np.float64)
-        ng = sizes.astype(np.float64)
+        ng = np.add.reduceat(nnrow.astype(np.int64), lo)\
+            .astype(np.float64)
         s1 = s1i / 1e6
         s2 = s2i / 1e6
-        mean_g = np.floor(s1i / ng + 0.5) / 1e6
         with np.errstate(divide='ignore', invalid='ignore'):
+            mean_g = np.floor(s1i / ng + 0.5) / 1e6
             var = np.maximum((s2 - s1 * s1 / ng) / (ng - 1), 0.0)
             std_g = np.floor(np.sqrt(var) * 1e6 + 0.5) / 1e6
         mean = np.repeat(mean_g, sizes)
         std = np.repeat(std_g, sizes)
-        bad = np.repeat((ng <= 1), sizes) | (std == 0) | ~np.isfinite(std)
+        bad = np.repeat((ng <= 1), sizes) | (std == 0) \
+            | ~np.isfinite(std) | ~nnrow
         with np.errstate(divide='ignore', invalid='ignore'):
-            z = (v.to_numpy(zero_copy_only=False) - mean) / std
+            z = (np.where(nnrow, v.to_numpy(zero_copy_only=False), 0.0)
+                 - mean) / std
         return pa.table({
             'event_id': tbl.column('event_id'),
             'user_id': tbl.column('user_id'),
@@ -1805,7 +1818,7 @@ ORACLE_SQL['q_zscore_events'] = """
       SELECT user_id,
              sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))         AS s1i,
              sum(cast(floor(value * value * 1e6 + 0.5) AS BIGINT)) AS s2i,
-             count(*) AS n
+             count(value) AS n   -- avg/stddev semantics: nulls excluded
       FROM events GROUP BY user_id),
     s AS (
       SELECT user_id,
@@ -1837,13 +1850,19 @@ def q_winsorize_events(sf_dir: str):
             zero_copy_only=False).astype(np.float64)
         lo = np.nonzero(starts)[0]
         sizes = np.diff(np.append(lo, len(v)))
+        # quantile_cont skips NULLs: the bucket sort placed nulls LAST
+        # within each group, so the non-null run is a prefix — quantile
+        # positions index into it; null-value rows emit NULL
+        nn = (~np.isnan(v)).astype(np.int64)
+        nn_sizes = np.add.reduceat(nn, lo)
 
         def q_at(q: float) -> np.ndarray:
-            h = (sizes - 1) * q
+            n_eff = np.maximum(nn_sizes, 1)
+            h = (n_eff - 1) * q
             f = np.floor(h).astype(np.int64)
             frac = h - f
             lower = v[lo + f]
-            upper = v[np.minimum(lo + f + 1, lo + sizes - 1)]
+            upper = v[np.minimum(lo + f + 1, lo + n_eff - 1)]
             return np.floor((lower + frac * (upper - lower)) * 1e6
                             + 0.5) / 1e6
 
@@ -1852,7 +1871,8 @@ def q_winsorize_events(sf_dir: str):
         return pa.table({
             'event_id': tbl.column('event_id'),
             'user_id': tbl.column('user_id'),
-            'value_w': pa.array(np.minimum(np.maximum(v, lo_b), hi_b)),
+            'value_w': pa.array(np.minimum(np.maximum(v, lo_b), hi_b),
+                                mask=np.isnan(v)),
         })
 
     return per_conversation(ds, fn, key='user_id', order=('value',),
@@ -1867,7 +1887,10 @@ ORACLE_SQL['q_winsorize_events'] = """
              round(quantile_cont(value, 0.90), 6) AS hi
       FROM events GROUP BY user_id)
     SELECT e.event_id, e.user_id,
-           least(greatest(e.value, b.lo), b.hi) AS value_w
+           -- NULL in, NULL out (DuckDB least/greatest would otherwise
+           -- IGNORE the null and clip it to the lower bound)
+           CASE WHEN e.value IS NOT NULL
+                THEN least(greatest(e.value, b.lo), b.hi) END AS value_w
     FROM events e JOIN b USING (user_id)
     ORDER BY e.event_id
 """
@@ -1907,10 +1930,12 @@ def q_late_events(sf_dir: str):
     batch-replay form: one exchange on user_id, then a SEGMENTED
     shifted running-max per user (offset-trick cummax — no per-row
     loop, no per-group loop); a row is late iff its ts is strictly
-    below the user's prior max ts minus 7 days."""
+    below the user's prior max ts minus 7 days. A NULL ts carries no
+    event time to watermark — excluded on both engines."""
     LATENESS_US = 7 * 24 * 3600 * 1_000_000
     from ..functions.sampling import split_buckets
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'])
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'],
+               require=('ts',))
 
     def with_arrival(tbl: pa.Table) -> pa.Table:
         keys = tbl.column('event_id').combine_chunks().to_numpy(
@@ -1955,7 +1980,7 @@ ORACLE_SQL['q_late_events'] = """
                         % 4294967296, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              - 604800000000, false) AS late
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     ORDER BY event_id
 """
 
@@ -1998,6 +2023,8 @@ def q_melt_lineitem(sf_dir: str):
                ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax'])
 
     def round6(tbl: pa.Table) -> pa.Table:
+        # UNPIVOT parity: SQL omits NULL cells from the long form
+        tbl = tbl.filter(pc.is_valid(tbl.column('value')))
         i = tbl.column_names.index('value')
         return tbl.set_column(i, 'value',
                               pc.round(tbl.column('value'), ndigits=6))
@@ -2281,7 +2308,10 @@ def q_quantile_bins_events(sf_dir: str):
     threshold table is the standard broadcast small side."""
     import ray as _ray
     from ..stages.aggregate import grouped_quantiles
-    ds = _read(sf_dir, 'events', ['event_type', 'value'])
+    # binning a NULL value (or an unkeyed row) is undefined — both
+    # engines restrict to complete rows; the contract gate owns them
+    ds = _read(sf_dir, 'events', ['event_type', 'value'],
+               require=('event_type', 'value'))
     qt = _small_df(grouped_quantiles(ds, 'event_type', 'value',
                                      [0.25, 0.5, 0.75]),
                    ['event_type', 'q', 'value'])
@@ -2320,10 +2350,13 @@ def q_quantile_bins_events(sf_dir: str):
 
 QUERIES['q_quantile_bins_events'] = q_quantile_bins_events
 ORACLE_SQL['q_quantile_bins_events'] = """
-    WITH th AS (
+    WITH src AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    th AS (
       SELECT event_type,
              unnest(quantile_cont(value, [0.25, 0.5, 0.75])) AS t
-      FROM events GROUP BY event_type),
+      FROM src GROUP BY event_type),
     th6 AS (
       SELECT event_type, cast(floor(t * 1e6 + 0.5) AS BIGINT) AS t6
       FROM th),
@@ -2334,7 +2367,7 @@ ORACLE_SQL['q_quantile_bins_events'] = """
                WHERE t.event_type = e.event_type
                  AND t.t6 < cast(floor(e.value * 1e6 + 0.5) AS BIGINT))
                AS bin
-      FROM events e)
+      FROM src e)
     SELECT event_type, bin, count(*) AS n_events, sum(v6) AS sum_value6
     FROM bins GROUP BY event_type, bin
     ORDER BY event_type, bin
@@ -2381,8 +2414,10 @@ ORACLE_SQL['q_distinct_users'] = """
 def q_session_stats(sf_dir: str):
     """Per-(user, session) rollup: event count + session duration —
     sessionize inside the bucket, then a vectorized segment reduce per
-    session (two-level grouping without a second exchange)."""
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'])
+    session (two-level grouping without a second exchange). NULL-ts
+    rows are excluded on both engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         ts_us = tbl.column('ts').combine_chunks()\
@@ -2410,7 +2445,7 @@ ORACLE_SQL['q_session_stats'] = """
       SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS prev_ts
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     f AS (
       SELECT user_id, ts,
              CASE WHEN prev_ts IS NULL
@@ -2633,7 +2668,9 @@ def q_partsupp_returns(sf_dir: str):
     def qty(tbl: pa.Table) -> pa.Table:
         return pa.table({'l_partkey': tbl.column('l_partkey'),
                          'l_suppkey': tbl.column('l_suppkey'),
-                         'qty6': _fixed6(tbl.column('l_quantity'))})
+                         'qty6': _fixed6(tbl.column('l_quantity')),
+                         '_one': pa.array(np.ones(tbl.num_rows,
+                                                  dtype=np.int64))})
 
     def ret(tbl: pa.Table) -> pa.Table:
         t = tbl.filter(pc.equal(tbl.column('l_returnflag'), 'R'))
@@ -2644,7 +2681,9 @@ def q_partsupp_returns(sf_dir: str):
     keys = ['l_partkey', 'l_suppkey']
     all_q = bucket_aggregate(
         li.map_batches(qty, batch_format='pyarrow', zero_copy_batch=True),
-        keys, {'qty6': ('qty6', 'sum'), 'n_lines': ('qty6', 'count')},
+        keys, {'qty6': ('qty6', 'sum'),
+               # count(*) parity: _one is never null, qty6 CAN be
+               'n_lines': ('_one', 'count')},
         num_buckets=16)
     ret_q = bucket_aggregate(
         li.map_batches(ret, batch_format='pyarrow', zero_copy_batch=True),
@@ -2742,9 +2781,13 @@ def q_session_paths_events(sf_dir: str):
     strings ('click>view>...') — gap sessionization + ordered string
     concatenation as a two-level group inside ONE bucket pass (strings
     join per session; session count bounds the loop, never rows across
-    sessions). Byte-matched against DuckDB's ordered string_agg."""
+    sessions). Byte-matched against DuckDB's ordered string_agg: NULL
+    event types are SKIPPED by string_agg (all-null session -> NULL
+    path) but still count; NULL-ts rows are excluded on both
+    engines."""
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
-                                  'event_type'])
+                                  'event_type'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         ts_us = tbl.column('ts').combine_chunks()\
@@ -2757,7 +2800,12 @@ def q_session_paths_events(sf_dir: str):
         is_new, session_id = W.sessionize(ts_us, starts, GAP_US)
         lo = np.nonzero(is_new)[0]
         hi = np.append(lo[1:], len(ts_us)) - 1
-        paths = ['>'.join(et[a:b + 1]) for a, b in zip(lo, hi)]
+        # string_agg semantics: NULL elements are skipped; a session
+        # with ONLY nulls aggregates to NULL (not '')
+        paths = []
+        for a, b in zip(lo, hi):
+            parts = [x for x in et[a:b + 1] if x is not None]
+            paths.append('>'.join(parts) if parts else None)
         return pa.table({
             'user_id': pa.array(users[lo]),
             'session_id': pa.array(session_id[lo].astype(np.int64)),
@@ -2774,7 +2822,7 @@ ORACLE_SQL['q_session_paths_events'] = """
       SELECT user_id, ts, event_id, event_type,
              lag(ts) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS prev_ts
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     f AS (
       SELECT *, CASE WHEN prev_ts IS NULL
                        OR ts - prev_ts > INTERVAL '30 minutes'
@@ -2980,15 +3028,17 @@ def q_priority_revenue_salted(sf_dir: str):
                         pc.subtract(pa.scalar(1.0),
                                     tbl.column('l_discount')))
         return pa.table({'o_orderkey': tbl.column('l_orderkey'),
-                         'rev6': _fixed6(r)})
+                         'rev6': _fixed6(r),
+                         '_one': pa.array(np.ones(tbl.num_rows,
+                                                  dtype=np.int64))})
 
     lrev = lineitem.map_batches(rev, batch_format='pyarrow',
                                 zero_copy_batch=True)
     per_order = bucket_aggregate(lrev, ['o_orderkey'],
                                  {'rev6': ('rev6', 'sum'),
-                                  # count(*) parity: o_orderkey is never
-                                  # null; rev6 CAN be (null price/disc)
-                                  'n_items': ('o_orderkey', 'count')},
+                                  # count(*) parity: _one is never null;
+                                  # rev6 CAN be (null price/disc)
+                                  'n_items': ('_one', 'count')},
                                  num_buckets=16)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     # deterministic 'hot' set: the first 100 orderkeys — the point is
@@ -3385,8 +3435,12 @@ def q_regression_events(sf_dir: str):
     discipline: x (hour) is an EXACT small int so Σx/Σx²/Σ(x·y6) are
     exact int64 sums (x·y6 loses nothing — integer times fixed-point);
     y carries 1e6 micro-units. Both engines evaluate the identical
-    slope/intercept float formula over identical integers."""
-    ds = _read(sf_dir, 'events', ['event_type', 'ts', 'value'])
+    slope/intercept float formula over identical integers. Moments use
+    PAIRWISE-complete rows (SQL regr_* semantics: a row with a NULL x
+    or y contributes to no moment) — both engines filter ts AND
+    value."""
+    ds = _read(sf_dir, 'events', ['event_type', 'ts', 'value'],
+               require=('ts', 'value'))
 
     def moments(tbl: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(tbl.column('ts'), pa.timestamp('us')),
@@ -3439,7 +3493,8 @@ ORACLE_SQL['q_regression_events'] = """
              sum(cast(floor(value * 1e6 + 0.5) AS BIGINT)) AS sy6,
              sum(cast(hour(ts) AS BIGINT)
                  * cast(floor(value * 1e6 + 0.5) AS BIGINT)) AS sxy6
-      FROM events GROUP BY event_type)
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type)
     SELECT event_type, n AS n_events,
            floor((n * (sxy6 / 1e6) - (sx * 1.0) * (sy6 / 1e6))
                  / (n * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0))
@@ -3761,7 +3816,9 @@ def q_brand_revenue(sf_dir: str):
 
     out = pre_aggregate(joined.map_batches(reint, batch_format='pyarrow'),
                         ['p_brand'], {'rev6': ('rev6', 'sum'),
-                                      'n_items': ('rev6', 'count')})
+                                      # count(*) parity: join key is
+                                      # never null; rev6 CAN be
+                                      'n_items': ('p_partkey', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({'p_brand': tbl.column('p_brand'),
@@ -4053,7 +4110,7 @@ ORACLE_SQL['q_user_value_stats'] = """
       SELECT user_id,
              sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))          AS s1i,
              sum(cast(floor(value * value * 1e6 + 0.5) AS BIGINT))  AS s2i,
-             count(*) AS n
+             count(value) AS n   -- avg/stddev semantics: nulls excluded
       FROM events GROUP BY user_id)
     SELECT user_id, n AS n_events,
            floor(cast(s1i AS DOUBLE) / n + 0.5) / 1e6 AS mean_value,

@@ -88,8 +88,12 @@ def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
         # keeps NULL id keys as a group, and pivot_table's dropna=False
         # expands the index to the CARTESIAN product of id values —
         # unstack keeps only observed id combinations.
+        # SQL sum over only-NULL cells is NULL; pandas' default sum of
+        # all-NaN is 0.0 — min_count=1 restores the SQL behavior
+        aggspec = (lambda s: s.sum(min_count=1)) if aggfunc == 'sum' \
+            else aggfunc
         wide = df.groupby(id_cols + [var_col], sort=False,
-                          dropna=False)[value_col].agg(aggfunc)\
+                          dropna=False)[value_col].agg(aggspec)\
             .unstack(var_col).reindex(columns=variables).reset_index()
         wide.columns = [str(c) for c in wide.columns]
         # Pin the output schema to the INPUT field types: pandas re-infers

@@ -167,8 +167,22 @@ def histogram_quantiles(ds, group_col: str, value_col: str, qs,
         if tbl.num_rows == 0:
             return pa.table({group_col: pa.array([], type=gtype),
                              'counts': pa.array([], type=pa.binary())})
-        gi = pc.index_in(tbl.column(group_col), value_set=keys)\
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        garr = tbl.column(group_col)
+        gif = pc.index_in(garr, value_set=keys)\
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        if garr.null_count:
+            # index_in never matches null-to-null: route NULL-group rows
+            # to the null slot of keys (a NULL group is a group)
+            knull = np.nonzero(pc.is_null(keys)
+                               .to_numpy(zero_copy_only=False))[0]
+            gif = np.where(
+                np.isnan(gif),
+                np.float64(knull[0]) if len(knull) else np.nan, gif)
+        keep = ~np.isnan(gif)
+        if not keep.all():
+            tbl = tbl.filter(pa.array(keep))
+            gif = gif[keep]
+        gi = gif.astype(np.int64)
         v = tbl.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
         span = np.maximum(hi - lo, 1e-300)
@@ -196,6 +210,10 @@ def histogram_quantiles(ds, group_col: str, value_col: str, qs,
             # dropna=False: a NULL group is a group (SQL GROUP BY parity;
             # hist ships null-key partials and index_in matches null)
             for g, sub in df.groupby(group_col, sort=False, dropna=False):
+                # pandas surfaces a NULL group key as float NaN — map it
+                # back to None before it meets a typed Arrow array
+                if g is None or (isinstance(g, float) and np.isnan(g)):
+                    g = None
                 acc = np.zeros(n_bins, dtype=np.int64)
                 for c in sub['counts']:
                     acc += np.frombuffer(c, dtype=np.int64)
