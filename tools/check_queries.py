@@ -56,9 +56,49 @@ def compare(name, ray_df, sql_df) -> list[str]:
     return problems
 
 
+def make_null_fixture(src: str, rate: float = 0.1,
+                      seed: int = 20260817) -> str:
+    """Deterministic null-injected copy of an sf dir (non-key columns
+    get ``rate`` nulls) under /tmp. The adversarial companion gate:
+    `check_queries.py --nulls [sf_dir]` runs EVERY oracle compare over
+    it, so null-handling divergence (NaN bucketing, count(*) vs
+    count(col), NULL group keys, null-skipping sums) is caught at the
+    same byte-equality bar as the pristine run."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    keys = {'doc_id', 'vec_id', 'event_id', 'conv_id', 'l_orderkey',
+            'c_custkey', 's_suppkey', 'p_partkey', 'n_nationkey',
+            'r_regionkey', 'o_orderkey', 'user_id', 'turn_idx'}
+    dst = f'/tmp/sf_nulls_{os.path.basename(src.rstrip("/"))}_{rate}'
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith('.parquet'):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name).combine_chunks()
+            if name not in keys and t.num_rows:
+                mask = pa.array(rng.random(t.num_rows) < rate)
+                col = pac.if_else(mask, pa.nulls(t.num_rows, col.type),
+                                  col)
+            cols[name] = col
+        pq.write_table(pa.table(cols), os.path.join(dst, f))
+    return dst
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != '--nulls']
+    sf_dir = args[0] if args else '/root/testdata/sf0.01'
+    only = set(args[1:])
+    if '--nulls' in sys.argv[1:]:
+        sf_dir = make_null_fixture(sf_dir)
+        print(f'[null fixture] {sf_dir}')
     import ray
     if not ray.is_initialized():
         ray.init(address='local', num_cpus=8, include_dashboard=False,

@@ -224,19 +224,24 @@ def q1_pricing_summary(sf_dir: str):
 def q_top_customers(sf_dir: str):
     """Revenue per customer: partial-agg orders by custkey (shuffle moves
     partials), then broadcast-join the small customer dim on the driver
-    side of a tiny result, top-10 with deterministic tie-break."""
-    orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    side of a tiny result, top-10 with deterministic tie-break. A NULL
+    o_custkey never matches the oracle's inner join — excluded on both
+    engines; n_orders is count(*)."""
+    orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'],
+                   require=('o_custkey',))
 
     def scale(tbl: pa.Table) -> pa.Table:
         return pa.table({'o_custkey': tbl.column('o_custkey'),
-                         'rev6': _fixed6(tbl.column('o_totalprice'))})
+                         'rev6': _fixed6(tbl.column('o_totalprice')),
+                         '_one': pa.array(np.ones(tbl.num_rows,
+                                                  dtype=np.int64))})
 
     from ..stages.aggregate import bucket_aggregate
     orders = orders.map_batches(scale, batch_format='pyarrow',
                                 zero_copy_batch=True)
     per_cust = bucket_aggregate(orders, ['o_custkey'],
                                 {'rev6': ('rev6', 'sum'),
-                                 'n_orders': ('rev6', 'count')})
+                                 'n_orders': ('_one', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({'o_custkey': tbl.column('o_custkey'),
@@ -277,13 +282,22 @@ def q_region_revenue(sf_dir: str):
     n2r = dict(zip(nation['n_nationkey'], nation['n_regionkey']))
     r2name = dict(zip(region['r_regionkey'], region['r_name']))
     # dim as parallel Arrow arrays: lookup is pc.index_in + take per
-    # batch. A null / dangling c_nationkey resolves to a null region
-    # (.get chain) and the row is FILTERED in Attach — the same
-    # exclusion the oracle's INNER joins produce.
-    cust_keys = pa.array(cust['c_custkey'].to_numpy(dtype=np.int64))
-    cust_region = pa.array(
-        [r2name.get(n2r.get(nk)) for nk in cust['c_nationkey']],
-        type=pa.string())
+    # batch. INNER-join parity needs two distinct outcomes: a null /
+    # dangling KEY anywhere in the chain never matches (row dropped),
+    # while a MATCHED region whose r_name is null keeps its row and
+    # groups under the NULL name — exactly what the SQL joins emit.
+    _sentinel = object()
+
+    def _chain(nk):
+        rk = n2r.get(nk, _sentinel) if nk == nk else _sentinel
+        return r2name.get(rk, _sentinel) if rk is not _sentinel \
+            else _sentinel
+    chained = [_chain(nk) for nk in cust['c_nationkey']]
+    keep = np.array([c is not _sentinel for c in chained], dtype=bool)
+    cust_keys = pa.array(
+        cust['c_custkey'].to_numpy(dtype=np.int64)[keep])
+    cust_region = pa.array([c for c in chained if c is not _sentinel],
+                           type=pa.string())
     ref = ray.put((cust_keys, cust_region))
 
     class Attach:
@@ -293,7 +307,7 @@ def q_region_revenue(sf_dir: str):
         def __call__(self, tbl: pa.Table) -> pa.Table:
             idx = pc.index_in(tbl.column('o_custkey'), value_set=self.keys)
             out = tbl.append_column('r_name', self.names.take(idx))
-            return out.filter(pc.is_valid(out.column('r_name')))
+            return out.filter(pc.is_valid(idx))
 
     orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
     with_region = orders.map_batches(Attach, batch_format='pyarrow',
@@ -301,15 +315,17 @@ def q_region_revenue(sf_dir: str):
 
     def scale(tbl: pa.Table) -> pa.Table:
         return pa.table({'r_name': tbl.column('r_name'),
-                         'rev6': _fixed6(tbl.column('o_totalprice'))})
+                         'rev6': _fixed6(tbl.column('o_totalprice')),
+                         '_one': pa.array(np.ones(tbl.num_rows,
+                                                  dtype=np.int64))})
 
     scaled = with_region.map_batches(scale, batch_format='pyarrow',
                                      zero_copy_batch=True)
     out = pre_aggregate(scaled, ['r_name'],
                         {'rev6': ('rev6', 'sum'),
-                         # count(*) parity: r_name is never null after
-                         # the Attach filter; rev6 CAN be (null price)
-                         'n_orders': ('r_name', 'count')})
+                         # count(*) parity: _one is never null; r_name
+                         # (a matched-but-null dim name) and rev6 CAN be
+                         'n_orders': ('_one', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         return pa.table({'r_name': tbl.column('r_name'),
@@ -471,8 +487,11 @@ def q_asof_events_stage(sf_dir: str):
         ['user_id', 'ts'], {'last_click_value': ('value', 'max')})
     # both sides are DERIVED datasets — hand asof_join their known
     # schemas (from the parquet read's free metadata) so it never calls
-    # .schema() on a derived dataset (forces partial execution)
-    et = dict(zip(ds.schema().names, ds.schema().types))
+    # .schema() on a derived dataset (forces partial execution; None on
+    # an empty input)
+    import pyarrow.parquet as _pq
+    _sch = _pq.read_schema(f'{sf_dir}/events.parquet')
+    et = dict(zip(_sch.names, _sch.types))
     out = asof_join(
         purchases, clicks, by='user_id', on='ts',
         value_cols=['last_click_value'], suffix='',
@@ -512,7 +531,12 @@ def _asof_sides(sf_dir: str):
         ds.map_batches(side('click', ['user_id', 'ts', 'value']),
                        batch_format='pyarrow', zero_copy_batch=True),
         ['user_id', 'ts'], {'click_value': ('value', 'max')})
-    et = dict(zip(ds.schema().names, ds.schema().types))
+    # parquet metadata, NOT ds.schema(): ds is a derived (require-
+    # filtered) dataset — its schema() forces a partial execution and
+    # is None on an empty input
+    import pyarrow.parquet as _pq
+    sch = _pq.read_schema(f'{sf_dir}/events.parquet')
+    et = dict(zip(sch.names, sch.types))
     lschema = pa.schema([('user_id', et['user_id']), ('ts', et['ts']),
                          ('event_id', et['event_id']),
                          ('value', et['value'])])
@@ -873,7 +897,7 @@ def q_quality_scores(sf_dir: str):
     """Per-doc quality signals (SQL-expressible subset): word count, mean
     word length, distinct-word ratio, en-stopword ratio. Vectorized Arrow
     kernels + single-space split semantics shared with the oracle."""
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def score(tbl: pa.Table) -> pa.Table:
         from ..functions.text import (whitespace_token_count,
@@ -949,7 +973,7 @@ def q_repetition_scores(sf_dir: str):
 def q_bpe_token_stats(sf_dir: str):
     """BPE-ish pre-token counts per source (regex piece counting)."""
     from ..functions.text import bpe_ish_token_count
-    ds = _read(sf_dir, 'documents', ['source', 'text'])
+    ds = _read(sf_dir, 'documents', ['source', 'text'], require=('text',))
 
     def derive(tbl: pa.Table) -> pa.Table:
         return pa.table({
@@ -1078,7 +1102,7 @@ def q_langid_docs(sf_dir: str):
     SQL-expressible (per-language vote counts + alphabetical-first
     argmax), so the driver byte-checks it against DuckDB."""
     from ..functions.text import language_id
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def lid(tbl: pa.Table) -> pa.Table:
         langs, conf = language_id(tbl.column('text'))
@@ -1133,7 +1157,7 @@ ORACLE_SQL.update({
         WITH w AS (
           SELECT doc_id, text, string_split(text, ' ') AS ws,
                  string_split(lower(text), ' ') AS lws
-          FROM documents)
+          FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
         SELECT doc_id,
                len(ws) AS n_words,
                round(length(text) * 1.0 / len(ws), 6) AS mean_word_len,
@@ -1174,7 +1198,7 @@ ORACLE_SQL.update({
           SELECT source,
                  len(regexp_extract_all(text,
                      '[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]+')) AS n_bpe
-          FROM documents)
+          FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
         SELECT source,
                cast(sum(n_bpe) AS BIGINT)       AS total_bpe,
                round(sum(n_bpe) * 1.0 / count(*), 6) AS avg_bpe
@@ -1185,7 +1209,7 @@ ORACLE_SQL.update({
     'q_langid_docs': """
         WITH w AS (
           SELECT doc_id, string_split(lower(text), ' ') AS lws
-          FROM documents),
+          FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         s AS (
           SELECT doc_id, len(lws) AS nw,
             len(list_filter(lws, x -> x IN
@@ -1475,13 +1499,18 @@ def q_returned_revenue(sf_dir: str):
     def attach_nation(tbl: pa.Table) -> pa.Table:
         keys, names = ray.get(nref)
         idx = pc.index_in(tbl.column('c_nationkey'), value_set=keys)
-        return pa.table({
+        out = pa.table({
             'c_custkey': tbl.column('c_custkey'),
             'c_name': tbl.column('c_name'),
             'c_acctbal': tbl.column('c_acctbal'),
             'n_name': names.take(idx),
             'rev6': pc.cast(tbl.column('rev6'), pa.int64()),
         })
+        # null/dangling c_nationkey never MATCHES the oracle's inner
+        # join — drop on lookup failure (is_valid(idx)), NOT on a null
+        # n_name: a matched nation whose name is null stays, with its
+        # NULL name, exactly as the SQL join emits it
+        return out.filter(pc.is_valid(idx))
 
     from ..stages.aggregate import global_topk
     top = global_topk(
@@ -2576,13 +2605,21 @@ QUERIES['q_quarantine_audit_events'] = q_quarantine_audit_events
 ORACLE_SQL['q_quarantine_audit_events'] = """
     WITH errs AS (
       SELECT 'value' AS field, 'too_big' AS code
-      FROM events WHERE NOT (value < 300.0)
+      FROM events WHERE NOT (value < 300.0)   -- NULL -> no range error
       UNION ALL
       SELECT 'event_type', 'does_not_match_any'
       FROM events WHERE event_type NOT IN ('click', 'view', 'purchase')
       UNION ALL
       SELECT 'user_id', 'too_big'
-      FROM events WHERE user_id > 120)
+      FROM events WHERE user_id > 120
+      UNION ALL
+      -- null cell == absent key (contracts/record.py deviation note):
+      -- a required key with a NULL cell rejects with the reference's
+      -- 'required' code, not a range/enum error
+      SELECT 'value', 'required' FROM events WHERE value IS NULL
+      UNION ALL
+      SELECT 'event_type', 'required'
+      FROM events WHERE event_type IS NULL)
     SELECT field, code, count(*) AS n_rows
     FROM errs GROUP BY field, code
     ORDER BY field, code
@@ -2850,7 +2887,7 @@ def q_quality_filter_docs(sf_dir: str):
     half per language' curation step."""
     import ray as _ray
     from ..stages.aggregate import grouped_quantiles
-    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'], require=('text',))
 
     def words(tbl: pa.Table) -> pa.Table:
         from ..functions.text import whitespace_token_count
@@ -2872,12 +2909,17 @@ def q_quality_filter_docs(sf_dir: str):
             self.med = _ray.get(med_ref)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
+            # a NULL lang never matches the oracle's JOIN on lang —
+            # those docs drop here too (med.get -> -inf threshold trick
+            # won't do: they must not pass at ANY word count)
             langs = tbl.column('lang').to_numpy(zero_copy_only=False)
-            thr = np.array([self.med[l] for l in
+            known = np.array([l is not None and l in self.med
+                              for l in langs], dtype=bool)
+            thr = np.array([self.med.get(l, np.inf) for l in
                             pd.unique(langs)])[pd.factorize(langs)[0]] \
                 if len(langs) else np.array([])
             nw = tbl.column('n_words').to_numpy(zero_copy_only=False)
-            return tbl.filter(pa.array(nw >= thr))
+            return tbl.filter(pa.array(known & (nw >= thr)))
 
     return scored.map_batches(Gate, batch_format='pyarrow',
                               concurrency=2).sort('doc_id')
@@ -2888,7 +2930,7 @@ ORACLE_SQL['q_quality_filter_docs'] = """
     WITH s AS (
       SELECT doc_id, lang,
              cast(len(string_split(text, ' ')) AS BIGINT) AS n_words
-      FROM documents),
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
     m AS (SELECT lang, median(n_words) AS med FROM s GROUP BY lang)
     SELECT s.doc_id, s.lang, s.n_words
     FROM s JOIN m USING (lang)
@@ -2946,7 +2988,7 @@ def q_token_rarity_docs(sf_dir: str):
     (index_in + bincount). Integer sums make the result byte-stable."""
     import ray as _ray
     from ..stages.aggregate import bucket_aggregate
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def explode(tbl: pa.Table) -> pa.Table:
         words = pc.split_pattern(
@@ -2999,7 +3041,7 @@ QUERIES['q_token_rarity_docs'] = q_token_rarity_docs
 ORACLE_SQL['q_token_rarity_docs'] = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      FROM documents),
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
     vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
     SELECT t.doc_id,
            count(*) AS n_tokens,
@@ -3110,8 +3152,9 @@ def q_rollup_pricing(sf_dir: str):
             'grouping_id': tbl.column('grouping_id'),
         })
 
-    return out.map_batches(finalize, batch_format='pyarrow')\
-        .sort(['grouping_id', 'l_returnflag', 'l_linestatus'])
+    return _sort_ns(out.map_batches(finalize, batch_format='pyarrow'),
+                    ['grouping_id', 'l_returnflag', 'l_linestatus'],
+                    str_cols=['l_returnflag', 'l_linestatus'])
 
 
 QUERIES['q_rollup_pricing'] = q_rollup_pricing
@@ -3746,7 +3789,7 @@ def q_chunk_docs(sf_dir: str):
     8-token overlap per doc (functions/text.py:chunk_token_windows —
     map-only explode, zero shuffle; explosion factor chunk/stride)."""
     from ..functions.text import chunk_token_windows
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def chunks(tbl: pa.Table) -> pa.Table:
         ids = tbl.column('doc_id').to_numpy(zero_copy_only=False)
@@ -3769,7 +3812,7 @@ ORACLE_SQL['q_chunk_docs'] = """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
              len(string_split(text, ' ')) AS n
-      FROM documents),
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
     c AS (
       SELECT doc_id, ws, n, x AS chunk_id
       FROM w, unnest(range(0,
@@ -4288,8 +4331,20 @@ def q_tfidf_docs(sf_dir: str):
     import pyarrow.parquet as _pq
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
-    n_docs = _pq.read_metadata(f'{sf_dir}/documents.parquet').num_rows
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    # N = docs WITH text (null-text docs are outside the corpus on both
+    # engines); parquet column stats give the null count for free
+    _md = _pq.read_metadata(f'{sf_dir}/documents.parquet')
+    _nulls = 0
+    for _rg in range(_md.num_row_groups):
+        _rgm = _md.row_group(_rg)
+        for _ci in range(_rgm.num_columns):
+            _c = _rgm.column(_ci)
+            if _c.path_in_schema == 'text':
+                _nulls += (_c.statistics.null_count
+                           if _c.statistics is not None
+                           and _c.statistics.has_null_count else 0)
+    n_docs = _md.num_rows - _nulls
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def explode(tbl: pa.Table) -> pa.Table:
         words = pc.split_pattern(
@@ -4339,12 +4394,12 @@ QUERIES['q_tfidf_docs'] = q_tfidf_docs
 ORACLE_SQL['q_tfidf_docs'] = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      FROM documents),
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
     tf AS (SELECT doc_id, tok, count(tok) AS tf
            FROM toks GROUP BY doc_id, tok),
     dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
     df AS (SELECT tok, count(tok) AS df FROM tf GROUP BY tok),
-    n AS (SELECT count(*) AS n_docs FROM documents)
+    n AS (SELECT count(*) AS n_docs FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
     SELECT tf.doc_id, tf.tok, tf.tf, df.df,
            round((cast(tf.tf AS DOUBLE) / dl.doc_len)
                  * ln(cast(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
@@ -4480,7 +4535,7 @@ def q_pack_docs(sf_dir: str):
     materializes the corpus anywhere."""
     import pyarrow.parquet as _pq
     from ..stages.packing import concat_chunk_pack
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def ntok(tbl: pa.Table) -> pa.Table:
         toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
@@ -4520,7 +4575,7 @@ ORACLE_SQL['q_pack_docs'] = f"""
     WITH t AS (
       SELECT doc_id,
              len(string_split(text, ' '))::BIGINT AS n_tokens
-      FROM documents),
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
     c AS (
       SELECT doc_id, n_tokens,
              coalesce(sum(n_tokens) OVER (
@@ -4579,7 +4634,7 @@ def q_token_budget_docs(sf_dir: str):
     each doc's tokens-before-it, and rows with cum_before >= budget
     drop. Exact and engine-stable: token counts are the shared
     single-space-split definition."""
-    ds = _read(sf_dir, 'documents', ['doc_id', 'source', 'text'])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source', 'text'], require=('text',))
 
     def ntok(tbl: pa.Table) -> pa.Table:
         toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
@@ -4618,7 +4673,7 @@ ORACLE_SQL['q_token_budget_docs'] = f"""
     WITH t AS (
       SELECT doc_id, source,
              len(string_split(text, ' '))::BIGINT AS n_tokens
-      FROM documents),
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
     c AS (
       SELECT *,
              coalesce(sum(n_tokens) OVER (

@@ -34,6 +34,27 @@ def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _hashable_np(col) -> np.ndarray:
+    """Key column -> numpy for hashing, with a DTYPE that does not
+    depend on whether THIS block happens to contain nulls.
+
+    pyarrow's ``to_numpy`` floatifies int columns (and objectifies bool)
+    when nulls are present, and ``hash_array`` hashes the raw bit
+    pattern — so the same key value would land in a DIFFERENT bucket in
+    a null-bearing block than in a null-free one, silently breaking
+    co-location for every exchange/join keyed on a nullable int column.
+    Nulls hash as 0/False (they only need a consistent bucket; an
+    equality join never matches them anyway)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if col.null_count:
+        import pyarrow.compute as _pc
+        if pa.types.is_integer(col.type):
+            col = _pc.fill_null(col, 0)
+        elif pa.types.is_boolean(col.type):
+            col = _pc.fill_null(col, False)
+    return col.to_numpy(zero_copy_only=False)
+
+
 def add_bucket(table: pa.Table, key='conv_id',
                num_buckets: int = 64) -> pa.Table:
     """Append the int32 hash bucket of ``key`` (one column name or a
@@ -43,8 +64,7 @@ def add_bucket(table: pa.Table, key='conv_id',
     keys = [key] if isinstance(key, str) else list(key)
     h = np.zeros(table.num_rows, dtype=np.uint64)
     for k in keys:
-        vals = table.column(k).combine_chunks().to_numpy(
-            zero_copy_only=False)
+        vals = _hashable_np(table.column(k))
         h = (h * np.uint64(0x9E3779B97F4A7C15)
              + pd.util.hash_array(vals, hash_key=_HASH_KEY,
                                   categorize=False))
