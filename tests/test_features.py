@@ -148,6 +148,24 @@ class TestBucketing:
         vals = b.column('_bucket').to_pylist()
         assert set(vals) <= set(range(8))
 
+    def test_null_presence_does_not_move_buckets(self):
+        """A null in an int64 key block floatifies to_numpy, and hashing
+        the float bit patterns would re-bucket EVERY key in the block —
+        breaking join/exchange co-location against null-free blocks.
+        The bucket of a key value must not depend on its neighbors."""
+        import pyarrow as pa
+        keys = [1242, 859, 7, 123456789]
+        clean = pa.table({'k': pa.array(keys, pa.int64())})
+        dirty = pa.table({'k': pa.array(keys + [None], pa.int64())})
+        b_clean = add_bucket(clean, 'k', 16).column('_bucket').to_pylist()
+        b_dirty = add_bucket(dirty, 'k', 16).column('_bucket').to_pylist()
+        assert b_clean == b_dirty[:len(keys)]
+        # strings: object dtype either way — also stable
+        sc = pa.table({'k': pa.array(['a', 'bb'], pa.string())})
+        sd = pa.table({'k': pa.array(['a', 'bb', None], pa.string())})
+        assert add_bucket(sc, 'k', 16).column('_bucket').to_pylist() == \
+            add_bucket(sd, 'k', 16).column('_bucket').to_pylist()[:2]
+
 
 class TestGenerator:
     def test_deterministic(self):

@@ -89,12 +89,14 @@ def pivot(ds, id_cols: list[str], var_col: str, value_col: str,
         # expands the index to the CARTESIAN product of id values —
         # unstack keeps only observed id combinations.
         # SQL sum over only-NULL cells is NULL; pandas' default sum of
-        # all-NaN is 0.0 — min_count=1 restores the SQL behavior
-        aggspec = (lambda s: s.sum(min_count=1)) if aggfunc == 'sum' \
-            else aggfunc
-        wide = df.groupby(id_cols + [var_col], sort=False,
-                          dropna=False)[value_col].agg(aggspec)\
-            .unstack(var_col).reindex(columns=variables).reset_index()
+        # all-NaN is 0.0 — min_count=1 restores the SQL behavior. Call
+        # .sum() directly (cythonized); agg(lambda) would run a Python
+        # call per group (measured 12x wall on the pivot query).
+        gb = df.groupby(id_cols + [var_col], sort=False,
+                        dropna=False)[value_col]
+        ser = gb.sum(min_count=1) if aggfunc == 'sum' else gb.agg(aggfunc)
+        wide = ser.unstack(var_col).reindex(columns=variables)\
+            .reset_index()
         wide.columns = [str(c) for c in wide.columns]
         # Pin the output schema to the INPUT field types: pandas re-infers
         # per bucket, so a bucket whose id values are all NULL comes back
