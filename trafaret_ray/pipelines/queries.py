@@ -1132,11 +1132,18 @@ QUERIES.update({
 ORACLE_SQL.update({
     'q_ngram_jaccard_pairs': """
         WITH words AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE text IS NOT NULL),
         sh0 AS (
+          -- s IS NOT NULL matters twice: a NULL text has no shingles
+          -- (engine parity), and a NULL inside the NOT-IN subquery
+          -- below would void EVERY membership test (SQL three-valued
+          -- logic) — at scale the NULL-shingle group goes 'hot' and
+          -- silently empties the whole result
           SELECT DISTINCT doc_id,
                  w[x] || ' ' || w[x + 1] || ' ' || w[x + 2] AS s
-          FROM words, unnest(range(1, greatest(len(w) - 1, 2))) AS t(x)),
+          FROM words, unnest(range(1, greatest(len(w) - 1, 2))) AS t(x)
+          WHERE w[x] || ' ' || w[x + 1] || ' ' || w[x + 2] IS NOT NULL),
         -- identical stop-shingle cap as the Ray side (max_df = 50)
         hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
         sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
@@ -2910,14 +2917,19 @@ def q_quality_filter_docs(sf_dir: str):
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
             # a NULL lang never matches the oracle's JOIN on lang —
-            # those docs drop here too (med.get -> -inf threshold trick
-            # won't do: they must not pass at ANY word count)
+            # those docs drop here too. NOTE use_na_sentinel=False:
+            # plain factorize codes None as -1 while pd.unique keeps
+            # it, silently MISALIGNING every threshold after a null
             langs = tbl.column('lang').to_numpy(zero_copy_only=False)
-            known = np.array([l is not None and l in self.med
-                              for l in langs], dtype=bool)
-            thr = np.array([self.med.get(l, np.inf) for l in
-                            pd.unique(langs)])[pd.factorize(langs)[0]] \
-                if len(langs) else np.array([])
+            if not len(langs):
+                return tbl
+            codes, uniq = pd.factorize(langs, use_na_sentinel=False)
+
+            def _k(u):
+                return u is not None and u == u and u in self.med
+            thr = np.array([self.med[u] if _k(u) else np.inf
+                            for u in uniq])[codes]
+            known = np.array([_k(u) for u in uniq], dtype=bool)[codes]
             nw = tbl.column('n_words').to_numpy(zero_copy_only=False)
             return tbl.filter(pa.array(known & (nw >= thr)))
 
