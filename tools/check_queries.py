@@ -92,13 +92,69 @@ def make_null_fixture(src: str, rate: float = 0.1,
     return dst
 
 
+def make_skew_fixture(src: str, seed: int = 7) -> str:
+    """Deterministic hot-key / duplication copy of an sf dir: 40% of
+    events reassigned to one user, 20% of lineitem to one orderkey, one
+    document duplicated 300x under fresh ids. `--skew` runs every
+    oracle compare over it — salting, dedup, top-k and grouped
+    aggregates must stay byte-identical under pathological key
+    distributions."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pac
+    import pyarrow.parquet as pq
+    dst = f'/tmp/sf_skew_{os.path.basename(src.rstrip("/"))}'
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith('.parquet'):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        name = f[:-8]
+        if name == 'events':
+            uid = t.column('user_id').to_numpy(zero_copy_only=False).copy()
+            uid[rng.random(len(uid)) < 0.4] = 7
+            t = t.set_column(t.column_names.index('user_id'), 'user_id',
+                             pa.array(uid, pa.int64()))
+        elif name == 'lineitem':
+            ok = t.column('l_orderkey').to_numpy(
+                zero_copy_only=False).copy()
+            ok[rng.random(len(ok)) < 0.2] = 1
+            t = t.set_column(t.column_names.index('l_orderkey'),
+                             'l_orderkey', pa.array(ok, pa.int64()))
+        elif name == 'documents':
+            n = 300
+            txt = t.column('text')[0].as_py()
+            lang = t.column('lang')[0].as_py()
+            srcv = t.column('source')[0].as_py()
+            maxid = int(pac.max(t.column('doc_id')).as_py())
+            dup = pa.table({
+                'doc_id': pa.array(np.arange(maxid + 1, maxid + 1 + n,
+                                             dtype=np.int64)),
+                'text': pa.array([txt] * n),
+                'lang': pa.array([lang] * n),
+                'source': pa.array([srcv] * n),
+                'n_chars': pa.array(
+                    [len(txt)] * n,
+                    type=t.schema.field('n_chars').type)})
+            t = pa.concat_tables([t, dup.select(t.column_names)
+                                  .cast(t.schema)])
+        pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != '--nulls']
+    args = [a for a in sys.argv[1:] if a not in ('--nulls', '--skew')]
     sf_dir = args[0] if args else '/root/testdata/sf0.01'
     only = set(args[1:])
     if '--nulls' in sys.argv[1:]:
         sf_dir = make_null_fixture(sf_dir)
         print(f'[null fixture] {sf_dir}')
+    elif '--skew' in sys.argv[1:]:
+        sf_dir = make_skew_fixture(sf_dir)
+        print(f'[skew fixture] {sf_dir}')
     import ray
     if not ray.is_initialized():
         ray.init(address='local', num_cpus=8, include_dashboard=False,
