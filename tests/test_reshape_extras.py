@@ -30,6 +30,30 @@ class TestJsonScalar:
                               pa.array(['{"k": 2}'])])
         assert json_scalar(a, 'k').to_pylist() == ['1', '2']
 
+    def test_nested_decoy_key_is_skipped(self):
+        # top-level-only semantics, same as json_extract(..., '$.k'):
+        # a k inside a nested object/array must not shadow the real one
+        a = pa.array(['{"a": {"k": 99}, "k": 4}',
+                      '{"a": [{"k": 99}], "k": 5}',
+                      '{"a": {"b": {"k": 99}}, "k": 6}',
+                      '{"a": {"k": 99}}',          # only nested -> absent
+                      '{"k": 7, "b": {"k": 99}}',  # decoy after real key
+                      '{"k": 8}'])                 # plain row, same batch
+        got = json_scalar(a, 'k').to_pylist()
+        assert got == ['4', '5', '6', None, '7', '8']
+
+    def test_duckdb_json_extract_agreement(self):
+        import duckdb
+        rows = ['{"k": 87}', '{ "k" : -3 , "note" : "café" }',
+                '{"kk": 9, "k": 12}', '{"a": {"k": 99}, "k": 4}',
+                '{"note": "no k"}', '{"k": null}',
+                '{"k": -17, "esc": "a\\"b\\\\c"}']
+        ours = json_scalar(pa.array(rows), 'k').to_pylist()
+        theirs = [duckdb.sql(
+            "SELECT json_extract_string(?::JSON, '$.k')",
+            params=[r]).fetchone()[0] for r in rows]
+        assert ours == theirs
+
 
 class TestExplodeList:
     def test_unnest_semantics(self, ray_session):

@@ -145,8 +145,99 @@ def make_skew_fixture(src: str, seed: int = 7) -> str:
     return dst
 
 
+DIRTY_TEXTS = [
+    '',                                      # empty document
+    '   \t\t \n\n  ',                        # whitespace-only
+    'nbsp thin space ideographic　space',
+    'hello \U0001f44b\U0001f30d world \U0001f469‍\U0001f469‍'
+    '\U0001f467 family',                     # emoji + ZWJ sequence
+    '数据处理引擎测试文本',  # CJK
+    'اختبار النص '
+    'العربي',  # Arabic RTL
+    'café résumé combining marks',
+    'zero​width‌non‍joiners here',
+    'line1\nline2\ttab\rcarriage mixed controls',
+    'x' * 5000,                              # one very long token
+    ('spam ' * 200).strip(),                 # extreme repetition
+    '1234567890 !@#$%^&*() ,,,/// ---===',
+    '\U0001d518\U0001d52b\U0001d526\U0001d520 non-BMP math \U0001f0a1',
+    'Latin кириллица '
+    'ελληνικά '
+    'עברית',        # mixed scripts
+    '"quoted" \'single\' `back` \\back\\slash\\',
+    '<p>tag &amp; entity</p> <div class="x">html-ish</div>',
+]
+
+DIRTY_PROPS = [
+    '{ "k" : 87 , "note" : "café üñ" }',   # spaced + unicode
+    '{"other": "éè", "k": 3}',                  # k not first
+    '{"k": 5, "emoji": "\U0001f600"}',
+    '{"note": "no k here"}',                              # k absent
+    '{"k": null}',                                        # k JSON null
+    '{"kk": 9, "k": 12}',                                 # prefix-name trap
+    '{"a": {"k": 99}, "k": 4}',                           # nested decoy k
+    '{"k": -17, "esc": "a\\"b\\\\c"}',                    # escaped quotes
+]
+
+
+def make_dirty_fixture(src: str, rate: float = 0.12,
+                       seed: int = 20260818) -> str:
+    """Deterministic adversarial-strings copy of an sf dir: ~``rate`` of
+    ``documents.text`` replaced with unicode/control/degenerate strings
+    (``n_chars`` kept consistent, codepoint length), a few unicode
+    ``lang``/``source``/``event_type`` group keys, and ~``rate`` of
+    ``events.props`` replaced with hostile-but-valid JSON (unicode
+    siblings, nested decoy keys, escapes). `--dirty` runs EVERY oracle
+    compare over it, so tokenizer/regex/JSON/string-kernel divergence
+    between the Arrow kernels and DuckDB is caught at byte equality."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    dst = f'/tmp/sf_dirty_{os.path.basename(src.rstrip("/"))}'
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith('.parquet'):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        name = f[:-8]
+        if name == 'documents' and t.num_rows:
+            txt = t.column('text').to_pylist()
+            lang = t.column('lang').to_pylist()
+            srcv = t.column('source').to_pylist()
+            hit = np.flatnonzero(rng.random(t.num_rows) < rate)
+            for j, i in enumerate(hit):
+                txt[i] = DIRTY_TEXTS[j % len(DIRTY_TEXTS)]
+            for i in np.flatnonzero(rng.random(t.num_rows) < 0.02):
+                lang[i] = '中文'
+                srcv[i] = 'srcé/\U0001f4da'
+            t = pa.table({
+                'doc_id': t.column('doc_id'),
+                'text': pa.array(txt, pa.string()),
+                'lang': pa.array(lang, pa.string()),
+                'source': pa.array(srcv, pa.string()),
+                'n_chars': pa.array([len(s) for s in txt], pa.int64())})
+        elif name == 'events' and t.num_rows:
+            props = t.column('props').to_pylist()
+            etype = t.column('event_type').to_pylist()
+            hit = np.flatnonzero(rng.random(t.num_rows) < rate)
+            for j, i in enumerate(hit):
+                props[i] = DIRTY_PROPS[j % len(DIRTY_PROPS)]
+            for i in np.flatnonzero(rng.random(t.num_rows) < 0.02):
+                etype[i] = 'typé​'
+            t = t.set_column(t.column_names.index('props'), 'props',
+                             pa.array(props, pa.string()))
+            t = t.set_column(t.column_names.index('event_type'),
+                             'event_type', pa.array(etype, pa.string()))
+        pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a not in ('--nulls', '--skew')]
+    args = [a for a in sys.argv[1:]
+            if a not in ('--nulls', '--skew', '--dirty')]
     sf_dir = args[0] if args else '/root/testdata/sf0.01'
     only = set(args[1:])
     if '--nulls' in sys.argv[1:]:
@@ -155,6 +246,9 @@ def main():
     elif '--skew' in sys.argv[1:]:
         sf_dir = make_skew_fixture(sf_dir)
         print(f'[skew fixture] {sf_dir}')
+    elif '--dirty' in sys.argv[1:]:
+        sf_dir = make_dirty_fixture(sf_dir)
+        print(f'[dirty fixture] {sf_dir}')
     import ray
     if not ray.is_initialized():
         ray.init(address='local', num_cpus=8, include_dashboard=False,

@@ -472,18 +472,38 @@ def json_scalar(text, key: str):
     """Extract a top-level scalar JSON field as its raw token (string
     array; nulls where the key is absent or the cell is null) — one RE2
     pass over the batch, no per-row json.loads. Handles string values
-    (escaped quotes included), numbers, booleans and null; nested
-    objects/arrays and duplicate keys are out of scope (a columnar
-    engine should promote such payloads to struct columns at ingest —
-    see contracts on pa.StructArray). Cast the result with
-    pyarrow.compute.cast for typed use."""
+    (escaped quotes included), numbers, booleans and null. Top-level
+    only: when a batch contains container values ("a": {...} / [...]),
+    nested objects/arrays are stripped (bounded depth 2) BEFORE the key
+    match so a nested decoy key never shadows the top-level one — same
+    answer as SQL json_extract(..., '$.key'). Container-valued keys and
+    duplicate keys are out of scope (a columnar engine should promote
+    such payloads to struct columns at ingest — see contracts on
+    pa.StructArray); braces inside string values defeat the bounded
+    stripper. Cast the result with pyarrow.compute.cast for typed
+    use."""
     import re
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    src = pc.fill_null(text, '')
+    # fast path: no container values anywhere in the batch -> 1 pass
+    if pc.any(pc.match_substring_regex(
+            src, r':\s*[\{\[]')).as_py():
+        # strip exactly ONE outer brace per side (utf8_trim would eat
+        # a nested object's closing brace on '{"a": {"k": 1}}')
+        inner = pc.replace_substring_regex(
+            src, pattern=r'^\s*\{', replacement='')
+        inner = pc.replace_substring_regex(
+            inner, pattern=r'\}\s*$', replacement='')
+        for _ in range(2):
+            inner = pc.replace_substring_regex(
+                inner, pattern=r'\{[^{}]*\}|\[[^\[\]]*\]',
+                replacement='')
+        src = inner
     pat = ('"' + re.escape(key)
            + r'"\s*:\s*(?P<v>"(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?'
            + r'(?:[eE][+-]?\d+)?|true|false|null)')
-    struct = pc.extract_regex(pc.fill_null(text, ''), pattern=pat)
+    struct = pc.extract_regex(src, pattern=pat)
     raw = pc.struct_field(struct, 'v')
     # string values come back with their quotes: strip them and unescape
     quoted = pc.match_substring_regex(raw, r'^".*"$')

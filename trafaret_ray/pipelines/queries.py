@@ -2686,12 +2686,14 @@ def q_struct_payload_events(sf_dir: str):
 QUERIES['q_struct_payload_events'] = q_struct_payload_events
 ORACLE_SQL['q_struct_payload_events'] = """
     SELECT event_id,
-           cast(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k,
+           try_cast(regexp_extract(props, '"k": (-?\\d+)', 1)
+                    AS BIGINT) AS k,
            event_type, value
     FROM events
     WHERE event_id >= 0
       AND value < 400
-      AND cast(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) < 80
+      AND try_cast(regexp_extract(props, '"k": (-?\\d+)', 1)
+                   AS BIGINT) < 80
       AND event_type IN ('click', 'view', 'purchase', 'signup')
     ORDER BY event_id
 """
