@@ -31,8 +31,7 @@ def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
     seeds), so reruns are byte-identical."""
     from ..functions.text import (language_id, normalize_text,
                                   whitespace_token_count)
-    from ..stages.aggregate import bucket_aggregate
-    from ..stages.dedup import minhash_dedup
+    from ..stages.dedup import exact_dedup, minhash_dedup
     from ..stages.joins import anti_join, semi_join
 
     def clean(tbl: pa.Table) -> pa.Table:
@@ -61,13 +60,13 @@ def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
     cleaned = ds.map_batches(clean, batch_format='pyarrow',
                              zero_copy_batch=True).materialize()
 
-    # exact dedup on the normalized text: canonical = min id per text
-    canon = bucket_aggregate(
-        cleaned.map_batches(
-            lambda t: t.select([id_col, 'text_norm']),
-            batch_format='pyarrow'),
-        ['text_norm'], {id_col: (id_col, 'min')},
-        num_buckets=num_buckets)
+    # exact dedup on the normalized text: canonical = min id per
+    # distinct content. stages/dedup.exact_dedup exchanges 8-byte
+    # fingerprint partials, NOT the text itself — at 100 TB the full
+    # corpus must never ride an exchange just to find duplicates (a
+    # 64-bit content hash stands in for text equality, the same
+    # documented collision tradeoff as q_exact_dedup_docs).
+    canon = exact_dedup(cleaned, text_col='text_norm', id_col=id_col)
     ids_only = canon.map_batches(lambda t: t.select([id_col])
                                  if id_col in t.column_names else
                                  pa.table({id_col: pa.array([],
