@@ -235,11 +235,38 @@ def make_dirty_fixture(src: str, rate: float = 0.12,
     return dst
 
 
+def make_shuffled_fixture(src: str, seed: int = 20260819) -> str:
+    """Deterministic row-permutation copy of an sf dir: every table's
+    rows land in a seeded random order (also re-chunked into small row
+    groups so Ray block boundaries move). At 100 TB the input arrives
+    in arbitrary file/row order — `--shuffled` proves every oracle
+    query is byte-identical under a permuted input: window/session/
+    as-of kernels must derive order from data (total sort keys, ties
+    broken explicitly), never from input position."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    dst = f'/tmp/sf_shuffled_{os.path.basename(src.rstrip("/"))}'
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith('.parquet'):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        if t.num_rows:
+            t = t.take(rng.permutation(t.num_rows))
+        pq.write_table(t, os.path.join(dst, f),
+                       row_group_size=max(1, t.num_rows // 7))
+    return dst
+
+
 def main():
     args = [a for a in sys.argv[1:]
-            if a not in ('--nulls', '--skew', '--dirty')]
+            if a not in ('--nulls', '--skew', '--dirty', '--shuffled')]
     sf_dir = args[0] if args else '/root/testdata/sf0.01'
     only = set(args[1:])
+    selfcmp_src = None
     if '--nulls' in sys.argv[1:]:
         sf_dir = make_null_fixture(sf_dir)
         print(f'[null fixture] {sf_dir}')
@@ -249,6 +276,10 @@ def main():
     elif '--dirty' in sys.argv[1:]:
         sf_dir = make_dirty_fixture(sf_dir)
         print(f'[dirty fixture] {sf_dir}')
+    elif '--shuffled' in sys.argv[1:]:
+        selfcmp_src = sf_dir
+        sf_dir = make_shuffled_fixture(sf_dir)
+        print(f'[shuffled fixture] {sf_dir}')
     import ray
     if not ray.is_initialized():
         ray.init(address='local', num_cpus=8, include_dashboard=False,
@@ -274,7 +305,23 @@ def main():
             res = fn(sf_dir)
             ray_df = res.to_pandas() if hasattr(res, 'to_pandas') else res
             if name not in oracles:
-                print(f'{name}: rows-only ({len(ray_df)} rows) [no oracle]')
+                if selfcmp_src is None:
+                    print(f'{name}: rows-only ({len(ray_df)} rows) '
+                          '[no oracle]')
+                    continue
+                # shuffled mode: the data is IDENTICAL (only row order
+                # moved), so rows-only queries self-compare against the
+                # pristine run — permutation invariance at byte parity
+                res2 = fn(selfcmp_src)
+                base_df = (res2.to_pandas()
+                           if hasattr(res2, 'to_pandas') else res2)
+                problems = compare(name, ray_df, base_df)
+                if not problems:
+                    print(f'{name}: ok ({len(ray_df)} rows) '
+                          '[self-parity]')
+                else:
+                    failures += 1
+                    print(f'{name}: FAIL — ' + '; '.join(problems))
                 continue
             sql_df = con.sql(oracles[name]).df()
             problems = compare(name, ray_df, sql_df)
