@@ -22,6 +22,41 @@ def read_parquet(paths, columns=None, filter=None, **kwargs):
     return rd.read_parquet(paths, columns=columns, **kwargs)
 
 
+def read_parquet_evolved(paths, columns=None, filter=None,
+                         schema: pa.Schema | None = None, **kwargs):
+    """Schema-evolution-tolerant parquet read. Shards of a long-lived
+    corpus are written at different pipeline epochs: later shards add
+    columns, earlier ones carry narrower numeric types. A plain read
+    over such a directory either fails to unify or silently drops the
+    evolution. This reader unifies all fragment schemas BY NAME with
+    permissive type promotion (int32+int64 -> int64, int+float ->
+    float), then reads with the unified schema so missing columns
+    surface as typed nulls — the source-level analogue of the contract
+    algebra's optional ``Key`` defaults.
+
+    Scale: the unification scan touches only parquet FOOTERS (KBs per
+    file, no data pages). At millions of shards pass an explicit
+    ``schema=`` (e.g. from the newest epoch's metadata) to skip the
+    scan entirely. ``columns=`` pruning applies after unification, so
+    a column that exists only in new shards can still be projected.
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    if schema is None:
+        frags = pads.dataset(paths, format='parquet').get_fragments()
+        schema = pa.unify_schemas([f.physical_schema for f in frags],
+                                  promote_options='permissive')
+    # Projection rides the schema: a narrowed explicit schema both
+    # projects and prunes at the scanner. Ray 2.49 rejects schema= and
+    # columns= together (the fragment reader projects but then
+    # re-asserts the full schema), so columns= is never passed through.
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    if filter is not None:
+        kwargs['filter'] = filter
+    return rd.read_parquet(paths, schema=schema, **kwargs)
+
+
 def read_json(paths, columns=None, **kwargs):
     import ray.data as rd
     ds = rd.read_json(paths, **kwargs)
@@ -58,7 +93,8 @@ def read_validated(paths, contract, format: str = 'parquet',
     contracts.validator.drop_quarantine / only_quarantine."""
     from ..contracts import BatchValidator
     reader = {'parquet': read_parquet, 'json': read_json,
-              'csv': read_csv}[format]
+              'csv': read_csv,
+              'parquet_evolved': read_parquet_evolved}[format]
     ds = reader(paths, columns=columns, **kwargs)
     v = BatchValidator(contract)
     return ds.map_batches(v.tag, batch_format='pyarrow',
