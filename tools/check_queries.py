@@ -126,9 +126,13 @@ def make_skew_fixture(src: str, seed: int = 7) -> str:
                              'l_orderkey', pa.array(ok, pa.int64()))
         elif name == 'documents':
             n = 300
-            txt = t.column('text')[0].as_py()
-            lang = t.column('lang')[0].as_py()
-            srcv = t.column('source')[0].as_py()
+
+            def first_valid(col):  # stacked fixtures may null row 0
+                v = pac.drop_null(t.column(col))
+                return v[0].as_py() if len(v) else ''
+            txt = first_valid('text')
+            lang = first_valid('lang')
+            srcv = first_valid('source')
             maxid = int(pac.max(t.column('doc_id')).as_py())
             dup = pa.table({
                 'doc_id': pa.array(np.arange(maxid + 1, maxid + 1 + n,
@@ -218,7 +222,9 @@ def make_dirty_fixture(src: str, rate: float = 0.12,
                 'text': pa.array(txt, pa.string()),
                 'lang': pa.array(lang, pa.string()),
                 'source': pa.array(srcv, pa.string()),
-                'n_chars': pa.array([len(s) for s in txt], pa.int64())})
+                'n_chars': pa.array(
+                    [len(s) if s is not None else None for s in txt],
+                    pa.int64())})
         elif name == 'events' and t.num_rows:
             props = t.column('props').to_pylist()
             etype = t.column('event_type').to_pylist()
@@ -267,16 +273,20 @@ def main():
     sf_dir = args[0] if args else '/root/testdata/sf0.01'
     only = set(args[1:])
     selfcmp_src = None
+    # fixtures STACK (applied in this order) — `--nulls --dirty` runs
+    # the whole gate over a null-bearing AND adversarial-strings copy;
+    # cross-hazard interactions (null text x hostile JSON, skewed hot
+    # keys x permuted order) are where the compound bugs live.
     if '--nulls' in sys.argv[1:]:
         sf_dir = make_null_fixture(sf_dir)
         print(f'[null fixture] {sf_dir}')
-    elif '--skew' in sys.argv[1:]:
+    if '--skew' in sys.argv[1:]:
         sf_dir = make_skew_fixture(sf_dir)
         print(f'[skew fixture] {sf_dir}')
-    elif '--dirty' in sys.argv[1:]:
+    if '--dirty' in sys.argv[1:]:
         sf_dir = make_dirty_fixture(sf_dir)
         print(f'[dirty fixture] {sf_dir}')
-    elif '--shuffled' in sys.argv[1:]:
+    if '--shuffled' in sys.argv[1:]:
         selfcmp_src = sf_dir
         sf_dir = make_shuffled_fixture(sf_dir)
         print(f'[shuffled fixture] {sf_dir}')

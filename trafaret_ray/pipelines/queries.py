@@ -658,7 +658,9 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
                        columns=['vec_id', 'embedding'])
     rows = t0.filter(pc.equal(t0.column('vec_id'), vec_id))\
         .column('embedding').to_pylist()
-    if not rows:          # empty corpus / id absent: caller emits 0 rows
+    # empty corpus / id absent / NULL embedding cell: caller emits 0 rows
+    # (matches the oracle's EXISTS guard on a non-null query vector)
+    if not rows or rows[0] is None:
         return None
     return np.array(rows[0], dtype=np.float64)
 
@@ -675,8 +677,8 @@ def q_ann_topk(sf_dir: str):
     k = 10
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qvec = _query_vec(sf_dir)
-    if qvec is None:
-        return rd.from_arrow(_TOPK_EMPTY.empty_table())
+    if qvec is None:     # keep the schema: empty Datasets lose theirs
+        return _TOPK_EMPTY.empty_table().to_pandas()
     qnorm = np.linalg.norm(qvec)
 
     def topk_batch(tbl: pa.Table) -> pa.Table:
@@ -716,8 +718,8 @@ def q_ivf_topk(sf_dir: str):
     from ..stages.ann import ivf_topk
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qvec = _query_vec(sf_dir)
-    if qvec is None:
-        return rd.from_arrow(_TOPK_EMPTY.empty_table())
+    if qvec is None:     # keep the schema: empty Datasets lose theirs
+        return _TOPK_EMPTY.empty_table().to_pandas()
     return ivf_topk(emb, qvec, k=10, n_clusters=16,
                     nprobe=16, exclude_ids=[0])
 
@@ -854,25 +856,27 @@ ORACLE_SQL = {
     # same oracle as q_ann_topk
     'q_ivf_topk': """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
-                   WHERE vec_id = 0)
+                   WHERE vec_id = 0 AND embedding IS NOT NULL)
         SELECT vec_id,
                round(list_cosine_similarity(embedding::DOUBLE[],
                                             (SELECT qe FROM q)), 6)
                  AS cos_sim
         FROM embeddings
-        WHERE vec_id <> 0
+        WHERE vec_id <> 0 AND embedding IS NOT NULL
+          AND EXISTS (SELECT 1 FROM q)
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
     """,
     'q_ann_topk': """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
-                   WHERE vec_id = 0)
+                   WHERE vec_id = 0 AND embedding IS NOT NULL)
         SELECT vec_id,
                round(list_cosine_similarity(embedding::DOUBLE[],
                                             (SELECT qe FROM q)), 6)
                  AS cos_sim
         FROM embeddings
-        WHERE vec_id <> 0
+        WHERE vec_id <> 0 AND embedding IS NOT NULL
+          AND EXISTS (SELECT 1 FROM q)
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
     """,
