@@ -1,0 +1,174 @@
+"""Regression tests for the round-3 review findings (all reproduced or
+proven before fixing):
+
+  * exact_distinct overcounted when only SOME blocks carried nulls (the
+    pandas round-trip floatified the value column per block, so int 1
+    and float 1.0 hashed to different buckets),
+  * asof_join / asof_join_broadcast matched NULL by-keys to each other
+    (factorize sentinels both sides' nulls to -1),
+  * asof_join cast timestamps straight to int64 (ns-unit inputs made
+    tolerances 1000x too strict),
+  * asof_forward / asof_nearest truncated float on-columns to int64,
+  * grouped_quantiles crashed on nullable numeric group columns (NaN
+    group keys -> ArrowInvalid) and split every null into its own group,
+  * the salted flagship carried INT64_MIN for a NULL chunk-final text
+    instead of NULL prev_text_len,
+  * broadcast_join's per-batch from_pandas had no explicit schema
+    (left-join null-padding floatified int columns in some blocks only),
+  * heavy_hitters' exactness certificate ignored head(m)-dropped
+    candidates, so it could certify a WRONG top-k as exact.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def test_exact_distinct_mixed_null_blocks(ray_session):
+    from trafaret_ray.stages.sketches import exact_distinct
+    ta = pa.table({'g': pa.array(['a'] * 100),
+                   'v': pa.array([1, 2] * 50, type=pa.int64())})
+    tb = pa.table({'g': pa.array(['a'] * 100),
+                   'v': pa.array([1, None] * 50, type=pa.int64())})
+    out = exact_distinct(_rd().from_arrow([ta, tb]), 'g', 'v').to_pandas()
+    assert out.set_index('g')['n_distinct'].to_dict() == {'a': 2}
+
+
+def test_asof_join_null_by_keys_never_match(ray_session):
+    from trafaret_ray.stages.joins import asof_join, asof_join_broadcast
+    left = pa.table({'e': pa.array([None, 'u'], type=pa.string()),
+                     'ts': pa.array([10, 10], type=pa.int64())})
+    right = pa.table({'e': pa.array([None, 'u'], type=pa.string()),
+                      'ts': pa.array([5, 5], type=pa.int64()),
+                      'val': pa.array([111, 222], type=pa.int64())})
+    outs = {
+        'hash': asof_join(_rd().from_arrow(left), _rd().from_arrow(right),
+                          by='e', on='ts', value_cols=['val'],
+                          left_schema=left.schema,
+                          right_schema=right.schema),
+        'broadcast': asof_join_broadcast(_rd().from_arrow(left), right,
+                                         by='e', on='ts',
+                                         value_cols=['val']),
+    }
+    for name, out in outs.items():
+        df = out.to_pandas().sort_values('e', na_position='first')\
+            .reset_index(drop=True)
+        assert pd.isna(df.loc[0, 'val_state']), name  # NULL by: no match
+        assert df.loc[1, 'val_state'] == 222, name
+
+
+def test_asof_join_ns_timestamps_use_us_tolerance(ray_session):
+    from trafaret_ray.stages.joins import asof_join
+    # 90 s gap; tolerance 120 s in MICROSECONDS must match even when the
+    # column arrives as timestamp('ns')
+    lts = pa.array(np.array([200_000_000_000], dtype='datetime64[ns]'))
+    rts = pa.array(np.array([110_000_000_000], dtype='datetime64[ns]'))
+    left = pa.table({'e': ['u'], 'ts': lts})
+    right = pa.table({'e': ['u'], 'ts': rts,
+                      'val': pa.array([7], type=pa.int64())})
+    out = asof_join(_rd().from_arrow(left), _rd().from_arrow(right),
+                    by='e', on='ts', value_cols=['val'],
+                    tolerance=120_000_000,
+                    left_schema=left.schema, right_schema=right.schema)
+    assert out.to_pandas()['val_state'].tolist() == [7]
+
+
+def test_asof_forward_nearest_float_on():
+    from trafaret_ray.stages.window import asof_forward, asof_nearest
+    g = np.zeros(1, dtype=np.int64)
+    rg = np.zeros(2, dtype=np.int64)
+    rts = np.array([2.1, 2.9])
+    # forward from 2.5: int64 truncation maps everything to 2 and finds
+    # nothing; the true forward match is 2.9
+    idx, ok = asof_forward(np.array([2.5]), g, rts, rg)
+    assert ok[0] and rts[idx[0]] == 2.9
+    # nearest to 2.6: backward candidate 2.1 (d=0.5), forward 2.9
+    # (d=0.3) -> forward must win on the sub-unit gap
+    idx, ok = asof_nearest(np.array([2.6]), g, rts, rg)
+    assert ok[0] and rts[idx[0]] == 2.9
+    # empty right side: no crash, nothing matched
+    idx, ok = asof_nearest(np.array([1.0]), g, np.array([]),
+                           np.array([], dtype=np.int64))
+    assert not ok[0]
+
+
+def test_grouped_quantiles_nullable_int_groups(ray_session):
+    from trafaret_ray.stages.aggregate import grouped_quantiles
+    t = pa.table({'g': pa.array([1, 1, None, None, 2, 2], type=pa.int64()),
+                  'v': pa.array([1.0, 3.0, 10.0, 20.0, 5.0, 7.0])})
+    out = grouped_quantiles(_rd().from_arrow(t), 'g', 'v', [0.5])\
+        .to_pandas()
+    got = {(-1 if pd.isna(g) else int(g)): v
+           for g, v in zip(out['g'], out['value'])}
+    # NULL is ONE group (SQL GROUP BY), not one group per null row
+    assert got == {1: 2.0, -1: 15.0, 2: 6.0}
+
+
+def test_broadcast_join_left_schema_stable(ray_session):
+    from trafaret_ray.stages.joins import broadcast_join
+    small = pa.table({'k': pa.array([1], type=pa.int64()),
+                      'r': pa.array([100], type=pa.int64())})
+    # block A fully matches; block B has zero matches (all-null padding)
+    ta = pa.table({'k': pa.array([1, 1], type=pa.int64())})
+    tb = pa.table({'k': pa.array([2, 2], type=pa.int64())})
+    out = broadcast_join(_rd().from_arrow([ta, tb]), small, on='k',
+                         how='left')
+    tab = pa.concat_tables(
+        out.iter_batches(batch_size=None, batch_format='pyarrow'))
+    assert tab.schema.field('r').type == pa.int64()
+    df = tab.to_pandas().sort_values('k').reset_index(drop=True)
+    assert df['r'].tolist()[:2] == [100, 100]
+    assert df['r'].isna().tolist() == [False, False, True, True]
+
+
+def test_heavy_hitters_certificate_covers_dropped_candidates(ray_session):
+    from trafaret_ray.stages.sketches import heavy_hitters
+    # Two blocks, k=1, expansion=2 (m=2). Block 1 (no truncation):
+    # A x9, D x7. Block 2 (truncates to top-2): C x10, E x9, D x5
+    # hidden under cut=9. Candidate union: C:10, A:9, E:9, D:7 ->
+    # head(2) keeps {C, A}; exact kth = 10 > T = 9, so the OLD
+    # certificate declared [C:10] exact — but D's true count is 12.
+    t1 = pa.table({'v': pa.array(['A'] * 9 + ['D'] * 7)})
+    t2 = pa.table({'v': pa.array(['C'] * 10 + ['E'] * 9 + ['D'] * 5)})
+    out = heavy_hitters(_rd().from_arrow([t1, t2]), 'v', k=1, expansion=2)\
+        .to_pandas()
+    assert out['v'].tolist() == ['D']
+    assert out['n'].tolist() == [12]
+
+
+def test_salted_flagship_null_text_at_chunk_boundary(ray_session):
+    import pyarrow.compute as pc
+
+    from trafaret_ray.pipelines.flagship import feature_dataset
+    from trafaret_ray.stages.salting import flagship_features_salted
+    n = 300
+    ts = pa.array(
+        np.arange(n) * 1_000_000, type=pa.int64()).cast(pa.timestamp('us'))
+    text = pa.array([None if i % 100 == 99 else 't' * (i % 7 + 1)
+                     for i in range(n)], type=pa.string())
+    tbl = pa.table({
+        'conv_id': pa.array(['c0'] * n),
+        'turn_idx': pa.array(np.arange(n, dtype=np.int64)),
+        'role': pa.array(['user', 'assistant'] * (n // 2)),
+        'text': text,
+        'tool': pa.array([None] * n, type=pa.string()),
+        'ts': ts,
+    })
+    ds = _rd().from_arrow(tbl)
+    cols = ['conv_id', 'turn_idx', 'prev_text_len', 'session_id',
+            'pos_in_session', 'time_since_prev_s']
+    plain = feature_dataset(ds).to_pandas()[cols]\
+        .sort_values(['conv_id', 'turn_idx']).reset_index(drop=True)
+    # chunk_rows=100 puts the NULL text (idx 99, 199) at chunk ends
+    salted = flagship_features_salted(ds, max_group_rows=100,
+                                      chunk_rows=100).to_pandas()[cols]\
+        .sort_values(['conv_id', 'turn_idx']).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
+    # the carried lag on each later chunk's first row is NULL, not junk
+    assert pd.isna(salted.loc[100, 'prev_text_len'])
+    assert pd.isna(salted.loc[200, 'prev_text_len'])

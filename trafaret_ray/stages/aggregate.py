@@ -322,13 +322,21 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs,
         gnp = groups.to_numpy(zero_copy_only=False)
         starts = np.ones(len(gnp), dtype=bool)
         starts[1:] = gnp[1:] != gnp[:-1]
+        if gnp.dtype.kind == 'f':
+            # a nullable numeric group column materializes as float64
+            # with NaN, and NaN != NaN would make every null row its own
+            # group (then pa.array(NaN, int64) crashes) — NULL is ONE
+            # group, like histogram_quantiles / SQL GROUP BY
+            starts[1:] &= ~(np.isnan(gnp[1:]) & np.isnan(gnp[:-1]))
         lo = np.nonzero(starts)[0]
         hi = np.append(lo[1:], len(gnp))
         out_g, out_q, out_v = [], [], []
         for s, e in zip(lo, hi):
             pv = np.percentile(vals[s:e], [q * 100 for q in qs],
                                method='linear')
-            out_g.extend([gnp[s]] * len(qs))
+            # key from the ARROW array: None for null, exact value
+            # otherwise (the numpy view floatifies nullable ints)
+            out_g.extend([groups[int(s)].as_py()] * len(qs))
             out_q.extend(qs)
             out_v.extend(np.round(pv, ndigits))
         return pa.table({group_col: pa.array(out_g, type=groups.type),

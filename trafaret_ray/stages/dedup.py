@@ -319,12 +319,19 @@ def minhash_candidates(ds, text_col='text', id_col='doc_id', num_perm=128,
                                  shingle_k, seed)
 
     def pairs(tbl: pa.Table) -> pa.Table:
+        # explicit schema (CLAUDE.md from_pandas rule): inference would
+        # emit whatever pandas guesses per bucket — non-int64 doc ids or
+        # an empty bucket would then disagree with sibling blocks
+        id_t = (tbl.schema.field(id_col).type
+                if id_col in tbl.schema.names else pa.int64())
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t)])
         df = tbl.to_pandas()
         m = df.merge(df, on=['band_id', 'band_hash'], suffixes=('_a', '_b'))
         m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
         out = m[[f'{id_col}_a', f'{id_col}_b']].drop_duplicates()
         out.columns = ['doc_a', 'doc_b']
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=out_schema)
 
     from .conversations import bucket_exchange
     cand = bucket_exchange(index, 'band_hash', pairs, num_buckets)
@@ -455,6 +462,13 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
     index = ds.map_batches(sig, batch_format='pyarrow', zero_copy_batch=True)
 
     def pairs(tbl: pa.Table) -> pa.Table:
+        # explicit schema (CLAUDE.md from_pandas rule): the empty path
+        # and the populated path must emit the SAME types for any id
+        # dtype, or blocks disagree nondeterministically with packing
+        id_t = (tbl.schema.field(id_col).type
+                if id_col in tbl.schema.names else pa.int64())
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                                ('hamming', pa.int64())])
         df = tbl.to_pandas()
         # a chunk value shared by > max_bucket docs is non-discriminative
         # (stop-pattern); drop it — near-dups still match on their other
@@ -465,9 +479,7 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
         m = df.merge(df, on=['chunk_id', 'chunk_val'], suffixes=('_a', '_b'))
         m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
         if len(m) == 0:
-            return pa.table({'doc_a': pa.array([], pa.int64()),
-                             'doc_b': pa.array([], pa.int64()),
-                             'hamming': pa.array([], pa.int64())})
+            return out_schema.empty_table()
         hd = T.hamming_distance(
             m['sim_a'].to_numpy(dtype=np.int64).view(np.uint64),
             m['sim_b'].to_numpy(dtype=np.int64).view(np.uint64))
@@ -476,7 +488,8 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
         out = m[[f'{id_col}_a', f'{id_col}_b', 'hamming']]\
             .drop_duplicates([f'{id_col}_a', f'{id_col}_b'])
         out.columns = ['doc_a', 'doc_b', 'hamming']
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=out_schema)
 
     from .conversations import bucket_exchange
     cand = bucket_exchange(index, 'chunk_val', pairs, num_buckets)

@@ -37,7 +37,11 @@ def broadcast_join(ds, small, on, how: str = 'inner',
     """Join a Dataset against a small pandas DataFrame / pyarrow Table:
     ``ray.put`` once, pandas merge per batch inside an actor pool."""
     if isinstance(small, pa.Table):
+        small_schema = small.schema
         small = small.to_pandas()
+    else:
+        small_schema = pa.Schema.from_pandas(small)
+    rtypes = {f.name: f.type for f in small_schema}
     ref = ray.put(small)
 
     class Joiner:
@@ -47,7 +51,18 @@ def broadcast_join(ds, small, on, how: str = 'inner',
         def __call__(self, tbl: pa.Table) -> pa.Table:
             df = tbl.to_pandas()
             out = df.merge(self.small, on=on, how=how)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # EXPLICIT schema (CLAUDE.md from_pandas rule): an outer/left
+            # merge null-pads int64 columns to float64 in SOME batches
+            # only, and an all-null batch re-infers string as float64 —
+            # per-batch inference then breaks block schema unification
+            # nondeterministically. Types come from the input sides;
+            # suffixed/derived columns fall back to this batch's inference.
+            ltypes = {f.name: f.type for f in tbl.schema}
+            inferred = pa.Schema.from_pandas(out, preserve_index=False)
+            fields = [(n, ltypes.get(n) or rtypes.get(n)
+                       or inferred.field(n).type) for n in out.columns]
+            return pa.Table.from_pandas(out, preserve_index=False,
+                                        schema=pa.schema(fields))
 
     return ds.map_batches(Joiner, batch_format='pyarrow',
                           concurrency=concurrency)
@@ -343,11 +358,21 @@ def asof_join(left, right, by: str, on: str, value_cols,
     def match(tbl: pa.Table) -> pa.Table:
         tbl = tbl.drop_columns([BUCKET_COL])
         side = tbl.column('_side').to_numpy(zero_copy_only=False)
-        by_vals = tbl.column(by).to_numpy(zero_copy_only=False)
-        codes, _ = pd.factorize(by_vals)
+        by_arr = tbl.column(by).combine_chunks()
+        # SQL equality semantics: NULL by-keys never match each other.
+        # factorize maps every null to sentinel -1 on BOTH sides, which
+        # would silently join null-entity left rows to null-entity state.
+        by_valid = np.asarray(by_arr.is_valid().to_numpy(
+            zero_copy_only=False), dtype=bool)
+        codes, _ = pd.factorize(by_arr.to_numpy(zero_copy_only=False))
         on_vals = tbl.column(on).combine_chunks()
         if pa.types.is_timestamp(on_vals.type):
-            on_np = on_vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # normalize to us BEFORE the int64 cast (CLAUDE.md: pandas
+            # round-trips produce ns and silently inflate gaps and
+            # tolerances 1000x)
+            us_t = pa.timestamp('us', on_vals.type.tz)
+            on_np = on_vals.cast(us_t).cast(pa.int64())\
+                .to_numpy(zero_copy_only=False)
         else:
             on_np = on_vals.to_numpy(zero_copy_only=False)
         # SQL ASOF semantics for nulls: a null-ts state row is never
@@ -358,7 +383,7 @@ def asof_join(left, right, by: str, on: str, value_cols,
         lmask = side == 0
         rmask = side == 1
         li = np.nonzero(lmask)[0]
-        ri = np.nonzero(rmask & on_valid)[0]
+        ri = np.nonzero(rmask & on_valid & by_valid)[0]
         if direction == 'backward':
             idx, ok = asof_backward(on_np[li], codes[li], on_np[ri],
                                     codes[ri], allow_exact=allow_exact)
@@ -376,6 +401,7 @@ def asof_join(left, right, by: str, on: str, value_cols,
             delta = np.abs(on_np[li] - on_np[ri][idx])
             ok &= delta <= tolerance
         ok &= on_valid[li]
+        ok &= by_valid[li]
         out_cols = {}
         for c in (by, on, *lcols):
             out_cols[c] = tbl.column(c).take(pa.array(li, type=pa.int64()))
@@ -554,8 +580,11 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
     from .window import asof_backward
 
     sdf = state.to_pandas()
-    # null-ts state rows are never 'prior to' anything (SQL ASOF)
-    sdf = sdf[sdf[on].notna()].reset_index(drop=True)
+    # null-ts state rows are never 'prior to' anything, and a null
+    # by-key never equals anything (SQL ASOF: NULL=NULL is not true) —
+    # factorize would otherwise sentinel both sides' nulls to -1 and
+    # match them
+    sdf = sdf[sdf[on].notna() & sdf[by].notna()].reset_index(drop=True)
     # carry the state columns' ARROW types: every null/empty path must
     # emit the same column type as matched blocks, or blocks disagree on
     # schema downstream
@@ -590,9 +619,12 @@ def asof_join_broadcast(ds, state: pa.Table, by: str, on: str,
             codes, _ = pd.factorize(np.concatenate([lby, self.by_vals]))
             lcodes, rcodes = codes[:n], codes[n:]
             idx, ok = asof_backward(lts, lcodes, self.ts, rcodes)
-            # a null-ts left row never matches (SQL ASOF)
+            # a null-ts or null-by left row never matches (SQL ASOF;
+            # state-side nulls were filtered at build)
             ok &= np.asarray(on_arr.is_valid().to_numpy(
                 zero_copy_only=False), dtype=bool)
+            ok &= np.asarray(tbl.column(by).combine_chunks().is_valid()
+                             .to_numpy(zero_copy_only=False), dtype=bool)
             for c in value_cols:
                 vals = np.asarray(self.vals[c])
                 if len(vals) == 0:

@@ -86,8 +86,11 @@ def _chunk_summaries(tbl: pa.Table, gap_us: int) -> pa.Table:
     tool_np = tool.to_numpy(zero_copy_only=False)
     tool_valid = np.asarray(tool.is_valid().to_numpy(zero_copy_only=False),
                             dtype=bool)
-    text_len = pc.utf8_length(tbl.column('text').combine_chunks())\
-        .to_numpy(zero_copy_only=False)
+    # KEEP NULLS: a NULL chunk-final text must carry as NULL prev_text_len
+    # (the unsalted lag emits NULL there); the numpy view would floatify
+    # to NaN and .astype(int64) turns that into INT64_MIN garbage
+    text_len_arr = pc.cast(
+        pc.utf8_length(tbl.column('text').combine_chunks()), pa.int64())
 
     lo = np.nonzero(starts)[0]
     hi = np.append(lo[1:], len(keys)) - 1
@@ -117,7 +120,7 @@ def _chunk_summaries(tbl: pa.Table, gap_us: int) -> pa.Table:
         'last_ts': ts[hi],
         'last_role': role[hi],
         'first_role': role[lo],
-        'last_text_len': text_len[hi].astype(np.int64),
+        'last_text_len': text_len_arr.take(pa.array(hi, type=pa.int64())),
         'inner_sessions': inner_sessions.astype(np.int64),
         'tail_rows': tail_rows[hi].astype(np.int64),
         'has_tool': seg_last_tool >= 0,
@@ -125,7 +128,8 @@ def _chunk_summaries(tbl: pa.Table, gap_us: int) -> pa.Table:
                               tool_np[np.maximum(seg_last_tool, 0)], None),
         'last_tool_ts': ts[np.maximum(seg_last_tool, 0)],
     }
-    return pa.table({k: pa.array(v) for k, v in rows.items()})
+    return pa.table({k: (v if isinstance(v, (pa.Array, pa.ChunkedArray))
+                         else pa.array(v)) for k, v in rows.items()})
 
 
 def _scan_carry(summaries: pd.DataFrame, gap_us: int) -> dict:
@@ -146,7 +150,10 @@ def _scan_carry(summaries: pd.DataFrame, gap_us: int) -> dict:
                 carry[(conv, int(row['salt']))] = {
                     'prev_ts': int(prev['last_ts']),
                     'prev_role': prev['last_role'],
-                    'prev_text_len': int(prev['last_text_len']),
+                    # NULL-text chunk end: carry None (pandas surfaces
+                    # the arrow null as NaN), matching the unsalted lag
+                    'prev_text_len': (None if pd.isna(prev['last_text_len'])
+                                      else int(prev['last_text_len'])),
                     'session_base': session_base,
                     'boundary_new': bool(boundary_new),
                     'open_run': 0 if boundary_new else int(open_run),

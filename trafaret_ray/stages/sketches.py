@@ -244,9 +244,12 @@ def exact_distinct(ds, group_col: str, value_col: str):
     (group, value) partials per batch → one exchange of distinct pairs →
     count per group. Returns (group, n_distinct)."""
     def dedup(tbl: pa.Table) -> pa.Table:
-        df = tbl.select([group_col, value_col]).to_pandas()\
-            .drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # distinct pairs IN ARROW: a pandas round-trip here floatifies a
+        # nullable int value column in null-bearing batches only, so the
+        # same value hashes to two different buckets (int 1 vs float
+        # 1.0) and n_distinct overcounts (CLAUDE.md from_pandas rule)
+        sel = tbl.select([group_col, value_col])
+        return sel.group_by([group_col, value_col]).aggregate([])
 
     pairs = ds.map_batches(dedup, batch_format='pyarrow',
                            zero_copy_batch=True)
@@ -283,8 +286,11 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
          top-k by (count desc, value asc).
 
     Exactness proof: a key absent from batch b's summary has local
-    count <= cut_b, so any missed key's global count <= T = sum(cut_b).
-    If the k-th exact candidate count > T the result is provably exact;
+    count <= cut_b, so a never-summarized key's global count <= T =
+    sum(cut_b), and a candidate dropped at the driver's head(m) cut has
+    true count <= its summed partial + T. If the k-th exact candidate
+    count beats BOTH bounds (kth > T + max dropped partial) the result
+    is provably exact;
     otherwise the operator FALLS BACK to a full exact group count —
     output is always exact, the sketch only saves work when the
     distribution allows. The driver-side candidate union is bounded by
@@ -344,7 +350,12 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
                                        'n': pa.array([], pa.int64())}))
     threshold = int(cand['cut'].sum()) if len(cand) else 0
     cand = cand.sort_values(['n', col],
-                            ascending=[False, True]).head(m)
+                            ascending=[False, True])
+    # a candidate dropped at head(m) was truncated in SOME batches, so
+    # its true count can reach (its summed partial + T) — the certificate
+    # must clear that bound too, not just the never-seen-key bound T
+    dropped_max = int(cand['n'].iloc[m]) if len(cand) > m else 0
+    cand = cand.head(m)
     null_cand = cand[col].isna().any()
     cand_ref = _ray.put(pa.array(cand[col].dropna().to_numpy()))
 
@@ -368,7 +379,9 @@ def heavy_hitters(ds, col: str, k: int = 20, expansion: int = 16,
         ['n', col], ascending=[False, True],
         na_position='last', kind='stable').head(k).reset_index(drop=True)
     kth = int(top['n'].iloc[-1]) if len(top) >= k else 0
-    if kth > threshold:
+    # exact iff no missed key can reach kth: never-summarized keys are
+    # bounded by T, head(m)-dropped candidates by dropped_max + T
+    if kth > threshold + dropped_max:
         import ray.data as rd
         return rd.from_pandas(top)
     # the sketch cannot certify exactness on this distribution: run the

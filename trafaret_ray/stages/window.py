@@ -222,8 +222,15 @@ def asof_forward(left_ts: np.ndarray, left_group: np.ndarray,
     group. The exact timestamp-negated mirror of ``asof_backward`` —
     same vectorized merge-rank, same input-order tie-break among equal
     right timestamps."""
-    return asof_backward(-np.asarray(left_ts, dtype=np.int64), left_group,
-                         -np.asarray(right_ts, dtype=np.int64),
+    # negate in the NATIVE dtype — an int64 cast would truncate float
+    # on-columns (2.9 -> 2) and match against the wrong values; unsigned
+    # ints must widen first or negation wraps
+    lt, rt = np.asarray(left_ts), np.asarray(right_ts)
+    if lt.dtype.kind == 'u':
+        lt = lt.astype(np.int64)
+    if rt.dtype.kind == 'u':
+        rt = rt.astype(np.int64)
+    return asof_backward(-lt, left_group, -rt,
                          right_group, allow_exact=allow_exact)
 
 
@@ -234,14 +241,24 @@ def asof_nearest(left_ts: np.ndarray, left_group: np.ndarray,
     ``|right.ts - left.ts|``; on a distance tie the BACKWARD candidate
     wins (deterministic). ``allow_exact=True`` (default, pandas-like)
     lets an equal-timestamp row match at distance zero."""
+    if len(right_ts) == 0 or len(left_ts) == 0:
+        return (np.zeros(len(left_ts), dtype=np.int64),
+                np.zeros(len(left_ts), dtype=bool))
     bi, bok = asof_backward(left_ts, left_group, right_ts, right_group,
                             allow_exact=allow_exact)
     fi, fok = asof_forward(left_ts, left_group, right_ts, right_group,
                            allow_exact=False)
-    lts = np.asarray(left_ts, dtype=np.int64)
-    rts = np.asarray(right_ts, dtype=np.int64)
-    bd = np.where(bok, lts - rts[bi], np.iinfo(np.int64).max)
-    fd = np.where(fok, rts[fi] - lts, np.iinfo(np.int64).max)
+    # distances in the native width: an int64 cast truncates float
+    # on-columns and can flip which side is nearer on sub-unit gaps
+    lts, rts = np.asarray(left_ts), np.asarray(right_ts)
+    if lts.dtype.kind == 'f' or rts.dtype.kind == 'f':
+        lts, rts = lts.astype(np.float64), rts.astype(np.float64)
+        big = np.inf
+    else:
+        lts, rts = lts.astype(np.int64), rts.astype(np.int64)
+        big = np.iinfo(np.int64).max
+    bd = np.where(bok, lts - rts[bi], big)
+    fd = np.where(fok, rts[fi] - lts, big)
     use_f = fok & (~bok | (fd < bd))
     idx = np.where(use_f, fi, bi)
     return idx, bok | fok
