@@ -172,3 +172,53 @@ def test_salted_flagship_null_text_at_chunk_boundary(ray_session):
     # the carried lag on each later chunk's first row is NULL, not junk
     assert pd.isna(salted.loc[100, 'prev_text_len'])
     assert pd.isna(salted.loc[200, 'prev_text_len'])
+
+
+def test_json_scalar_escaped_quote_values():
+    import duckdb
+
+    from trafaret_ray.functions.text import json_scalar
+    cases = [
+        '{"k": "say \\"hi\\""}',       # value ends in an escaped quote
+        '{"k": "\\\\"}',               # value is a single backslash
+        '{"k": "a\\"b"}', '{"k": ""}', '{"k": "tail\\\\"}',
+        '{"esc": "tricky\\"", "k": 21}',   # hostile sibling
+    ]
+    got = json_scalar(pa.array(cases), 'k').to_pylist()
+    want = [duckdb.sql(
+        "select json_extract_string('"
+        + c.replace("'", "''") + "', '$.k')").fetchone()[0]
+        for c in cases]
+    assert got == want
+
+
+def test_curate_documents_string_ids(ray_session):
+    from trafaret_ray.pipelines.curation import curate_documents
+    text = ('the quick brown fox jumps over the lazy dog and then '
+            'keeps running for a while longer')
+    tbl = pa.table({
+        'doc_id': pa.array([f'doc-{i:03d}' for i in range(40)]),
+        'text': pa.array([text if i % 2 else text + f' extra {i}'
+                          for i in range(40)]),
+    })
+    out = curate_documents(_rd().from_arrow(tbl), langs=('en',),
+                           min_words=3, near_threshold=0.95,
+                           num_buckets=4).to_pandas()
+    assert len(out) >= 1
+    assert out['doc_id'].map(lambda v: isinstance(v, str)).all()
+
+
+def test_transcripts_single_defect_per_bad_row(ray_session):
+    import pyarrow.compute as pc
+
+    from trafaret_ray.contracts import BatchValidator, only_quarantine
+    from trafaret_ray.sources.transcripts import (generate_table,
+                                                  transcript_contract)
+    tbl = generate_table(20000, seed=11, malformed_frac=0.2)
+    v = BatchValidator(transcript_contract())
+    tagged = v.tag(tbl)
+    q = only_quarantine(tagged)
+    import json
+    errs = [json.loads(e) for e in q.column('_errors').to_pylist()]
+    multi = [e for e in errs if len(e) != 1]
+    assert not multi, f'{len(multi)} bad rows carry >1 defect: {multi[:3]}'

@@ -181,6 +181,8 @@ DIRTY_PROPS = [
     '{"kk": 9, "k": 12}',                                 # prefix-name trap
     '{"a": {"k": 99}, "k": 4}',                           # nested decoy k
     '{"k": -17, "esc": "a\\"b\\\\c"}',                    # escaped quotes
+    '{"esc": "tricky\\"", "k": 21}',     # sibling ENDS in escaped quote
+    '{"esc": "\\\\", "k": 8}',           # sibling is a lone backslash
 ]
 
 

@@ -295,9 +295,11 @@ def deterministic_sample(ds, col: str, rate: float, salt: str = ''):
     return ds.map_batches(f, batch_format='pyarrow', zero_copy_batch=True)
 
 
-def rolling_fingerprint(text: pa.Array, window: int = 64) -> pa.Array:
-    """Deterministic document fingerprint: uint64 polynomial rolling hash
-    of the full text (content-addressed identity for exact dedup)."""
+def rolling_fingerprint(text: pa.Array) -> pa.Array:
+    """Deterministic document fingerprint: one 64-bit content hash of the
+    FULL text (content-addressed identity for exact dedup). Whole-string,
+    not windowed — chunk-level near-dup identity lives in the shingle /
+    minhash / simhash family, not here."""
     vals = text.to_numpy(zero_copy_only=False)
     h = pd.util.hash_array(vals, hash_key=_HASH_KEY, categorize=False)
     # int64 view: same 64 bits, but survives pandas/duckdb round-trips
@@ -505,10 +507,14 @@ def json_scalar(text, key: str):
            + r'(?:[eE][+-]?\d+)?|true|false|null)')
     struct = pc.extract_regex(src, pattern=pat)
     raw = pc.struct_field(struct, 'v')
-    # string values come back with their quotes: strip them and unescape
+    # string values come back with their quotes: strip EXACTLY ONE quote
+    # per side (utf8_trim eats a whole run, so a value ending in an
+    # escaped quote like "say \"hi\"" would lose its real closing char
+    # too), then unescape
     quoted = pc.match_substring_regex(raw, r'^".*"$')
     stripped = pc.replace_substring_regex(
-        pc.utf8_trim(raw, '"'), pattern=r'\\(.)', replacement=r'\1')
+        pc.replace_substring_regex(raw, pattern=r'^"|"$', replacement=''),
+        pattern=r'\\(.)', replacement=r'\1')
     unquoted = pc.if_else(quoted, stripped, raw)
     # JSON null -> SQL NULL
     return pc.if_else(pc.equal(unquoted, 'null'),

@@ -66,26 +66,60 @@ def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
     # corpus must never ride an exchange just to find duplicates (a
     # 64-bit content hash stands in for text equality, the same
     # documented collision tradeoff as q_exact_dedup_docs).
+    # the empty-block fallbacks must carry the CORPUS id type (string
+    # ids are legal) — a hardcoded int64 empty block would disagree
+    # with sibling blocks and fail unification nondeterministically.
+    # ``ds`` is the caller's INPUT dataset, so .schema() is free
+    # (parquet metadata), never a derived execution.
+    in_schema = ds.schema()
+    id_type = (dict(zip(in_schema.names, in_schema.types))[id_col]
+               if in_schema is not None else pa.int64())
+
     canon = exact_dedup(cleaned, text_col='text_norm', id_col=id_col)
     ids_only = canon.map_batches(lambda t: t.select([id_col])
                                  if id_col in t.column_names else
                                  pa.table({id_col: pa.array([],
-                                                            pa.int64())}),
+                                                            id_type)}),
                                  batch_format='pyarrow')
     exact_unique = semi_join(cleaned, ids_only, id_col).materialize()
 
     # near-dedup over the exact-unique survivors: drop every cluster
-    # member except the canonical (min id)
-    clusters = minhash_dedup(exact_unique, text_col='text_norm',
-                             id_col=id_col, threshold=near_threshold,
+    # member except the canonical. The LSH/graph machinery keys on
+    # int64 node ids (stages/dedup.py, stages/graph.py) — integer
+    # corpora pass ids through; any other id type rides a deterministic
+    # 64-bit surrogate (`pd.util.hash_array` of the id), the same 2^-64
+    # collision tradeoff as the exact-dedup fingerprint, and the kept
+    # canonical becomes "min surrogate" (deterministic, arbitrary).
+    if pa.types.is_integer(id_type):
+        near_in, near_id = exact_unique, id_col
+    else:
+        import pandas as pd
+
+        def add_sid(tbl: pa.Table) -> pa.Table:
+            sid = pd.util.hash_array(
+                tbl.column(id_col).to_numpy(zero_copy_only=False),
+                categorize=False).view(np.int64)
+            return tbl.append_column('_sid', pa.array(sid, pa.int64()))
+
+        near_in = exact_unique.map_batches(add_sid, batch_format='pyarrow',
+                                           zero_copy_batch=True)
+        near_id = '_sid'
+    clusters = minhash_dedup(near_in, text_col='text_norm',
+                             id_col=near_id, threshold=near_threshold,
                              num_buckets=num_buckets)
+    near_id_type = id_type if near_id == id_col else pa.int64()
 
     def non_canon(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0 or id_col not in tbl.column_names:
-            return pa.table({id_col: pa.array([], pa.int64())})
-        keep = pc.not_equal(tbl.column(id_col),
+        if tbl.num_rows == 0 or near_id not in tbl.column_names:
+            return pa.table({near_id: pa.array([], near_id_type)})
+        keep = pc.not_equal(tbl.column(near_id),
                             tbl.column('cluster_id'))
-        return tbl.filter(keep).select([id_col])
+        return tbl.filter(keep).select([near_id])
 
     drop_ids = clusters.map_batches(non_canon, batch_format='pyarrow')
-    return anti_join(exact_unique, drop_ids, id_col)
+    kept = anti_join(near_in, drop_ids, near_id)
+    if near_id == id_col:
+        return kept
+    return kept.map_batches(
+        lambda t: t.drop_columns(['_sid']) if '_sid' in t.column_names
+        else t, batch_format='pyarrow')

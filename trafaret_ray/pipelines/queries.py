@@ -256,7 +256,11 @@ def q_top_customers(sf_dir: str):
 
     def attach(tbl: pa.Table) -> pa.Table:
         idx = pc.index_in(tbl.column('o_custkey'), value_set=dim_keys)
-        return tbl.append_column('c_name', dim_names.take(idx))
+        # INNER-join parity: a dangling o_custkey (no customer row)
+        # drops, while a matched customer with a NULL c_name keeps its
+        # row — same split as q_region_revenue / q_returned_revenue
+        tbl = tbl.append_column('c_name', dim_names.take(idx))
+        return tbl.filter(pc.is_valid(idx))
 
     joined = per_cust.map_batches(attach, batch_format='pyarrow')
     from ..stages.aggregate import global_topk
@@ -634,8 +638,8 @@ def q_token_stats(sf_dir: str):
     ds = _read(sf_dir, 'documents', ['lang', 'text', 'n_chars'])
 
     def derive(tbl: pa.Table) -> pa.Table:
-        toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
-                      pa.scalar(1, type=pa.int64()))
+        from ..functions.text import whitespace_token_count
+        toks = whitespace_token_count(tbl.column('text'))
         return tbl.append_column('n_tokens', pc.cast(toks, pa.int64()))
 
     ds = ds.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True)
@@ -1040,12 +1044,18 @@ def q_cosine_pairs(sf_dir: str):
                              dtype=np.float64).reshape(len(la), -1)
             sims = (mat @ self.mat0.T) / np.outer(
                 np.linalg.norm(mat, axis=1), self.norm0)
-            ia, ib = np.nonzero(sims >= threshold)
+            # row-picking float compare: round BOTH engines to int64
+            # micro-units first (CLAUDE.md fixed-point discipline —
+            # numpy's blocked dot and DuckDB's sequential loop disagree
+            # in the last ulp, which flips pairs sitting on the cut)
+            sim6 = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+            ia, ib = np.nonzero(sim6 >= int(round(threshold * 1e6)))
             keep = ids[ia] < self.ids0[ib]
             return pa.table({
                 'id_a': pa.array(ids[ia[keep]]),
                 'id_b': pa.array(self.ids0[ib[keep]]),
-                'cos_sim': pa.array(np.round(sims[ia[keep], ib[keep]], 6)),
+                'cos_sim': pa.array(
+                    sim6[ia[keep], ib[keep]].astype(np.float64) / 1e6),
             })
 
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
@@ -1259,13 +1269,17 @@ ORACLE_SQL.update({
         WHERE embedding IS NOT NULL   -- a NULL vector can't pair
         ORDER BY id_a
     """,
+    # threshold and output in int64 micro-units on BOTH engines: the
+    # raw-double cut flips pairs within 1 ulp of 0.3 (summation order)
     'q_cosine_pairs': """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-                   FROM embeddings WHERE vec_id < 1000)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+                   FROM embeddings WHERE vec_id < 1000),
+        s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     cast(floor(list_cosine_similarity(a.emb, b.emb)
+                                * 1e6 + 0.5) AS BIGINT) AS sim6
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, sim6 / 1e6 AS cos_sim
+        FROM s WHERE sim6 >= 300000
         ORDER BY id_a, id_b
     """,
 })
@@ -1817,20 +1831,24 @@ def q_zscore_events(sf_dir: str):
             .astype(np.float64)
         nnrow = ~np.isnan(v6f)
         v6 = np.where(nnrow, v6f, 0.0).astype(np.int64)
+        # SECOND moment at 1e2 scale (CLAUDE.md): value² × 1e6 wraps
+        # int64 within ~9e6 rows of one hot user, where DuckDB silently
+        # promotes to int128 — 1e2 buys 1e4 more rows of headroom on
+        # both engines identically
         sq = pc.multiply(pc.cast(v, pa.float64()),
                          pc.cast(v, pa.float64()))
-        sq6f = pc.cast(pc.floor(pc.add(pc.multiply(
-            sq, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())\
+        sq2f = pc.cast(pc.floor(pc.add(pc.multiply(
+            sq, pa.scalar(1e2)), pa.scalar(0.5))), pa.int64())\
             .to_numpy(zero_copy_only=False).astype(np.float64)
-        sq6 = np.where(nnrow, sq6f, 0.0).astype(np.int64)
+        sq2 = np.where(nnrow, sq2f, 0.0).astype(np.int64)
         lo = np.nonzero(starts)[0]
         sizes = np.diff(np.append(lo, len(v6)))
         s1i = np.add.reduceat(v6, lo).astype(np.float64)
-        s2i = np.add.reduceat(sq6, lo).astype(np.float64)
+        s2i = np.add.reduceat(sq2, lo).astype(np.float64)
         ng = np.add.reduceat(nnrow.astype(np.int64), lo)\
             .astype(np.float64)
         s1 = s1i / 1e6
-        s2 = s2i / 1e6
+        s2 = s2i / 1e2
         with np.errstate(divide='ignore', invalid='ignore'):
             mean_g = np.floor(s1i / ng + 0.5) / 1e6
             var = np.maximum((s2 - s1 * s1 / ng) / (ng - 1), 0.0)
@@ -1857,7 +1875,9 @@ ORACLE_SQL['q_zscore_events'] = """
     WITH m AS (
       SELECT user_id,
              sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))         AS s1i,
-             sum(cast(floor(value * value * 1e6 + 0.5) AS BIGINT)) AS s2i,
+             -- second moment at 1e2 (CLAUDE.md): 1e6 wraps Arrow int64
+             -- on a hot user while DuckDB promotes to HUGEINT
+             sum(cast(floor(value * value * 1e2 + 0.5) AS BIGINT)) AS s2i,
              count(value) AS n   -- avg/stddev semantics: nulls excluded
       FROM events GROUP BY user_id),
     s AS (
@@ -1865,7 +1885,7 @@ ORACLE_SQL['q_zscore_events'] = """
              floor(s1i / n + 0.5) / 1e6 AS mean,
              CASE WHEN n > 1 THEN
                floor(sqrt(greatest(
-                 (s2i / 1e6 - (s1i / 1e6) * (s1i / 1e6) / n) / (n - 1),
+                 (s2i / 1e2 - (s1i / 1e6) * (s1i / 1e6) / n) / (n - 1),
                  0.0)) * 1e6 + 0.5) / 1e6
              END AS std
       FROM m)
@@ -1993,9 +2013,15 @@ def q_late_events(sf_dir: str):
         g = np.cumsum(starts) - 1
         # segmented inclusive cummax via the offset trick: adding
         # g * (range+1) makes every later group strictly dominate, so
-        # one global maximum.accumulate respects group boundaries
-        big = np.int64(int(ts.max()) - int(ts.min()) + 1)
-        cm = np.maximum.accumulate(ts + g * big) - g * big
+        # one global maximum.accumulate respects group boundaries.
+        # REBASE to ts.min() first: with raw epoch-µs values the
+        # n_groups × span product can overflow int64 (wraps silently ->
+        # garbage late flags); rebased, the bound is groups × span,
+        # documented at ~4e12 group-years per bucket
+        t0 = np.int64(int(ts.min()))
+        tsr = ts - t0
+        big = np.int64(int(tsr.max()) + 1)
+        cm = np.maximum.accumulate(tsr + g * big) - g * big + t0
         prior = np.empty_like(ts)
         prior[1:] = cm[:-1]
         late = np.zeros(len(ts), dtype=bool)
@@ -3493,9 +3519,9 @@ def q_corr_lineitem(sf_dir: str):
 def q_regression_events(sf_dir: str):
     """Per-group simple linear regression (value ~ hour-of-day) from
     mergeable moment partials — the q_corr_lineitem fixed-point
-    discipline: x (hour) is an EXACT small int so Σx/Σx²/Σ(x·y6) are
-    exact int64 sums (x·y6 loses nothing — integer times fixed-point);
-    y carries 1e6 micro-units. Both engines evaluate the identical
+    discipline: x (hour) is an EXACT small int so Σx/Σx² are exact
+    int64 sums; y carries 1e6 micro-units in its first moment and 1e2
+    in the cross moment x·y (second-moment overflow scale). Both engines evaluate the identical
     slope/intercept float formula over identical integers. Moments use
     PAIRWISE-complete rows (SQL regr_* semantics: a row with a NULL x
     or y contributes to no moment) — both engines filter ts AND
@@ -3507,11 +3533,18 @@ def q_regression_events(sf_dir: str):
         us = pc.cast(pc.cast(tbl.column('ts'), pa.timestamp('us')),
                      pa.int64()).to_numpy(zero_copy_only=False)
         x = pa.array((us // 3_600_000_000) % 24, type=pa.int64())
-        y6 = _fixed6(pc.cast(tbl.column('value'), pa.float64()))
+        val = pc.cast(tbl.column('value'), pa.float64())
+        y6 = _fixed6(val)
+        # CROSS moment at 1e2 (CLAUDE.md second-moment discipline):
+        # x*y6 is ~2.3e10 per row, wrapping Arrow's int64 sum within
+        # ~4e8 rows of one low-cardinality event_type group while
+        # DuckDB promotes to HUGEINT
+        y2 = pc.cast(pc.floor(pc.add(pc.multiply(
+            val, pa.scalar(1e2)), pa.scalar(0.5))), pa.int64())
         return pa.table({
             'event_type': tbl.column('event_type'),
             'x': x, 'xx': pc.multiply(x, x),
-            'y6': y6, 'xy6': pc.multiply(x, y6),
+            'y6': y6, 'xy2': pc.multiply(x, y2),
         })
 
     out = pre_aggregate(ds.map_batches(moments, batch_format='pyarrow',
@@ -3519,14 +3552,14 @@ def q_regression_events(sf_dir: str):
                         ['event_type'],
                         {'n': ('x', 'count'), 'sx': ('x', 'sum'),
                          'sxx': ('xx', 'sum'), 'sy6': ('y6', 'sum'),
-                         'sxy6': ('xy6', 'sum')})
+                         'sxy2': ('xy2', 'sum')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
         f = {c: tbl.column(c).to_numpy(zero_copy_only=False)
              .astype(np.float64) for c in ('n', 'sx', 'sxx', 'sy6',
-                                           'sxy6')}
+                                           'sxy2')}
         n, sx, sxx = f['n'], f['sx'], f['sxx']
-        sy, sxy = f['sy6'] / 1e6, f['sxy6'] / 1e6
+        sy, sxy = f['sy6'] / 1e6, f['sxy2'] / 1e2
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
         slope = num / den
@@ -3552,16 +3585,17 @@ ORACLE_SQL['q_regression_events'] = """
              sum(cast(hour(ts) AS BIGINT)) AS sx,
              sum(cast(hour(ts) * hour(ts) AS BIGINT)) AS sxx,
              sum(cast(floor(value * 1e6 + 0.5) AS BIGINT)) AS sy6,
+             -- cross moment at 1e2 (second-moment overflow discipline)
              sum(cast(hour(ts) AS BIGINT)
-                 * cast(floor(value * 1e6 + 0.5) AS BIGINT)) AS sxy6
+                 * cast(floor(value * 1e2 + 0.5) AS BIGINT)) AS sxy2
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
       GROUP BY event_type)
     SELECT event_type, n AS n_events,
-           floor((n * (sxy6 / 1e6) - (sx * 1.0) * (sy6 / 1e6))
+           floor((n * (sxy2 / 1e2) - (sx * 1.0) * (sy6 / 1e6))
                  / (n * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0))
                  * 1e6 + 0.5) / 1e6 AS slope_value_hour,
            floor(((sy6 / 1e6)
-                  - ((n * (sxy6 / 1e6) - (sx * 1.0) * (sy6 / 1e6))
+                  - ((n * (sxy2 / 1e2) - (sx * 1.0) * (sy6 / 1e6))
                      / (n * (sxx * 1.0) - (sx * 1.0) * (sx * 1.0)))
                     * (sx * 1.0)) / n * 1e6 + 0.5) / 1e6
              AS intercept_value
@@ -4115,7 +4149,8 @@ ORACLE_SQL['q_heavy_hitter_tokens'] = """
 def q_user_value_stats(sf_dir: str):
     """Mergeable MOMENT partials: per-user mean and sample std of value
     from fixed-point sum/sum-of-squares partials (v6 = floor(v*1e6),
-    sq6 = floor(v²*1e6) — integer sums are order-independent, so the
+    sq2 = floor(v²*1e2), the second-moment overflow scale — integer
+    sums are order-independent, so the
     parallel aggregation is byte-stable; both engines then compute the
     identical float formula from identical integers). Degenerate groups
     follow SQL: n=1 → NULL std; fixed-point noise clamps at var=0."""
@@ -4125,15 +4160,17 @@ def q_user_value_stats(sf_dir: str):
         v = tbl.column('value')
         sq = pc.multiply(pc.cast(v, pa.float64()),
                          pc.cast(v, pa.float64()))
-        sq6 = pc.cast(pc.floor(pc.add(pc.multiply(
-            sq, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())
+        # second moment at 1e2 (CLAUDE.md): value**2 x 1e6 wraps Arrow's
+        # int64 sum on a hot user while DuckDB promotes to HUGEINT
+        sq2 = pc.cast(pc.floor(pc.add(pc.multiply(
+            sq, pa.scalar(1e2)), pa.scalar(0.5))), pa.int64())
         return pa.table({'user_id': tbl.column('user_id'),
-                         'v6': _fixed6(v), 'sq6': sq6})
+                         'v6': _fixed6(v), 'sq2': sq2})
 
     out = pre_aggregate(ds.map_batches(moments, batch_format='pyarrow',
                                        zero_copy_batch=True),
                         ['user_id'],
-                        {'s1': ('v6', 'sum'), 's2': ('sq6', 'sum'),
+                        {'s1': ('v6', 'sum'), 's2': ('sq2', 'sum'),
                          'n': ('v6', 'count')})
 
     def finalize(tbl: pa.Table) -> pa.Table:
@@ -4143,7 +4180,7 @@ def q_user_value_stats(sf_dir: str):
         s1i = tbl.column('s1').to_numpy(zero_copy_only=False)\
             .astype(np.float64)
         s2 = tbl.column('s2').to_numpy(zero_copy_only=False)\
-            .astype(np.float64) / 1e6
+            .astype(np.float64) / 1e2
         n = tbl.column('n').to_numpy(zero_copy_only=False)\
             .astype(np.float64)
         s1 = s1i / 1e6
@@ -4170,13 +4207,14 @@ ORACLE_SQL['q_user_value_stats'] = """
     WITH m AS (
       SELECT user_id,
              sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))          AS s1i,
-             sum(cast(floor(value * value * 1e6 + 0.5) AS BIGINT))  AS s2i,
+             -- second moment at 1e2 (CLAUDE.md overflow discipline)
+             sum(cast(floor(value * value * 1e2 + 0.5) AS BIGINT))  AS s2i,
              count(value) AS n   -- avg/stddev semantics: nulls excluded
       FROM events GROUP BY user_id)
     SELECT user_id, n AS n_events,
            floor(cast(s1i AS DOUBLE) / n + 0.5) / 1e6 AS mean_value,
            CASE WHEN n > 1 THEN
-             floor(sqrt(greatest((cast(s2i AS DOUBLE) / 1e6
+             floor(sqrt(greatest((cast(s2i AS DOUBLE) / 1e2
                        - (cast(s1i AS DOUBLE) / 1e6)
                          * (cast(s1i AS DOUBLE) / 1e6) / n)
                       / (n - 1), 0)) * 1e6 + 0.5) / 1e6
@@ -4556,8 +4594,8 @@ def q_pack_docs(sf_dir: str):
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def ntok(tbl: pa.Table) -> pa.Table:
-        toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
-                      pa.scalar(1, type=pa.int64()))
+        from ..functions.text import whitespace_token_count
+        toks = whitespace_token_count(tbl.column('text'))
         return pa.table({'doc_id': tbl.column('doc_id'),
                          'n_tokens': pc.cast(toks, pa.int64())})
 
@@ -4655,8 +4693,8 @@ def q_token_budget_docs(sf_dir: str):
     ds = _read(sf_dir, 'documents', ['doc_id', 'source', 'text'], require=('text',))
 
     def ntok(tbl: pa.Table) -> pa.Table:
-        toks = pc.add(pc.count_substring(tbl.column('text'), ' '),
-                      pa.scalar(1, type=pa.int64()))
+        from ..functions.text import whitespace_token_count
+        toks = whitespace_token_count(tbl.column('text'))
         return pa.table({'doc_id': tbl.column('doc_id'),
                          'source': tbl.column('source'),
                          'n_tokens': pc.cast(toks, pa.int64())})

@@ -142,6 +142,9 @@ def _inject_malformed(tbl: pa.Table, rng: np.random.Generator,
             turn[i] = -1 - int(turn[i])
         elif k == 2:
             cols['role'][i] = 'robot'
+            # exactly ONE defect per bad row (FIXTURES.md §A.1): on a
+            # tool row, leaving tool set would also trip tool_iff_role
+            cols['tool'][i] = None
         elif k == 3:
             cols['role'][i] = 'user'
             cols['tool'][i] = 'search'
