@@ -222,3 +222,55 @@ def test_transcripts_single_defect_per_bad_row(ray_session):
     errs = [json.loads(e) for e in q.column('_errors').to_pylist()]
     multi = [e for e in errs if len(e) != 1]
     assert not multi, f'{len(multi)} bad rows carry >1 defect: {multi[:3]}'
+
+
+def test_int_batch_survives_out_of_range_floats():
+    import trafaret_ray.contracts as t
+    arr = pa.array([1e30, 2.0, -1e30, 3.0])
+    res = t.Int().apply(arr)
+    assert list(res.ok) == [False, True, False, True]
+    assert res.values.to_pylist() == [None, 2, None, 3]
+
+
+def test_mapping_sliced_maparray():
+    import trafaret_ray.contracts as t
+    m = pa.array([{'a': 1}, {'b': 2}, {'c': 3}, {'d': -4}, {'e': 5}],
+                 type=pa.map_(pa.string(), pa.int64()))
+    c = t.Mapping(t.String(), t.Int(gte=0))
+    res = c.apply(m.slice(2, 3))      # rows c, d, e
+    assert list(res.ok) == [True, False, True]
+    assert res.values.to_pylist()[0] == [('c', 3)]
+    assert res.msgs[1] == {'d': {'value': 'value is less than 0'}}
+
+
+def test_tuple_all_rows_wrong_arity():
+    import trafaret_ray.contracts as t
+    res = t.Tuple(t.Int(), t.Int()).apply(
+        pa.array([[], [1, 2, 3]], type=pa.list_(pa.int64())))
+    assert list(res.ok) == [False, False]
+    assert all(m == 'value must contain 2 items' for m in res.msgs)
+
+
+def test_onerror_keeps_child_code_scalar():
+    import pytest
+
+    import trafaret_ray.contracts as t
+    from trafaret_ray.contracts.result import DataError
+    c = t.OnError(t.Int(gte=0), 'nope')          # no override code
+    with pytest.raises(DataError) as ei:
+        c.check(-1)
+    assert ei.value.code == 'too_small'           # child code preserved
+    c2 = t.OnError(t.Int(gte=0), 'nope', code='custom')
+    with pytest.raises(DataError) as ei2:
+        c2.check(-1)
+    assert ei2.value.code == 'custom'
+
+
+def test_dataerror_reference_defaults():
+    from trafaret_ray.contracts.result import DataError
+    e = DataError('boom')
+    assert isinstance(e, ValueError)             # reference subclasses it
+    assert e.code == 'unknown'                   # reference default
+    assert e.to_struct() == {'code': 'unknown', 'message': 'boom'}
+    nested = DataError(error={'k': DataError('bad')})
+    assert nested.to_struct()['code'] == 'unknown'

@@ -299,8 +299,11 @@ class OnError(Contract):
     def _scalar_check(self, value, context=None):
         try:
             return self.contract.check(value, context)
-        except DataError:
-            raise DataError(error=self.message, value=value, code=self.code)
+        except DataError as de:
+            # reference base.py:165-169: no override code -> keep the
+            # child's code (the batch path above already does)
+            raise DataError(error=self.message, value=value,
+                            code=self.code or de.code)
 
     def __repr__(self):
         return '<OnError(%s)>' % (self.message,)

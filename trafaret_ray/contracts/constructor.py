@@ -10,7 +10,7 @@ instance passthrough. ``'key?'`` suffix -> optional Key
 
 from __future__ import annotations
 
-from .base import Contract, ensure_contract
+from .base import Contract
 from .record import Dict, Key, List, Tuple
 from .scalars import Atom, Bool, Call, String, ToFloat, ToInt, Type
 
@@ -65,15 +65,8 @@ class _CMeta(type):
 
 
 class C(metaclass=_CMeta):
-    """Seed object for ``C & int & fn`` chains (reference constructor.py:5-20)."""
-
-    def __init__(self, *args):
-        self.contract = None
-        for a in args:
-            self &= a
-
-    def __and__(self, other):
-        c = construct(other)
-        if isinstance(self, C) and self.contract is None:
-            return c
-        return ensure_contract(self) & c
+    """Seed object for ``C & int & fn`` chains (reference
+    constructor.py:5-20). Class-level only, exactly like the reference:
+    the chain starts at the CLASS (``C & int``), never at an instance —
+    a previous ``C(int)`` constructor silently discarded its arguments
+    and was removed."""

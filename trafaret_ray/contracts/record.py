@@ -690,6 +690,12 @@ class Tuple(Contract):
             np.cumsum(lens_np[:-1], out=starts[1:])
             slots = []
             for i in range(self.length):
+                if len(child) == 0:
+                    # every row failed the arity gate (or is empty):
+                    # the index-0 fallback would crash on the empty
+                    # flattened child — the slot is all-null anyway
+                    slots.append(pa.nulls(n, type=child.type))
+                    continue
                 idx = np.where(base_ok, starts + i, 0)
                 taken = child.take(pa.array(idx, type=pa.int64()))
                 slots.append(null_out(taken, base_ok))
@@ -795,6 +801,14 @@ class Mapping(Contract):
             return CheckResult.fail_all(arr, codes.IS_NOT_A_DICT,
                                         'value is not a dict')
         arr = as_array(arr)
+        # SLICED MapArrays (routine under zero-copy Ray batch slicing)
+        # expose the FULL un-sliced child via .keys/.items while
+        # .offsets is slice-relative — the pair masks then misalign or
+        # crash. Compact to a zero-offset array first (take rebuilds
+        # child + offsets consistently); no-op cost on unsliced input.
+        if arr.offset != 0 or (len(arr.offsets) and
+                               arr.offsets[0].as_py() != 0):
+            arr = arr.take(pa.array(np.arange(len(arr), dtype=np.int64)))
         n = len(arr)
         ok = valid_mask(arr)
         res = CheckResult.from_mask(arr, ok, codes.IS_NOT_A_DICT,

@@ -17,17 +17,22 @@ import numpy as np
 import pyarrow as pa
 
 
-class DataError(Exception):
+class DataError(ValueError):
     """Scalar-path validation error (reference: trafaret/dataerror.py:4-63).
 
     ``error`` is a message string or a dict of child DataErrors / messages,
     mirroring the input structure. ``trafaret`` carries the raising node
     (reference dataerror.py:14-28) for tools that introspect errors.
+    Subclasses ValueError and defaults ``code`` to ``'unknown'`` exactly
+    as the reference does (``except ValueError`` in user code must keep
+    catching validation errors; quarantine payloads say "unknown", never
+    null).
     """
 
     __slots__ = ('error', 'name', 'value', 'code', 'trafaret')
 
     _EMPTY = object()
+    error_code = 'unknown'
 
     def __init__(self, error=None, name=None, value=_EMPTY, code=None,
                  trafaret=None):
@@ -37,7 +42,7 @@ class DataError(Exception):
         self.error = error
         self.name = name
         self.value = value
-        self.code = code
+        self.code = code or self.__class__.error_code
         self.trafaret = trafaret
 
     def __str__(self):
@@ -58,10 +63,12 @@ class DataError(Exception):
         }
 
     def to_struct(self, value=False):
-        """Consistent {code, message|nested} records (reference: dataerror.py:41-53)."""
+        """Consistent {code, message|nested} records (reference: dataerror.py:41-53).
+        ``self.code`` is used directly in both branches — the reference
+        default is 'unknown', not a dict-specific substitute."""
         if isinstance(self.error, dict):
             return {
-                'code': self.code or 'some_elements_did_not_match',
+                'code': self.code,
                 'nested': {
                     k: v.to_struct(value=value) if isinstance(v, DataError) else v
                     for k, v in self.error.items()

@@ -449,10 +449,21 @@ class Int(Float):
             ok = valid_mask(arr)
             finite = _np_mask(pc.is_finite(arr))
             integral = _np_mask(pc.equal(arr, pc.floor(arr))) & finite
+            # int64 representability: an integral float >= 2^63 would
+            # blow up the whole-batch cast (ArrowInvalid kills the Ray
+            # task) — quarantine the ROW instead. The column world's
+            # int target is int64; the reference's unbounded Python int
+            # has no such bound, so this is a documented engine domain
+            # edge (same treatment as the string path's overflow
+            # fallback below).
+            vals = arr.to_numpy(zero_copy_only=False)
+            with np.errstate(invalid='ignore'):
+                in_range = (vals >= -9.223372036854776e18) \
+                    & (vals < 9.223372036854776e18)
             res = CheckResult.from_mask(arr, ok, codes.WRONG_TYPE,
                                         self._wrong_type_msg())
-            res = res.merge_fail(integral | ~ok, codes.IS_NOT_INT,
-                                 'value is not int')
+            res = res.merge_fail((integral & in_range) | ~ok,
+                                 codes.IS_NOT_INT, 'value is not int')
             safe = pc.if_else(pa.array(res.ok), arr,
                               pa.scalar(0.0, type=arr.type))
             values = pc.cast(pc.floor(safe), pa.int64())

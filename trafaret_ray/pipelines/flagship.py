@@ -106,7 +106,11 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
     def write_atomic(ds_out, stage_dir, **kwargs):
         """Write to a temp dir and rename: a crash mid-write leaves no
         partial part-files in the stage dir, so a resumed run can't read
-        duplicated rows (state/checkpoint.py pattern)."""
+        duplicated rows. Same atomic-write invariant as
+        state/checkpoint.Checkpointer.write_stage (the two completion
+        protocols — _SUCCESS markers here, manifest.json there — are
+        documented in state/checkpoint.py; keep the write sequence in
+        sync)."""
         import shutil
         tmp = stage_dir + '.__tmp__'
         shutil.rmtree(tmp, ignore_errors=True)

@@ -78,7 +78,16 @@ def main(argv=None):
             min_words=args.min_words,
             near_threshold=args.near_threshold,
             num_buckets=args.num_buckets)
-        curated.write_parquet(args.out)
+        # atomic output: write to a temp dir, then swap — re-running
+        # with the same --out must not APPEND new UUID-named part files
+        # next to a previous run's (duplicated corpus + 2x docs_kept)
+        import os
+        import shutil
+        tmp_out = args.out.rstrip('/') + '.tmp'
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        curated.write_parquet(tmp_out)
+        shutil.rmtree(args.out, ignore_errors=True)
+        os.replace(tmp_out, args.out)
         n_out = rd.read_parquet(args.out).count()
         metrics = {'pipeline': 'curate', 'docs_in': n_in,
                    'docs_kept': n_out,

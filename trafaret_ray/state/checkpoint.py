@@ -6,6 +6,14 @@ stage outputs land in stage-addressed directories, written atomically
 lineage metrics. A resumed job consults the manifest and re-runs only the
 missing stages; within a stage, parquet part files are idempotent because
 a stage re-run replaces the whole stage directory.
+
+Two completion protocols deliberately coexist on the SAME atomic-write
+invariant (tmp dir + os.replace, never append): this manifest-addressed
+class (completion + metrics in one manifest.json), and the per-stage
+``_SUCCESS`` markers in pipelines/flagship.py:run_flagship, where
+deleting one stage's marker forces exactly that stage to recompute (an
+operational affordance the manifest can't give without editing JSON).
+If you change the atomic-write sequence here, change it there too.
 """
 
 from __future__ import annotations
