@@ -162,6 +162,48 @@ class TestAsofDirectionsProperty:
             else:
                 assert ok[i] and idx[i] == exp[i], (i, idx[i], exp[i])
 
+    # FLOAT on-columns with sub-unit gaps: an int64 truncation anywhere
+    # in the kernels collapses 2.1/2.5/2.9 onto 2 and flips matches —
+    # the exact bug class fixed in asof_forward/asof_nearest (late r3)
+    fts_st = st.lists(st.sampled_from(
+        [0.0, 0.4, 0.5, 1.1, 2.1, 2.5, 2.9, 3.0]), min_size=1, max_size=16)
+
+    @given(lts=fts_st, lg=g_st, rts=fts_st, rg=g_st,
+           direction=st.sampled_from(['backward', 'forward']),
+           allow_exact=st.booleans())
+    @settings(max_examples=120, deadline=None)
+    def test_matches_bruteforce_float_on(self, lts, lg, rts, rg,
+                                         direction, allow_exact):
+        m = min(len(lts), len(lg))
+        r = min(len(rts), len(rg))
+        lts, lg = np.array(lts[:m]), np.array(lg[:m])
+        rts, rg = np.array(rts[:r]), np.array(rg[:r])
+        fn = W.asof_backward if direction == 'backward' else W.asof_forward
+        idx, ok = fn(lts, lg, rts, rg, allow_exact=allow_exact)
+        exp = self._brute(lts, lg, rts, rg, direction, allow_exact)
+        for i in range(m):
+            if exp[i] is None:
+                assert not ok[i], i
+            else:
+                assert ok[i] and idx[i] == exp[i], (i, idx[i], exp[i])
+
+    @given(lts=fts_st, lg=g_st, rts=fts_st, rg=g_st)
+    @settings(max_examples=80, deadline=None)
+    def test_nearest_float_distances(self, lts, lg, rts, rg):
+        m = min(len(lts), len(lg))
+        r = min(len(rts), len(rg))
+        lts, lg = np.array(lts[:m]), np.array(lg[:m])
+        rts, rg = np.array(rts[:r]), np.array(rg[:r])
+        idx, ok = W.asof_nearest(lts, lg, rts, rg)
+        for i in range(m):
+            same = [j for j in range(r) if rg[j] == lg[i]]
+            if not same:
+                assert not ok[i]
+                continue
+            assert ok[i]
+            dmin = min(abs(float(rts[j]) - float(lts[i])) for j in same)
+            assert abs(float(rts[idx[i]]) - float(lts[i])) == dmin, i
+
     @given(lts=ts_st, lg=g_st, rts=ts_st, rg=g_st)
     @settings(max_examples=100, deadline=None)
     def test_nearest_distance_and_tiebreak(self, lts, lg, rts, rg):

@@ -274,3 +274,27 @@ def test_dataerror_reference_defaults():
     assert e.to_struct() == {'code': 'unknown', 'message': 'boom'}
     nested = DataError(error={'k': DataError('bad')})
     assert nested.to_struct()['code'] == 'unknown'
+
+
+def test_heavy_hitters_always_exact_random(ray_session):
+    """heavy_hitters promises EXACT top-k on any distribution (certify
+    or fall back) — check against brute-force counts over seeded random
+    multi-block inputs stressing small m (head cuts + truncation)."""
+    from collections import Counter
+
+    from trafaret_ray.stages.sketches import heavy_hitters
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        blocks, everything = [], []
+        for _ in range(3):
+            vals = rng.zipf(1.5, size=400) % 37   # skewed, small keyspace
+            strs = [f'k{v}' for v in vals]
+            everything.extend(strs)
+            blocks.append(pa.table({'v': pa.array(strs)}))
+        k = int(rng.integers(1, 4))
+        out = heavy_hitters(_rd().from_arrow(blocks), 'v', k=k,
+                            expansion=2).to_pandas()
+        cnt = Counter(everything)
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        got = list(zip(out['v'], out['n']))
+        assert got == exp, (seed, k, got, exp)
