@@ -298,3 +298,38 @@ def test_heavy_hitters_always_exact_random(ray_session):
         exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         got = list(zip(out['v'], out['n']))
         assert got == exp, (seed, k, got, exp)
+
+
+def test_cosine_topk_rows_tie_and_nan():
+    from trafaret_ray.stages.ann import cosine_topk_rows
+    # 1-ulp apart: both round to 0.8 micro-units — the SMALLER id must
+    # survive the cut (raw-double ranking kept batch order instead)
+    ids = np.array([5, 3], dtype=np.int64)
+    sims = np.array([0.8000000001, 0.7999999999])
+    top_ids, top_sims = cosine_topk_rows(ids, sims, 1)
+    assert top_ids.tolist() == [3] and top_sims.tolist() == [0.8]
+    # NaN sims (zero-norm vector) must never rank
+    ids = np.array([1, 2], dtype=np.int64)
+    sims = np.array([np.nan, 0.5])
+    top_ids, _ = cosine_topk_rows(ids, sims, 2)
+    assert top_ids.tolist() == [2]
+
+
+def test_stats_missing_parquet_fallbacks(ray_session, tmp_path):
+    """q_pack_docs / q_tfidf_docs must not conflate 'writer omitted
+    row-group statistics' with 'empty input' / 'zero nulls'."""
+    import pyarrow.parquet as pq
+
+    from trafaret_ray.pipelines.queries import QUERIES
+    src = '/root/testdata/sf0.001/documents.parquet'
+    t = pq.read_table(src)
+    nostats = tmp_path / 'nostats'
+    nostats.mkdir()
+    pq.write_table(t, str(nostats / 'documents.parquet'),
+                   write_statistics=False)
+    for q in ('q_pack_docs', 'q_tfidf_docs'):
+        ref = QUERIES[q]('/root/testdata/sf0.001').to_pandas()
+        got = QUERIES[q](str(nostats)).to_pandas()
+        pd.testing.assert_frame_equal(
+            ref.reset_index(drop=True), got.reset_index(drop=True)), q
+        assert len(got) > 0, q

@@ -37,6 +37,19 @@ def _fixed6(col) -> pa.Array:
     return pc.cast(pc.floor(scaled), pa.int64())
 
 
+def _fixed2(col) -> pa.Array:
+    """floor(x*1e2 + 0.5) as int64 — the SECOND/cross-moment scale.
+
+    x² and x·y at 1e6 wrap int64 within ~800 rows of realistic values,
+    where DuckDB silently promotes its sum to HUGEINT and Arrow wraps
+    (CLAUDE.md overflow discipline) — 1e2 buys 1e4 more headroom at the
+    cost of centi-unit granularity, applied identically on both engines.
+    """
+    scaled = pc.add(pc.multiply(pc.cast(col, pa.float64()),
+                                pa.scalar(1e2)), pa.scalar(0.5))
+    return pc.cast(pc.floor(scaled), pa.int64())
+
+
 def _unfix6(col, ndigits: int = 6) -> pa.Array:
     """int64 fixed-point sum -> rounded float64 (matches the oracle's
     round(sum(...)/1e6, 6))."""
@@ -468,47 +481,21 @@ def q_asof_events(sf_dir: str):
 def q_asof_events_stage(sf_dir: str):
     """The DATASET-LEVEL as-of join operator (stages/joins.py:asof_join —
     co-bucketed sides, one exchange) on the same purchases-vs-clicks
-    alignment as q_asof_events; byte-matched to the identical oracle."""
-    from ..stages.aggregate import bucket_aggregate
+    alignment as q_asof_events; byte-matched to the identical oracle.
+    Sides + derived-dataset-safe schemas come from the shared
+    _asof_sides helper (one copy of the '.schema() on a DERIVED
+    dataset' invariant for the whole as-of family)."""
     from ..stages.joins import asof_join
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
-                                  'event_type', 'value'],
-               require=('ts',))
-
-    def side(etype):
-        def f(tbl: pa.Table) -> pa.Table:
-            return tbl.filter(pc.equal(tbl.column('event_type'), etype))\
-                .drop_columns(['event_type'])
-        return f
-
-    purchases = ds.map_batches(side('purchase'), batch_format='pyarrow',
-                               zero_copy_batch=True)\
-        .map_batches(lambda t: t.select(['user_id', 'ts', 'event_id',
-                                         'value']), batch_format='pyarrow')
-    clicks = bucket_aggregate(
-        ds.map_batches(side('click'), batch_format='pyarrow',
-                       zero_copy_batch=True),
-        ['user_id', 'ts'], {'last_click_value': ('value', 'max')})
-    # both sides are DERIVED datasets — hand asof_join their known
-    # schemas (from the parquet read's free metadata) so it never calls
-    # .schema() on a derived dataset (forces partial execution; None on
-    # an empty input)
-    import pyarrow.parquet as _pq
-    _sch = _pq.read_schema(f'{sf_dir}/events.parquet')
-    et = dict(zip(_sch.names, _sch.types))
-    out = asof_join(
-        purchases, clicks, by='user_id', on='ts',
-        value_cols=['last_click_value'], suffix='',
-        left_schema=pa.schema([('user_id', et['user_id']),
-                               ('ts', et['ts']),
-                               ('event_id', et['event_id']),
-                               ('value', et['value'])]),
-        right_schema=pa.schema([('user_id', et['user_id']),
-                                ('ts', et['ts']),
-                                ('last_click_value', et['value'])]))
+    purchases, clicks, lschema, rschema = _asof_sides(sf_dir)
+    out = asof_join(purchases, clicks, by='user_id', on='ts',
+                    value_cols=['click_value'], suffix='',
+                    left_schema=lschema, right_schema=rschema)
     return out.map_batches(
-        lambda t: t.select(['event_id', 'user_id', 'value',
-                            'last_click_value']),
+        lambda t: pa.table({
+            'event_id': t.column('event_id'),
+            'user_id': t.column('user_id'),
+            'value': t.column('value'),
+            'last_click_value': t.column('click_value')}),
         batch_format='pyarrow').sort('event_id')
 
 
@@ -677,7 +664,6 @@ def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast the query vector, one numpy
     matmul per batch, global top-10 via sort+limit on the tiny per-batch
     candidate set. Scale path: each batch emits only its local top-k."""
-    import ray.data as rd
     k = 10
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qvec = _query_vec(sf_dir)
@@ -698,10 +684,11 @@ def q_ann_topk(sf_dir: str):
             zero_copy_only=False)
         keep = ids != 0
         sims, ids = sims[keep], ids[keep]
-        loc = np.argsort(-sims, kind='stable')[:k]
+        from ..stages.ann import cosine_topk_rows
+        top_ids, top_sims = cosine_topk_rows(ids, sims, k)
         return pa.table({
-            'vec_id': pa.array(ids[loc]),
-            'cos_sim': pa.array(np.round(sims[loc], 6), type=pa.float64()),
+            'vec_id': pa.array(top_ids),
+            'cos_sim': pa.array(top_sims, type=pa.float64()),
         })
 
     cands = emb.map_batches(topk_batch, batch_format='pyarrow',
@@ -717,8 +704,6 @@ def q_ivf_topk(sf_dir: str):
     the result byte-matches the same brute-force SQL oracle as q_ann_topk
     — the driver thereby checks the whole IVF plumbing; the pruned-probe
     recall trade is asserted in tests/test_ann.py."""
-    import ray.data as rd
-
     from ..stages.ann import ivf_topk
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qvec = _query_vec(sf_dir)
@@ -862,8 +847,9 @@ ORACLE_SQL = {
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                    WHERE vec_id = 0 AND embedding IS NOT NULL)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding::DOUBLE[],
-                                            (SELECT qe FROM q)), 6)
+               cast(floor(list_cosine_similarity(embedding::DOUBLE[],
+                                                 (SELECT qe FROM q))
+                          * 1e6 + 0.5) AS BIGINT) / 1e6
                  AS cos_sim
         FROM embeddings
         WHERE vec_id <> 0 AND embedding IS NOT NULL
@@ -875,8 +861,9 @@ ORACLE_SQL = {
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                    WHERE vec_id = 0 AND embedding IS NOT NULL)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding::DOUBLE[],
-                                            (SELECT qe FROM q)), 6)
+               cast(floor(list_cosine_similarity(embedding::DOUBLE[],
+                                                 (SELECT qe FROM q))
+                          * 1e6 + 0.5) AS BIGINT) / 1e6
                  AS cos_sim
         FROM embeddings
         WHERE vec_id <> 0 AND embedding IS NOT NULL
@@ -1285,14 +1272,12 @@ ORACLE_SQL.update({
 })
 
 
-def q_priority_revenue(sf_dir: str):
-    """Large×large partitioned hash join (lineitem ⋈ orders on orderkey —
-    one bucket exchange of both sides; stages/joins.py:hash_join) then
-    partial-aggregated revenue per order priority. The fact side is
-    pre-aggregated per l_orderkey BEFORE the join (~4 lineitem rows per
-    order collapse to one partial), cutting join-exchange bytes ~4×."""
+def _priority_revenue_impl(sf_dir: str, join_fn):
+    """Shared body of q_priority_revenue / q_priority_revenue_salted —
+    the two MUST byte-match the same oracle, so everything except the
+    join call is one implementation. ``join_fn(per_order, orders,
+    left_schema)`` returns the joined dataset."""
     from ..stages.aggregate import bucket_aggregate
-    from ..stages.joins import hash_join
     lineitem = _read(sf_dir, 'lineitem',
                      ['l_orderkey', 'l_extendedprice', 'l_discount'])
 
@@ -1314,11 +1299,10 @@ def q_priority_revenue(sf_dir: str):
                                  num_buckets=16)
     orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     li = dict(zip(lineitem.schema().names, lineitem.schema().types))
-    joined = hash_join(
-        per_order, orders, on='o_orderkey', num_buckets=16,
-        left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
-                               ('rev6', pa.int64()),
-                               ('n_items', pa.int64())]))
+    joined = join_fn(per_order, orders,
+                     pa.schema([('o_orderkey', li['l_orderkey']),
+                                ('rev6', pa.int64()),
+                                ('n_items', pa.int64())]))
 
     # the join's null-padded union floatifies the int64 partials; restore
     # exact int64 (integer-valued doubles cast exactly) so sums stay
@@ -1342,6 +1326,21 @@ def q_priority_revenue(sf_dir: str):
 
     return _sort_ns(out.map_batches(finalize, batch_format='pyarrow'),
                     'o_orderpriority', str_cols=['o_orderpriority'])
+
+
+def q_priority_revenue(sf_dir: str):
+    """Large×large partitioned hash join (lineitem ⋈ orders on orderkey —
+    one bucket exchange of both sides; stages/joins.py:hash_join) then
+    partial-aggregated revenue per order priority. The fact side is
+    pre-aggregated per l_orderkey BEFORE the join (~4 lineitem rows per
+    order collapse to one partial), cutting join-exchange bytes ~4×."""
+    from ..stages.joins import hash_join
+
+    def join_fn(per_order, orders, left_schema):
+        return hash_join(per_order, orders, on='o_orderkey',
+                         num_buckets=16, left_schema=left_schema)
+
+    return _priority_revenue_impl(sf_dir, join_fn)
 
 
 def q_latest_events(sf_dir: str):
@@ -1837,9 +1836,8 @@ def q_zscore_events(sf_dir: str):
         # both engines identically
         sq = pc.multiply(pc.cast(v, pa.float64()),
                          pc.cast(v, pa.float64()))
-        sq2f = pc.cast(pc.floor(pc.add(pc.multiply(
-            sq, pa.scalar(1e2)), pa.scalar(0.5))), pa.int64())\
-            .to_numpy(zero_copy_only=False).astype(np.float64)
+        sq2f = _fixed2(sq).to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
         sq2 = np.where(nnrow, sq2f, 0.0).astype(np.int64)
         lo = np.nonzero(starts)[0]
         sizes = np.diff(np.append(lo, len(v6)))
@@ -3103,60 +3101,19 @@ def q_priority_revenue_salted(sf_dir: str):
     (stages/joins.py:salted_hash_join): the most frequent orderkeys are
     treated as hot — spread over salts on the fact side, replicated per
     salt on the dim side. Salting must never change results, so this
-    byte-matches the SAME oracle as the plain join."""
-    from ..stages.aggregate import bucket_aggregate
+    runs the SHARED _priority_revenue_impl body and byte-matches the
+    SAME oracle as the plain join."""
     from ..stages.joins import salted_hash_join
-    lineitem = _read(sf_dir, 'lineitem',
-                     ['l_orderkey', 'l_extendedprice', 'l_discount'])
-
-    def rev(tbl: pa.Table) -> pa.Table:
-        r = pc.multiply(tbl.column('l_extendedprice'),
-                        pc.subtract(pa.scalar(1.0),
-                                    tbl.column('l_discount')))
-        return pa.table({'o_orderkey': tbl.column('l_orderkey'),
-                         'rev6': _fixed6(r),
-                         '_one': pa.array(np.ones(tbl.num_rows,
-                                                  dtype=np.int64))})
-
-    lrev = lineitem.map_batches(rev, batch_format='pyarrow',
-                                zero_copy_batch=True)
-    per_order = bucket_aggregate(lrev, ['o_orderkey'],
-                                 {'rev6': ('rev6', 'sum'),
-                                  # count(*) parity: _one is never null;
-                                  # rev6 CAN be (null price/disc)
-                                  'n_items': ('_one', 'count')},
-                                 num_buckets=16)
-    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
     # deterministic 'hot' set: the first 100 orderkeys — the point is
     # exercising the salted path under the byte gate, not skew detection
     hot = list(range(1, 101))
-    li = dict(zip(lineitem.schema().names, lineitem.schema().types))
-    joined = salted_hash_join(
-        per_order, orders, on='o_orderkey', hot_keys=hot,
-        num_buckets=16, salt_factor=4,
-        left_schema=pa.schema([('o_orderkey', li['l_orderkey']),
-                               ('rev6', pa.int64()),
-                               ('n_items', pa.int64())]))
 
-    def reint(tbl: pa.Table) -> pa.Table:
-        cols = {}
-        for n in tbl.column_names:
-            cols[n] = (pc.cast(tbl.column(n), pa.int64())
-                       if n in ('rev6', 'n_items') else tbl.column(n))
-        return pa.table(cols)
+    def join_fn(per_order, orders, left_schema):
+        return salted_hash_join(per_order, orders, on='o_orderkey',
+                                hot_keys=hot, num_buckets=16,
+                                salt_factor=4, left_schema=left_schema)
 
-    joined = joined.map_batches(reint, batch_format='pyarrow')
-    out = pre_aggregate(joined, ['o_orderpriority'],
-                        {'rev6': ('rev6', 'sum'),
-                         'n_items': ('n_items', 'sum')})
-
-    def finalize(tbl: pa.Table) -> pa.Table:
-        return pa.table({'o_orderpriority': tbl.column('o_orderpriority'),
-                         'total_revenue': _unfix6(tbl.column('rev6')),
-                         'n_items': tbl.column('n_items')})
-
-    return _sort_ns(out.map_batches(finalize, batch_format='pyarrow'),
-                    'o_orderpriority', str_cols=['o_orderpriority'])
+    return _priority_revenue_impl(sf_dir, join_fn)
 
 
 QUERIES['q_priority_revenue_salted'] = q_priority_revenue_salted
@@ -3473,10 +3430,6 @@ def q_corr_lineitem(sf_dir: str):
     ds = _read(sf_dir, 'lineitem',
                ['l_returnflag', 'l_quantity', 'l_extendedprice'])
 
-    def _fixed2(col) -> pa.Array:
-        scaled = pc.add(pc.multiply(col, pa.scalar(1e2)), pa.scalar(0.5))
-        return pc.cast(pc.floor(scaled), pa.int64())
-
     def moments(tbl: pa.Table) -> pa.Table:
         x = pc.cast(tbl.column('l_quantity'), pa.float64())
         y = pc.cast(tbl.column('l_extendedprice'), pa.float64())
@@ -3539,8 +3492,7 @@ def q_regression_events(sf_dir: str):
         # x*y6 is ~2.3e10 per row, wrapping Arrow's int64 sum within
         # ~4e8 rows of one low-cardinality event_type group while
         # DuckDB promotes to HUGEINT
-        y2 = pc.cast(pc.floor(pc.add(pc.multiply(
-            val, pa.scalar(1e2)), pa.scalar(0.5))), pa.int64())
+        y2 = _fixed2(val)
         return pa.table({
             'event_type': tbl.column('event_type'),
             'x': x, 'xx': pc.multiply(x, x),
@@ -4162,8 +4114,7 @@ def q_user_value_stats(sf_dir: str):
                          pc.cast(v, pa.float64()))
         # second moment at 1e2 (CLAUDE.md): value**2 x 1e6 wraps Arrow's
         # int64 sum on a hot user while DuckDB promotes to HUGEINT
-        sq2 = pc.cast(pc.floor(pc.add(pc.multiply(
-            sq, pa.scalar(1e2)), pa.scalar(0.5))), pa.int64())
+        sq2 = _fixed2(sq)
         return pa.table({'user_id': tbl.column('user_id'),
                          'v6': _fixed6(v), 'sq2': sq2})
 
@@ -4388,18 +4339,30 @@ def q_tfidf_docs(sf_dir: str):
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
     # N = docs WITH text (null-text docs are outside the corpus on both
-    # engines); parquet column stats give the null count for free
+    # engines); parquet column stats give the null count for free —
+    # but "stats absent" is NOT "zero nulls": a writer may omit
+    # null_count, and assuming 0 silently inflates N and skews every
+    # IDF. Fall back to an exact validity count when any group lacks it.
     _md = _pq.read_metadata(f'{sf_dir}/documents.parquet')
     _nulls = 0
+    _stats_complete = True
     for _rg in range(_md.num_row_groups):
         _rgm = _md.row_group(_rg)
         for _ci in range(_rgm.num_columns):
             _c = _rgm.column(_ci)
-            if _c.path_in_schema == 'text':
-                _nulls += (_c.statistics.null_count
-                           if _c.statistics is not None
-                           and _c.statistics.has_null_count else 0)
-    n_docs = _md.num_rows - _nulls
+            if _c.path_in_schema != 'text':
+                continue
+            if _c.statistics is not None and _c.statistics.has_null_count:
+                _nulls += _c.statistics.null_count
+            else:
+                _stats_complete = False
+    if _stats_complete:
+        n_docs = _md.num_rows - _nulls
+    else:
+        # exact fallback: count non-null text distributed (one column
+        # scan, same pruning as the main read)
+        n_docs = _read(sf_dir, 'documents', ['doc_id', 'text'],
+                       require=('text',)).count()
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def explode(tbl: pa.Table) -> pa.Table:
@@ -4600,16 +4563,7 @@ def q_pack_docs(sf_dir: str):
                          'n_tokens': pc.cast(toks, pa.int64())})
 
     md = _pq.ParquetFile(f'{sf_dir}/documents.parquet').metadata
-    lo, hi = None, None
-    for rg in range(md.num_row_groups):
-        rgm = md.row_group(rg)
-        for ci in range(rgm.num_columns):
-            c = rgm.column(ci)
-            if c.path_in_schema == 'doc_id' and c.statistics is not None:
-                s = c.statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-    if lo is None:          # empty input: no row-group stats, no docs
+    if md.num_rows == 0:    # genuinely empty input: no docs, no packing
         import ray.data as rd
         return rd.from_arrow(pa.table({
             'doc_id': pa.array([], pa.int64()),
@@ -4618,6 +4572,29 @@ def q_pack_docs(sf_dir: str):
             'seq_first': pa.array([], pa.int64()),
             'seq_last': pa.array([], pa.int64()),
             'tok_offset': pa.array([], pa.int64())}))
+    lo, hi = None, None
+    stats_complete = True
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            if c.path_in_schema != 'doc_id':
+                continue
+            s = c.statistics
+            # "no stats" != "no rows": a writer may omit min/max
+            # entirely or per row group (has_min_max False)
+            if s is None or not s.has_min_max:
+                stats_complete = False
+                continue
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+    if lo is None or not stats_complete:
+        # footer stats absent/partial on a NON-empty file: one pruned
+        # key-column read for the true range (at 100 TB: a Ray min/max
+        # aggregate over the key column, same plan)
+        kcol = _pq.read_table(f'{sf_dir}/documents.parquet',
+                              columns=['doc_id']).column('doc_id')
+        lo, hi = pc.min(kcol).as_py(), pc.max(kcol).as_py()
     out = concat_chunk_pack(
         ds.map_batches(ntok, batch_format='pyarrow',
                        zero_copy_batch=True),

@@ -124,16 +124,33 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, emb_col: str = 'embedding',
         sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qnorm)
         ids = tbl.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        loc = np.argsort(-sims, kind='stable')[:k]
+        top_ids, top_sims = cosine_topk_rows(ids, sims, k)
         return pa.table({
-            id_col: pa.array(ids[loc]),
-            'cos_sim': pa.array(np.round(sims[loc], 6), type=pa.float64()),
+            id_col: pa.array(top_ids),
+            'cos_sim': pa.array(top_sims, type=pa.float64()),
         })
 
     cands = assigned.map_batches(topk_batch, batch_format='pyarrow')
     from .aggregate import global_topk
     return global_topk(cands, [('cos_sim', 'descending'),
                                (id_col, 'ascending')], k)
+
+
+def cosine_topk_rows(ids: np.ndarray, sims: np.ndarray, k: int):
+    """Per-batch top-k cut under the fixed-point rank discipline
+    (CLAUDE.md row-picking rule): rank on int64 micro-units with the id
+    as the EXPLICIT tie key — ranking raw doubles would keep tied rows
+    by batch position and drop a smaller id the oracle keeps — and emit
+    cos_sim = sim6/1e6 so both engines order identical doubles."""
+    # NaN sims (zero-norm vectors) must NOT rank: NaN -> INT64_MIN under
+    # the cast, and negation wraps INT64_MIN to itself — it would rank
+    # FIRST (np.argsort(-sims) used to push NaN last)
+    good = ~np.isnan(sims)
+    if not good.all():
+        ids, sims = ids[good], sims[good]
+    sim6 = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -sim6))[:k]
+    return ids[order], sim6[order].astype(np.float64) / 1e6
 
 
 def ivf_build(ds, index_dir: str, emb_col: str = 'embedding',
@@ -208,11 +225,10 @@ def ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
         sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qnorm)
         ids = tbl.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        loc = np.argsort(-sims, kind='stable')[:k]
+        top_ids, top_sims = cosine_topk_rows(ids, sims, k)
         return pa.table({
-            id_col: pa.array(ids[loc]),
-            'cos_sim': pa.array(np.round(sims[loc], 6),
-                                type=pa.float64()),
+            id_col: pa.array(top_ids),
+            'cos_sim': pa.array(top_sims, type=pa.float64()),
         })
 
     cands = ds.map_batches(topk_batch, batch_format='pyarrow')
