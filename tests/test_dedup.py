@@ -23,9 +23,11 @@ def corpus():
 class TestTextFunctions:
     def test_shingles(self):
         lengths, flat = T.word_shingles(['a b c d', 'x y'], k=3)
-        assert lengths.tolist() == [2, 1]
-        assert set(flat[:2]) == {'a b c', 'b c d'}
-        assert flat[2] == 'x y'
+        # sub-k docs emit ZERO shingles — same semantics as
+        # shingle_hash_explode and the SQL oracles (a whole-doc fallback
+        # shingle would silently diverge from both)
+        assert lengths.tolist() == [2, 0]
+        assert set(flat) == {'a b c', 'b c d'}
 
     def test_minhash_similarity_estimate(self):
         # jaccard(sigA, sigB) agreement rate ~ true jaccard

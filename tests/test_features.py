@@ -148,6 +148,14 @@ class TestBucketing:
         vals = b.column('_bucket').to_pylist()
         assert set(vals) <= set(range(8))
 
+    def test_bucket_of_matches_add_bucket_single_key(self):
+        # the two hash paths MUST agree bit-for-bit or co-location breaks
+        tbl = generate_table(500, seed=2)
+        b = add_bucket(tbl, key='conv_id', num_buckets=64)
+        keys = tbl.column('conv_id').to_numpy(zero_copy_only=False)
+        assert (b.column('_bucket').to_numpy()
+                == bucket_of(keys, 64)).all()
+
     def test_null_presence_does_not_move_buckets(self):
         """A null in an int64 key block floatifies to_numpy, and hashing
         the float bit patterns would re-bucket EVERY key in the block —

@@ -333,3 +333,61 @@ def test_stats_missing_parquet_fallbacks(ray_session, tmp_path):
         pd.testing.assert_frame_equal(
             ref.reset_index(drop=True), got.reset_index(drop=True)), q
         assert len(got) > 0, q
+
+
+def test_json_scalar_null_string_vs_json_null():
+    import duckdb
+
+    from trafaret_ray.functions.text import json_scalar
+    cases = ['{"k": "null"}', '{"k": null}', '{"k": "x"}']
+    got = json_scalar(pa.array(cases), 'k').to_pylist()
+    want = [duckdb.sql("select json_extract_string('" + c + "', '$.k')")
+            .fetchone()[0] for c in cases]
+    assert got == want  # ['null', None, 'x']
+
+
+def test_normalize_text_trims_spaces_only():
+    import duckdb
+
+    from trafaret_ray.functions.text import normalize_text
+    # \x0b and \x85 are Unicode whitespace OUTSIDE RE2 \s: DuckDB's
+    # space-only trim() keeps them, so must the engine
+    texts = ['x\x0b', 'x\x85', '  A \t B  ', '\x0by', 'a b']
+    got = normalize_text(pa.array(texts)).to_pylist()
+    want = [duckdb.sql(
+        "select lower(trim(regexp_replace(?, '\\s+', ' ', 'g')))",
+        params=[t]).fetchone()[0] for t in texts]
+    assert got == want
+
+
+def test_streaming_lagger_empty_batch_typed():
+    from trafaret_ray.stages.streaming import StreamingLagger
+    lag = StreamingLagger(key='user_id', ts_col='ts',
+                          value_cols=('value',))
+    schema = pa.schema([('user_id', pa.string()),
+                        ('ts', pa.timestamp('us')),
+                        ('value', pa.float64())])
+    empty_out = lag(schema.empty_table())
+    full_out = lag(pa.table({
+        'user_id': pa.array(['u']),
+        'ts': pa.array([0], pa.int64()).cast(pa.timestamp('us')),
+        'value': pa.array([1.0])}))
+    # typed empty: prev_value must be double, and the two outputs concat
+    assert empty_out.schema.field('prev_value').type == pa.float64()
+    pa.concat_tables([empty_out, full_out])
+
+
+def test_word_shingles_subk_emits_zero():
+    from trafaret_ray.functions.text import word_shingles
+    lengths, flat = word_shingles(['a b', 'a b c d', ''], k=3)
+    assert lengths.tolist() == [0, 2, 0]       # sub-k docs: ZERO shingles
+    assert len(flat) == 2
+
+
+def test_quality_features_null_text_all_null():
+    from trafaret_ray.functions.text import quality_features
+    out = quality_features(pa.array(['hello world', None]))
+    for name, arr in out.items():
+        vals = arr.to_pylist() if not isinstance(arr, list) else arr
+        assert vals[1] is None, name           # EVERY signal null
+        assert vals[0] is not None, name

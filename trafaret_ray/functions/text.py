@@ -36,7 +36,12 @@ def bpe_ish_token_count(text: pa.Array) -> pa.Array:
 
 
 def word_shingles(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct word k-gram shingles per document.
+    """Distinct word k-gram shingles per document (reference/test helper;
+    production uses the vectorized ``shingle_hash_explode``).
+
+    Docs with fewer than ``k`` words emit ZERO shingles — the SAME
+    semantics as ``shingle_hash_explode`` and the SQL oracles (a
+    whole-doc fallback shingle here would silently diverge from them).
 
     Returns (doc_lengths, flat_shingle_strings): lengths[i] distinct
     shingles for doc i, concatenated in ``flat``.
@@ -49,9 +54,9 @@ def word_shingles(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
             continue
         w = t.split(' ')
         if len(w) < k:
-            sh = {' '.join(w)}
-        else:
-            sh = {' '.join(w[j:j + k]) for j in range(len(w) - k + 1)}
+            lengths[i] = 0
+            continue
+        sh = {' '.join(w[j:j + k]) for j in range(len(w) - k + 1)}
         lengths[i] = len(sh)
         flat.extend(sh)
     return lengths, np.array(flat, dtype=object)
@@ -123,18 +128,26 @@ def hash_shingles(flat: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=False)
 
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def minhash_matrix(lengths: np.ndarray, hashes: np.ndarray,
                    num_perm: int = 128, seed: int = 1234) -> np.ndarray:
-    """(n_docs, num_perm) uint64 MinHash signatures via universal hashing
-    h_i(x) = (a_i*x + b_i) mod (2^61-1), min per doc — one vectorized
-    ``minimum.reduceat`` per permutation over ALL docs' shingles at once."""
+    """(n_docs, num_perm) uint64 MinHash signatures, min per doc — one
+    vectorized ``minimum.reduceat`` per permutation over ALL docs'
+    shingles at once.
+
+    Hash family: affine maps h_i(x) = a_i*x + b_i (mod 2^64) with ODD
+    a_i — each is an exact BIJECTION of the uint64 space (a random
+    permutation family), and the mod-2^64 wrap is the intended
+    arithmetic. The previous (a*x + b) mod (2^61-1) form silently
+    wrapped a*x mod 2^64 BEFORE the Mersenne reduction, so it computed
+    neither family; the affine-mod-2^64 form makes the wrap the math."""
     n = len(lengths)
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    a = rng.integers(1, np.iinfo(np.uint64).max, num_perm,
+                     dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, num_perm,
+                     dtype=np.uint64)
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(hashes) == 0:
         return sig
@@ -142,10 +155,11 @@ def minhash_matrix(lengths: np.ndarray, hashes: np.ndarray,
     np.cumsum(lengths[:-1], out=offsets[1:])
     nonempty = lengths > 0
     ne_off = offsets[nonempty]
-    x = hashes % _MERSENNE
-    for p in range(num_perm):
-        hp = (a[p] * x + b[p]) % _MERSENNE
-        sig[nonempty, p] = np.minimum.reduceat(hp, ne_off)
+    x = hashes
+    with np.errstate(over='ignore'):
+        for p in range(num_perm):
+            hp = a[p] * x + b[p]        # mod-2^64 wrap IS the map
+            sig[nonempty, p] = np.minimum.reduceat(hp, ne_off)
     return sig
 
 
@@ -195,10 +209,13 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def normalize_text(text: pa.Array) -> pa.Array:
     """Canonical cleaning pass for training text: collapse all whitespace
     runs to single spaces, trim, lowercase — three Arrow kernels, no
-    Python. (Both engines use RE2 ``\\s`` semantics, so the
-    q_normalized_docs oracle matches byte-for-byte.)"""
+    Python. Trim strips SPACES ONLY: the collapse already turned every
+    RE2 ``\\s`` run into one space, and the oracle's ``trim()`` is
+    space-only too — ``utf8_trim_whitespace`` would additionally strip
+    Unicode whitespace OUTSIDE RE2 ``\\s`` (\\x0b, \\x85) that DuckDB
+    keeps, a verified byte divergence."""
     collapsed = pc.replace_substring_regex(text, r'\s+', ' ')
-    return pc.utf8_lower(pc.utf8_trim_whitespace(collapsed))
+    return pc.utf8_lower(pc.utf8_trim(collapsed, ' '))
 
 
 def _segment_counts(keys_doc: np.ndarray, keys_hash: np.ndarray,
@@ -403,6 +420,20 @@ def quality_features(text: pa.Array) -> dict[str, pa.Array]:
     nc = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
     stop_ratio, distinct_ratio = stopword_distinct_ratios(
         text, _LANG_STOPWORDS['en'])
+    # CONSISTENT null semantics: every signal is NULL for a NULL text.
+    # stopword_distinct_ratios fill-nulls to '' internally (a numpy
+    # kernel), which would emit 0.0 where the Arrow kernels emit null —
+    # a --nulls byte-gate break waiting for the first oracle wiring
+    # without require=('text',).
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    sr = pa.array(stop_ratio)
+    dr = pa.array(distinct_ratio)
+    if text.null_count:
+        nulls = pa.nulls(len(text), pa.float64())
+        isnull = pc.is_null(text)
+        sr = pc.if_else(isnull, nulls, sr)
+        dr = pc.if_else(isnull, nulls, dr)
     return {
         'n_chars': pc.cast(n_chars, pa.int64()),
         'n_words': n_words,
@@ -411,8 +442,8 @@ def quality_features(text: pa.Array) -> dict[str, pa.Array]:
         'punct_ratio': pc.divide(pc.cast(n_punct, pa.float64()), nc),
         'upper_ratio': pc.divide(pc.cast(n_upper, pa.float64()), nc),
         'digit_ratio': pc.divide(pc.cast(n_digit, pa.float64()), nc),
-        'stopword_ratio': pa.array(stop_ratio),
-        'distinct_word_ratio': pa.array(distinct_ratio),
+        'stopword_ratio': sr,
+        'distinct_word_ratio': dr,
     }
 
 
@@ -516,6 +547,8 @@ def json_scalar(text, key: str):
         pc.replace_substring_regex(raw, pattern=r'^"|"$', replacement=''),
         pattern=r'\\(.)', replacement=r'\1')
     unquoted = pc.if_else(quoted, stripped, raw)
-    # JSON null -> SQL NULL
-    return pc.if_else(pc.equal(unquoted, 'null'),
+    # JSON null -> SQL NULL: test the RAW token, not the unquoted one —
+    # the string value "null" unquotes to 'null' but must stay a string
+    # (json_extract_string returns 'null' for it, verified)
+    return pc.if_else(pc.equal(raw, 'null'),
                       pa.nulls(len(text), type=pa.string()), unquoted)

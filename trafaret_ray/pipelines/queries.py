@@ -1581,12 +1581,19 @@ def q_rolling_events(sf_dir: str):
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         v = tbl.column('value').combine_chunks().to_numpy(
             zero_copy_only=False)
-        mean = W.rolling_mean(v, starts, 5)
+        # window sums in EXACT int64 micro-units (CLAUDE.md): a float
+        # prefix-sum difference rounds at the whole-bucket prefix
+        # magnitude, flipping round(mean, 6) vs the oracle as buckets
+        # grow; both engines now divide identical integers
+        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        sum6, cnt = W.rolling_sum_fixed(v6, starts, 5)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            mean = np.floor(sum6 / np.maximum(cnt, 1) + 0.5) / 1e6
         mn, mx = W.rolling_min_max(v, starts, 5)
         return pa.table({
             'event_id': tbl.column('event_id'),
             'user_id': tbl.column('user_id'),
-            'roll_mean': pa.array(np.round(mean, 6)),
+            'roll_mean': pa.array(mean, mask=(cnt == 0)),
             'roll_min': pa.array(mn),
             'roll_max': pa.array(mx),
         })
@@ -1683,8 +1690,15 @@ ORACLE_SQL['q_cumsum_events'] = """
 
 QUERIES['q_rolling_events'] = q_rolling_events
 ORACLE_SQL['q_rolling_events'] = """
+    -- window mean from int64 micro-unit sums (identical integers on
+    -- both engines), not avg() over raw floats — float window sums are
+    -- not byte-stable against the engine's prefix-sum kernel
     SELECT event_id, user_id,
-           round(avg(value) OVER w, 6) AS roll_mean,
+           CASE WHEN count(value) OVER w > 0 THEN
+             floor(cast(sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))
+                        OVER w AS DOUBLE)
+                   / count(value) OVER w + 0.5) / 1e6
+           END                         AS roll_mean,
            min(value) OVER w           AS roll_min,
            max(value) OVER w           AS roll_max
     FROM events

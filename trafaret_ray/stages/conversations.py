@@ -29,7 +29,12 @@ _HASH_KEY = '0123456789abcdef'  # fixed -> deterministic across processes
 
 
 def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic uint64 hash-bucket of a key array (vectorized C)."""
+    """Deterministic uint64 hash-bucket of a key array (vectorized C).
+
+    MUST stay bit-identical to ``add_bucket``'s single-key case (h
+    starts at 0, so the golden-ratio combine degenerates to the same
+    ``hash_array`` — asserted in tests/test_features.py): two hash
+    functions that disagree would silently break bucket co-location."""
     h = pd.util.hash_array(values, hash_key=_HASH_KEY, categorize=False)
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
@@ -94,7 +99,13 @@ def per_conversation(ds, fn, key: str = 'conv_id',
     """
 
     def _run(bucket_tbl: pa.Table) -> pa.Table:
-        if bucket_tbl.num_rows == 0:
+        # Ray 2.49 map_groups can hand SCHEMA-LESS empty blocks (no
+        # columns) — nothing to do with those. But a 0-row block that
+        # still CARRIES the input schema must flow through fn like any
+        # other: returning it raw would emit an input-schema block
+        # (with _bucket, without fn's output columns) that cannot unify
+        # with the populated buckets' output schema.
+        if bucket_tbl.num_rows == 0 and key not in bucket_tbl.column_names:
             return bucket_tbl
         tbl = sort_bucket(bucket_tbl, key, order)
         if drop_bucket and BUCKET_COL in tbl.column_names:
@@ -120,7 +131,10 @@ def bucket_exchange(ds, key: str, fn, num_buckets: int = 32,
     bucket holds MANY keys — fn must group internally (vectorized)."""
 
     def _run(bucket_tbl: pa.Table) -> pa.Table:
-        if bucket_tbl.num_rows and BUCKET_COL in bucket_tbl.column_names:
+        # drop _bucket on ANY block that has it — gating on num_rows
+        # would pass the internal column through fn on a 0-row block
+        # that kept its schema, diverging from sibling blocks' output
+        if BUCKET_COL in bucket_tbl.column_names:
             bucket_tbl = bucket_tbl.drop_columns([BUCKET_COL])
         return fn(bucket_tbl)
 

@@ -24,6 +24,29 @@ import pyarrow.compute as pc
 from .aggregate import bucket_aggregate
 
 
+def _ts_us_int(tbl: pa.Table, ts_col: str):
+    """ts column as (arrow int64 us, numpy view with nulls->0). Cast to
+    timestamp(us) FIRST: a ns input (pandas round-trip) cast straight to
+    int64 would inflate window ids 1000x (CLAUDE.md landmine) — one copy
+    of that invariant for every window flavor."""
+    col = tbl.column(ts_col).combine_chunks()\
+        .cast(pa.timestamp('us')).cast(pa.int64())
+    return col, col.fill_null(0).to_numpy(zero_copy_only=False)
+
+
+def _finish_window_start(out):
+    """window_start_us (int64) -> window_start (timestamp[us]) — the
+    shared output contract of tumbling/hopping."""
+    def finish(tbl: pa.Table) -> pa.Table:
+        cols = {name: tbl.column(name) for name in tbl.column_names}
+        cols['window_start'] = tbl.column('window_start_us')\
+            .combine_chunks().cast(pa.timestamp('us'))
+        del cols['window_start_us']
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
 def tumbling_window(ds, key: str, ts_col: str, window_us: int,
                     aggs: dict[str, tuple[str, str]]):
     """Per (key, window) aggregate; window = floor(epoch_us / window_us).
@@ -33,11 +56,7 @@ def tumbling_window(ds, key: str, ts_col: str, window_us: int,
     (hash exchange), not a Ray sort."""
 
     def derive(tbl: pa.Table) -> pa.Table:
-        # cast to timestamp(us) FIRST: a ns input (pandas round-trip)
-        # cast straight to int64 would inflate window ids 1000x
-        col = tbl.column(ts_col).combine_chunks()\
-            .cast(pa.timestamp('us')).cast(pa.int64())
-        ts = col.fill_null(0).to_numpy(zero_copy_only=False)
+        col, ts = _ts_us_int(tbl, ts_col)
         win = pa.array((ts // window_us) * window_us, type=pa.int64())
         if col.null_count:  # SQL: a NULL ts groups under a NULL window
             win = pc.if_else(col.is_null(), pa.nulls(len(col), pa.int64()),
@@ -47,15 +66,7 @@ def tumbling_window(ds, key: str, ts_col: str, window_us: int,
     derived = ds.map_batches(derive, batch_format='pyarrow',
                              zero_copy_batch=True)
     out = bucket_aggregate(derived, [key, 'window_start_us'], aggs)
-
-    def finish(tbl: pa.Table) -> pa.Table:
-        cols = {name: tbl.column(name) for name in tbl.column_names}
-        cols['window_start'] = tbl.column('window_start_us')\
-            .combine_chunks().cast(pa.timestamp('us'))
-        del cols['window_start_us']
-        return pa.table(cols)
-
-    return out.map_batches(finish, batch_format='pyarrow')
+    return _finish_window_start(out)
 
 
 def hopping_window(ds, key: str, ts_col: str, window_us: int, hop_us: int,
@@ -70,16 +81,14 @@ def hopping_window(ds, key: str, ts_col: str, window_us: int, hop_us: int,
     k = window_us // hop_us
 
     def derive(tbl: pa.Table) -> pa.Table:
-        col = tbl.column(ts_col).combine_chunks()\
-            .cast(pa.timestamp('us')).cast(pa.int64())
-        ts = col.fill_null(0).to_numpy(zero_copy_only=False)
+        col, ts = _ts_us_int(tbl, ts_col)
         n = len(ts)
         base = (ts // hop_us)
         # windows starting at (base - j) * hop for j in 0..k-1 all contain
         # ts (start <= ts < start + window)
         j = np.tile(np.arange(k, dtype=np.int64), n)
         win = pa.array((np.repeat(base, k) - j) * hop_us, type=pa.int64())
-        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        rep_idx = np.repeat(np.arange(n, dtype=np.int64), k)
         if col.null_count:  # a NULL ts row lands in ONE null window, not k
             # keep a single copy of each null-ts row with a null window id
             nulls = col.is_null().to_numpy(zero_copy_only=False)
@@ -87,25 +96,17 @@ def hopping_window(ds, key: str, ts_col: str, window_us: int, hop_us: int,
             first = np.zeros(n * k, dtype=bool)
             first[::k] = True
             keep = ~rep | first
-            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k)[keep])
+            rep_idx = rep_idx[keep]
             win = pc.if_else(pa.array(rep[keep]),
                              pa.nulls(int(keep.sum()), pa.int64()),
                              win.filter(pa.array(keep)))
-        out = tbl.take(idx)
+        out = tbl.take(pa.array(rep_idx))
         return out.append_column('window_start_us', win)
 
     derived = ds.map_batches(derive, batch_format='pyarrow',
                              zero_copy_batch=True)
     out = bucket_aggregate(derived, [key, 'window_start_us'], aggs)
-
-    def finish(tbl: pa.Table) -> pa.Table:
-        cols = {name: tbl.column(name) for name in tbl.column_names}
-        cols['window_start'] = tbl.column('window_start_us')\
-            .combine_chunks().cast(pa.timestamp('us'))
-        del cols['window_start_us']
-        return pa.table(cols)
-
-    return out.map_batches(finish, batch_format='pyarrow')
+    return _finish_window_start(out)
 
 
 class StreamingSessionizer:
@@ -191,7 +192,12 @@ class StreamingLagger:
         if tbl.num_rows == 0:
             out = tbl
             for c in self.value_cols:
-                out = out.append_column(f'prev_{c}', pa.array([]))
+                # TYPED empty: pa.array([]) is type null, and a
+                # null-typed prev_<col> block cannot unify with
+                # non-empty batches' output schema
+                out = out.append_column(
+                    f'prev_{c}',
+                    pa.array([], type=tbl.schema.field(c).type))
             return out.append_column('gap_s',
                                      pa.array([], type=pa.float64()))
         tbl = tbl.sort_by([(self.key, 'ascending'),

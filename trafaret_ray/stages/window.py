@@ -300,6 +300,26 @@ def rolling_mean(values: np.ndarray, starts: np.ndarray, k: int):
         return np.where(counts > 0, sums / counts, np.nan)
 
 
+def rolling_sum_fixed(values: np.ndarray, starts: np.ndarray, k: int):
+    """``rolling_sum`` in EXACT int64 fixed-point: ``values`` is a float
+    view of micro-unit integers (NaN = missing). The float64 prefix-sum
+    in ``rolling_sum`` rounds at the magnitude of the whole-bucket
+    prefix, so window sums lose exactness as buckets grow past 2^53
+    micro-units — for an oracle-checked window aggregate the cumsum
+    must be integer (CLAUDE.md fixed-point discipline).
+
+    Returns (sums int64, counts int64)."""
+    n = len(values)
+    v = np.asarray(values, dtype=np.float64)
+    ok = ~np.isnan(v)
+    vv = np.where(ok, v, 0.0).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(vv, dtype=np.int64)])
+    ccnt = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+    lo = rolling_window_bounds(starts, k)
+    idx = np.arange(n)
+    return csum[idx + 1] - csum[lo], ccnt[idx + 1] - ccnt[lo]
+
+
 def rolling_min_max(values: np.ndarray, starts: np.ndarray, k: int):
     """Windowed min/max over the last k rows within each group.
 
