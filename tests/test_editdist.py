@@ -1,0 +1,116 @@
+"""Edit-distance kernel + editdist_pairs stage.
+
+The kernel's contract is byte-for-byte DuckDB ``levenshtein`` parity for
+every value <= max_dist (values above come back capped at max_dist + 1) —
+the property the q_editdist_pairs_docs oracle gate rides on.
+"""
+import numpy as np
+import pyarrow as pa
+
+from trafaret_ray.functions.text import levenshtein_bytes
+
+
+def _ref(a: bytes, b: bytes) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+class TestLevenshteinKernel:
+    def test_known_values(self):
+        a = [b'kitten', b'', b'ab', b'abc', b'same']
+        b = [b'sitting', b'ab', b'', b'abc', b'same']
+        assert levenshtein_bytes(a, b, 16).tolist() == [3, 2, 2, 0, 0]
+
+    def test_multibyte_utf8_is_byte_based(self):
+        # DuckDB semantics: levenshtein('héllo','hello') = 2 (bytes)
+        got = levenshtein_bytes(['héllo'.encode(), '日本'.encode()],
+                                ['hello'.encode(), '日本語'.encode()], 16)
+        assert got.tolist() == [2, 3]
+
+    def test_cap_above_max_dist(self):
+        got = levenshtein_bytes([b'aaaaaaaaaa', b'x' * 40],
+                                [b'bbbbbbbbbb', b''], 3)
+        assert got.tolist() == [4, 4]
+
+    def test_empty_input(self):
+        assert levenshtein_bytes([], [], 5).tolist() == []
+
+    def test_random_differential(self):
+        rng = np.random.default_rng(11)
+        alpha = [c.encode('utf-8') for c in 'abcé日\x00 ']
+        pairs = []
+        for _ in range(600):
+            la, lb = rng.integers(0, 18, size=2)
+            pairs.append((b''.join(alpha[i] for i in
+                                   rng.integers(0, len(alpha), la)),
+                          b''.join(alpha[i] for i in
+                                   rng.integers(0, len(alpha), lb))))
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        for k in (0, 2, 7, 32):
+            got = levenshtein_bytes(a, b, k)
+            exp = np.array([min(_ref(x, y), k + 1) for x, y in pairs])
+            assert (got == exp).all()
+
+    def test_out_of_band_pairs_capped_not_stale(self):
+        # mixed lengths force the band to exit for some pairs while
+        # others still read results — the readout must never pick up a
+        # stale cell from two DP rows ago
+        a = [b'abcdefghijklmnop', b'abc', b'abcdefgh' * 6]
+        b = [b'abcdefghijklmnop', b'abcdefghijklmnopqrstuvwx', b'abc']
+        got = levenshtein_bytes(a, b, 4)
+        assert got.tolist() == [0, 5, 5]
+
+
+class TestEditdistPairsStage:
+    def _docs(self):
+        return pa.table({
+            'doc_id': pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            'text': pa.array(['the quick brown fox', 'the quick brown fax',
+                              'totally different text here',
+                              'the quick brown fox',  # exact dup of 1
+                              None, 'blocked away']),
+            'lang': pa.array(['en', 'en', 'en', 'en', 'en', None]),
+            'band': pa.array([0, 0, 0, 0, 0, 0], pa.int64()),
+        })
+
+    def test_pairs_and_null_blocks(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        out = editdist_pairs(rd.from_arrow(self._docs()),
+                             ['lang', 'band'], max_dist=3,
+                             num_buckets=4).to_pandas()\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        # doc 5 (null text) and doc 6 (null lang) never pair; doc 3 is
+        # beyond distance 3 from everything
+        assert out[['doc_a', 'doc_b', 'edist']].values.tolist() == \
+            [[1, 2, 1], [1, 4, 0], [2, 4, 1]]
+
+    def test_blocking_excludes_cross_block(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        t = pa.table({
+            'doc_id': pa.array([1, 2], pa.int64()),
+            'text': pa.array(['same text', 'same text']),
+            'lang': pa.array(['en', 'de']),
+            'band': pa.array([0, 0], pa.int64()),
+        })
+        out = editdist_pairs(rd.from_arrow(t), ['lang', 'band'],
+                             num_buckets=4).to_pandas()
+        assert len(out) == 0
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        out = editdist_pairs(rd.from_arrow(self._docs().slice(0, 0)),
+                             ['lang', 'band'], num_buckets=4).to_pandas()
+        assert len(out) == 0

@@ -206,6 +206,77 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1)
 
 
+def levenshtein_bytes(a, b, max_dist: int = 16) -> np.ndarray:
+    """Byte-level Levenshtein distance for N string pairs, vectorized
+    ACROSS pairs: each banded-DP cell is one numpy op over all N pairs
+    (Ukkonen band |i-j| <= max_dist), no per-pair Python.
+
+    Matches DuckDB's ``levenshtein``, which operates on UTF-8 BYTES
+    (levenshtein('héllo','hello') = 2, levenshtein('日本','日本語') = 3,
+    both verified) — so edit-distance operators built on this kernel are
+    oracle-checkable byte-for-byte. Distances above ``max_dist`` come
+    back as ``max_dist + 1`` (cells outside the band never influence a
+    value <= max_dist, so every kept value is exact).
+
+    ``a`` / ``b``: equal-length sequences of ``bytes`` (encode text
+    prefixes before the call). Cost is O(len * band_width) numpy ops,
+    each over an N-vector — bounded by the caller capping prefix length.
+    """
+    n = len(a)
+    k = int(max_dist)
+    out = np.full(n, k + 1, dtype=np.int64)
+    if n == 0:
+        return out
+    la = np.fromiter((len(x) for x in a), count=n, dtype=np.int64)
+    lb = np.fromiter((len(x) for x in b), count=n, dtype=np.int64)
+    L1, L2 = int(la.max()), int(lb.max())
+
+    def pack(seqs, lens, width):
+        # one frombuffer over the joined payload + a scatter — no
+        # per-row numpy conversion
+        flat = np.frombuffer(b''.join(seqs), dtype=np.uint8)
+        m = np.zeros((n, max(width, 1)), dtype=np.uint8)
+        if flat.size:
+            rows = np.repeat(np.arange(n), lens)
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            m[rows, np.arange(flat.size) - starts] = flat
+        return m
+
+    A, B = pack(a, la, L1), pack(b, lb, L2)
+    INF = np.int32(1 << 20)
+    prev = np.full((L2 + 2, n), INF, dtype=np.int32)
+    cur = np.full((L2 + 2, n), INF, dtype=np.int32)
+    j0 = min(k, L2)
+    prev[:j0 + 1] = np.arange(j0 + 1, dtype=np.int32)[:, None]
+    m0 = la == 0
+    out[m0] = np.minimum(lb[m0], k + 1)
+    for i in range(1, L1 + 1):
+        lo, hi = max(1, i - k), min(L2, i + k)
+        if hi < lo:
+            # band exited the right edge: every remaining pair has
+            # la - lb > k, and out already holds k + 1 for them
+            break
+        # cells just outside the band must read as INF; anything
+        # further out is stale from two rows ago but is never read
+        cur[lo - 1] = INF
+        if lo == 1:
+            cur[0] = np.int32(i) if i <= k else INF
+        ai = A[:, i - 1]
+        for j in range(lo, hi + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            np.minimum(prev[j] + 1, cur[j - 1] + 1, out=cur[j])
+            np.minimum(cur[j], prev[j - 1] + cost, out=cur[j])
+        cur[hi + 1] = INF
+        done = np.nonzero(la == i)[0]
+        if done.size:
+            # only in-band endpoints hold real values; out-of-band ones
+            # have |la - lb| > k, so k + 1 (already set) is correct
+            done = done[np.abs(lb[done] - i) <= k]
+            out[done] = np.minimum(cur[lb[done], done], k + 1)
+        prev, cur = cur, prev
+    return out
+
+
 def normalize_text(text: pa.Array) -> pa.Array:
     """Canonical cleaning pass for training text: collapse all whitespace
     runs to single spaces, trim, lowercase — three Arrow kernels, no

@@ -4732,3 +4732,46 @@ ORACLE_SQL['q_token_budget_docs'] = f"""
     FROM c WHERE cum_before < {_BUDGET_TOKENS}
     ORDER BY doc_id
 """
+
+
+def q_editdist_pairs_docs(sf_dir: str):
+    """Edit-distance near-dup pairs over documents, blocked on
+    (lang, 64-char length band): pairs whose 48-codepoint text prefix is
+    within byte-Levenshtein distance 16 (stages/dedup.py:editdist_pairs;
+    banded-DP kernel functions/text.py:levenshtein_bytes — byte
+    semantics match DuckDB levenshtein, prefix slicing matches substr).
+    The reference has no distance ops; this is an engine-level
+    training-data operator (near-dup verify for fuzzy dedup)."""
+    from ..stages.dedup import editdist_pairs
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang', 'n_chars'],
+               require=('text', 'lang', 'n_chars'))
+
+    def band(tbl: pa.Table) -> pa.Table:
+        # floor division (DuckDB // floors; pc.divide truncates toward
+        # zero, which would diverge on any negative length)
+        b = np.floor_divide(
+            tbl.column('n_chars').combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False), 64)
+        return tbl.append_column('band', pa.array(b, type=pa.int64()))
+
+    banded = ds.map_batches(band, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    return editdist_pairs(banded, ['lang', 'band'], num_buckets=16)\
+        .sort(['doc_a', 'doc_b'])
+
+
+QUERIES['q_editdist_pairs_docs'] = q_editdist_pairs_docs
+ORACLE_SQL['q_editdist_pairs_docs'] = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 64 AS band,
+             substr(text, 1, 48) AS pfx
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+        AND n_chars IS NOT NULL)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.pfx, b.pfx) AS edist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 16
+    ORDER BY doc_a, doc_b
+"""

@@ -589,3 +589,72 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
 
     from .conversations import bucket_exchange
     return bucket_exchange(bucketed, 'bucket', pairs, num_buckets)
+
+
+def editdist_pairs(ds, block_cols, text_col: str = 'text',
+                   id_col: str = 'doc_id', prefix_cp: int = 48,
+                   max_dist: int = 16, num_buckets: int = 16):
+    """Edit-distance near-dup pairs under equality blocking: docs sharing
+    ``block_cols`` (e.g. (lang, length band)) are candidates; a pair is
+    kept when the byte-level Levenshtein distance of the first
+    ``prefix_cp`` CODEPOINTS is <= ``max_dist``. Returns
+    (doc_a, doc_b, edist), doc_a < doc_b.
+
+    Oracle parity: the prefix is sliced by codepoints
+    (pc.utf8_slice_codeunits == DuckDB substr, verified on multibyte and
+    control chars) and the distance is computed over its UTF-8 bytes
+    (DuckDB levenshtein is byte-based) — see
+    functions/text.py:levenshtein_bytes.
+
+    100-TB shape: ONE hash exchange carrying (id, block key, <=
+    prefix_cp*4-byte prefix) rows — never the corpus; per-bucket pandas
+    self-merge then ONE vectorized banded-DP call over all pairs in the
+    bucket. A block key shared by B docs costs O(B^2) pairs inside one
+    task, so choose block_cols to bound B (the length band caps
+    natural-language blocks; a 300x-duplicated doc — the skew-gate bound
+    — is ~45k pairs, one DP call). Rows with a NULL block key or NULL
+    text are excluded (SQL join-on-NULL semantics).
+    """
+    block_cols = list(block_cols)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(
+            tbl.column(text_col).combine_chunks(), 0, prefix_cp)
+        cols = {id_col: tbl.column(id_col), '_pfx': pfx}
+        for c in block_cols:
+            cols[c] = tbl.column(c)
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format='pyarrow',
+                             zero_copy_batch=True)
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        # explicit schema (CLAUDE.md from_pandas rule): empty and
+        # populated buckets must emit identical types for any id dtype
+        id_t = (tbl.schema.field(id_col).type
+                if id_col in tbl.schema.names else pa.int64())
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                                ('edist', pa.int64())])
+        df = tbl.to_pandas()
+        if len(df):
+            # NULL block keys never join (pandas merge would match
+            # NaN == NaN); NULL prefixes have NULL distance in SQL
+            df = df.dropna(subset=block_cols + ['_pfx'])
+        if len(df) == 0:
+            return out_schema.empty_table()
+        m = df.merge(df, on=block_cols, suffixes=('_a', '_b'))
+        m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
+        if len(m) == 0:
+            return out_schema.empty_table()
+        ed = T.levenshtein_bytes(
+            m['_pfx_a'].str.encode('utf-8').to_numpy(),
+            m['_pfx_b'].str.encode('utf-8').to_numpy(), max_dist)
+        keep = ed <= max_dist
+        m = m[keep]
+        return pa.table({
+            'doc_a': pa.array(m[f'{id_col}_a'].to_numpy(), type=id_t),
+            'doc_b': pa.array(m[f'{id_col}_b'].to_numpy(), type=id_t),
+            'edist': pa.array(ed[keep], type=pa.int64())})
+
+    from .conversations import bucket_exchange
+    return bucket_exchange(prepped, block_cols, pairs, num_buckets)
