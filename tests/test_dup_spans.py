@@ -1,0 +1,50 @@
+"""Substring-level (k-token span) exact dedup — q_dup_spans_docs.
+
+Positions must be 1-based start-token indices under single-space split
+semantics (SQL string_split parity), and a span counts as duplicated on
+>= 2 occurrences corpus-wide INCLUDING repeats within one document.
+"""
+import numpy as np
+import pyarrow as pa
+
+
+def _brute(docs, k):
+    from collections import Counter
+    grams = []
+    for doc_id, text in docs:
+        t = text.split(' ')
+        for i in range(len(t) - k + 1):
+            grams.append((doc_id, i + 1, ' '.join(t[i:i + k])))
+    cnt = Counter(g for _, _, g in grams)
+    return sorted((d, p) for d, p, g in grams if cnt[g] >= 2)
+
+
+class TestDupSpans:
+    def test_positions_and_counts(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from trafaret_ray.pipelines.queries import q_dup_spans_docs
+        docs = [
+            (1, 'a b c d e a b c d e'),       # span repeats WITHIN doc
+            (2, 'x a b c d different tail'),   # shares 'a b c d' with 1
+            (3, 'totally unrelated words go here now ok'),
+            (4, 'short'),                      # < k tokens: no grams
+            (5, 'x a b c d different tail'),   # exact dup of 2
+        ]
+        t = pa.table({
+            'doc_id': pa.array([d for d, _ in docs], pa.int64()),
+            'text': pa.array([s for _, s in docs]),
+            'lang': pa.array(['en'] * 5),
+            'source': pa.array(['s'] * 5),
+            'n_chars': pa.array([len(s) for _, s in docs], pa.int64()),
+        })
+        pq.write_table(t, tmp_path / 'documents.parquet')
+        k = 4
+        out = q_dup_spans_docs(str(tmp_path), k=k).to_pandas()
+        got = sorted(map(tuple, out[['doc_id', 'pos']].values.tolist()))
+        assert got == _brute(docs, k)
+        # sanity on the fixture itself: doc 1's within-doc repeat and
+        # the doc 2/5 exact pair must both appear
+        assert (1, 1) in got and (1, 6) in got
+        assert (2, 1) in got and (5, 1) in got
+        assert all(d != 3 and d != 4 for d, _ in got)

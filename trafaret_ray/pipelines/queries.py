@@ -4775,3 +4775,60 @@ ORACLE_SQL['q_editdist_pairs_docs'] = """
     WHERE levenshtein(a.pfx, b.pfx) <= 16
     ORDER BY doc_a, doc_b
 """
+
+
+def q_dup_spans_docs(sf_dir: str, k: int = 8):
+    """Substring-level exact dedup (the train-data dedup op from 'Deduplicating
+    Training Data Makes Language Models Better', Lee et al. 2022, public):
+    every position where a ``k``-token span occurs MORE THAN ONCE corpus-wide.
+    Gram explode is one vectorized pass (functions/text.py:
+    shingle_hash_explode, distinct=False keeps every occurrence in
+    start-token order, so the position is a segmented arange); then ONE
+    hash exchange of (doc_id, pos, gram_hash) rows with an in-bucket
+    occurrence count — all occurrences of a gram co-locate, no join-back
+    pass. 64-bit gram hashes stand in for span equality (same documented
+    collision tradeoff as q_exact_dedup_docs). Returns (doc_id, pos),
+    pos = 1-based start-token index."""
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        from ..functions.text import shingle_hash_explode
+        id_t = tbl.schema.field('doc_id').type
+        ids = tbl.column('doc_id').to_numpy(zero_copy_only=False)
+        lengths, gd, gh = shingle_hash_explode(
+            tbl.column('text'), k, distinct=False)
+        starts = np.cumsum(lengths) - lengths
+        pos = np.arange(len(gd), dtype=np.int64) - starts[gd] + 1
+        return pa.table({
+            'doc_id': pa.array(ids[gd], type=id_t),
+            'pos': pa.array(pos, type=pa.int64()),
+            # int64 view: uint64 columns break pandas/ray round-trips
+            'gh': pa.array(gh.view(np.int64), type=pa.int64())})
+
+    g = ds.map_batches(grams, batch_format='pyarrow', zero_copy_batch=True)
+
+    def dup_only(tbl: pa.Table) -> pa.Table:
+        gh = tbl.column('gh').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        _, inv, cnt = np.unique(gh, return_inverse=True,
+                                return_counts=True)
+        keep = cnt[inv] >= 2
+        return tbl.filter(pa.array(keep)).select(['doc_id', 'pos'])
+
+    from ..stages.conversations import bucket_exchange
+    return bucket_exchange(g, 'gh', dup_only, num_buckets=16)\
+        .sort(['doc_id', 'pos'])
+
+
+QUERIES['q_dup_spans_docs'] = q_dup_spans_docs
+ORACLE_SQL['q_dup_spans_docs'] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
+    SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ORDER BY doc_id, pos
+"""
