@@ -48,3 +48,34 @@ class TestDupSpans:
         assert (1, 1) in got and (1, 6) in got
         assert (2, 1) in got and (5, 1) in got
         assert all(d != 3 and d != 4 for d, _ in got)
+
+    def test_interval_coalescing(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from trafaret_ray.pipelines.queries import q_dup_intervals_docs
+        # doc 1 repeats 'a b c d' at tokens 1 and 6 (overlap-chain via
+        # the shared dup grams) while doc 2/3 are exact dups — intervals
+        # must be maximal, not per-span
+        docs = [
+            (1, 'a b c d e a b c d e unrelated trailing words here'),
+            (2, 'x a b c d different tail'),
+            (3, 'x a b c d different tail'),
+        ]
+        t = pa.table({
+            'doc_id': pa.array([d for d, _ in docs], pa.int64()),
+            'text': pa.array([s for _, s in docs]),
+            'lang': pa.array(['en'] * 3),
+            'source': pa.array(['s'] * 3),
+            'n_chars': pa.array([len(s) for _, s in docs], pa.int64()),
+        })
+        pq.write_table(t, tmp_path / 'documents.parquet')
+        out = q_dup_intervals_docs(str(tmp_path), k=4).to_pandas()
+        rows = out[['doc_id', 'start_tok', 'end_tok', 'n_spans']]\
+            .values.tolist()
+        # doc 2/3: every 4-gram duplicated -> one interval covering all
+        # 7 tokens (spans at pos 1..4, end 4+3)
+        assert [2, 1, 7, 4] in rows and [3, 1, 7, 4] in rows
+        # doc 1: dup spans at pos 1,2,6,7 ('a b c d','b c d e' twice) —
+        # gap 2->6 is 4 <= k so they coalesce into ONE interval [1, 10]
+        assert [1, 1, 10, 4] in rows
+        assert len(rows) == 3

@@ -4777,18 +4777,11 @@ ORACLE_SQL['q_editdist_pairs_docs'] = """
 """
 
 
-def q_dup_spans_docs(sf_dir: str, k: int = 8):
-    """Substring-level exact dedup (the train-data dedup op from 'Deduplicating
-    Training Data Makes Language Models Better', Lee et al. 2022, public):
-    every position where a ``k``-token span occurs MORE THAN ONCE corpus-wide.
-    Gram explode is one vectorized pass (functions/text.py:
-    shingle_hash_explode, distinct=False keeps every occurrence in
-    start-token order, so the position is a segmented arange); then ONE
-    hash exchange of (doc_id, pos, gram_hash) rows with an in-bucket
-    occurrence count — all occurrences of a gram co-locate, no join-back
-    pass. 64-bit gram hashes stand in for span equality (same documented
-    collision tradeoff as q_exact_dedup_docs). Returns (doc_id, pos),
-    pos = 1-based start-token index."""
+def _dup_span_rows(sf_dir: str, k: int):
+    """(doc_id, pos) rows for every ``k``-token span occurring >= 2 times
+    corpus-wide — shared producer for q_dup_spans_docs /
+    q_dup_intervals_docs. Shape: one vectorized gram explode, ONE
+    gram-hash exchange with an in-bucket occurrence count."""
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def grams(tbl: pa.Table) -> pa.Table:
@@ -4816,8 +4809,51 @@ def q_dup_spans_docs(sf_dir: str, k: int = 8):
         return tbl.filter(pa.array(keep)).select(['doc_id', 'pos'])
 
     from ..stages.conversations import bucket_exchange
-    return bucket_exchange(g, 'gh', dup_only, num_buckets=16)\
-        .sort(['doc_id', 'pos'])
+    return bucket_exchange(g, 'gh', dup_only, num_buckets=16)
+
+
+def q_dup_spans_docs(sf_dir: str, k: int = 8):
+    """Substring-level exact dedup (the train-data dedup op from 'Deduplicating
+    Training Data Makes Language Models Better', Lee et al. 2022, public):
+    every position where a ``k``-token span occurs MORE THAN ONCE corpus-wide.
+    Gram explode is one vectorized pass (functions/text.py:
+    shingle_hash_explode, distinct=False keeps every occurrence in
+    start-token order, so the position is a segmented arange); then ONE
+    hash exchange of (doc_id, pos, gram_hash) rows with an in-bucket
+    occurrence count — all occurrences of a gram co-locate, no join-back
+    pass. 64-bit gram hashes stand in for span equality (same documented
+    collision tradeoff as q_exact_dedup_docs). Returns (doc_id, pos),
+    pos = 1-based start-token index."""
+    return _dup_span_rows(sf_dir, k).sort(['doc_id', 'pos'])
+
+
+def q_dup_intervals_docs(sf_dir: str, k: int = 8):
+    """Interval coalescing (gaps-and-islands) over the duplicated spans:
+    merge contiguous-or-overlapping k-token dup spans into maximal
+    per-doc intervals [start_tok, end_tok] — the actual removal unit of
+    substring dedup. Second exchange keyed on doc_id; the merge itself
+    is a segmented numpy kernel (break where pos - prev_pos > k), no
+    per-row Python. Returns (doc_id, start_tok, end_tok, n_spans)."""
+    from ..stages.conversations import per_conversation
+    spans = _dup_span_rows(sf_dir, k)
+
+    def merge(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        pos = tbl.column('pos').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        new = starts.copy()
+        # spans [p, p+k-1] and [q, q+k-1] (p < q) merge when they
+        # overlap OR touch end-to-start: q - p <= k
+        new[1:] |= (pos[1:] - pos[:-1]) > k
+        idx = np.nonzero(new)[0]
+        seg_end = np.append(idx[1:], len(pos)) - 1
+        return pa.table({
+            'doc_id': tbl.column('doc_id').take(pa.array(idx)),
+            'start_tok': pa.array(pos[idx], type=pa.int64()),
+            'end_tok': pa.array(pos[seg_end] + (k - 1), type=pa.int64()),
+            'n_spans': pa.array(seg_end - idx + 1, type=pa.int64())})
+
+    return per_conversation(spans, merge, key='doc_id', order=('pos',),
+                            num_buckets=16).sort(['doc_id', 'start_tok'])
 
 
 QUERIES['q_dup_spans_docs'] = q_dup_spans_docs
@@ -4831,4 +4867,32 @@ ORACLE_SQL['q_dup_spans_docs'] = """
     dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
     SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
     ORDER BY doc_id, pos
+"""
+
+
+QUERIES['q_dup_intervals_docs'] = q_dup_intervals_docs
+ORACLE_SQL['q_dup_intervals_docs'] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    spans AS (SELECT doc_id, pos FROM grams
+              WHERE g IN (SELECT g FROM dup)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM spans),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+      FROM brks)
+    SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+           count(*) AS n_spans
+    FROM grp GROUP BY doc_id, seg
+    ORDER BY doc_id, start_tok
 """
