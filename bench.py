@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     'q_nearest_centroid_embeddings', 'q_time_range_join_events',
     'q_asof_broadcast_events', 'q_quarantine_audit_events',
     'q_outer_join_users',
+    'q_editdist_pairs_docs', 'q_dup_spans_docs', 'q_dup_intervals_docs',
 ]
 
 

@@ -591,6 +591,39 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
     return bucket_exchange(bucketed, 'bucket', pairs, num_buckets)
 
 
+def _editdist_by_code(ca: np.ndarray, cb: np.ndarray, uniq,
+                      max_dist: int) -> np.ndarray:
+    """Distances for pair rows given factorized prefix codes — the DP
+    cost model for editdist_pairs.
+
+    Two result-preserving reductions before the O(len * band) DP:
+    unordered (code_a, code_b) dedup (a block of D identical docs is ONE
+    DP row, not D^2/2 — the skew-gate shape) and the exact-equal fast
+    path. Each prune only drops pairs whose result is already known, so
+    the output is byte-identical to running the kernel on every pair.
+    (A byte-histogram L1/2 lower-bound screen was measured and REJECTED:
+    on same-vocabulary corpora 75% of pairs survive it and the 256-wide
+    gathers cost 3x the banded DP they save.)"""
+    n = len(ca)
+    out = np.full(n, max_dist + 1, dtype=np.int64)
+    nu = len(uniq)
+    if n == 0 or nu == 0:
+        return out
+    lo = np.minimum(ca, cb).astype(np.int64)
+    hi = np.maximum(ca, cb).astype(np.int64)
+    ukey, inv = np.unique(lo * nu + hi, return_inverse=True)
+    ua, ub = ukey // nu, ukey % nu
+    ue = np.full(len(ukey), max_dist + 1, dtype=np.int64)
+    ue[ua == ub] = 0
+    enc = [s.encode('utf-8') for s in uniq]
+    cand = np.nonzero(ua != ub)[0]
+    if cand.size:
+        ue[cand] = T.levenshtein_bytes(
+            [enc[i] for i in ua[cand]], [enc[i] for i in ub[cand]],
+            max_dist)
+    return ue[inv]
+
+
 def editdist_pairs(ds, block_cols, text_col: str = 'text',
                    id_col: str = 'doc_id', prefix_cp: int = 48,
                    max_dist: int = 16, num_buckets: int = 16):
@@ -642,13 +675,20 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
             df = df.dropna(subset=block_cols + ['_pfx'])
         if len(df) == 0:
             return out_schema.empty_table()
+        # factorize prefixes once: the DP runs per UNIQUE prefix pair,
+        # not per doc pair — a hot block of D identical docs (the
+        # skew-gate 300x doc) collapses its D^2/2 pairs to ONE DP row
+        codes, uniq = pd.factorize(df['_pfx'], sort=False)
+        # the merge frame carries only (id, prefix code, block key) —
+        # self-merging with the object prefix strings attached would
+        # copy every string into the O(B^2) pair frame
+        df = df[[id_col] + block_cols].assign(_pc=codes)
         m = df.merge(df, on=block_cols, suffixes=('_a', '_b'))
         m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
         if len(m) == 0:
             return out_schema.empty_table()
-        ed = T.levenshtein_bytes(
-            m['_pfx_a'].str.encode('utf-8').to_numpy(),
-            m['_pfx_b'].str.encode('utf-8').to_numpy(), max_dist)
+        ed = _editdist_by_code(m['_pc_a'].to_numpy(),
+                               m['_pc_b'].to_numpy(), uniq, max_dist)
         keep = ed <= max_dist
         m = m[keep]
         return pa.table({
@@ -657,4 +697,12 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
             'edist': pa.array(ed[keep], type=pa.int64())})
 
     from .conversations import bucket_exchange
-    return bucket_exchange(prepped, block_cols, pairs, num_buckets)
+    # pair expansion is O(B^2) per block key while the INPUT is tiny
+    # (id + block key + <=48-cp prefix rows) — a small corpus fits one
+    # Ray block and would serialize every bucket into one map_groups
+    # task (measured 16x on the sf0.1 documents table, which the
+    # small-file read cap packs into a single block). Repartitioning to
+    # the bucket width aligns map blocks with the exchange's reduce
+    # width; num_buckets is the cluster-scale knob here as everywhere.
+    return bucket_exchange(prepped.repartition(num_buckets), block_cols,
+                           pairs, num_buckets)
