@@ -79,3 +79,31 @@ class TestDupSpans:
         # gap 2->6 is 4 <= k so they coalesce into ONE interval [1, 10]
         assert [1, 1, 10, 4] in rows
         assert len(rows) == 3
+
+    def test_cut_application(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from trafaret_ray.pipelines.queries import q_dedup_cut_docs
+        docs = [
+            (1, 'a b c d e a b c d e unrelated trailing words here'),
+            (2, 'x a b c d different tail'),   # exact dup of 3:
+            (3, 'x a b c d different tail'),   # both fully covered
+            (4, 'untouched document with enough distinct words'),
+        ]
+        t = pa.table({
+            'doc_id': pa.array([d for d, _ in docs], pa.int64()),
+            'text': pa.array([s for _, s in docs]),
+            'lang': pa.array(['en'] * 4),
+            'source': pa.array(['s'] * 4),
+            'n_chars': pa.array([len(s) for _, s in docs], pa.int64()),
+        })
+        pq.write_table(t, tmp_path / 'documents.parquet')
+        out = q_dedup_cut_docs(str(tmp_path), k=4).to_pandas()
+        got = dict(zip(out['doc_id'], out['text_cut']))
+        # doc 1 loses tokens 1-10 (the coalesced interval), keeps tail
+        assert got[1] == 'unrelated trailing words here'
+        # fully-duplicated docs disappear entirely
+        assert 2 not in got and 3 not in got
+        # a doc with no dup spans passes through byte-identical
+        assert got[4] == docs[3][1]
+        assert out.set_index('doc_id')['n_kept'].to_dict() == {1: 4, 4: 6}

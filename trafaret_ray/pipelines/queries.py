@@ -4827,13 +4827,11 @@ def q_dup_spans_docs(sf_dir: str, k: int = 8):
     return _dup_span_rows(sf_dir, k).sort(['doc_id', 'pos'])
 
 
-def q_dup_intervals_docs(sf_dir: str, k: int = 8):
-    """Interval coalescing (gaps-and-islands) over the duplicated spans:
-    merge contiguous-or-overlapping k-token dup spans into maximal
-    per-doc intervals [start_tok, end_tok] — the actual removal unit of
-    substring dedup. Second exchange keyed on doc_id; the merge itself
-    is a segmented numpy kernel (break where pos - prev_pos > k), no
-    per-row Python. Returns (doc_id, start_tok, end_tok, n_spans)."""
+def _dup_interval_rows(sf_dir: str, k: int):
+    """(doc_id, start_tok, end_tok, n_spans) maximal dup intervals —
+    shared producer for q_dup_intervals_docs / q_dedup_cut_docs. One
+    doc_id exchange over the span rows; the merge is a segmented numpy
+    kernel (break where pos - prev_pos > k), no per-row Python."""
     from ..stages.conversations import per_conversation
     spans = _dup_span_rows(sf_dir, k)
 
@@ -4853,7 +4851,15 @@ def q_dup_intervals_docs(sf_dir: str, k: int = 8):
             'n_spans': pa.array(seg_end - idx + 1, type=pa.int64())})
 
     return per_conversation(spans, merge, key='doc_id', order=('pos',),
-                            num_buckets=16).sort(['doc_id', 'start_tok'])
+                            num_buckets=16)
+
+
+def q_dup_intervals_docs(sf_dir: str, k: int = 8):
+    """Interval coalescing (gaps-and-islands) over the duplicated spans:
+    merge contiguous-or-overlapping k-token dup spans into maximal
+    per-doc intervals [start_tok, end_tok] — the actual removal unit of
+    substring dedup. Returns (doc_id, start_tok, end_tok, n_spans)."""
+    return _dup_interval_rows(sf_dir, k).sort(['doc_id', 'start_tok'])
 
 
 QUERIES['q_dup_spans_docs'] = q_dup_spans_docs
@@ -4895,4 +4901,118 @@ ORACLE_SQL['q_dup_intervals_docs'] = """
            count(*) AS n_spans
     FROM grp GROUP BY doc_id, seg
     ORDER BY doc_id, start_tok
+"""
+
+
+def q_dedup_cut_docs(sf_dir: str, k: int = 8):
+    """APPLY substring dedup: rebuild each doc's text with every maximal
+    duplicated interval removed — the artifact a 100-TB substring-dedup
+    job actually writes. One left hash_join of documents onto the
+    interval rows (co-partitioned, derived side carries an explicit
+    schema per the CLAUDE.md invariant), then a doc_id exchange whose
+    kernel is fully vectorized: split -> flat token offsets -> +-1 diff
+    coverage mask over the interval ranges -> filtered ListArray ->
+    pc.binary_join. Docs left with ZERO tokens (fully duplicated)
+    disappear, matching the SQL GROUP BY over zero kept rows. Returns
+    (doc_id, text_cut, n_kept)."""
+    from ..stages.conversations import per_conversation
+    from ..stages.joins import hash_join
+    docs = _read(sf_dir, 'documents', ['doc_id', 'text'],
+                 require=('text',))
+    # parquet footer, NOT docs.schema(): the require filter makes docs a
+    # DERIVED dataset — .schema() would force a partial execution (and
+    # returns None outright on an all-empty input)
+    import pyarrow.parquet as _pq
+    fschema = _pq.read_schema(f'{sf_dir}/documents.parquet')
+    id_t = fschema.field('doc_id').type
+    iv_schema = pa.schema([('doc_id', id_t), ('start_tok', pa.int64()),
+                           ('end_tok', pa.int64()),
+                           ('n_spans', pa.int64())])
+    joined = hash_join(docs, _dup_interval_rows(sf_dir, k),
+                       on='doc_id', how='left', num_buckets=16,
+                       left_schema=pa.schema(
+                           [('doc_id', id_t),
+                            ('text', fschema.field('text').type)]),
+                       right_schema=iv_schema)
+
+    def cut(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({'doc_id': pa.array([], type=id_t),
+                             'text_cut': pa.array([], type=pa.string()),
+                             'n_kept': pa.array([], type=pa.int64())})
+        first = np.nonzero(starts)[0]
+        fidx = pa.array(first)
+        texts = tbl.column('text').combine_chunks().take(fidx)
+        toks = pc.split_pattern(texts, ' ')
+        wc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        off = np.cumsum(wc) - wc
+        total = int(wc.sum())
+        st = tbl.column('start_tok').combine_chunks()
+        valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+        doc_ord = (np.cumsum(starts) - 1)[valid]
+        s = st.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        e = tbl.column('end_tok').combine_chunks()\
+            .to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        # +-1 diff coverage: intervals are disjoint per doc but the mask
+        # is correct under overlap too (covered where running sum > 0);
+        # e <= token count, so off + e never passes the doc boundary
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, off[doc_ord] + s - 1, 1)
+        np.add.at(delta, off[doc_ord] + e, -1)
+        keep = np.cumsum(delta[:total]) <= 0
+        kept = np.add.reduceat(keep.astype(np.int64), off) \
+            if total else np.zeros(len(wc), dtype=np.int64)
+        new_off = np.zeros(len(wc) + 1, dtype=np.int32)
+        new_off[1:] = np.cumsum(kept)
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()),
+            toks.flatten().filter(pa.array(keep)))
+        out = pa.table({
+            'doc_id': tbl.column('doc_id').combine_chunks().take(fidx),
+            'text_cut': pc.binary_join(lst, ' '),
+            'n_kept': pa.array(kept, type=pa.int64())})
+        return out.filter(pa.array(kept > 0))
+
+    return per_conversation(joined, cut, key='doc_id',
+                            order=('start_tok',), num_buckets=16,
+                            ).sort('doc_id')
+
+
+QUERIES['q_dedup_cut_docs'] = q_dedup_cut_docs
+ORACLE_SQL['q_dedup_cut_docs'] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    spans AS (SELECT doc_id, pos FROM grams
+              WHERE g IN (SELECT g FROM dup)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM spans),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+      FROM brks),
+    intervals AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM grp GROUP BY doc_id, seg),
+    tok_rows AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+    kept AS (
+      SELECT r.doc_id, r.i, r.w FROM tok_rows r
+      WHERE NOT EXISTS (SELECT 1 FROM intervals v
+                        WHERE v.doc_id = r.doc_id
+                          AND r.i BETWEEN v.s AND v.e))
+    SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text_cut,
+           count(*)::BIGINT AS n_kept
+    FROM kept GROUP BY doc_id
+    ORDER BY doc_id
 """
