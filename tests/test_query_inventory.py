@@ -1,0 +1,47 @@
+"""Inventory invariants over the queries()/oracle_sql() registries.
+
+The driver's correctness gate is only as strong as its coverage: every
+query must either carry a DuckDB oracle or appear on the EXPLICIT
+rows-only list below (approximate / heuristic / binary-codec ops with no
+SQL equivalent — the same list CLAUDE.md and the round docs cite). A new
+query silently missing its oracle would otherwise downgrade to the weak
+rows-only check without anyone deciding that.
+"""
+import __ray_entry__ as entry
+
+# every entry here is rows-only BY DESIGN — adding to this list is a
+# decision (document why in the query docstring), not a default
+ROWS_ONLY = {
+    'q_minhash_dedup_docs',      # LSH recall is probabilistic (tested)
+    'q_simhash_candidates_docs',  # signature banding, heuristic recall
+    'q_embedding_near_dup',      # hyperplane LSH candidates
+    'q_hll_distinct_users',      # sketch estimate (accuracy-tested)
+    'q_hist_quantiles',          # mergeable-histogram estimate
+    'q_curate_docs',             # composition incl. LSH near-dedup
+    'q_ewma_events',             # recursive float filter, no stable SQL
+    'q_media_embed',             # binary image codec, no SQL oracle
+    'q_audio_energy',            # binary audio codec, no SQL oracle
+    'flagship_transcript_features',  # transcripts input, not TPC-H-ish
+}
+
+
+def test_every_query_has_oracle_or_is_declared_rows_only():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    unexplained = qs - oracles - ROWS_ONLY
+    assert not unexplained, (
+        f'queries without an oracle and not declared rows-only: '
+        f'{sorted(unexplained)}')
+
+
+def test_rows_only_list_is_not_stale():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    # an entry that gained an oracle (or was removed) must leave the list
+    stale = (ROWS_ONLY - qs) | (ROWS_ONLY & oracles)
+    assert not stale, f'stale rows-only declarations: {sorted(stale)}'
+
+
+def test_every_oracle_has_a_query():
+    orphans = set(entry.oracle_sql()) - set(entry.queries())
+    assert not orphans, f'oracle_sql entries without a query: {orphans}'
