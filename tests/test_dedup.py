@@ -111,6 +111,34 @@ class TestDedupRay:
         assert out['jaccard'].tolist()[1] == 1.0
         assert 0.6 < out['jaccard'].tolist()[0] < 0.8
 
+    def test_pair_driven_verify_matches_allpairs_restricted(
+            self, ray_session):
+        """candidate_pair_jaccard's contract: identical output to
+        ngram_jaccard_pairs(max_df=None, candidates=...) — the pair-
+        driven verify only changes COST (pairs instead of per-shingle
+        df^2), never results. Candidates include true dups, a partial
+        overlap, and a zero-overlap pair (must drop on both paths)."""
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import (candidate_pair_jaccard,
+                                               ngram_jaccard_pairs)
+        cand = rd.from_arrow(pa.table({
+            'doc_a': pa.array([0, 1, 0, 2], pa.int64()),
+            'doc_b': pa.array([100, 101, 1, 50], pa.int64())}))
+        docs = rd.from_arrow(corpus())
+        a = candidate_pair_jaccard(docs, cand, threshold=0.0,
+                                   num_buckets=8).to_pandas()\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        b = ngram_jaccard_pairs(docs, threshold=0.0, max_df=None,
+                                num_buckets=8, candidates=cand)\
+            .to_pandas().sort_values(['doc_a', 'doc_b'])\
+            .reset_index(drop=True)
+        assert a.equals(b)
+        assert set(map(tuple, a[['doc_a', 'doc_b']].values.tolist())) \
+            <= {(0, 100), (1, 101), (0, 1), (2, 50)}
+        assert {(0, 100), (1, 101)} <= \
+            set(map(tuple, a[['doc_a', 'doc_b']].values.tolist()))
+
     def test_minhash_dedup_recall(self, ray_session):
         import ray.data as rd
         from trafaret_ray.stages.dedup import minhash_dedup
