@@ -315,8 +315,20 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
             return pa.table({'doc': pa.array([], pa.int64()),
                              'a': pa.array([], pa.int64()),
                              'b': pa.array([], pa.int64())})
-        a = tbl.column('doc_a').combine_chunks().cast(pa.int64())
-        b = tbl.column('doc_b').combine_chunks().cast(pa.int64())
+        # per-batch pair dedup: a repeated candidate row would join its
+        # docs' shingles twice and inflate `common` (cross-batch dups
+        # would still double-count — minhash_candidates emits globally
+        # distinct pairs by construction; this guards sloppier callers)
+        an = tbl.column('doc_a').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        bn = tbl.column('doc_b').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        order = np.lexsort((bn, an))
+        an, bn = an[order], bn[order]
+        keep = np.ones(len(an), dtype=bool)
+        keep[1:] = (an[1:] != an[:-1]) | (bn[1:] != bn[:-1])
+        a = pa.array(an[keep], pa.int64())
+        b = pa.array(bn[keep], pa.int64())
         return pa.table({'doc': pa.concat_arrays([a, b]),
                          'a': pa.concat_arrays([a, a]),
                          'b': pa.concat_arrays([b, b])})
