@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     'q_asof_broadcast_events', 'q_quarantine_audit_events',
     'q_outer_join_users',
     'q_editdist_pairs_docs', 'q_dup_spans_docs', 'q_dup_intervals_docs',
-    'q_dedup_cut_docs',
+    'q_dedup_cut_docs', 'q_theta_users_overlap',
 ]
 
 

@@ -16,6 +16,7 @@ ROWS_ONLY = {
     'q_simhash_candidates_docs',  # signature banding, heuristic recall
     'q_embedding_near_dup',      # hyperplane LSH candidates
     'q_hll_distinct_users',      # sketch estimate (accuracy-tested)
+    'q_theta_users_overlap',     # KMV set-op estimate (exact-twin test)
     'q_hist_quantiles',          # mergeable-histogram estimate
     'q_curate_docs',             # composition incl. LSH near-dedup
     'q_ewma_events',             # recursive float filter, no stable SQL

@@ -5016,3 +5016,29 @@ ORACLE_SQL['q_dedup_cut_docs'] = """
     FROM kept GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+def q_theta_users_overlap(sf_dir: str):
+    """KMV / theta-sketch set operations (rows-only BY DESIGN — sketch
+    estimate; accuracy property-tested, and below-capacity inputs are
+    provably exact): approximate distinct click users, purchase users,
+    their union and their INTERSECTION — the estimate an HLL cannot
+    form. Exact twin: q_intersect_users_events. One 8-KB partial per
+    batch, one single-group merge (stages/sketches.py:theta_set_ops)."""
+    from ..stages.sketches import theta_set_ops
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type']).materialize()
+
+    def side(etype):
+        def f(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.equal(tbl.column('event_type'), etype))\
+                .select(['user_id'])
+        return f
+
+    a = ds.map_batches(side('click'), batch_format='pyarrow',
+                       zero_copy_batch=True)
+    b = ds.map_batches(side('purchase'), batch_format='pyarrow',
+                       zero_copy_batch=True)
+    return theta_set_ops(a, b, 'user_id')
+
+
+QUERIES['q_theta_users_overlap'] = q_theta_users_overlap

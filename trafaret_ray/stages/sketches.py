@@ -516,3 +516,101 @@ def profile_columns(ds, cols, num_buckets: int = 16):
 
     return out.map_batches(finish, batch_format='pyarrow')\
         .sort('column')
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: bottom-k distinct hashes — set-operation estimates
+# (Beyer et al. 2007 "On Synopses for Distinct-Value Estimation"; the
+# theta-sketch construction — public knowledge). Unlike HLL, a KMV
+# sketch supports INTERSECTION estimates, which a union-only register
+# sketch cannot.
+# ---------------------------------------------------------------------------
+
+_KMV_SCALE = float(1 << 63) * 2.0  # 2^64 as float
+
+
+def kmv_partial(values: np.ndarray, k: int) -> np.ndarray:
+    """Bottom-k DISTINCT uint64 hashes of ``values`` (sorted)."""
+    if len(values) == 0:
+        return np.array([], dtype=np.uint64)
+    h = np.unique(pd.util.hash_array(values, hash_key=_HASH_KEY,
+                                     categorize=False))
+    return h[:k]
+
+
+def kmv_merge(parts, k: int) -> np.ndarray:
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_estimate(mins: np.ndarray, k: int) -> float:
+    """Distinct estimate: exact below k, (k-1)/theta at capacity."""
+    if len(mins) < k:
+        return float(len(mins))
+    theta = float(mins[k - 1]) / _KMV_SCALE
+    return (k - 1) / theta if theta > 0 else float(k)
+
+
+def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
+    """Approximate |A|, |B|, |A u B|, |A n B| over the DISTINCT values of
+    two dataset columns, via bottom-k sketches: each batch emits one
+    sorted-hash partial (<= 8k bytes); ONE tiny single-group exchange
+    merges them and forms the estimates. Deterministic (hash-based, no
+    RNG); NULLs are not counted (COUNT DISTINCT semantics). Relative
+    error ~1/sqrt(k) for the unary counts; the intersection inherits
+    union error / jaccard. Returns a one-row Dataset
+    (approx_a, approx_b, approx_union, approx_intersection)."""
+    def part(side: int):
+        def f(tbl: pa.Table) -> pa.Table:
+            vals = tbl.column(col).combine_chunks().drop_null()\
+                .to_numpy(zero_copy_only=False)
+            mins = kmv_partial(vals, k)
+            return pa.table({
+                '_one': pa.array([1], pa.int32()),
+                'side': pa.array([side], pa.int8()),
+                'sketch': pa.array([mins.tobytes()], pa.binary())})
+        return f
+
+    import ray.data as _rd
+
+    # one empty seed partial per side: an ALL-EMPTY input produces no
+    # batches at all, and the answer (all zeros) must still be one row
+    seed = _rd.from_arrow(pa.table({
+        '_one': pa.array([1, 1], pa.int32()),
+        'side': pa.array([0, 1], pa.int8()),
+        'sketch': pa.array([b'', b''], pa.binary())}))
+    both = ds_a.map_batches(part(0), batch_format='pyarrow',
+                            zero_copy_batch=True)\
+        .union(ds_b.map_batches(part(1), batch_format='pyarrow',
+                                zero_copy_batch=True))\
+        .union(seed)
+
+    _SCHEMA = pa.schema([('approx_a', pa.float64()),
+                         ('approx_b', pa.float64()),
+                         ('approx_union', pa.float64()),
+                         ('approx_intersection', pa.float64())])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or 'sketch' not in tbl.column_names:
+            return _SCHEMA.empty_table()
+        sides = tbl.column('side').to_numpy(zero_copy_only=False)
+        raw = tbl.column('sketch').to_pylist()
+        mins = {s: kmv_merge([np.frombuffer(b, dtype=np.uint64)
+                              for b, sd in zip(raw, sides) if sd == s], k)
+                for s in (0, 1)}
+        union = kmv_merge([mins[0], mins[1]], k)
+        est_u = kmv_estimate(union, k)
+        # members of the union sketch seen on both sides estimate the
+        # jaccard; scale by the union estimate for the intersection
+        in_both = (np.isin(union, mins[0]) & np.isin(union, mins[1]))
+        jac = in_both.sum() / len(union) if len(union) else 0.0
+        return pa.table({
+            'approx_a': pa.array([kmv_estimate(mins[0], k)], pa.float64()),
+            'approx_b': pa.array([kmv_estimate(mins[1], k)], pa.float64()),
+            'approx_union': pa.array([est_u], pa.float64()),
+            'approx_intersection': pa.array([jac * est_u], pa.float64())})
+
+    from .conversations import bucket_exchange
+    return bucket_exchange(both, '_one', merge, num_buckets=1)
