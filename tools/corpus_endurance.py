@@ -95,6 +95,10 @@ def main():
     DataContext.get_current().enable_progress_bars = False
 
     out = {'n_docs': n_docs, 'mib': os.path.getsize(path) >> 20}
+    # reduce width tracks exchange volume: 128 buckets measured 25-35%
+    # faster than 32 on the ~50M-row/M-doc gram exchange at both 1M and
+    # 4M docs (BASELINE.md)
+    nb = 128 if n_docs >= 1_000_000 else 32
 
     def read():
         return rd.read_parquet(path)
@@ -125,7 +129,7 @@ def main():
     t0 = time.time()
     g = read().map_batches(grams, batch_format='pyarrow',
                            zero_copy_batch=True)
-    n_spans = bucket_exchange(g, 'gh', dup_only, num_buckets=32).count()
+    n_spans = bucket_exchange(g, 'gh', dup_only, num_buckets=nb).count()
     dt = time.time() - t0
     out['dup_spans_sec'] = round(dt, 2)
     out['dup_spans_docs_per_sec'] = int(n_docs / dt)
@@ -144,7 +148,7 @@ def main():
     from trafaret_ray.stages.dedup import minhash_dedup
     t0 = time.time()
     n_clustered = minhash_dedup(read(), threshold=0.7,
-                                num_buckets=32).count()
+                                num_buckets=nb).count()
     dt = time.time() - t0
     out['minhash_dedup_sec'] = round(dt, 2)
     out['minhash_dedup_docs_per_sec'] = int(n_docs / dt)
@@ -153,7 +157,7 @@ def main():
     # full curation composition (normalize -> gates -> exact -> near)
     from trafaret_ray.pipelines.curation import curate_documents
     t0 = time.time()
-    n_curated = curate_documents(read(), num_buckets=32).count()
+    n_curated = curate_documents(read(), num_buckets=nb).count()
     dt = time.time() - t0
     out['curate_sec'] = round(dt, 2)
     out['curate_docs_per_sec'] = int(n_docs / dt)
