@@ -567,8 +567,14 @@ def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
             vals = tbl.column(col).combine_chunks().drop_null()\
                 .to_numpy(zero_copy_only=False)
             mins = kmv_partial(vals, k)
+            # deterministic shard from the sketch content: the level-1
+            # tree merge fans partials over shards so the final task
+            # sees <= 2*64 rows, not one row per input batch (at 100 TB
+            # that is millions of 8-KB partials through one task)
+            shard = int(mins[0] % np.uint64(64)) if len(mins) else 0
             return pa.table({
                 '_one': pa.array([1], pa.int32()),
+                '_shard': pa.array([shard], pa.int32()),
                 'side': pa.array([side], pa.int8()),
                 'sketch': pa.array([mins.tobytes()], pa.binary())})
         return f
@@ -579,6 +585,7 @@ def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
     # batches at all, and the answer (all zeros) must still be one row
     seed = _rd.from_arrow(pa.table({
         '_one': pa.array([1, 1], pa.int32()),
+        '_shard': pa.array([0, 0], pa.int32()),
         'side': pa.array([0, 1], pa.int8()),
         'sketch': pa.array([b'', b''], pa.binary())}))
     both = ds_a.map_batches(part(0), batch_format='pyarrow',
@@ -586,6 +593,36 @@ def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
         .union(ds_b.map_batches(part(1), batch_format='pyarrow',
                                 zero_copy_batch=True))\
         .union(seed)
+
+    # level-1 tree merge: KMV merge is associative and union-dedups, so
+    # per-(side, shard) pre-merge is result-identical; output <= 128 rows
+    def premerge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or 'sketch' not in tbl.column_names:
+            return pa.table({'_one': pa.array([], pa.int32()),
+                             '_shard': pa.array([], pa.int32()),
+                             'side': pa.array([], pa.int8()),
+                             'sketch': pa.array([], pa.binary())})
+        sides = tbl.column('side').to_numpy(zero_copy_only=False)
+        shards = tbl.column('_shard').to_numpy(zero_copy_only=False)
+        raw = tbl.column('sketch').to_pylist()
+        out_sd, out_sh, out_sk = [], [], []
+        for sd in np.unique(sides):
+            for sh in np.unique(shards[sides == sd]):
+                sel = (sides == sd) & (shards == sh)
+                m = kmv_merge([np.frombuffer(b, dtype=np.uint64)
+                               for b, s in zip(raw, sel) if s], k)
+                out_sd.append(int(sd))
+                out_sh.append(int(sh))
+                out_sk.append(m.tobytes())
+        return pa.table({
+            '_one': pa.array([1] * len(out_sd), pa.int32()),
+            '_shard': pa.array(out_sh, pa.int32()),
+            'side': pa.array(out_sd, pa.int8()),
+            'sketch': pa.array(out_sk, pa.binary())})
+
+    from .conversations import bucket_exchange as _bx
+    both = _bx(both, ['side', '_shard'], premerge,
+               num_buckets=8)
 
     _SCHEMA = pa.schema([('approx_a', pa.float64()),
                          ('approx_b', pa.float64()),
