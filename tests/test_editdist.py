@@ -114,3 +114,19 @@ class TestEditdistPairsStage:
         out = editdist_pairs(rd.from_arrow(self._docs().slice(0, 0)),
                              ['lang', 'band'], num_buckets=4).to_pandas()
         assert len(out) == 0
+
+    def test_string_doc_ids(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        t = pa.table({
+            'doc_id': pa.array(['a1', 'b2', 'c3']),
+            'text': pa.array(['same text here', 'same text hero',
+                              'entirely unrelated string']),
+            'lang': pa.array(['en', 'en', 'en']),
+            'band': pa.array([0, 0, 0], pa.int64()),
+        })
+        out = editdist_pairs(rd.from_arrow(t), ['lang', 'band'],
+                             max_dist=2, num_buckets=4).to_pandas()
+        assert out[['doc_a', 'doc_b', 'edist']].values.tolist() == \
+            [['a1', 'b2', 1]]
