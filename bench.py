@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     'q_outer_join_users',
     'q_editdist_pairs_docs', 'q_dup_spans_docs', 'q_dup_intervals_docs',
     'q_dedup_cut_docs', 'q_theta_users_overlap',
+    'q_semi_join_customers', 'q_anti_join_customers',
 ]
 
 

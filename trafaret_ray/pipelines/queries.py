@@ -5042,3 +5042,78 @@ def q_theta_users_overlap(sf_dir: str):
 
 
 QUERIES['q_theta_users_overlap'] = q_theta_users_overlap
+
+
+def _urgent_custkeys(sf_dir: str):
+    """Key side shared by the semi/anti join queries: custkeys holding
+    at least one URGENT order. Null ``o_custkey`` rows are dropped at
+    the source — SQL ``EXISTS (… o_custkey = c_custkey)`` can never
+    match them, and a null key would also floatify the int64 batch on
+    its way into the Bloom hasher (CLAUDE.md landmine)."""
+    orders = _read(sf_dir, 'orders', ['o_custkey', 'o_orderpriority'])
+
+    def urgent(tbl: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(pc.fill_null(tbl.column('o_orderpriority'),
+                                          ''), '1-URGENT'),
+                    pc.is_valid(tbl.column('o_custkey')))
+        return pa.table({'c_custkey': tbl.filter(m).column('o_custkey')})
+
+    return orders.map_batches(urgent, batch_format='pyarrow',
+                              zero_copy_batch=True)
+
+
+def q_semi_join_customers(sf_dir: str):
+    """EXISTS semi join, scale shape: a distributed Bloom prefilter
+    (stages/joins.py:bloom_build — per-batch bitmap partials, tree-OR
+    via a shard groupby, driver assembles ONE m_bits/8 buffer) cuts the
+    probe side without broadcasting the key set, then the exact
+    broadcast ``semi_join`` (SQL IN semantics, match_nulls=False)
+    removes the Bloom's false positives. At 100 TB the Bloom pass is
+    what keeps a too-large-to-broadcast key side from forcing a full
+    hash-join exchange; the exact pass runs over the surviving
+    fraction only. Reference semantics: filtering is the row-level
+    analogue of trafaret's Dict key gating (reference base.py:1007) —
+    here the predicate is membership, not shape."""
+    from ..stages.joins import semi_join, semi_join_bloom
+    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_name', 'c_acctbal'])
+    keys = _urgent_custkeys(sf_dir)
+    pre = semi_join_bloom(cust, keys, on='c_custkey', m_bits=1 << 20)
+    return semi_join(pre, keys, on='c_custkey',
+                     match_nulls=False).sort('c_custkey')
+
+
+QUERIES['q_semi_join_customers'] = q_semi_join_customers
+ORACLE_SQL['q_semi_join_customers'] = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """NOT EXISTS anti join: customers holding NO urgent order —
+    broadcast distinct key set + vectorized ``pc.is_in`` invert per
+    batch (stages/joins.py:anti_join), zero shuffle. NULL semantics
+    match SQL NOT EXISTS, not NOT IN: a null right-side key is dropped
+    at the source (it can never equal any c_custkey), so it does NOT
+    blank the whole result the way NOT IN would — the r3 null gate's
+    NOT-IN trap, avoided by construction."""
+    from ..stages.joins import anti_join
+    cust = _read(sf_dir, 'customer',
+                 ['c_custkey', 'c_mktsegment', 'c_acctbal'])
+    return anti_join(cust, _urgent_custkeys(sf_dir),
+                     on='c_custkey').sort('c_custkey')
+
+
+QUERIES['q_anti_join_customers'] = q_anti_join_customers
+ORACLE_SQL['q_anti_join_customers'] = """
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = customer.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+"""
