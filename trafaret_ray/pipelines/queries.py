@@ -5076,7 +5076,11 @@ def q_semi_join_customers(sf_dir: str):
     here the predicate is membership, not shape."""
     from ..stages.joins import semi_join, semi_join_bloom
     cust = _read(sf_dir, 'customer', ['c_custkey', 'c_name', 'c_acctbal'])
-    keys = _urgent_custkeys(sf_dir)
+    # the key side feeds TWO consumers (bloom_build + the exact key
+    # pull) — materialize the tiny projected key set once so the
+    # orders read+filter doesn't re-derive per consumer (spillable;
+    # at 100 TB the key side would checkpoint to parquet instead)
+    keys = _urgent_custkeys(sf_dir).materialize()
     pre = semi_join_bloom(cust, keys, on='c_custkey', m_bits=1 << 20)
     return semi_join(pre, keys, on='c_custkey',
                      match_nulls=False).sort('c_custkey')
