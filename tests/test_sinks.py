@@ -79,6 +79,27 @@ class TestExportJsonlShards:
             export_jsonl_shards(ds, str(tmp_path / 'bad'), 'doc_id',
                                 num_shards=2)
 
+    def test_round_trip_through_validated_json_reader(self, ray_session,
+                                                      tmp_path):
+        """Sink → source integration: exported shards re-ingest through
+        the contract gate with zero quarantine."""
+        import glob
+
+        import trafaret_ray.contracts as t
+        from trafaret_ray.contracts import drop_quarantine
+        from trafaret_ray.sources.readers import read_validated
+
+        out = str(tmp_path / 'rt')
+        export_jsonl_shards(_docs_ds(50), out, 'doc_id', num_shards=4)
+        files = sorted(glob.glob(out + '/*.jsonl'))
+        contract = t.Dict(doc_id=t.Int(gte=0), text=t.String(),
+                          score=t.Float())
+        tagged = read_validated(files, contract, format='json')
+        ok = tagged.map_batches(drop_quarantine, batch_format='pyarrow')
+        df = ok.to_pandas().sort_values('doc_id').reset_index(drop=True)
+        assert df['doc_id'].tolist() == list(range(50))
+        assert df['text'].iloc[7] == 'doc 7 body'
+
     def test_empty_input_writes_success_and_empty_manifest(
             self, ray_session, tmp_path):
         out = str(tmp_path / 'empty')
