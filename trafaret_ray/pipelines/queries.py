@@ -5121,3 +5121,216 @@ ORACLE_SQL['q_anti_join_customers'] = """
                         AND o.o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
 """
+
+
+def q_first_last_events(sf_dir: str):
+    """Positional window values per user: first_value / last_value /
+    nth_value(2) of ``value`` over (ts, event_id) order, one row per
+    user. Same one-exchange shape as the lag/lead family: the segment
+    boundary positions ARE the first/last/second row indices, so the
+    kernel is three vectorized takes — no per-group loop, no full
+    window materialization (SQL's nth_value replays the partition per
+    row; here each group is touched O(1)). NULL-ts rows have no
+    position in the order — excluded identically on both engines;
+    NULL values pass through takes untouched (RESPECT NULLS
+    semantics, the SQL default)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        value = tbl.column('value').combine_chunks()
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = tbl.num_rows
+        first_idx = np.nonzero(starts)[0]
+        counts = np.diff(np.append(first_idx, n))
+        last_idx = first_idx + counts - 1
+        second_ok = counts >= 2
+        second_idx = np.where(second_ok, first_idx + 1, first_idx)
+        return pa.table({
+            'user_id': pa.array(users[first_idx]),
+            'first_value': value.take(pa.array(first_idx)),
+            'last_value': value.take(pa.array(last_idx)),
+            'second_value': W.take_masked(value, second_idx, second_ok),
+            'n_events': pa.array(counts, type=pa.int64()),
+        })
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_first_last_events'] = q_first_last_events
+ORACLE_SQL['q_first_last_events'] = """
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_value,
+           last_value(value) OVER w2 AS last_value,
+           nth_value(value, 2) OVER w2 AS second_value,
+           count(*) OVER w2 AS n_events
+    FROM events WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+"""
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase) per user: the first
+    view, the first click STRICTLY after it, the first purchase
+    strictly after that, plus the stage count reached. A sequential-
+    pattern operator SQL needs three chained self-joins for; here it is
+    three masked segmented-min passes over the one per-user exchange
+    (np.minimum.reduceat with +inf sentinels), each conditioned on the
+    previous step's per-user timestamp broadcast back to rows — zero
+    extra shuffles, zero leakage (strict >). NULL event_type rows match
+    no step (SQL equality semantics)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'], require=('ts',))
+    INF = np.iinfo(np.int64).max
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        etype = tbl.column('event_type').combine_chunks()
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        first_idx = np.nonzero(starts)[0]
+        counts = np.diff(np.append(first_idx, n))
+
+        def step_min(step: str, after_row: np.ndarray) -> np.ndarray:
+            m = pc.fill_null(pc.equal(etype, step), False)\
+                .to_numpy(zero_copy_only=False).astype(bool)
+            m &= ts_us > after_row
+            return np.minimum.reduceat(np.where(m, ts_us, INF),
+                                       first_idx) if n else \
+                np.empty(0, dtype=np.int64)
+
+        t_view = step_min('view', np.full(n, -1, dtype=np.int64))
+        t_click = step_min('click', np.repeat(t_view, counts))
+        t_buy = step_min('purchase', np.repeat(t_click, counts))
+
+        def ts_col(t: np.ndarray) -> pa.Array:
+            return pa.array(t, type=pa.int64(), mask=t == INF)\
+                .cast(pa.timestamp('us'))
+
+        stages = ((t_view != INF).astype(np.int64)
+                  + (t_click != INF) + (t_buy != INF))
+        return pa.table({
+            'user_id': pa.array(users[first_idx]),
+            't_view': ts_col(t_view),
+            't_click': ts_col(t_click),
+            't_purchase': ts_col(t_buy),
+            'n_stages': pa.array(stages, type=pa.int64()),
+        })
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_funnel_events'] = q_funnel_events
+ORACLE_SQL['q_funnel_events'] = """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' AND ts IS NOT NULL
+               GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events WHERE ts IS NOT NULL)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+              AS BIGINT) AS n_stages
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+"""
+
+
+def q_retention_events(sf_dir: str):
+    """Cohort retention: cohort = a user's first epoch-week; for every
+    (cohort_week, week_offset) the count of cohort users active that
+    week. Week = epoch_us // 7 days — pure int64 arithmetic, byte-
+    stable on both engines. One per-user exchange computes each user's
+    cohort and its DISTINCT active weeks via an adjacency dedup (rows
+    are ts-sorted, so per-user weeks are non-decreasing — distinct =
+    value-change positions, no hash set); each user then contributes
+    exactly one row per offset, so the rollup is a plain count — one
+    small second exchange over (cohort, offset) partials."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'],
+               require=('ts',))
+    WEEK_US = 7 * 86_400 * 1_000_000
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        weeks = ts_us // WEEK_US
+        first_idx = np.nonzero(starts)[0]
+        counts = np.diff(np.append(first_idx, n))
+        cohort_row = np.repeat(weeks[first_idx], counts)
+        new = starts.copy()
+        if n > 1:
+            new[1:] |= weeks[1:] != weeks[:-1]
+        keep = np.nonzero(new)[0]
+        return pa.table({
+            'cohort_week': pa.array(cohort_row[keep], type=pa.int64()),
+            'week_offset': pa.array(weeks[keep] - cohort_row[keep],
+                                    type=pa.int64()),
+        })
+
+    per_user = _per_user(ds, fn)
+    out = bucket_aggregate(per_user, ['cohort_week', 'week_offset'],
+                           {'n_users': ('cohort_week', 'count')})
+    return out.sort(['cohort_week', 'week_offset'])
+
+
+QUERIES['q_retention_events'] = q_retention_events
+ORACLE_SQL['q_retention_events'] = """
+    WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+               FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id),
+    d AS (SELECT DISTINCT w.user_id, c.cohort_week,
+                 w.wk - c.cohort_week AS week_offset
+          FROM w JOIN c USING (user_id))
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM d GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+"""
+
+
+def q_paginate_events(sf_dir: str):
+    """Deep pagination (ORDER BY ... LIMIT 100 OFFSET 200) without a
+    global sort: global_topk prunes each block to its local
+    top-(offset+limit) survivors — the only rows that can reach the
+    page — and ONE merge task sorts them and slices the page out. At
+    100 TB this moves k+offset rows per block instead of range-
+    partitioning the whole table; deep offsets should switch to keyset
+    pagination (WHERE value < last_seen), same operator with offset=0.
+    Total order is (value DESC NULLS LAST, event_id) — Arrow sort_by
+    places nulls at_end, matching the oracle's NULLS LAST."""
+    from ..stages.aggregate import global_topk
+    limit, offset = 100, 200
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'value'])
+    top = global_topk(ds, [('value', 'descending'),
+                           ('event_id', 'ascending')], limit + offset)
+    return top.map_batches(lambda t: t.slice(offset),
+                           batch_format='pyarrow').sort('event_id')
+
+
+QUERIES['q_paginate_events'] = q_paginate_events
+ORACLE_SQL['q_paginate_events'] = """
+    SELECT * FROM (
+        SELECT event_id, user_id, value FROM events
+        ORDER BY value DESC NULLS LAST, event_id
+        LIMIT 100 OFFSET 200)
+    ORDER BY event_id
+"""
