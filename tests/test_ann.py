@@ -111,3 +111,66 @@ class TestIVFIndexOnDisk:
         ivf_build(rd.from_arrow(tbl), idx, n_clusters=4, seed=1)
         got = ivf_search(idx, rows[3], k=5, nprobe=4).to_pandas()
         assert list(got['vec_id'])[0] == 3  # self-match tops at full probe
+
+
+class TestPQ:
+    def _pq(self, tbl, m=4, ks=32):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import pq_encode, pq_train
+        ds = rd.from_arrow(tbl)
+        books = pq_train(ds, m=m, ks=ks, sample_size=512, seed=0)
+        return ds, books
+
+    def test_recall_vs_exact(self, ray_session):
+        from trafaret_ray.stages.ann import pq_encode, pq_search
+        tbl, rows = _corpus()
+        ds, books = self._pq(tbl)
+        codes = pq_encode(ds, books)
+        got = pq_search(codes, books, rows[0], k=10,
+                        exclude_ids=[0]).to_pandas()
+        expect = set(_brute_topk(rows, rows[0], 10, {0}))
+        recall = len(set(got['vec_id']) & expect) / 10
+        assert recall >= 0.6, recall
+
+    def test_permutation_invariance(self, ray_session):
+        """Shuffled input -> byte-identical codebooks AND results: the
+        bottom-k-hash training sample is order-independent (the shuffled
+        gate's bar for rows-only queries)."""
+        import ray.data as rd
+        from trafaret_ray.stages.ann import (pq_encode, pq_search,
+                                             pq_train)
+        tbl, rows = _corpus()
+        perm = np.random.default_rng(7).permutation(tbl.num_rows)
+        shuf = tbl.take(perm)
+        b1 = pq_train(rd.from_arrow(tbl), m=4, sample_size=100)
+        b2 = pq_train(rd.from_arrow(shuf), m=4, sample_size=100)
+        np.testing.assert_array_equal(b1, b2)
+        r1 = pq_search(pq_encode(rd.from_arrow(tbl), b1), b1, rows[3],
+                       k=10).to_pandas()
+        r2 = pq_search(pq_encode(rd.from_arrow(shuf), b2), b2, rows[3],
+                       k=10).to_pandas()
+        assert r1.equals(r2)
+
+    def test_zero_and_null_vectors_drop(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import pq_encode
+        tbl, _rows = _corpus(n=20)
+        dim = len(tbl.column('embedding')[0])
+        extra = pa.table({
+            'vec_id': pa.array([100, 101], type=pa.int64()),
+            'embedding': pa.array([[0.0] * dim, None],
+                                  type=pa.list_(pa.float32())),
+        })
+        both = pa.concat_tables([tbl, extra])
+        ds, books = self._pq(both)
+        codes = pq_encode(ds, books).to_pandas()
+        assert 100 not in set(codes['vec_id'])
+        assert 101 not in set(codes['vec_id'])
+        assert len(codes) == 20
+
+    def test_code_width(self, ray_session):
+        from trafaret_ray.stages.ann import pq_encode
+        tbl, _rows = _corpus()
+        ds, books = self._pq(tbl, m=4)
+        codes = pq_encode(ds, books).take_batch(5, batch_format='pyarrow')
+        assert len(codes.column('code')[0]) == 4

@@ -5334,3 +5334,33 @@ ORACLE_SQL['q_paginate_events'] = """
         LIMIT 100 OFFSET 200)
     ORDER BY event_id
 """
+
+
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN top-k (stages/ann.py): codebooks trained
+    on a PERMUTATION-INVARIANT bottom-k-hash sample, corpus encoded to
+    m uint8 codes per vector (32x smaller than float32 at d=64/m=8),
+    query answered by asymmetric distance over the code column only.
+    Rows-only by design (the code domain is lossy — recall vs the exact
+    scan and permutation invariance are pinned in tests/test_ann.py);
+    the shuffled gate byte-self-compares it against the pristine run,
+    which the invariant sample makes exact."""
+    from ..stages.ann import pq_encode, pq_search, pq_train
+    empty = pa.schema([('vec_id', pa.int64()),
+                       ('approx_cos', pa.float64())])
+    qvec = _query_vec(sf_dir)
+    if qvec is None:     # keep the schema: empty Datasets lose theirs
+        return empty.empty_table().to_pandas()
+    # train + encode both consume the corpus: materialize the pruned
+    # read once (at 100 TB the encode output itself is the persisted
+    # artifact — codes written to parquet, scanned by every query)
+    emb = _read(sf_dir, 'embeddings',
+                ['vec_id', 'embedding']).materialize()
+    books = pq_train(emb, m=8, ks=32, sample_size=512)
+    if books is None:
+        return empty.empty_table().to_pandas()
+    codes = pq_encode(emb, books)
+    return pq_search(codes, books, qvec, k=10, exclude_ids=[0])
+
+
+QUERIES['q_pq_topk'] = q_pq_topk

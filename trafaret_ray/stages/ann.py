@@ -235,3 +235,177 @@ def ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
     from .aggregate import global_topk
     return global_topk(cands, [('cos_sim', 'descending'),
                                (id_col, 'ascending')], k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-domain scan path.
+#
+# IVF prunes WHICH rows are scanned; PQ shrinks WHAT a scan reads — a
+# d-dim float32 vector (d*4 bytes) becomes m uint8 codes (m bytes, 32x
+# at d=64/m=8), so a 100-TB embedding corpus scans from ~3 TB of codes
+# held in the object store, with asymmetric distance computation (ADC):
+# the query stays exact, each row's distance is m table lookups. Public
+# technique (Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011). Composable with IVF (encode each
+# cluster's residuals) — here the flat variant, the piece IVF lacks.
+# ---------------------------------------------------------------------------
+
+_PQ_HASH_KEY = 'feedfacecafebeef'
+
+
+def _bottomk_sample(ds, emb_col: str, id_col: str, sample_size: int):
+    """PERMUTATION-INVARIANT training sample: the ``sample_size`` rows
+    with the smallest salted id hashes (a bottom-k sketch — the same
+    sample set under ANY row order, partitioning, or parallelism, which
+    ``ds.limit()`` is not). The shuffled gate self-compares approximate
+    queries against the pristine run byte-for-byte; an order-dependent
+    training sample would flip codebooks and fail it by design."""
+    import pandas as pd
+
+    def add_h(tbl: pa.Table) -> pa.Table:
+        tbl = drop_null_vectors(tbl, emb_col)
+        hv = pd.util.hash_array(
+            tbl.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False),
+            hash_key=_PQ_HASH_KEY, categorize=False).view(np.int64)
+        return tbl.append_column('_h', pa.array(hv, type=pa.int64()))
+
+    from .aggregate import global_topk
+    top = global_topk(
+        ds.map_batches(add_h, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        [('_h', 'ascending'), (id_col, 'ascending')], sample_size)
+    batches = list(top.iter_batches(batch_size=None,
+                                    batch_format='pyarrow'))
+    if not batches:
+        return None
+    tbl = pa.concat_tables([pa.table(b) for b in batches])
+    return tbl if tbl.num_rows else None
+
+
+def _unit_rows(mat: np.ndarray):
+    """L2-normalize rows; zero-norm rows are flagged invalid (they have
+    no cosine direction — the exact path's NaN-sim drop, applied before
+    the code domain so they can never rank)."""
+    norms = np.linalg.norm(mat, axis=1)
+    ok = norms > 0
+    safe = np.where(ok, norms, 1.0)
+    return mat / safe[:, None], ok
+
+
+def pq_train(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
+             m: int = 8, ks: int = 32, sample_size: int = 1024,
+             iters: int = 10, seed: int = 0):
+    """Train PQ codebooks on a bottom-k-hash sample: rows are unit-
+    normalized (cosine = L2 on the unit sphere), dims split into ``m``
+    contiguous subspaces, one small k-means per subspace. Returns a
+    (m, ks', d/m) float64 array (ks' <= ks when the sample is small),
+    or None on an empty/all-null corpus."""
+    tbl = _bottomk_sample(ds, emb_col, id_col, sample_size)
+    if tbl is None:
+        return None
+    sample = _batch_matrix(tbl, emb_col)
+    sample, ok = _unit_rows(sample)
+    sample = sample[ok]
+    if len(sample) == 0:
+        return None
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f'dim {d} not divisible by m={m}')
+    dsub = d // m
+    books = [kmeans_fit(sample[:, j * dsub:(j + 1) * dsub].copy(),
+                        ks, iters, seed + j) for j in range(m)]
+    ks_eff = min(len(b) for b in books)
+    return np.stack([b[:ks_eff] for b in books])
+
+
+def pq_encode(ds, codebooks, emb_col: str = 'embedding',
+              id_col: str = 'vec_id'):
+    """Corpus -> Dataset of (id, code fixed_size_list<uint8>[m]): one
+    small matmul per subspace per batch (argmin over ks centroids),
+    codebooks broadcast once via the object store. Zero-norm vectors
+    drop (no cosine direction). The code column round-trips parquet, so
+    a 100-TB build writes codes once and every later query scans only
+    the m-byte column."""
+    books_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(books_ref)
+            # (m, ks) squared centroid norms for the argmin expansion
+            self.cn2 = (self.books ** 2).sum(axis=2)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            m, _ks, dsub = self.books.shape
+            empty = pa.table({
+                id_col: pa.array([], pa.int64()),
+                'code': pa.array([], pa.list_(pa.uint8(), m))})
+            tbl = drop_null_vectors(tbl, emb_col)
+            if tbl.num_rows == 0:
+                return empty
+            mat = _batch_matrix(tbl, emb_col)
+            mat, ok = _unit_rows(mat)
+            ids = tbl.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False)[ok]
+            mat = mat[ok]
+            if len(mat) == 0:
+                return empty
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub:(j + 1) * dsub]
+                # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+                scores = self.cn2[j][None, :] - 2.0 * (sub @ self.books[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            return pa.table({
+                id_col: pa.array(ids.astype(np.int64)),
+                'code': pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1)), m),
+            })
+
+    return ds.map_batches(Encode, batch_format='pyarrow', concurrency=2)
+
+
+def pq_search(codes_ds, codebooks, query: np.ndarray, k: int = 10,
+              id_col: str = 'vec_id', exclude_ids=()):
+    """ADC top-k over PQ codes: ONE (m, ks) distance table from the
+    exact query, each row costs m uint8 lookups + a sum — no float
+    vectors are read at all. Approximate cosine = 1 - d2/2 (unit
+    sphere); ranking follows the fixed-point discipline (int64
+    micro-units, id tiebreak) so results are identical under any
+    partitioning. Returns a Dataset of (id, approx_cos) rows."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _ks, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    # table[j, c] = ||q_j - books[j, c]||^2
+    table = ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+    excl = pa.array(list(exclude_ids), type=pa.int64())
+    jidx = np.arange(m)
+
+    def topk_batch(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          'approx_cos': pa.array([], pa.float64())})
+        if len(excl):
+            tbl = tbl.filter(pc.invert(pc.is_in(tbl.column(id_col),
+                                                value_set=excl)))
+        if tbl.num_rows == 0:
+            return empty
+        la = tbl.column('code').combine_chunks()
+        codes = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.int64).reshape(len(la), m)
+        d2 = table[jidx[None, :], codes].sum(axis=1)
+        sims = 1.0 - d2 / 2.0
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        top_ids, top_sims = cosine_topk_rows(ids, sims, k)
+        return pa.table({
+            id_col: pa.array(top_ids),
+            'approx_cos': pa.array(top_sims, type=pa.float64()),
+        })
+
+    cands = codes_ds.map_batches(topk_batch, batch_format='pyarrow')
+    from .aggregate import global_topk
+    return global_topk(cands, [('approx_cos', 'descending'),
+                               (id_col, 'ascending')], k)
