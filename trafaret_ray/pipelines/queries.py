@@ -5364,3 +5364,97 @@ def q_pq_topk(sf_dir: str):
 
 
 QUERIES['q_pq_topk'] = q_pq_topk
+
+
+def q_fk_audit_star(sf_dir: str):
+    """Cross-TABLE data-quality audit — the table-level complement of
+    the row-level contract gate: referential integrity over the
+    orders⟷lineitem FK in BOTH directions (orphan children, childless
+    parents) plus primary-key uniqueness of events.event_id, one
+    summary row. Each fact table is scanned once with per-batch partial
+    counters against a broadcast distinct-key array (the tree-merged
+    Bloom filter in stages/joins.py is the 100-TB swap-in for a key
+    side too large to broadcast); uniqueness rides one hash-bucket
+    exchange of per-key count partials. NULL FK cells are NOT orphans
+    (SQL FK semantics: a null reference references nothing)."""
+    import ray
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import _key_array_ref
+
+    orders = _read(sf_dir, 'orders', ['o_orderkey']).materialize()
+    li = _read(sf_dir, 'lineitem', ['l_orderkey']).materialize()
+    okeys = _key_array_ref(orders, 'o_orderkey')
+    lkeys = _key_array_ref(li, 'l_orderkey')
+
+    def _count(mask) -> pa.Array:
+        s = pc.sum(pc.cast(mask, pa.int64())).as_py()
+        return pa.array([s or 0], pa.int64())
+
+    def scan(key_col, ref):
+        class Scan:
+            def __init__(self):
+                self.keys = ray.get(ref)
+
+            def __call__(self, tbl: pa.Table) -> pa.Table:
+                col = tbl.column(key_col)
+                missing = pc.and_(
+                    pc.is_valid(col),
+                    pc.invert(pc.is_in(col, value_set=self.keys)))
+                return pa.table({
+                    'rows': pa.array([tbl.num_rows], pa.int64()),
+                    'missing': _count(missing)})
+        return Scan
+
+    li_parts = li.map_batches(scan('l_orderkey', okeys),
+                              batch_format='pyarrow', concurrency=2)
+    o_parts = orders.map_batches(scan('o_orderkey', lkeys),
+                                 batch_format='pyarrow', concurrency=2)
+
+    ev = _read(sf_dir, 'events', ['event_id'])
+    per_key = bucket_aggregate(ev, ['event_id'],
+                               {'n': ('event_id', 'count')})
+
+    def uniq_part(tbl: pa.Table) -> pa.Table:
+        n = tbl.column('n')
+        return pa.table({
+            'rows': pa.array([pc.sum(n).as_py() or 0], pa.int64()),
+            'distinct': _count(pc.greater(n, 0))})
+
+    ev_parts = per_key.map_batches(uniq_part, batch_format='pyarrow')
+
+    def _sum(ds, col) -> int:
+        df = _small_df(ds, ['rows', 'missing', 'distinct'])
+        return int(df[col].sum()) if col in df.columns else 0
+
+    li_rows, orphans = _sum(li_parts, 'rows'), _sum(li_parts, 'missing')
+    o_rows, childless = _sum(o_parts, 'rows'), _sum(o_parts, 'missing')
+    ev_rows, ev_distinct = _sum(ev_parts, 'rows'), _sum(ev_parts,
+                                                        'distinct')
+    return pd.DataFrame({
+        'lineitem_rows': pd.array([li_rows], dtype='int64'),
+        'orphan_lineitems': pd.array([orphans], dtype='int64'),
+        'orders_rows': pd.array([o_rows], dtype='int64'),
+        'childless_orders': pd.array([childless], dtype='int64'),
+        'event_id_rows': pd.array([ev_rows], dtype='int64'),
+        'dup_event_ids': pd.array([ev_rows - ev_distinct],
+                                  dtype='int64'),
+    })
+
+
+QUERIES['q_fk_audit_star'] = q_fk_audit_star
+ORACLE_SQL['q_fk_audit_star'] = """
+    SELECT
+      (SELECT count(*) FROM lineitem) AS lineitem_rows,
+      (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+      (SELECT count(*) FROM orders) AS orders_rows,
+      (SELECT count(*) FROM orders o
+        WHERE o.o_orderkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders,
+      (SELECT count(event_id) FROM events) AS event_id_rows,
+      (SELECT count(event_id) - count(DISTINCT event_id)
+         FROM events) AS dup_event_ids
+"""
