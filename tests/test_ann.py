@@ -174,3 +174,50 @@ class TestPQ:
         ds, books = self._pq(tbl, m=4)
         codes = pq_encode(ds, books).take_batch(5, batch_format='pyarrow')
         assert len(codes.column('code')[0]) == 4
+
+
+class TestIVFPQ:
+    def test_recall_vs_exact(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivfpq_topk
+        tbl, rows = _corpus()
+        got = ivfpq_topk(rd.from_arrow(tbl), rows[0], k=10,
+                         n_clusters=8, nprobe=4, m=8, ks=32,
+                         exclude_ids=[0]).to_pandas()
+        expect = set(_brute_topk(rows, rows[0], 10, {0}))
+        recall = len(set(got['vec_id']) & expect) / 10
+        assert recall >= 0.6, recall
+
+    def test_residual_codes_beat_flat_at_same_budget(self, ray_session):
+        """The reason IVF-PQ exists: residuals carry less variance than
+        raw vectors, so the same (m, ks) budget quantizes finer."""
+        import ray.data as rd
+        from trafaret_ray.stages.ann import (ivfpq_topk, pq_encode,
+                                             pq_search, pq_train)
+        tbl, rows = _corpus(n=600)
+        qs = [rows[i] for i in (1, 5, 9, 13, 17)]
+        ds = rd.from_arrow(tbl)
+        books = pq_train(ds, m=4, ks=16, sample_size=512)
+        codes = pq_encode(ds, books).materialize()
+        r_flat = r_ivf = 0.0
+        for i, q in enumerate(qs):
+            expect = set(_brute_topk(rows, q, 10, {i}))
+            flat = pq_search(codes, books, q, k=10,
+                             exclude_ids=[4 * i + 1]).to_pandas()
+            ivf = ivfpq_topk(ds, q, k=10, n_clusters=8, nprobe=8,
+                             m=4, ks=16,
+                             exclude_ids=[4 * i + 1]).to_pandas()
+            r_flat += len(set(flat['vec_id']) & expect)
+            r_ivf += len(set(ivf['vec_id']) & expect)
+        assert r_ivf >= r_flat, (r_ivf, r_flat)
+
+    def test_permutation_invariance(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivfpq_topk
+        tbl, rows = _corpus()
+        perm = np.random.default_rng(11).permutation(tbl.num_rows)
+        r1 = ivfpq_topk(rd.from_arrow(tbl), rows[2], k=10,
+                        n_clusters=8, nprobe=4, m=4).to_pandas()
+        r2 = ivfpq_topk(rd.from_arrow(tbl.take(perm)), rows[2], k=10,
+                        n_clusters=8, nprobe=4, m=4).to_pandas()
+        assert r1.equals(r2)

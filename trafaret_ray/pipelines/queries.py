@@ -5458,3 +5458,25 @@ ORACLE_SQL['q_fk_audit_star'] = """
       (SELECT count(event_id) - count(DISTINCT event_id)
          FROM events) AS dup_event_ids
 """
+
+
+def q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN top-k (stages/ann.py:ivfpq_topk): coarse clusters
+    prune WHICH rows are scanned, residual product codes shrink WHAT
+    the scan reads — the Faiss-style web-scale index shape. All
+    sampling is bottom-k-hash (permutation-invariant), so the shuffled
+    gate's byte self-compare holds. Rows-only by design (lossy code
+    domain; recall, residual-vs-flat advantage and permutation
+    invariance pinned in tests/test_ann.py)."""
+    from ..stages.ann import ivfpq_topk
+    empty = pa.schema([('vec_id', pa.int64()),
+                       ('approx_cos', pa.float64())])
+    qvec = _query_vec(sf_dir)
+    if qvec is None:     # keep the schema: empty Datasets lose theirs
+        return empty.empty_table().to_pandas()
+    emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return ivfpq_topk(emb, qvec, k=10, n_clusters=16, nprobe=4,
+                      m=8, ks=32, sample_size=512, exclude_ids=[0])
+
+
+QUERIES['q_ivfpq_topk'] = q_ivfpq_topk

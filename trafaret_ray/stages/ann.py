@@ -309,6 +309,14 @@ def pq_train(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
     sample = sample[ok]
     if len(sample) == 0:
         return None
+    return _train_books(sample, m, ks, iters, seed)
+
+
+def _train_books(sample: np.ndarray, m: int, ks: int, iters: int,
+                 seed: int) -> np.ndarray:
+    """One small k-means per contiguous dim subspace over an already-
+    prepared sample matrix (unit rows for flat PQ; coarse-centroid
+    residuals for IVF-PQ)."""
     d = sample.shape[1]
     if d % m:
         raise ValueError(f'dim {d} not divisible by m={m}')
@@ -396,6 +404,143 @@ def pq_search(codes_ds, codebooks, query: np.ndarray, k: int = 10,
         codes = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                            dtype=np.int64).reshape(len(la), m)
         d2 = table[jidx[None, :], codes].sum(axis=1)
+        sims = 1.0 - d2 / 2.0
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        top_ids, top_sims = cosine_topk_rows(ids, sims, k)
+        return pa.table({
+            id_col: pa.array(top_ids),
+            'approx_cos': pa.array(top_sims, type=pa.float64()),
+        })
+
+    cands = codes_ds.map_batches(topk_batch, batch_format='pyarrow')
+    from .aggregate import global_topk
+    return global_topk(cands, [('approx_cos', 'descending'),
+                               (id_col, 'ascending')], k)
+
+
+def ivfpq_topk(ds, query: np.ndarray, k: int = 10,
+               emb_col: str = 'embedding', id_col: str = 'vec_id',
+               n_clusters: int = 16, nprobe: int = 4, m: int = 8,
+               ks: int = 32, sample_size: int = 1024, iters: int = 10,
+               seed: int = 0, exclude_ids=()):
+    """IVF-PQ: the standard web-scale vector-index shape (Jégou et al.
+    2011; Faiss's IVFPQ) — a coarse quantizer prunes WHICH clusters are
+    scanned (IVF) while residual product codes shrink WHAT the scan
+    reads (PQ of x - centroid(x), which carries far less variance than
+    x itself, so the same code budget quantizes finer). All sampling is
+    bottom-k-hash (permutation-invariant: identical output under any
+    row order/partitioning — ``ds.limit`` would flip codebooks with
+    order); everything runs on the unit sphere so the ADC distance maps
+    to cosine (approx_cos = 1 - d2/2). Search builds ONE (nprobe, m, ks)
+    table family from the exact query; each surviving row costs m uint8
+    lookups. Returns a Dataset of (id, approx_cos) rows."""
+    # unit-normalize once: coarse assign, residuals and ADC all live in
+    # the same L2-on-the-sphere geometry
+    def unit(tbl: pa.Table) -> pa.Table:
+        tbl = drop_null_vectors(tbl, emb_col)
+        if tbl.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], pa.list_(pa.float64()))})
+        mat = _batch_matrix(tbl, emb_col)
+        mat, ok = _unit_rows(mat)
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)[ok]
+        mat = mat[ok]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            emb_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), mat.shape[1] or 1).cast(
+                    pa.list_(pa.float64())),
+        })
+
+    # the unit corpus feeds three consumers (coarse sample, encode,
+    # and the codebook sample) — materialize once
+    unit_ds = ds.map_batches(unit, batch_format='pyarrow',
+                             zero_copy_batch=True).materialize()
+    sample_tbl = _bottomk_sample(unit_ds, emb_col, id_col, sample_size)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      'approx_cos': pa.array([], pa.float64())})
+    if sample_tbl is None:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    sample = _batch_matrix(sample_tbl, emb_col)
+    cents = kmeans_fit(sample.copy(), n_clusters, iters, seed)
+    # residual codebooks from the SAME sample, assigned to its centroid
+    sd = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = sample - cents[sd.argmin(axis=1)]
+    books = _train_books(resid, m, ks, iters, seed + 101)
+
+    cents_ref = ray.put(cents)
+    books_ref = ray.put(books)
+
+    class Encode:
+        """(id, _centroid, residual uint8 codes) per batch: one coarse
+        matmul + m subspace matmuls."""
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            self.books = ray.get(books_ref)
+            self.cn2 = (self.cents ** 2).sum(axis=1)
+            self.bn2 = (self.books ** 2).sum(axis=2)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            mm, _ks, dsub = self.books.shape
+            if tbl.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    '_centroid': pa.array([], pa.int32()),
+                    'code': pa.array([], pa.list_(pa.uint8(), mm))})
+            mat = _batch_matrix(tbl, emb_col)
+            assign = (self.cn2[None, :]
+                      - 2.0 * (mat @ self.cents.T)).argmin(axis=1)
+            resid = mat - self.cents[assign]
+            codes = np.empty((len(mat), mm), dtype=np.uint8)
+            for j in range(mm):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                scores = self.bn2[j][None, :] - 2.0 * (sub @ self.books[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            return pa.table({
+                id_col: tbl.column(id_col),
+                '_centroid': pa.array(assign.astype(np.int32)),
+                'code': pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1)), mm),
+            })
+
+    codes_ds = unit_ds.map_batches(Encode, batch_format='pyarrow',
+                                   concurrency=2)
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    cd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(cd, kind='stable')[:nprobe])
+    # table[p, j, c] = ||(q - cent_p)_j - books[j, c]||^2 — the full
+    # probed-cluster ADC family, built once from the exact query
+    mm, _kse, dsub = books.shape
+    qr = q[None, :] - cents[probe]                      # (P, d)
+    qr = qr.reshape(len(probe), mm, 1, dsub)
+    table = ((qr - books[None, :, :, :]) ** 2).sum(axis=3)  # (P, m, ks)
+    probe_pos = np.full(n_clusters, -1, dtype=np.int64)
+    probe_pos[probe] = np.arange(len(probe))
+    probe_arr = pa.array(probe.astype(np.int32), type=pa.int32())
+    excl = pa.array(list(exclude_ids), type=pa.int64())
+    jidx = np.arange(mm)
+
+    def topk_batch(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_in(tbl.column('_centroid'),
+                                  value_set=probe_arr))
+        if len(excl):
+            tbl = tbl.filter(pc.invert(pc.is_in(tbl.column(id_col),
+                                                value_set=excl)))
+        if tbl.num_rows == 0:
+            return empty
+        la = tbl.column('code').combine_chunks()
+        codes = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.int64).reshape(len(la), mm)
+        cl = probe_pos[tbl.column('_centroid').combine_chunks()
+                       .to_numpy(zero_copy_only=False)]
+        d2 = table[cl[:, None], jidx[None, :], codes].sum(axis=1)
         sims = 1.0 - d2 / 2.0
         ids = tbl.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
