@@ -221,3 +221,44 @@ class TestIVFPQ:
         r2 = ivfpq_topk(rd.from_arrow(tbl.take(perm)), rows[2], k=10,
                         n_clusters=8, nprobe=4, m=4).to_pandas()
         assert r1.equals(r2)
+
+
+class TestRerank:
+    def test_pq_rerank_restores_exact_order(self, ray_session):
+        """The shortlist+exact-rerank recipe: top-k is the true cosine
+        order whenever the true top-k survive the shortlist."""
+        import ray.data as rd
+        from trafaret_ray.stages.ann import (pq_encode, pq_search,
+                                             pq_train)
+        tbl, rows = _corpus()
+        ds = rd.from_arrow(tbl)
+        books = pq_train(ds, m=8, ks=32, sample_size=512)
+        codes = pq_encode(ds, books)
+        got = pq_search(codes, books, rows[0], k=10, exclude_ids=[0],
+                        rerank=200, rerank_ds=ds).to_pandas()
+        assert list(got['vec_id']) == _brute_topk(rows, rows[0], 10, {0})
+        assert 'cos_sim' in got.columns
+
+    def test_ivfpq_index_reuse(self, ray_session):
+        """build once, search many: results equal the one-shot path."""
+        import ray.data as rd
+        from trafaret_ray.stages.ann import (ivfpq_build, ivfpq_search,
+                                             ivfpq_topk)
+        tbl, rows = _corpus()
+        ds = rd.from_arrow(tbl)
+        idx = ivfpq_build(ds, n_clusters=8, m=8, ks=32)
+        for qi in (2, 6):
+            a = ivfpq_search(idx, rows[qi], k=10, nprobe=4).to_pandas()
+            b = ivfpq_topk(ds, rows[qi], k=10, n_clusters=8, nprobe=4,
+                           m=8, ks=32).to_pandas()
+            assert a.equals(b)
+
+    def test_ivfpq_rerank_recall(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.stages.ann import ivfpq_build, ivfpq_search
+        tbl, rows = _corpus()
+        idx = ivfpq_build(rd.from_arrow(tbl), n_clusters=8, m=8, ks=32)
+        got = ivfpq_search(idx, rows[0], k=10, nprobe=8, rerank=100,
+                           exclude_ids=[0]).to_pandas()
+        expect = set(_brute_topk(rows, rows[0], 10, {0}))
+        assert len(set(got['vec_id']) & expect) / 10 >= 0.9

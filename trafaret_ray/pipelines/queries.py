@@ -5470,13 +5470,16 @@ def q_ivfpq_topk(sf_dir: str):
     invariance pinned in tests/test_ann.py)."""
     from ..stages.ann import ivfpq_topk
     empty = pa.schema([('vec_id', pa.int64()),
-                       ('approx_cos', pa.float64())])
+                       ('cos_sim', pa.float64())])
     qvec = _query_vec(sf_dir)
     if qvec is None:     # keep the schema: empty Datasets lose theirs
         return empty.empty_table().to_pandas()
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    # rerank=50: the production recipe — the ADC pass shortlists, one
+    # pruned float pass scores exactly 50 rows with true cosine
     return ivfpq_topk(emb, qvec, k=10, n_clusters=16, nprobe=4,
-                      m=8, ks=32, sample_size=512, exclude_ids=[0])
+                      m=8, ks=32, sample_size=512, exclude_ids=[0],
+                      rerank=50)
 
 
 QUERIES['q_ivfpq_topk'] = q_ivfpq_topk
