@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     'q_editdist_pairs_docs', 'q_dup_spans_docs', 'q_dup_intervals_docs',
     'q_dedup_cut_docs', 'q_theta_users_overlap',
     'q_semi_join_customers', 'q_anti_join_customers',
+    'q_first_last_events', 'q_funnel_events', 'q_retention_events',
+    'q_paginate_events', 'q_fk_audit_star', 'q_pq_topk', 'q_ivfpq_topk',
 ]
 
 
