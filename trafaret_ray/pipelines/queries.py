@@ -5483,3 +5483,141 @@ def q_ivfpq_topk(sf_dir: str):
 
 
 QUERIES['q_ivfpq_topk'] = q_ivfpq_topk
+
+
+def q_target_encode_events(sf_dir: str):
+    """Leakage-free target encoding: each event's feature is the
+    expanding mean of ``value`` over STRICTLY PRIOR events of the same
+    event_type in (ts, event_id) order — the point-in-time categorical
+    encoder (SQL frame ROWS UNBOUNDED PRECEDING .. 1 PRECEDING). Zero
+    temporal leakage by construction: row i never sees its own target
+    or anything later. Mean = exact int64 micro-unit prefix sums
+    (CLAUDE.md fixed-point discipline) over prior non-null count —
+    identical integers on both engines, one floor(sum/cnt+0.5) each.
+    NULL event_type forms ONE partition (SQL window semantics; None
+    keys group contiguously in per_conversation). NULL values count
+    toward neither sum nor count; NULL-ts rows have no event time and
+    are excluded on both engines. Low-cardinality partition key: at
+    sf-scale each type is one bucket task; a 100-TB run reuses the
+    salted two-pass for the same prefix semantics (per-chunk partials
+    + driver exclusive scan over chunk summaries, stages/salting.py)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'event_type', 'ts',
+                                  'value'], require=('ts',))
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v6f = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        nn = ~np.isnan(v6f)
+        v6 = np.where(nn, v6f, 0.0).astype(np.int64)
+        nni = nn.astype(np.int64)
+        prior6 = W.running_sum(v6, starts) - v6
+        prior_n = W.running_sum(nni, starts) - nni
+        with np.errstate(invalid='ignore', divide='ignore'):
+            te = np.floor(prior6.astype(np.float64)
+                          / np.maximum(prior_n, 1) + 0.5) / 1e6
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'event_type': tbl.column('event_type'),
+            'te_value': pa.array(te, mask=(prior_n == 0)),
+        })
+
+    return per_conversation(ds, fn, key='event_type',
+                            order=('ts', 'event_id'),
+                            num_buckets=8).sort('event_id')
+
+
+QUERIES['q_target_encode_events'] = q_target_encode_events
+ORACLE_SQL['q_target_encode_events'] = """
+    -- expanding prior mean from int64 micro-unit sums: identical
+    -- integers on both engines, then ONE double division each
+    WITH s AS (
+      SELECT event_id, event_type, ts,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL)
+    SELECT event_id, event_type,
+           CASE WHEN count(v6) OVER w > 0 THEN
+             floor(cast(sum(v6) OVER w AS DOUBLE)
+                   / count(v6) OVER w + 0.5) / 1e6
+           END AS te_value
+    FROM s
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY event_id
+"""
+
+
+def q_interp_events(sf_dir: str):
+    """Time-weighted linear interpolation of missing values per user:
+    a NULL ``value`` takes prev + (next-prev) * (ts-ts_prev)/(ts_next-
+    ts_prev) between its nearest non-null neighbors in (ts, event_id)
+    order; leading/trailing gaps stay NULL; a zero time span (tied
+    timestamps) takes the previous value. One hash exchange + the
+    ffill/bfill index kernels (stages/window.py:122,134) — no per-row
+    work. Byte-stability: each arithmetic step is a single IEEE-754
+    double op evaluated in the same expression shape as the oracle —
+    correctly-rounded mul/div/add on identical inputs are bit-identical
+    across engines; only reassociating SUMS need fixed-point
+    (CLAUDE.md), and there is no sum here."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        val = tbl.column('value').combine_chunks()
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        v = val.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = np.asarray(val.is_valid().to_numpy(zero_copy_only=False),
+                           dtype=bool)
+        # for a null row, "at-or-before/after" == strictly before/after
+        pidx, pok = W.ffill_indices(valid, starts)
+        nidx, nok = W.bfill_indices(valid, starts)
+        pv, nv = v[pidx], v[nidx]
+        pt, nt = ts_us[pidx], ts_us[nidx]
+        both = pok & nok & ~valid
+        with np.errstate(invalid='ignore', divide='ignore'):
+            frac = (ts_us - pt).astype(np.float64) \
+                / (nt - pt).astype(np.float64)
+            interp = pv + (nv - pv) * frac
+        out = np.where(valid, v,
+                       np.where(both & (nt > pt), interp,
+                                np.where(both, pv, np.nan)))
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'value_interp': pa.array(out, mask=~(valid | both)),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_interp_events'] = q_interp_events
+ORACLE_SQL['q_interp_events'] = """
+    -- the interpolation arithmetic mirrors the engine op-for-op:
+    -- IEEE double mul/div/add are correctly rounded, so identical
+    -- inputs give bit-identical results (no reassociating sums here)
+    WITH s AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS tus
+      FROM events WHERE ts IS NOT NULL),
+    w AS (
+      SELECT event_id, user_id, value, tus,
+             last_value(value IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN tus END
+                        IGNORE NULLS) OVER wb AS pt,
+             first_value(value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN tus END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM s
+      WINDOW wb AS (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) *
+                     (cast(tus - pt AS DOUBLE) / cast(nt - pt AS DOUBLE))
+           END AS value_interp
+    FROM w ORDER BY event_id
+"""
