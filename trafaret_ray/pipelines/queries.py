@@ -5371,74 +5371,83 @@ def q_fk_audit_star(sf_dir: str):
     the row-level contract gate: referential integrity over the
     orders⟷lineitem FK in BOTH directions (orphan children, childless
     parents) plus primary-key uniqueness of events.event_id, one
-    summary row. Each fact table is scanned once with per-batch partial
-    counters against a broadcast distinct-key array (the tree-merged
-    Bloom filter in stages/joins.py is the 100-TB swap-in for a key
-    side too large to broadcast); uniqueness rides one hash-bucket
-    exchange of per-key count partials. NULL FK cells are NOT orphans
-    (SQL FK semantics: a null reference references nothing)."""
-    import ray
-    from ..stages.aggregate import bucket_aggregate
-    from ..stages.joins import _key_array_ref
+    summary row.
 
-    orders = _read(sf_dir, 'orders', ['o_orderkey']).materialize()
-    li = _read(sf_dir, 'lineitem', ['l_orderkey']).materialize()
-    okeys = _key_array_ref(orders, 'o_orderkey')
-    lkeys = _key_array_ref(li, 'l_orderkey')
+    Shape: every table maps to per-batch (tag, key, count) partials —
+    16-byte key rows, never payload — and all three partial streams
+    union into ONE hash-bucket exchange; each bucket resolves its keys
+    (a key lives in exactly one bucket) and emits one summary row the
+    driver sums. No driver-held or broadcast key arrays (the previous
+    design pulled each side's distinct keys to the driver and
+    broadcast them — the 100-TB cliff this audit must avoid) and one
+    pipeline execution instead of five. Table row totals ride the same
+    exchange under reserved tags. NULL FK cells are NOT orphans (SQL
+    FK semantics: a null reference references nothing); events PK
+    coverage is count(event_id) (non-null), matching the oracle."""
+    from ..stages.conversations import bucket_exchange
 
-    def _count(mask) -> pa.Array:
-        s = pc.sum(pc.cast(mask, pa.int64())).as_py()
-        return pa.array([s or 0], pa.int64())
+    _SCHEMA = pa.schema([('tbl', pa.string()), ('k', pa.int64()),
+                         ('n', pa.int64())])
 
-    def scan(key_col, ref):
-        class Scan:
-            def __init__(self):
-                self.keys = ray.get(ref)
+    def partial(tag, key_col, total_tag=None):
+        def fn(tbl: pa.Table) -> pa.Table:
+            col = tbl.column(key_col)
+            nn = tbl.filter(pc.is_valid(col))
+            g = pa.table({'k': pc.cast(nn.column(key_col), pa.int64())})\
+                .group_by('k').aggregate([('k', 'count')])
+            tags = [tag] * g.num_rows
+            ks = g.column('k').to_pylist()
+            ns = g.column('k_count').to_pylist()
+            if total_tag is not None:
+                tags.append(total_tag)
+                ks.append(0)
+                ns.append(tbl.num_rows)
+            return pa.table({'tbl': pa.array(tags, pa.string()),
+                             'k': pa.array(ks, pa.int64()),
+                             'n': pa.array(ns, pa.int64())},
+                            schema=_SCHEMA)
+        return fn
 
-            def __call__(self, tbl: pa.Table) -> pa.Table:
-                col = tbl.column(key_col)
-                missing = pc.and_(
-                    pc.is_valid(col),
-                    pc.invert(pc.is_in(col, value_set=self.keys)))
-                return pa.table({
-                    'rows': pa.array([tbl.num_rows], pa.int64()),
-                    'missing': _count(missing)})
-        return Scan
+    li = _read(sf_dir, 'lineitem', ['l_orderkey'])\
+        .map_batches(partial('li', 'l_orderkey', 'li_total'),
+                     batch_format='pyarrow', zero_copy_batch=True)
+    o = _read(sf_dir, 'orders', ['o_orderkey'])\
+        .map_batches(partial('o', 'o_orderkey', 'o_total'),
+                     batch_format='pyarrow', zero_copy_batch=True)
+    ev = _read(sf_dir, 'events', ['event_id'])\
+        .map_batches(partial('e', 'event_id'),
+                     batch_format='pyarrow', zero_copy_batch=True)
 
-    li_parts = li.map_batches(scan('l_orderkey', okeys),
-                              batch_format='pyarrow', concurrency=2)
-    o_parts = orders.map_batches(scan('o_orderkey', lkeys),
-                                 batch_format='pyarrow', concurrency=2)
+    _OUT = pa.schema([(c, pa.int64()) for c in
+                      ('lineitem_rows', 'orphan_lineitems', 'orders_rows',
+                       'childless_orders', 'event_id_rows',
+                       'dup_event_ids')])
 
-    ev = _read(sf_dir, 'events', ['event_id'])
-    per_key = bucket_aggregate(ev, ['event_id'],
-                               {'n': ('event_id', 'count')})
+    def audit(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _OUT.empty_table()
+        df = tbl.to_pandas()
+        by = {t: g.groupby('k')['n'].sum()
+              for t, g in df.groupby('tbl', sort=False)}
+        lik = by.get('li', pd.Series(dtype='int64'))
+        ok = by.get('o', pd.Series(dtype='int64'))
+        evk = by.get('e', pd.Series(dtype='int64'))
+        vals = [
+            int(by.get('li_total', pd.Series(dtype='int64')).sum()),
+            int(lik[~lik.index.isin(ok.index)].sum()),
+            int(by.get('o_total', pd.Series(dtype='int64')).sum()),
+            int(ok[~ok.index.isin(lik.index)].sum()),
+            int(evk.sum()),
+            int(evk.sum()) - len(evk),
+        ]
+        return pa.table({f.name: pa.array([v], pa.int64())
+                         for f, v in zip(_OUT, vals)}, schema=_OUT)
 
-    def uniq_part(tbl: pa.Table) -> pa.Table:
-        n = tbl.column('n')
-        return pa.table({
-            'rows': pa.array([pc.sum(n).as_py() or 0], pa.int64()),
-            'distinct': _count(pc.greater(n, 0))})
-
-    ev_parts = per_key.map_batches(uniq_part, batch_format='pyarrow')
-
-    def _sum(ds, col) -> int:
-        df = _small_df(ds, ['rows', 'missing', 'distinct'])
-        return int(df[col].sum()) if col in df.columns else 0
-
-    li_rows, orphans = _sum(li_parts, 'rows'), _sum(li_parts, 'missing')
-    o_rows, childless = _sum(o_parts, 'rows'), _sum(o_parts, 'missing')
-    ev_rows, ev_distinct = _sum(ev_parts, 'rows'), _sum(ev_parts,
-                                                        'distinct')
-    return pd.DataFrame({
-        'lineitem_rows': pd.array([li_rows], dtype='int64'),
-        'orphan_lineitems': pd.array([orphans], dtype='int64'),
-        'orders_rows': pd.array([o_rows], dtype='int64'),
-        'childless_orders': pd.array([childless], dtype='int64'),
-        'event_id_rows': pd.array([ev_rows], dtype='int64'),
-        'dup_event_ids': pd.array([ev_rows - ev_distinct],
-                                  dtype='int64'),
-    })
+    parts = bucket_exchange(li.union(o, ev), 'k', audit, num_buckets=16)
+    sums = _small_df(parts, [f.name for f in _OUT])
+    return pd.DataFrame({f.name: pd.array(
+        [int(sums[f.name].sum()) if f.name in sums.columns else 0],
+        dtype='int64') for f in _OUT})
 
 
 QUERIES['q_fk_audit_star'] = q_fk_audit_star
