@@ -5630,3 +5630,79 @@ ORACLE_SQL['q_interp_events'] = """
            END AS value_interp
     FROM w ORDER BY event_id
 """
+
+
+def q_mad_outliers_events(sf_dir: str):
+    """Robust outlier detection per event_type: flag rows whose absolute
+    deviation from the group MEDIAN exceeds 3.5x the group MAD (median
+    absolute deviation) — the robust-statistics complement of
+    q_zscore_events (means/stds are themselves skewed by the outliers
+    they hunt). One hash exchange co-locates each type; two vectorized
+    percentile passes per group (same per-group-fits-one-task bound as
+    grouped_quantiles; the histogram sketch is the 100-TB swap-in).
+
+    Byte-stability of the ROW PICK (CLAUDE.md row-picking discipline):
+    values enter as int64 micro-units, and quantile_cont interpolation
+    over integers is EXACT in ieee754 on both engines (b-a, *0.5, +a
+    all representable), so med6 is an exact half-unit, adev6 an exact
+    half, mad6 an exact quarter, 3.5*mad6 an exact eighth — the
+    comparison is deterministic, no epsilon. Rows with NULL type/value
+    have no robust score — excluded on both engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'event_type', 'value'],
+               require=('event_type', 'value'))
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        v6 = _fixed6(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lo = np.nonzero(starts)[0]
+        hi = np.append(lo[1:], len(v6))
+        med6 = np.empty(len(v6))
+        mad6 = np.empty(len(v6))
+        for s, e in zip(lo, hi):     # per GROUP, not per row
+            m = np.percentile(v6[s:e], 50, method='linear')
+            med6[s:e] = m
+            mad6[s:e] = np.percentile(np.abs(v6[s:e] - m), 50,
+                                      method='linear')
+        adev6 = np.abs(v6 - med6)
+        keep = adev6 > 3.5 * mad6
+        out = pa.table({
+            'event_id': tbl.column('event_id'),
+            'event_type': tbl.column('event_type'),
+            'value': tbl.column('value'),
+            'med': pa.array(np.round(med6 / 1e6, 6)),
+            'mad': pa.array(np.round(mad6 / 1e6, 6)),
+        })
+        return out.filter(pa.array(keep))
+
+    return per_conversation(ds, fn, key='event_type', order=(),
+                            num_buckets=8).sort('event_id')
+
+
+QUERIES['q_mad_outliers_events'] = q_mad_outliers_events
+ORACLE_SQL['q_mad_outliers_events'] = """
+    -- integer micro-unit medians: quantile_cont interpolation over
+    -- int64 inputs is ieee-exact on both engines, so the 3.5*MAD row
+    -- pick is deterministic (CLAUDE.md row-picking discipline)
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             quantile_cont(cast(v6 AS DOUBLE), 0.5) AS med6
+      FROM s GROUP BY event_type),
+    a AS (
+      SELECT s.event_id, s.event_type, s.value, m.med6,
+             abs(cast(s.v6 AS DOUBLE) - m.med6) AS adev6
+      FROM s JOIN m USING (event_type)),
+    d AS (
+      SELECT event_type, quantile_cont(adev6, 0.5) AS mad6
+      FROM a GROUP BY event_type)
+    SELECT a.event_id, a.event_type, a.value,
+           round(a.med6 / 1e6, 6) AS med,
+           round(d.mad6 / 1e6, 6) AS mad
+    FROM a JOIN d USING (event_type)
+    WHERE a.adev6 > 3.5 * d.mad6
+    ORDER BY a.event_id
+"""
