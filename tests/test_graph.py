@@ -77,3 +77,62 @@ class TestConnectedComponents:
                 .materialize()
         assert any('no fixpoint' in str(w.message) for w in caught
                    if issubclass(w.category, RuntimeWarning))
+
+
+def _pr(edges, **kw):
+    import ray.data as rd
+    from trafaret_ray.stages.graph import pagerank
+    tbl = pa.table({'src': pa.array([a for a, _ in edges], pa.int64()),
+                    'dst': pa.array([b for _, b in edges], pa.int64())})
+    out = pagerank(rd.from_arrow(tbl), num_buckets=4, **kw).to_pandas()
+    return dict(zip(out['node'], out['rank']))
+
+
+def _pr_float_oracle(edges, iters=20, d=0.85):
+    """Straight-line float power iteration (dangling mass uniform)."""
+    nodes = sorted({n for e in edges for n in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in edges:
+        out[ix[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nr = np.zeros(n)
+        for a, b in edges:
+            nr[ix[b]] += r[ix[a]] / out[ix[a]]
+        dang = r[out == 0].sum()
+        r = (1 - d) / n + d * (nr + dang / n)
+    return {nd: r[ix[nd]] for nd in nodes}
+
+
+class TestPageRank:
+    def test_matches_float_power_iteration(self, ray_session):
+        rng = np.random.default_rng(7)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 40, size=(120, 2)) if a != b]
+        got = _pr(edges)
+        want = _pr_float_oracle(edges)
+        for nd, r in want.items():
+            # fixed-point quantum 1e-9; floor leak << 1e-6
+            assert abs(got[nd] - r) < 1e-5, nd
+
+    def test_mass_conserved_with_dangling(self, ray_session):
+        # node 3 is dangling (no out-edges) — its mass redistributes
+        got = _pr([(1, 2), (2, 3), (1, 3)])
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        assert got[3] > got[2] > got[1]
+
+    def test_edge_order_invariance(self, ray_session):
+        rng = np.random.default_rng(11)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 30, size=(80, 2)) if a != b]
+        got = _pr(edges)
+        perm = [edges[i] for i in rng.permutation(len(edges))]
+        assert _pr(perm) == got     # EXACT equality — integer math
+
+    def test_distributed_path_matches_local(self, ray_session):
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+        local = _pr(edges, iters=5)
+        dist = _pr(edges, iters=5, local_edges_max=0)
+        assert dist == local        # byte-identical fixed-point paths

@@ -5706,3 +5706,53 @@ ORACLE_SQL['q_mad_outliers_events'] = """
     WHERE a.adev6 > 3.5 * d.mad6
     ORDER BY a.event_id
 """
+
+
+def q_pagerank_events(sf_dir: str):
+    """PageRank centrality of the event-type transition graph: edges
+    are consecutive (prev_type -> type) transitions per user in
+    (ts, event_id) order (one hash exchange + lag kernel), nodes are
+    event types (64-bit surrogate ids, sign-cleared for the graph's
+    non-negative id contract). stages/graph.py:pagerank runs entirely
+    in int64 fixed-point, so ranks are EXACTLY reproducible under any
+    row order — the --shuffled self-parity bar. Rows-only by design
+    (iterative algorithm, no SQL oracle; float-power-iteration parity
+    + path equality pinned in tests/test_graph.py)."""
+    from ..stages.graph import pagerank
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'],
+               require=('ts', 'event_type'))
+
+    def _sid(vals: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(vals, categorize=False)
+        return (h >> np.uint64(1)).astype(np.int64)
+
+    def edges_fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        et = tbl.column('event_type').combine_chunks()
+        prev = W.lag_column(et, starts, 1)
+        keep = np.asarray(prev.is_valid().to_numpy(
+            zero_copy_only=False), dtype=bool)
+        cur = et.to_numpy(zero_copy_only=False)[keep]
+        prv = prev.to_numpy(zero_copy_only=False)[keep]
+        return pa.table({'src': pa.array(_sid(prv), pa.int64()),
+                         'dst': pa.array(_sid(cur), pa.int64())})
+
+    edges = _per_user(ds, edges_fn)
+    ranks = _small_df(pagerank(edges), ['node', 'rank'])
+
+    types = _small_df(pre_aggregate(
+        ds, ['event_type'], {'n': ('event_id', 'count')}),
+        ['event_type', 'n'])
+    if len(types) == 0 or len(ranks) == 0:
+        return pd.DataFrame({'event_type': pd.array([], dtype='string'),
+                             'rank': pd.array([], dtype='float64')})
+    tv = types['event_type'].to_numpy()
+    name_of = dict(zip(_sid(tv), tv))
+    out = pd.DataFrame({
+        'event_type': [name_of.get(n) for n in ranks['node']],
+        'rank': ranks['rank'].astype('float64'),
+    })
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+QUERIES['q_pagerank_events'] = q_pagerank_events

@@ -173,3 +173,212 @@ def connected_components(edges, src: str = 'src', dst: str = 'dst',
     return labels.map_batches(
         lambda t: t.rename_columns(['node', 'component']),
         batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# PageRank — integer fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+_PR_R = 10**9          # rank mass scale: total graph mass == 1e9
+_PR_D6 = 850_000       # damping 0.85 in 1e-6 units
+
+
+def _pr_new9(in9, dangling_share9: int, base9: int,
+             damping6: int):
+    """rank' = base + d*(in + dangling_share), all int64 floor ops —
+    exact integer arithmetic, so the result is independent of edge
+    order, block boundaries and summation order (the --shuffled
+    self-parity bar for rows-only operators). Headroom: damping6
+    (<=1e6) * in9 (<= total mass 1e9) = 1e15 << int64."""
+    return base9 + (damping6 * (in9 + dangling_share9)) // 10**6
+
+
+def _local_pagerank(tbl: pa.Table, src: str, dst: str,
+                    iters: int, damping6: int) -> pa.Table:
+    """Whole-graph PageRank inside ONE task: the same fixed-point
+    update as the distributed path (identical floor arithmetic -> the
+    two paths are byte-identical, pinned in tests/test_graph.py)."""
+    if tbl.num_rows == 0:
+        return pa.table({'node': pa.array([], pa.int64()),
+                         'rank': pa.array([], pa.float64())})
+    a = tbl.column(src).combine_chunks().cast(pa.int64())\
+        .to_numpy(zero_copy_only=False)
+    b = tbl.column(dst).combine_chunks().cast(pa.int64())\
+        .to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    n = len(nodes)
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, ai, 1)
+    dangling = outdeg == 0
+    base9 = ((10**6 - damping6) * _PR_R) // (10**6 * n)
+    rank9 = np.full(n, _PR_R // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = rank9[ai] // outdeg[ai]
+        in9 = np.zeros(n, dtype=np.int64)
+        np.add.at(in9, bi, contrib)
+        dshare9 = int(rank9[dangling].sum()) // n
+        rank9 = _pr_new9(in9, dshare9, base9, damping6)
+    return pa.table({'node': pa.array(nodes),
+                     'rank': pa.array(rank9 / _PR_R)})
+
+
+def pagerank(edges, src: str = 'src', dst: str = 'dst',
+             iters: int = 20, damping: float = 0.85,
+             num_buckets: int = 16, local_edges_max: int = 2_000_000):
+    """edges: Dataset of int64 (src, dst) pairs -> Dataset of
+    (node, rank), rank in [0, 1], total ~1 (floor-rounding leaks
+    < outdeg/1e9 mass per node per iteration — deterministic).
+
+    All arithmetic is int64 fixed-point (mass scale 1e9, damping 1e6):
+    integer sums are associative, so ranks are EXACTLY reproducible
+    under any edge order, partitioning or batch boundary — the same
+    determinism contract as the dedup fingerprints. Dangling nodes
+    redistribute their mass uniformly (standard PageRank).
+
+    SIZE-AWARE SHAPE (same policy as connected_components): edge sets
+    <= ``local_edges_max`` run in ONE task via ``_local_pagerank``;
+    larger graphs run the distributed power iteration — per round, one
+    tiny scalar Sum (dangling mass), one src-keyed exchange scattering
+    rank/outdeg onto edges, one dst-keyed sum of contributions, and one
+    node-keyed merge back onto the static degree table. Each round's
+    state is one (node, outdeg, rank9) Dataset — O(nodes) rows, never
+    the edge payload."""
+    import pyarrow.compute as pc
+
+    damping6 = int(round(damping * 10**6))
+    edges = edges.materialize()
+    if local_edges_max and edges.count() <= local_edges_max:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_pagerank(t, src, dst, iters, damping6),
+            batch_format='pyarrow', zero_copy_batch=True)
+
+    def init_nodes(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(src).combine_chunks().cast(pa.int64())
+        d = tbl.column(dst).combine_chunks().cast(pa.int64())
+        deg = pa.concat_arrays([
+            pa.array(np.ones(len(s), dtype=np.int64)),
+            pa.array(np.zeros(len(d), dtype=np.int64))])
+        return pa.table({'node': pa.concat_arrays([s, d]), 'outdeg': deg})
+
+    nodes_deg = bucket_aggregate(
+        edges.map_batches(init_nodes, batch_format='pyarrow',
+                          zero_copy_batch=True),
+        ['node'], {'outdeg': ('outdeg', 'sum')},
+        num_buckets=num_buckets).materialize()
+    n = nodes_deg.count()
+    if n == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            'node': pa.array([], pa.int64()),
+            'rank': pa.array([], pa.float64())}))
+    base9 = ((10**6 - damping6) * _PR_R) // (10**6 * n)
+
+    def seed(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            'rank9', pa.array(np.full(tbl.num_rows, _PR_R // n,
+                                      dtype=np.int64)))
+
+    ranks = nodes_deg.map_batches(seed, batch_format='pyarrow')\
+        .materialize()
+
+    # static edge rows for the src-keyed scatter (dst >= 0 tags an edge
+    # row; rank rows ride with dst == -1)
+    def tag_edges(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': tbl.column(src).combine_chunks().cast(pa.int64()),
+            'dst': tbl.column(dst).combine_chunks().cast(pa.int64()),
+            'outdeg': pa.array(np.full(tbl.num_rows, -1, np.int64)),
+            'rank9': pa.array(np.full(tbl.num_rows, -1, np.int64)),
+        })
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format='pyarrow',
+                                     zero_copy_batch=True).materialize()
+
+    def tag_ranks(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': tbl.column('node'),
+            'dst': pa.array(np.full(tbl.num_rows, -1, np.int64)),
+            'outdeg': tbl.column('outdeg'),
+            'rank9': tbl.column('rank9'),
+        })
+
+    _EMPTY_C = pa.table({'node': pa.array([], pa.int64()),
+                         'in9': pa.array([], pa.int64())})
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        """Per src-bucket: contribution rank9//outdeg to each out-edge."""
+        if tbl.num_rows == 0:
+            return _EMPTY_C
+        df = tbl.to_pandas()
+        rk = df[df['dst'] == -1][['node', 'outdeg', 'rank9']]
+        ed = df[df['dst'] != -1][['node', 'dst']]
+        m = ed.merge(rk, on='node', how='inner')
+        if len(m) == 0:
+            return _EMPTY_C
+        return pa.table({
+            'node': pa.array(m['dst'].to_numpy(np.int64)),
+            'in9': pa.array(m['rank9'].to_numpy(np.int64)
+                            // m['outdeg'].to_numpy(np.int64)),
+        })
+
+    for _ in range(iters):
+        # dangling mass: one int64 scalar to the driver per round
+        dang = ranks.map_batches(
+            lambda t: pa.table({'d9': pc.if_else(
+                pc.equal(t.column('outdeg'), 0),
+                t.column('rank9'), pa.scalar(0, pa.int64()))}),
+            batch_format='pyarrow').sum('d9')
+        dshare9 = int(dang or 0) // n
+
+        both = tagged_edges.union(
+            ranks.map_batches(tag_ranks, batch_format='pyarrow'))
+        in_sum = bucket_aggregate(
+            bucket_exchange(both, 'node', scatter, num_buckets),
+            ['node'], {'in9': ('in9', 'sum')}, num_buckets=num_buckets)
+
+        # merge contributions back onto the static degree table
+        def upd(tbl: pa.Table, _d=dshare9) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({'node': pa.array([], pa.int64()),
+                                 'outdeg': pa.array([], pa.int64()),
+                                 'rank9': pa.array([], pa.int64())})
+            df = tbl.to_pandas()
+            deg = df[df['dst'] == -1]
+            ins = df[df['dst'] == -2].groupby('node')['rank9'].sum()
+            in9 = deg['node'].map(ins).fillna(0).to_numpy(np.int64)
+            return pa.table({
+                'node': pa.array(deg['node'].to_numpy(np.int64)),
+                'outdeg': pa.array(deg['outdeg'].to_numpy(np.int64)),
+                'rank9': pa.array(_pr_new9(in9, _d, base9, damping6)),
+            })
+
+        def tag_deg(tbl: pa.Table) -> pa.Table:
+            return pa.table({
+                'node': tbl.column('node'),
+                'dst': pa.array(np.full(tbl.num_rows, -1, np.int64)),
+                'outdeg': tbl.column('outdeg'),
+                'rank9': pa.array(np.zeros(tbl.num_rows, np.int64)),
+            })
+
+        def tag_in(tbl: pa.Table) -> pa.Table:
+            return pa.table({
+                'node': tbl.column('node'),
+                'dst': pa.array(np.full(tbl.num_rows, -2, np.int64)),
+                'outdeg': pa.array(np.zeros(tbl.num_rows, np.int64)),
+                'rank9': tbl.column('in9'),
+            })
+
+        merged = nodes_deg.map_batches(tag_deg, batch_format='pyarrow')\
+            .union(in_sum.map_batches(tag_in, batch_format='pyarrow'))
+        ranks = bucket_exchange(merged, 'node', upd,
+                                num_buckets).materialize()
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': tbl.column('node'),
+            'rank': pa.array(tbl.column('rank9').to_numpy(
+                zero_copy_only=False).astype(np.float64) / _PR_R),
+        })
+
+    return ranks.map_batches(finish, batch_format='pyarrow')
