@@ -65,3 +65,48 @@ class TestHashSplit:
         ds = rd.from_arrow(pa.table({'k': [1, 2]}))
         with pytest.raises(ValueError):
             hash_split(ds, 'k', {'a': 0.5, 'b': 0.2})
+
+
+class TestPrioritySample:
+    def test_deterministic_and_weight_biased(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.functions.sampling import priority_sample
+        n = 400
+        # two weight classes: heavy rows (w=50) vs light rows (w=1)
+        w = pa.array([50 if i % 4 == 0 else 1 for i in range(n)],
+                     pa.int64())
+        tbl = pa.table({'k': pa.array(range(n), pa.int64()), 'w': w})
+        out1 = priority_sample(rd.from_arrow(tbl), 'k', 'w', k=40,
+                               salt=3).to_pandas()
+        out2 = priority_sample(rd.from_arrow(tbl), 'k', 'w', k=40,
+                               salt=3).to_pandas()
+        assert sorted(out1['k']) == sorted(out2['k'])   # deterministic
+        assert len(out1) == 40
+        # inclusion bias: heavy rows are 25% of the population but
+        # carry ~94% of the weight — they must dominate the sample
+        heavy = (out1['k'] % 4 == 0).sum()
+        assert heavy > 25, heavy
+
+    def test_matches_numpy_oracle(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.functions.sampling import (priority_sample,
+                                                     split_buckets)
+        rng = np.random.default_rng(5)
+        keys = np.arange(300, dtype=np.int64)
+        w = rng.integers(1, 1000, 300).astype(np.int64)
+        tbl = pa.table({'k': pa.array(keys), 'w': pa.array(w)})
+        got = priority_sample(rd.from_arrow(tbl), 'k', 'w', k=25,
+                              salt=11).to_pandas()
+        h = split_buckets(keys, mod=2 ** 32, salt=11)
+        prio = w.astype(np.float64) / (h + 1).astype(np.float64)
+        want = keys[np.lexsort((keys, -prio))][:25]
+        assert sorted(got['k']) == sorted(want.tolist())
+
+    def test_nonpositive_and_null_weights_excluded(self, ray_session):
+        import ray.data as rd
+        from trafaret_ray.functions.sampling import priority_sample
+        tbl = pa.table({'k': pa.array([1, 2, 3, 4], pa.int64()),
+                        'w': pa.array([5, 0, None, -2], pa.int64())})
+        out = priority_sample(rd.from_arrow(tbl), 'k', 'w',
+                              k=10).to_pandas()
+        assert out['k'].tolist() == [1]

@@ -214,3 +214,51 @@ def stratified_sample(ds, group_col: str, key_col: str, k: int,
                        tiebreak=key_col, num_buckets=num_buckets)
     return top.map_batches(lambda t: t.drop_columns(['_strat_h']),
                            batch_format='pyarrow')
+
+
+def priority_sample(ds, key_col: str, weight_col: str, k: int,
+                    salt: int = 0):
+    """Deterministic weighted sampling WITHOUT replacement via priority
+    sampling (Duffield-Lund-Thorup): each row gets priority
+    ``w / u`` where ``u = (h + 1) / 2^32`` is hash-uniform in (0, 1],
+    and the k highest-priority rows are the sample. Heavier rows get
+    proportionally larger priorities — the weighted analogue of the
+    engine's bottom-k-hash samples.
+
+    Why priorities and not Efraimidis-Spirakis (``u^(1/w)``): the E-S
+    key needs a transcendental (pow/ln) whose last ulp differs between
+    libm implementations — not oracle-checkable at the byte bar. The
+    priority is ONE ieee754 division of exactly-representable values
+    (w integer-valued, h+1 <= 2^32), which DuckDB reproduces
+    bit-identically; ties (equal w, colliding h) break on the key.
+    Pure function of (key, salt, weight): stable across runs,
+    partitionings and row orders.
+
+    Physically: per-batch local top-k prune, one merge task
+    (stages/aggregate.global_topk) — at most k rows per block move.
+    Rows with NULL or non-positive weight have zero inclusion
+    probability (excluded). Keys must be non-negative integers."""
+    from ..stages.aggregate import global_topk
+
+    def with_priority(tbl: pa.Table) -> pa.Table:
+        w = tbl.column(weight_col)
+        good = pc.and_(pc.is_valid(w),
+                       pc.greater(pc.cast(w, pa.float64()),
+                                  pa.scalar(0.0)))
+        if key_col != weight_col:
+            good = pc.and_(good, pc.is_valid(tbl.column(key_col)))
+        tbl = tbl.filter(good)
+        keys = tbl.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = split_buckets(keys, mod=2 ** 32, salt=salt)
+        wf = pc.cast(tbl.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        prio = wf / (h + 1).astype(np.float64)
+        return tbl.append_column('_prio', pa.array(prio))
+
+    top = global_topk(
+        ds.map_batches(with_priority, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        [('_prio', 'descending'), (key_col, 'ascending')], k)
+    return top.map_batches(lambda t: t.drop_columns(['_prio']),
+                           batch_format='pyarrow')

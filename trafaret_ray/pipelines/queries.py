@@ -5756,3 +5756,38 @@ def q_pagerank_events(sf_dir: str):
 
 
 QUERIES['q_pagerank_events'] = q_pagerank_events
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Quality-weighted corpus subsampling: 80 documents drawn WITHOUT
+    replacement with probability ~ n_chars via deterministic priority
+    sampling (functions/sampling.py:priority_sample — hash-uniform
+    u in (0,1], priority w/u, global top-k). The priority is one ieee
+    division of exactly-representable values, so the DuckDB oracle
+    reproduces the pick bit-identically (no transcendental E-S key);
+    local per-batch pruning means at most k rows leave each block.
+    NULL / non-positive weights are excluded on both engines."""
+    from ..functions.sampling import priority_sample
+    ds = _read(sf_dir, 'documents', ['doc_id', 'n_chars'])
+    return priority_sample(ds, 'doc_id', 'n_chars', k=80,
+                           salt=7).sort('doc_id')
+
+
+QUERIES['q_weighted_sample_docs'] = q_weighted_sample_docs
+ORACLE_SQL['q_weighted_sample_docs'] = """
+    -- priority sampling: w/u with u = (hash+1)/2^32; the division is
+    -- one correctly-rounded ieee op on exact inputs — bit-identical
+    -- across engines (CLAUDE.md row-picking discipline, no epsilon)
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             (((doc_id + 7) % 2147483648) * 2654435761)
+               % 4294967296 AS b
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL),
+    t AS (
+      SELECT doc_id, n_chars
+      FROM s
+      ORDER BY cast(n_chars AS DOUBLE) / (b + 1) DESC, doc_id
+      LIMIT 80)
+    SELECT doc_id, n_chars FROM t ORDER BY doc_id
+"""
