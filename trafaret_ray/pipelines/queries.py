@@ -5791,3 +5791,130 @@ ORACLE_SQL['q_weighted_sample_docs'] = """
       LIMIT 80)
     SELECT doc_id, n_chars FROM t ORDER BY doc_id
 """
+
+
+def q_novelty_docs(sf_dir: str):
+    """Corpus novelty curve: per document, how many of its DISTINCT
+    tokens appear for the FIRST time within its language (corpus
+    ordered by doc_id) — the curation signal behind diminishing-returns
+    data selection (novelty ~ marginal information of adding the doc).
+
+    Shape: tokens explode to 64-bit (lang, token) fingerprint rows (the
+    exact-dedup collision tradeoff, 16 bytes/row — raw text never rides
+    the exchange); ONE high-cardinality bucket_aggregate takes min
+    doc_id per fingerprint; per-batch recounts by first-doc plus the
+    doc-local distinct counts (vectorized lexsort, zero exchange) union
+    into one tiny per-doc sum exchange. The novelty ratio is one ieee
+    division of identical integers on both engines. NULL lang/text rows
+    carry no tokens — excluded on both engines."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'],
+               require=('lang', 'text'))
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _h(arr) -> np.ndarray:
+        return pd.util.hash_array(np.asarray(arr, dtype=object),
+                                  categorize=False)
+
+    _P = pa.schema([('doc', pa.int64()), ('nd', pa.int64()),
+                    ('nv', pa.int64())])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        docs = tbl.column('doc_id').combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lang_h = _h(tbl.column('lang').combine_chunks().to_numpy(
+            zero_copy_only=False))
+        tok_h = _h(words.flatten().to_numpy(zero_copy_only=False))
+        k = (np.repeat(lang_h, lens) * _GOLD + tok_h).view(np.int64)
+        return pa.table({'k': pa.array(k, pa.int64()),
+                         'doc': pa.array(np.repeat(docs, lens))})
+
+    exploded = ds.map_batches(explode, batch_format='pyarrow',
+                              zero_copy_batch=True)
+    firsts = bucket_aggregate(exploded, ['k'],
+                              {'first_doc': ('doc', 'min')},
+                              num_buckets=32)
+
+    def novel_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _P.empty_table()
+        fd = tbl.column('first_doc').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        u, c = np.unique(fd, return_counts=True)
+        z = np.zeros(len(u), dtype=np.int64)
+        return pa.table({'doc': pa.array(u), 'nd': pa.array(z),
+                         'nv': pa.array(c)}, schema=_P)
+
+    def distinct_local(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        docs = tbl.column('doc_id').combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_h = _h(words.flatten().to_numpy(zero_copy_only=False))\
+            .view(np.int64)
+        row = np.repeat(np.arange(len(docs)), lens)
+        order = np.lexsort((tok_h, row))
+        r, t = row[order], tok_h[order]
+        new = np.ones(len(r), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (t[1:] != t[:-1])
+        nd = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(nd, r, new.astype(np.int64))
+        return pa.table({'doc': pa.array(docs),
+                         'nd': pa.array(nd),
+                         'nv': pa.array(np.zeros(len(docs), np.int64))},
+                        schema=_P)
+
+    parts = ds.map_batches(distinct_local, batch_format='pyarrow',
+                           zero_copy_batch=True).union(
+        firsts.map_batches(novel_partial, batch_format='pyarrow'))
+    per_doc = bucket_aggregate(parts, ['doc'],
+                               {'nd': ('nd', 'sum'),
+                                'nv': ('nv', 'sum')}, num_buckets=16)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        nd = tbl.column('nd').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        nv = tbl.column('nv').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            ratio = nv / nd
+        return pa.table({
+            'doc_id': tbl.column('doc'),
+            'n_distinct': pc.cast(tbl.column('nd'), pa.int64()),
+            'n_novel': pc.cast(tbl.column('nv'), pa.int64()),
+            'novelty': pa.array(ratio, mask=(nd == 0)),
+        })
+
+    return per_doc.map_batches(finish, batch_format='pyarrow')\
+        .sort('doc_id')
+
+
+QUERIES['q_novelty_docs'] = q_novelty_docs
+ORACLE_SQL['q_novelty_docs'] = """
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM d),
+    dd AS (SELECT DISTINCT doc_id, lang, tok FROM toks),
+    firsts AS (
+      SELECT lang, tok, min(doc_id) AS first_doc
+      FROM dd GROUP BY lang, tok),
+    novel AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel
+      FROM firsts GROUP BY first_doc),
+    dist AS (
+      SELECT doc_id, count(DISTINCT tok) AS n_distinct FROM toks
+      GROUP BY doc_id)
+    SELECT dist.doc_id, dist.n_distinct,
+           coalesce(novel.n_novel, 0) AS n_novel,
+           cast(coalesce(novel.n_novel, 0) AS DOUBLE) / dist.n_distinct
+             AS novelty
+    FROM dist LEFT JOIN novel USING (doc_id)
+    ORDER BY dist.doc_id
+"""
