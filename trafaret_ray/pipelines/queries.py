@@ -5918,3 +5918,38 @@ ORACLE_SQL['q_novelty_docs'] = """
     FROM dist LEFT JOIN novel USING (doc_id)
     ORDER BY dist.doc_id
 """
+
+
+def q_cms_token_counts(sf_dir: str):
+    """Count-min sketch frequency estimates next to the exact counts
+    for the corpus's top-20 tokens: the bounded-memory path (one
+    d x w int64 matrix regardless of vocabulary size) vs the exact
+    two-pass heavy hitters. The sketch tree-merges by shard-range sum
+    (stages/sketches.py:cms_build) and only OVERcounts; integer sums
+    make it exactly reproducible under any row order — the --shuffled
+    self-parity bar. Rows-only by design (sketch estimate; error-bound
+    and invariance properties pinned in tests/test_sketches_cms.py)."""
+    from ..stages.sketches import cms_build, cms_estimate, heavy_hitters
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
+        return pa.table({'tok': words.flatten()})
+
+    toks = ds.map_batches(explode, batch_format='pyarrow',
+                          zero_copy_batch=True).materialize()
+    top = _small_df(heavy_hitters(toks, 'tok', k=20, expansion=16),
+                    ['tok', 'n'])
+    sk = cms_build(toks, 'tok', d=4, w=16384)
+    if len(top) == 0:
+        return pd.DataFrame({'tok': pd.array([], dtype='string'),
+                             'n': pd.array([], dtype='int64'),
+                             'approx_n': pd.array([], dtype='int64')})
+    est = cms_estimate(sk, top['tok'].to_numpy(object))
+    return pd.DataFrame({'tok': top['tok'],
+                         'n': top['n'].astype('int64'),
+                         'approx_n': pd.array(est, dtype='int64')})\
+        .sort_values('tok').reset_index(drop=True)
+
+
+QUERIES['q_cms_token_counts'] = q_cms_token_counts

@@ -651,3 +651,101 @@ def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
 
     from .conversations import bucket_exchange
     return bucket_exchange(both, '_one', merge, num_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable approximate frequencies at fixed memory
+# ---------------------------------------------------------------------------
+
+_CMS_MUL = np.uint64(6364136223846793005)   # Knuth MMIX LCG multiplier
+_CMS_INC = np.uint64(1442695040888963407)
+
+
+def _cms_rows(values: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices: one base 64-bit hash per value, then d
+    LCG steps derive the per-row hash (public Kirsch-Mitzenmacher-style
+    construction — independent-enough rows from one strong hash)."""
+    h = pd.util.hash_array(values, hash_key='0123456789abcdef',
+                           categorize=False)
+    rows = np.empty((d, len(h)), dtype=np.int64)
+    x = h
+    for j in range(d):
+        x = x * _CMS_MUL + _CMS_INC
+        rows[j] = ((x >> np.uint64(33)) % np.uint64(w)).astype(np.int64)
+    return rows
+
+
+def cms_build(ds, col: str, d: int = 4, w: int = 16384,
+              num_shards: int = 16) -> np.ndarray:
+    """Distributed count-min sketch of value frequencies: each batch
+    builds one (d, w) int64 partial vectorized (np.add.at) and SPLITS
+    it into ``num_shards`` flat ranges; a hash exchange on shard id
+    SUMS each range across all partials in parallel (addition is
+    associative — a tree merge, same shape as bloom_build). The driver
+    assembles exactly one d*w*8-byte matrix — the bounded summary is
+    the point: approximate per-key counts when the exact key table
+    exceeds memory. Estimates (min over rows) only OVERcount
+    (eps ~ e/w of total mass, delta ~ e^-d). NULL values are not
+    counted. Integer sums -> permutation/partition-invariant, exactly
+    reproducible."""
+    from .conversations import bucket_exchange
+    size = d * w
+    assert size % num_shards == 0, 'd*w must divide num_shards'
+    shard_len = size // num_shards
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        c = tbl.column(col)
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        c = c.drop_null()
+        vals = c.to_numpy(zero_copy_only=False)
+        m = np.zeros((d, w), dtype=np.int64)
+        if len(vals):
+            pos = _cms_rows(vals, d, w)
+            for j in range(d):
+                np.add.at(m[j], pos[j], 1)
+        flat = m.reshape(-1)
+        shards, payloads = [], []
+        for s in range(num_shards):
+            piece = flat[s * shard_len:(s + 1) * shard_len]
+            if piece.any():
+                shards.append(s)
+                payloads.append(piece.tobytes())
+        return pa.table({'shard': pa.array(shards, pa.int64()),
+                         'counts': pa.array(payloads, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format='pyarrow',
+                           zero_copy_batch=True)
+
+    def merge_shard(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({'shard': pa.array([], pa.int64()),
+                             'counts': pa.array([], pa.binary())})
+        df = tbl.to_pandas()
+        out_s, out_c = [], []
+        for s, sub in df.groupby('shard', sort=False):
+            acc = np.zeros(shard_len, dtype=np.int64)
+            for b in sub['counts']:
+                acc += np.frombuffer(b, dtype=np.int64)
+            out_s.append(int(s))
+            out_c.append(acc.tobytes())
+        return pa.table({'shard': pa.array(out_s, pa.int64()),
+                         'counts': pa.array(out_c, pa.binary())})
+
+    merged = bucket_exchange(parts, 'shard', merge_shard,
+                             num_buckets=num_shards)
+    flat = np.zeros(size, dtype=np.int64)
+    for b in merged.iter_batches(batch_size=None, batch_format='pyarrow'):
+        for s, payload in zip(b.column('shard').to_pylist(),
+                              b.column('counts').to_pylist()):
+            flat[s * shard_len:(s + 1) * shard_len] = np.frombuffer(
+                payload, dtype=np.int64)
+    return flat.reshape(d, w)
+
+
+def cms_estimate(sketch: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point estimates: min over the d rows at each value's positions."""
+    d, w = sketch.shape
+    if len(values) == 0:
+        return np.zeros(0, dtype=np.int64)
+    pos = _cms_rows(values, d, w)
+    return np.min(sketch[np.arange(d)[:, None], pos], axis=0)
