@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     'q_target_encode_events', 'q_interp_events', 'q_mad_outliers_events',
     'q_pagerank_events', 'q_weighted_sample_docs', 'q_novelty_docs',
     'q_mad_outliers_events', 'q_cms_token_counts',
+    'q_feature_matrix_events',
 ]
 
 
