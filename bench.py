@@ -71,8 +71,9 @@ BENCH_QUERIES = [
     'q_paginate_events', 'q_fk_audit_star', 'q_pq_topk', 'q_ivfpq_topk',
     'q_target_encode_events', 'q_interp_events', 'q_mad_outliers_events',
     'q_pagerank_events', 'q_weighted_sample_docs', 'q_novelty_docs',
-    'q_mad_outliers_events', 'q_cms_token_counts',
-    'q_feature_matrix_events',
+    'q_cms_token_counts',
+    'q_feature_matrix_events', 'q_scd2_events', 'q_transitions_events',
+    'q_bm25_docs',
 ]
 
 

@@ -1,0 +1,148 @@
+"""Sequence/corpus feature queries: SCD2 state compression, Markov
+transition matrix + entropy, BM25 scoring (pipelines/queries.py).
+Exact expected outputs on hand-built fixtures; the sf-scale oracle
+parity is covered by tools/check_queries.py."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from trafaret_ray.pipelines.queries import (
+    q_bm25_docs, q_scd2_events, q_transitions_events)
+
+
+TS0 = pd.Timestamp('2024-01-01')
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, user_id, minutes, event_type)."""
+    tbl = pa.table({
+        'event_id': pa.array([r[0] for r in rows], type=pa.int64()),
+        'user_id': pa.array([r[1] for r in rows], type=pa.int64()),
+        'ts': pa.array([TS0 + pd.Timedelta(minutes=r[2]) for r in rows],
+                       type=pa.timestamp('us')),
+        'event_type': pa.array([r[3] for r in rows], type=pa.string()),
+        'value': pa.array([1.0] * len(rows), type=pa.float64()),
+        'props': pa.array(['{}'] * len(rows), type=pa.string()),
+    })
+    pq.write_table(tbl, f'{tmp_path}/events.parquet')
+    return str(tmp_path)
+
+
+class TestScd2:
+    def test_runs_compress_to_intervals(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [
+            (0, 1, 0, 'view'), (1, 1, 5, 'view'), (2, 1, 9, 'click'),
+            (3, 1, 12, 'view'),
+            (4, 2, 0, None), (5, 2, 3, None), (6, 2, 7, 'buy'),
+        ])
+        df = q_scd2_events(sf).to_pandas()
+        assert list(df['user_id']) == [1, 1, 1, 2, 2]
+        assert list(df['run_seq']) == [1, 2, 3, 1, 2]
+        assert list(df['state'].fillna('~')) == \
+            ['view', 'click', 'view', '~', 'buy']
+        assert list(df['n_events']) == [2, 1, 1, 2, 1]
+        # valid_to chains to the next run's start; open run is NULL
+        assert df['valid_to'].iloc[0] == df['valid_from'].iloc[1]
+        assert df['valid_to'].iloc[1] == df['valid_from'].iloc[2]
+        assert pd.isna(df['valid_to'].iloc[2])       # user 1 current
+        assert df['valid_to'].iloc[3] == df['valid_from'].iloc[4]
+        assert pd.isna(df['valid_to'].iloc[4])       # user 2 current
+        # intervals tile the user's history: from[k+1] == to[k]
+        assert df['valid_from'].iloc[0] == TS0
+
+    def test_null_state_runs_merge(self, ray_session, tmp_path):
+        # NULL IS NOT DISTINCT FROM NULL: consecutive nulls are ONE run
+        sf = _write_events(tmp_path, [
+            (0, 1, 0, None), (1, 1, 1, None), (2, 1, 2, None)])
+        df = q_scd2_events(sf).to_pandas()
+        assert len(df) == 1
+        assert df['n_events'].iloc[0] == 3
+
+
+class TestTransitions:
+    def test_counts_probs_entropy(self, ray_session, tmp_path):
+        # user 1: a->b, b->a, a->b ; user 2: a->b  (no cross-user pair)
+        sf = _write_events(tmp_path, [
+            (0, 1, 0, 'a'), (1, 1, 1, 'b'), (2, 1, 2, 'a'),
+            (3, 1, 3, 'b'), (4, 2, 0, 'a'), (5, 2, 1, 'b'),
+        ])
+        df = q_transitions_events(sf)
+        df = df.set_index(['src', 'dst'])
+        assert df.loc[('a', 'b'), 'n'] == 3
+        assert df.loc[('b', 'a'), 'n'] == 1
+        assert len(df) == 2
+        # src 'a' is deterministic -> p=1, entropy 0
+        assert df.loc[('a', 'b'), 'p'] == 1.0
+        assert df.loc[('a', 'b'), 'src_entropy'] == 0.0
+
+    def test_split_source_entropy(self, ray_session, tmp_path):
+        # src 'a' goes to b,b,c,c -> p=.5/.5, entropy = ln 2
+        sf = _write_events(tmp_path, [
+            (0, 1, 0, 'a'), (1, 1, 1, 'b'),
+            (2, 1, 2, 'a'), (3, 1, 3, 'b'),
+            (4, 2, 0, 'a'), (5, 2, 1, 'c'),
+            (6, 2, 2, 'a'), (7, 2, 3, 'c'),
+        ])
+        df = q_transitions_events(sf)
+        a_rows = df[df['src'] == 'a']
+        assert set(zip(a_rows['dst'], a_rows['n'])) \
+            == {('b', 2), ('c', 2)}
+        ent = a_rows['src_entropy'].iloc[0]
+        assert ent == pytest.approx(math.log(2), abs=2e-6)
+
+
+class TestBm25:
+    def _write_docs(self, tmp_path, texts):
+        tbl = pa.table({
+            'doc_id': pa.array(np.arange(len(texts), dtype=np.int64)),
+            'text': pa.array(texts, type=pa.string()),
+            'lang': pa.array(['en'] * len(texts)),
+            'source': pa.array(['s'] * len(texts)),
+            'n_chars': pa.array([len(t or '') for t in texts],
+                                type=pa.int64()),
+        })
+        pq.write_table(tbl, f'{tmp_path}/documents.parquet')
+        return str(tmp_path)
+
+    def test_matches_reference_formula(self, ray_session, tmp_path):
+        texts = ['cat dog cat', 'dog fish', 'cat cat cat bird',
+                 'fish fish dog cat']
+        sf = self._write_docs(tmp_path, texts)
+        df = q_bm25_docs(sf).to_pandas().set_index('doc_id')
+        # independent plain-python recomputation
+        toks = [t.split(' ') for t in texts]
+        n = len(texts)
+        dls = [len(t) for t in toks]
+        avgdl = sum(dls) / n
+        dfreq = {}
+        for t in toks:
+            for w in set(t):
+                dfreq[w] = dfreq.get(w, 0) + 1
+        terms = sorted(dfreq, key=lambda w: (-dfreq[w], w))[:8]
+        for i, t in enumerate(toks):
+            micro = 0
+            hits = 0
+            for w in terms:
+                tf = t.count(w)
+                if tf == 0:
+                    continue
+                hits += 1
+                idf = math.log((n - dfreq[w] + 0.5)
+                               / (dfreq[w] + 0.5) + 1.0)
+                s = idf * (tf * 2.5) \
+                    / (tf + 1.5 * (1.0 - 0.75 + 0.75 * dls[i] / avgdl))
+                micro += math.floor(s * 1e6 + 0.5)
+            assert df.loc[i, 'n_hits'] == hits
+            assert df.loc[i, 'score'] == pytest.approx(micro / 1e6,
+                                                       abs=1e-9)
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        sf = self._write_docs(tmp_path, [])
+        df = q_bm25_docs(sf)
+        assert list(df.columns) == ['doc_id', 'n_hits', 'score']
+        assert len(df) == 0

@@ -4338,6 +4338,30 @@ ORACLE_SQL['q_profile_events'] = """
     ORDER BY "column"
 """
 
+def _nonnull_count(sf_dir: str, table: str, col: str) -> int:
+    """Non-null row count of one column from parquet FOOTER stats when
+    complete — "stats absent" is NOT "zero nulls" (a writer may omit
+    null_count, and assuming 0 silently inflates corpus N) — with an
+    exact distributed validity-count fallback."""
+    import pyarrow.parquet as _pq
+    md = _pq.read_metadata(f'{sf_dir}/{table}.parquet')
+    nulls = 0
+    complete = True
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            if c.path_in_schema != col:
+                continue
+            if c.statistics is not None and c.statistics.has_null_count:
+                nulls += c.statistics.null_count
+            else:
+                complete = False
+    if complete:
+        return md.num_rows - nulls
+    return _read(sf_dir, table, [col], require=(col,)).count()
+
+
 def q_tfidf_docs(sf_dir: str):
     """Per-(doc, token) TF-IDF over the corpus — the classic two-pass
     corpus statistic. One exchange builds the (doc_id, tok) term counts
@@ -4349,34 +4373,11 @@ def q_tfidf_docs(sf_dir: str):
     touching the raw text again. N comes free from parquet metadata.
     tf/df are exact ints; tfidf rounds at 6 like every float column."""
     import ray as _ray
-    import pyarrow.parquet as _pq
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
     # N = docs WITH text (null-text docs are outside the corpus on both
-    # engines); parquet column stats give the null count for free —
-    # but "stats absent" is NOT "zero nulls": a writer may omit
-    # null_count, and assuming 0 silently inflates N and skews every
-    # IDF. Fall back to an exact validity count when any group lacks it.
-    _md = _pq.read_metadata(f'{sf_dir}/documents.parquet')
-    _nulls = 0
-    _stats_complete = True
-    for _rg in range(_md.num_row_groups):
-        _rgm = _md.row_group(_rg)
-        for _ci in range(_rgm.num_columns):
-            _c = _rgm.column(_ci)
-            if _c.path_in_schema != 'text':
-                continue
-            if _c.statistics is not None and _c.statistics.has_null_count:
-                _nulls += _c.statistics.null_count
-            else:
-                _stats_complete = False
-    if _stats_complete:
-        n_docs = _md.num_rows - _nulls
-    else:
-        # exact fallback: count non-null text distributed (one column
-        # scan, same pruning as the main read)
-        n_docs = _read(sf_dir, 'documents', ['doc_id', 'text'],
-                       require=('text',)).count()
+    # engines); footer stats give it for free, exact-count fallback
+    n_docs = _nonnull_count(sf_dir, 'documents', 'text')
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
     def explode(tbl: pa.Table) -> pa.Table:
@@ -6044,4 +6045,300 @@ ORACLE_SQL['q_feature_matrix_events'] = f"""
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                                                        AS session_idx
     FROM g ORDER BY event_id
+"""
+
+
+def q_scd2_events(sf_dir: str):
+    """SCD2 state compression: consecutive runs of the same event_type
+    per user collapse into validity intervals [valid_from, valid_to),
+    valid_to = next run's start (NULL on the open/current run) — the
+    classic change-data-capture compaction (reference has no engine
+    analogue; standard warehouse op). ONE per-user hash exchange; run
+    detection is a vectorized factorize-diff (NULL states compare equal
+    to each other, matching SQL IS NOT DISTINCT FROM). NULL-ts rows
+    have no position in history — excluded on both engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'], require=('ts',))
+    out_schema = pa.schema([
+        ('user_id', pa.int64()), ('run_seq', pa.int64()),
+        ('state', pa.string()),
+        ('valid_from', pa.timestamp('us')),
+        ('valid_to', pa.timestamp('us')), ('n_events', pa.int64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        et = tbl.column('event_type').combine_chunks()
+        # factorize: equal values share a code and ALL nulls share -1 —
+        # exactly SQL "IS NOT DISTINCT FROM" run semantics
+        codes = pd.factorize(et.to_pandas(), use_na_sentinel=True)[0]
+        new_run = starts.copy()
+        new_run[1:] |= codes[1:] != codes[:-1]
+        ridx = np.nonzero(new_run)[0]
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vfrom = ts_us[ridx]
+        ru = users[ridx]
+        nruns = len(ridx)
+        vto = np.zeros(nruns, dtype=np.int64)
+        has_to = np.zeros(nruns, dtype=bool)
+        if nruns > 1:
+            vto[:-1] = vfrom[1:]
+            has_to[:-1] = ru[:-1] == ru[1:]
+        lens = np.diff(np.append(ridx, n)).astype(np.int64)
+        # 1-based run ordinal within user
+        ustart = np.nonzero(starts[ridx])[0]
+        per_user = np.diff(np.append(ustart, nruns))
+        seq = np.arange(nruns, dtype=np.int64) \
+            - np.repeat(ustart, per_user) + 1
+        return pa.table({
+            'user_id': pa.array(ru, type=pa.int64()),
+            'run_seq': pa.array(seq),
+            'state': et.take(pa.array(ridx)),
+            'valid_from': pc.cast(pa.array(vfrom), pa.timestamp('us')),
+            'valid_to': pc.cast(pa.array(vto, mask=~has_to),
+                                pa.timestamp('us')),
+            'n_events': pa.array(lens),
+        }, schema=out_schema)
+
+    return _per_user(ds, fn).sort(['user_id', 'run_seq'])
+
+
+QUERIES['q_scd2_events'] = q_scd2_events
+ORACLE_SQL['q_scd2_events'] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE ts IS NOT NULL),
+    m AS (
+      SELECT *,
+             CASE WHEN row_number() OVER w = 1
+                    OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT *, cast(sum(is_new) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
+      FROM m),
+    agg AS (
+      SELECT user_id, run_seq, min(event_type) AS state,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM r GROUP BY user_id, run_seq)
+    SELECT user_id, run_seq, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq)
+             AS valid_to,
+           n_events
+    FROM agg ORDER BY user_id, run_seq
+"""
+
+
+def q_transitions_events(sf_dir: str):
+    """Markov transition matrix over the event stream: per-user
+    (event_type -> next event_type) pairs, global transition counts,
+    row-normalized probabilities and the per-source transition entropy
+    (sequence-mining primitive for behavioral features). The pair
+    extraction is one per-user exchange; counts collapse via
+    bucket_aggregate; the final matrix is vocab^2-bounded, finished
+    driver-side. Fixed-point discipline: p = floor(n/tot*1e6+0.5)/1e6
+    and entropy terms are micro-unit ints summed exactly — identical
+    on both engines. NULL event_types are legal states (SQL group
+    keys); NULL-ts rows are excluded on both engines."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'], require=('ts',))
+    pair_schema = pa.schema([('src', pa.string()), ('dst', pa.string()),
+                             ('_one', pa.int64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pair_schema.empty_table()
+        et = tbl.column('event_type').combine_chunks()
+        valid = np.zeros(n, dtype=bool)
+        valid[:-1] = ~starts[1:]
+        idx = np.nonzero(valid)[0]
+        return pa.table({
+            'src': et.take(pa.array(idx)),
+            'dst': et.take(pa.array(idx + 1)),
+            '_one': pa.array(np.ones(len(idx), dtype=np.int64)),
+        }, schema=pair_schema)
+
+    pairs = _per_user(ds, fn)
+    counts = bucket_aggregate(pairs, ['src', 'dst'],
+                              {'n': ('_one', 'sum')}, num_buckets=8)
+    dfp = _small_df(counts, ['src', 'dst', 'n'])
+    out_cols = ['src', 'dst', 'n', 'p', 'src_entropy']
+    if len(dfp) == 0:
+        return pd.DataFrame({'src': pd.Series(dtype=object),
+                             'dst': pd.Series(dtype=object),
+                             'n': pd.Series(dtype=np.int64),
+                             'p': pd.Series(dtype=np.float64),
+                             'src_entropy': pd.Series(dtype=np.float64)})
+    nv = dfp['n'].to_numpy(dtype=np.int64)
+    tot = dfp.groupby('src', dropna=False)['n'].transform('sum')\
+        .to_numpy(dtype=np.int64)
+    p = np.floor(nv.astype(np.float64) / tot * 1e6 + 0.5) / 1e6
+    hm = np.floor((-p * np.log(p)) * 1e6 + 0.5).astype(np.int64)
+    dfp = dfp.assign(p=p, __hm=hm)
+    ent = dfp.groupby('src', dropna=False)['__hm'].transform('sum')\
+        .to_numpy(dtype=np.int64)
+    dfp['src_entropy'] = ent.astype(np.float64) / 1e6
+    dfp = dfp[out_cols].sort_values(['src', 'dst'], na_position='last')
+    return dfp.reset_index(drop=True)
+
+
+QUERIES['q_transitions_events'] = q_transitions_events
+ORACLE_SQL['q_transitions_events'] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE ts IS NOT NULL),
+    nxt AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER w AS dst,
+             lead(event_id) OVER w AS nxt_id
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (
+      SELECT src, dst, count(*) AS n
+      FROM nxt WHERE nxt_id IS NOT NULL GROUP BY src, dst),
+    t AS (
+      SELECT src, dst, n,
+             cast(sum(n) OVER (PARTITION BY src) AS BIGINT) AS tot
+      FROM c),
+    sc AS (
+      SELECT src, dst, n,
+             floor(cast(n AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS p
+      FROM t),
+    h AS (
+      SELECT src, dst, n, p,
+             cast(floor((-p * ln(p)) * 1e6 + 0.5) AS BIGINT) AS hm
+      FROM sc)
+    SELECT src, dst, n, p,
+           cast(sum(hm) OVER (PARTITION BY src) AS DOUBLE) / 1e6
+             AS src_entropy
+    FROM h ORDER BY src, dst
+"""
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 (Okapi, k1=1.5, b=0.75) relevance of every document against
+    the corpus's 8 highest-df tokens — the doc-length-normalized
+    retrieval score TF-IDF lacks. Shape: the (doc, tok) term counts are
+    built ONCE (one high-cardinality exchange); df census and the tiny
+    term list broadcast; a doc-bucket exchange computes doc length +
+    per-term scores + the per-doc rollup without re-touching text.
+    Parity discipline: tf/df/dl/N/tot are exact ints, each term score
+    is a double expression written in the SAME association order as the
+    oracle then floored to micro-units, and per-doc totals are int
+    sums — order-independent on both engines."""
+    import ray as _ray
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    K1, B, N_TERMS = 1.5, 0.75, 8
+    out_schema = pa.schema([('doc_id', pa.int64()),
+                            ('n_hits', pa.int64()),
+                            ('score', pa.float64())])
+    n_docs = _nonnull_count(sf_dir, 'documents', 'text')
+    if n_docs == 0:
+        return out_schema.empty_table().to_pandas()
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        wc = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
+                         'tok': words.flatten()})
+
+    tf = bucket_aggregate(
+        ds.map_batches(explode, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['doc_id', 'tok'], {'tf': ('tok', 'count')},
+        num_buckets=16).materialize()
+    # total corpus tokens (for avgdl) — exact int Dataset aggregate
+    tot_tokens = tf.sum('tf') or 0
+    if tot_tokens == 0:
+        return out_schema.empty_table().to_pandas()
+    # query terms: top-df tokens, ties broken by token asc (identical
+    # deterministic pick in the oracle's ORDER BY df DESC, tok LIMIT)
+    dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                                     num_buckets=4), ['tok', 'df'])
+    dfp = dfp.sort_values(['df', 'tok'], ascending=[False, True])\
+        .head(N_TERMS)
+    ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
+                    dfp['df'].to_numpy(dtype=np.int64)))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        keys, dfs = _ray.get(ref)
+        dl = tbl.group_by(['doc_id']).aggregate([('tf', 'sum')])
+        di = pc.index_in(tbl.column('doc_id'),
+                         value_set=dl.column('doc_id'))
+        dlv = dl.column('tf_sum').take(di).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ti = pc.index_in(tbl.column('tok'), value_set=keys)
+        hit = pc.is_valid(ti).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return out_schema.empty_table()
+        tiv = ti.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        tfv = tbl.column('tf').to_numpy(
+            zero_copy_only=False)[hit].astype(np.float64)
+        dlv = dlv[hit]
+        dfv = dfs[tiv].astype(np.float64)
+        # association order mirrors the oracle expression EXACTLY
+        avgdl = tot_tokens / n_docs
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        term = idf * (tfv * (K1 + 1.0)) \
+            / (tfv + K1 * (1.0 - B + B * dlv / avgdl))
+        micro = np.floor(term * 1e6 + 0.5).astype(np.int64)
+        hits = pa.table({
+            'doc_id': tbl.column('doc_id').filter(pa.array(hit)),
+            'micro': pa.array(micro),
+            '_one': pa.array(np.ones(len(micro), dtype=np.int64))})
+        agg = hits.group_by(['doc_id']).aggregate(
+            [('_one', 'sum'), ('micro', 'sum')])
+        return pa.table({
+            'doc_id': pc.cast(agg.column('doc_id'), pa.int64()),
+            'n_hits': pc.cast(agg.column('_one_sum'), pa.int64()),
+            'score': pc.divide(pc.cast(agg.column('micro_sum'),
+                                       pa.float64()), pa.scalar(1e6)),
+        }, schema=out_schema)
+
+    out = bucket_exchange(tf, 'doc_id', score, num_buckets=16)
+    return out.sort('doc_id')
+
+
+QUERIES['q_bm25_docs'] = q_bm25_docs
+ORACLE_SQL['q_bm25_docs'] = """
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM docs),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM tf
+           GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                     (SELECT cast(sum(dl) AS BIGINT) FROM dl) AS tot),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    terms AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 8),
+    scored AS (
+      SELECT tf.doc_id,
+             cast(floor(
+               ln((cast(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.5)
+               / (tf + 1.5 * (1.0 - 0.75
+                              + 0.75 * dl / (cast(tot AS DOUBLE) / n)))
+               * 1e6 + 0.5) AS BIGINT) AS micro
+      FROM tf JOIN terms USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats)
+    SELECT doc_id, count(*) AS n_hits,
+           cast(sum(micro) AS DOUBLE) / 1e6 AS score
+    FROM scored GROUP BY doc_id ORDER BY doc_id
 """
