@@ -73,7 +73,8 @@ BENCH_QUERIES = [
     'q_pagerank_events', 'q_weighted_sample_docs', 'q_novelty_docs',
     'q_cms_token_counts',
     'q_feature_matrix_events', 'q_scd2_events', 'q_transitions_events',
-    'q_bm25_docs',
+    'q_bm25_docs', 'q_rolling_median_events', 'q_histogram_events',
+    'q_pareto_users', 'q_attribution_events',
 ]
 
 

@@ -12,21 +12,24 @@ import pyarrow.parquet as pq
 import pytest
 
 from trafaret_ray.pipelines.queries import (
-    q_bm25_docs, q_scd2_events, q_transitions_events)
+    _pareto_keep, q_attribution_events, q_bm25_docs, q_histogram_events,
+    q_pareto_users, q_rolling_median_events, q_scd2_events,
+    q_transitions_events)
 
 
 TS0 = pd.Timestamp('2024-01-01')
 
 
 def _write_events(tmp_path, rows):
-    """rows: list of (event_id, user_id, minutes, event_type)."""
+    """rows: (event_id, user_id, minutes, event_type[, value])."""
     tbl = pa.table({
         'event_id': pa.array([r[0] for r in rows], type=pa.int64()),
         'user_id': pa.array([r[1] for r in rows], type=pa.int64()),
         'ts': pa.array([TS0 + pd.Timedelta(minutes=r[2]) for r in rows],
                        type=pa.timestamp('us')),
         'event_type': pa.array([r[3] for r in rows], type=pa.string()),
-        'value': pa.array([1.0] * len(rows), type=pa.float64()),
+        'value': pa.array([r[4] if len(r) > 4 else 1.0 for r in rows],
+                          type=pa.float64()),
         'props': pa.array(['{}'] * len(rows), type=pa.string()),
     })
     pq.write_table(tbl, f'{tmp_path}/events.parquet')
@@ -146,3 +149,89 @@ class TestBm25:
         df = q_bm25_docs(sf)
         assert list(df.columns) == ['doc_id', 'n_hits', 'score']
         assert len(df) == 0
+
+
+class TestRollingMedian:
+    def test_expanding_then_window(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [
+            (0, 1, 0, 'a', 1.0), (1, 1, 1, 'a', 2.0),
+            (2, 1, 2, 'a', 3.0), (3, 1, 3, 'a', 100.0),
+        ])
+        df = q_rolling_median_events(sf).to_pandas()
+        assert list(df['med']) == [1.0, 1.5, 2.0, 2.5]
+        assert list(df['n_win']) == [1, 2, 3, 4]
+
+    def test_null_values_skipped(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [
+            (0, 1, 0, 'a', 5.0), (1, 1, 1, 'a', None),
+            (2, 1, 2, 'a', 9.0),
+        ])
+        df = q_rolling_median_events(sf).to_pandas()
+        assert list(df['n_win']) == [1, 1, 2]
+        assert df['med'].iloc[1] == 5.0          # window = {5.0}
+        assert df['med'].iloc[2] == 7.0          # {5.0, 9.0}
+
+
+class TestHistogram:
+    def test_global_equal_width_bins(self, ray_session, tmp_path):
+        # values 0..19 over one type -> one count per bin
+        rows = [(i, 1, i, 'a', float(i)) for i in range(20)]
+        sf = _write_events(tmp_path, rows)
+        df = q_histogram_events(sf).to_pandas()
+        assert list(df['bin']) == list(range(20))
+        assert set(df['n']) == {1}
+
+    def test_per_type_shared_edges(self, ray_session, tmp_path):
+        # type b's values land in the GLOBAL bins set by a's range
+        rows = [(0, 1, 0, 'a', 0.0), (1, 1, 1, 'a', 100.0),
+                (2, 1, 2, 'b', 0.0), (3, 1, 3, 'b', 99.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_histogram_events(sf).to_pandas().set_index(
+            ['event_type', 'bin'])
+        assert df.loc[('a', 0), 'n'] == 1
+        assert df.loc[('a', 19), 'n'] == 1
+        assert df.loc[('b', 0), 'n'] == 1
+        assert df.loc[('b', 19), 'n'] == 1
+
+
+class TestPareto:
+    def test_keep_mask(self):
+        s = np.array([10, 5, 10, 1, 2], dtype=np.int64)
+        n = np.array([1, 5, 5, 10, 2], dtype=np.int64)
+        assert list(_pareto_keep(s, n)) == \
+            [False, False, True, True, False]
+
+    def test_duplicates_survive(self):
+        s = np.array([3, 3], dtype=np.int64)
+        n = np.array([4, 4], dtype=np.int64)
+        assert list(_pareto_keep(s, n)) == [True, True]
+
+    def test_query_frontier(self, ray_session, tmp_path):
+        # user 1: spend 10 / 1 event; user 2: 5 / 2; user 3: 1 / 3
+        # all on the frontier; user 4 (4 / 1) dominated by user 2
+        rows = [(0, 1, 0, 'a', 10.0),
+                (1, 2, 0, 'a', 2.0), (2, 2, 1, 'a', 3.0),
+                (3, 3, 0, 'a', 0.4), (4, 3, 1, 'a', 0.3),
+                (5, 3, 2, 'a', 0.3),
+                (6, 4, 0, 'a', 4.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_pareto_users(sf)
+        assert list(df['user_id']) == [1, 2, 3]
+        assert list(df['n']) == [1, 2, 3]
+
+
+class TestAttribution:
+    def test_first_last_touch(self, ray_session, tmp_path):
+        # user 1: view .. purchase(7) .. click ; user 2: click only
+        rows = [(0, 1, 0, 'view', 1.0), (1, 1, 5, 'purchase', 7.0),
+                (2, 1, 9, 'click', 2.0),
+                (3, 2, 0, 'click', 3.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_attribution_events(sf).set_index('channel')
+        assert df.loc['view', 'n_first'] == 1
+        assert df.loc['view', 'first_rev'] == 7.0
+        assert df.loc['view', 'last_rev'] == 0.0
+        assert df.loc['click', 'n_last'] == 2
+        assert df.loc['click', 'last_rev'] == 7.0   # user 1's purchases
+        assert df.loc['click', 'n_first'] == 1      # user 2 starts here
+        assert df.loc['click', 'first_rev'] == 0.0  # user 2 never bought

@@ -6342,3 +6342,322 @@ ORACLE_SQL['q_bm25_docs'] = """
            cast(sum(micro) AS DOUBLE) / 1e6 AS score
     FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_rolling_median_events(sf_dir: str):
+    """Rolling MEDIAN of value over the last 10 events per user — the
+    windowed order statistic the running-sum family can't express.
+    ONE per-user exchange; the kernel materializes a (rows x 10)
+    lagged fixed-point matrix (null-skipping sort, middle picks), so
+    cost is rows x window, fully vectorized. Parity: v6 ints are exact
+    in double, so numpy's (a+b)/2 and DuckDB's quantile_cont
+    interpolation a+(b-a)*0.5 agree BIT-EXACTLY (every intermediate is
+    an exact integer-valued double); NULL values are skipped, NULL-ts
+    rows excluded on both engines."""
+    WIN = 10
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.schema([('event_id', pa.int64()),
+                              ('user_id', pa.int64()),
+                              ('n_win', pa.int64()),
+                              ('med', pa.float64())]).empty_table()
+        v6f = _fixed6(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.float64)   # NaN where null
+        m = np.empty((n, WIN), dtype=np.float64)
+        m[:, 0] = v6f
+        for j in range(1, WIN):
+            idx, ok = W.lag_indices(starts, j)
+            m[:, j] = np.where(ok, v6f[idx], np.nan)
+        m.sort(axis=1)                                 # NaN sorts last
+        cnt = WIN - np.isnan(m).sum(axis=1)
+        has = cnt > 0
+        safe = np.maximum(cnt, 1)
+        lo = m[np.arange(n), (safe - 1) // 2]
+        hi = m[np.arange(n), safe // 2]
+        med = (lo + hi) / 2.0 / 1e6
+        return pa.table({
+            'event_id': tbl.column('event_id'),
+            'user_id': tbl.column('user_id'),
+            'n_win': pa.array(cnt.astype(np.int64)),
+            'med': pa.array(med, mask=~has),
+        })
+
+    return _per_user(ds, fn).sort('event_id')
+
+
+QUERIES['q_rolling_median_events'] = q_rolling_median_events
+ORACLE_SQL['q_rolling_median_events'] = """
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL)
+    SELECT event_id, user_id,
+           cast(count(v6) OVER w AS BIGINT) AS n_win,
+           median(v6) OVER w / 1e6 AS med
+    FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+
+def q_histogram_events(sf_dir: str):
+    """Equi-width histogram of value per event_type over GLOBAL 20-bin
+    edges — profiling/binning primitive. Two passes: a tiny per-batch
+    min/max partial (scalar exchange), then one low-cardinality
+    pre_aggregate on (event_type, bin). Bin assignment is pure int64
+    arithmetic ((v6-lo)*20 // span) — exact on both engines; NULL
+    values have no bin (excluded both sides), NULL event_type is a
+    legal group key."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    NBINS = 20
+    ds = _read(sf_dir, 'events', ['event_type', 'value'],
+               require=('value',))
+    out_schema = pa.schema([('event_type', pa.string()),
+                            ('bin', pa.int64()), ('n', pa.int64())])
+
+    def mm(tbl: pa.Table) -> pa.Table:
+        v6 = _fixed6(tbl.column('value'))
+        return pa.table({'lo': pa.array([pc.min(v6).as_py()],
+                                        type=pa.int64()),
+                         'hi': pa.array([pc.max(v6).as_py()],
+                                        type=pa.int64())})
+
+    mmdf = _small_df(ds.map_batches(mm, batch_format='pyarrow',
+                                    zero_copy_batch=True), ['lo', 'hi'])
+    mmdf = mmdf.dropna()
+    if len(mmdf) == 0:
+        return out_schema.empty_table().to_pandas()
+    lo = int(mmdf['lo'].min())
+    span = int(mmdf['hi'].max()) - lo + 1
+
+    def binify(tbl: pa.Table) -> pa.Table:
+        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        b = (v6 - lo) * NBINS // span
+        return pa.table({'event_type': tbl.column('event_type'),
+                         'bin': pa.array(b.astype(np.int64)),
+                         '_one': pa.array(np.ones(len(b),
+                                                  dtype=np.int64))})
+
+    binned = ds.map_batches(binify, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    out = _pre(binned, ['event_type', 'bin'], {'n': ('_one', 'sum')})
+    return _sort_ns(out, ['event_type', 'bin'], str_cols=('event_type',))
+
+
+QUERIES['q_histogram_events'] = q_histogram_events
+ORACLE_SQL['q_histogram_events'] = """
+    WITH s AS (
+      SELECT event_type, cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE value IS NOT NULL),
+    m AS (SELECT min(v6) AS lo, max(v6) - min(v6) + 1 AS span FROM s)
+    SELECT event_type, cast((v6 - lo) * 20 // span AS BIGINT) AS bin,
+           count(*) AS n
+    FROM s CROSS JOIN m GROUP BY event_type, bin
+    ORDER BY event_type NULLS LAST, bin
+"""
+
+
+def _pareto_keep(s6: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier (maximize both): a row
+    survives iff no other row weakly dominates it with one strict
+    inequality; duplicate (s6, n) points all survive. Vectorized: sort
+    by (s desc, n desc), per-equal-s group max, prefix max over
+    strictly-greater s."""
+    m = len(s6)
+    order = np.lexsort((-n, -s6))
+    ss, nn = s6[order], n[order]
+    new_s = np.ones(m, dtype=bool)
+    new_s[1:] = ss[1:] != ss[:-1]
+    gid = np.cumsum(new_s) - 1
+    gvals = nn[new_s]                      # per-group max n (n desc)
+    run = np.maximum.accumulate(gvals)
+    prev = np.empty_like(run)
+    prev[0] = np.iinfo(np.int64).min
+    prev[1:] = run[:-1]
+    keep_sorted = (nn == gvals[gid]) & (gvals[gid] > prev[gid])
+    keep = np.zeros(m, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_pareto_users(sf_dir: str):
+    """Pareto frontier (skyline) of users over (total spend, activity):
+    a user survives iff no other user has >= on both axes with one
+    strict. Distributed dominance pruning: per-user aggregate (one
+    high-cardinality exchange), then each BLOCK computes its local
+    frontier — frontier(union of partial frontiers) == frontier(all),
+    so only the tiny partials reach the final merge. Final merge is
+    one small task (tree-merge it if frontiers ever grow). Users with
+    no non-null value have no position on the spend axis — excluded
+    on both engines."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['user_id', 'value'],
+               require=('value',))
+
+    def v6(tbl: pa.Table) -> pa.Table:
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'v6': _fixed6(tbl.column('value'))})
+
+    per_user = bucket_aggregate(
+        ds.map_batches(v6, batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id'], {'s6': ('v6', 'sum'), 'n': ('v6', 'count')},
+        num_buckets=16)
+
+    def local_frontier(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        keep = _pareto_keep(
+            tbl.column('s6').to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            tbl.column('n').to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        return tbl.filter(pa.array(keep))
+
+    partial = per_user.map_batches(local_frontier, batch_format='pyarrow',
+                                   zero_copy_batch=True)
+    dfp = _small_df(partial, ['user_id', 's6', 'n'])
+    out_schema = pa.schema([('user_id', pa.int64()),
+                            ('spend', pa.float64()), ('n', pa.int64())])
+    if len(dfp) == 0:
+        return out_schema.empty_table().to_pandas()
+    s6 = dfp['s6'].to_numpy(dtype=np.int64)
+    n = dfp['n'].to_numpy(dtype=np.int64)
+    keep = _pareto_keep(s6, n)
+    out = pd.DataFrame({'user_id': dfp['user_id'].to_numpy()[keep],
+                        'spend': s6[keep].astype(np.float64) / 1e6,
+                        'n': n[keep]})
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+QUERIES['q_pareto_users'] = q_pareto_users
+ORACLE_SQL['q_pareto_users'] = """
+    WITH u AS (
+      SELECT user_id,
+             cast(sum(cast(floor(value * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s6,
+             count(value) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY user_id)
+    SELECT user_id, cast(s6 AS DOUBLE) / 1e6 AS spend, n
+    FROM u a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM u b
+      WHERE b.s6 >= a.s6 AND b.n >= a.n
+        AND (b.s6 > a.s6 OR b.n > a.n))
+    ORDER BY user_id
+"""
+
+
+def q_attribution_events(sf_dir: str):
+    """First-touch / last-touch revenue attribution: each user's total
+    purchase value is credited to the event_type of their FIRST and
+    LAST event — the standard marketing-channel rollup. ONE per-user
+    exchange emits a (first, last, rev6) row per user; the channel
+    rollup is vocabulary-bounded (conditional-aggregate pivot,
+    driver-side like every broadcast-census). NULL first/last states
+    are legal channels; NULL-ts rows have no order — excluded on both
+    engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type', 'value'],
+               require=('ts',))
+    side_schema = pa.schema([('channel', pa.string()),
+                             ('side', pa.string()),
+                             ('rev6', pa.int64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return side_schema.empty_table()
+        et = tbl.column('event_type').combine_chunks()
+        first_i = np.nonzero(starts)[0]
+        last_i = np.append(first_i[1:] - 1, n - 1)
+        is_p = pc.equal(et, 'purchase')
+        v6f = _fixed6(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.float64)   # NaN where null
+        pmask = pc.fill_null(is_p, False).to_numpy(zero_copy_only=False) \
+            & ~np.isnan(v6f)
+        pv = np.where(pmask, v6f, 0).astype(np.int64)
+        rev = np.add.reduceat(pv, first_i).astype(np.int64)
+        fch = et.take(pa.array(first_i))
+        lch = et.take(pa.array(last_i))
+        nu = len(first_i)
+        return pa.table({
+            'channel': pa.chunked_array([fch, lch]).combine_chunks(),
+            'side': pa.array(['first'] * nu + ['last'] * nu,
+                             type=pa.string()),
+            'rev6': pa.array(np.concatenate([rev, rev])),
+        }, schema=side_schema)
+
+    sides = _per_user(ds, fn)
+    # collapse to (channel, side) DISTRIBUTED — only the vocab-bounded
+    # census reaches the driver, never a per-user row
+    census = pre_aggregate(sides, ['channel', 'side'],
+                           {'n': ('rev6', 'count'),
+                            'rev6s': ('rev6', 'sum')})
+    dfp = _small_df(census, ['channel', 'side', 'n', 'rev6s'])
+    out_cols = ['channel', 'n_first', 'n_last', 'first_rev', 'last_rev']
+    if len(dfp) == 0:
+        return pd.DataFrame({
+            'channel': pd.Series(dtype=object),
+            'n_first': pd.Series(dtype=np.int64),
+            'n_last': pd.Series(dtype=np.int64),
+            'first_rev': pd.Series(dtype=np.float64),
+            'last_rev': pd.Series(dtype=np.float64)})
+    g = dfp.groupby('channel', dropna=False)
+    agg = g.apply(lambda d: pd.Series({
+        'n_first': np.int64(d.loc[d['side'] == 'first', 'n']
+                            .to_numpy(dtype=np.int64).sum()),
+        'n_last': np.int64(d.loc[d['side'] == 'last', 'n']
+                           .to_numpy(dtype=np.int64).sum()),
+        'first_rev': d.loc[d['side'] == 'first', 'rev6s']
+            .to_numpy(dtype=np.int64).sum() / 1e6,
+        'last_rev': d.loc[d['side'] == 'last', 'rev6s']
+            .to_numpy(dtype=np.int64).sum() / 1e6,
+    }), include_groups=False).reset_index()
+    agg['n_first'] = agg['n_first'].astype(np.int64)
+    agg['n_last'] = agg['n_last'].astype(np.int64)
+    agg = agg[out_cols].sort_values('channel', na_position='last')
+    return agg.reset_index(drop=True)
+
+
+QUERIES['q_attribution_events'] = q_attribution_events
+ORACLE_SQL['q_attribution_events'] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type, value
+      FROM events WHERE ts IS NOT NULL),
+    w AS (
+      SELECT user_id, event_type,
+             row_number() OVER wo AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM e WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    rev AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               AND value IS NOT NULL THEN
+                  cast(floor(value * 1e6 + 0.5) AS BIGINT) END),
+                  0) AS rev6
+      FROM e GROUP BY user_id),
+    u AS (
+      SELECT w.user_id,
+             min(CASE WHEN rn = 1 THEN event_type END) AS first_ch,
+             min(CASE WHEN rn = cnt THEN event_type END) AS last_ch,
+             min(rev6) AS rev6
+      FROM w JOIN rev USING (user_id) GROUP BY w.user_id),
+    sides AS (
+      SELECT first_ch AS channel, 'first' AS side, rev6 FROM u
+      UNION ALL
+      SELECT last_ch, 'last', rev6 FROM u)
+    SELECT channel,
+           cast(sum(CASE WHEN side = 'first' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first,
+           cast(sum(CASE WHEN side = 'last' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_last,
+           cast(sum(CASE WHEN side = 'first' THEN rev6 ELSE 0 END)
+                AS DOUBLE) / 1e6 AS first_rev,
+           cast(sum(CASE WHEN side = 'last' THEN rev6 ELSE 0 END)
+                AS DOUBLE) / 1e6 AS last_rev
+    FROM sides GROUP BY channel ORDER BY channel NULLS LAST
+"""
