@@ -74,7 +74,8 @@ BENCH_QUERIES = [
     'q_cms_token_counts',
     'q_feature_matrix_events', 'q_scd2_events', 'q_transitions_events',
     'q_bm25_docs', 'q_rolling_median_events', 'q_histogram_events',
-    'q_pareto_users', 'q_attribution_events',
+    'q_pareto_users', 'q_attribution_events', 'q_pmi_bigrams_docs',
+    'q_lm_score_docs', 'q_keywords_docs', 'q_ohlc_events',
 ]
 
 

@@ -13,7 +13,8 @@ import pytest
 
 from trafaret_ray.pipelines.queries import (
     _pareto_keep, q_attribution_events, q_bm25_docs, q_histogram_events,
-    q_pareto_users, q_rolling_median_events, q_scd2_events,
+    q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
+    q_pmi_bigrams_docs, q_rolling_median_events, q_scd2_events,
     q_transitions_events)
 
 
@@ -235,3 +236,80 @@ class TestAttribution:
         assert df.loc['click', 'last_rev'] == 7.0   # user 1's purchases
         assert df.loc['click', 'n_first'] == 1      # user 2 starts here
         assert df.loc['click', 'first_rev'] == 0.0  # user 2 never bought
+
+
+class TestPmiBigrams:
+    def test_exact_pmi(self, ray_session, tmp_path):
+        sf = TestBm25._write_docs(self, tmp_path, ['a b a b', 'a b'])
+        df = q_pmi_bigrams_docs(sf).set_index(['a', 'b'])
+        # bigrams: (a,b) x3, (b,a) x1 ; unigrams a=3,b=3 over T=6; P=4
+        assert df.loc[('a', 'b'), 'n'] == 3
+        assert df.loc[('b', 'a'), 'n'] == 1
+        assert df.loc[('a', 'b'), 'pmi'] == pytest.approx(
+            math.log((3 / 4) / ((3 / 6) * (3 / 6))), abs=1e-12)
+
+    def test_empty(self, ray_session, tmp_path):
+        sf = TestBm25._write_docs(self, tmp_path, [])
+        df = q_pmi_bigrams_docs(sf)
+        assert len(df) == 0
+        assert list(df.columns) == ['a', 'b', 'n', 'pmi']
+
+
+class TestLmScore:
+    def test_exact_nll(self, ray_session, tmp_path):
+        sf = TestBm25._write_docs(self, tmp_path, ['x y', 'x y x z'])
+        df = q_lm_score_docs(sf).to_pandas().set_index('doc_id')
+        # global: n(x,y)=2 n(y,x)=1 n(x,z)=1; ctx x=3, y=1
+        m = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)
+        assert df.loc[0, 'n_bigrams'] == 1
+        assert df.loc[0, 'nll'] == pytest.approx(m(2 / 3) / 1e6, abs=1e-9)
+        assert df.loc[1, 'n_bigrams'] == 3
+        exp = (m(2 / 3) + m(1 / 1) + m(1 / 3)) / 3 / 1e6
+        assert df.loc[1, 'nll'] == pytest.approx(exp, abs=1e-9)
+
+    def test_repetitive_scores_lower(self, ray_session, tmp_path):
+        # doc 0 repeats the corpus's dominant (a,a) continuation; doc 1
+        # uses rare continuations of the same 'a' context
+        texts = ['a a a a a a', 'a b a c a d']
+        sf = TestBm25._write_docs(self, tmp_path, texts)
+        df = q_lm_score_docs(sf).to_pandas().set_index('doc_id')
+        assert df.loc[0, 'nll'] < df.loc[1, 'nll']
+
+
+class TestKeywords:
+    def test_distinctive_term_ranks_first(self, ray_session, tmp_path):
+        texts = ['common zebra common', 'common common', 'common yak']
+        sf = TestBm25._write_docs(self, tmp_path, texts)
+        df = q_keywords_docs(sf).to_pandas()
+        top = df[df['rank'] == 1].set_index('doc_id')
+        assert top.loc[0, 'tok'] == 'zebra'
+        assert top.loc[2, 'tok'] == 'yak'
+        # 'common' appears in every doc -> idf 0 -> never outranks
+        assert (df[df['tok'] == 'common']['score'] == 0).all()
+        # at most 3 keywords per doc, ranks contiguous from 1
+        g = df.groupby('doc_id')['rank'].agg(['min', 'max', 'count'])
+        assert (g['min'] == 1).all()
+        assert (g['max'] == g['count']).all()
+        assert (g['count'] <= 3).all()
+
+
+class TestOhlc:
+    def test_two_hour_bars(self, ray_session, tmp_path):
+        rows = [(0, 1, 1, 'a', 10.0), (1, 1, 30, 'a', 50.0),
+                (2, 1, 59, 'a', 20.0),           # hour 0
+                (3, 1, 61, 'a', 5.0), (4, 1, 62, 'a', 7.0)]  # hour 1
+        sf = _write_events(tmp_path, rows)
+        df = q_ohlc_events(sf).to_pandas()
+        assert len(df) == 2
+        b0, b1 = df.iloc[0], df.iloc[1]
+        assert (b0['open'], b0['high'], b0['low'], b0['close']) \
+            == (10.0, 50.0, 10.0, 20.0)
+        assert b0['n'] == 3 and b0['vol'] == 80.0
+        assert (b1['open'], b1['close'], b1['n']) == (5.0, 7.0, 2)
+
+    def test_same_ts_tie_uses_event_id(self, ray_session, tmp_path):
+        rows = [(7, 1, 0, 'a', 3.0), (2, 1, 0, 'a', 9.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_ohlc_events(sf).to_pandas()
+        assert df['open'].iloc[0] == 9.0     # event_id 2 first
+        assert df['close'].iloc[0] == 3.0    # event_id 7 last

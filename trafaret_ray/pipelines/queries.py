@@ -6661,3 +6661,410 @@ ORACLE_SQL['q_attribution_events'] = """
                 AS DOUBLE) / 1e6 AS last_rev
     FROM sides GROUP BY channel ORDER BY channel NULLS LAST
 """
+
+
+def _bigram_explode(tbl: pa.Table, with_doc: bool) -> pa.Table:
+    """Adjacent token pairs per document, vectorized: flatten the
+    split-token lists once, then (a, b) = (flat[:-1], flat[1:]) masked
+    to within-document positions."""
+    words = pc.split_pattern(
+        pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+    wc = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    n = len(flat)
+    doc_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+    # position j starts a bigram iff j+1 is in the same doc
+    ok = np.zeros(n, dtype=bool)
+    if n > 1:
+        ok[:-1] = doc_of[1:] == doc_of[:-1]
+    idx = np.nonzero(ok)[0]
+    cols = {'a': flat.take(pa.array(idx)),
+            'b': flat.take(pa.array(idx + 1))}
+    if with_doc:
+        cols = {'doc_id': tbl.column('doc_id').take(doc_of[idx]), **cols}
+    cols['_one'] = pa.array(np.ones(len(idx), dtype=np.int64))
+    return pa.table(cols)
+
+
+def q_pmi_bigrams_docs(sf_dir: str):
+    """Collocation mining: top-20 corpus bigrams by count with their
+    pointwise mutual information ln((n/P) / ((ca/T)(cb/T))). One
+    (a,b)-bucket aggregation builds the bigram census; the top-20 pick
+    is a local-prune global_topk (never a full sort); unigram counts
+    for the <=40 surviving tokens are filtered distributed and only
+    those rows reach the driver. All counts exact ints; PMI doubles
+    evaluate the same expression in the same association order on both
+    engines."""
+    from ..stages.aggregate import bucket_aggregate, global_topk
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
+    out_cols = ['a', 'b', 'n', 'pmi']
+    empty = pd.DataFrame({'a': pd.Series(dtype=object),
+                          'b': pd.Series(dtype=object),
+                          'n': pd.Series(dtype=np.int64),
+                          'pmi': pd.Series(dtype=np.float64)})
+    toks = ds.map_batches(
+        lambda t: (lambda w: pa.table(
+            {'tok': w.flatten(),
+             '_one': pa.array(np.ones(
+                 int(pc.sum(pc.list_value_length(w)).as_py() or 0),
+                 dtype=np.int64))}))(
+            pc.split_pattern(pc.fill_null(
+                t.column('text').combine_chunks(), ''), ' ')),
+        batch_format='pyarrow', zero_copy_batch=True)
+    uni = bucket_aggregate(toks, ['tok'], {'c': ('_one', 'sum')},
+                           num_buckets=16).materialize()
+    total_t = uni.sum('c') or 0
+    if total_t == 0:
+        return empty
+    bigrams = ds.map_batches(lambda t: _bigram_explode(t, with_doc=False),
+                             batch_format='pyarrow', zero_copy_batch=True)
+    bc = bucket_aggregate(bigrams, ['a', 'b'], {'n': ('_one', 'sum')},
+                          num_buckets=16).materialize()
+    total_p = bc.sum('n') or 0
+    if total_p == 0:
+        return empty
+    top = _small_df(global_topk(bc, [('n', 'descending'),
+                                     ('a', 'ascending'),
+                                     ('b', 'ascending')], 20),
+                    ['a', 'b', 'n'])
+    need = set(top['a']) | set(top['b'])
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        m = pc.is_in(tbl.column('tok'),
+                     value_set=pa.array(sorted(need), type=pa.string()))
+        return tbl.filter(m)
+
+    cdf = _small_df(uni.map_batches(pick, batch_format='pyarrow',
+                                    zero_copy_batch=True), ['tok', 'c'])
+    cmap = dict(zip(cdf['tok'], cdf['c'].astype(np.int64)))
+    nv = top['n'].to_numpy(dtype=np.int64)
+    ca = np.array([cmap[x] for x in top['a']], dtype=np.int64)
+    cb = np.array([cmap[x] for x in top['b']], dtype=np.int64)
+    T, P = float(total_t), float(total_p)
+    # math.log, NOT np.log: numpy's SIMD log diverges from libm by
+    # 1 ulp on some inputs, and DuckDB's ln IS libm — for a raw-double
+    # output column (no micro-floor to absorb the ulp) the scalar libm
+    # call is the byte-exact choice (20 rows, cost irrelevant)
+    import math
+    pmi = np.array([math.log((n_ / P) / ((ca_ / T) * (cb_ / T)))
+                    for n_, ca_, cb_ in zip(nv, ca, cb)])
+    out = pd.DataFrame({'a': top['a'].to_numpy(),
+                        'b': top['b'].to_numpy(), 'n': nv, 'pmi': pmi})
+    return out[out_cols].reset_index(drop=True)
+
+
+QUERIES['q_pmi_bigrams_docs'] = q_pmi_bigrams_docs
+ORACLE_SQL['q_pmi_bigrams_docs'] = """
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL),
+    tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM docs),
+    uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    tt AS (SELECT count(*) AS t FROM tk),
+    bg AS (SELECT p[1] AS a, p[2] AS b
+           FROM (SELECT unnest(list_zip(l, l[2:])) AS p
+                 FROM (SELECT string_split(text, ' ') AS l FROM docs))
+           WHERE p[2] IS NOT NULL),
+    bc AS (SELECT a, b, count(*) AS n FROM bg GROUP BY a, b),
+    pt AS (SELECT count(*) AS p FROM bg),
+    top AS (SELECT a, b, n FROM bc ORDER BY n DESC, a, b LIMIT 20)
+    SELECT a, b, n,
+           ln((cast(n AS DOUBLE) / p)
+              / ((cast(ua.c AS DOUBLE) / t)
+                 * (cast(ub.c AS DOUBLE) / t))) AS pmi
+    FROM top
+    JOIN uni ua ON ua.tok = top.a
+    JOIN uni ub ON ub.tok = top.b
+    CROSS JOIN tt CROSS JOIN pt
+    ORDER BY n DESC, a, b
+"""
+
+
+def q_lm_score_docs(sf_dir: str):
+    """Bigram language-model quality score per document: mean negative
+    log-likelihood of the doc's bigrams under the corpus's own bigram
+    model, nll(a,b) = -ln(n_ab / ctx_a) — the classic LM-based curation
+    signal (low = formulaic/repetitive, high = novel). Three bounded
+    exchanges: (doc,a,b) census; an 'a'-bucket exchange where the
+    bucket holds BOTH the global n_ab/ctx_a sums and the per-doc rows
+    (model statistics and scoring co-located — no broadcast of an
+    open vocabulary); a doc-bucket rollup of exact micro-unit terms."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
+    bigrams = ds.map_batches(lambda t: _bigram_explode(t, with_doc=True),
+                             batch_format='pyarrow', zero_copy_batch=True)
+    dab = bucket_aggregate(bigrams, ['doc_id', 'a', 'b'],
+                           {'n_dab': ('_one', 'sum')}, num_buckets=16)
+
+    term_schema = pa.schema([('doc_id', pa.int64()),
+                             ('contrib', pa.int64()),
+                             ('n_dab', pa.int64())])
+
+    def score_terms(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return term_schema.empty_table()
+        ab = tbl.group_by(['a', 'b']).aggregate([('n_dab', 'sum')])
+        ctx = ab.group_by(['a']).aggregate([('n_dab_sum', 'sum')])
+        ai = pc.index_in(tbl.column('a'), value_set=ctx.column('a'))
+        ctx_a = ctx.column('n_dab_sum_sum').take(ai).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # n_ab lookup: index_in on a composite — encode pair position
+        abi = pc.index_in(
+            pc.binary_join_element_wise(
+                pc.cast(tbl.column('a'), pa.string()),
+                pc.cast(tbl.column('b'), pa.string()), '\x00'),
+            value_set=pc.binary_join_element_wise(
+                pc.cast(ab.column('a'), pa.string()),
+                pc.cast(ab.column('b'), pa.string()), '\x00'))
+        n_ab = ab.column('n_dab_sum').take(abi).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_dab = tbl.column('n_dab').to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        micro = np.floor(-np.log(n_ab / ctx_a) * 1e6 + 0.5)\
+            .astype(np.int64)
+        return pa.table({'doc_id': tbl.column('doc_id'),
+                         'contrib': pa.array(micro * n_dab),
+                         'n_dab': pa.array(n_dab)}, schema=term_schema)
+
+    terms = bucket_exchange(dab, 'a', score_terms, num_buckets=16)
+    per_doc = bucket_aggregate(terms, ['doc_id'],
+                               {'n_bigrams': ('n_dab', 'sum'),
+                                'c6': ('contrib', 'sum')},
+                               num_buckets=16)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        nb = tbl.column('n_bigrams').to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c6 = tbl.column('c6').to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            'doc_id': tbl.column('doc_id'),
+            'n_bigrams': pa.array(nb),
+            'nll': pa.array(c6 / nb / 1e6),
+        })
+
+    return per_doc.map_batches(finish, batch_format='pyarrow',
+                               zero_copy_batch=True).sort('doc_id')
+
+
+QUERIES['q_lm_score_docs'] = q_lm_score_docs
+ORACLE_SQL['q_lm_score_docs'] = """
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL),
+    bg AS (SELECT doc_id, p[1] AS a, p[2] AS b
+           FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS p
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM docs))
+           WHERE p[2] IS NOT NULL),
+    dab AS (SELECT doc_id, a, b, count(*) AS n_dab FROM bg
+            GROUP BY doc_id, a, b),
+    ab AS (SELECT a, b, cast(sum(n_dab) AS BIGINT) AS n_ab FROM dab
+           GROUP BY a, b),
+    ctx AS (SELECT a, cast(sum(n_ab) AS BIGINT) AS ctx_a FROM ab
+            GROUP BY a),
+    term AS (
+      SELECT doc_id, n_dab,
+             cast(floor(-ln(cast(n_ab AS DOUBLE) / ctx_a) * 1e6 + 0.5)
+                  AS BIGINT) AS micro
+      FROM dab JOIN ab USING (a, b) JOIN ctx USING (a))
+    SELECT doc_id, cast(sum(n_dab) AS BIGINT) AS n_bigrams,
+           cast(sum(micro * n_dab) AS DOUBLE) / sum(n_dab) / 1e6 AS nll
+    FROM term GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_keywords_docs(sf_dir: str):
+    """Keyword extraction: top-3 TF-IDF terms per document with rank —
+    the per-doc summarization primitive on top of the corpus statistic.
+    Same two-exchange shape as q_tfidf_docs; the per-doc rank is an
+    in-bucket Arrow sort on (doc, -micro, tok) with segment position
+    picks. Rank cuts are float row-picks, so they follow the CLAUDE.md
+    fixed-point discipline: both engines rank on the micro-unit int
+    with tok as the tie key."""
+    import ray as _ray
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    TOP = 3
+    out_schema = pa.schema([('doc_id', pa.int64()), ('rank', pa.int64()),
+                            ('tok', pa.string()),
+                            ('score', pa.float64())])
+    n_docs = _nonnull_count(sf_dir, 'documents', 'text')
+    if n_docs == 0:
+        return out_schema.empty_table().to_pandas()
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        wc = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
+                         'tok': words.flatten()})
+
+    tf = bucket_aggregate(
+        ds.map_batches(explode, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['doc_id', 'tok'], {'tf': ('tok', 'count')}, num_buckets=16)
+    dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                                     num_buckets=4), ['tok', 'df'])
+    ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
+                    dfp['df'].to_numpy(dtype=np.int64)))
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        keys, dfs = _ray.get(ref)
+        dl = tbl.group_by(['doc_id']).aggregate([('tf', 'sum')])
+        di = pc.index_in(tbl.column('doc_id'),
+                         value_set=dl.column('doc_id'))
+        doc_len = dl.column('tf_sum').take(di).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ti = pc.index_in(tbl.column('tok'), value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dfv = dfs[ti]
+        tfv = tbl.column('tf').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        # same association order as q_tfidf_docs / the oracle
+        micro = np.floor((tfv / doc_len) * np.log(float(n_docs) / dfv)
+                         * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({'doc_id': tbl.column('doc_id'),
+                      'tok': tbl.column('tok'),
+                      'micro': pa.array(micro)})
+        t = t.sort_by([('doc_id', 'ascending'), ('micro', 'descending'),
+                       ('tok', 'ascending')])
+        docs = t.column('doc_id').to_numpy(zero_copy_only=False)
+        new = np.ones(len(docs), dtype=bool)
+        new[1:] = docs[1:] != docs[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new, np.arange(len(docs)), 0))
+        pos = np.arange(len(docs)) - gs
+        keep = pos < TOP
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            'doc_id': pc.cast(t.column('doc_id'), pa.int64()),
+            'rank': pa.array(pos[keep].astype(np.int64) + 1),
+            'tok': t.column('tok'),
+            'score': pc.divide(pc.cast(t.column('micro'), pa.float64()),
+                               pa.scalar(1e6)),
+        }, schema=out_schema)
+
+    out = bucket_exchange(tf, 'doc_id', pick, num_buckets=16)
+    return out.sort(['doc_id', 'rank'])
+
+
+QUERIES['q_keywords_docs'] = q_keywords_docs
+ORACLE_SQL['q_keywords_docs'] = """
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM docs),
+    tf AS (SELECT doc_id, tok, count(tok) AS tf FROM toks
+           GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    df AS (SELECT tok, count(tok) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             cast(floor((cast(tf.tf AS DOUBLE) / dl.doc_len)
+                        * ln(cast(n.n_docs AS DOUBLE) / df.df)
+                        * 1e6 + 0.5) AS BIGINT) AS micro
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY micro DESC, tok) AS rank
+      FROM scored)
+    SELECT doc_id, cast(rank AS BIGINT) AS rank, tok,
+           cast(micro AS DOUBLE) / 1e6 AS score
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q_ohlc_events(sf_dir: str):
+    """Time-series resampling to hourly OHLC bars: open/close are the
+    values at the first/last (ts, event_id) in the hour, high/low/vol
+    exact fixed-point extrema/sums, n the row count — the financial
+    downsampling primitive. ONE hour-bucket exchange; the kernel is a
+    lexsort + segment boundary picks/reduceats. Rows lacking ts or
+    value have no bar — excluded on both engines."""
+    from ..stages.conversations import bucket_exchange
+    ds = _read(sf_dir, 'events', ['event_id', 'ts', 'value'],
+               require=('ts', 'value'))
+    out_schema = pa.schema([
+        ('hour', pa.timestamp('us')), ('open', pa.float64()),
+        ('high', pa.float64()), ('low', pa.float64()),
+        ('close', pa.float64()), ('n', pa.int64()),
+        ('vol', pa.float64())])
+    HOUR_US = 3_600_000_000
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            'hour': pa.array(ts_us // HOUR_US * HOUR_US),
+            'ts_us': pa.array(ts_us),
+            'event_id': tbl.column('event_id'),
+            'v6': _fixed6(tbl.column('value')),
+        })
+
+    def bars(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        h = tbl.column('hour').to_numpy(zero_copy_only=False)
+        ts = tbl.column('ts_us').to_numpy(zero_copy_only=False)
+        eid = tbl.column('event_id').to_numpy(zero_copy_only=False)
+        v6 = tbl.column('v6').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, h))
+        h, v6 = h[order], v6[order]
+        new = np.ones(len(h), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        gi = np.nonzero(new)[0]
+        last = np.append(gi[1:] - 1, len(h) - 1)
+        return pa.table({
+            'hour': pc.cast(pa.array(h[gi]), pa.timestamp('us')),
+            'open': pa.array(v6[gi].astype(np.float64) / 1e6),
+            'high': pa.array(np.maximum.reduceat(v6, gi)
+                             .astype(np.float64) / 1e6),
+            'low': pa.array(np.minimum.reduceat(v6, gi)
+                            .astype(np.float64) / 1e6),
+            'close': pa.array(v6[last].astype(np.float64) / 1e6),
+            'n': pa.array(np.diff(np.append(gi, len(h)))
+                          .astype(np.int64)),
+            'vol': pa.array(np.add.reduceat(v6, gi)
+                            .astype(np.float64) / 1e6),
+        }, schema=out_schema)
+
+    prepped = ds.map_batches(prep, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    return bucket_exchange(prepped, 'hour', bars,
+                           num_buckets=16).sort('hour')
+
+
+QUERIES['q_ohlc_events'] = q_ohlc_events
+ORACLE_SQL['q_ohlc_events'] = """
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM s)
+    SELECT hour,
+           cast(min(CASE WHEN rna = 1 THEN v6 END) AS DOUBLE) / 1e6
+             AS open,
+           cast(max(v6) AS DOUBLE) / 1e6 AS high,
+           cast(min(v6) AS DOUBLE) / 1e6 AS low,
+           cast(min(CASE WHEN rnd = 1 THEN v6 END) AS DOUBLE) / 1e6
+             AS close,
+           count(*) AS n,
+           cast(sum(v6) AS DOUBLE) / 1e6 AS vol
+    FROM w GROUP BY hour ORDER BY hour
+"""
