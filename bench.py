@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     'q_bm25_docs', 'q_rolling_median_events', 'q_histogram_events',
     'q_pareto_users', 'q_attribution_events', 'q_pmi_bigrams_docs',
     'q_lm_score_docs', 'q_keywords_docs', 'q_ohlc_events',
+    'q_burst_events', 'q_inverted_index_docs', 'q_ab_test_events',
 ]
 
 

@@ -12,7 +12,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from trafaret_ray.pipelines.queries import (
-    _pareto_keep, q_attribution_events, q_bm25_docs, q_histogram_events,
+    _pareto_keep, q_ab_test_events, q_attribution_events, q_bm25_docs,
+    q_burst_events, q_histogram_events, q_inverted_index_docs,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_rolling_median_events, q_scd2_events,
     q_transitions_events)
@@ -313,3 +314,73 @@ class TestOhlc:
         df = q_ohlc_events(sf).to_pandas()
         assert df['open'].iloc[0] == 9.0     # event_id 2 first
         assert df['close'].iloc[0] == 3.0    # event_id 7 last
+
+
+class TestBurst:
+    def test_spike_hour_flagged(self, ray_session, tmp_path):
+        # type 'a': 1 event/hour for 20 hours, 30 in hour 20 -> spike
+        rows = [(i, 1, i * 60, 'a', 1.0) for i in range(20)]
+        rows += [(100 + j, 1, 20 * 60 + j, 'a', 1.0) for j in range(30)]
+        # type 'b': uniform, no spike
+        rows += [(500 + i, 1, i * 60, 'b', 1.0) for i in range(10)]
+        sf = _write_events(tmp_path, rows)
+        df = q_burst_events(sf).to_pandas()
+        assert len(df) == 1
+        assert df['event_type'].iloc[0] == 'a'
+        assert df['n'].iloc[0] == 30
+        assert df['hour'].iloc[0] == TS0 + pd.Timedelta(hours=20)
+
+    def test_integer_threshold_is_exact(self, ray_session, tmp_path):
+        # counts 1,1,1,9: mean 3, var 12, 3sigma test:
+        # (9*4-12)^2 = 576 vs 9*(84*4-144) = 1728 -> NOT a burst
+        rows = []
+        eid = 0
+        for h, k in enumerate([1, 1, 1, 9]):
+            for _ in range(k):
+                rows.append((eid, 1, h * 60, 'a', 1.0))
+                eid += 1
+        sf = _write_events(tmp_path, rows)
+        df = q_burst_events(sf).to_pandas()
+        assert len(df) == 0
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_distinct(self, ray_session, tmp_path):
+        texts = [f'hot tok{i}' for i in range(6)] + ['hot hot hot']
+        sf = TestBm25._write_docs(self, tmp_path, texts)
+        df = q_inverted_index_docs(sf).to_pandas()
+        # only 'hot' reaches df >= 5; repeats inside doc 6 dedup
+        assert list(df['tok']) == ['hot']
+        assert df['df'].iloc[0] == 7
+        assert df['postings'].iloc[0] == '0,1,2,3,4,5,6'
+
+
+class TestAbTest:
+    def test_counts_and_z(self, ray_session, tmp_path):
+        from trafaret_ray.functions.sampling import split_buckets
+        rows = []
+        eid = 0
+        for u in range(40):
+            conv = u % 3 == 0
+            rows.append((eid, u, eid, 'purchase' if conv else 'view',
+                         1.0))
+            eid += 1
+        sf = _write_events(tmp_path, rows)
+        df = q_ab_test_events(sf)
+        b = split_buckets(np.arange(40, dtype=np.int64))
+        va = b < 5000
+        conv = np.array([u % 3 == 0 for u in range(40)])
+        assert df['n_a'].iloc[0] == va.sum()
+        assert df['x_a'].iloc[0] == conv[va].sum()
+        assert df['n_b'].iloc[0] == (~va).sum()
+        n_a, x_a = int(va.sum()), int(conv[va].sum())
+        n_b, x_b = int((~va).sum()), int(conv[~va].sum())
+        p = (x_a + x_b) / (n_a + n_b)
+        z = (x_a / n_a - x_b / n_b) / math.sqrt(
+            p * (1 - p) * (1 / n_a + 1 / n_b))
+        assert df['z'].iloc[0] == pytest.approx(z, abs=1e-12)
+
+    def test_empty(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [])
+        df = q_ab_test_events(sf)
+        assert df['n_a'].iloc[0] == 0 and pd.isna(df['z'].iloc[0])

@@ -7068,3 +7068,245 @@ ORACLE_SQL['q_ohlc_events'] = """
            cast(sum(v6) AS DOUBLE) / 1e6 AS vol
     FROM w GROUP BY hour ORDER BY hour
 """
+
+
+def q_burst_events(sf_dir: str):
+    """Burst/spike detection: (event_type, hour) buckets whose count
+    exceeds that type's mean + 3 sigma over its observed hours — the
+    ops-anomaly primitive. The entire test is INTEGER algebra on exact
+    counts (cH > S and (cH-S)^2 > 9(QH - S^2) with H hours, S = sum c,
+    Q = sum c^2), so no float threshold can flip between engines.
+    int64 bound: c*H must stay < ~3e9 (second-moment discipline) —
+    at larger scale downshift counts to a coarser unit first. One
+    low-cardinality pre_aggregate + one per-type bucket exchange."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    from ..stages.conversations import bucket_exchange
+    ds = _read(sf_dir, 'events', ['event_type', 'ts'], require=('ts',))
+    HOUR_US = 3_600_000_000
+    out_schema = pa.schema([('event_type', pa.string()),
+                            ('hour', pa.timestamp('us')),
+                            ('n', pa.int64())])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            'event_type': tbl.column('event_type'),
+            'hour': pa.array(ts_us // HOUR_US * HOUR_US),
+            '_one': pa.array(np.ones(tbl.num_rows, dtype=np.int64))})
+
+    counts = _pre(ds.map_batches(prep, batch_format='pyarrow',
+                                 zero_copy_batch=True),
+                  ['event_type', 'hour'], {'c': ('_one', 'sum')})
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        et = tbl.column('event_type')
+        c = tbl.column('c').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        # per-type H/S/Q over this bucket (types are bucket-local)
+        key = pd.factorize(et.to_pandas(), use_na_sentinel=False)[0]
+        ng = key.max() + 1
+        H = np.bincount(key, minlength=ng).astype(np.int64)
+        S = np.bincount(key, weights=c, minlength=ng).astype(np.int64)
+        Q = np.bincount(key, weights=c * c, minlength=ng)\
+            .astype(np.int64)
+        d = c * H[key] - S[key]
+        keep = (d > 0) & (d * d > 9 * (Q[key] * H[key]
+                                       - S[key] * S[key]))
+        t = tbl.filter(pa.array(keep))
+        return pa.table({
+            'event_type': t.column('event_type'),
+            'hour': pc.cast(t.column('hour'), pa.timestamp('us')),
+            'n': pc.cast(t.column('c'), pa.int64()),
+        }, schema=out_schema)
+
+    out = bucket_exchange(counts, 'event_type', flag, num_buckets=8)
+    return _sort_ns(out, ['event_type', 'hour'],
+                    str_cols=('event_type',))
+
+
+QUERIES['q_burst_events'] = q_burst_events
+ORACLE_SQL['q_burst_events'] = """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS h
+      FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT event_type, h, count(*) AS c FROM s
+          GROUP BY event_type, h),
+    m AS (SELECT event_type, cast(count(*) AS BIGINT) AS hh,
+                 cast(sum(c) AS BIGINT) AS ss,
+                 cast(sum(c * c) AS BIGINT) AS qq
+          FROM c GROUP BY event_type)
+    SELECT c.event_type, c.h AS hour, c.c AS n
+    FROM c JOIN m ON m.event_type IS NOT DISTINCT FROM c.event_type
+    WHERE c.c * hh > ss
+      AND (c.c * hh - ss) * (c.c * hh - ss) > 9 * (qq * hh - ss * ss)
+    ORDER BY c.event_type NULLS LAST, hour
+"""
+
+
+def q_inverted_index_docs(sf_dir: str):
+    """Inverted-index build: token -> sorted posting list of doc_ids
+    (as a ','-joined string — list columns don't survive the driver's
+    row-sorting compare) for tokens appearing in >= 5 docs. One
+    (doc,tok) dedup exchange + one token-bucket exchange; the posting
+    join is Arrow list-aggregate + binary_join, no per-token Python.
+    The df >= 5 floor is the realistic stop-token economics: rare
+    tokens dominate vocab but carry tiny lists; hot tokens carry the
+    bytes. At 100 TB, shard postings per token range."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    MIN_DF = 5
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
+    out_schema = pa.schema([('tok', pa.string()), ('df', pa.int64()),
+                            ('postings', pa.string())])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        wc = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
+                         'tok': words.flatten()})
+
+    # (doc, tok) dedup — posting lists hold DISTINCT docs
+    dt = bucket_aggregate(
+        ds.map_batches(explode, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['doc_id', 'tok'], {'_n': ('tok', 'count')}, num_buckets=16)
+
+    def build(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        t = pa.table({'tok': tbl.column('tok').combine_chunks(),
+                      'doc_id': tbl.column('doc_id').combine_chunks()})
+        t = t.sort_by([('tok', 'ascending'), ('doc_id', 'ascending')])
+        t = t.append_column('doc_str',
+                            pc.cast(t.column('doc_id'), pa.string()))
+        agg = t.group_by(['tok'], use_threads=False).aggregate(
+            [('doc_str', 'list'), ('doc_id', 'count')])
+        df_ = agg.column('doc_id_count')
+        agg = agg.filter(pc.greater_equal(df_, MIN_DF))
+        if agg.num_rows == 0:
+            return out_schema.empty_table()
+        postings = pc.binary_join(agg.column('doc_str_list'), ',')
+        return pa.table({
+            'tok': agg.column('tok'),
+            'df': pc.cast(agg.column('doc_id_count'), pa.int64()),
+            'postings': pc.cast(postings, pa.string()),
+        }, schema=out_schema)
+
+    out = bucket_exchange(dt, 'tok', build, num_buckets=16)
+    return out.sort('tok')
+
+
+QUERIES['q_inverted_index_docs'] = q_inverted_index_docs
+ORACLE_SQL['q_inverted_index_docs'] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL)
+    SELECT tok, count(*) AS df,
+           string_agg(cast(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id) AS postings
+    FROM toks GROUP BY tok HAVING count(*) >= 5 ORDER BY tok
+"""
+
+
+def q_ab_test_events(sf_dir: str):
+    """A/B experiment analysis: users split 50/50 by the deterministic
+    multiplicative hash (same expression as hash_split — the
+    experiment-unit assignment is a pure function of user_id, stable
+    across engines and runs), conversion = user has >= 1 purchase,
+    output the two-proportion z statistic. Counts are exact ints from
+    one per-user aggregate + one tiny census; z is one scalar double
+    computed in the oracle's association order (sqrt is IEEE
+    correctly-rounded — no libm drift)."""
+    from ..functions.sampling import split_buckets
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'])
+
+    def conv(tbl: pa.Table) -> pa.Table:
+        is_p = pc.fill_null(
+            pc.equal(tbl.column('event_type').combine_chunks(),
+                     'purchase'), False)
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'conv': pc.cast(is_p, pa.int64())})
+
+    per_user = bucket_aggregate(
+        ds.map_batches(conv, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['user_id'], {'conv': ('conv', 'max')}, num_buckets=16)
+
+    def variant(tbl: pa.Table) -> pa.Table:
+        u = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = split_buckets(u, mod=10_000, salt=0)
+        va = b < 5_000
+        cv = tbl.column('conv').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        return pa.table({
+            'n_a': pa.array([np.int64(va.sum())]),
+            'x_a': pa.array([np.int64(cv[va].sum())]),
+            'n_b': pa.array([np.int64((~va).sum())]),
+            'x_b': pa.array([np.int64(cv[~va].sum())])})
+
+    parts = _small_df(per_user.map_batches(
+        variant, batch_format='pyarrow', zero_copy_batch=True),
+        ['n_a', 'x_a', 'n_b', 'x_b'])
+    n_a = int(parts['n_a'].sum()) if len(parts) else 0
+    x_a = int(parts['x_a'].sum()) if len(parts) else 0
+    n_b = int(parts['n_b'].sum()) if len(parts) else 0
+    x_b = int(parts['x_b'].sum()) if len(parts) else 0
+    z = None
+    if n_a > 0 and n_b > 0:
+        p = (x_a + x_b) / (n_a + n_b)
+        den = p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)
+        if den > 0:
+            z = (x_a / n_a - x_b / n_b) / np.sqrt(den)
+    return pd.DataFrame({'n_a': pd.array([n_a], dtype=np.int64),
+                         'x_a': pd.array([x_a], dtype=np.int64),
+                         'n_b': pd.array([n_b], dtype=np.int64),
+                         'x_b': pd.array([x_b], dtype=np.int64),
+                         'z': pd.array([z], dtype=np.float64)})
+
+
+def _ab_oracle() -> str:
+    from ..functions.sampling import split_sql_expr
+    var = split_sql_expr('user_id', {'A': 0.5, 'B': 0.5})
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    v AS (SELECT conv, {var} AS variant FROM u),
+    s AS (SELECT
+            coalesce(cast(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0
+                          END) AS BIGINT), 0) AS n_a,
+            coalesce(cast(sum(CASE WHEN variant = 'A' THEN conv ELSE 0
+                          END) AS BIGINT), 0) AS x_a,
+            coalesce(cast(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0
+                          END) AS BIGINT), 0) AS n_b,
+            coalesce(cast(sum(CASE WHEN variant = 'B' THEN conv ELSE 0
+                          END) AS BIGINT), 0) AS x_b
+          FROM v)
+    SELECT n_a, x_a, n_b, x_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND (cast(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - cast(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b) > 0
+           THEN (cast(x_a AS DOUBLE) / n_a - cast(x_b AS DOUBLE) / n_b)
+                / sqrt((cast(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - cast(x_a + x_b AS DOUBLE)
+                          / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))
+           END AS z
+    FROM s
+"""
+
+
+QUERIES['q_ab_test_events'] = q_ab_test_events
+ORACLE_SQL['q_ab_test_events'] = _ab_oracle()
