@@ -13,7 +13,8 @@ import pytest
 
 from trafaret_ray.pipelines.queries import (
     _pareto_keep, q_ab_test_events, q_attribution_events, q_bm25_docs,
-    q_burst_events, q_histogram_events, q_inverted_index_docs,
+    q_burst_events, q_groupkfold_events, q_histogram_events,
+    q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_rolling_median_events, q_scd2_events,
     q_transitions_events)
@@ -384,3 +385,42 @@ class TestAbTest:
         sf = _write_events(tmp_path, [])
         df = q_ab_test_events(sf)
         assert df['n_a'].iloc[0] == 0 and pd.isna(df['z'].iloc[0])
+
+
+class TestItemCooc:
+    def test_exact_cosine(self, ray_session, tmp_path):
+        # user 1: a x2, b x1 ; user 2: a x1, c x1
+        rows = [(0, 1, 0, 'a'), (1, 1, 1, 'a'), (2, 1, 2, 'b'),
+                (3, 2, 0, 'a'), (4, 2, 1, 'c')]
+        sf = _write_events(tmp_path, rows)
+        df = q_item_cooc_events(sf).set_index(['a', 'b'])
+        # vectors over users: a=(2,1), b=(1,0), c=(0,1)
+        assert df.loc[('a', 'b'), 'dot'] == 2
+        assert df.loc[('a', 'c'), 'dot'] == 1
+        assert ('b', 'c') not in df.index        # no shared user
+        assert df.loc[('a', 'b'), 'cosine'] == pytest.approx(
+            2 / (math.sqrt(5) * 1), abs=1e-12)
+        assert df.loc[('a', 'c'), 'cosine'] == pytest.approx(
+            1 / (math.sqrt(5) * 1), abs=1e-12)
+
+    def test_pair_order_canonical(self, ray_session, tmp_path):
+        rows = [(0, 1, 0, 'z'), (1, 1, 1, 'a')]
+        sf = _write_events(tmp_path, rows)
+        df = q_item_cooc_events(sf)
+        assert list(df['a']) == ['a'] and list(df['b']) == ['z']
+
+
+class TestGroupKFold:
+    def test_partition_and_totals(self, ray_session, tmp_path):
+        from trafaret_ray.functions.sampling import split_buckets
+        rows = [(i, i % 17, i, 'a') for i in range(100)]
+        sf = _write_events(tmp_path, rows)
+        df = q_groupkfold_events(sf).to_pandas()
+        assert df['n_users'].sum() == 17
+        assert df['n_events'].sum() == 100
+        # fold is the group-level hash: recompute independently
+        folds = split_buckets(np.arange(17, dtype=np.int64), mod=5)
+        exp = pd.Series(folds).value_counts().sort_index()
+        got = df.set_index('fold')['n_users']
+        for f, n in exp.items():
+            assert got.loc[f] == n

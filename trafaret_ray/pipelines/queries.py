@@ -7310,3 +7310,159 @@ def _ab_oracle() -> str:
 
 QUERIES['q_ab_test_events'] = q_ab_test_events
 ORACLE_SQL['q_ab_test_events'] = _ab_oracle()
+
+
+def q_item_cooc_events(sf_dir: str):
+    """Item-item cosine similarity from user co-occurrence — the
+    collaborative-filtering primitive: each event_type is a vector of
+    per-user interaction counts; sim(a,b) = dot / (|a||b|). Exact-int
+    core: per-(user,item) counts in one bucket aggregation, pair
+    products expanded INSIDE each user bucket (cost sum_u k_u^2 with
+    k_u = items per user, bounded by the item vocab — never a global
+    self-join), dots and squared norms are int64 sums; only the final
+    cosine divides doubles (sqrt is IEEE-exact). Pair output is
+    vocab^2-bounded. NULL items are excluded on both engines (SQL
+    a.t < b.t would drop them silently — made explicit)."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'],
+               require=('event_type',))
+    counts = bucket_aggregate(
+        ds.map_batches(
+            lambda t: pa.table({
+                'user_id': t.column('user_id'),
+                't': t.column('event_type'),
+                '_one': pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id', 't'], {'c': ('_one', 'sum')},
+        num_buckets=16).materialize()
+
+    n2df = _small_df(bucket_aggregate(
+        counts.map_batches(
+            lambda t: pa.table({
+                't': t.column('t'),
+                'c2': pc.multiply(t.column('c'), t.column('c'))}),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['t'], {'n2': ('c2', 'sum')}, num_buckets=4), ['t', 'n2'])
+
+    pair_schema = pa.schema([('a', pa.string()), ('b', pa.string()),
+                             ('prod', pa.int64())])
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        t = tbl.sort_by([('user_id', 'ascending'), ('t', 'ascending')])
+        users = t.column('user_id').to_numpy(zero_copy_only=False)
+        c = t.column('c').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        new = np.ones(len(users), dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new, np.arange(len(users)), 0))
+        pos = np.arange(len(users)) - gs        # position within user
+        # all (i, j) with same user, pos_i < pos_j: for each j, pair
+        # with every earlier row of the segment (j - gs[j] partners)
+        rep = pos                                # partners per row j
+        j = np.repeat(np.arange(len(users)), rep)
+        # i = segment start + 0..pos_j-1
+        i = np.concatenate([np.arange(s, s + k) for s, k
+                            in zip(gs, rep) if k]) \
+            if rep.sum() else np.empty(0, dtype=np.int64)
+        if len(j) == 0:
+            return pair_schema.empty_table()
+        ta = t.column('t').take(pa.array(i))
+        tb = t.column('t').take(pa.array(j))
+        return pa.table({'a': ta, 'b': tb,
+                         'prod': pa.array(c[i] * c[j])},
+                        schema=pair_schema)
+
+    dots = bucket_aggregate(
+        bucket_exchange(counts, 'user_id', pairs, num_buckets=16),
+        ['a', 'b'], {'dot': ('prod', 'sum')}, num_buckets=8)
+    dfp = _small_df(dots, ['a', 'b', 'dot'])
+    out_cols = ['a', 'b', 'dot', 'cosine']
+    if len(dfp) == 0:
+        return pd.DataFrame({'a': pd.Series(dtype=object),
+                             'b': pd.Series(dtype=object),
+                             'dot': pd.Series(dtype=np.int64),
+                             'cosine': pd.Series(dtype=np.float64)})
+    n2 = dict(zip(n2df['t'], n2df['n2'].astype(np.int64)))
+    dot = dfp['dot'].to_numpy(dtype=np.int64)
+    na2 = np.array([n2[x] for x in dfp['a']], dtype=np.float64)
+    nb2 = np.array([n2[x] for x in dfp['b']], dtype=np.float64)
+    cos = dot / (np.sqrt(na2) * np.sqrt(nb2))
+    out = pd.DataFrame({'a': dfp['a'].to_numpy(),
+                        'b': dfp['b'].to_numpy(), 'dot': dot,
+                        'cosine': cos})
+    return out[out_cols].sort_values(['a', 'b']).reset_index(drop=True)
+
+
+QUERIES['q_item_cooc_events'] = q_item_cooc_events
+ORACLE_SQL['q_item_cooc_events'] = """
+    WITH e AS (SELECT user_id, event_type FROM events
+               WHERE event_type IS NOT NULL),
+    c AS (SELECT user_id, event_type AS t, count(*) AS c FROM e
+          GROUP BY user_id, event_type),
+    n2 AS (SELECT t, cast(sum(c * c) AS BIGINT) AS n2 FROM c
+           GROUP BY t),
+    d AS (SELECT x.t AS a, y.t AS b,
+                 cast(sum(x.c * y.c) AS BIGINT) AS dot
+          FROM c x JOIN c y ON x.user_id = y.user_id AND x.t < y.t
+          GROUP BY x.t, y.t)
+    SELECT a, b, dot,
+           cast(dot AS DOUBLE)
+             / (sqrt(cast(na.n2 AS DOUBLE))
+                * sqrt(cast(nb.n2 AS DOUBLE))) AS cosine
+    FROM d JOIN n2 na ON na.t = d.a JOIN n2 nb ON nb.t = d.b
+    ORDER BY a, b
+"""
+
+
+def q_groupkfold_events(sf_dir: str):
+    """Leakage-safe GROUP k-fold assignment: every event of a user
+    lands in the SAME of 5 folds (the grouped extension of hash_split —
+    fold is a pure function of user_id, so cross-validation never
+    splits an entity across train/test). Output is the per-fold census
+    (users, events) — zero shuffle beyond one per-user aggregate."""
+    from ..functions.sampling import split_buckets
+    from ..stages.aggregate import bucket_aggregate, pre_aggregate
+    K = 5
+    ds = _read(sf_dir, 'events', ['user_id'])
+    per_user = bucket_aggregate(
+        ds.map_batches(
+            lambda t: pa.table({
+                'user_id': t.column('user_id'),
+                '_one': pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id'], {'n_events': ('_one', 'sum')}, num_buckets=16)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        f = split_buckets(u, mod=K, salt=0)
+        return pa.table({
+            'fold': pa.array(f.astype(np.int64)),
+            '_u': pa.array(np.ones(len(u), dtype=np.int64)),
+            'n_events': tbl.column('n_events')})
+
+    out = pre_aggregate(per_user.map_batches(
+        fold, batch_format='pyarrow', zero_copy_batch=True),
+        ['fold'], {'n_users': ('_u', 'sum'),
+                   'n_events': ('n_events', 'sum')})
+    return out.sort('fold')
+
+
+def _groupkfold_oracle() -> str:
+    b = '(((user_id + 0) % 2147483648) * 2654435761) % 4294967296 % 5'
+    return f"""
+    WITH u AS (SELECT user_id, count(*) AS n_events FROM events
+               GROUP BY user_id)
+    SELECT cast({b} AS BIGINT) AS fold,
+           count(*) AS n_users,
+           cast(sum(n_events) AS BIGINT) AS n_events
+    FROM u GROUP BY fold ORDER BY fold
+"""
+
+
+QUERIES['q_groupkfold_events'] = q_groupkfold_events
+ORACLE_SQL['q_groupkfold_events'] = _groupkfold_oracle()
