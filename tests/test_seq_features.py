@@ -14,7 +14,7 @@ import pytest
 from trafaret_ray.pipelines.queries import (
     _pareto_keep, q_ab_test_events, q_attribution_events, q_bm25_docs,
     q_burst_events, q_groupkfold_events, q_histogram_events,
-    q_inverted_index_docs, q_item_cooc_events,
+    q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_rolling_median_events, q_scd2_events,
     q_transitions_events)
@@ -424,3 +424,46 @@ class TestGroupKFold:
         got = df.set_index('fold')['n_users']
         for f, n in exp.items():
             assert got.loc[f] == n
+
+
+class TestGram:
+    def test_matches_direct_matmul(self, ray_session, tmp_path):
+        rng = np.random.default_rng(3)
+        X = rng.normal(0, 0.2, (300, 8)).astype(np.float32)
+        tbl = pa.table({
+            'vec_id': pa.array(np.arange(300, dtype=np.int64)),
+            'embedding': pa.array(list(X), type=pa.list_(pa.float32())),
+            'label': pa.array(np.zeros(300, dtype=np.int32)),
+        })
+        pq.write_table(tbl, f'{tmp_path}/embeddings.parquet')
+        df = q_gram_embeddings(str(tmp_path)).to_pandas()
+        V = np.floor(X.astype(np.float64) * 1e4 + 0.5)
+        G = (V.T @ V) / 1e8
+        iu = np.triu_indices(8)
+        assert len(df) == 36
+        got = df.set_index(['i', 'j'])['g']
+        for i, j in zip(*iu):
+            assert got.loc[(i, j)] == G[i, j]
+
+    def test_partition_invariance(self, ray_session, tmp_path):
+        # partials from many small blocks sum to the same ints
+        import ray.data as rd
+        rng = np.random.default_rng(4)
+        X = rng.normal(0, 0.2, (64, 4)).astype(np.float32)
+        tbl = pa.table({
+            'vec_id': pa.array(np.arange(64, dtype=np.int64)),
+            'embedding': pa.array(list(X), type=pa.list_(pa.float32())),
+            'label': pa.array(np.zeros(64, dtype=np.int32)),
+        })
+        pq.write_table(tbl, f'{tmp_path}/embeddings.parquet')
+        a = q_gram_embeddings(str(tmp_path)).to_pandas()
+        d = tmp_path / 'many'
+        d.mkdir()
+        rd.from_arrow(tbl).repartition(16).write_parquet(str(d))
+        import os
+        merged = pa.concat_tables([
+            pq.read_table(f'{d}/{f}') for f in sorted(os.listdir(d))
+            if f.endswith('.parquet')])
+        pq.write_table(merged, f'{tmp_path}/embeddings.parquet')
+        b = q_gram_embeddings(str(tmp_path)).to_pandas()
+        assert (a['g'].to_numpy() == b['g'].to_numpy()).all()

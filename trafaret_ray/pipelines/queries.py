@@ -7466,3 +7466,62 @@ def _groupkfold_oracle() -> str:
 
 QUERIES['q_groupkfold_events'] = q_groupkfold_events
 ORACLE_SQL['q_groupkfold_events'] = _groupkfold_oracle()
+
+
+def q_gram_embeddings(sf_dir: str):
+    """Distributed Gram matrix X^T X over the embedding column — the
+    covariance/PCA building block. Each batch contributes one d x d
+    partial via BLAS dgemm on FIXED-POINT values: coordinates floor to
+    1e4 ints, and every dgemm intermediate is an exact integer < 2^53,
+    so the float64 matmul is EXACT integer arithmetic regardless of
+    BLAS blocking/FMA — partials then sum as int64 (order-independent,
+    byte-equal to the SQL self-join oracle). Upper triangle only
+    (d(d+1)/2 rows out); exchange volume is d^2 ints per batch, never
+    the vectors. int64 bound: rows x (1e4 x max|x|)^2 < 9e18."""
+    ds = _read(sf_dir, 'embeddings', ['embedding'],
+               require=('embedding',))
+    out_schema = pa.schema([('i', pa.int64()), ('j', pa.int64()),
+                            ('g4', pa.int64())])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        col = tbl.column('embedding').combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        n = len(col)
+        if n == 0 or len(flat) == 0:
+            return out_schema.empty_table()
+        d = len(flat) // n
+        V = np.floor(flat * 1e4 + 0.5).reshape(n, d)
+        G = V.T @ V                      # exact: integer-valued doubles
+        iu = np.triu_indices(d)
+        return pa.table({'i': pa.array(iu[0].astype(np.int64)),
+                         'j': pa.array(iu[1].astype(np.int64)),
+                         'g4': pa.array(G[iu].astype(np.int64))},
+                        schema=out_schema)
+
+    agg = pre_aggregate(ds.map_batches(partial, batch_format='pyarrow',
+                                       zero_copy_batch=True),
+                        ['i', 'j'], {'g4': ('g4', 'sum')})
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        g4 = tbl.column('g4').to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        return pa.table({'i': tbl.column('i'), 'j': tbl.column('j'),
+                         'g': pa.array(g4 / 1e8)})
+
+    return agg.map_batches(finish, batch_format='pyarrow')\
+        .sort(['i', 'j'])
+
+
+QUERIES['q_gram_embeddings'] = q_gram_embeddings
+ORACLE_SQL['q_gram_embeddings'] = """
+    WITH f AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             cast(floor(cast(unnest(embedding) AS DOUBLE) * 1e4 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings)
+    SELECT a.i AS i, b.i AS j,
+           cast(cast(sum(a.v * b.v) AS BIGINT) AS DOUBLE) / 1e8 AS g
+    FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i ORDER BY i, j
+"""
