@@ -16,8 +16,9 @@ from trafaret_ray.pipelines.queries import (
     q_burst_events, q_groupkfold_events, q_histogram_events,
     q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
-    q_pmi_bigrams_docs, q_rolling_median_events, q_scd2_events,
-    q_transitions_events)
+    q_pmi_bigrams_docs, q_quality_percentile_docs,
+    q_rolling_median_events, q_scd2_events, q_transitions_events,
+    q_trend_events)
 
 
 TS0 = pd.Timestamp('2024-01-01')
@@ -467,3 +468,47 @@ class TestGram:
         pq.write_table(merged, f'{tmp_path}/embeddings.parquet')
         b = q_gram_embeddings(str(tmp_path)).to_pandas()
         assert (a['g'].to_numpy() == b['g'].to_numpy()).all()
+
+
+class TestTrend:
+    def test_monotonic_and_reversed(self, ray_session, tmp_path):
+        rows = [(i, 1, i, 'a', float(i)) for i in range(6)]          # up
+        rows += [(10 + i, 2, i, 'a', float(10 - i)) for i in range(6)]
+        rows += [(20 + i, 3, i, 'a', 5.0) for i in range(6)]   # constant
+        rows += [(30, 4, 0, 'a', 1.0)]                   # n < 5: dropped
+        sf = _write_events(tmp_path, rows)
+        df = q_trend_events(sf).to_pandas().set_index('user_id')
+        assert df.loc[1, 'rho'] == 1.0
+        assert df.loc[2, 'rho'] == -1.0
+        assert pd.isna(df.loc[3, 'rho'])        # zero variance
+        assert 4 not in df.index
+
+    def test_tied_ranks_average(self, ray_session, tmp_path):
+        # values 1,1,2,3,4 over time: scipy spearmanr gives 0.975
+        vals = [1.0, 1.0, 2.0, 3.0, 4.0]
+        rows = [(i, 1, i, 'a', v) for i, v in enumerate(vals)]
+        sf = _write_events(tmp_path, rows)
+        df = q_trend_events(sf).to_pandas()
+        # exact: R2=[3,3,6,8,10], T2=[2,4,6,8,10]
+        n, sx, sy = 5, 30, 30
+        sxx = 9 + 9 + 36 + 64 + 100
+        syy = 4 + 16 + 36 + 64 + 100
+        sxy = 6 + 12 + 36 + 64 + 100
+        exp = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        assert df['rho'].iloc[0] == pytest.approx(exp, abs=1e-12)
+
+
+class TestQualityPercentile:
+    def test_min_rank_ties(self, ray_session, tmp_path):
+        lens = [10, 20, 20, 30, 40]
+        texts = ['x' * n for n in lens]
+        sf = TestBm25._write_docs(self, tmp_path, texts)
+        df = q_quality_percentile_docs(sf).to_pandas()
+        # percent_rank min-rank semantics: ties share (#smaller)/(n-1)
+        assert list(df['pr']) == [0.0, 0.25, 0.25, 0.75, 1.0]
+
+    def test_single_doc(self, ray_session, tmp_path):
+        sf = TestBm25._write_docs(self, tmp_path, ['abc'])
+        df = q_quality_percentile_docs(sf).to_pandas()
+        assert list(df['pr']) == [0.0]

@@ -7525,3 +7525,165 @@ ORACLE_SQL['q_gram_embeddings'] = """
     FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i ORDER BY i, j
 """
+
+
+def q_trend_events(sf_dir: str):
+    """Per-user monotonic-trend detection: Spearman rank correlation
+    between time order and value (robust trend statistic, >= 5 obs).
+    EXACT core: tie-averaged value ranks doubled to stay integer
+    (R2 = 2*rank_min + ties - 1), time ranks T2 = 2*row_number, and
+    the five Pearson sums are int64 — the only doubles are the final
+    division and an IEEE-exact sqrt, in the oracle's association
+    order. int64 bound: n^4 per user < 2e18 (n < ~3e4 events/user) —
+    shard longer histories first. ONE per-user exchange; rank
+    assignment is a segment-vectorized argsort per bucket."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts', 'value'))
+    out_schema = pa.schema([('user_id', pa.int64()), ('n', pa.int64()),
+                            ('rho', pa.float64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v6 = _fixed6(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gs = np.maximum.accumulate(np.where(starts, np.arange(m), 0))
+        pos = np.arange(m) - gs
+        t2 = 2 * (pos + 1)
+        # tie-averaged value ranks within user, doubled: sort by
+        # (user, v6), find equal-runs, rank_min = run start - user
+        # start + 1
+        order = np.lexsort((v6, users))
+        su, sv = users[order], v6[order]
+        sgs = np.maximum.accumulate(
+            np.where(np.r_[True, su[1:] != su[:-1]], np.arange(m), 0))
+        new_run = np.r_[True, (sv[1:] != sv[:-1]) | (su[1:] != su[:-1])]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(m), 0))
+        run_idx = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(run_idx, m))
+        cnt = np.repeat(run_len, run_len)
+        r2_sorted = 2 * (run_start - sgs + 1) + cnt - 1
+        r2 = np.empty(m, dtype=np.int64)
+        r2[order] = r2_sorted
+        # five exact sums per user
+        ustart = np.nonzero(starts)[0]
+        n = np.diff(np.append(ustart, m)).astype(np.int64)
+        sx = np.add.reduceat(r2, ustart)
+        sy = np.add.reduceat(t2, ustart)
+        sxx = np.add.reduceat(r2 * r2, ustart)
+        syy = np.add.reduceat(t2 * t2, ustart)
+        sxy = np.add.reduceat(r2 * t2, ustart)
+        keep = n >= 5
+        n, sx, sy = n[keep], sx[keep], sy[keep]
+        sxx, syy, sxy = sxx[keep], syy[keep], sxy[keep]
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        ok = (d1 > 0) & (d2 > 0)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            rho = num.astype(np.float64) \
+                / np.sqrt(d1.astype(np.float64) * d2.astype(np.float64))
+        return pa.table({
+            'user_id': pa.array(users[ustart][keep]),
+            'n': pa.array(n),
+            'rho': pa.array(rho, mask=~ok),
+        }, schema=out_schema)
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_trend_events'] = q_trend_events
+ORACLE_SQL['q_trend_events'] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    r AS (
+      SELECT user_id,
+             cast(2 * row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                  AS BIGINT) AS t2,
+             cast(2 * rank() OVER (PARTITION BY user_id ORDER BY v6)
+                  + count(*) OVER (PARTITION BY user_id, v6) - 1
+                  AS BIGINT) AS r2
+      FROM e),
+    s AS (
+      SELECT user_id, cast(count(*) AS BIGINT) AS n,
+             cast(sum(r2) AS BIGINT) AS sx,
+             cast(sum(t2) AS BIGINT) AS sy,
+             cast(sum(r2 * r2) AS BIGINT) AS sxx,
+             cast(sum(t2 * t2) AS BIGINT) AS syy,
+             cast(sum(r2 * t2) AS BIGINT) AS sxy
+      FROM r GROUP BY user_id HAVING count(*) >= 5)
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN cast(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(cast(n * sxx - sx * sx AS DOUBLE)
+                            * cast(n * syy - sy * sy AS DOUBLE))
+           END AS rho
+    FROM s ORDER BY user_id
+"""
+
+
+def q_quality_percentile_docs(sf_dir: str):
+    """GLOBAL percent_rank of every document by length — without a
+    global sort. The corpus ranks through a VALUE CENSUS: one bounded
+    aggregation counts docs per distinct n_chars, the cumulative
+    census broadcasts (cardinality = distinct lengths, not docs), and
+    each doc's percentile is exact integer arithmetic
+    (#strictly-smaller / (N-1)) applied per batch. The 100-TB story:
+    a census + broadcast replaces the all-to-all sort that
+    percent_rank() OVER () implies. Min-rank tie semantics match SQL
+    percent_rank exactly."""
+    import ray as _ray
+    from ..stages.aggregate import pre_aggregate as _pre
+    ds = _read(sf_dir, 'documents', ['doc_id', 'n_chars'],
+               require=('n_chars',))
+    census = _small_df(_pre(
+        ds.map_batches(
+            lambda t: pa.table({
+                'n_chars': t.column('n_chars'),
+                '_one': pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['n_chars'], {'c': ('_one', 'sum')}), ['n_chars', 'c'])
+    out_schema = pa.schema([('doc_id', pa.int64()),
+                            ('n_chars', pa.int64()),
+                            ('pr', pa.float64())])
+    if len(census) == 0:
+        return out_schema.empty_table().to_pandas()
+    census = census.sort_values('n_chars')
+    vals = census['n_chars'].to_numpy(dtype=np.int64)
+    cnts = census['c'].to_numpy(dtype=np.int64)
+    smaller = np.cumsum(cnts) - cnts          # docs strictly below val
+    total = int(cnts.sum())
+    ref = _ray.put((vals, smaller))
+
+    def pr(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        v, sm = _ray.get(ref)
+        nc = tbl.column('n_chars').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        below = sm[np.searchsorted(v, nc)]
+        p = below.astype(np.float64) / (total - 1) if total > 1 \
+            else np.zeros(len(nc))
+        return pa.table({
+            'doc_id': pc.cast(tbl.column('doc_id'), pa.int64()),
+            'n_chars': pa.array(nc),
+            'pr': pa.array(p),
+        }, schema=out_schema)
+
+    return ds.map_batches(pr, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
+QUERIES['q_quality_percentile_docs'] = q_quality_percentile_docs
+ORACLE_SQL['q_quality_percentile_docs'] = """
+    SELECT doc_id, n_chars,
+           percent_rank() OVER (ORDER BY n_chars) AS pr
+    FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id
+"""
