@@ -12,13 +12,14 @@ import pyarrow.parquet as pq
 import pytest
 
 from trafaret_ray.pipelines.queries import (
-    _pareto_keep, q_ab_test_events, q_attribution_events, q_bm25_docs,
+    _pareto_keep, q_ab_test_events, q_assoc_rules_events,
+    q_attribution_events, q_bm25_docs,
     q_burst_events, q_groupkfold_events, q_histogram_events,
     q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_quality_percentile_docs,
     q_rolling_median_events, q_scd2_events, q_transitions_events,
-    q_trend_events)
+    q_trend_events, q_twa_events)
 
 
 TS0 = pd.Timestamp('2024-01-01')
@@ -512,3 +513,47 @@ class TestQualityPercentile:
         sf = TestBm25._write_docs(self, tmp_path, ['abc'])
         df = q_quality_percentile_docs(sf).to_pandas()
         assert list(df['pr']) == [0.0]
+
+
+class TestTwa:
+    def test_trapezoid_exact(self, ray_session, tmp_path):
+        # v: 0 for 10 min then 10 for 30 min
+        rows = [(0, 1, 0, 'a', 0.0), (1, 1, 10, 'a', 10.0),
+                (2, 1, 40, 'a', 10.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_twa_events(sf).to_pandas()
+        # trapezoid: (0+10)/2 * 10 + (10+10)/2 * 30 = 50+300 over 40
+        assert df['twa'].iloc[0] == pytest.approx(350 / 40, abs=1e-9)
+        assert df['n_intervals'].iloc[0] == 2
+
+    def test_zero_span_is_null(self, ray_session, tmp_path):
+        rows = [(0, 1, 0, 'a', 1.0), (1, 1, 0, 'a', 9.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_twa_events(sf).to_pandas()
+        assert pd.isna(df['twa'].iloc[0])
+
+    def test_single_event_user_absent(self, ray_session, tmp_path):
+        rows = [(0, 1, 0, 'a', 1.0)]
+        sf = _write_events(tmp_path, rows)
+        assert len(q_twa_events(sf).to_pandas()) == 0
+
+
+class TestAssocRules:
+    def test_support_confidence_lift(self, ray_session, tmp_path):
+        # baskets: u1={a,b}, u2={a,b}, u3={a}, u4={b,c}
+        rows = [(0, 1, 0, 'a'), (1, 1, 1, 'b'),
+                (2, 2, 0, 'a'), (3, 2, 1, 'b'),
+                (4, 3, 0, 'a'),
+                (5, 4, 0, 'b'), (6, 4, 1, 'c')]
+        sf = _write_events(tmp_path, rows)
+        df = q_assoc_rules_events(sf).set_index(['a', 'b'])
+        # N=4, n_a=3, n_b=3, n_ab=2
+        assert df.loc[('a', 'b'), 'n_ab'] == 2
+        assert df.loc[('a', 'b'), 'support'] == 0.5
+        assert df.loc[('a', 'b'), 'confidence'] == pytest.approx(2 / 3)
+        assert df.loc[('a', 'b'), 'lift'] == pytest.approx(
+            (2 / 3) / (3 / 4))
+        # asymmetry: b -> a has same n_ab, different confidence base
+        assert df.loc[('b', 'a'), 'confidence'] == pytest.approx(2 / 3)
+        assert df.loc[('b', 'c'), 'confidence'] == pytest.approx(1 / 3)
+        assert ('a', 'c') not in df.index

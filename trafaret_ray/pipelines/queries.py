@@ -7687,3 +7687,185 @@ ORACLE_SQL['q_quality_percentile_docs'] = """
            percent_rank() OVER (ORDER BY n_chars) AS pr
     FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id
 """
+
+
+def q_twa_events(sf_dir: str):
+    """Time-weighted average of value per user — trapezoidal
+    integration over the irregular event series (the monitoring/
+    finance statistic a plain mean gets wrong when sampling is
+    uneven). EXACT core: fixed-point 1e2 values x microsecond gaps
+    stay int64 because sum(v*dt) <= vmax * total_span (bounded by the
+    time span, not the event count; bound vmax*span_days < 5e8
+    documented); only the final division is a double in the oracle's
+    association order. Users need >= 2 events and a positive span.
+    ONE per-user exchange, segmented reduceats."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts', 'value'))
+    out_schema = pa.schema([('user_id', pa.int64()),
+                            ('n_intervals', pa.int64()),
+                            ('twa', pa.float64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        v2 = _fixed2(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # pair i -> i+1 within user
+        pair = np.zeros(m, dtype=bool)
+        pair[:-1] = ~starts[1:]
+        pi = np.nonzero(pair)[0]
+        dt = ts_us[pi + 1] - ts_us[pi]
+        term = (v2[pi] + v2[pi + 1]) * dt
+        # per-user rollup (users are contiguous)
+        pu = users[pi]
+        new = np.r_[True, pu[1:] != pu[:-1]] if len(pu) else \
+            np.empty(0, dtype=bool)
+        gi = np.nonzero(new)[0]
+        if len(gi) == 0:
+            return out_schema.empty_table()
+        st = np.add.reduceat(term, gi)
+        sd = np.add.reduceat(dt, gi)
+        nn = np.diff(np.append(gi, len(pu))).astype(np.int64)
+        ok = sd > 0
+        with np.errstate(invalid='ignore', divide='ignore'):
+            twa = st.astype(np.float64) / (2 * sd) / 1e2
+        return pa.table({
+            'user_id': pa.array(pu[gi]),
+            'n_intervals': pa.array(nn),
+            'twa': pa.array(twa, mask=~ok),
+        }, schema=out_schema)
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_twa_events'] = q_twa_events
+ORACLE_SQL['q_twa_events'] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+             cast(floor(value * 1e2 + 0.5) AS BIGINT) AS v2
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    p AS (
+      SELECT user_id, v2, tus,
+             lead(v2) OVER w AS v2n, lead(tus) OVER w AS tusn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id,
+             cast(sum((v2 + v2n) * (tusn - tus)) AS BIGINT) AS st,
+             cast(sum(tusn - tus) AS BIGINT) AS sd,
+             count(*) AS n_intervals
+      FROM p WHERE tusn IS NOT NULL GROUP BY user_id)
+    SELECT user_id, cast(n_intervals AS BIGINT) AS n_intervals,
+           CASE WHEN sd > 0
+                THEN cast(st AS DOUBLE) / (2 * sd) / 1e2 END AS twa
+    FROM s ORDER BY user_id
+"""
+
+
+def q_assoc_rules_events(sf_dir: str):
+    """Association rules over per-user event-type baskets: for every
+    ORDERED pair a -> b, support n_ab/N, confidence n_ab/n_a and lift
+    conf/(n_b/N) — market-basket mining with exact distinct-cooccurrence
+    counts. The basket dedup and the in-bucket ordered-pair expansion
+    are the same bounded shapes as item co-occurrence (cost sum_u k_u^2
+    with k_u <= item vocab); singles census broadcasts; the final rule
+    table is vocab^2-bounded. NULL items excluded on both engines."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.conversations import bucket_exchange
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'],
+               require=('event_type',))
+    baskets = bucket_aggregate(
+        ds.map_batches(
+            lambda t: pa.table({'user_id': t.column('user_id'),
+                                't': t.column('event_type')}),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['user_id', 't'], {'_n': ('t', 'count')},
+        num_buckets=16).materialize()
+    singles = _small_df(bucket_aggregate(
+        baskets, ['t'], {'c': ('t', 'count')}, num_buckets=4),
+        ['t', 'c'])
+    n_users = int(bucket_aggregate(
+        baskets, ['user_id'], {'_n': ('t', 'count')},
+        num_buckets=8).count())
+    pair_schema = pa.schema([('a', pa.string()), ('b', pa.string()),
+                             ('_one', pa.int64())])
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        t = tbl.sort_by([('user_id', 'ascending'), ('t', 'ascending')])
+        users = t.column('user_id').to_numpy(zero_copy_only=False)
+        new = np.ones(len(users), dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        gs = np.maximum.accumulate(
+            np.where(new, np.arange(len(users)), 0))
+        glen = np.diff(np.append(np.nonzero(new)[0], len(users)))
+        k = np.repeat(glen, glen)               # basket size per row
+        if len(k) == 0 or k.max() < 2:
+            return pair_schema.empty_table()
+        # ordered pairs: expand every (row, basket slot) then drop the
+        # self match — loop-free
+        i_all = np.repeat(np.arange(len(users)), k)
+        slot = np.arange(len(i_all)) - np.repeat(
+            np.cumsum(k) - k, k)                # 0..k-1 within each row
+        j_all = gs[i_all] + slot
+        keep = j_all != i_all
+        i, j = i_all[keep], j_all[keep]
+        ta = t.column('t').take(pa.array(i))
+        tb = t.column('t').take(pa.array(j))
+        return pa.table({'a': ta, 'b': tb,
+                         '_one': pa.array(np.ones(len(i),
+                                                  dtype=np.int64))},
+                        schema=pair_schema)
+
+    ab = _small_df(bucket_aggregate(
+        bucket_exchange(baskets, 'user_id', pairs, num_buckets=16),
+        ['a', 'b'], {'n_ab': ('_one', 'sum')}, num_buckets=8),
+        ['a', 'b', 'n_ab'])
+    out_cols = ['a', 'b', 'n_ab', 'support', 'confidence', 'lift']
+    if len(ab) == 0:
+        return pd.DataFrame({
+            'a': pd.Series(dtype=object), 'b': pd.Series(dtype=object),
+            'n_ab': pd.Series(dtype=np.int64),
+            'support': pd.Series(dtype=np.float64),
+            'confidence': pd.Series(dtype=np.float64),
+            'lift': pd.Series(dtype=np.float64)})
+    cmap = dict(zip(singles['t'], singles['c'].astype(np.int64)))
+    nab = ab['n_ab'].to_numpy(dtype=np.int64)
+    ca = np.array([cmap[x] for x in ab['a']], dtype=np.int64)
+    cb = np.array([cmap[x] for x in ab['b']], dtype=np.int64)
+    support = nab / n_users
+    conf = nab / ca
+    lift = (nab / ca) / (cb / n_users)
+    out = pd.DataFrame({'a': ab['a'].to_numpy(),
+                        'b': ab['b'].to_numpy(), 'n_ab': nab,
+                        'support': support, 'confidence': conf,
+                        'lift': lift})
+    return out[out_cols].sort_values(['a', 'b']).reset_index(drop=True)
+
+
+QUERIES['q_assoc_rules_events'] = q_assoc_rules_events
+ORACLE_SQL['q_assoc_rules_events'] = """
+    WITH e AS (SELECT DISTINCT user_id, event_type FROM events
+               WHERE event_type IS NOT NULL),
+    n AS (SELECT count(DISTINCT user_id) AS nn FROM e),
+    ia AS (SELECT event_type AS t, count(*) AS c FROM e
+           GROUP BY event_type),
+    ab AS (SELECT x.event_type AS a, y.event_type AS b,
+                  count(*) AS n_ab
+           FROM e x JOIN e y ON x.user_id = y.user_id
+                            AND x.event_type <> y.event_type
+           GROUP BY x.event_type, y.event_type)
+    SELECT a, b, n_ab,
+           cast(n_ab AS DOUBLE) / nn AS support,
+           cast(n_ab AS DOUBLE) / ca.c AS confidence,
+           (cast(n_ab AS DOUBLE) / ca.c)
+             / (cast(cb.c AS DOUBLE) / nn) AS lift
+    FROM ab JOIN ia ca ON ca.t = ab.a JOIN ia cb ON cb.t = ab.b
+    CROSS JOIN n ORDER BY a, b
+"""
