@@ -7360,16 +7360,15 @@ def q_item_cooc_events(sf_dir: str):
         gs = np.maximum.accumulate(
             np.where(new, np.arange(len(users)), 0))
         pos = np.arange(len(users)) - gs        # position within user
-        # all (i, j) with same user, pos_i < pos_j: for each j, pair
-        # with every earlier row of the segment (j - gs[j] partners)
+        # all (i, j) with same user, pos_i < pos_j: each row j pairs
+        # with the pos_j earlier rows of its segment — loop-free via
+        # the slot trick (offset within the expansion of each j)
         rep = pos                                # partners per row j
-        j = np.repeat(np.arange(len(users)), rep)
-        # i = segment start + 0..pos_j-1
-        i = np.concatenate([np.arange(s, s + k) for s, k
-                            in zip(gs, rep) if k]) \
-            if rep.sum() else np.empty(0, dtype=np.int64)
-        if len(j) == 0:
+        if rep.sum() == 0:
             return pair_schema.empty_table()
+        j = np.repeat(np.arange(len(users)), rep)
+        slot = np.arange(len(j)) - np.repeat(np.cumsum(rep) - rep, rep)
+        i = gs[j] + slot                         # segment start + 0..
         ta = t.column('t').take(pa.array(i))
         tb = t.column('t').take(pa.array(j))
         return pa.table({'a': ta, 'b': tb,
