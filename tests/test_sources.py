@@ -80,3 +80,63 @@ class TestReadParquetEvolved:
         ok = tagged.map_batches(drop_quarantine,
                                 batch_format='pyarrow').to_pandas()
         assert sorted(ok['doc_id'].tolist()) == [1, 2, 3]
+
+
+class TestFormatMatrix:
+    """Every non-parquet ingest format through the same contract gate."""
+
+    CONTRACT_KW = dict(event_id=None, name=None, score=None)
+
+    def _contract(self):
+        import trafaret_ray.contracts as t
+        return t.Dict(event_id=t.Int(gte=0), name=t.String(),
+                      score=t.ToFloat())
+
+    def test_csv_through_gate(self, ray_session, tmp_path):
+        from trafaret_ray.contracts import (drop_quarantine,
+                                            only_quarantine)
+        from trafaret_ray.sources.readers import read_validated
+        p = tmp_path / 'rows.csv'
+        p.write_text('event_id,name,score\n'
+                     '1,alpha,2.5\n'
+                     '-4,beta,1.0\n'       # violates gte=0
+                     '7,gamma,0.25\n')
+        tagged = read_validated(str(p), self._contract(), format='csv')
+        ok = tagged.map_batches(drop_quarantine,
+                                batch_format='pyarrow').to_pandas()
+        bad = tagged.map_batches(only_quarantine,
+                                 batch_format='pyarrow').to_pandas()
+        assert sorted(ok['event_id']) == [1, 7]
+        assert len(bad) == 1 and bad['event_id'].iloc[0] == -4
+        assert 'value is less than' in bad['_errors'].iloc[0]
+
+    def test_jsonl_through_gate(self, ray_session, tmp_path):
+        from trafaret_ray.contracts import drop_quarantine
+        from trafaret_ray.sources.readers import read_validated
+        p = tmp_path / 'rows.json'
+        p.write_text('{"event_id": 3, "name": "x", "score": "4.5"}\n'
+                     '{"event_id": 9, "name": "y", "score": "0.5"}\n')
+        tagged = read_validated(str(p), self._contract(), format='json')
+        ok = tagged.map_batches(drop_quarantine,
+                                batch_format='pyarrow').to_pandas()
+        # ToFloat coerced the string scores
+        assert sorted(ok['score']) == [0.5, 4.5]
+
+    def test_text_and_binary(self, ray_session, tmp_path):
+        from trafaret_ray.sources.readers import read_binary, read_text
+        p = tmp_path / 'doc.txt'
+        p.write_text('line one\nline two\n')
+        lines = read_text(str(p)).to_pandas()
+        assert list(lines['text']) == ['line one', 'line two']
+        blob = read_binary(str(p)).to_pandas()
+        assert len(blob) == 1
+        assert bytes(blob['bytes'].iloc[0]) == b'line one\nline two\n'
+        assert blob['path'].iloc[0].endswith('doc.txt')
+
+    def test_csv_column_projection(self, ray_session, tmp_path):
+        from trafaret_ray.sources.readers import read_csv
+        p = tmp_path / 'rows.csv'
+        p.write_text('a,b,c\n1,2,3\n4,5,6\n')
+        df = read_csv(str(p), columns=['a', 'c']).to_pandas()
+        assert list(df.columns) == ['a', 'c']
+        assert list(df['c']) == [3, 6]
