@@ -14,7 +14,8 @@ import pytest
 from trafaret_ray.pipelines.queries import (
     _pareto_keep, q_ab_test_events, q_assoc_rules_events,
     q_attribution_events, q_bm25_docs,
-    q_burst_events, q_groupkfold_events, q_histogram_events,
+    q_burst_events, q_golden_record_events, q_groupkfold_events,
+    q_histogram_events,
     q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_quality_percentile_docs,
@@ -557,3 +558,28 @@ class TestAssocRules:
         assert df.loc[('b', 'a'), 'confidence'] == pytest.approx(2 / 3)
         assert df.loc[('b', 'c'), 'confidence'] == pytest.approx(1 / 3)
         assert ('a', 'c') not in df.index
+
+
+class TestGoldenRecord:
+    def test_null_does_not_clobber(self, ray_session, tmp_path):
+        rows = [(0, 1, 0, 'view', 5.0),
+                (1, 1, 5, None, None),        # newest row, all nulls
+                (2, 2, 0, 'click', 2.0),
+                (3, 2, 5, 'buy', None)]
+        sf = _write_events(tmp_path, rows)
+        df = q_golden_record_events(sf).to_pandas().set_index('user_id')
+        # user 1: nulls in the newest row fall back to older values
+        assert df.loc[1, 'last_type'] == 'view'
+        assert df.loc[1, 'last_value'] == 5.0
+        assert df.loc[1, 'last_ts'] == TS0 + pd.Timedelta(minutes=5)
+        assert df.loc[1, 'n_events'] == 2
+        # user 2: newest type wins, value survives from older row
+        assert df.loc[2, 'last_type'] == 'buy'
+        assert df.loc[2, 'last_value'] == 2.0
+
+    def test_all_null_attribute_stays_null(self, ray_session, tmp_path):
+        rows = [(0, 1, 0, None, None)]
+        sf = _write_events(tmp_path, rows)
+        df = q_golden_record_events(sf).to_pandas()
+        assert pd.isna(df['last_type'].iloc[0])
+        assert pd.isna(df['last_value'].iloc[0])

@@ -7868,3 +7868,72 @@ ORACLE_SQL['q_assoc_rules_events'] = """
     FROM ab JOIN ia ca ON ca.t = ab.a JOIN ia cb ON cb.t = ab.b
     CROSS JOIN n ORDER BY a, b
 """
+
+
+def q_golden_record_events(sf_dir: str):
+    """Golden-record survivorship merge (MDM compaction): one row per
+    user carrying the LATEST NON-NULL value of each attribute — unlike
+    latest-wins compaction (q_latest_events), a null in the newest row
+    does not clobber an older observed value. Per-column forward-fill
+    + segment-end pick inside ONE per-user exchange; type-generic
+    (string/float/json alike — row picks, no arithmetic, so floats
+    stay byte-stable without fixed-point). NULL-ts rows have no
+    recency — excluded on both engines."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type', 'value', 'props'],
+               require=('ts',))
+    out_schema = pa.schema([
+        ('user_id', pa.int64()), ('last_type', pa.string()),
+        ('last_value', pa.float64()), ('last_props', pa.string()),
+        ('last_ts', pa.timestamp('us')), ('n_events', pa.int64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        ustart = np.nonzero(starts)[0]
+        ends = np.append(ustart[1:] - 1, m - 1)
+        ends_pa = pa.array(ends)
+        cols = {}
+        for src, out in (('event_type', 'last_type'),
+                         ('value', 'last_value'),
+                         ('props', 'last_props')):
+            filled = W.ffill_column(
+                tbl.column(src).combine_chunks(), starts)
+            cols[out] = filled.take(ends_pa)
+        n = np.diff(np.append(ustart, m)).astype(np.int64)
+        return pa.table({
+            'user_id': tbl.column('user_id').take(ends_pa),
+            'last_type': cols['last_type'],
+            'last_value': pc.cast(cols['last_value'], pa.float64()),
+            'last_props': cols['last_props'],
+            'last_ts': tbl.column('ts').take(ends_pa)
+                .cast(pa.timestamp('us')),
+            'n_events': pa.array(n),
+        }, schema=out_schema)
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_golden_record_events'] = q_golden_record_events
+ORACLE_SQL['q_golden_record_events'] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type, value, props
+      FROM events WHERE ts IS NOT NULL),
+    w AS (
+      SELECT user_id,
+             last_value(event_type IGNORE NULLS) OVER wf AS last_type,
+             last_value(value IGNORE NULLS) OVER wf AS last_value,
+             last_value(props IGNORE NULLS) OVER wf AS last_props,
+             max(ts) OVER (PARTITION BY user_id) AS last_ts,
+             count(*) OVER (PARTITION BY user_id) AS n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING))
+    SELECT user_id, last_type, last_value, last_props, last_ts,
+           cast(n_events AS BIGINT) AS n_events
+    FROM w WHERE rn = 1 ORDER BY user_id
+"""
