@@ -19,8 +19,8 @@ from trafaret_ray.pipelines.queries import (
     q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_quality_percentile_docs,
-    q_rolling_median_events, q_scd2_events, q_transitions_events,
-    q_trend_events, q_twa_events)
+    q_rolling_median_events, q_scd2_events, q_survival_users,
+    q_transitions_events, q_trend_events, q_twa_events)
 
 
 TS0 = pd.Timestamp('2024-01-01')
@@ -583,3 +583,46 @@ class TestGoldenRecord:
         df = q_golden_record_events(sf).to_pandas()
         assert pd.isna(df['last_type'].iloc[0])
         assert pd.isna(df['last_value'].iloc[0])
+
+
+class TestSurvival:
+    def test_km_curve(self, ray_session, tmp_path):
+        # users 1-3 die (last events far from corpus max); user 4's
+        # last event IS the corpus max (gap 0 < 12h) -> censored
+        D = 24 * 60
+        rows = [(0, 1, 0, 'a'), (1, 1, D, 'a'),
+                (2, 2, 0, 'a'), (3, 2, D, 'a'),
+                (4, 3, 0, 'a'), (5, 3, 2 * D, 'a'),
+                (6, 4, 0, 'a'), (7, 4, 30 * D, 'a')]   # censored
+        sf = _write_events(tmp_path, rows)
+        df = q_survival_users(sf)
+        df = df.set_index('t')
+        # t=1: n_risk 4, deaths 2 -> ln(1/2); t=2: n_risk 2, deaths 1
+        assert df.loc[1, 'n_risk'] == 4 and df.loc[1, 'deaths'] == 2
+        assert df.loc[2, 'n_risk'] == 2 and df.loc[2, 'deaths'] == 1
+        m = lambda p: math.floor(math.log(p) * 1e6 + 0.5)
+        assert df.loc[1, 'log_s'] == pytest.approx(m(0.5) / 1e6)
+        assert df.loc[2, 'log_s'] == pytest.approx(
+            (m(0.5) + m(0.5)) / 1e6)
+        assert 30 not in df.index          # censored-only time: no row
+
+    def test_terminal_zero_survival(self, ray_session, tmp_path):
+        # u3's lone far-future event sets the corpus max (censored at
+        # t=0); u1/u2 then both DIE at t=1 with n_risk=2 -> S hits
+        # exactly 0 -> log_s NULL at that step
+        D = 24 * 60
+        rows = [(0, 1, 0, 'a'), (1, 1, D, 'a'),
+                (2, 2, 0, 'a'), (3, 2, D, 'a'),
+                (4, 3, 40 * D, 'a')]
+        sf = _write_events(tmp_path, rows)
+        df = q_survival_users(sf).set_index('t')
+        assert df.loc[1, 'deaths'] == 2
+        assert df.loc[1, 'n_risk'] == 2
+        assert pd.isna(df.loc[1, 'log_s'])
+
+    def test_all_censored_is_empty(self, ray_session, tmp_path):
+        D = 24 * 60
+        rows = [(0, 1, 0, 'a'), (1, 1, D, 'a'),
+                (2, 2, 0, 'a'), (3, 2, D, 'a')]
+        sf = _write_events(tmp_path, rows)
+        assert len(q_survival_users(sf)) == 0

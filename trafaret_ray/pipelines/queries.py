@@ -7937,3 +7937,114 @@ ORACLE_SQL['q_golden_record_events'] = """
            cast(n_events AS BIGINT) AS n_events
     FROM w WHERE rn = 1 ORDER BY user_id
 """
+
+
+def q_survival_users(sf_dir: str):
+    """Kaplan-Meier survival curve of user lifetimes with right
+    censoring: lifetime = days between a user's first and last event;
+    users whose last event falls within 12 hours of the corpus's max
+    ts are CENSORED (still active), not deaths. Output per death-time:
+    at-risk count, deaths, censored, and the LOG survival estimate —
+    log S(t) = sum of micro-floored ln(1 - d/n) terms, an int64
+    cumulative sum, so the curve is byte-stable where a floating
+    product would reassociate (np.log's SIMD ulp is absorbed by the
+    micro-floor; CLAUDE.md). A terminal d == n step means S hits
+    exactly 0 — log_s goes NULL from there on both engines. Shape:
+    one per-user min/max aggregation + a day-census exchange; the
+    final scan is over distinct lifetime DAYS (bounded by the corpus
+    time span, not by users)."""
+    from ..stages.aggregate import bucket_aggregate
+    DAY_US = 86_400_000_000
+    CENSOR_US = 12 * 3_600_000_000
+    ds = _read(sf_dir, 'events', ['user_id', 'ts'], require=('ts',))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'tus': ts_us})
+
+    spans = bucket_aggregate(
+        ds.map_batches(prep, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['user_id'], {'f': ('tus', 'min'), 'l': ('tus', 'max')},
+        num_buckets=16).materialize()
+    out_schema = pa.schema([('t', pa.int64()), ('deaths', pa.int64()),
+                            ('cens', pa.int64()),
+                            ('n_risk', pa.int64()),
+                            ('log_s', pa.float64())])
+    mx = spans.max('l')
+    if mx is None:
+        return out_schema.empty_table().to_pandas()
+
+    def census(tbl: pa.Table) -> pa.Table:
+        f = tbl.column('f').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        l = tbl.column('l').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        t = (l - f) // DAY_US
+        cen = ((mx - l) < CENSOR_US).astype(np.int64)
+        return pa.table({'t': pa.array(t),
+                         'dd': pa.array(1 - cen), 'cc': pa.array(cen)})
+
+    cdf = _small_df(bucket_aggregate(
+        spans.map_batches(census, batch_format='pyarrow',
+                          zero_copy_batch=True),
+        ['t'], {'deaths': ('dd', 'sum'), 'cens': ('cc', 'sum')},
+        num_buckets=8), ['t', 'deaths', 'cens'])
+    cdf = cdf.sort_values('t')
+    t = cdf['t'].to_numpy(dtype=np.int64)
+    d = cdf['deaths'].to_numpy(dtype=np.int64)
+    c = cdf['cens'].to_numpy(dtype=np.int64)
+    total = int((d + c).sum())
+    gone = np.cumsum(d + c) - (d + c)
+    n_risk = total - gone
+    keep = d > 0
+    t, d, c, n_risk = t[keep], d[keep], c[keep], n_risk[keep]
+    if len(t) == 0:
+        return out_schema.empty_table().to_pandas()
+    frac = d.astype(np.float64) / n_risk
+    hm = np.where(d == n_risk, 0,
+                  np.floor(np.log(np.where(d == n_risk, 0.5,
+                                           1.0 - frac)) * 1e6 + 0.5))\
+        .astype(np.int64)
+    zero_seen = np.cumsum(d == n_risk) > 0
+    log_s = np.cumsum(hm).astype(np.float64) / 1e6
+    return pd.DataFrame({
+        't': t, 'deaths': d, 'cens': c, 'n_risk': n_risk,
+        'log_s': np.where(zero_seen, np.nan, log_s)})
+
+
+QUERIES['q_survival_users'] = q_survival_users
+ORACLE_SQL['q_survival_users'] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+               WHERE ts IS NOT NULL),
+    g AS (SELECT max(tus) AS mx FROM e),
+    u AS (SELECT user_id, min(tus) AS f, max(tus) AS l FROM e
+          GROUP BY user_id),
+    d AS (SELECT (l - f) // 86400000000 AS t,
+                 CASE WHEN mx - l < 43200000000 THEN 1 ELSE 0 END
+                   AS cen
+          FROM u CROSS JOIN g),
+    c AS (SELECT t, cast(sum(1 - cen) AS BIGINT) AS deaths,
+                 cast(sum(cen) AS BIGINT) AS cens
+          FROM d GROUP BY t),
+    r AS (SELECT t, deaths, cens,
+                 cast((SELECT count(*) FROM d)
+                      - coalesce(sum(deaths + cens) OVER
+                        (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM c),
+    h AS (SELECT t, deaths, cens, n_risk,
+                 CASE WHEN deaths = n_risk THEN cast(0 AS BIGINT)
+                      ELSE cast(floor(ln(1.0 - cast(deaths AS DOUBLE)
+                                         / n_risk) * 1e6 + 0.5)
+                                AS BIGINT) END AS hm,
+                 CASE WHEN deaths = n_risk THEN 1 ELSE 0 END AS z
+          FROM r WHERE deaths > 0)
+    SELECT t, deaths, cens, n_risk,
+           CASE WHEN max(z) OVER w = 1 THEN NULL
+                ELSE cast(sum(hm) OVER w AS DOUBLE) / 1e6 END AS log_s
+    FROM h WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ORDER BY t
+"""
