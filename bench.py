@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     'q_item_cooc_events', 'q_groupkfold_events', 'q_gram_embeddings',
     'q_trend_events', 'q_quality_percentile_docs', 'q_twa_events',
     'q_assoc_rules_events', 'q_golden_record_events',
-    'q_survival_users',
+    'q_survival_users', 'q_drawdown_events', 'q_wow_growth_events',
 ]
 
 

@@ -14,13 +14,14 @@ import pytest
 from trafaret_ray.pipelines.queries import (
     _pareto_keep, q_ab_test_events, q_assoc_rules_events,
     q_attribution_events, q_bm25_docs,
-    q_burst_events, q_golden_record_events, q_groupkfold_events,
-    q_histogram_events,
+    q_burst_events, q_drawdown_events, q_golden_record_events,
+    q_groupkfold_events, q_histogram_events,
     q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
     q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_quality_percentile_docs,
     q_rolling_median_events, q_scd2_events, q_survival_users,
-    q_transitions_events, q_trend_events, q_twa_events)
+    q_transitions_events, q_trend_events, q_twa_events,
+    q_wow_growth_events)
 
 
 TS0 = pd.Timestamp('2024-01-01')
@@ -626,3 +627,47 @@ class TestSurvival:
                 (2, 2, 0, 'a'), (3, 2, D, 'a')]
         sf = _write_events(tmp_path, rows)
         assert len(q_survival_users(sf)) == 0
+
+
+class TestDrawdown:
+    def test_peak_and_drawdown(self, ray_session, tmp_path):
+        # path 10 -> 30 -> 5 -> 20: peak 30, max drawdown 25
+        rows = [(0, 1, 0, 'a', 10.0), (1, 1, 1, 'a', 30.0),
+                (2, 1, 2, 'a', 5.0), (3, 1, 3, 'a', 20.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_drawdown_events(sf).to_pandas()
+        assert df['peak'].iloc[0] == 30.0
+        assert df['max_dd'].iloc[0] == 25.0
+
+    def test_monotone_rise_has_zero_dd(self, ray_session, tmp_path):
+        rows = [(i, 1, i, 'a', float(i)) for i in range(5)]
+        sf = _write_events(tmp_path, rows)
+        df = q_drawdown_events(sf).to_pandas()
+        assert df['max_dd'].iloc[0] == 0.0
+
+    def test_no_cross_user_leak(self, ray_session, tmp_path):
+        # user 1 peaks at 100; user 2's low values must not see it
+        rows = [(0, 1, 0, 'a', 100.0), (1, 2, 0, 'a', 1.0),
+                (2, 2, 1, 'a', 2.0)]
+        sf = _write_events(tmp_path, rows)
+        df = q_drawdown_events(sf).to_pandas().set_index('user_id')
+        assert df.loc[2, 'max_dd'] == 0.0
+        assert df.loc[2, 'peak'] == 2.0
+
+
+class TestWowGrowth:
+    def test_adjacent_weeks_only(self, ray_session, tmp_path):
+        W = 7 * 24 * 60
+        # type a: weeks 0 (2 events), 1 (3 events), 3 (1 event)
+        rows = [(0, 1, 1, 'a'), (1, 1, 2, 'a'),
+                (2, 1, W + 1, 'a'), (3, 1, W + 2, 'a'),
+                (4, 1, W + 3, 'a'),
+                (5, 1, 3 * W + 1, 'a')]
+        sf = _write_events(tmp_path, rows)
+        df = q_wow_growth_events(sf)
+        df = df.set_index('week')
+        w0 = df.index.min()
+        assert pd.isna(df.loc[w0, 'prev_n'])          # no prior week
+        assert df.loc[w0 + 1, 'prev_n'] == 2
+        assert df.loc[w0 + 1, 'growth'] == 0.5        # 2 -> 3
+        assert pd.isna(df.loc[w0 + 3, 'growth'])      # gap week

@@ -8048,3 +8048,135 @@ ORACLE_SQL['q_survival_users'] = """
     FROM h WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
     ORDER BY t
 """
+
+
+def q_drawdown_events(sf_dir: str):
+    """Maximum drawdown of value per user — the running-peak-minus-
+    current extremum (risk metric for any monotone-peak series).
+    ENTIRELY int64: fixed-point values, segmented cummax, max of the
+    gap — no float ever enters, so parity is unconditional. ONE
+    per-user exchange. Also reports the peak itself and n."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts', 'value'))
+    out_schema = pa.schema([('user_id', pa.int64()), ('n', pa.int64()),
+                            ('peak', pa.float64()),
+                            ('max_dd', pa.float64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v6 = _fixed6(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # segmented running max: offset each user's values so the
+        # global cummax can never leak across the boundary
+        ustart = np.nonzero(starts)[0]
+        seg_min = np.minimum.reduceat(v6, ustart)
+        base = np.repeat(seg_min, np.diff(np.append(ustart, m)))
+        shifted = v6 - base                       # >= 0 within user
+        gid = np.cumsum(starts) - 1
+        LIFT = np.int64(1) << 40                  # > any shifted value
+        cummax = np.maximum.accumulate(shifted + gid * LIFT) \
+            - gid * LIFT
+        dd = cummax - shifted                     # invariant to base
+        n = np.diff(np.append(ustart, m)).astype(np.int64)
+        max_dd = np.maximum.reduceat(dd, ustart)
+        peak = np.maximum.reduceat(v6, ustart)
+        return pa.table({
+            'user_id': pa.array(users[ustart]),
+            'n': pa.array(n),
+            'peak': pa.array(peak.astype(np.float64) / 1e6),
+            'max_dd': pa.array(max_dd.astype(np.float64) / 1e6),
+        }, schema=out_schema)
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_drawdown_events'] = q_drawdown_events
+ORACLE_SQL['q_drawdown_events'] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    r AS (
+      SELECT user_id, v6,
+             max(v6) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS peak6
+      FROM e)
+    SELECT user_id, count(*) AS n,
+           cast(max(peak6) AS DOUBLE) / 1e6 AS peak,
+           cast(max(peak6 - v6) AS DOUBLE) / 1e6 AS max_dd
+    FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_wow_growth_events(sf_dir: str):
+    """Week-over-week growth per event_type: weekly counts, previous
+    week's count, and the growth ratio — the period-over-period
+    reporting primitive. Counts are exact; growth is one micro-floored
+    division (NULL when there is no directly-preceding week). Weeks are
+    epoch-aligned 7-day buckets (pure int arithmetic, identical on
+    both engines). Low-cardinality pre_aggregate + a vocab-bounded
+    driver finish."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    WEEK_US = 7 * 86_400_000_000
+    ds = _read(sf_dir, 'events', ['event_type', 'ts'], require=('ts',))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            'event_type': tbl.column('event_type'),
+            'week': pa.array(ts_us // WEEK_US),
+            '_one': pa.array(np.ones(tbl.num_rows, dtype=np.int64))})
+
+    wk = _small_df(_pre(ds.map_batches(prep, batch_format='pyarrow',
+                                       zero_copy_batch=True),
+                        ['event_type', 'week'], {'n': ('_one', 'sum')}),
+                   ['event_type', 'week', 'n'])
+    if len(wk) == 0:
+        return pd.DataFrame({
+            'event_type': pd.Series(dtype=object),
+            'week': pd.Series(dtype=np.int64),
+            'n': pd.Series(dtype=np.int64),
+            'prev_n': pd.Series(dtype='Int64'),
+            'growth': pd.Series(dtype=np.float64)})
+    wk = wk.sort_values(['event_type', 'week'],
+                        na_position='last').reset_index(drop=True)
+    et = wk['event_type']
+    same = et.eq(et.shift()) | (et.isna() & et.shift().isna())
+    adjacent = same & (wk['week'] == wk['week'].shift() + 1)
+    prev = wk['n'].shift().where(adjacent)
+    n = wk['n'].to_numpy(dtype=np.int64)
+    pv = prev.to_numpy(dtype=np.float64)          # NaN where absent
+    with np.errstate(invalid='ignore', divide='ignore'):
+        growth = np.floor((n - pv) / pv * 1e6 + 0.5) / 1e6
+    out = pd.DataFrame({
+        'event_type': et.to_numpy(),
+        'week': wk['week'].to_numpy(dtype=np.int64),
+        'n': n,
+        'prev_n': prev.astype('Int64'),
+        'growth': growth})
+    return out
+
+
+QUERIES['q_wow_growth_events'] = q_wow_growth_events
+ORACLE_SQL['q_wow_growth_events'] = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 604800000000 AS week
+      FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT event_type, week, count(*) AS n FROM e
+          GROUP BY event_type, week),
+    l AS (
+      SELECT event_type, week, n,
+             CASE WHEN lag(week) OVER w = week - 1
+                  THEN lag(n) OVER w END AS prev_n
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY week))
+    SELECT event_type, week, n, prev_n,
+           floor((n - cast(prev_n AS DOUBLE)) / prev_n * 1e6 + 0.5)
+             / 1e6 AS growth
+    FROM l ORDER BY event_type NULLS LAST, week
+"""
