@@ -671,3 +671,22 @@ class TestWowGrowth:
         assert df.loc[w0 + 1, 'prev_n'] == 2
         assert df.loc[w0 + 1, 'growth'] == 0.5        # 2 -> 3
         assert pd.isna(df.loc[w0 + 3, 'growth'])      # gap week
+
+
+class TestLmScoreNulTokens:
+    def test_nul_inside_tokens_does_not_collide(self, ray_session,
+                                                tmp_path):
+        # pairs ('x\x00y','z') and ('x','y\x00z') would encode the
+        # same delimiter-joined composite; the numeric pair-code
+        # lookup must keep them distinct (engine-only hazard — DuckDB
+        # VARCHAR cannot hold NUL, so no oracle covers this)
+        docs = ['x\x00y z', 'x\x00y z', 'x\x00y z', 'x y\x00z']
+        sf = TestBm25._write_docs(self, tmp_path, docs)
+        df = q_lm_score_docs(sf).to_pandas().set_index('doc_id')
+        # ctx 'x\x00y': 3 bigrams all ('x\x00y','z') -> nll 0
+        m = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)
+        assert df.loc[0, 'nll'] == 0.0
+        # ctx 'x': 1 bigram ('x','y\x00z') -> its own count, nll 0,
+        # NOT 'x\x00y z's count of 3
+        assert df.loc[3, 'nll'] == 0.0
+        assert df.loc[3, 'n_bigrams'] == 1

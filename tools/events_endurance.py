@@ -36,7 +36,8 @@ def generate(path: str, n_rows: int, n_users: int | None = None,
             ('value', pa.float64()), ('props', pa.string())])) as w:
         for lo in range(0, n_rows, chunk):
             n = min(chunk, n_rows - lo)
-            # Zipf-skewed users: the head user owns ~5% of all events
+            # Zipf-skewed users: the zipf(1.2) head user owns ~18%
+            # of all events (1/zeta(1.2)) — the hot-entity stressor
             users = np.minimum(rng.zipf(1.2, size=n) - 1, n_users - 1)
             ts = t0 + rng.integers(0, span, size=n)
             w.write_table(pa.table({

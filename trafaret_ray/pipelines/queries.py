@@ -3052,7 +3052,7 @@ def q_token_rarity_docs(sf_dir: str):
         return pa.table({'tok': words.flatten()})
 
     vocab = bucket_aggregate(
-        ds.map_batches(explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['tok'], {'cnt': ('tok', 'count')})
     vocab = _small_df(vocab, ['tok', 'cnt'])
@@ -4097,7 +4097,7 @@ def q_heavy_hitter_tokens(sf_dir: str):
         words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
         return pa.table({'tok': words.flatten()})
 
-    toks = ds.map_batches(explode, batch_format='pyarrow',
+    toks = ds.map_batches(_tok_explode, batch_format='pyarrow',
                           zero_copy_batch=True)
     return heavy_hitters(toks, 'tok', k=20, expansion=16)
 
@@ -4380,17 +4380,8 @@ def q_tfidf_docs(sf_dir: str):
     n_docs = _nonnull_count(sf_dir, 'documents', 'text')
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
-    def explode(tbl: pa.Table) -> pa.Table:
-        words = pc.split_pattern(
-            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
-        wc = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
-        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
-                         'tok': words.flatten()})
-
     tf = bucket_aggregate(
-        ds.map_batches(explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['doc_id', 'tok'], {'tf': ('tok', 'count')},
         num_buckets=16).materialize()
@@ -5833,7 +5824,7 @@ def q_novelty_docs(sf_dir: str):
         return pa.table({'k': pa.array(k, pa.int64()),
                          'doc': pa.array(np.repeat(docs, lens))})
 
-    exploded = ds.map_batches(explode, batch_format='pyarrow',
+    exploded = ds.map_batches(_tok_explode, batch_format='pyarrow',
                               zero_copy_batch=True)
     firsts = bucket_aggregate(exploded, ['k'],
                               {'first_doc': ('doc', 'min')},
@@ -5937,7 +5928,7 @@ def q_cms_token_counts(sf_dir: str):
         words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
         return pa.table({'tok': words.flatten()})
 
-    toks = ds.map_batches(explode, batch_format='pyarrow',
+    toks = ds.map_batches(_tok_explode, batch_format='pyarrow',
                           zero_copy_batch=True).materialize()
     top = _small_df(heavy_hitters(toks, 'tok', k=20, expansion=16),
                     ['tok', 'n'])
@@ -6182,7 +6173,13 @@ def q_transitions_events(sf_dir: str):
     tot = dfp.groupby('src', dropna=False)['n'].transform('sum')\
         .to_numpy(dtype=np.int64)
     p = np.floor(nv.astype(np.float64) / tot * 1e6 + 0.5) / 1e6
-    hm = np.floor((-p * np.log(p)) * 1e6 + 0.5).astype(np.int64)
+    # p micro-floors to exactly 0 when a pair's share is < 5e-7 —
+    # its entropy contribution limits to 0, so pin it there (-0*ln(0)
+    # is NaN and would poison the whole src group on both engines)
+    safe = np.where(p > 0, p, 1.0)
+    hm = np.where(p > 0,
+                  np.floor((-safe * np.log(safe)) * 1e6 + 0.5),
+                  0.0).astype(np.int64)
     dfp = dfp.assign(p=p, __hm=hm)
     ent = dfp.groupby('src', dropna=False)['__hm'].transform('sum')\
         .to_numpy(dtype=np.int64)
@@ -6214,7 +6211,9 @@ ORACLE_SQL['q_transitions_events'] = """
       FROM t),
     h AS (
       SELECT src, dst, n, p,
-             cast(floor((-p * ln(p)) * 1e6 + 0.5) AS BIGINT) AS hm
+             CASE WHEN p > 0
+                  THEN cast(floor((-p * ln(p)) * 1e6 + 0.5) AS BIGINT)
+                  ELSE 0 END AS hm
       FROM sc)
     SELECT src, dst, n, p,
            cast(sum(hm) OVER (PARTITION BY src) AS DOUBLE) / 1e6
@@ -6235,7 +6234,7 @@ def q_bm25_docs(sf_dir: str):
     oracle then floored to micro-units, and per-doc totals are int
     sums — order-independent on both engines."""
     import ray as _ray
-    from ..stages.aggregate import bucket_aggregate
+    from ..stages.aggregate import bucket_aggregate, global_topk
     from ..stages.conversations import bucket_exchange
     K1, B, N_TERMS = 1.5, 0.75, 8
     out_schema = pa.schema([('doc_id', pa.int64()),
@@ -6246,17 +6245,8 @@ def q_bm25_docs(sf_dir: str):
         return out_schema.empty_table().to_pandas()
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
-    def explode(tbl: pa.Table) -> pa.Table:
-        words = pc.split_pattern(
-            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
-        wc = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
-        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
-                         'tok': words.flatten()})
-
     tf = bucket_aggregate(
-        ds.map_batches(explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['doc_id', 'tok'], {'tf': ('tok', 'count')},
         num_buckets=16).materialize()
@@ -6265,11 +6255,14 @@ def q_bm25_docs(sf_dir: str):
     if tot_tokens == 0:
         return out_schema.empty_table().to_pandas()
     # query terms: top-df tokens, ties broken by token asc (identical
-    # deterministic pick in the oracle's ORDER BY df DESC, tok LIMIT)
-    dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
-                                     num_buckets=4), ['tok', 'df'])
-    dfp = dfp.sort_values(['df', 'tok'], ascending=[False, True])\
-        .head(N_TERMS)
+    # deterministic pick in the oracle's ORDER BY df DESC, tok LIMIT).
+    # global_topk local-prunes per block — only per-block top-8
+    # candidates reach the driver, never the heavy-tailed vocabulary
+    dfp = _small_df(global_topk(
+        bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                         num_buckets=4),
+        [('df', 'descending'), ('tok', 'ascending')], N_TERMS),
+        ['tok', 'df'])
     ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
                     dfp['df'].to_numpy(dtype=np.int64)))
 
@@ -6663,6 +6656,19 @@ ORACLE_SQL['q_attribution_events'] = """
 """
 
 
+def _tok_explode(tbl: pa.Table) -> pa.Table:
+    """(doc_id, tok) rows from whitespace-split text — the shared
+    tokenizer of the tf/df corpus statistics (tfidf, bm25, keywords,
+    inverted index); one definition so split semantics cannot drift."""
+    words = pc.split_pattern(
+        pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+    wc = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+    return pa.table({'doc_id': tbl.column('doc_id').take(rep),
+                     'tok': words.flatten()})
+
+
 def _bigram_explode(tbl: pa.Table, with_doc: bool) -> pa.Table:
     """Adjacent token pairs per document, vectorized: flatten the
     split-token lists once, then (a, b) = (flat[:-1], flat[1:]) masked
@@ -6809,16 +6815,24 @@ def q_lm_score_docs(sf_dir: str):
         ai = pc.index_in(tbl.column('a'), value_set=ctx.column('a'))
         ctx_a = ctx.column('n_dab_sum_sum').take(ai).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        # n_ab lookup: index_in on a composite — encode pair position
-        abi = pc.index_in(
-            pc.binary_join_element_wise(
-                pc.cast(tbl.column('a'), pa.string()),
-                pc.cast(tbl.column('b'), pa.string()), '\x00'),
-            value_set=pc.binary_join_element_wise(
-                pc.cast(ab.column('a'), pa.string()),
-                pc.cast(ab.column('b'), pa.string()), '\x00'))
-        n_ab = ab.column('n_dab_sum').take(abi).to_numpy(
-            zero_copy_only=False).astype(np.float64)
+        # n_ab lookup by NUMERIC pair code — a delimiter-joined string
+        # composite is ambiguous when tokens contain the delimiter
+        # (e.g. NUL inside a whitespace-split token), silently scoring
+        # one pair with another's count
+        ub = pc.unique(ab.column('b'))
+        k = len(ub)
+        a_row = ai.to_numpy(zero_copy_only=False).astype(np.int64)
+        b_row = pc.index_in(tbl.column('b'), value_set=ub)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        a_ab = pc.index_in(ab.column('a'), value_set=ctx.column('a'))\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ab = pc.index_in(ab.column('b'), value_set=ub)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        key_ab = a_ab * k + b_ab
+        order = np.argsort(key_ab)
+        pos = np.searchsorted(key_ab[order], a_row * k + b_row)
+        n_ab = ab.column('n_dab_sum').to_numpy(zero_copy_only=False)\
+            [order[pos]].astype(np.float64)
         n_dab = tbl.column('n_dab').to_numpy(
             zero_copy_only=False).astype(np.int64)
         micro = np.floor(-np.log(n_ab / ctx_a) * 1e6 + 0.5)\
@@ -6894,17 +6908,8 @@ def q_keywords_docs(sf_dir: str):
         return out_schema.empty_table().to_pandas()
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
-    def explode(tbl: pa.Table) -> pa.Table:
-        words = pc.split_pattern(
-            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
-        wc = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
-        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
-                         'tok': words.flatten()})
-
     tf = bucket_aggregate(
-        ds.map_batches(explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['doc_id', 'tok'], {'tf': ('tok', 'count')}, num_buckets=16)
     dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
@@ -7076,8 +7081,9 @@ def q_burst_events(sf_dir: str):
     ops-anomaly primitive. The entire test is INTEGER algebra on exact
     counts (cH > S and (cH-S)^2 > 9(QH - S^2) with H hours, S = sum c,
     Q = sum c^2), so no float threshold can flip between engines.
-    int64 bound: c*H must stay < ~3e9 (second-moment discipline) —
-    at larger scale downshift counts to a coarser unit first. One
+    int64 envelope: c^2 * H < 9e18 (Q*H is the widest product) — at
+    larger scale downshift counts to a coarser unit first; DuckDB's
+    BIGINT product errors loudly past it rather than wrapping. One
     low-cardinality pre_aggregate + one per-type bucket exchange."""
     from ..stages.aggregate import pre_aggregate as _pre
     from ..stages.conversations import bucket_exchange
@@ -7109,10 +7115,14 @@ def q_burst_events(sf_dir: str):
         # per-type H/S/Q over this bucket (types are bucket-local)
         key = pd.factorize(et.to_pandas(), use_na_sentinel=False)[0]
         ng = key.max() + 1
+        # exact int64 accumulation (np.bincount weights would round
+        # through float64 above 2^53, flipping boundary comparisons
+        # against the oracle's exact BIGINT sums)
         H = np.bincount(key, minlength=ng).astype(np.int64)
-        S = np.bincount(key, weights=c, minlength=ng).astype(np.int64)
-        Q = np.bincount(key, weights=c * c, minlength=ng)\
-            .astype(np.int64)
+        S = np.zeros(ng, dtype=np.int64)
+        np.add.at(S, key, c)
+        Q = np.zeros(ng, dtype=np.int64)
+        np.add.at(Q, key, c * c)
         d = c * H[key] - S[key]
         keep = (d > 0) & (d * d > 9 * (Q[key] * H[key]
                                        - S[key] * S[key]))
@@ -7163,18 +7173,9 @@ def q_inverted_index_docs(sf_dir: str):
     out_schema = pa.schema([('tok', pa.string()), ('df', pa.int64()),
                             ('postings', pa.string())])
 
-    def explode(tbl: pa.Table) -> pa.Table:
-        words = pc.split_pattern(
-            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
-        wc = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
-        return pa.table({'doc_id': tbl.column('doc_id').take(rep),
-                         'tok': words.flatten()})
-
     # (doc, tok) dedup — posting lists hold DISTINCT docs
     dt = bucket_aggregate(
-        ds.map_batches(explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['doc_id', 'tok'], {'_n': ('tok', 'count')}, num_buckets=16)
 
@@ -7484,10 +7485,22 @@ def q_gram_embeddings(sf_dir: str):
 
     def partial(tbl: pa.Table) -> pa.Table:
         col = tbl.column('embedding').combine_chunks()
-        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)\
-            .astype(np.float64)
         n = len(col)
-        if n == 0 or len(flat) == 0:
+        if n == 0:
+            return out_schema.empty_table()
+        lens = pc.list_value_length(col)
+        if pc.min(lens).as_py() != pc.max(lens).as_py():
+            raise ValueError('q_gram_embeddings: ragged embedding '
+                             'lists — a silent reshape would shear '
+                             'every subsequent row')
+        flat_arr = pc.list_flatten(col)
+        if flat_arr.null_count:
+            raise ValueError('q_gram_embeddings: null elements inside '
+                             'embedding lists — NaN would poison the '
+                             'integer partials')
+        flat = flat_arr.to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        if len(flat) == 0:
             return out_schema.empty_table()
         d = len(flat) // n
         V = np.floor(flat * 1e4 + 0.5).reshape(n, d)
@@ -7533,9 +7546,11 @@ def q_trend_events(sf_dir: str):
     (R2 = 2*rank_min + ties - 1), time ranks T2 = 2*row_number, and
     the five Pearson sums are int64 — the only doubles are the final
     division and an IEEE-exact sqrt, in the oracle's association
-    order. int64 bound: n^4 per user < 2e18 (n < ~3e4 events/user) —
-    shard longer histories first. ONE per-user exchange; rank
-    assignment is a segment-vectorized argsort per bucket."""
+    order. int64 envelope: n*syy ~ (4/3)n^4, so users are capped at
+    n <= 30000 events ON BOTH ENGINES (1.1e18 < int64; the oracle's
+    HUGEINT would silently diverge past that) — shard or subsample
+    longer histories first. ONE per-user exchange; rank assignment is
+    a segment-vectorized argsort per bucket."""
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
                require=('ts', 'value'))
     out_schema = pa.schema([('user_id', pa.int64()), ('n', pa.int64()),
@@ -7576,7 +7591,7 @@ def q_trend_events(sf_dir: str):
         sxx = np.add.reduceat(r2 * r2, ustart)
         syy = np.add.reduceat(t2 * t2, ustart)
         sxy = np.add.reduceat(r2 * t2, ustart)
-        keep = n >= 5
+        keep = (n >= 5) & (n <= 30000)
         n, sx, sy = n[keep], sx[keep], sy[keep]
         sxx, syy, sxy = sxx[keep], syy[keep], sxy[keep]
         num = n * sxy - sx * sy
@@ -7617,7 +7632,8 @@ ORACLE_SQL['q_trend_events'] = """
              cast(sum(r2 * r2) AS BIGINT) AS sxx,
              cast(sum(t2 * t2) AS BIGINT) AS syy,
              cast(sum(r2 * t2) AS BIGINT) AS sxy
-      FROM r GROUP BY user_id HAVING count(*) >= 5)
+      FROM r GROUP BY user_id
+      HAVING count(*) >= 5 AND count(*) <= 30000)
     SELECT user_id, n,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                 THEN cast(n * sxy - sx * sy AS DOUBLE)
@@ -7692,11 +7708,12 @@ def q_twa_events(sf_dir: str):
     """Time-weighted average of value per user — trapezoidal
     integration over the irregular event series (the monitoring/
     finance statistic a plain mean gets wrong when sampling is
-    uneven). EXACT core: fixed-point 1e2 values x microsecond gaps
-    stay int64 because sum(v*dt) <= vmax * total_span (bounded by the
-    time span, not the event count; bound vmax*span_days < 5e8
-    documented); only the final division is a double in the oracle's
-    association order. Users need >= 2 events and a positive span.
+    uneven). EXACT core: fixed-point 1e2 values x MILLISECOND gaps
+    (quantized identically on both engines) stay int64 because
+    sum(v*dt) <= 2*vmax*1e2*total_span_ms — bounded by the per-user
+    time span, not the event count; int64 envelope
+    vmax*span_days < ~5e8. Only the final division is a double in
+    the oracle's association order. Users need >= 2 events and a positive span.
     ONE per-user exchange, segmented reduceats."""
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
                require=('ts', 'value'))
@@ -7719,7 +7736,7 @@ def q_twa_events(sf_dir: str):
         pair = np.zeros(m, dtype=bool)
         pair[:-1] = ~starts[1:]
         pi = np.nonzero(pair)[0]
-        dt = ts_us[pi + 1] - ts_us[pi]
+        dt = (ts_us[pi + 1] - ts_us[pi]) // 1000      # ms weights
         term = (v2[pi] + v2[pi + 1]) * dt
         # per-user rollup (users are contiguous)
         pu = users[pi]
@@ -7755,8 +7772,9 @@ ORACLE_SQL['q_twa_events'] = """
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id,
-             cast(sum((v2 + v2n) * (tusn - tus)) AS BIGINT) AS st,
-             cast(sum(tusn - tus) AS BIGINT) AS sd,
+             cast(sum((v2 + v2n) * ((tusn - tus) // 1000))
+                  AS BIGINT) AS st,
+             cast(sum((tusn - tus) // 1000) AS BIGINT) AS sd,
              count(*) AS n_intervals
       FROM p WHERE tusn IS NOT NULL GROUP BY user_id)
     SELECT user_id, cast(n_intervals AS BIGINT) AS n_intervals,
@@ -8070,17 +8088,15 @@ def q_drawdown_events(sf_dir: str):
             zero_copy_only=False)
         v6 = _fixed6(tbl.column('value')).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        # segmented running max: offset each user's values so the
-        # global cummax can never leak across the boundary
+        # segmented running max: pandas' cythonized groupby cummax —
+        # exact int64 at ANY value range (an offset/lift trick would
+        # silently leak across users once a user's value span nears
+        # the band width)
         ustart = np.nonzero(starts)[0]
-        seg_min = np.minimum.reduceat(v6, ustart)
-        base = np.repeat(seg_min, np.diff(np.append(ustart, m)))
-        shifted = v6 - base                       # >= 0 within user
         gid = np.cumsum(starts) - 1
-        LIFT = np.int64(1) << 40                  # > any shifted value
-        cummax = np.maximum.accumulate(shifted + gid * LIFT) \
-            - gid * LIFT
-        dd = cummax - shifted                     # invariant to base
+        cummax = pd.Series(v6).groupby(gid).cummax()\
+            .to_numpy(dtype=np.int64)
+        dd = cummax - v6
         n = np.diff(np.append(ustart, m)).astype(np.int64)
         max_dd = np.maximum.reduceat(dd, ustart)
         peak = np.maximum.reduceat(v6, ustart)
