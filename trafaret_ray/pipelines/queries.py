@@ -3052,7 +3052,7 @@ def q_token_rarity_docs(sf_dir: str):
         return pa.table({'tok': words.flatten()})
 
     vocab = bucket_aggregate(
-        ds.map_batches(_tok_explode, batch_format='pyarrow',
+        ds.map_batches(explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['tok'], {'cnt': ('tok', 'count')})
     vocab = _small_df(vocab, ['tok', 'cnt'])
@@ -4097,7 +4097,7 @@ def q_heavy_hitter_tokens(sf_dir: str):
         words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
         return pa.table({'tok': words.flatten()})
 
-    toks = ds.map_batches(_tok_explode, batch_format='pyarrow',
+    toks = ds.map_batches(explode, batch_format='pyarrow',
                           zero_copy_batch=True)
     return heavy_hitters(toks, 'tok', k=20, expansion=16)
 
@@ -5824,7 +5824,7 @@ def q_novelty_docs(sf_dir: str):
         return pa.table({'k': pa.array(k, pa.int64()),
                          'doc': pa.array(np.repeat(docs, lens))})
 
-    exploded = ds.map_batches(_tok_explode, batch_format='pyarrow',
+    exploded = ds.map_batches(explode, batch_format='pyarrow',
                               zero_copy_batch=True)
     firsts = bucket_aggregate(exploded, ['k'],
                               {'first_doc': ('doc', 'min')},
@@ -5928,7 +5928,7 @@ def q_cms_token_counts(sf_dir: str):
         words = pc.split_pattern(tbl.column('text').combine_chunks(), ' ')
         return pa.table({'tok': words.flatten()})
 
-    toks = ds.map_batches(_tok_explode, batch_format='pyarrow',
+    toks = ds.map_batches(explode, batch_format='pyarrow',
                           zero_copy_batch=True).materialize()
     top = _small_df(heavy_hitters(toks, 'tok', k=20, expansion=16),
                     ['tok', 'n'])
