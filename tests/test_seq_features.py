@@ -21,7 +21,7 @@ from trafaret_ray.pipelines.queries import (
     q_pmi_bigrams_docs, q_quality_percentile_docs,
     q_rolling_median_events, q_scd2_events, q_survival_users,
     q_transitions_events, q_trend_events, q_twa_events,
-    q_wow_growth_events)
+    q_wow_growth_events, q_xcorr_events)
 
 
 TS0 = pd.Timestamp('2024-01-01')
@@ -690,3 +690,31 @@ class TestLmScoreNulTokens:
         # NOT 'x\x00y z's count of 3
         assert df.loc[3, 'nll'] == 0.0
         assert df.loc[3, 'n_bigrams'] == 1
+
+
+class TestXcorr:
+    def test_planted_lead_lag(self, ray_session, tmp_path):
+        # purchases echo views ONE week later -> r peaks at lag 1
+        W = 7 * 24 * 60
+        rows, eid = [], 0
+        views = [5, 1, 8, 2, 9, 3]
+        for w, k in enumerate(views):
+            for _ in range(k):
+                rows.append((eid, 1, w * W + 1, 'view')); eid += 1
+        for w, k in enumerate(views[:-1]):       # echoed at w+1
+            for _ in range(k):
+                rows.append((eid, 1, (w + 1) * W + 2, 'purchase'))
+                eid += 1
+        sf = _write_events(tmp_path, rows)
+        df = q_xcorr_events(sf).set_index('lag')
+        assert df.loc[1, 'r'] == pytest.approx(1.0, abs=1e-9)
+        assert df.loc[0, 'r'] < 0.9
+        assert df.loc[1, 'n_weeks'] == 5      # 6 weeks, lag-1 pairs
+
+    def test_constant_series_is_null(self, ray_session, tmp_path):
+        W = 7 * 24 * 60
+        rows = [(w, 1, w * W + 1, 'view') for w in range(4)]
+        rows += [(10 + w, 1, w * W + 2, 'purchase') for w in range(4)]
+        sf = _write_events(tmp_path, rows)
+        df = q_xcorr_events(sf).set_index('lag')
+        assert pd.isna(df.loc[0, 'r'])           # zero variance

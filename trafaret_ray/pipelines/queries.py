@@ -8196,3 +8196,100 @@ ORACLE_SQL['q_wow_growth_events'] = """
              / 1e6 AS growth
     FROM l ORDER BY event_type NULLS LAST, week
 """
+
+
+def q_xcorr_events(sf_dir: str):
+    """Cross-correlation of two event-type time series: Pearson r
+    between weekly 'view' counts and weekly 'purchase' counts shifted
+    by lag 0..3 weeks — does engagement LEAD revenue? The weekly
+    census is calendar-bounded (one low-cardinality aggregation), the
+    series densify over the full [min_week, max_week] range with 0
+    fills on BOTH engines, and all Pearson sums are exact ints —
+    doubles only in the final division/sqrt, oracle association
+    order. Lag rows with degenerate variance report NULL r."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    WEEK_US = 7 * 86_400_000_000
+    A, B, MAX_LAG = 'view', 'purchase', 3
+    ds = _read(sf_dir, 'events', ['event_type', 'ts'], require=('ts',))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            'event_type': tbl.column('event_type'),
+            'week': pa.array(ts_us // WEEK_US),
+            '_one': pa.array(np.ones(tbl.num_rows, dtype=np.int64))})
+
+    wk = _small_df(_pre(ds.map_batches(prep, batch_format='pyarrow',
+                                       zero_copy_batch=True),
+                        ['event_type', 'week'], {'n': ('_one', 'sum')}),
+                   ['event_type', 'week', 'n'])
+    empty = pd.DataFrame({'lag': pd.Series(dtype=np.int64),
+                          'n_weeks': pd.Series(dtype=np.int64),
+                          'r': pd.Series(dtype=np.float64)})
+    wk = wk[wk['event_type'].isin([A, B])]
+    if len(wk) == 0:
+        return empty
+    lo, hi = int(wk['week'].min()), int(wk['week'].max())
+    weeks = np.arange(lo, hi + 1, dtype=np.int64)
+    dense = {}
+    for t in (A, B):
+        sub = wk[wk['event_type'] == t]
+        v = np.zeros(len(weeks), dtype=np.int64)
+        v[sub['week'].to_numpy(dtype=np.int64) - lo] = \
+            sub['n'].to_numpy(dtype=np.int64)
+        dense[t] = v
+    rows = []
+    for lag in range(MAX_LAG + 1):
+        x = dense[A][:len(weeks) - lag]
+        y = dense[B][lag:]
+        n = np.int64(len(x))
+        if n == 0:
+            rows.append((lag, 0, np.nan))
+            continue
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        r = (n * sxy - sx * sy) / np.sqrt(
+            float(d1) * float(d2)) if d1 > 0 and d2 > 0 else np.nan
+        rows.append((int(lag), int(n), r))
+    return pd.DataFrame(rows, columns=['lag', 'n_weeks', 'r'])
+
+
+QUERIES['q_xcorr_events'] = q_xcorr_events
+ORACLE_SQL['q_xcorr_events'] = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 604800000000 AS week
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')),
+    c AS (SELECT event_type, week, count(*) AS n FROM e
+          GROUP BY event_type, week),
+    b AS (SELECT min(week) AS lo, max(week) AS hi FROM e),
+    w AS (SELECT unnest(range(lo, hi + 1)) AS week FROM b),
+    v AS (SELECT w.week,
+                 coalesce((SELECT n FROM c WHERE c.event_type = 'view'
+                           AND c.week = w.week), 0) AS x,
+                 coalesce((SELECT n FROM c
+                           WHERE c.event_type = 'purchase'
+                           AND c.week = w.week), 0) AS y
+          FROM w),
+    lags AS (SELECT unnest(range(0, 4)) AS lag),
+    p AS (SELECT lag, a.x AS x, b2.y AS y
+          FROM lags, v a JOIN v b2 ON b2.week = a.week + lag
+          CROSS JOIN b WHERE a.week <= hi - lag),
+    s AS (SELECT lag, cast(count(*) AS BIGINT) AS n,
+                 cast(sum(x) AS BIGINT) AS sx,
+                 cast(sum(y) AS BIGINT) AS sy,
+                 cast(sum(x * x) AS BIGINT) AS sxx,
+                 cast(sum(y * y) AS BIGINT) AS syy,
+                 cast(sum(x * y) AS BIGINT) AS sxy
+          FROM p GROUP BY lag)
+    SELECT lag, n AS n_weeks,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN cast(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(cast(n * sxx - sx * sx AS DOUBLE)
+                            * cast(n * syy - sy * sy AS DOUBLE))
+           END AS r
+    FROM s ORDER BY lag
+"""
