@@ -684,7 +684,6 @@ class TestLmScoreNulTokens:
         sf = TestBm25._write_docs(self, tmp_path, docs)
         df = q_lm_score_docs(sf).to_pandas().set_index('doc_id')
         # ctx 'x\x00y': 3 bigrams all ('x\x00y','z') -> nll 0
-        m = lambda p: math.floor(-math.log(p) * 1e6 + 0.5)
         assert df.loc[0, 'nll'] == 0.0
         # ctx 'x': 1 bigram ('x','y\x00z') -> its own count, nll 0,
         # NOT 'x\x00y z's count of 3
@@ -718,3 +717,13 @@ class TestXcorr:
         sf = _write_events(tmp_path, rows)
         df = q_xcorr_events(sf).set_index('lag')
         assert pd.isna(df.loc[0, 'r'])           # zero variance
+
+    def test_span_shorter_than_max_lag(self, ray_session, tmp_path):
+        # 2 distinct weeks: lags 2-3 have no aligned pairs -> NO rows
+        # (matches the oracle's empty self-join, not n_weeks=0 rows)
+        W = 7 * 24 * 60
+        rows = [(0, 1, 1, 'view'), (1, 1, W + 1, 'purchase')]
+        sf = _write_events(tmp_path, rows)
+        df = q_xcorr_events(sf)
+        assert list(df['lag']) == [0, 1]
+        assert list(df['n_weeks']) == [2, 1]

@@ -7081,9 +7081,10 @@ def q_burst_events(sf_dir: str):
     ops-anomaly primitive. The entire test is INTEGER algebra on exact
     counts (cH > S and (cH-S)^2 > 9(QH - S^2) with H hours, S = sum c,
     Q = sum c^2), so no float threshold can flip between engines.
-    int64 envelope: c^2 * H < 9e18 (Q*H is the widest product) — at
-    larger scale downshift counts to a coarser unit first; DuckDB's
-    BIGINT product errors loudly past it rather than wrapping. One
+    int64 envelope: the widest terms (c*H - S)^2 and 9*Q*H scale as
+    (c*H)^2, so c*H < ~1e9 — at larger scale downshift counts to a
+    coarser unit first; DuckDB's BIGINT product errors loudly past it
+    rather than wrapping. One
     low-cardinality pre_aggregate + one per-type bucket exchange."""
     from ..stages.aggregate import pre_aggregate as _pre
     from ..stages.conversations import bucket_exchange
@@ -8206,7 +8207,10 @@ def q_xcorr_events(sf_dir: str):
     series densify over the full [min_week, max_week] range with 0
     fills on BOTH engines, and all Pearson sums are exact ints —
     doubles only in the final division/sqrt, oracle association
-    order. Lag rows with degenerate variance report NULL r."""
+    order. Lag rows with degenerate variance report NULL r; lags
+    beyond the week span emit NO row (the oracle's self-join is
+    empty). int64 envelope: n*sxx ~ (weeks x cmax)^2, so
+    weeks * max_weekly_count < ~3e9."""
     from ..stages.aggregate import pre_aggregate as _pre
     WEEK_US = 7 * 86_400_000_000
     A, B, MAX_LAG = 'view', 'purchase', 3
@@ -8242,12 +8246,15 @@ def q_xcorr_events(sf_dir: str):
         dense[t] = v
     rows = []
     for lag in range(MAX_LAG + 1):
+        # a lag with no aligned pairs produces NO row in the oracle
+        # (the self-join is empty) — and a negative slice stop would
+        # silently keep trailing elements (lag > span: [:-1] is one
+        # element against an empty y)
+        if lag >= len(weeks):
+            continue
         x = dense[A][:len(weeks) - lag]
         y = dense[B][lag:]
         n = np.int64(len(x))
-        if n == 0:
-            rows.append((lag, 0, np.nan))
-            continue
         sx, sy = x.sum(), y.sum()
         sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
         d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
