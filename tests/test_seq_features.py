@@ -1,7 +1,11 @@
-"""Sequence/corpus feature queries: SCD2 state compression, Markov
-transition matrix + entropy, BM25 scoring (pipelines/queries.py).
-Exact expected outputs on hand-built fixtures; the sf-scale oracle
-parity is covered by tools/check_queries.py."""
+"""The late-r3 sequence/corpus-statistics query family (SCD2,
+transitions, BM25, rolling median, histogram, pareto, attribution,
+PMI, bigram-LM, keywords, OHLC, burst, inverted index, A/B z-test,
+item co-occurrence, assoc rules, group k-fold, Gram matrix, trend,
+census percentile, TWA, golden record, KM survival, drawdown, WoW
+growth, cross-correlation — pipelines/queries.py). Exact expected
+outputs on hand-built fixtures; sf-scale oracle parity is covered by
+tools/check_queries.py."""
 
 import math
 
