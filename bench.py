@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     'q_trend_events', 'q_quality_percentile_docs', 'q_twa_events',
     'q_assoc_rules_events', 'q_golden_record_events',
     'q_survival_users', 'q_drawdown_events', 'q_wow_growth_events',
-    'q_xcorr_events',
+    'q_xcorr_events', 'q_ks_drift_events',
 ]
 
 

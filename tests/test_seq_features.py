@@ -21,7 +21,8 @@ from trafaret_ray.pipelines.queries import (
     q_burst_events, q_drawdown_events, q_golden_record_events,
     q_groupkfold_events, q_histogram_events,
     q_gram_embeddings, q_inverted_index_docs, q_item_cooc_events,
-    q_keywords_docs, q_lm_score_docs, q_ohlc_events, q_pareto_users,
+    q_keywords_docs, q_ks_drift_events, q_lm_score_docs,
+    q_ohlc_events, q_pareto_users,
     q_pmi_bigrams_docs, q_quality_percentile_docs,
     q_rolling_median_events, q_scd2_events, q_survival_users,
     q_transitions_events, q_trend_events, q_twa_events,
@@ -731,3 +732,40 @@ class TestXcorr:
         df = q_xcorr_events(sf)
         assert list(df['lag']) == [0, 1]
         assert list(df['n_weeks']) == [2, 1]
+
+
+class TestKsDrift:
+    def test_identical_halves_zero_d(self, ray_session, tmp_path):
+        from trafaret_ray.functions.sampling import split_buckets
+        # plant identical value multisets in both hash halves
+        b = split_buckets(np.arange(4000, dtype=np.int64))
+        a_ids = np.nonzero(b < 5000)[0][:100]
+        b_ids = np.nonzero(b >= 5000)[0][:100]
+        rows = []
+        for i, (ia, ib) in enumerate(zip(a_ids, b_ids)):
+            rows.append((int(ia), 1, i, 'a', float(i % 7)))
+            rows.append((int(ib), 1, i, 'a', float(i % 7)))
+        sf = _write_events(tmp_path, rows)
+        df = q_ks_drift_events(sf)
+        assert df['n_a'].iloc[0] == 100 and df['n_b'].iloc[0] == 100
+        assert df['d'].iloc[0] == 0.0
+
+    def test_planted_shift_detected(self, ray_session, tmp_path):
+        from trafaret_ray.functions.sampling import split_buckets
+        b = split_buckets(np.arange(4000, dtype=np.int64))
+        a_ids = np.nonzero(b < 5000)[0][:100]
+        b_ids = np.nonzero(b >= 5000)[0][:100]
+        rows = []
+        for i, ia in enumerate(a_ids):
+            rows.append((int(ia), 1, i, 'a', 1.0))     # half A: all 1
+        for i, ib in enumerate(b_ids):
+            rows.append((int(ib), 1, i, 'a', 9.0))     # half B: all 9
+        sf = _write_events(tmp_path, rows)
+        df = q_ks_drift_events(sf)
+        assert df['d'].iloc[0] == 1.0                  # total separation
+        assert df['at_value'].iloc[0] == 1.0
+
+    def test_empty(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [])
+        df = q_ks_drift_events(sf)
+        assert df['n_a'].iloc[0] == 0 and pd.isna(df['d'].iloc[0])

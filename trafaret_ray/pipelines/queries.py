@@ -8300,3 +8300,97 @@ ORACLE_SQL['q_xcorr_events'] = """
            END AS r
     FROM s ORDER BY lag
 """
+
+
+def q_ks_drift_events(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the two
+    deterministic hash halves of the value distribution — the
+    data-drift monitor (same-distribution halves give small D; a
+    shifted upstream would spike it). EXACT row pick: the sup of
+    |ECDF_A - ECDF_B| is argmaxed on the cross-multiplied integer
+    |cumA*nB - cumB*nA| (no float comparison can flip ties; smallest
+    value wins ties on both engines); only the final normalization
+    divides doubles. The value census is cardinality-bounded (distinct
+    fixed-point values), so the driver finish never sees row counts.
+    int64 envelope: n_a * n_b < 9e18."""
+    from ..functions.sampling import split_buckets
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['event_id', 'value'],
+               require=('value',))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column('event_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        side = (split_buckets(eid, mod=10_000, salt=0) >= 5_000)\
+            .astype(np.int64)
+        return pa.table({'v6': _fixed6(tbl.column('value')),
+                         'ca': pa.array(1 - side), 'cb': pa.array(side)})
+
+    census = _small_df(bucket_aggregate(
+        ds.map_batches(prep, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['v6'], {'ca': ('ca', 'sum'), 'cb': ('cb', 'sum')},
+        num_buckets=8), ['v6', 'ca', 'cb'])
+    out_cols = ['n_a', 'n_b', 'd', 'at_value']
+    if len(census) == 0:
+        return pd.DataFrame({'n_a': pd.array([0], dtype=np.int64),
+                             'n_b': pd.array([0], dtype=np.int64),
+                             'd': pd.array([None], dtype=np.float64),
+                             'at_value': pd.array([None],
+                                                  dtype=np.float64)})
+    census = census.sort_values('v6')
+    v6 = census['v6'].to_numpy(dtype=np.int64)
+    ca = census['ca'].to_numpy(dtype=np.int64)
+    cb = census['cb'].to_numpy(dtype=np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({'n_a': pd.array([na], dtype=np.int64),
+                             'n_b': pd.array([nb], dtype=np.int64),
+                             'd': pd.array([None], dtype=np.float64),
+                             'at_value': pd.array([None],
+                                                  dtype=np.float64)})
+    dd = np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na)
+    mx = int(dd.max())
+    at = float(v6[dd == mx].min()) / 1e6
+    d = mx / (float(na) * nb)
+    return pd.DataFrame({'n_a': pd.array([na], dtype=np.int64),
+                         'n_b': pd.array([nb], dtype=np.int64),
+                         'd': pd.array([d], dtype=np.float64),
+                         'at_value': pd.array([at],
+                                              dtype=np.float64)})[out_cols]
+
+
+def _ks_oracle() -> str:
+    from ..functions.sampling import split_sql_expr
+    side = split_sql_expr('event_id', {'a': 0.5, 'b': 0.5})
+    return f"""
+    WITH e AS (
+      SELECT cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6,
+             CASE WHEN {side} = 'a' THEN 0 ELSE 1 END AS side
+      FROM events WHERE value IS NOT NULL),
+    n AS (SELECT
+            coalesce(cast(sum(1 - side) AS BIGINT), 0) AS na,
+            coalesce(cast(sum(side) AS BIGINT), 0) AS nb FROM e),
+    c AS (SELECT v6, cast(sum(1 - side) AS BIGINT) AS ca,
+                 cast(sum(side) AS BIGINT) AS cb
+          FROM e GROUP BY v6),
+    cum AS (SELECT v6,
+                   cast(sum(ca) OVER w AS BIGINT) AS cuma,
+                   cast(sum(cb) OVER w AS BIGINT) AS cumb
+            FROM c WINDOW w AS (ORDER BY v6 ROWS UNBOUNDED PRECEDING)),
+    dd AS (SELECT v6, abs(cuma * nb - cumb * na) AS dd
+           FROM cum CROSS JOIN n),
+    m AS (SELECT max(dd) AS mx FROM dd)
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN cast(mx AS DOUBLE) / (cast(na AS DOUBLE) * nb)
+           END AS d,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             (SELECT min(v6) FROM dd WHERE dd.dd = m.mx) / 1e6
+           END AS at_value
+    FROM n CROSS JOIN m
+"""
+
+
+QUERIES['q_ks_drift_events'] = q_ks_drift_events
+ORACLE_SQL['q_ks_drift_events'] = _ks_oracle()
