@@ -35,9 +35,14 @@ def test_pareto_matches_brute_force(points):
 
 
 def test_extreme_magnitudes():
-    # int64 extremes: the prefix sentinel must not collide with data
-    s = np.array([np.iinfo(np.int64).min + 1, 0,
-                  np.iinfo(np.int64).max], dtype=np.int64)
-    n = np.array([np.iinfo(np.int64).max, 0,
-                  np.iinfo(np.int64).min + 1], dtype=np.int64)
-    assert list(_pareto_keep(s, n)) == list(_brute(s, n))
+    # int64 extremes INCLUDING the exact boundary: a frontier point
+    # with n == int64.min must survive (a min-sentinel prefix would
+    # collide with it and drop it — the kernel gates the first s-group
+    # on group index instead)
+    mn, mx = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    s = np.array([5, 0], dtype=np.int64)
+    n = np.array([mn, 0], dtype=np.int64)
+    assert list(_pareto_keep(s, n)) == [True, True]
+    s2 = np.array([mn, 0, mx], dtype=np.int64)
+    n2 = np.array([mx, 0, mn], dtype=np.int64)
+    assert list(_pareto_keep(s2, n2)) == list(_brute(s2, n2))

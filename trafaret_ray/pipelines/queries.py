@@ -6461,7 +6461,9 @@ def _pareto_keep(s6: np.ndarray, n: np.ndarray) -> np.ndarray:
     by (s desc, n desc), per-equal-s group max, prefix max over
     strictly-greater s."""
     m = len(s6)
-    order = np.lexsort((-n, -s6))
+    # ascending lexsort reversed, NOT lexsort((-n, -s6)): negating
+    # int64.min overflows and corrupts the order at the boundary
+    order = np.lexsort((n, s6))[::-1]
     ss, nn = s6[order], n[order]
     new_s = np.ones(m, dtype=bool)
     new_s[1:] = ss[1:] != ss[:-1]
@@ -6469,9 +6471,14 @@ def _pareto_keep(s6: np.ndarray, n: np.ndarray) -> np.ndarray:
     gvals = nn[new_s]                      # per-group max n (n desc)
     run = np.maximum.accumulate(gvals)
     prev = np.empty_like(run)
-    prev[0] = np.iinfo(np.int64).min
     prev[1:] = run[:-1]
-    keep_sorted = (nn == gvals[gid]) & (gvals[gid] > prev[gid])
+    # the first s-group has NO strictly-greater-s predecessor: gate on
+    # group index instead of a sentinel value (int64.min as sentinel
+    # would collide with a genuine n == int64.min frontier point)
+    prev[0] = 0
+    first = gid == 0
+    keep_sorted = (nn == gvals[gid]) \
+        & (first | (gvals[gid] > prev[gid]))
     keep = np.zeros(m, dtype=bool)
     keep[order] = keep_sorted
     return keep
@@ -8331,33 +8338,24 @@ def q_ks_drift_events(sf_dir: str):
                        zero_copy_batch=True),
         ['v6'], {'ca': ('ca', 'sum'), 'cb': ('cb', 'sum')},
         num_buckets=8), ['v6', 'ca', 'cb'])
-    out_cols = ['n_a', 'n_b', 'd', 'at_value']
-    if len(census) == 0:
-        return pd.DataFrame({'n_a': pd.array([0], dtype=np.int64),
-                             'n_b': pd.array([0], dtype=np.int64),
-                             'd': pd.array([None], dtype=np.float64),
-                             'at_value': pd.array([None],
-                                                  dtype=np.float64)})
+    def row(na, nb, d=None, at=None):
+        return pd.DataFrame({
+            'n_a': pd.array([na], dtype=np.int64),
+            'n_b': pd.array([nb], dtype=np.int64),
+            'd': pd.array([d], dtype=np.float64),
+            'at_value': pd.array([at], dtype=np.float64)})
+
     census = census.sort_values('v6')
     v6 = census['v6'].to_numpy(dtype=np.int64)
     ca = census['ca'].to_numpy(dtype=np.int64)
     cb = census['cb'].to_numpy(dtype=np.int64)
     na, nb = int(ca.sum()), int(cb.sum())
     if na == 0 or nb == 0:
-        return pd.DataFrame({'n_a': pd.array([na], dtype=np.int64),
-                             'n_b': pd.array([nb], dtype=np.int64),
-                             'd': pd.array([None], dtype=np.float64),
-                             'at_value': pd.array([None],
-                                                  dtype=np.float64)})
+        return row(na, nb)
     dd = np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na)
     mx = int(dd.max())
-    at = float(v6[dd == mx].min()) / 1e6
-    d = mx / (float(na) * nb)
-    return pd.DataFrame({'n_a': pd.array([na], dtype=np.int64),
-                         'n_b': pd.array([nb], dtype=np.int64),
-                         'd': pd.array([d], dtype=np.float64),
-                         'at_value': pd.array([at],
-                                              dtype=np.float64)})[out_cols]
+    return row(na, nb, mx / (float(na) * nb),
+               float(v6[dd == mx].min()) / 1e6)
 
 
 def _ks_oracle() -> str:
