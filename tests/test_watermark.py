@@ -80,3 +80,61 @@ class TestWatermarkTumbling:
         assert win['window_start'].astype('int64').tolist() == \
             [0, 100, 200, 300]
         assert win['n'].tolist() == [1, 1, 1, 1]
+
+
+class TestStreamingBars:
+    def _table(self, rows):
+        import pyarrow as pa
+        return pa.table({
+            'event_type': pa.array([r[0] for r in rows]),
+            'ts': pa.array([r[1] for r in rows],
+                           type=pa.timestamp('us')),
+            'value': pa.array([r[2] for r in rows],
+                              type=pa.float64()),
+        })
+
+    HOUR = 3_600_000_000
+
+    def test_watermark_finalizes_exactly_once(self):
+        from trafaret_ray.stages.streaming import StreamingBarAggregator
+        agg = StreamingBarAggregator()
+        H = self.HOUR
+        b1 = self._table([('a', 10, 1.0), ('a', 20, 5.0),
+                          ('a', H + 1, 2.0)])
+        out1 = agg(b1)
+        # hour 0 closed (watermark in hour 1): emitted once, finalized
+        assert out1.num_rows == 1
+        assert out1.column('open')[0].as_py() == 1.0
+        assert out1.column('close')[0].as_py() == 5.0
+        assert out1.column('n')[0].as_py() == 2
+        # a later batch in hour 1 does NOT re-emit hour 0
+        out2 = agg(self._table([('a', H + 50, 3.0)]))
+        assert out2.num_rows == 0
+        fin = agg.flush(key_type=out1.schema.field('event_type').type)
+        assert fin.num_rows == 1               # the open hour-1 bar
+        assert fin.column('n')[0].as_py() == 2
+        assert fin.column('close')[0].as_py() == 3.0
+
+    def test_batch_boundary_invariance(self):
+        import pyarrow as pa
+        from trafaret_ray.stages.streaming import StreamingBarAggregator
+        H = self.HOUR
+        rows = [('a', 5, 1.5), ('b', 7, 2.0), ('a', 30, 9.0),
+                ('a', H + 2, 4.0), ('b', H + 3, 1.0),
+                ('a', 2 * H + 1, 7.0), ('b', 2 * H + 9, 8.0)]
+        def run(splits):
+            agg = StreamingBarAggregator()
+            outs = []
+            lo = 0
+            for hi in list(splits) + [len(rows)]:
+                outs.append(agg(self._table(rows[lo:hi])))
+                lo = hi
+            outs.append(agg.flush(pa.string()))
+            t = pa.concat_tables([o for o in outs if o.num_rows])
+            return t.sort_by([('event_type', 'ascending'),
+                              ('hour', 'ascending')]).to_pydict()
+        whole = run([])
+        assert run([2, 4]) == whole
+        assert run([1, 2, 3, 4, 5, 6]) == whole
+        # sanity on content: 'a' hour 0 bar
+        assert whole['open'][0] == 1.5 and whole['close'][0] == 9.0

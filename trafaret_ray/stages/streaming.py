@@ -314,3 +314,103 @@ def watermark_tumbling(ds, key: str, ts_col: str, window_us: int,
         lambda t: t.filter(pc.invert(t.column('late'))),
         batch_format='pyarrow', zero_copy_batch=True)
     return tumbling_window(on_time, key, ts_col, window_us, aggs), tagged
+
+
+class StreamingBarAggregator:
+    """Stateful actor stage: incremental OHLC resampling with
+    event-time finalization.
+
+    One actor per key-hash bucket; per batch it folds rows into
+    per-(key, hour) bar partials and EMITS the bars whose hour closed —
+    a bar is final once the actor's event-time watermark (max ts seen)
+    has moved past its hour, so downstream consumers see each bar
+    exactly once, as soon as it cannot change. Same feed contract as
+    the other streaming actors: each key's rows reach ONE actor in
+    non-decreasing ts order (bucket-sorted blocks). ``flush()`` emits
+    the still-open bars at end-of-stream. State is one small tuple per
+    OPEN (key, hour) — bounded by keys x 1, not by history.
+
+    Byte-exactness: values fold at 1e6 fixed point; merging a batch's
+    partial bar into a carried one is exact int math, so bar output is
+    independent of batch boundaries (pinned by tests)."""
+
+    HOUR_US = 3_600_000_000
+
+    def __init__(self, key: str = 'event_type', ts_col: str = 'ts',
+                 value_col: str = 'value'):
+        self.key = key
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.state: dict = {}        # (key, hour) -> bar tuple
+        self.watermark = np.iinfo(np.int64).min
+
+    _SCHEMA_TAIL = [('hour', pa.timestamp('us')), ('open', pa.float64()),
+                    ('high', pa.float64()), ('low', pa.float64()),
+                    ('close', pa.float64()), ('n', pa.int64()),
+                    ('vol', pa.float64())]
+
+    def _out_schema(self, key_type) -> pa.Schema:
+        return pa.schema([(self.key, key_type)] + self._SCHEMA_TAIL)
+
+    def _emit(self, items, key_type) -> pa.Table:
+        cols = {self.key: pa.array([k for (k, _h) in items],
+                                   type=key_type),
+                'hour': pc.cast(pa.array(
+                    [h * self.HOUR_US for (_k, h) in items],
+                    type=pa.int64()), pa.timestamp('us'))}
+        for i, name in enumerate(('open', 'high', 'low', 'close',
+                                  'vol')):
+            cols[name] = pa.array(
+                [self.state[it][i] / 1e6 for it in items],
+                type=pa.float64())
+        cols['n'] = pa.array([self.state[it][5] for it in items],
+                             type=pa.int64())
+        out = pa.table(cols, schema=self._out_schema(key_type))
+        for it in items:
+            del self.state[it]
+        return out.select([self.key, 'hour', 'open', 'high', 'low',
+                           'close', 'n', 'vol'])
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        key_type = (tbl.schema.field(self.key).type
+                    if self.key in tbl.column_names else pa.string())
+        if tbl.num_rows == 0:
+            return self._out_schema(key_type).empty_table()
+        # in-batch bars via the segmented kernel
+        t = tbl.sort_by([(self.key, 'ascending'),
+                         (self.ts_col, 'ascending')])
+        _, ts = _ts_us_int(t, self.ts_col)
+        keys = t.column(self.key).to_numpy(zero_copy_only=False)
+        hour = ts // self.HOUR_US
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = (keys[1:] != keys[:-1]) | (hour[1:] != hour[:-1])
+        gi = np.nonzero(new)[0]
+        last = np.append(gi[1:] - 1, len(keys) - 1)
+        v = t.column(self.value_col).combine_chunks()\
+            .cast(pa.float64())
+        v6 = pc.cast(pc.floor(pc.add(pc.multiply(v, pa.scalar(1e6)),
+                                     pa.scalar(0.5))), pa.int64())\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # fold each (key, hour) group into state (once per GROUP)
+        for g, (s_, e_) in enumerate(zip(gi, last)):
+            it = (keys[s_], int(hour[s_]))
+            seg = v6[s_:e_ + 1]
+            o, h, lo_, c = int(seg[0]), int(seg.max()), \
+                int(seg.min()), int(seg[-1])
+            n_, vol = int(e_ - s_ + 1), int(seg.sum())
+            prev = self.state.get(it)
+            if prev is None:
+                self.state[it] = (o, h, lo_, c, vol, n_)
+            else:
+                self.state[it] = (prev[0], max(prev[1], h),
+                                  min(prev[2], lo_), c,
+                                  prev[4] + vol, prev[5] + n_)
+        self.watermark = max(self.watermark, int(ts.max()))
+        wm_hour = self.watermark // self.HOUR_US
+        closed = sorted([it for it in self.state
+                         if it[1] < wm_hour])
+        return self._emit(closed, key_type)
+
+    def flush(self, key_type=pa.string()) -> pa.Table:
+        """End-of-stream: emit every still-open bar."""
+        return self._emit(sorted(self.state), key_type)
