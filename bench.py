@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     'q_assoc_rules_events', 'q_golden_record_events',
     'q_survival_users', 'q_drawdown_events', 'q_wow_growth_events',
     'q_xcorr_events', 'q_ks_drift_events',
+    'q_entropy_users', 'q_gini_priority', 'q_rfm_users',
+    'q_chi2_events', 'q_benford_orders',
 ]
 
 

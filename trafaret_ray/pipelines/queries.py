@@ -8392,3 +8392,455 @@ def _ks_oracle() -> str:
 
 QUERIES['q_ks_drift_events'] = q_ks_drift_events
 ORACLE_SQL['q_ks_drift_events'] = _ks_oracle()
+
+
+def q_entropy_users(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score a curation pipeline uses to separate
+    bots (entropy ~0, one action repeated) from organic users. ONE
+    per-user hash exchange; type counts per user via a sorted-segment
+    kernel inside the bucket.
+
+    Byte parity (CLAUDE.md ln discipline): each p*ln(p) term is
+    computed with libm ``math.log`` (== DuckDB ``ln``; np.log's SIMD
+    path differs by 1 ulp on some inputs) on an EXACT double p = cnt/n
+    (int64/int64 division, identical rounding on both engines), then
+    micro-floored to int64 BEFORE the per-user sum — integer sums are
+    order-free, so parallelism never flips a last ulp. NULL event_type
+    rows carry no category — excluded on both engines."""
+    import math
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'],
+               require=('event_type',))
+
+    out_schema = pa.schema([('user_id', pa.int64()),
+                            ('n_events', pa.int64()),
+                            ('n_types', pa.int64()),
+                            ('entropy', pa.float64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        users = tbl.column('user_id').to_numpy(zero_copy_only=False)
+        # int codes for the (bucket-local) type vocabulary
+        types = tbl.column('event_type').combine_chunks()\
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        lo = np.nonzero(starts)[0]
+        hi = np.append(lo[1:], n)
+        uid = np.empty(len(lo), dtype=np.int64)
+        nev = np.empty(len(lo), dtype=np.int64)
+        nty = np.empty(len(lo), dtype=np.int64)
+        h6 = np.empty(len(lo), dtype=np.int64)
+        log = math.log
+        floor = math.floor
+        for g, (s, e) in enumerate(zip(lo, hi)):   # per USER group
+            cnts = np.bincount(types[s:e])
+            cnts = cnts[cnts > 0]
+            tot = e - s
+            acc = 0
+            for c in cnts.tolist():
+                p = c / tot
+                acc += floor(p * log(p) * 1e6 + 0.5)
+            uid[g] = users[s]
+            nev[g] = tot
+            nty[g] = len(cnts)
+            h6[g] = -acc
+        return pa.table({
+            'user_id': pa.array(uid),
+            'n_events': pa.array(nev),
+            'n_types': pa.array(nty),
+            'entropy': pa.array(h6.astype(np.float64) / 1e6),
+        }, schema=out_schema)
+
+    return per_conversation(ds, fn, key='user_id', order=(),
+                            num_buckets=32).sort('user_id')
+
+
+QUERIES['q_entropy_users'] = q_entropy_users
+ORACLE_SQL['q_entropy_users'] = """
+    -- each p*ln(p) term micro-floored to int64 BEFORE the per-user sum
+    -- (order-free integer aggregation; ln is libm on both engines)
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id, cast(sum(cnt) AS BIGINT) AS n,
+             count(*) AS n_types
+      FROM c GROUP BY user_id),
+    t AS (
+      SELECT c.user_id,
+             cast(floor((cast(c.cnt AS DOUBLE) / u.n)
+                        * ln(cast(c.cnt AS DOUBLE) / u.n)
+                        * 1e6 + 0.5) AS BIGINT) AS term6
+      FROM c JOIN u USING (user_id))
+    SELECT u.user_id, u.n AS n_events, u.n_types,
+           cast(-cast(sum(t.term6) AS BIGINT) AS DOUBLE) / 1e6
+             AS entropy
+    FROM u JOIN t ON t.user_id = u.user_id
+    GROUP BY u.user_id, u.n, u.n_types
+    ORDER BY u.user_id
+"""
+
+
+def q_gini_priority(sf_dir: str):
+    """Gini coefficient of order value per order priority — the
+    revenue-concentration (inequality) statistic. Per-group formula
+    over ascending-sorted cent-unit prices:
+    ``G = sum_i (2i - n - 1) x_i / (n * sum x)`` (1-based i), which is
+    TIE-ORDER INVARIANT (equal x contribute the same regardless of
+    their rank order), so no tie-break key is needed on either engine.
+
+    Overflow discipline (CLAUDE.md second-moment rule): prices enter at
+    1e2 (cent) scale, not 1e6 — the rank-weighted sum multiplies an x
+    by n, and n*x6*n would wrap int64 at ~1e5 rows/group where DuckDB
+    silently promotes to HUGEINT. At 1e2, 1e7-row groups stay exact.
+    The final ratio is floor-quantized to micro-units before the
+    divide-back, so round-half behavior never diverges."""
+    ds = _read(sf_dir, 'orders', ['o_orderpriority', 'o_totalprice'],
+               require=('o_totalprice',))
+
+    out_schema = pa.schema([('o_orderpriority', pa.string()),
+                            ('n_orders', pa.int64()),
+                            ('total_price', pa.float64()),
+                            ('gini', pa.float64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        x2 = _fixed2(tbl.column('o_totalprice')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pri = tbl.column('o_orderpriority')
+        lo = np.nonzero(starts)[0]
+        hi = np.append(lo[1:], n)
+        rows = []
+        for s, e in zip(lo, hi):                   # per PRIORITY group
+            xs = np.sort(x2[s:e])
+            m = e - s
+            i = np.arange(1, m + 1, dtype=np.int64)
+            num = int(np.sum((2 * i - m - 1) * xs))
+            s2 = int(xs.sum())
+            den = m * s2
+            g6 = int(np.floor(num / den * 1e6 + 0.5)) if den else 0
+            rows.append((pri[s].as_py(), m, s2, g6))
+        return pa.table({
+            'o_orderpriority': pa.array([r[0] for r in rows],
+                                        type=pa.string()),
+            'n_orders': pa.array([r[1] for r in rows], type=pa.int64()),
+            'total_price': pa.array([r[2] / 1e2 for r in rows],
+                                    type=pa.float64()),
+            'gini': pa.array([r[3] / 1e6 for r in rows],
+                             type=pa.float64()),
+        }, schema=out_schema)
+
+    return per_conversation(ds, fn, key='o_orderpriority', order=(),
+                            num_buckets=4).sort('o_orderpriority')
+
+
+QUERIES['q_gini_priority'] = q_gini_priority
+ORACLE_SQL['q_gini_priority'] = """
+    -- rank-weighted Gini over cent-scale int64 (tie-order invariant);
+    -- ratio floor-quantized to micro-units before the divide-back
+    WITH x AS (
+      SELECT o_orderpriority,
+             cast(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS x2
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (
+      SELECT o_orderpriority, x2,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY x2) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM x),
+    a AS (
+      SELECT o_orderpriority, max(n) AS n,
+             cast(sum((2 * rn - n - 1) * x2) AS BIGINT) AS num,
+             cast(sum(x2) AS BIGINT) AS s2
+      FROM r GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n AS n_orders,
+           cast(s2 AS DOUBLE) / 1e2 AS total_price,
+           cast(floor(cast(num AS DOUBLE) / (n * s2) * 1e6 + 0.5)
+                AS BIGINT) / 1e6 AS gini
+    FROM a
+    ORDER BY o_orderpriority
+"""
+
+
+def q_rfm_users(sf_dir: str):
+    """RFM segmentation: per-user Recency (days since last event,
+    against the corpus max timestamp), Frequency (event count) and
+    Monetary (summed value), each cut into integer-rank quartile codes
+    ``1 + (rank-1)*4 // n`` — the classic CRM scoring rollup.
+
+    Shape: ONE per-user hash-bucket aggregate (bucket_aggregate — the
+    same exchange every per-user query pays); the quartile cut is a
+    CENSUS operation over the per-user rollup (one small row per user),
+    ranked driver-side like every census/broadcast step in this suite —
+    at 100 TB the rollup is ~1e9 rows and the rank becomes one
+    ``Dataset.sort`` per metric instead. All ranking is pure integer
+    arithmetic over (metric, user_id) — byte-stable by construction;
+    NULL ts rows have no event time — excluded on both engines."""
+    from ..stages.aggregate import bucket_aggregate
+    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'value'],
+               require=('ts',))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())
+        return pa.table({'user_id': tbl.column('user_id'),
+                         'ts_us': ts_us,
+                         'v6': pc.fill_null(_fixed6(tbl.column('value')),
+                                            0)})
+
+    per_user = bucket_aggregate(
+        ds.map_batches(prep, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['user_id'],
+        {'last_ts': ('ts_us', 'max'), 'n': ('ts_us', 'count'),
+         'm6': ('v6', 'sum')},
+        num_buckets=16)
+
+    df = _small_df(per_user, ['user_id', 'last_ts', 'n', 'm6'])
+    out_schema = pa.schema([
+        ('user_id', pa.int64()), ('recency_days', pa.int64()),
+        ('n_events', pa.int64()), ('monetary', pa.float64()),
+        ('r_code', pa.int64()), ('f_code', pa.int64()),
+        ('m_code', pa.int64()), ('rfm_code', pa.int64())])
+    if len(df) == 0:
+        return out_schema.empty_table().to_pandas()
+    uid = df['user_id'].to_numpy(dtype=np.int64)
+    last = df['last_ts'].to_numpy(dtype=np.int64)
+    n = df['n'].to_numpy(dtype=np.int64)
+    m6 = df['m6'].to_numpy(dtype=np.int64)
+    rec = (last.max() - last) // 86_400_000_000    # non-negative
+    cnt = len(uid)
+
+    def code(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((uid, metric))
+        rn = np.empty(cnt, dtype=np.int64)
+        rn[order] = np.arange(1, cnt + 1)
+        return 1 + (rn - 1) * 4 // cnt
+
+    rc, fc, mc = code(rec), code(n), code(m6)
+    out = pd.DataFrame({
+        'user_id': uid, 'recency_days': rec, 'n_events': n,
+        'monetary': m6.astype(np.float64) / 1e6,
+        'r_code': rc, 'f_code': fc, 'm_code': mc,
+        'rfm_code': rc * 100 + fc * 10 + mc})
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+QUERIES['q_rfm_users'] = q_rfm_users
+ORACLE_SQL['q_rfm_users'] = """
+    -- integer quartile codes 1 + (rank-1)*4 // n over (metric, user_id)
+    -- total orders; byte-stable (no ntile / float percentiles)
+    WITH u AS (
+      SELECT user_id, max(ts) AS last_ts, count(*) AS n,
+             cast(coalesce(sum(cast(floor(value * 1e6 + 0.5)
+                                    AS BIGINT)), 0) AS BIGINT) AS m6
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    g AS (SELECT max(last_ts) AS mx FROM u),
+    r AS (
+      SELECT user_id,
+             (epoch_us(g.mx) - epoch_us(last_ts)) // 86400000000
+               AS rec_days,
+             n, m6
+      FROM u CROSS JOIN g),
+    k AS (
+      SELECT user_id, rec_days, n, m6,
+             row_number() OVER (ORDER BY rec_days, user_id) AS rr,
+             row_number() OVER (ORDER BY n, user_id) AS rf,
+             row_number() OVER (ORDER BY m6, user_id) AS rm,
+             count(*) OVER () AS cnt
+      FROM r)
+    SELECT user_id, rec_days AS recency_days, n AS n_events,
+           cast(m6 AS DOUBLE) / 1e6 AS monetary,
+           1 + (rr - 1) * 4 // cnt AS r_code,
+           1 + (rf - 1) * 4 // cnt AS f_code,
+           1 + (rm - 1) * 4 // cnt AS m_code,
+           (1 + (rr - 1) * 4 // cnt) * 100
+             + (1 + (rf - 1) * 4 // cnt) * 10
+             + (1 + (rm - 1) * 4 // cnt) AS rfm_code
+    FROM k
+    ORDER BY user_id
+"""
+
+
+def q_chi2_events(sf_dir: str):
+    """Chi-square independence test of event_type x day-of-week, with
+    Cramer's V — "is activity mix stable across the week?", the
+    categorical drift check next to q_ks_drift_events' numeric one.
+
+    Shape: dow derives per batch from the int64 microsecond timestamp
+    ((days + 4) % 7, Sunday=0, matching DuckDB dayofweek); the
+    contingency table is VOCABULARY-BOUNDED (|types| x 7 cells), so a
+    partial-aggregate census is the whole exchange and the statistic
+    folds driver-side from ~50 cells. Per-cell terms
+    (o - rc/t)^2 / (rc/t) are identical double expressions over exact
+    int64 counts on both engines, micro-floored to int64 BEFORE the
+    cell sum (order-free). NULL type / NULL ts rows are excluded on
+    both engines."""
+    import math
+    ds = _read(sf_dir, 'events', ['event_type', 'ts'],
+               require=('event_type', 'ts'))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        dow = (ts_us // 86_400_000_000 + 4) % 7
+        return pa.table({'event_type': tbl.column('event_type'),
+                         'dow': pa.array(dow, type=pa.int64()),
+                         '_one': pa.array(np.ones(tbl.num_rows,
+                                                  dtype=np.int64))})
+
+    cells = pre_aggregate(
+        ds.map_batches(prep, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['event_type', 'dow'], {'o': ('_one', 'sum')})
+
+    df = _small_df(cells, ['event_type', 'dow', 'o'])
+    out_schema = pa.schema([
+        ('n_rows', pa.int64()), ('n_types', pa.int64()),
+        ('n_dows', pa.int64()), ('dof', pa.int64()),
+        ('chi2', pa.float64()), ('cramers_v', pa.float64())])
+    if len(df) == 0:
+        return out_schema.empty_table().to_pandas()
+    o = df['o'].to_numpy(dtype=np.int64)
+    t = int(o.sum())
+    rsum = df.groupby('event_type')['o'].transform('sum')\
+        .to_numpy(dtype=np.int64)
+    csum = df.groupby('dow')['o'].transform('sum')\
+        .to_numpy(dtype=np.int64)
+    chi2_6 = 0
+    floor = math.floor
+    for oi, ri, ci in zip(o.tolist(), rsum.tolist(), csum.tolist()):
+        e = float(ri * ci) / t
+        dev = oi - e
+        chi2_6 += floor(dev * dev / e * 1e6 + 0.5)
+    n_types = int(df['event_type'].nunique())
+    n_dows = int(df['dow'].nunique())
+    dof = (n_types - 1) * (n_dows - 1)
+    chi2 = chi2_6 / 1e6
+    mind = min(n_types - 1, n_dows - 1)
+    v6 = floor(math.sqrt(chi2 / (t * mind)) * 1e6 + 0.5) if mind else 0
+    return pd.DataFrame({
+        'n_rows': [t], 'n_types': [n_types], 'n_dows': [n_dows],
+        'dof': [dof], 'chi2': [chi2], 'cramers_v': [v6 / 1e6]})
+
+
+QUERIES['q_chi2_events'] = q_chi2_events
+ORACLE_SQL['q_chi2_events'] = """
+    -- per-cell (o-e)^2/e terms micro-floored to int64 before the sum;
+    -- e = cast(r*c AS DOUBLE)/t, the identical scalar expression the
+    -- engine evaluates per cell
+    WITH s AS (
+      SELECT event_type, dayofweek(ts) AS dow
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    cell AS (
+      SELECT event_type, dow, count(*) AS o
+      FROM s GROUP BY event_type, dow),
+    tot AS (SELECT cast(sum(o) AS BIGINT) AS t FROM cell),
+    term AS (
+      SELECT cast(floor(
+               (o - cast(r * c AS DOUBLE) / t)
+               * (o - cast(r * c AS DOUBLE) / t)
+               / (cast(r * c AS DOUBLE) / t) * 1e6 + 0.5)
+             AS BIGINT) AS term6
+      FROM (SELECT event_type, dow, o,
+                   cast(sum(o) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS r,
+                   cast(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c
+            FROM cell) CROSS JOIN tot),
+    dims AS (
+      SELECT count(DISTINCT event_type) AS n_types,
+             count(DISTINCT dow) AS n_dows
+      FROM cell),
+    agg AS (SELECT cast(sum(term6) AS BIGINT) AS chi2_6 FROM term)
+    SELECT tot.t AS n_rows, dims.n_types, dims.n_dows,
+           (dims.n_types - 1) * (dims.n_dows - 1) AS dof,
+           cast(agg.chi2_6 AS DOUBLE) / 1e6 AS chi2,
+           CASE WHEN least(dims.n_types - 1, dims.n_dows - 1) > 0
+                THEN cast(floor(sqrt((cast(agg.chi2_6 AS DOUBLE) / 1e6)
+                       / (tot.t * least(dims.n_types - 1,
+                                        dims.n_dows - 1)))
+                       * 1e6 + 0.5) AS BIGINT) / 1e6
+                ELSE 0.0 END AS cramers_v
+    FROM tot CROSS JOIN dims CROSS JOIN agg
+"""
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford's-law screen over order totals: the distribution of the
+    LEADING significant digit vs the log-law expectation
+    ln(1+1/d)/ln(10) — the standard forensic test for fabricated
+    numeric columns. The digit is extracted from the micro-unit int64
+    by pure integer division (18 vectorized halving passes — never a
+    float log10, whose boundary ulps would misclassify powers of ten);
+    counts census via partial aggregation (9 cells). Shares and
+    expectations are micro-floored; ln is libm on both engines."""
+    import math
+    ds = _read(sf_dir, 'orders', ['o_totalprice'],
+               require=('o_totalprice',))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        x6 = _fixed6(tbl.column('o_totalprice')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x6 = x6[x6 > 0]
+        d = x6.copy()
+        for _ in range(18):                # int64 has <= 19 digits
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        return pa.table({'digit': pa.array(d),
+                         '_one': pa.array(np.ones(len(d),
+                                                  dtype=np.int64))})
+
+    census = pre_aggregate(
+        ds.map_batches(prep, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['digit'], {'n': ('_one', 'sum')})
+
+    df = _small_df(census, ['digit', 'n'])
+    out_schema = pa.schema([('digit', pa.int64()), ('n', pa.int64()),
+                            ('share', pa.float64()),
+                            ('benford', pa.float64())])
+    if len(df) == 0:
+        return out_schema.empty_table().to_pandas()
+    df = df.sort_values('digit').reset_index(drop=True)
+    n = df['n'].to_numpy(dtype=np.int64)
+    t = int(n.sum())
+    floor, log = math.floor, math.log
+    share6 = np.array([floor(c / t * 1e6 + 0.5) for c in n.tolist()],
+                      dtype=np.int64)
+    bf6 = np.array([floor(log(1 + 1 / int(d)) / log(10) * 1e6 + 0.5)
+                    for d in df['digit'].tolist()], dtype=np.int64)
+    return pd.DataFrame({
+        'digit': df['digit'].to_numpy(dtype=np.int64), 'n': n,
+        'share': share6.astype(np.float64) / 1e6,
+        'benford': bf6.astype(np.float64) / 1e6})
+
+
+QUERIES['q_benford_orders'] = q_benford_orders
+ORACLE_SQL['q_benford_orders'] = """
+    -- leading digit by string-slicing the positive micro-unit int64
+    -- (no float log10); shares/expectations micro-floored like the
+    -- engine
+    WITH x AS (
+      SELECT cast(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS x6
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    d AS (
+      SELECT cast(substr(cast(x6 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM x WHERE x6 > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT cast(sum(n) AS BIGINT) AS t FROM c)
+    SELECT digit, n,
+           cast(floor(cast(n AS DOUBLE) / t.t * 1e6 + 0.5) AS BIGINT)
+             / 1e6 AS share,
+           cast(floor(ln(1 + 1.0 / digit) / ln(10) * 1e6 + 0.5)
+                AS BIGINT) / 1e6 AS benford
+    FROM c CROSS JOIN t
+    ORDER BY digit
+"""
