@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     'q_survival_users', 'q_drawdown_events', 'q_wow_growth_events',
     'q_xcorr_events', 'q_ks_drift_events',
     'q_entropy_users', 'q_gini_priority', 'q_rfm_users',
-    'q_chi2_events', 'q_benford_orders',
+    'q_chi2_events', 'q_benford_orders', 'q_snm_pairs_docs',
 ]
 
 

@@ -337,3 +337,67 @@ class TestProfile:
         assert pd.isna(out.loc['allnull', 'vmin'])
         assert out.loc['zeros', 'n_distinct'] == 2   # -0.0 == 0.0
         assert (out['n_rows'] == 3).all()
+
+
+class TestSortedNeighborhood:
+    def test_snm_matches_brute_force(self, ray_session):
+        """sorted_neighborhood_pairs == the single-process definition
+        (rank by (prefix, id), all pairs within the window, levenshtein
+        filter) on a corpus engineered to cross every distributed
+        seam: multiple range buckets, multiple rank blocks (block_size
+        16 << n), identical-prefix runs (rank ties broken by id), and
+        planted near-dups at block boundaries."""
+        import ray.data as rd
+
+        from trafaret_ray.functions import text as T
+        from trafaret_ray.stages.dedup import sorted_neighborhood_pairs
+
+        rng = np.random.default_rng(7)
+        letters = np.array(list('abcdefghij'))
+        texts, ids = [], []
+        for i in range(120):
+            base = ''.join(rng.choice(letters, size=20))
+            texts.append(base)
+            ids.append(i)
+            if i % 7 == 0:                    # planted near-dup
+                texts.append(base[:-1] + 'z')
+                ids.append(1000 + i)
+            if i % 11 == 0:                   # exact duplicate run
+                texts.append(base)
+                ids.append(2000 + i)
+        tbl = pa.table({'doc_id': pa.array(ids, pa.int64()),
+                        'text': pa.array(texts)})
+        window, max_dist, pfx = 5, 6, 16
+
+        out = sorted_neighborhood_pairs(
+            rd.from_arrow(tbl), prefix_cp=pfx, window=window,
+            max_dist=max_dist, num_buckets=4, block_size=16)\
+            .to_pandas().sort_values(['rank_a', 'rank_b'])\
+            .reset_index(drop=True)
+
+        # single-process oracle
+        pref = [t[:pfx] for t in texts]
+        order = sorted(range(len(ids)), key=lambda i: (pref[i], ids[i]))
+        exp = []
+        for p in range(len(order)):
+            for q in range(p + 1, min(p + window + 1, len(order))):
+                a, b = order[p], order[q]
+                d = int(T.levenshtein_bytes(
+                    [pref[a].encode()], [pref[b].encode()],
+                    max_dist)[0])
+                if d <= max_dist:
+                    exp.append((ids[a], ids[b], p, q, d))
+        exp.sort(key=lambda r: (r[2], r[3]))
+        got = list(map(tuple, out[['doc_a', 'doc_b', 'rank_a',
+                                   'rank_b', 'edist']].values.tolist()))
+        assert got == exp
+        assert len(exp) > 20          # the fixture actually has pairs
+
+    def test_snm_empty_and_all_null(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import sorted_neighborhood_pairs
+        tbl = pa.table({'doc_id': pa.array([1, 2], pa.int64()),
+                        'text': pa.array([None, None], pa.string())})
+        out = sorted_neighborhood_pairs(rd.from_arrow(tbl)).to_pandas()
+        assert len(out) == 0

@@ -8844,3 +8844,41 @@ ORACLE_SQL['q_benford_orders'] = """
     FROM c CROSS JOIN t
     ORDER BY digit
 """
+
+
+def q_snm_pairs_docs(sf_dir: str):
+    """Sorted-neighborhood (SNM) near-dup candidate pairs: documents
+    ranked globally by (32-codepoint prefix, doc_id), every pair within
+    8 ranks verified by byte Levenshtein <= 12 on the prefix — the
+    entity-resolution blocking family's third member next to equality
+    blocking (q_editdist_pairs_docs) and LSH (q_minhash_dedup_docs).
+    See stages/dedup.py:sorted_neighborhood_pairs for the two-exchange
+    distributed shape (range-bucket global rank, rank-block window
+    pairs with lookahead copies; only per-bucket counts touch the
+    driver)."""
+    from ..stages.dedup import sorted_neighborhood_pairs
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    pairs = sorted_neighborhood_pairs(
+        ds, text_col='text', id_col='doc_id', prefix_cp=32,
+        window=8, max_dist=12, num_buckets=8, block_size=256)
+    return pairs.sort(['rank_a', 'rank_b'])
+
+
+QUERIES['q_snm_pairs_docs'] = q_snm_pairs_docs
+ORACLE_SQL['q_snm_pairs_docs'] = """
+    -- global bytewise rank (binary collation == the engine's UTF-8
+    -- codepoint sort), window join on rank distance, byte levenshtein
+    WITH k AS (
+      SELECT doc_id, substr(text, 1, 32) AS skey
+      FROM documents WHERE text IS NOT NULL),
+    r AS (
+      SELECT doc_id, skey,
+             row_number() OVER (ORDER BY skey, doc_id) - 1 AS rnk
+      FROM k)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.rnk AS rank_a, b.rnk AS rank_b,
+           levenshtein(a.skey, b.skey) AS edist
+    FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 8
+    WHERE levenshtein(a.skey, b.skey) <= 12
+    ORDER BY rank_a, rank_b
+"""

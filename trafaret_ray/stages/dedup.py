@@ -840,3 +840,180 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
     # width; num_buckets is the cluster-scale knob here as everywhere.
     return bucket_exchange(prepped.repartition(num_buckets), block_cols,
                            pairs, num_buckets)
+
+
+def _lead_bytes_u32(sa: pa.StringArray) -> np.ndarray:
+    """First 4 UTF-8 bytes of each string as a big-endian uint32 —
+    an ORDER-CONSISTENT coarsening of bytewise string order (s1 <= s2
+    implies u32(s1) <= u32(s2), zero-padded), used only for range
+    bucketing. Pure buffer gathers: no per-row Python."""
+    sa = sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off = np.frombuffer(sa.buffers()[1], dtype=np.int32)[
+        sa.offset:sa.offset + n + 1].astype(np.int64)
+    dbuf = sa.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.zeros(0, dtype=np.uint8))
+    if len(data) == 0:          # all-empty strings
+        return np.zeros(n, dtype=np.uint64)
+    lens = off[1:] - off[:-1]
+    out = np.zeros(n, dtype=np.uint64)
+    for k in range(4):
+        idx = np.minimum(off[:-1] + k, len(data) - 1)
+        b = np.where(lens > k, data[idx], 0)
+        out = out * np.uint64(256) + b.astype(np.uint64)
+    return out
+
+
+def sorted_neighborhood_pairs(ds, text_col: str = 'text',
+                              id_col: str = 'doc_id',
+                              prefix_cp: int = 32, window: int = 8,
+                              max_dist: int = 8, num_buckets: int = 16,
+                              block_size: int = 4096):
+    """Sorted-neighborhood method (SNM) near-dup pairs: rows are ranked
+    by (text prefix, id) in GLOBAL bytewise order and every pair within
+    ``window`` ranks is verified by byte-level Levenshtein over the
+    ``prefix_cp``-codepoint prefix. The classic entity-resolution
+    blocking alternative to equality blocking (editdist_pairs) and LSH
+    (minhash): sorting brings near-identical records adjacent, so the
+    candidate set is O(n * window) regardless of key skew.
+
+    Distributed shape (two exchanges, no driver data-plane):
+    1. RANGE exchange on the first-4-byte integer of the sort key
+       (order-consistent, so equal keys co-locate and bucket-local rank
+       + a broadcast per-bucket offset = the exact global
+       ``row_number() OVER (ORDER BY skey, id)``); only ``num_buckets``
+       int64 counts reach the driver. Fixed byte-space split assumes
+       rough prefix uniformity — sample quantile edges for skewed
+       corpora (same note as packing.py's range buckets).
+    2. Rank-block exchange: each row goes to block rank//block_size,
+       plus a LOOKAHEAD copy to the previous block when within
+       ``window`` of its start, so every window pair is generated in
+       exactly one task (the pair is owned by its left member's block).
+       Per block the DP runs once per unique prefix pair
+       (_editdist_by_code), so a run of D identical docs costs ONE DP
+       row, not D*window.
+
+    Returns (doc_a, doc_b, rank_a, rank_b, edist) with rank_a < rank_b,
+    edist <= max_dist. Oracle parity: prefix slicing by codepoints ==
+    DuckDB substr; ranking over UTF-8 bytewise order == DuckDB's binary
+    collation (Python str comparison is codepoint-wise, which UTF-8
+    preserves); distance == DuckDB levenshtein (byte-based). NULL text
+    rows carry no sort key — excluded on both engines."""
+    id_t = pa.int64()
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_valid(tbl.column(text_col)))
+        skey = pc.utf8_slice_codeunits(
+            tbl.column(text_col).combine_chunks(), 0, prefix_cp)
+        k4 = _lead_bytes_u32(skey)
+        rb = ((k4 * np.uint64(num_buckets)) >> np.uint64(32))\
+            .astype(np.int32)
+        return pa.table({
+            id_col: tbl.column(id_col).combine_chunks().cast(id_t),
+            '_skey': skey,
+            '_rb': pa.array(rb, type=pa.int32()),
+        })
+
+    ranked_schema = pa.schema([(id_col, id_t), ('_skey', pa.string()),
+                               ('_rb', pa.int32()),
+                               ('_lrank', pa.int64())])
+
+    def local_rank(tbl: pa.Table) -> pa.Table:
+        # Ray 2.49 map_groups hands schema-less empty blocks for empty
+        # sort partitions — emit the explicit schema either way
+        if tbl.num_rows == 0 or id_col not in tbl.column_names:
+            return ranked_schema.empty_table()
+        df = tbl.select([id_col, '_skey', '_rb']).to_pandas()
+        df = df.sort_values(['_skey', id_col], kind='mergesort')
+        df['_lrank'] = np.arange(len(df), dtype=np.int64)
+        return pa.Table.from_pandas(df, schema=ranked_schema,
+                                    preserve_index=False)
+
+    prepped = ds.map_batches(prep, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    ranked = prepped.groupby('_rb').map_groups(
+        local_rank, batch_format='pyarrow').materialize()
+
+    # per-bucket totals: num_buckets int64 rows — the ONLY driver data
+    totals = ranked.groupby('_rb').count().to_pandas()
+    tot = np.zeros(num_buckets, dtype=np.int64)
+    if len(totals):
+        tot[totals['_rb'].to_numpy(np.int64)] = \
+            totals['count()'].to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tot[:-1], dtype=np.int64)))
+
+    blk_schema = pa.schema([(id_col, id_t), ('_skey', pa.string()),
+                            ('_rnk', pa.int64()), ('_blk', pa.int64())])
+
+    def to_blocks(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return blk_schema.empty_table()
+        rb = tbl.column('_rb').to_numpy(zero_copy_only=False)
+        rnk = tbl.column('_lrank').to_numpy(zero_copy_only=False) \
+            + offsets[rb]
+        blk = rnk // block_size
+        ids = tbl.column(id_col).combine_chunks()
+        skey = tbl.column('_skey').combine_chunks()
+        # lookahead copy: the previous block needs this row to close
+        # its window pairs
+        look = (rnk % block_size < window) & (blk > 0)
+        li = np.nonzero(look)[0]
+        return pa.table({
+            id_col: pa.chunked_array([ids, ids.take(pa.array(li))])
+            .combine_chunks(),
+            '_skey': pa.chunked_array([skey, skey.take(pa.array(li))])
+            .combine_chunks(),
+            '_rnk': pa.array(np.concatenate([rnk, rnk[li]])),
+            '_blk': pa.array(np.concatenate([blk, blk[li] - 1])),
+        }, schema=blk_schema)
+
+    out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                            ('rank_a', pa.int64()),
+                            ('rank_b', pa.int64()),
+                            ('edist', pa.int64())])
+
+    def gen_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or id_col not in tbl.column_names:
+            return out_schema.empty_table()
+        if '_bucket' in tbl.column_names:
+            tbl = tbl.drop_columns(['_bucket'])
+        order = pc.sort_indices(tbl.column('_rnk'))
+        tbl = tbl.take(order)
+        rnk = tbl.column('_rnk').to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        blk = tbl.column('_blk').to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            tbl.column('_skey').to_pandas(), sort=False)
+        own = rnk // block_size == blk     # left member owns the pair
+        a_idx, b_idx = [], []
+        n = len(rnk)
+        for d in range(1, window + 1):
+            if d >= n:
+                break
+            ok = own[:-d] & (rnk[d:] - rnk[:-d] <= window)
+            hit = np.nonzero(ok)[0]
+            a_idx.append(hit)
+            b_idx.append(hit + d)
+        if not a_idx:
+            return out_schema.empty_table()
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        ed = _editdist_by_code(codes[ai], codes[bi],
+                               list(uniq), max_dist)
+        keep = ed <= max_dist
+        ai, bi, ed = ai[keep], bi[keep], ed[keep]
+        return pa.table({
+            'doc_a': pa.array(ids[ai], type=id_t),
+            'doc_b': pa.array(ids[bi], type=id_t),
+            'rank_a': pa.array(rnk[ai]),
+            'rank_b': pa.array(rnk[bi]),
+            'edist': pa.array(ed, type=pa.int64()),
+        }, schema=out_schema)
+
+    blocks = ranked.map_batches(to_blocks, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    return blocks.groupby('_blk').map_groups(
+        gen_pairs, batch_format='pyarrow')
