@@ -136,3 +136,65 @@ class TestPageRank:
         local = _pr(edges, iters=5)
         dist = _pr(edges, iters=5, local_edges_max=0)
         assert dist == local        # byte-identical fixed-point paths
+
+
+def _tri(edges, **kw):
+    import ray.data as rd
+    from trafaret_ray.stages.graph import triangle_counts
+    tbl = pa.table({'a': pa.array([min(e) for e in edges], pa.int64()),
+                    'b': pa.array([max(e) for e in edges], pa.int64())})
+    out = triangle_counts(rd.from_arrow(tbl), num_buckets=4,
+                          edges_schema=tbl.schema, **kw).to_pandas()
+    if len(out) == 0:       # all-empty Dataset drops columns (CLAUDE.md)
+        return {}
+    return dict(zip(out['node'], out['n_triangles']))
+
+
+def _tri_brute(edges):
+    from itertools import combinations
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+class TestTriangleCounts:
+    def test_k4_plus_pendant(self, ray_session):
+        # K4: 4 triangles, every node in 3; pendant node 9 in none
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+        got = _tri(k4)
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_triangle_free_graph_empty(self, ray_session):
+        # a 4-cycle plus a chain: wedges exist, no triangle closes
+        got = _tri([(1, 2), (2, 3), (3, 4), (1, 4), (4, 5), (5, 6)])
+        assert got == {}
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(33)
+        edges = {(min(int(a), int(b)), max(int(a), int(b)))
+                 for a, b in rng.integers(0, 25, size=(120, 2)) if a != b}
+        edges = sorted(edges)
+        assert _tri(edges) == _tri_brute(edges)
+
+    def test_edge_order_invariance(self, ray_session):
+        rng = np.random.default_rng(5)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 18, size=(60, 2))
+                        if a != b})
+        got = _tri(edges)
+        perm = [edges[i] for i in rng.permutation(len(edges))]
+        assert _tri(perm) == got
+
+    def test_hub_star_no_wedge_blowup(self, ray_session):
+        # star K1,50 + one closing edge: degree orientation points all
+        # star edges INTO the hub, so only the closed pair pairs up
+        edges = [(0, i) for i in range(1, 51)] + [(1, 2)]
+        got = _tri(edges)
+        assert got == {0: 1, 1: 1, 2: 1}

@@ -988,11 +988,12 @@ def q_bpe_token_stats(sf_dir: str):
     return out.map_batches(round_avg, batch_format='pyarrow').sort('source')
 
 
-def q_cosine_pairs(sf_dir: str):
-    """EXACT cosine-similar pairs (vec_id < 1000, cos >= 0.3): brute-force
-    per-batch matmul against the broadcast sub-matrix; each batch emits
-    only qualifying pairs. The LSH-bucketed variant for full-scale corpora
-    is stages/dedup.py:embedding_near_dup (rows-only check)."""
+def _cosine_edges(sf_dir: str):
+    """Unsorted exact cosine-similar pairs (vec_id < 1000, sim6 >=
+    300000) — the shared edge builder for q_cosine_pairs and
+    q_triangles_embeddings. Emits (id_a, id_b, cos_sim) with
+    id_a < id_b; the similarity cut happens on int64 micro-units on
+    both engines (CLAUDE.md fixed-point row-pick discipline)."""
     import pyarrow.parquet as pq
     cap, threshold = 1000, 0.3
     t0 = pq.read_table(f'{sf_dir}/embeddings.parquet',
@@ -1047,7 +1048,46 @@ def q_cosine_pairs(sf_dir: str):
 
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     return emb.map_batches(PairFinder, batch_format='pyarrow',
-                           concurrency=2).sort(['id_a', 'id_b'])
+                           concurrency=2)
+
+
+def q_cosine_pairs(sf_dir: str):
+    """EXACT cosine-similar pairs (vec_id < 1000, cos >= 0.3): brute-force
+    per-batch matmul against the broadcast sub-matrix; each batch emits
+    only qualifying pairs. The LSH-bucketed variant for full-scale corpora
+    is stages/dedup.py:embedding_near_dup (rows-only check)."""
+    return _cosine_edges(sf_dir).sort(['id_a', 'id_b'])
+
+
+def q_triangles_embeddings(sf_dir: str):
+    """Per-node triangle participation counts of the cosine-similarity
+    graph (edges = q_cosine_pairs' exact sim6 >= 0.3 cut): the
+    clustering-coefficient / community-density primitive over an
+    embedding corpus. The count itself is
+    stages/graph.py:triangle_counts — degree-ordered wedge expansion
+    bounded by O(m^1.5) plus a composite-key closing join, every stage
+    distributed. Counts are exact integers, so parity is
+    unconditional."""
+    from ..stages.graph import triangle_counts
+
+    edge_schema = pa.schema([('a', pa.int64()), ('b', pa.int64())])
+
+    def as_edge(tbl: pa.Table) -> pa.Table:
+        return pa.table({'a': tbl.column('id_a').combine_chunks(),
+                         'b': tbl.column('id_b').combine_chunks()},
+                        schema=edge_schema)
+
+    edges = _cosine_edges(sf_dir).map_batches(as_edge,
+                                              batch_format='pyarrow')
+    counts = triangle_counts(edges, num_buckets=8,
+                             edges_schema=edge_schema)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({'vec_id': tbl.column('node'),
+                         'n_triangles': tbl.column('n_triangles')})
+
+    return counts.map_batches(finish, batch_format='pyarrow')\
+        .sort('vec_id')
 
 
 def q_minhash_dedup_docs(sf_dir: str):
@@ -1123,6 +1163,7 @@ QUERIES.update({
     'q_repetition_scores': q_repetition_scores,
     'q_bpe_token_stats': q_bpe_token_stats,
     'q_cosine_pairs': q_cosine_pairs,
+    'q_triangles_embeddings': q_triangles_embeddings,
     'q_minhash_dedup_docs': q_minhash_dedup_docs,
     'q_simhash_candidates_docs': q_simhash_candidates_docs,
     'q_embedding_near_dup': q_embedding_near_dup,
@@ -1268,6 +1309,23 @@ ORACLE_SQL.update({
         SELECT id_a, id_b, sim6 / 1e6 AS cos_sim
         FROM s WHERE sim6 >= 300000
         ORDER BY id_a, id_b
+    """,
+    'q_triangles_embeddings': """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                   FROM embeddings WHERE vec_id < 1000),
+        ed AS (SELECT a.vec_id AS va, b.vec_id AS vb
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                                * 1e6 + 0.5) AS BIGINT) >= 300000),
+        tri AS (SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+                FROM ed e1
+                JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
+                JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb),
+        nodes AS (SELECT x AS vec_id FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+        SELECT vec_id, count(*) AS n_triangles
+        FROM nodes GROUP BY vec_id ORDER BY vec_id
     """,
 })
 
@@ -8133,6 +8191,77 @@ ORACLE_SQL['q_drawdown_events'] = """
            cast(max(peak6) AS DOUBLE) / 1e6 AS peak,
            cast(max(peak6 - v6) AS DOUBLE) / 1e6 AS max_dd
     FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_cusum_events(sf_dir: str):
+    """CUSUM changepoint statistic per user: S_k = sum_{i<=k}(v_i - mean),
+    report max_k |S_k| and the k attaining it (the changepoint location;
+    tie -> smallest k). To stay EXACT-INTEGER the statistic is scaled by
+    n: n*S_k = n*cumsum(v6)_k - k*total(v6), all int64 (bound: n^2 * v6
+    must stay under 2^63 — fine to ~2M events/user at |value| ~1e3;
+    beyond that, rescale v6). ONE per-user exchange; segmented cumsum +
+    reduceat extrema, no Python loop."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts', 'value'))
+    out_schema = pa.schema([('user_id', pa.int64()), ('n', pa.int64()),
+                            ('cusum_num', pa.int64()),
+                            ('k_at_max', pa.int64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v6 = _fixed6(tbl.column('value')).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ustart = np.nonzero(starts)[0]
+        n = np.diff(np.append(ustart, m)).astype(np.int64)
+        cum = np.cumsum(v6)
+        seg_base = np.repeat(cum[ustart] - v6[ustart], n)
+        c = cum - seg_base                     # segmented cumsum
+        tot = np.repeat(c[np.append(ustart[1:], m) - 1], n)
+        n_rep = np.repeat(n, n)
+        k = np.arange(m, dtype=np.int64) - np.repeat(ustart, n) + 1
+        score = np.abs(n_rep * c - k * tot)
+        mx = np.maximum.reduceat(score, ustart)
+        # first k attaining the max (tie -> smallest k): mask non-max
+        # positions to a beyond-range sentinel gated on the SEGMENT
+        # (k <= n always, so n+1 cannot be attained by real data)
+        k_at = np.minimum.reduceat(
+            np.where(score == np.repeat(mx, n), k, m + 1), ustart)
+        return pa.table({
+            'user_id': pa.array(users[ustart]),
+            'n': pa.array(n),
+            'cusum_num': pa.array(mx),
+            'k_at_max': pa.array(k_at),
+        }, schema=out_schema)
+
+    return _per_user(ds, fn).sort('user_id')
+
+
+QUERIES['q_cusum_events'] = q_cusum_events
+ORACLE_SQL['q_cusum_events'] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    s AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             sum(v6) OVER (PARTITION BY user_id) AS tot,
+             sum(v6) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM e)
+    SELECT user_id, n, abs(n * c - k * tot) AS cusum_num, k AS k_at_max
+    FROM s
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY abs(n * c - k * tot) DESC, k ASC) = 1
+    ORDER BY user_id
 """
 
 

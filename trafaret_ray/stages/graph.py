@@ -382,3 +382,152 @@ def pagerank(edges, src: str = 'src', dst: str = 'dst',
         })
 
     return ranks.map_batches(finish, batch_format='pyarrow')
+
+
+def triangle_counts(edges, num_buckets: int = 16, a_col: str = 'a',
+                    b_col: str = 'b',
+                    edges_schema: pa.Schema | None = None):
+    """Per-node triangle participation counts over an undirected simple
+    graph (``edges`` rows are (a, b) with a < b, deduplicated).
+
+    Degree-ordered orientation (the compact-forward / node-iterator
+    family — Schank & Wagner 2005; Suri & Vassilvitskii, WWW'11 give the
+    same shape for MapReduce): every edge is directed from its lower
+    (degree, id) endpoint to the higher. Each triangle then has exactly
+    ONE wedge (u->v, u->w) whose closing edge is itself oriented v->w,
+    so joining oriented wedges against oriented edges counts every
+    triangle exactly once, and total wedge rows are bounded by
+    sum_u outdeg(u)^2 = O(m^1.5). The orientation is what makes hub
+    nodes safe at scale: a hub's edges point INTO it, so its million
+    neighbors never pair up at the hub.
+
+    Shape: one endpoint-explode + count exchange (degrees), two
+    hash_joins attaching the endpoint degrees (schemas passed
+    explicitly — no derived-dataset ``.schema()`` calls), one
+    per-source wedge expansion inside a bucket exchange (slot-trick
+    pair expansion, no Python loop), one composite-key (v, w)
+    hash_join closing the wedges, and one final per-node count.
+    Every stage streams; nothing node- or edge-proportional reaches
+    the driver. Returns a Dataset of (node, n_triangles), nodes with
+    zero triangles omitted (SQL-join parity).
+    """
+    from .joins import hash_join
+
+    if edges_schema is None:
+        edges_schema = edges.schema()
+    a_t = edges_schema.field(a_col).type
+
+    # edges feed two consumers (degree count + degree join) and the
+    # oriented form feeds two more (wedges + closing join): checkpoint
+    # each once in the OBJECT STORE so Ray doesn't re-execute the whole
+    # upstream lineage per consumer. Both are edge-proportional — they
+    # spill, they never touch the driver.
+    edges = edges.materialize()
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).combine_chunks()
+        b = tbl.column(b_col).combine_chunks()
+        return pa.table({'node': pa.concat_arrays(
+            [a.cast(a_t), b.cast(a_t)]),
+            '_one': pa.array(np.ones(2 * tbl.num_rows, np.int64))})
+
+    degrees = bucket_aggregate(
+        edges.map_batches(endpoints, batch_format='pyarrow'),
+        ['node'], {'deg': ('_one', 'sum')},
+        num_buckets=num_buckets).materialize()
+    deg_schema = pa.schema([('node', a_t), ('deg', pa.int64())])
+
+    def as_key(col):
+        def f(tbl: pa.Table) -> pa.Table:
+            return pa.table({col: tbl.column('node'),
+                             'deg_' + col: tbl.column('deg')})
+        return f
+
+    ed = hash_join(
+        edges, degrees.map_batches(as_key(a_col), batch_format='pyarrow'),
+        on=a_col, num_buckets=num_buckets,
+        left_schema=edges_schema,
+        right_schema=pa.schema([(a_col, a_t), ('deg_' + a_col,
+                                               pa.int64())]))
+    ed_schema = pa.schema(list(zip(edges_schema.names,
+                                   edges_schema.types))
+                          + [('deg_' + a_col, pa.int64())])
+    ed = hash_join(
+        ed, degrees.map_batches(as_key(b_col), batch_format='pyarrow'),
+        on=b_col, num_buckets=num_buckets,
+        left_schema=ed_schema,
+        right_schema=pa.schema([(b_col, a_t), ('deg_' + b_col,
+                                               pa.int64())]))
+
+    orient_schema = pa.schema([('src', a_t), ('dst', a_t),
+                               ('deg_dst', pa.int64())])
+
+    def orient(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return orient_schema.empty_table()
+        a = tbl.column(a_col).to_numpy(zero_copy_only=False)
+        b = tbl.column(b_col).to_numpy(zero_copy_only=False)
+        da = tbl.column('deg_' + a_col).to_numpy(zero_copy_only=False)
+        db = tbl.column('deg_' + b_col).to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            'src': pa.array(np.where(a_first, a, b)),
+            'dst': pa.array(np.where(a_first, b, a)),
+            'deg_dst': pa.array(np.where(a_first, db, da)),
+        }, schema=orient_schema)
+
+    oriented = ed.map_batches(orient, batch_format='pyarrow')\
+        .materialize()
+
+    wedge_schema = pa.schema([('v', a_t), ('w', a_t), ('u', a_t)])
+
+    def wedges(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return wedge_schema.empty_table()
+        # out-neighbors per src, sorted by (deg, id) so pair (i < j)
+        # reproduces the closing edge's own orientation v -> w
+        t = tbl.sort_by([('src', 'ascending'), ('deg_dst', 'ascending'),
+                         ('dst', 'ascending')])
+        src = t.column('src').to_numpy(zero_copy_only=False)
+        dst = t.column('dst').to_numpy(zero_copy_only=False)
+        new = np.ones(len(src), dtype=bool)
+        new[1:] = src[1:] != src[:-1]
+        gs = np.maximum.accumulate(np.where(new, np.arange(len(src)), 0))
+        rep = np.arange(len(src)) - gs          # earlier rows in segment
+        if rep.sum() == 0:
+            return wedge_schema.empty_table()
+        j = np.repeat(np.arange(len(src)), rep)
+        slot = np.arange(len(j)) - np.repeat(np.cumsum(rep) - rep, rep)
+        i = gs[j] + slot
+        return pa.table({'v': pa.array(dst[i]), 'w': pa.array(dst[j]),
+                         'u': pa.array(src[j])}, schema=wedge_schema)
+
+    wedge_ds = bucket_exchange(oriented, 'src', wedges,
+                               num_buckets=num_buckets)
+
+    def close_key(tbl: pa.Table) -> pa.Table:
+        return pa.table({'v': tbl.column('src'), 'w': tbl.column('dst')})
+
+    tri = hash_join(
+        wedge_ds, oriented.map_batches(close_key, batch_format='pyarrow'),
+        on=['v', 'w'], num_buckets=num_buckets,
+        left_schema=wedge_schema,
+        right_schema=pa.schema([('v', a_t), ('w', a_t)]))
+
+    def tri_nodes(tbl: pa.Table) -> pa.Table:
+        arrs = [tbl.column(c).combine_chunks().cast(a_t)
+                for c in ('u', 'v', 'w')]
+        return pa.table({'node': pa.concat_arrays(arrs),
+                         '_one': pa.array(np.ones(3 * tbl.num_rows,
+                                                  np.int64))})
+
+    counts = bucket_aggregate(
+        tri.map_batches(tri_nodes, batch_format='pyarrow'),
+        ['node'], {'n_triangles': ('_one', 'sum')},
+        num_buckets=num_buckets)
+    # a triangle-free graph yields an all-empty Dataset, which loses
+    # its schema (CLAUDE.md invariant) — union one typed 0-row block so
+    # downstream column access survives the legitimate zero-result case
+    import ray.data as rd
+    out_schema = pa.schema([('node', a_t), ('n_triangles', pa.int64())])
+    return counts.union(rd.from_arrow(out_schema.empty_table()))
