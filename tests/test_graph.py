@@ -198,3 +198,12 @@ class TestTriangleCounts:
         edges = [(0, i) for i in range(1, 51)] + [(1, 2)]
         got = _tri(edges)
         assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_distributed_path_matches_local(self, ray_session):
+        rng = np.random.default_rng(41)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 30, size=(150, 2))
+                        if a != b})
+        local = _tri(edges)
+        dist = _tri(edges, local_edges_max=0)
+        assert dist == local and local == _tri_brute(edges)

@@ -698,6 +698,88 @@ def q_ann_topk(sf_dir: str):
                                ('vec_id', 'ascending')], k)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retrieval rankings — the
+    multi-query (query-expansion) retrieval primitive: rank the corpus
+    by cosine against TWO broadcast query vectors (vec 0 and vec 1),
+    take each query's exact top-100, fuse with
+    score = 1/(60+r_a) + 1/(60+r_b) (Cormack et al. 2009, k=60).
+    Distributed shape: per-batch micro-int metrics + local top-100
+    prune per ranking; only the k-bounded candidate union reaches the
+    driver (the standard global top-k merge). Ranks are ints, the two
+    reciprocal terms are divisions of IDENTICAL doubles added in the
+    same order on both engines, and the emitted score is micro-floored
+    — byte-stable. Absent-from-a-list ranks emit 0 (NOT null: a null
+    int column floatifies in pandas, CLAUDE.md)."""
+    K, RRF_K = 100, 60
+    cols = ['vec_id', 'rank_a', 'rank_b', 'rrf6']
+    empty = pd.DataFrame({'vec_id': pd.Series(dtype=np.int64),
+                          'rank_a': pd.Series(dtype=np.int64),
+                          'rank_b': pd.Series(dtype=np.int64),
+                          'rrf6': pd.Series(dtype=np.int64)})
+    qa = _query_vec(sf_dir, 0)
+    qb = _query_vec(sf_dir, 1)
+    if qa is None or qb is None:
+        return empty
+    na, nb = np.linalg.norm(qa), np.linalg.norm(qb)
+    cand_schema = pa.schema([('vec_id', pa.int64()),
+                             ('cos6a', pa.int64()), ('cos6b', pa.int64())])
+
+    def local_prune(tbl: pa.Table) -> pa.Table:
+        from ..stages.ann import drop_null_vectors
+        tbl = drop_null_vectors(tbl, 'embedding')
+        if tbl.num_rows == 0:
+            return cand_schema.empty_table()
+        ids = tbl.column('vec_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        la = tbl.column('embedding').combine_chunks()
+        mat = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(len(la), -1)
+        keep = (ids != 0) & (ids != 1)
+        ids, mat = ids[keep], mat[keep]
+        if len(ids) == 0:
+            return cand_schema.empty_table()
+        norms = np.linalg.norm(mat, axis=1)
+        cos6a = np.floor((mat @ qa) / (norms * na) * 1e6 + 0.5)\
+            .astype(np.int64)
+        cos6b = np.floor((mat @ qb) / (norms * nb) * 1e6 + 0.5)\
+            .astype(np.int64)
+        # union of the two local top-K index sets (ties -> smaller id,
+        # matching the global rank order)
+        oc = np.lexsort((ids, -cos6a))[:K]
+        od = np.lexsort((ids, -cos6b))[:K]
+        sel = np.unique(np.concatenate([oc, od]))
+        return pa.table({'vec_id': pa.array(ids[sel]),
+                         'cos6a': pa.array(cos6a[sel]),
+                         'cos6b': pa.array(cos6b[sel])},
+                        schema=cand_schema)
+
+    emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    cands = emb.map_batches(local_prune, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    df = _small_df(cands, ['vec_id', 'cos6a', 'cos6b'])
+    if len(df) == 0:
+        return empty
+    ids = df['vec_id'].to_numpy(dtype=np.int64)
+    cos6a = df['cos6a'].to_numpy(dtype=np.int64)
+    cos6b = df['cos6b'].to_numpy(dtype=np.int64)
+    ra = np.zeros(len(ids), dtype=np.int64)
+    rb = np.zeros(len(ids), dtype=np.int64)
+    oc = np.lexsort((ids, -cos6a))[:K]
+    od = np.lexsort((ids, -cos6b))[:K]
+    ra[oc] = np.arange(1, len(oc) + 1)
+    rb[od] = np.arange(1, len(od) + 1)
+    fused = (ra > 0) | (rb > 0)
+    # same term order as the SQL: query-a term + query-b term
+    score = (np.where(ra > 0, 1.0 / (RRF_K + ra), 0.0)
+             + np.where(rb > 0, 1.0 / (RRF_K + rb), 0.0))
+    out = pd.DataFrame({
+        'vec_id': ids[fused], 'rank_a': ra[fused],
+        'rank_b': rb[fused],
+        'rrf6': np.floor(score[fused] * 1e6 + 0.5).astype(np.int64)})
+    return out[cols].sort_values('vec_id').reset_index(drop=True)
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF-indexed cosine top-k (stages/ann.py): coarse k-means quantizer
     + cluster-probed scan. Run with nprobe == n_clusters (exact mode) so
@@ -725,6 +807,7 @@ QUERIES = {
     'q_exact_dedup_docs': q_exact_dedup_docs,
     'q_token_stats': q_token_stats,
     'q_ann_topk': q_ann_topk,
+    'q_rrf_fusion': q_rrf_fusion,
 }
 
 
@@ -870,6 +953,39 @@ ORACLE_SQL = {
           AND EXISTS (SELECT 1 FROM q)
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
+    """,
+    'q_rrf_fusion': """
+        WITH qa AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                    WHERE vec_id = 0 AND embedding IS NOT NULL),
+        qb AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 1 AND embedding IS NOT NULL),
+        m AS (SELECT vec_id,
+                cast(floor(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT qe FROM qa)) * 1e6 + 0.5) AS BIGINT)
+                  AS cos6a,
+                cast(floor(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT qe FROM qb)) * 1e6 + 0.5) AS BIGINT)
+                  AS cos6b
+              FROM embeddings
+              WHERE vec_id NOT IN (0, 1) AND embedding IS NOT NULL
+                AND EXISTS (SELECT 1 FROM qa)
+                AND EXISTS (SELECT 1 FROM qb)),
+        rc AS (SELECT vec_id, row_number() OVER
+                   (ORDER BY cos6a DESC, vec_id) AS ra
+               FROM m QUALIFY ra <= 100),
+        rd AS (SELECT vec_id, row_number() OVER
+                   (ORDER BY cos6b DESC, vec_id) AS rb
+               FROM m QUALIFY rb <= 100)
+        SELECT coalesce(rc.vec_id, rd.vec_id) AS vec_id,
+               coalesce(ra, 0) AS rank_a,
+               coalesce(rb, 0) AS rank_b,
+               cast(floor((CASE WHEN ra IS NULL THEN 0.0
+                           ELSE 1.0 / (60 + ra) END
+                           + CASE WHEN rb IS NULL THEN 0.0
+                           ELSE 1.0 / (60 + rb) END) * 1e6 + 0.5)
+                    AS BIGINT) AS rrf6
+        FROM rc FULL JOIN rd ON rc.vec_id = rd.vec_id
+        ORDER BY vec_id
     """,
 }
 

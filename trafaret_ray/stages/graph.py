@@ -155,9 +155,15 @@ def connected_components(edges, src: str = 'src', dst: str = 'dst',
         both = tagged_edges.union(
             labels.map_batches(tag_labels, batch_format='pyarrow'))
         cand = bucket_exchange(both, 'node', join_bucket, num_buckets)
+        # repartition BOUNDS the label block count: a sort's output
+        # block count equals its input's, and the per-round union would
+        # otherwise compound it round over round (task count then grows
+        # linearly per round — measured 11s -> 42s/round by iteration 10
+        # on a 1M-edge graph before the cap)
         labels = bucket_aggregate(cand, ['node'],
                                   {'label': ('label', 'min')},
-                                  num_buckets=num_buckets).materialize()
+                                  num_buckets=num_buckets)\
+            .repartition(num_buckets).materialize()
         cur = label_sum(labels)
         if cur == prev:
             converged = True
@@ -307,20 +313,39 @@ def pagerank(edges, src: str = 'src', dst: str = 'dst',
                          'in9': pa.array([], pa.int64())})
 
     def scatter(tbl: pa.Table) -> pa.Table:
-        """Per src-bucket: contribution rank9//outdeg to each out-edge."""
+        """Per src-bucket: contribution rank9//outdeg to each out-edge,
+        PARTIALLY pre-summed per dst inside the bucket (cuts the next
+        exchange from O(edges) to O(distinct dst) rows). Vectorized:
+        searchsorted rank-row lookup, bincount partial sums — exact,
+        every value <= 1e9 mass < 2^53 so the float pathway is
+        integer-lossless."""
         if tbl.num_rows == 0:
             return _EMPTY_C
-        df = tbl.to_pandas()
-        rk = df[df['dst'] == -1][['node', 'outdeg', 'rank9']]
-        ed = df[df['dst'] != -1][['node', 'dst']]
-        m = ed.merge(rk, on='node', how='inner')
-        if len(m) == 0:
+        node = tbl.column('node').to_numpy(zero_copy_only=False)
+        dstv = tbl.column('dst').to_numpy(zero_copy_only=False)
+        outd = tbl.column('outdeg').to_numpy(zero_copy_only=False)
+        rk9 = tbl.column('rank9').to_numpy(zero_copy_only=False)
+        is_rank = dstv == -1
+        rn, rdeg, rr = node[is_rank], outd[is_rank], rk9[is_rank]
+        en, ed = node[~is_rank], dstv[~is_rank]
+        if len(en) == 0 or len(rn) == 0:
             return _EMPTY_C
-        return pa.table({
-            'node': pa.array(m['dst'].to_numpy(np.int64)),
-            'in9': pa.array(m['rank9'].to_numpy(np.int64)
-                            // m['outdeg'].to_numpy(np.int64)),
-        })
+        order = np.argsort(rn, kind='stable')   # one rank row per node
+        rn_s = rn[order]
+        # dangling rank rows (outdeg 0) are never matched by an edge —
+        # the max(.,1) only silences the unused division
+        contrib_s = rr[order] // np.maximum(rdeg[order], 1)
+        pos = np.searchsorted(rn_s, en)
+        ok = (pos < len(rn_s)) & (rn_s[np.minimum(pos, len(rn_s) - 1)]
+                                  == en)
+        c = contrib_s[pos[ok]]
+        ud, inv = np.unique(ed[ok], return_inverse=True)
+        if len(ud) == 0:
+            return _EMPTY_C
+        sums = np.bincount(inv, weights=c.astype(np.float64))\
+            .astype(np.int64)
+        return pa.table({'node': pa.array(ud),
+                         'in9': pa.array(sums)})
 
     for _ in range(iters):
         # dangling mass: one int64 scalar to the driver per round
@@ -333,9 +358,10 @@ def pagerank(edges, src: str = 'src', dst: str = 'dst',
 
         both = tagged_edges.union(
             ranks.map_batches(tag_ranks, batch_format='pyarrow'))
-        in_sum = bucket_aggregate(
-            bucket_exchange(both, 'node', scatter, num_buckets),
-            ['node'], {'in9': ('in9', 'sum')}, num_buckets=num_buckets)
+        # scatter emits bucket-partial per-dst sums; ``upd`` finishes the
+        # aggregation inside the node-keyed merge exchange (integer sums
+        # are associative) — TWO exchanges per round, not three
+        in_sum = bucket_exchange(both, 'node', scatter, num_buckets)
 
         # merge contributions back onto the static degree table
         def upd(tbl: pa.Table, _d=dshare9) -> pa.Table:
@@ -371,8 +397,10 @@ def pagerank(edges, src: str = 'src', dst: str = 'dst',
 
         merged = nodes_deg.map_batches(tag_deg, batch_format='pyarrow')\
             .union(in_sum.map_batches(tag_in, batch_format='pyarrow'))
-        ranks = bucket_exchange(merged, 'node', upd,
-                                num_buckets).materialize()
+        # repartition bounds the per-round block growth (see the same
+        # cap in connected_components)
+        ranks = bucket_exchange(merged, 'node', upd, num_buckets)\
+            .repartition(num_buckets).materialize()
 
     def finish(tbl: pa.Table) -> pa.Table:
         return pa.table({
@@ -384,9 +412,57 @@ def pagerank(edges, src: str = 'src', dst: str = 'dst',
     return ranks.map_batches(finish, batch_format='pyarrow')
 
 
+def _local_triangles(tbl: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Whole-graph per-node triangle counts in ONE task: the same
+    degree-ordered wedge plan as the distributed path (so outputs are
+    identical), with the closing-edge membership test a searchsorted
+    against the sorted oriented edge keys. Node ids are compacted via
+    np.unique first, so key arithmetic never overflows and ids may be
+    arbitrary int64."""
+    a_t = tbl.schema.field(a_col).type
+    out_schema = pa.schema([('node', a_t), ('n_triangles', pa.int64())])
+    if tbl.num_rows == 0:
+        return out_schema.empty_table()
+    a = tbl.column(a_col).to_numpy(zero_copy_only=False)
+    b = tbl.column(b_col).to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ac, bc = inv[:len(a)], inv[len(a):]
+    n = len(nodes)
+    deg = np.bincount(ac, minlength=n) + np.bincount(bc, minlength=n)
+    # compact ids preserve original-id order (np.unique is sorted), so
+    # (deg, compact-id) ties break exactly like the distributed path
+    a_first = (deg[ac] < deg[bc]) | ((deg[ac] == deg[bc]) & (ac < bc))
+    src = np.where(a_first, ac, bc)
+    dst = np.where(a_first, bc, ac)
+    ekey = np.sort(src.astype(np.int64) * n + dst)
+    order = np.lexsort((dst, deg[dst], src))
+    s, d = src[order], dst[order]
+    new = np.ones(len(s), dtype=bool)
+    new[1:] = s[1:] != s[:-1]
+    gs = np.maximum.accumulate(np.where(new, np.arange(len(s)), 0))
+    rep = np.arange(len(s)) - gs
+    if rep.sum() == 0:
+        return out_schema.empty_table()
+    j = np.repeat(np.arange(len(s)), rep)
+    slot = np.arange(len(j)) - np.repeat(np.cumsum(rep) - rep, rep)
+    i = gs[j] + slot
+    v, w, u = d[i], d[j], s[j]
+    wkey = v.astype(np.int64) * n + w
+    pos = np.searchsorted(ekey, wkey)
+    hit = (pos < len(ekey)) & (ekey[np.minimum(pos, len(ekey) - 1)]
+                               == wkey)
+    cnt = np.bincount(np.concatenate([u[hit], v[hit], w[hit]]),
+                      minlength=n).astype(np.int64)
+    nz = np.nonzero(cnt)[0]
+    return pa.table({'node': pa.array(nodes[nz]).cast(a_t),
+                     'n_triangles': pa.array(cnt[nz])},
+                    schema=out_schema)
+
+
 def triangle_counts(edges, num_buckets: int = 16, a_col: str = 'a',
                     b_col: str = 'b',
-                    edges_schema: pa.Schema | None = None):
+                    edges_schema: pa.Schema | None = None,
+                    local_edges_max: int = 200_000):
     """Per-node triangle participation counts over an undirected simple
     graph (``edges`` rows are (a, b) with a < b, deduplicated).
 
@@ -410,12 +486,19 @@ def triangle_counts(edges, num_buckets: int = 16, a_col: str = 'a',
     Every stage streams; nothing node- or edge-proportional reaches
     the driver. Returns a Dataset of (node, n_triangles), nodes with
     zero triangles omitted (SQL-join parity).
+
+    Edge sets <= ``local_edges_max`` skip the exchanges and count in
+    ONE Ray task (``_local_triangles``, identical output — parity
+    pinned in tests/test_graph.py); pass ``local_edges_max=0`` to
+    force the distributed path.
     """
     from .joins import hash_join
 
     if edges_schema is None:
         edges_schema = edges.schema()
-    a_t = edges_schema.field(a_col).type
+    # .names/.types (not .field) — Dataset.schema() returns Ray's
+    # Schema wrapper, not a pyarrow.Schema
+    a_t = dict(zip(edges_schema.names, edges_schema.types))[a_col]
 
     # edges feed two consumers (degree count + degree join) and the
     # oriented form feeds two more (wedges + closing join): checkpoint
@@ -423,6 +506,21 @@ def triangle_counts(edges, num_buckets: int = 16, a_col: str = 'a',
     # upstream lineage per consumer. Both are edge-proportional — they
     # spill, they never touch the driver.
     edges = edges.materialize()
+
+    import ray.data as rd
+    out_schema = pa.schema([('node', a_t), ('n_triangles', pa.int64())])
+
+    # SIZE-AWARE SHAPE (same policy as connected_components/pagerank):
+    # the distributed plan pays ~6 exchanges of pure fixed overhead on
+    # a small graph; below ``local_edges_max`` the whole count runs in
+    # ONE Ray task with identical output. The cap is deliberately lower
+    # than CC's: wedge expansion is O(m^1.5) worst-case, so 200k edges
+    # bounds the single task at ~90M wedge rows even on a near-clique.
+    if local_edges_max and edges.count() <= local_edges_max:
+        out = edges.repartition(1).map_batches(
+            lambda t: _local_triangles(t, a_col, b_col),
+            batch_format='pyarrow', zero_copy_batch=True)
+        return out.union(rd.from_arrow(out_schema.empty_table()))
 
     def endpoints(tbl: pa.Table) -> pa.Table:
         a = tbl.column(a_col).combine_chunks()
@@ -528,6 +626,4 @@ def triangle_counts(edges, num_buckets: int = 16, a_col: str = 'a',
     # a triangle-free graph yields an all-empty Dataset, which loses
     # its schema (CLAUDE.md invariant) — union one typed 0-row block so
     # downstream column access survives the legitimate zero-result case
-    import ray.data as rd
-    out_schema = pa.schema([('node', a_t), ('n_triangles', pa.int64())])
     return counts.union(rd.from_arrow(out_schema.empty_table()))
