@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     'q_entropy_users', 'q_gini_priority', 'q_rfm_users',
     'q_chi2_events', 'q_benford_orders', 'q_snm_pairs_docs',
     'q_triangles_embeddings', 'q_cusum_events', 'q_rrf_fusion',
+    'q_clustering_embeddings', 'q_assortativity_embeddings',
 ]
 
 

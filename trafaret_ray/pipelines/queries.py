@@ -1206,6 +1206,150 @@ def q_triangles_embeddings(sf_dir: str):
         .sort('vec_id')
 
 
+_EDGE_SCHEMA = pa.schema([('a', pa.int64()), ('b', pa.int64())])
+
+
+def _cosine_edge_ds(sf_dir: str):
+    """(a, b) edge Dataset of the exact cosine>=0.3 graph, materialized
+    once (it feeds multiple consumers in the graph-metric queries)."""
+    def as_edge(tbl: pa.Table) -> pa.Table:
+        return pa.table({'a': tbl.column('id_a').combine_chunks(),
+                         'b': tbl.column('id_b').combine_chunks()},
+                        schema=_EDGE_SCHEMA)
+
+    return _cosine_edges(sf_dir).map_batches(
+        as_edge, batch_format='pyarrow').materialize()
+
+
+def _edge_degrees(edges, num_buckets=8):
+    """(node, deg) Dataset from an (a, b) edge Dataset."""
+    from ..stages.aggregate import bucket_aggregate
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        a = tbl.column('a').combine_chunks()
+        b = tbl.column('b').combine_chunks()
+        return pa.table({'node': pa.concat_arrays([a, b]),
+                         '_one': pa.array(np.ones(2 * tbl.num_rows,
+                                                  dtype=np.int64))})
+
+    return bucket_aggregate(
+        edges.map_batches(endpoints, batch_format='pyarrow'),
+        ['node'], {'deg': ('_one', 'sum')}, num_buckets=num_buckets)
+
+
+def q_clustering_embeddings(sf_dir: str):
+    """Per-node local clustering coefficient of the cosine graph:
+    clus = triangles(v) / C(deg(v), 2) — the community-density score
+    used for graph-based corpus curation. Entirely integer: triangle
+    and degree counts are exact, the coefficient is ONE integer
+    division (2e6*tri // deg*(deg-1), both operands non-negative so
+    numpy floor == DuckDB trunc). Nodes with deg < 2 are excluded
+    (coefficient undefined) on both engines."""
+    from ..stages.graph import triangle_counts
+    from ..stages.joins import hash_join
+
+    edges = _cosine_edge_ds(sf_dir)
+    tri = triangle_counts(edges, num_buckets=8,
+                          edges_schema=_EDGE_SCHEMA)
+    deg = _edge_degrees(edges)
+    j = hash_join(
+        deg, tri, on='node', how='left', num_buckets=8,
+        left_schema=pa.schema([('node', pa.int64()),
+                               ('deg', pa.int64())]),
+        right_schema=pa.schema([('node', pa.int64()),
+                                ('n_triangles', pa.int64())]))
+    out_schema = pa.schema([('vec_id', pa.int64()), ('deg', pa.int64()),
+                            ('tri', pa.int64()), ('clus6', pa.int64())])
+
+    def coeff(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        d = tbl.column('deg').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        t = pc.fill_null(tbl.column('n_triangles'), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        node = tbl.column('node').to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        d, t, node = d[keep], t[keep], node[keep]
+        clus6 = (2_000_000 * t) // (d * (d - 1))
+        return pa.table({'vec_id': pa.array(node), 'deg': pa.array(d),
+                         'tri': pa.array(t), 'clus6': pa.array(clus6)},
+                        schema=out_schema)
+
+    return j.map_batches(coeff, batch_format='pyarrow').sort('vec_id')
+
+
+def q_assortativity_embeddings(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the cosine graph: Pearson
+    correlation of endpoint degrees over both edge orientations — do
+    similar-degree nodes link to each other? The moment sums are EXACT
+    int64 (degrees are integers; no fixed-point scaling needed at sf
+    scale — at web scale the squared sums need the 1e2-style rescale,
+    CLAUDE.md); only the final r divides two exact integers as doubles,
+    micro-floored identically on both engines. Distributed shape: the
+    two degree attachments are hash_joins, per-batch moment partials,
+    one block-bounded driver reduce."""
+    from ..stages.joins import hash_join
+
+    empty = pd.DataFrame({'m': pd.Series(dtype=np.int64),
+                          'r6': pd.Series(dtype=np.int64)})
+    edges = _cosine_edge_ds(sf_dir)
+    deg = _edge_degrees(edges)
+
+    def key_a(tbl: pa.Table) -> pa.Table:
+        return pa.table({'a': tbl.column('node'),
+                         'deg_a': tbl.column('deg')})
+
+    def key_b(tbl: pa.Table) -> pa.Table:
+        return pa.table({'b': tbl.column('node'),
+                         'deg_b': tbl.column('deg')})
+
+    dschema = pa.schema([('node', pa.int64()), ('deg', pa.int64())])
+    ed = hash_join(edges, deg.map_batches(key_a, batch_format='pyarrow'),
+                   on='a', num_buckets=8, left_schema=_EDGE_SCHEMA,
+                   right_schema=pa.schema([('a', pa.int64()),
+                                           ('deg_a', pa.int64())]))
+    ed = hash_join(ed, deg.map_batches(key_b, batch_format='pyarrow'),
+                   on='b', num_buckets=8,
+                   left_schema=pa.schema(
+                       [('a', pa.int64()), ('b', pa.int64()),
+                        ('deg_a', pa.int64())]),
+                   right_schema=pa.schema([('b', pa.int64()),
+                                           ('deg_b', pa.int64())]))
+    part_schema = pa.schema([('m', pa.int64()), ('sx', pa.int64()),
+                             ('sxx', pa.int64()), ('sxy', pa.int64())])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        da = tbl.column('deg_a').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        db = tbl.column('deg_b').to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        return pa.table({
+            'm': pa.array([len(da)], pa.int64()),
+            'sx': pa.array([int((da + db).sum())], pa.int64()),
+            'sxx': pa.array([int((da * da + db * db).sum())], pa.int64()),
+            'sxy': pa.array([int((2 * da * db).sum())], pa.int64()),
+        })
+
+    df = _small_df(ed.map_batches(partial, batch_format='pyarrow'),
+                   ['m', 'sx', 'sxx', 'sxy'])
+    if len(df) == 0 or df['m'].sum() == 0:
+        return empty
+    m = int(df['m'].sum())
+    n = 2 * m
+    sx = int(df['sx'].sum())
+    sxx = int(df['sxx'].sum())
+    sxy = int(df['sxy'].sum())
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sx
+    r6 = 0 if den == 0 else int(np.floor(float(num) / float(den)
+                                         * 1e6 + 0.5))
+    return pd.DataFrame({'m': pd.Series([m], dtype=np.int64),
+                         'r6': pd.Series([r6], dtype=np.int64)})
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     """MinHash-LSH near-dup clusters over documents (approximate by
     design → rows-only driver check; planted-pair recall is covered in
@@ -1280,6 +1424,8 @@ QUERIES.update({
     'q_bpe_token_stats': q_bpe_token_stats,
     'q_cosine_pairs': q_cosine_pairs,
     'q_triangles_embeddings': q_triangles_embeddings,
+    'q_clustering_embeddings': q_clustering_embeddings,
+    'q_assortativity_embeddings': q_assortativity_embeddings,
     'q_minhash_dedup_docs': q_minhash_dedup_docs,
     'q_simhash_candidates_docs': q_simhash_candidates_docs,
     'q_embedding_near_dup': q_embedding_near_dup,
@@ -1442,6 +1588,57 @@ ORACLE_SQL.update({
                   UNION ALL SELECT z FROM tri)
         SELECT vec_id, count(*) AS n_triangles
         FROM nodes GROUP BY vec_id ORDER BY vec_id
+    """,
+    'q_clustering_embeddings': """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                   FROM embeddings WHERE vec_id < 1000),
+        ed AS (SELECT a.vec_id AS va, b.vec_id AS vb
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                                * 1e6 + 0.5) AS BIGINT) >= 300000),
+        deg AS (SELECT vec_id, count(*) AS deg FROM (
+                  SELECT va AS vec_id FROM ed
+                  UNION ALL SELECT vb FROM ed) GROUP BY vec_id),
+        tri AS (SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+                FROM ed e1
+                JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
+                JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb),
+        tc AS (SELECT vec_id, count(*) AS tri FROM (
+                 SELECT x AS vec_id FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY vec_id)
+        SELECT d.vec_id, d.deg, coalesce(t.tri, 0) AS tri,
+               (2000000 * coalesce(t.tri, 0)) // (d.deg * (d.deg - 1))
+                 AS clus6
+        FROM deg d LEFT JOIN tc t USING (vec_id)
+        WHERE d.deg >= 2
+        ORDER BY d.vec_id
+    """,
+    'q_assortativity_embeddings': """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                   FROM embeddings WHERE vec_id < 1000),
+        ed AS (SELECT a.vec_id AS va, b.vec_id AS vb
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                                * 1e6 + 0.5) AS BIGINT) >= 300000),
+        deg AS (SELECT vec_id, count(*) AS deg FROM (
+                  SELECT va AS vec_id FROM ed
+                  UNION ALL SELECT vb FROM ed) GROUP BY vec_id),
+        p AS (SELECT d1.deg AS da, d2.deg AS db
+              FROM ed JOIN deg d1 ON d1.vec_id = ed.va
+                      JOIN deg d2 ON d2.vec_id = ed.vb),
+        s AS (SELECT count(*) AS m, sum(da + db) AS sx,
+                     sum(da * da + db * db) AS sxx,
+                     sum(2 * da * db) AS sxy
+              FROM p)
+        SELECT m,
+               CASE WHEN 2 * m * sxx - sx * sx = 0 THEN 0
+                    ELSE cast(floor(
+                        cast(2 * m * sxy - sx * sx AS DOUBLE)
+                        / cast(2 * m * sxx - sx * sx AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT) END AS r6
+        FROM s WHERE m > 0
+        ORDER BY m
     """,
 })
 
