@@ -207,3 +207,72 @@ class TestTriangleCounts:
         local = _tri(edges)
         dist = _tri(edges, local_edges_max=0)
         assert dist == local and local == _tri_brute(edges)
+
+
+def _kcore(edges, k, **kw):
+    import ray.data as rd
+    from trafaret_ray.stages.graph import k_core
+    tbl = pa.table({'a': pa.array([min(e) for e in edges], pa.int64()),
+                    'b': pa.array([max(e) for e in edges], pa.int64())})
+    out = k_core(rd.from_arrow(tbl), k, num_buckets=4,
+                 edges_schema=tbl.schema, **kw).to_pandas()
+    if len(out) == 0:
+        return {}
+    return dict(zip(out['node'], out['deg']))
+
+
+def _kcore_brute(edges, k):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+class TestKCore:
+    def test_clique_with_tail(self, ray_session):
+        # K4 survives the 3-core; the pendant chain peels away entirely
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6), (6, 7)]
+        assert _kcore(edges, 3) == {1: 3, 2: 3, 3: 3, 4: 3}
+        # the 2-core is just the clique too (the chain has degree-1 ends
+        # that unravel it completely)
+        assert _kcore(edges, 2) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_everything_peels(self, ray_session):
+        assert _kcore([(1, 2), (2, 3), (3, 4)], 2) == {}
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(13)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 30, size=(140, 2))
+                        if a != b})
+        for k in (2, 3, 4):
+            assert _kcore(edges, k) == _kcore_brute(edges, k), k
+
+    def test_distributed_path_matches_local(self, ray_session):
+        rng = np.random.default_rng(19)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 20, size=(80, 2))
+                        if a != b})
+        local = _kcore(edges, 3)
+        dist = _kcore(edges, 3, local_edges_max=0)
+        assert dist == local and local == _kcore_brute(edges, 3)
+
+    def test_max_iters_warns(self, ray_session):
+        # a long path at k=2 peels two ends per round: max_iters=1
+        # cannot reach the (empty) fixpoint -> RuntimeWarning
+        import warnings
+        edges = [(i, i + 1) for i in range(20)]
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter('always')
+            _kcore(edges, 2, local_edges_max=0, max_iters=1)
+        assert any('no fixpoint' in str(w.message) for w in caught
+                   if issubclass(w.category, RuntimeWarning))

@@ -24,6 +24,8 @@ ROWS_ONLY = {
     'q_ivfpq_topk',              # lossy code domain + probe pruning
     'q_pagerank_events',         # iterative algorithm, no SQL oracle
                                  # (float-parity + path tests)
+    'q_kcore_embeddings',        # iterative peel fixpoint, no SQL
+                                 # oracle (brute-force parity tests)
     'q_cms_token_counts',        # sketch estimate (error-bound tests)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle

@@ -69,8 +69,8 @@ def main():
 
     import ray.data as rd
 
-    from trafaret_ray.stages.graph import (connected_components, pagerank,
-                                           triangle_counts)
+    from trafaret_ray.stages.graph import (connected_components, k_core,
+                                           pagerank, triangle_counts)
 
     edges = rd.read_parquet(path)
     m = edges.count()
@@ -106,6 +106,12 @@ def main():
     out['tri_sec'] = round(time.time() - t0, 2)
     out['tri_total'] = int((tot or 0) // 3)
     out['tri_edges_per_sec'] = int(m / out['tri_sec'])
+
+    t0 = time.time()
+    core = k_core(edges, k=8, num_buckets=16, local_edges_max=0)
+    out['kcore_nodes'] = core.count()
+    out['kcore_sec'] = round(time.time() - t0, 2)
+    out['kcore_edges_per_sec'] = int(m / out['kcore_sec'])
 
     print(json.dumps(out))
     ray.shutdown()

@@ -1279,6 +1279,19 @@ def q_clustering_embeddings(sf_dir: str):
     return j.map_batches(coeff, batch_format='pyarrow').sort('vec_id')
 
 
+def q_kcore_embeddings(sf_dir: str):
+    """3-core of the cosine graph (stages/graph.py:k_core): iterative
+    min-degree peel — the web-graph density filter. Rows-only BY
+    DESIGN: the peel fixpoint is an iterative algorithm with no SQL
+    oracle (brute-force parity + local==distributed parity are pinned
+    in tests/test_graph.py; the --shuffled gate self-compares the
+    deterministic output)."""
+    from ..stages.graph import k_core
+    edges = _cosine_edge_ds(sf_dir)
+    return k_core(edges, k=3, num_buckets=8,
+                  edges_schema=_EDGE_SCHEMA).sort('node')
+
+
 def q_assortativity_embeddings(sf_dir: str):
     """Degree assortativity (Newman 2002) of the cosine graph: Pearson
     correlation of endpoint degrees over both edge orientations — do
@@ -1426,6 +1439,7 @@ QUERIES.update({
     'q_triangles_embeddings': q_triangles_embeddings,
     'q_clustering_embeddings': q_clustering_embeddings,
     'q_assortativity_embeddings': q_assortativity_embeddings,
+    'q_kcore_embeddings': q_kcore_embeddings,
     'q_minhash_dedup_docs': q_minhash_dedup_docs,
     'q_simhash_candidates_docs': q_simhash_candidates_docs,
     'q_embedding_near_dup': q_embedding_near_dup,

@@ -627,3 +627,141 @@ def triangle_counts(edges, num_buckets: int = 16, a_col: str = 'a',
     # its schema (CLAUDE.md invariant) — union one typed 0-row block so
     # downstream column access survives the legitimate zero-result case
     return counts.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def _local_kcore(tbl: pa.Table, a_col: str, b_col: str,
+                 k: int) -> pa.Table:
+    """Whole-graph k-core peel in ONE task: iteratively drop nodes with
+    degree < k until fixpoint — vectorized bincount rounds over the
+    surviving edge set."""
+    a_t = tbl.schema.field(a_col).type
+    out_schema = pa.schema([('node', a_t), ('deg', pa.int64())])
+    if tbl.num_rows == 0:
+        return out_schema.empty_table()
+    a = tbl.column(a_col).to_numpy(zero_copy_only=False)
+    b = tbl.column(b_col).to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ac, bc = inv[:len(a)], inv[len(a):]
+    n = len(nodes)
+    while True:
+        deg = np.bincount(ac, minlength=n) + np.bincount(bc, minlength=n)
+        alive = deg >= k
+        keep = alive[ac] & alive[bc]
+        if keep.all():
+            break
+        ac, bc = ac[keep], bc[keep]
+        if len(ac) == 0:
+            return out_schema.empty_table()
+    nz = np.nonzero(deg >= k)[0]
+    return pa.table({'node': pa.array(nodes[nz]).cast(a_t),
+                     'deg': pa.array(deg[nz].astype(np.int64))},
+                    schema=out_schema)
+
+
+def k_core(edges, k: int, num_buckets: int = 16, a_col: str = 'a',
+           b_col: str = 'b', edges_schema: pa.Schema | None = None,
+           local_edges_max: int = 200_000, max_iters: int = 50):
+    """k-core decomposition (fixed k): iteratively peel nodes of degree
+    < k until the surviving subgraph's minimum degree is >= k — the
+    web-graph density filter (spam rings and boilerplate clusters
+    survive high cores; tails and weakly-attached pages don't).
+    Returns (node, deg): the members of the k-core with their degree
+    WITHIN the core subgraph.
+
+    Distributed round: one degree count (endpoint-explode +
+    bucket_aggregate), then the edge set semi-joins the surviving
+    (deg >= k) node table on BOTH endpoints (two hash_joins — each
+    side's schema passed explicitly) and repartitions to cap per-round
+    block growth (see connected_components). Convergence is a single
+    driver scalar per round (surviving-edge count, monotone
+    decreasing). Peel rounds are O(graph diameter)-ish on real graphs;
+    a path graph at k=2 degenerates to O(n) rounds — ``max_iters``
+    caps it with a RuntimeWarning like connected_components.
+
+    Edge sets <= ``local_edges_max`` peel in ONE Ray task
+    (``_local_kcore``, identical output); ``local_edges_max=0`` forces
+    the distributed path.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    if edges_schema is None:
+        edges_schema = edges.schema()
+    a_t = dict(zip(edges_schema.names, edges_schema.types))[a_col]
+    out_schema = pa.schema([('node', a_t), ('deg', pa.int64())])
+    eschema = pa.schema([(a_col, a_t), (b_col, a_t)])
+
+    import ray.data as rd
+    edges = edges.materialize()
+    m = edges.count()
+    if local_edges_max and m <= local_edges_max:
+        out = edges.repartition(1).map_batches(
+            lambda t: _local_kcore(t, a_col, b_col, k),
+            batch_format='pyarrow', zero_copy_batch=True)
+        return out.union(rd.from_arrow(out_schema.empty_table()))
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).combine_chunks().cast(a_t)
+        b = tbl.column(b_col).combine_chunks().cast(a_t)
+        return pa.table({'node': pa.concat_arrays([a, b]),
+                         '_one': pa.array(np.ones(2 * tbl.num_rows,
+                                                  np.int64))})
+
+    def survivors(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.greater_equal(tbl.column('deg'),
+                                           pa.scalar(k, pa.int64())))
+
+    degrees = None
+    converged = False
+    for _ in range(max_iters):
+        degrees = bucket_aggregate(
+            edges.map_batches(endpoints, batch_format='pyarrow'),
+            ['node'], {'deg': ('_one', 'sum')},
+            num_buckets=num_buckets).materialize()
+        alive = degrees.map_batches(survivors, batch_format='pyarrow')\
+            .materialize()
+
+        def keep_key(col):
+            def f(tbl: pa.Table) -> pa.Table:
+                return pa.table({col: tbl.column('node').combine_chunks()
+                                 .cast(a_t)})
+            return f
+
+        pruned = hash_join(
+            edges, alive.map_batches(keep_key(a_col),
+                                     batch_format='pyarrow'),
+            on=a_col, num_buckets=num_buckets, left_schema=eschema,
+            right_schema=pa.schema([(a_col, a_t)]))
+        pruned = hash_join(
+            pruned, alive.map_batches(keep_key(b_col),
+                                      batch_format='pyarrow'),
+            on=b_col, num_buckets=num_buckets, left_schema=eschema,
+            right_schema=pa.schema([(b_col, a_t)]))
+        pruned = pruned.repartition(num_buckets).materialize()
+        m_new = pruned.count()
+        if m_new == m:
+            converged = True
+            break
+        edges, m = pruned, m_new
+        if m == 0:
+            converged = True
+            break
+
+    if not converged:
+        import warnings
+        warnings.warn(
+            f'k_core: no fixpoint after {max_iters} peel rounds — '
+            'the result may include sub-core nodes; raise max_iters',
+            RuntimeWarning)
+
+    if m == 0 or degrees is None:
+        return rd.from_arrow(out_schema.empty_table())
+    final = bucket_aggregate(
+        edges.map_batches(endpoints, batch_format='pyarrow'),
+        ['node'], {'deg': ('_one', 'sum')}, num_buckets=num_buckets)
+    out = final.map_batches(
+        lambda t: pa.table({'node': t.column('node'),
+                            'deg': t.column('deg')}, schema=out_schema),
+        batch_format='pyarrow')
+    return out.union(rd.from_arrow(out_schema.empty_table()))
