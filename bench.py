@@ -86,7 +86,7 @@ BENCH_QUERIES = [
     'q_chi2_events', 'q_benford_orders', 'q_snm_pairs_docs',
     'q_triangles_embeddings', 'q_cusum_events', 'q_rrf_fusion',
     'q_clustering_embeddings', 'q_assortativity_embeddings',
-    'q_kcore_embeddings',
+    'q_kcore_embeddings', 'q_rank_nulls_events',
 ]
 
 
