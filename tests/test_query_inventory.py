@@ -27,6 +27,8 @@ ROWS_ONLY = {
     'q_kcore_embeddings',        # iterative peel fixpoint, no SQL
                                  # oracle (brute-force parity tests)
     'q_cms_token_counts',        # sketch estimate (error-bound tests)
+    'q_kmeans_embeddings',       # iterative refinement, no SQL oracle
+                                 # (integer-exact parity tests)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
     'flagship_transcript_features',  # transcripts input, not TPC-H-ish

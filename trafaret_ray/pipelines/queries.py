@@ -9338,3 +9338,46 @@ ORACLE_SQL['q_snm_pairs_docs'] = """
     WHERE levenshtein(a.skey, b.skey) <= 12
     ORDER BY rank_a, rank_b
 """
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the FULL embeddings table
+    (stages/ann.kmeans_lloyd): 8 clusters, 5 iterations, init = the 8
+    smallest vec_ids. Every step — assignment distances, partial sums,
+    the floor-rounded mean update — is int64 micro-unit arithmetic, so
+    the output is EXACTLY reproducible under any row order, batch
+    boundary or partitioning (the --shuffled gate's self-parity bar) and
+    the distributed path byte-equals a sequential numpy run
+    (tests/test_kmeans.py). Rows-only: the iterative refinement has no
+    single-statement SQL equivalent.
+
+    Output: one row per (cluster, dim) with the final centroid
+    coordinate in micro-units plus the cluster size, and one summary row
+    (cluster=-1, dim=-1, c6=total inertia in micro^2 units, n=0).
+
+    100-TB shape: the pruned int matrix is materialized once; each
+    iteration is one map pass emitting k*D pre-summed partial rows and a
+    tiny low-cardinality merge; driver state is k*D ints."""
+    from ..stages.ann import kmeans_lloyd
+    import ray.data as rd
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    try:
+        c6, sizes, inertia = kmeans_lloyd(ds, 'embedding', 'vec_id',
+                                          n_clusters=8, iters=5)
+    except ValueError:   # 0-row / all-null input
+        z = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({'cluster': z, 'dim': z,
+                                       'c6': z, 'n': z}))
+    k, d = c6.shape
+    out = pa.table({
+        'cluster': pa.array(np.concatenate(
+            [np.repeat(np.arange(k, dtype=np.int64), d), [-1]])),
+        'dim': pa.array(np.concatenate(
+            [np.tile(np.arange(d, dtype=np.int64), k), [-1]])),
+        'c6': pa.array(np.concatenate([c6.reshape(-1), [inertia]])),
+        'n': pa.array(np.concatenate([np.repeat(sizes, d), [0]])),
+    })
+    return rd.from_arrow(out).sort(['cluster', 'dim'])
+
+
+QUERIES['q_kmeans_embeddings'] = q_kmeans_embeddings

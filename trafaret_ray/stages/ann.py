@@ -664,3 +664,216 @@ def _exact_rerank(ds, shortlist, query: np.ndarray, k: int,
     from .aggregate import global_topk
     return global_topk(cands, [('cos_sim', 'descending'),
                                (id_col, 'ascending')], k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means (exact integer arithmetic end-to-end)
+# ---------------------------------------------------------------------------
+
+def _matrix6(tbl: pa.Table, emb_col: str) -> np.ndarray:
+    """Embedding list column -> (n, D) int64 micro-unit matrix
+    (floor(x*1e6 + 0.5)); the fixed-point view under which every k-means
+    step below is EXACT integer arithmetic."""
+    m = _batch_matrix(tbl, emb_col)
+    return np.floor(m * 1e6 + 0.5).astype(np.int64)
+
+
+def _assign6(x6: np.ndarray, c6: np.ndarray) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+    """argmin_k sum_d (x6 - c6)^2 with ties to the LOWEST cluster index.
+
+    All int64: coordinates are micro-units (~1e6), so a squared diff is
+    <= ~1.6e13 and a D-dim sum <= ~1e15 — far inside int64. Because no
+    float ever enters, the assignment is bit-identical under any batch
+    boundary, row order or partitioning (argmin on exact ints; numpy
+    argmin already takes the first minimum = lowest index).
+    Returns (assignment int32, min squared distance int64)."""
+    # (n, k, d) diff would be fine at batch sizes used here, but the
+    # expansion ||x||^2 - 2 x.c + ||c||^2 stays exact in int64 too and
+    # is k*d times smaller: x.c <= d * 1e6 * 1e6 * few ~ 1e14.
+    xx = (x6 * x6).sum(axis=1)                      # (n,)
+    cc = (c6 * c6).sum(axis=1)                      # (k,)
+    d2 = xx[:, None] - 2 * (x6 @ c6.T) + cc[None, :]  # exact int64
+    assign = d2.argmin(axis=1).astype(np.int32)
+    return assign, d2[np.arange(len(d2)), assign]
+
+
+def _kmeans_local6(x6: np.ndarray, c6: np.ndarray,
+                   iters: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sequential Lloyd iterations in the same integer arithmetic as the
+    distributed path — the parity reference and the single-task fast
+    path. Returns (final centroids int64 (k, D), cluster sizes int64
+    (k,), inertia int64)."""
+    k, d = c6.shape
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = 0
+    for _ in range(iters):
+        assign, mind2 = _assign6(x6, c6)
+        s6 = np.zeros((k, d), dtype=np.int64)
+        np.add.at(s6, assign, x6)
+        sizes = np.bincount(assign, minlength=k).astype(np.int64)
+        inertia = int(mind2.sum())
+        nz = sizes > 0
+        # floor(s/n + 1/2) per coordinate, exact in ints; an EMPTY
+        # cluster keeps its previous centroid (standard Lloyd choice)
+        c6 = c6.copy()
+        c6[nz] = (s6[nz] + sizes[nz, None] // 2) // sizes[nz, None]
+    return c6, sizes, inertia
+
+
+def kmeans_lloyd(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
+                 n_clusters: int = 8, iters: int = 5,
+                 local_rows_max: int = 200_000):
+    """Distributed Lloyd k-means over the FULL dataset (unlike
+    ``kmeans_fit``, which trains a coarse quantizer on a driver sample).
+
+    Every step is int64 micro-unit arithmetic — assignment distances,
+    partial coordinate sums, and the floor-rounded mean update — so the
+    result is EXACTLY reproducible: distributed == single-task ==
+    sequential numpy, under any row order or partitioning (pinned in
+    tests/test_kmeans.py). Init is the vectors of the ``n_clusters``
+    smallest ids (shuffle-invariant, no RNG).
+
+    100-TB shape: the (id, vector) matrix is materialized ONCE (column-
+    pruned ints); each iteration is one map_batches pass emitting k*D
+    per-batch partial rows (cluster, dim, s6, n) — pre-summed inside the
+    batch — merged by a tiny low-cardinality aggregation; centroids
+    (k*D ints) live on the driver and are re-broadcast per round via
+    ray.put. Inputs <= ``local_rows_max`` rows skip the loop and run all
+    iterations in ONE task on the same kernel.
+
+    Returns (centroids int64 (k, D) micro-units, sizes int64 (k,),
+    inertia int64 micro^2 units) — inertia is the within-cluster sum of
+    squared distances at the LAST assignment.
+    """
+    from .aggregate import pre_aggregate
+
+    def to_int_rows(tbl: pa.Table) -> pa.Table:
+        tbl = drop_null_vectors(tbl, emb_col)
+        if tbl.num_rows == 0:
+            return pa.table({'_id': pa.array([], pa.int64()),
+                             '_x6': pa.array([], pa.list_(pa.int64()))})
+        x6 = _matrix6(tbl, emb_col)
+        n, d = x6.shape
+        return pa.table({
+            '_id': tbl.column(id_col).combine_chunks().cast(pa.int64()),
+            '_x6': pa.FixedSizeListArray.from_arrays(
+                pa.array(x6.reshape(-1)), d).cast(pa.list_(pa.int64())),
+        })
+
+    mat = ds.map_batches(to_int_rows, batch_format='pyarrow',
+                         zero_copy_batch=True).materialize()
+    total = mat.count()
+    if total == 0:
+        raise ValueError('kmeans_lloyd: no non-null vectors')
+    k = min(n_clusters, total)
+
+    def _rows_matrix(tbl: pa.Table) -> np.ndarray:
+        la = tbl.column('_x6').combine_chunks()
+        return np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.int64).reshape(len(la), -1)
+
+    # ---- init: k smallest ids (per-batch partial top-k, driver merge of
+    # <= blocks*k tiny rows — shuffle-invariant, deterministic)
+    def min_k(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        ids = tbl.column('_id').to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argsort(ids, kind='stable')[:k])
+        return tbl.take(pa.array(keep))
+
+    _mat_schema = pa.schema([('_id', pa.int64()),
+                             ('_x6', pa.list_(pa.int64()))])
+
+    def _collect(d) -> pa.Table:
+        tbls = [t.cast(_mat_schema) for t in
+                d.iter_batches(batch_format='pyarrow') if t.num_rows]
+        if not tbls:
+            return _mat_schema.empty_table()
+        return pa.concat_tables(tbls)
+
+    seed_rows = _collect(mat.map_batches(min_k, batch_format='pyarrow',
+                                         zero_copy_batch=True))
+    # positions of the k smallest ids, IN ASCENDING ID ORDER — the
+    # centroid indexing must not depend on row positions
+    order = np.argsort(
+        seed_rows.column('_id').to_numpy(zero_copy_only=False),
+        kind='stable')[:k]
+    c6 = _rows_matrix(seed_rows.take(pa.array(order)))
+    d = c6.shape[1]
+
+    if total <= local_rows_max:
+        return _kmeans_local6(_rows_matrix(_collect(mat)), c6, iters)
+
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = 0
+    for _ in range(iters):
+        c_ref = ray.put(c6)
+
+        def partials(tbl: pa.Table, _c_ref=c_ref) -> pa.Table:
+            cents = ray.get(_c_ref)
+            kk, dd = cents.shape
+            if tbl.num_rows == 0:
+                z = pa.array([], pa.int64())
+                return pa.table({'cluster': z, 'dim': z, 's6': z, 'n': z})
+            x6 = _rows_matrix(tbl)
+            assign, mind2 = _assign6(x6, cents)
+            s6 = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(s6, assign, x6)
+            cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+            cl = np.repeat(np.arange(kk, dtype=np.int64), dd)
+            dim = np.tile(np.arange(dd, dtype=np.int64), kk)
+            # inertia partial rides as a sentinel row (cluster -1)
+            return pa.table({
+                'cluster': pa.array(np.concatenate([cl, [-1]])),
+                'dim': pa.array(np.concatenate([dim, [-1]])),
+                's6': pa.array(np.concatenate([s6.reshape(-1),
+                                               [mind2.sum()]])),
+                'n': pa.array(np.concatenate([np.repeat(cnt, dd), [0]])),
+            })
+
+        merged = pre_aggregate(
+            mat.map_batches(partials, batch_format='pyarrow',
+                            zero_copy_batch=True),
+            ['cluster', 'dim'], {'s6': ('s6', 'sum'), 'n': ('n', 'sum')})
+        _p_schema = pa.schema([('cluster', pa.int64()),
+                               ('dim', pa.int64()),
+                               ('s6', pa.int64()), ('n', pa.int64())])
+        ptbls = [t.cast(_p_schema) for t in
+                 merged.iter_batches(batch_format='pyarrow') if t.num_rows]
+        rows = pa.concat_tables(ptbls) if ptbls \
+            else _p_schema.empty_table()
+        cl = rows.column('cluster').to_numpy(zero_copy_only=False)
+        dim = rows.column('dim').to_numpy(zero_copy_only=False)
+        s6v = rows.column('s6').to_numpy(zero_copy_only=False)
+        nv = rows.column('n').to_numpy(zero_copy_only=False)
+        inertia = int(s6v[cl == -1].sum())
+        real = cl >= 0
+        s6m = np.zeros((k, d), dtype=np.int64)
+        s6m[cl[real], dim[real]] = s6v[real]
+        sizes = np.zeros(k, dtype=np.int64)
+        sizes[cl[real]] = nv[real]   # n repeated per dim; same value
+        nz = sizes > 0
+        c6 = c6.copy()
+        c6[nz] = (s6m[nz] + sizes[nz, None] // 2) // sizes[nz, None]
+    return c6, sizes, inertia
+
+
+def kmeans_assign(ds, c6: np.ndarray, emb_col: str = 'embedding'):
+    """Append the exact-integer cluster assignment for trained
+    ``kmeans_lloyd`` centroids as an int32 ``cluster`` column."""
+    c_ref = ray.put(np.ascontiguousarray(c6, dtype=np.int64))
+
+    class Assign:
+        def __init__(self):
+            self.c6 = ray.get(c_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            tbl = drop_null_vectors(tbl, emb_col)
+            if tbl.num_rows == 0:
+                return tbl.append_column(
+                    'cluster', pa.array([], type=pa.int32()))
+            assign, _ = _assign6(_matrix6(tbl, emb_col), self.c6)
+            return tbl.append_column('cluster', pa.array(assign))
+
+    return ds.map_batches(Assign, batch_format='pyarrow', concurrency=2)
