@@ -9381,3 +9381,115 @@ def q_kmeans_embeddings(sf_dir: str):
 
 
 QUERIES['q_kmeans_embeddings'] = q_kmeans_embeddings
+
+
+def q_seasonal_events(sf_dir: str):
+    """Seasonal-baseline anomaly detection: the baseline for each event
+    is the mean value of its (day-of-week, hour-of-day) cell across the
+    whole table; the 50 events with the largest |value - baseline| are
+    the anomalies. The time-series profiling primitive behind "is this
+    reading unusual FOR a Tuesday 3am".
+
+    Byte discipline: values enter as _fixed6 micro-units; the per-cell
+    mean is a FLOOR division made sign-safe with a 2^40 offset (DuckDB
+    ``//`` truncates toward zero on negatives, numpy floors — the offset
+    makes the numerator positive so both floor, CLAUDE.md ``//`` rule);
+    the residual and its |.| are then exact ints, so the top-50 pick and
+    the event_id tie-break are integer-deterministic on both engines.
+
+    100-TB shape: one pass of per-batch partials into a 168-cell
+    pre_aggregate, the tiny baseline broadcast driver-side, one scoring
+    pass pruned per batch by global_topk — no full sort, no row
+    exchange."""
+    from ..stages.aggregate import pre_aggregate as _pre, global_topk
+    _OFF = 1 << 40
+    ds = _read(sf_dir, 'events', ['event_id', 'ts', 'value'],
+               require=('ts', 'value'))
+    out_schema = pa.schema([
+        ('event_id', pa.int64()), ('dow', pa.int64()),
+        ('hr', pa.int64()), ('n_grp', pa.int64()),
+        ('resid6', pa.int64())])
+
+    def parts(tbl: pa.Table):
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        days = ts_us // 86_400_000_000
+        dow = (days + 4) % 7            # epoch day 0 = Thursday = 4
+        hr = (ts_us // 3_600_000_000) % 24
+        v6 = _fixed6(tbl.column('value')).to_numpy(zero_copy_only=False)
+        return dow, hr, v6
+
+    def cell_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({'dow': z, 'hr': z, 's6': z, '_one': z})
+        dow, hr, v6 = parts(tbl)
+        return pa.table({'dow': pa.array(dow), 'hr': pa.array(hr),
+                         's6': pa.array(v6),
+                         '_one': pa.array(np.ones(len(v6), np.int64))})
+
+    base = _small_df(_pre(
+        ds.map_batches(cell_partial, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['dow', 'hr'], {'s6': ('s6', 'sum'), 'n': ('_one', 'count')}),
+        ['dow', 'hr', 's6', 'n'])
+    if len(base) == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_schema.empty_table())
+    mean6 = np.full((7, 24), 0, dtype=np.int64)
+    ncell = np.zeros((7, 24), dtype=np.int64)
+    bd = base['dow'].to_numpy(np.int64)
+    bh = base['hr'].to_numpy(np.int64)
+    bs = base['s6'].to_numpy(np.int64)
+    bn = base['n'].to_numpy(np.int64)
+    mean6[bd, bh] = (bs + _OFF * bn) // bn - _OFF
+    ncell[bd, bh] = bn
+    import ray as _ray
+    bref = _ray.put((mean6, ncell))
+
+    class Score:
+        def __init__(self):
+            self.mean6, self.ncell = _ray.get(bref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return out_schema.empty_table().append_column(
+                    '_a6', pa.array([], pa.int64()))
+            dow, hr, v6 = parts(tbl)
+            resid6 = v6 - self.mean6[dow, hr]
+            return pa.table({
+                'event_id': pc.cast(tbl.column('event_id'), pa.int64()),
+                'dow': pa.array(dow), 'hr': pa.array(hr),
+                'n_grp': pa.array(self.ncell[dow, hr]),
+                'resid6': pa.array(resid6),
+                '_a6': pa.array(np.abs(resid6)),
+            })
+
+    top = global_topk(
+        ds.map_batches(Score, batch_format='pyarrow', concurrency=2),
+        [('_a6', 'descending'), ('event_id', 'ascending')], 50)
+    return top.drop_columns(['_a6']).sort(['resid6', 'event_id'])
+
+
+QUERIES['q_seasonal_events'] = q_seasonal_events
+ORACLE_SQL['q_seasonal_events'] = """
+    WITH e AS (
+      SELECT event_id, dayofweek(ts) AS dow, hour(ts) AS hr,
+             cast(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    g AS (
+      SELECT dow, hr, sum(v6) AS s6, count(*) AS n
+      FROM e GROUP BY dow, hr),
+    j AS (
+      SELECT e.event_id, e.dow, e.hr, g.n AS n_grp,
+             e.v6 - ((g.s6 + 1099511627776 * g.n) // g.n
+                     - 1099511627776) AS resid6
+      FROM e JOIN g USING (dow, hr)),
+    t AS (
+      SELECT * FROM j
+      ORDER BY abs(resid6) DESC, event_id
+      LIMIT 50)
+    SELECT event_id, dow, hr, n_grp, resid6
+    FROM t ORDER BY resid6, event_id
+"""
