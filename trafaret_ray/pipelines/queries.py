@@ -9493,3 +9493,92 @@ ORACLE_SQL['q_seasonal_events'] = """
     SELECT event_id, dow, hr, n_grp, resid6
     FROM t ORDER BY resid6, event_id
 """
+
+
+def q_wilson_events(sf_dir: str):
+    """Wilson score 95% confidence interval for the per-event-type
+    success proportion (success = value > 100) — the interval estimate a
+    conversion dashboard puts around every rate. Counts are exact ints
+    from one low-cardinality partial aggregation; the interval is one
+    scalar double formula per group computed in the ORACLE'S association
+    order (z*z folded as a DOUBLE product on both engines — DuckDB folds a bare
+    1.96*1.96 in DECIMAL, a DIFFERENT double than 1.96**2, hence the
+    explicit casts in the oracle; sqrt and /,*,+ are IEEE
+    correctly-rounded, so identical expression trees give identical
+    bits — same discipline as q_ab_test_events).
+
+    100-TB shape: per-batch (type, n, k) partials into an 8-bucket
+    exchange; the driver computes the closed form on the handful of
+    group rows."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    import ray.data as rd
+    ds = _read(sf_dir, 'events', ['event_type', 'value'],
+               require=('value',))
+
+    def part(tbl: pa.Table) -> pa.Table:
+        succ = pc.cast(pc.greater(tbl.column('value'), pa.scalar(100.0)),
+                       pa.int64())
+        return pa.table({
+            'event_type': tbl.column('event_type'),
+            '_one': pa.array(np.ones(tbl.num_rows, np.int64)),
+            '_succ': pc.fill_null(succ, 0),
+        })
+
+    g = _small_df(_pre(
+        ds.map_batches(part, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['event_type'], {'n': ('_one', 'count'), 'k': ('_succ', 'sum')}),
+        ['event_type', 'n', 'k'])
+    out_schema = pa.schema([
+        ('event_type', pa.string()), ('n', pa.int64()),
+        ('k', pa.int64()), ('wilson_lo', pa.float64()),
+        ('wilson_hi', pa.float64())])
+    if len(g) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    n = g['n'].to_numpy(np.int64).astype(np.float64)
+    k = g['k'].to_numpy(np.int64).astype(np.float64)
+    z = 1.96
+    zz = z * z                      # folded constant, == DuckDB's
+    p = k / n
+    root = z * np.sqrt((p * (1.0 - p) + zz / (4.0 * n * n)) / n)
+    denom = 1.0 + zz / n
+    lo = (p + zz / (2.0 * n) - root) / denom
+    hi = (p + zz / (2.0 * n) + root) / denom
+    out = pa.table({
+        'event_type': pa.array(g['event_type'].astype(object).where(
+            g['event_type'].notna(), None), pa.string()),
+        'n': pa.array(n.astype(np.int64)),
+        'k': pa.array(k.astype(np.int64)),
+        'wilson_lo': pa.array(lo, pa.float64()),
+        'wilson_hi': pa.array(hi, pa.float64()),
+    })
+    return _sort_ns(rd.from_arrow(out), ['event_type'],
+                    str_cols=('event_type',))
+
+
+QUERIES['q_wilson_events'] = q_wilson_events
+ORACLE_SQL['q_wilson_events'] = """
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS k
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type)
+    SELECT event_type, n, k,
+      ((cast(k AS DOUBLE) / cast(n AS DOUBLE))
+       + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / (2.0 * cast(n AS DOUBLE))
+       - 1.96 * sqrt(((cast(k AS DOUBLE) / cast(n AS DOUBLE))
+                      * (1.0 - cast(k AS DOUBLE) / cast(n AS DOUBLE))
+                      + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / (4.0 * cast(n AS DOUBLE)
+                                       * cast(n AS DOUBLE)))
+                     / cast(n AS DOUBLE)))
+      / (1.0 + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / cast(n AS DOUBLE)) AS wilson_lo,
+      ((cast(k AS DOUBLE) / cast(n AS DOUBLE))
+       + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / (2.0 * cast(n AS DOUBLE))
+       + 1.96 * sqrt(((cast(k AS DOUBLE) / cast(n AS DOUBLE))
+                      * (1.0 - cast(k AS DOUBLE) / cast(n AS DOUBLE))
+                      + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / (4.0 * cast(n AS DOUBLE)
+                                       * cast(n AS DOUBLE)))
+                     / cast(n AS DOUBLE)))
+      / (1.0 + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / cast(n AS DOUBLE)) AS wilson_hi
+    FROM g ORDER BY event_type
+"""
