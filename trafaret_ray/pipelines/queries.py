@@ -9582,3 +9582,48 @@ ORACLE_SQL['q_wilson_events'] = """
       / (1.0 + (cast(1.96 AS DOUBLE)*cast(1.96 AS DOUBLE)) / cast(n AS DOUBLE)) AS wilson_hi
     FROM g ORDER BY event_type
 """
+
+
+def q_dl_pairs_docs(sf_dir: str):
+    """Transposition-aware near-dup pairs: same (lang, 64-char length
+    band) equality blocking as q_editdist_pairs_docs, but the verify
+    kernel is the UNRESTRICTED Damerau-Levenshtein distance over the
+    32-codepoint text prefix (functions/text.py:
+    damerau_levenshtein_bytes — banded DP with a bounded-lookback ring
+    for the transposition reference, vectorized across pairs; byte
+    semantics differentially verified against DuckDB's
+    damerau_levenshtein on random/multibyte corpora in
+    tests/test_dl_kernel.py). Transposition awareness matters for
+    OCR/typo-heavy dedup where swapped characters are 1 edit, not 2."""
+    from ..stages.dedup import editdist_pairs
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang', 'n_chars'],
+               require=('text', 'lang', 'n_chars'))
+
+    def band(tbl: pa.Table) -> pa.Table:
+        b = np.floor_divide(
+            tbl.column('n_chars').combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False), 64)
+        return tbl.append_column('band', pa.array(b, type=pa.int64()))
+
+    banded = ds.map_batches(band, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    return editdist_pairs(banded, ['lang', 'band'], prefix_cp=32,
+                          max_dist=12, num_buckets=16,
+                          kernel='damerau').sort(['doc_a', 'doc_b'])
+
+
+QUERIES['q_dl_pairs_docs'] = q_dl_pairs_docs
+ORACLE_SQL['q_dl_pairs_docs'] = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 64 AS band,
+             substr(text, 1, 32) AS pfx
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+        AND n_chars IS NOT NULL)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           damerau_levenshtein(a.pfx, b.pfx) AS edist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE damerau_levenshtein(a.pfx, b.pfx) <= 12
+    ORDER BY doc_a, doc_b
+"""

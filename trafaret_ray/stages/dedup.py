@@ -726,7 +726,8 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
 
 
 def _editdist_by_code(ca: np.ndarray, cb: np.ndarray, uniq,
-                      max_dist: int) -> np.ndarray:
+                      max_dist: int,
+                      kernel: str = 'levenshtein') -> np.ndarray:
     """Distances for pair rows given factorized prefix codes — the DP
     cost model for editdist_pairs.
 
@@ -752,7 +753,9 @@ def _editdist_by_code(ca: np.ndarray, cb: np.ndarray, uniq,
     enc = [s.encode('utf-8') for s in uniq]
     cand = np.nonzero(ua != ub)[0]
     if cand.size:
-        ue[cand] = T.levenshtein_bytes(
+        fn = (T.damerau_levenshtein_bytes if kernel == 'damerau'
+              else T.levenshtein_bytes)
+        ue[cand] = fn(
             [enc[i] for i in ua[cand]], [enc[i] for i in ub[cand]],
             max_dist)
     return ue[inv]
@@ -760,12 +763,16 @@ def _editdist_by_code(ca: np.ndarray, cb: np.ndarray, uniq,
 
 def editdist_pairs(ds, block_cols, text_col: str = 'text',
                    id_col: str = 'doc_id', prefix_cp: int = 48,
-                   max_dist: int = 16, num_buckets: int = 16):
+                   max_dist: int = 16, num_buckets: int = 16,
+                   kernel: str = 'levenshtein'):
     """Edit-distance near-dup pairs under equality blocking: docs sharing
     ``block_cols`` (e.g. (lang, length band)) are candidates; a pair is
-    kept when the byte-level Levenshtein distance of the first
-    ``prefix_cp`` CODEPOINTS is <= ``max_dist``. Returns
-    (doc_a, doc_b, edist), doc_a < doc_b.
+    kept when the byte-level edit distance of the first ``prefix_cp``
+    CODEPOINTS is <= ``max_dist``. Returns (doc_a, doc_b, edist),
+    doc_a < doc_b. ``kernel``: 'levenshtein' (default) or 'damerau'
+    (UNRESTRICTED transposition-aware variant, DuckDB
+    damerau_levenshtein semantics — both metrics, so the unordered
+    unique-pair dedup below stays result-preserving).
 
     Oracle parity: the prefix is sliced by codepoints
     (pc.utf8_slice_codeunits == DuckDB substr, verified on multibyte and
@@ -822,7 +829,8 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
         if len(m) == 0:
             return out_schema.empty_table()
         ed = _editdist_by_code(m['_pc_a'].to_numpy(),
-                               m['_pc_b'].to_numpy(), uniq, max_dist)
+                               m['_pc_b'].to_numpy(), uniq, max_dist,
+                               kernel)
         keep = ed <= max_dist
         m = m[keep]
         return pa.table({
