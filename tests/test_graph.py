@@ -276,3 +276,71 @@ class TestKCore:
             _kcore(edges, 2, local_edges_max=0, max_iters=1)
         assert any('no fixpoint' in str(w.message) for w in caught
                    if issubclass(w.category, RuntimeWarning))
+
+
+def _lpa(edges, iters=10, **kw):
+    import ray.data as rd
+    from trafaret_ray.stages.graph import label_propagation
+    tbl = pa.table({'a': pa.array([e[0] for e in edges], pa.int64()),
+                    'b': pa.array([e[1] for e in edges], pa.int64())})
+    out = label_propagation(rd.from_arrow(tbl), iters=iters,
+                            num_buckets=4, **kw).take_all()
+    return {r['node']: r['community'] for r in out}
+
+
+def _lpa_brute(edges, iters=10):
+    """Reference synchronous LPA: majority neighbor label, ties to the
+    smallest label, all nodes updated simultaneously."""
+    from collections import Counter
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(iters):
+        new = {}
+        for v, ns in nbrs.items():
+            c = Counter(lab[u] for u in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            # ties to the SMALLEST label: max on (count, -label)
+            new[v] = best[0]
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+class TestLPA:
+    def test_two_cliques_bridge(self, ray_session):
+        import itertools
+        E = (list(itertools.combinations(range(0, 5), 2))
+             + list(itertools.combinations(range(10, 15), 2))
+             + [(4, 10)])
+        out = _lpa(E)
+        assert out == _lpa_brute(E)
+        assert len(set(out.values())) == 2
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(23)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 40, size=(160, 2))
+                        if a != b})
+        assert _lpa(edges) == _lpa_brute(edges)
+
+    def test_distributed_matches_local_and_order(self, ray_session):
+        rng = np.random.default_rng(31)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 25, size=(90, 2))
+                        if a != b})
+        local = _lpa(edges)
+        dist = _lpa(edges, local_edges_max=0)
+        perm = [edges[i] for i in rng.permutation(len(edges))]
+        shuf = _lpa(perm, local_edges_max=0)
+        assert dist == local == shuf == _lpa_brute(edges)
+
+    def test_oscillation_is_deterministic(self, ray_session):
+        # a single edge oscillates under synchronous updates; a fixed
+        # round count keeps the result a pure function of the input
+        E = [(1, 2)]
+        assert _lpa(E, iters=10) == _lpa(E, iters=10)
+        assert _lpa(E, iters=10) == _lpa_brute(E, iters=10)

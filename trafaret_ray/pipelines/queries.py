@@ -9627,3 +9627,20 @@ ORACLE_SQL['q_dl_pairs_docs'] = """
     WHERE damerau_levenshtein(a.pfx, b.pfx) <= 12
     ORDER BY doc_a, doc_b
 """
+
+
+def q_lpa_embeddings(sf_dir: str):
+    """Community detection over the cosine>=0.3 graph by synchronous
+    label propagation (stages/graph.py:label_propagation): 10 rounds of
+    every node adopting its neighbors' most frequent label, ties to the
+    smallest label — fully deterministic, so local == distributed ==
+    any row order byte-exactly (tests/test_graph.py::TestLPA). Rows-only
+    BY DESIGN: the iterative majority update has no SQL oracle; the
+    --shuffled gate self-compares the deterministic output."""
+    from ..stages.graph import label_propagation
+    edges = _cosine_edge_ds(sf_dir)
+    return label_propagation(edges, iters=10, num_buckets=8)\
+        .sort('node')
+
+
+QUERIES['q_lpa_embeddings'] = q_lpa_embeddings

@@ -765,3 +765,169 @@ def k_core(edges, k: int, num_buckets: int = 16, a_col: str = 'a',
                             'deg': t.column('deg')}, schema=out_schema),
         batch_format='pyarrow')
     return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic tie rule)
+# ---------------------------------------------------------------------------
+
+def _lpa_pick(node_idx: np.ndarray, nb_lab: np.ndarray,
+              cnt: np.ndarray | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node winning label from (node, neighbor-label[, count]) rows:
+    highest count, ties to the SMALLEST label — the deterministic LPA
+    update rule shared by the local and distributed paths.
+    Returns (nodes, winning labels), nodes ascending."""
+    if cnt is None:
+        cnt = np.ones(len(node_idx), dtype=np.int64)
+    order = np.lexsort((nb_lab, node_idx))
+    ni, la, ct = node_idx[order], nb_lab[order], cnt[order]
+    if len(ni) == 0:
+        return ni, la
+    new = np.ones(len(ni), dtype=bool)
+    new[1:] = (ni[1:] != ni[:-1]) | (la[1:] != la[:-1])
+    starts = np.nonzero(new)[0]
+    run_node, run_lab = ni[starts], la[starts]
+    csum = np.concatenate([[0], np.cumsum(ct)])
+    ends = np.concatenate([starts[1:], [len(ni)]])
+    run_cnt = csum[ends] - csum[starts]
+    # count is a small positive degree sum — negating for the desc key
+    # cannot overflow (the int64.min lexsort trap needs the full range)
+    order2 = np.lexsort((run_lab, -run_cnt, run_node))
+    rn = run_node[order2]
+    first = np.ones(len(rn), dtype=bool)
+    first[1:] = rn[1:] != rn[:-1]
+    return rn[first], run_lab[order2][first]
+
+
+def _local_lpa(tbl: pa.Table, a_col: str, b_col: str,
+               iters: int) -> pa.Table:
+    """Whole-graph synchronous label propagation in ONE task."""
+    out_schema = pa.schema([('node', pa.int64()),
+                            ('community', pa.int64())])
+    if tbl.num_rows == 0:
+        return out_schema.empty_table()
+    a = tbl.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ac, bc = inv[:len(a)], inv[len(a):]
+    nb_src = np.concatenate([ac, bc])
+    nb_dst = np.concatenate([bc, ac])
+    lab = nodes.copy()
+    for _ in range(iters):
+        win_nodes, win_lab = _lpa_pick(nb_src, lab[nb_dst])
+        new = lab.copy()
+        new[win_nodes] = win_lab
+        if np.array_equal(new, lab):   # true fixpoint: further rounds
+            break                      # are no-ops (parity-safe)
+        lab = new
+    return pa.table({'node': pa.array(nodes),
+                     'community': pa.array(lab)}, schema=out_schema)
+
+
+def label_propagation(edges, iters: int = 10, num_buckets: int = 16,
+                      a_col: str = 'a', b_col: str = 'b',
+                      local_edges_max: int = 2_000_000):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a DETERMINISTIC update: every node simultaneously
+    adopts its neighbors' most frequent label, ties to the smallest
+    label value; labels start as node ids; exactly ``iters`` rounds
+    (synchronous LPA may oscillate on bipartite structures — a fixed
+    round count keeps the output a pure function of the edge set, so
+    the --shuffled self-parity bar holds). Returns (node, community).
+
+    SIZE-AWARE SHAPE (same policy as connected_components): small edge
+    sets run in ONE task via ``_local_lpa``; larger graphs run the
+    distributed rounds — per round, one node-keyed scatter of labels
+    onto both edge directions (labels ride the same exchange as the
+    static edge rows), per-bucket partial (peer, label) counts, then a
+    node-keyed merge picking the winner with the SAME tie rule
+    (``_lpa_pick`` is shared), repartitioned to cap per-round block
+    growth. Early exit is deliberately NOT attempted on the distributed
+    path: a converged round is a no-op, so running the full ``iters``
+    byte-equals the local path's early stop."""
+    from .aggregate import bucket_aggregate
+    from .conversations import bucket_exchange
+
+    edges = edges.materialize()
+    if local_edges_max and edges.count() <= local_edges_max:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_lpa(t, a_col, b_col, iters),
+            batch_format='pyarrow', zero_copy_batch=True)
+
+    def init_nodes(tbl: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([
+            tbl.column(a_col).combine_chunks().cast(pa.int64()),
+            tbl.column(b_col).combine_chunks().cast(pa.int64())])
+        return pa.table({'node': n, 'label': n})
+
+    labels = bucket_aggregate(
+        edges.map_batches(init_nodes, batch_format='pyarrow',
+                          zero_copy_batch=True),
+        ['node'], {'label': ('label', 'min')},
+        num_buckets=num_buckets).materialize()
+
+    def tag_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).combine_chunks().cast(pa.int64())
+        b = tbl.column(b_col).combine_chunks().cast(pa.int64())
+        return pa.table({
+            'node': pa.concat_arrays([a, b]),
+            'peer': pa.concat_arrays([b, a]),
+            'label': pa.array(np.full(2 * tbl.num_rows, -1,
+                                      dtype=np.int64)),
+        })
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format='pyarrow',
+                                     zero_copy_batch=True).materialize()
+
+    def tag_labels(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': tbl.column('node'),
+            'peer': pa.array(np.full(tbl.num_rows, -1, dtype=np.int64)),
+            'label': tbl.column('label'),
+        })
+
+    _CNT_SCHEMA = pa.schema([('node', pa.int64()), ('label', pa.int64()),
+                             ('cnt', pa.int64())])
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        """Per node-bucket: each node's label flows to every peer,
+        pre-counted per (peer, label) inside the bucket."""
+        if tbl.num_rows == 0:
+            return _CNT_SCHEMA.empty_table()
+        df = tbl.to_pandas()
+        lab = df[df['peer'] == -1][['node', 'label']]
+        edg = df[df['peer'] != -1][['node', 'peer']]
+        m = edg.merge(lab, on='node', how='inner')
+        if len(m) == 0:
+            return _CNT_SCHEMA.empty_table()
+        g = m.groupby(['peer', 'label'], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({'node': pa.array(idx['peer'].to_numpy(np.int64)),
+                         'label': pa.array(
+                             idx['label'].to_numpy(np.int64)),
+                         'cnt': pa.array(g.to_numpy(np.int64))},
+                        schema=_CNT_SCHEMA)
+
+    _LAB_SCHEMA = pa.schema([('node', pa.int64()), ('label', pa.int64())])
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _LAB_SCHEMA.empty_table()
+        n, l = _lpa_pick(
+            tbl.column('node').to_numpy(zero_copy_only=False),
+            tbl.column('label').to_numpy(zero_copy_only=False),
+            tbl.column('cnt').to_numpy(zero_copy_only=False))
+        return pa.table({'node': pa.array(n), 'label': pa.array(l)},
+                        schema=_LAB_SCHEMA)
+
+    for _ in range(iters):
+        both = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format='pyarrow'))
+        counts = bucket_exchange(both, 'node', scatter, num_buckets)
+        labels = bucket_exchange(counts, 'node', pick, num_buckets)\
+            .repartition(num_buckets).materialize()
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(['node', 'community']),
+        batch_format='pyarrow')
