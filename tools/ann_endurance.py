@@ -81,7 +81,7 @@ def main():
                                          ivfpq_search, pq_encode,
                                          pq_search, pq_train,
                                          _batch_matrix,
-                                         drop_null_vectors)
+                                         drop_null_vectors, kmeans_lloyd)
 
     out = {'n_vecs': n, 'dim': DIM,
            'mib': os.path.getsize(path) >> 20}
@@ -175,6 +175,16 @@ def main():
     dt = time.time() - t0
     out['ivfpq_rerank_sec_per_query'] = round(dt / len(queries), 2)
     out['ivfpq_rerank_recall'] = recall(ivfpqr)
+
+    # full-table distributed Lloyd (exact-integer path, forced
+    # distributed loop): clustering throughput over every vector
+    t0 = time.time()
+    c6, sizes, inertia = kmeans_lloyd(read(), n_clusters=16, iters=5,
+                                      local_rows_max=0)
+    dt = time.time() - t0
+    out['kmeans_sec'] = round(dt, 2)
+    out['kmeans_vecs_per_sec'] = int(n * 5 / dt)
+    out['kmeans_nonempty'] = int((sizes > 0).sum())
 
     print(json.dumps(out))
     ray.shutdown()

@@ -70,7 +70,8 @@ def main():
     import ray.data as rd
 
     from trafaret_ray.stages.graph import (connected_components, k_core,
-                                           pagerank, triangle_counts)
+                                           label_propagation, pagerank,
+                                           triangle_counts)
 
     edges = rd.read_parquet(path)
     m = edges.count()
@@ -112,6 +113,16 @@ def main():
     out['kcore_nodes'] = core.count()
     out['kcore_sec'] = round(time.time() - t0, 2)
     out['kcore_edges_per_sec'] = int(m / out['kcore_sec'])
+
+    t0 = time.time()
+    lpa = label_propagation(edges, iters=5, num_buckets=16,
+                            local_edges_max=0)
+    n_comm = lpa.map_batches(
+        lambda t: pa.table({'c': t.column('community')}),
+        batch_format='pyarrow').unique('c')
+    out['lpa_sec'] = round(time.time() - t0, 2)
+    out['lpa_communities'] = len(n_comm)
+    out['lpa_edges_per_sec'] = int(m * 5 / out['lpa_sec'])
 
     print(json.dumps(out))
     ray.shutdown()
