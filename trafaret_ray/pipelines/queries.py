@@ -3128,48 +3128,61 @@ ORACLE_SQL['q_struct_payload_events'] = """
 
 def q_partsupp_returns(sf_dir: str):
     """COMPOSITE-KEY partitioned left join: per (part, supplier) total
-    shipped quantity vs returned ('R') quantity. Both sides are partial
-    aggregates bucketed on the combined key hash in one exchange
-    (stages/joins.py:hash_join with a key list); derived-side schemas
-    are passed explicitly so no derived .schema() call runs. Fixed-point
-    sums keep the parallel aggregation byte-stable vs the oracle."""
+    shipped quantity vs returned ('R') quantity. ONE aggregation pass
+    computes both sides' partials (the returned sum rides as a masked
+    column plus an R-row count); the returned side is then the n_ret>0
+    slice of the materialized partials — byte-identical to aggregating
+    the R rows separately (groups with no R rows are ABSENT, so the
+    left join pads NULL exactly as before) at half the exchanges and
+    one lineitem scan instead of two. Derived-side schemas are passed
+    explicitly so no derived .schema() call runs; fixed-point sums keep
+    the parallel aggregation byte-stable vs the oracle."""
     from ..stages.aggregate import bucket_aggregate
     from ..stages.joins import hash_join
     li = _read(sf_dir, 'lineitem',
                ['l_partkey', 'l_suppkey', 'l_quantity', 'l_returnflag'])
 
     def qty(tbl: pa.Table) -> pa.Table:
+        q6 = _fixed6(tbl.column('l_quantity'))
+        is_r = pc.fill_null(
+            pc.equal(tbl.column('l_returnflag'), 'R'), False)
+        zero = pa.scalar(0, pa.int64())
         return pa.table({'l_partkey': tbl.column('l_partkey'),
                          'l_suppkey': tbl.column('l_suppkey'),
-                         'qty6': _fixed6(tbl.column('l_quantity')),
+                         'qty6': q6,
                          '_one': pa.array(np.ones(tbl.num_rows,
-                                                  dtype=np.int64))})
-
-    def ret(tbl: pa.Table) -> pa.Table:
-        t = tbl.filter(pc.equal(tbl.column('l_returnflag'), 'R'))
-        return pa.table({'l_partkey': t.column('l_partkey'),
-                         'l_suppkey': t.column('l_suppkey'),
-                         'ret6': _fixed6(t.column('l_quantity'))})
+                                                  dtype=np.int64)),
+                         'ret6': pc.if_else(is_r, q6, zero),
+                         '_retn': pc.cast(is_r, pa.int64())})
 
     keys = ['l_partkey', 'l_suppkey']
-    all_q = bucket_aggregate(
+    combined = bucket_aggregate(
         li.map_batches(qty, batch_format='pyarrow', zero_copy_batch=True),
         keys, {'qty6': ('qty6', 'sum'),
                # count(*) parity: _one is never null, qty6 CAN be
-               'n_lines': ('_one', 'count')},
-        num_buckets=16)
-    ret_q = bucket_aggregate(
-        li.map_batches(ret, batch_format='pyarrow', zero_copy_batch=True),
-        keys, {'ret6': ('ret6', 'sum')}, num_buckets=16)
+               'n_lines': ('_one', 'count'),
+               'ret6': ('ret6', 'sum'),
+               'n_ret': ('_retn', 'sum')},
+        num_buckets=16).materialize()
 
     kt = dict(zip(li.schema().names, li.schema().types))
+    key_schema = [(k, kt[k]) for k in keys]
+
+    def left_side(tbl: pa.Table) -> pa.Table:
+        return tbl.select(keys + ['qty6', 'n_lines'])
+
+    def ret_side(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.greater(pc.fill_null(
+            pc.cast(tbl.column('n_ret'), pa.int64()), 0), 0))
+        return t.select(keys + ['ret6'])
+
     joined = hash_join(
-        all_q, ret_q, on=keys, how='left', num_buckets=16,
-        left_schema=pa.schema([(k, kt[k]) for k in keys]
-                              + [('qty6', pa.int64()),
-                                 ('n_lines', pa.int64())]),
-        right_schema=pa.schema([(k, kt[k]) for k in keys]
-                               + [('ret6', pa.int64())]))
+        combined.map_batches(left_side, batch_format='pyarrow'),
+        combined.map_batches(ret_side, batch_format='pyarrow'),
+        on=keys, how='left', num_buckets=16,
+        left_schema=pa.schema(key_schema + [('qty6', pa.int64()),
+                                            ('n_lines', pa.int64())]),
+        right_schema=pa.schema(key_schema + [('ret6', pa.int64())]))
 
     def finalize(tbl: pa.Table) -> pa.Table:
         qty6 = pc.cast(tbl.column('qty6'), pa.int64())
