@@ -408,6 +408,27 @@ def damerau_levenshtein_bytes(a, b, max_dist: int = 16) -> np.ndarray:
         return out
     la = np.fromiter((len(x) for x in a), count=n, dtype=np.int64)
     lb = np.fromiter((len(x) for x in b), count=n, dtype=np.int64)
+    # Levenshtein prescreen (sound bound): a transposition replaces at
+    # most 2 plain edits, so lev <= 2*dl, i.e. lev > 2k implies dl > k
+    # — those pairs keep the k+1 clamp with NO transposition DP. An
+    # exact lev of 0 is dl == 0. Only <=64-byte sides screen (Myers).
+    fastable = (la <= 64)
+    if fastable.any():
+        fi = np.nonzero(fastable)[0]
+        lev = _myers_leven64([a[i] for i in fi], [b[i] for i in fi],
+                             la[fi], lb[fi])
+        out[fi[lev == 0]] = 0
+        need = np.zeros(n, dtype=bool)
+        need[fi[(lev > 0) & (lev <= 2 * k)]] = True
+        need[~fastable] = True
+    else:
+        need = np.ones(n, dtype=bool)
+    if not need.all():
+        idx = np.nonzero(need)[0]
+        if idx.size:
+            out[idx] = damerau_levenshtein_bytes(
+                [a[i] for i in idx], [b[i] for i in idx], k)
+        return out
     L1, L2 = int(la.max()), int(lb.max())
 
     def pack(seqs, lens, width):
