@@ -1,0 +1,75 @@
+"""interval_join: differential against the brute-force O(n*m) overlap
+join — the replication + responsibility rule must emit every
+overlapping pair EXACTLY once, for any bucket width, boundary
+straddles, zero-length intervals and negative coordinates."""
+
+import numpy as np
+import pyarrow as pa
+
+from trafaret_ray.stages.joins import interval_join
+
+
+def _mk(ids, los, his):
+    return pa.table({'id': pa.array(ids, pa.int64()),
+                     'lo': pa.array(los, pa.int64()),
+                     'hi': pa.array(his, pa.int64())})
+
+
+_SCHEMA = pa.schema([('id', pa.int64()), ('lo', pa.int64()),
+                     ('hi', pa.int64())])
+
+
+def _run(left_tbl, right_tbl, bucket_us):
+    import ray.data as rd
+    out = interval_join(rd.from_arrow(left_tbl), rd.from_arrow(right_tbl),
+                        bucket_us=bucket_us, num_buckets=4,
+                        left_schema=_SCHEMA, right_schema=_SCHEMA)
+    pairs = [(r['id_a'], r['id_b']) for r in out.take_all()]
+    assert len(pairs) == len(set(pairs)), 'duplicate pair emitted'
+    return set(pairs)
+
+
+def _brute(left_tbl, right_tbl):
+    la = left_tbl.to_pandas()
+    rb = right_tbl.to_pandas()
+    out = set()
+    for _, a in la.iterrows():
+        for _, b in rb.iterrows():
+            if a['lo'] <= b['hi'] and b['lo'] <= a['hi']:
+                out.add((a['id'], b['id']))
+    return out
+
+
+def _random_intervals(n, rng, span=1000, maxlen=120):
+    lo = rng.integers(-span, span, n)
+    ln = rng.integers(0, maxlen, n)
+    return _mk(np.arange(n), lo, lo + ln)
+
+
+class TestIntervalJoin:
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(3)
+        A = _random_intervals(120, rng)
+        B = _random_intervals(90, rng)
+        for w in (64, 100, 1000, 10**9):
+            assert _run(A, B, w) == _brute(A, B), f'bucket_us={w}'
+
+    def test_boundary_straddle_and_touch(self, ray_session):
+        # intervals meeting exactly at a bucket edge (closed: touch =
+        # overlap), straddling several buckets, zero-length points
+        A = _mk([1, 2, 3], [0, 99, 250], [100, 99, 610])
+        B = _mk([10, 11, 12], [100, 99, 599], [150, 99, 599])
+        assert _run(A, B, 100) == _brute(A, B)
+
+    def test_self_join_orientations(self, ray_session):
+        A = _mk([1, 2, 3], [0, 50, 200], [100, 150, 300])
+        got = _run(A, A, 64)
+        assert got == _brute(A, A)
+        assert (1, 1) in got and (1, 2) in got and (2, 1) in got
+
+    def test_null_bounds_drop(self, ray_session):
+        A = pa.table({'id': pa.array([1, 2], pa.int64()),
+                      'lo': pa.array([0, None], pa.int64()),
+                      'hi': pa.array([10, 20], pa.int64())})
+        B = _mk([7], [5], [6])
+        assert _run(A, B, 100) == {(1, 7)}

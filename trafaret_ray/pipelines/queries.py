@@ -9657,3 +9657,106 @@ def q_lpa_embeddings(sf_dir: str):
 
 
 QUERIES['q_lpa_embeddings'] = q_lpa_embeddings
+
+
+def q_concurrent_sessions_events(sf_dir: str):
+    """Interval OVERLAP self-join (stages/joins.py:interval_join): which
+    user pairs were online at the same time, and for how long. Sessions
+    (30-min gap rule, identical to q_session_stats) become closed
+    [first-event, last-event] intervals; the join replicates each
+    interval to the day buckets it touches, finds candidates with a
+    banded search on clip-sorted starts, and emits every overlapping
+    pair exactly once via the max(lo_a, lo_b) responsibility bucket.
+    Output per (user_a < user_b): overlapping-session-pair count and
+    total overlap in EXACT integer microseconds (no float anywhere, so
+    the parallel aggregation is trivially byte-stable vs the oracle's
+    nested-loop inequality join)."""
+    from ..stages.aggregate import bucket_aggregate
+    from ..stages.joins import interval_join
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts'],
+               require=('ts',))
+
+    def sess_fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_new, session_id = W.sessionize(ts_us, starts, GAP_US)
+        lo = np.nonzero(is_new)[0]
+        hi = np.append(lo[1:], len(ts_us)) - 1
+        return pa.table({
+            'user_id': pa.array(users[lo]),
+            'session_id': pa.array(session_id[lo].astype(np.int64)),
+            'lo_us': pa.array(ts_us[lo]),
+            'hi_us': pa.array(ts_us[hi]),
+        })
+
+    sess_schema = pa.schema([('user_id', pa.int64()),
+                             ('session_id', pa.int64()),
+                             ('lo_us', pa.int64()),
+                             ('hi_us', pa.int64())])
+    sess = per_conversation(ds, sess_fn, key='user_id',
+                            order=('ts', 'event_id'),
+                            num_buckets=8).materialize()
+    joined = interval_join(sess, sess, lo='lo_us', hi='hi_us',
+                           num_buckets=16,
+                           left_schema=sess_schema,
+                           right_schema=sess_schema)
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        ua = tbl.column('user_id_a')
+        ub = tbl.column('user_id_b')
+        t = tbl.filter(pc.less(ua, ub))   # NULL users never pair (SQL)
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({'user_a': z, 'user_b': z,
+                             '_one': z, 'ov_us': z})
+        ov = pc.subtract(
+            pc.min_element_wise(t.column('hi_us_a'), t.column('hi_us_b')),
+            pc.max_element_wise(t.column('lo_us_a'), t.column('lo_us_b')))
+        return pa.table({
+            'user_a': pc.cast(t.column('user_id_a'), pa.int64()),
+            'user_b': pc.cast(t.column('user_id_b'), pa.int64()),
+            '_one': pa.array(np.ones(t.num_rows, np.int64)),
+            'ov_us': pc.cast(ov, pa.int64()),
+        })
+
+    out = bucket_aggregate(
+        joined.map_batches(pair_partial, batch_format='pyarrow'),
+        ['user_a', 'user_b'],
+        {'n_pairs': ('_one', 'sum'), 'overlap_us': ('ov_us', 'sum')},
+        num_buckets=16)
+    return out.sort(['user_a', 'user_b'])
+
+
+QUERIES['q_concurrent_sessions_events'] = q_concurrent_sessions_events
+ORACLE_SQL['q_concurrent_sessions_events'] = """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE ts IS NOT NULL),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    g AS (
+      SELECT user_id, ts,
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
+      FROM f),
+    s AS (
+      SELECT user_id, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+      FROM g GROUP BY user_id, session_id)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_pairs,
+           sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_us
+    FROM s a JOIN s b
+      ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    ORDER BY user_a, user_b
+"""
