@@ -9760,3 +9760,39 @@ ORACLE_SQL['q_concurrent_sessions_events'] = """
     GROUP BY a.user_id, b.user_id
     ORDER BY user_a, user_b
 """
+
+
+def q_nfc_docs(sf_dir: str):
+    """Unicode NFC normalization of the corpus text
+    (functions/text.py:nfc_normalize — ASCII fast path + NFC
+    quick-check, byte-matching DuckDB nfc_normalize): the canonical
+    first step of any multilingual training-data pipeline (decomposed
+    accents, compatibility forms and jamo all collapse to one
+    representation so downstream dedup/fingerprints see one form).
+    Output: normalized text, its codepoint length, and whether the row
+    changed — byte-compared against the oracle, which the --dirty gate
+    feeds adversarial decomposed/combining input."""
+    from ..functions.text import nfc_normalize
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        txt = tbl.column('text').combine_chunks()
+        norm = nfc_normalize(txt)
+        return pa.table({
+            'doc_id': pc.cast(tbl.column('doc_id'), pa.int64()),
+            'norm_text': norm,
+            'norm_chars': pc.cast(pc.utf8_length(norm), pa.int64()),
+            'changed': pc.not_equal(norm, txt),
+        })
+
+    return ds.map_batches(fn, batch_format='pyarrow',
+                          zero_copy_batch=True).sort('doc_id')
+
+
+QUERIES['q_nfc_docs'] = q_nfc_docs
+ORACLE_SQL['q_nfc_docs'] = """
+    SELECT doc_id, nfc_normalize(text) AS norm_text,
+           length(nfc_normalize(text)) AS norm_chars,
+           (nfc_normalize(text) <> text) AS changed
+    FROM documents ORDER BY doc_id
+"""
