@@ -91,6 +91,7 @@ def main():
         ('ohlc', Q.q_ohlc_events),
         ('transitions', Q.q_transitions_events),
         ('feature_matrix', Q.q_feature_matrix_events),
+        ('concurrent_sessions', Q.q_concurrent_sessions_events),
     ]
     for name, fn in paths:
         t0 = time.time()

@@ -9699,8 +9699,12 @@ def q_concurrent_sessions_events(sf_dir: str):
     sess = per_conversation(ds, sess_fn, key='user_id',
                             order=('ts', 'event_id'),
                             num_buckets=8).materialize()
+    # 2h buckets: sessions cap at ~1h (30-min gap rule), so intervals
+    # touch <= 2 buckets while dense-concurrency buckets stay small —
+    # at 2M synthetic events the 1-day default was 10x slower (one
+    # day-bucket held every concurrent session)
     joined = interval_join(sess, sess, lo='lo_us', hi='hi_us',
-                           num_buckets=16,
+                           bucket_us=7_200_000_000, num_buckets=16,
                            left_schema=sess_schema,
                            right_schema=sess_schema)
 

@@ -816,19 +816,35 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
             width = s1 - s0
             if width.sum() == 0:
                 continue
-            arep = np.repeat(np.arange(len(ai)), width)
-            boff = (np.arange(int(width.sum()))
-                    - np.repeat(np.cumsum(width) - width, width))
-            bpos = s0[arep] + boff
-            keep = bhi[bpos] >= alo[arep]
-            # responsibility: count the pair only where the ORIGINAL
-            # max(lo_a, lo_b) lands
-            resp = np.maximum(lov[ai][arep], lov[bi][bpos]) \
-                // bucket_us == bk
-            keep &= resp
-            if keep.any():
-                out_ia.append(ai[arep[keep]])
-                out_ib.append(bi[bpos[keep]])
+            # chunk the candidate expansion: a dense bucket's slot
+            # count is quadratic-ish, and one giant repeat/arange
+            # otherwise allocates GBs of int64 temporaries (measured
+            # 145 s at 2M events before chunking)
+            SLOTS = 4_000_000
+            cum = np.cumsum(width)
+            start = 0
+            while start < len(ai):
+                base = cum[start - 1] if start else 0
+                stop = int(np.searchsorted(cum, base + SLOTS,
+                                           side='left')) + 1
+                stop = min(stop, len(ai))
+                asl = slice(start, stop)
+                w = width[asl]
+                tot = int(w.sum())
+                if tot:
+                    arep = np.repeat(np.arange(start, stop), w)
+                    boff = (np.arange(tot)
+                            - np.repeat(np.cumsum(w) - w, w))
+                    bpos = s0[arep] + boff
+                    keep = bhi[bpos] >= alo[arep]
+                    # responsibility: count the pair only where the
+                    # ORIGINAL max(lo_a, lo_b) lands
+                    keep &= (np.maximum(lov[ai[arep]], lov[bi[bpos]])
+                             // bucket_us == bk)
+                    if keep.any():
+                        out_ia.append(ai[arep[keep]])
+                        out_ib.append(bi[bpos[keep]])
+                start = stop
         if not out_ia:
             return out_schema.empty_table()
         ia = np.concatenate(out_ia)
