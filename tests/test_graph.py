@@ -344,3 +344,85 @@ class TestLPA:
         E = [(1, 2)]
         assert _lpa(E, iters=10) == _lpa(E, iters=10)
         assert _lpa(E, iters=10) == _lpa_brute(E, iters=10)
+
+
+def _dbscan(edges, nodes, min_pts=3, **kw):
+    import ray.data as rd
+    from trafaret_ray.stages.graph import dbscan_from_edges
+    et = pa.table({'a': pa.array([e[0] for e in edges], pa.int64()),
+                   'b': pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({'node': pa.array(sorted(nodes), pa.int64())})
+    out = dbscan_from_edges(rd.from_arrow(et), rd.from_arrow(nt),
+                            min_pts=min_pts, num_buckets=4,
+                            **kw).take_all()
+    return {r['node']: (r['role'], r['cluster']) for r in out}
+
+
+def _dbscan_brute(edges, nodes, min_pts=3):
+    nbrs = {v: set() for v in nodes}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    core = {v for v in nodes if len(nbrs[v]) + 1 >= min_pts}
+    # min-label components over core-core edges
+    lab = {v: v for v in core}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            if a in core and b in core:
+                m = min(lab[a], lab[b])
+                if lab[a] != m or lab[b] != m:
+                    lab[a] = lab[b] = m
+                    changed = True
+    out = {}
+    for v in sorted(nodes):
+        if v in core:
+            out[v] = (0, lab[v])
+        else:
+            cl = [lab[u] for u in nbrs[v] if u in core]
+            out[v] = (1, min(cl)) if cl else (2, -1)
+    return out
+
+
+class TestDBSCAN:
+    def test_two_blobs_bridge_noise(self, ray_session):
+        import itertools
+        blob1 = list(itertools.combinations(range(0, 4), 2))
+        blob2 = list(itertools.combinations(range(10, 14), 2))
+        E = blob1 + blob2 + [(3, 20), (20, 10)]   # 20: thin bridge
+        nodes = set(range(0, 4)) | set(range(10, 14)) | {20, 99}
+        # min_pts=4: K4 members have deg+1 >= 4 (core); the bridge node
+        # has deg 2 -> border, so the blobs stay separate clusters
+        got = _dbscan(E, nodes, min_pts=4)
+        exp = _dbscan_brute(E, nodes, min_pts=4)
+        assert got == exp
+        assert got[99] == (2, -1)                 # isolated -> noise
+        assert got[20][0] == 1                    # bridge -> border
+        assert got[20][1] == 0                    # min core cluster
+        assert len({c for r, c in got.values() if r == 0}) == 2
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(41)
+        nodes = set(range(40))
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 40, size=(100, 2))
+                        if a != b})
+        for mp in (2, 3, 5):
+            assert _dbscan(edges, nodes, mp) == \
+                _dbscan_brute(edges, nodes, mp), mp
+
+    def test_distributed_matches_local(self, ray_session):
+        rng = np.random.default_rng(43)
+        nodes = set(range(30))
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 30, size=(80, 2))
+                        if a != b})
+        loc = _dbscan(edges, nodes, 3)
+        dist = _dbscan(edges, nodes, 3, local_edges_max=0)
+        assert dist == loc == _dbscan_brute(edges, nodes, 3)
+
+    def test_isolated_core_singleton(self, ray_session):
+        # min_pts=1: every node is core, even isolated ones
+        got = _dbscan([(1, 2)], {1, 2, 5}, min_pts=1)
+        assert got == {1: (0, 1), 2: (0, 1), 5: (0, 5)}

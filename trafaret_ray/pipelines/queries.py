@@ -9800,3 +9800,37 @@ ORACLE_SQL['q_nfc_docs'] = """
            (nfc_normalize(text) <> text) AS changed
     FROM documents ORDER BY doc_id
 """
+
+
+def q_dbscan_embeddings(sf_dir: str):
+    """DBSCAN density clustering over the cosine eps-graph
+    (stages/graph.py:dbscan_from_edges; eps-neighborhood = the exact
+    cos>=0.3 pairs shared with the other graph-metric queries,
+    min_pts=4): core points sit in dense regions, borders attach to
+    the SMALLEST adjacent core cluster (the deterministic pin of
+    DBSCAN's classically order-dependent step), everything else is
+    noise. Complements k-means (centroidal) and LPA (modularity-ish)
+    with density-based clustering that finds non-convex shapes and an
+    explicit noise class. Rows-only BY DESIGN: the core/border/cc
+    composition is iterative (brute-force + local==distributed parity
+    in tests/test_graph.py::TestDBSCAN; --shuffled self-compares)."""
+    from ..stages.graph import dbscan_from_edges
+    edges = _cosine_edge_ds(sf_dir)
+    # the node universe must match the edge builder's (vec_id < 1000,
+    # non-null embedding): isolated vectors classify as noise
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+
+    def nodes_fn(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.and_(
+            pc.less(tbl.column('vec_id'), 1000),
+            pc.is_valid(tbl.column('embedding'))))
+        return pa.table({'node': t.column('vec_id').combine_chunks()
+                         .cast(pa.int64())})
+
+    nodes = ds.map_batches(nodes_fn, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    return dbscan_from_edges(edges, nodes, min_pts=4,
+                             num_buckets=8).sort('node')
+
+
+QUERIES['q_dbscan_embeddings'] = q_dbscan_embeddings

@@ -931,3 +931,259 @@ def label_propagation(edges, iters: int = 10, num_buckets: int = 16,
     return labels.map_batches(
         lambda t: t.rename_columns(['node', 'community']),
         batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over a precomputed eps-neighborhood graph
+# ---------------------------------------------------------------------------
+
+def _local_dbscan(edges_tbl: pa.Table, nodes_tbl: pa.Table,
+                  min_pts: int, a_col: str = 'a',
+                  b_col: str = 'b') -> pa.Table:
+    """Whole-graph DBSCAN in one task — the parity reference for the
+    distributed composition (same deterministic rules)."""
+    out_schema = pa.schema([('node', pa.int64()), ('role', pa.int8()),
+                            ('cluster', pa.int64())])
+    all_nodes = np.unique(nodes_tbl.column('node')
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+    if len(all_nodes) == 0:
+        return out_schema.empty_table()
+    a = edges_tbl.column(a_col).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    b = edges_tbl.column(b_col).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    idx = {v: i for i, v in enumerate(all_nodes)}
+    ai = np.array([idx[v] for v in a], dtype=np.int64)
+    bi = np.array([idx[v] for v in b], dtype=np.int64)
+    n = len(all_nodes)
+    deg = (np.bincount(ai, minlength=n)
+           + np.bincount(bi, minlength=n))
+    core = deg + 1 >= min_pts
+    # min-label union-find over core-core edges
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ai, bi):
+        if core[x] and core[y]:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+    # component label = min node id: roots compress to min via a pass
+    root = np.array([find(i) for i in range(n)])
+    comp_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, root[core], all_nodes[core])
+    cluster = np.full(n, -1, dtype=np.int64)
+    role = np.full(n, 2, dtype=np.int8)            # noise
+    cluster[core] = comp_min[root[core]]
+    role[core] = 0
+    # border: non-core with a core neighbor -> MIN core-neighbor's
+    # cluster label (deterministic tie rule)
+    for x, y in zip(ai, bi):
+        for u, v in ((x, y), (y, x)):
+            if not core[u] and core[v]:
+                lab = comp_min[root[v]]
+                if role[u] == 2 or lab < cluster[u]:
+                    role[u] = 1
+                    cluster[u] = lab
+    return pa.table({'node': pa.array(all_nodes),
+                     'role': pa.array(role),
+                     'cluster': pa.array(cluster)}, schema=out_schema)
+
+
+def dbscan_from_edges(edges, nodes, min_pts: int = 4,
+                      num_buckets: int = 16, a_col: str = 'a',
+                      b_col: str = 'b',
+                      edges_schema: pa.Schema | None = None,
+                      local_edges_max: int = 2_000_000):
+    """DBSCAN given a precomputed eps-neighborhood graph (edges =
+    point pairs within eps; ``nodes`` = (node) Dataset of the FULL
+    point universe, so isolated points classify as noise).
+
+    Rules (deterministic — standard DBSCAN leaves border assignment
+    order-dependent, here it is pinned): core iff neighbor count + 1
+    >= min_pts; clusters = connected components over core-core edges
+    labeled by MIN member id (isolated cores are singleton clusters);
+    border = non-core adjacent to >= 1 core, taking the SMALLEST
+    adjacent core cluster label; everything else is noise
+    (cluster -1). role: 0 core / 1 border / 2 noise.
+
+    Distributed composition (all existing primitives): one degree
+    aggregation, two semi-joins pruning to core-core edges,
+    connected_components, one core-border scatter + min-aggregate,
+    and a final universe left-join — each an exchange-shaped stage.
+    Small graphs (<= ``local_edges_max`` edges) run the identical
+    rules in ONE task."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .aggregate import bucket_aggregate
+    from .joins import hash_join
+
+    out_schema = pa.schema([('node', pa.int64()), ('role', pa.int8()),
+                            ('cluster', pa.int64())])
+    eschema = pa.schema([(a_col, pa.int64()), (b_col, pa.int64())])
+    nschema = pa.schema([('node', pa.int64())])
+
+    def as_nodes(tbl: pa.Table) -> pa.Table:
+        return pa.table({'node': tbl.column('node').combine_chunks()
+                         .cast(pa.int64())})
+
+    def as_edges(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            a_col: tbl.column(a_col).combine_chunks().cast(pa.int64()),
+            b_col: tbl.column(b_col).combine_chunks().cast(pa.int64())})
+
+    edges = edges.map_batches(as_edges, batch_format='pyarrow')\
+        .materialize()
+    nodes = nodes.map_batches(as_nodes, batch_format='pyarrow')\
+        .materialize()
+    if local_edges_max and edges.count() <= local_edges_max:
+        etbl = pa.concat_tables(
+            [t.cast(eschema) for t in
+             edges.iter_batches(batch_format='pyarrow') if t.num_rows]
+            or [eschema.empty_table()])
+        ntbl = pa.concat_tables(
+            [t.cast(nschema) for t in
+             nodes.iter_batches(batch_format='pyarrow') if t.num_rows]
+            or [nschema.empty_table()])
+        return rd.from_arrow(_local_dbscan(etbl, ntbl, min_pts,
+                                           a_col, b_col))
+
+    # 1. degrees -> core set
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': pa.concat_arrays(
+                [tbl.column(a_col).combine_chunks(),
+                 tbl.column(b_col).combine_chunks()]),
+            '_one': pa.array(np.ones(2 * tbl.num_rows, np.int64))})
+
+    deg = bucket_aggregate(
+        edges.map_batches(endpoints, batch_format='pyarrow'),
+        ['node'], {'deg': ('_one', 'sum')},
+        num_buckets=num_buckets).materialize()
+    core = deg.map_batches(
+        lambda t: pa.table({'node': t.column('node').combine_chunks()
+                            .cast(pa.int64())},).filter(
+            pc.greater_equal(pc.add(t.column('deg').combine_chunks()
+                                    .cast(pa.int64()), 1),
+                             min_pts)),
+        batch_format='pyarrow').materialize()
+
+    # 2. core-core edges -> clusters (CC labels = min member id)
+    cc_edges = hash_join(
+        edges, core.map_batches(
+            lambda t: t.rename_columns([a_col]), batch_format='pyarrow'),
+        on=a_col, num_buckets=num_buckets, left_schema=eschema,
+        right_schema=pa.schema([(a_col, pa.int64())]))
+    cc_edges = hash_join(
+        cc_edges, core.map_batches(
+            lambda t: t.rename_columns([b_col]), batch_format='pyarrow'),
+        on=b_col, num_buckets=num_buckets, left_schema=eschema,
+        right_schema=pa.schema([(b_col, pa.int64())]))
+    comp = connected_components(cc_edges, src=a_col, dst=b_col,
+                                num_buckets=num_buckets).materialize()
+    cschema = pa.schema([('node', pa.int64()),
+                         ('component', pa.int64())])
+    # isolated cores = singleton clusters (own id)
+    core_clustered = hash_join(
+        core, comp, on='node', how='left', num_buckets=num_buckets,
+        left_schema=nschema, right_schema=cschema)
+
+    def fill_own(tbl: pa.Table) -> pa.Table:
+        node = tbl.column('node').combine_chunks().cast(pa.int64())
+        # left-join padding may floatify (CLAUDE.md) — detect the null
+        # through NaN, never a sentinel the data could contain
+        compf = pc.cast(tbl.column('component').combine_chunks(),
+                        pa.float64()).to_numpy(zero_copy_only=False)
+        nodev = node.to_numpy(zero_copy_only=False)
+        lab = np.where(np.isnan(compf), nodev, compf).astype(np.int64)
+        return pa.table({'node': node, 'cluster': pa.array(lab)})
+
+    core_lab = core_clustered.map_batches(
+        fill_own, batch_format='pyarrow').materialize()
+    clab_schema = pa.schema([('node', pa.int64()),
+                             ('cluster', pa.int64())])
+
+    # 3. border: edges with exactly one core side scatter the core's
+    # cluster onto the other side; min per non-core node
+    half = edges.map_batches(
+        lambda t: pa.table({
+            'node': pa.concat_arrays(
+                [t.column(a_col).combine_chunks(),
+                 t.column(b_col).combine_chunks()]),
+            'peer': pa.concat_arrays(
+                [t.column(b_col).combine_chunks(),
+                 t.column(a_col).combine_chunks()])}),
+        batch_format='pyarrow')
+    half_schema = pa.schema([('node', pa.int64()), ('peer', pa.int64())])
+    # attach the PEER's core cluster (inner join drops non-core peers)
+    peer_lab = hash_join(
+        half, core_lab.map_batches(
+            lambda t: t.rename_columns(['peer', '_plab']),
+            batch_format='pyarrow'),
+        on='peer', num_buckets=num_buckets, left_schema=half_schema,
+        right_schema=pa.schema([('peer', pa.int64()),
+                                ('_plab', pa.int64())]))
+    cand = bucket_aggregate(
+        peer_lab.map_batches(
+            lambda t: t.select(['node', '_plab']),
+            batch_format='pyarrow'),
+        ['node'], {'blab': ('_plab', 'min')},
+        num_buckets=num_buckets)
+    # non-core only
+    border = hash_join(
+        cand, core.map_batches(
+            lambda t: pa.table({'node': t.column('node'),
+                                '_isc': pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format='pyarrow'),
+        on='node', how='left', num_buckets=num_buckets,
+        left_schema=pa.schema([('node', pa.int64()),
+                               ('blab', pa.int64())]),
+        right_schema=pa.schema([('node', pa.int64()),
+                                ('_isc', pa.int64())]))
+    border = border.map_batches(
+        lambda t: t.filter(pc.is_null(t.column('_isc')))
+        .select(['node', 'blab']), batch_format='pyarrow')
+
+    # 4. assemble over the full universe
+    uni = hash_join(nodes, core_lab, on='node', how='left',
+                    num_buckets=num_buckets, left_schema=nschema,
+                    right_schema=clab_schema)
+    uni = hash_join(uni, border, on='node', how='left',
+                    num_buckets=num_buckets,
+                    left_schema=pa.schema([('node', pa.int64()),
+                                           ('cluster', pa.int64())]),
+                    right_schema=pa.schema([('node', pa.int64()),
+                                            ('blab', pa.int64())]))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        node = tbl.column('node').combine_chunks().cast(pa.int64())
+        cl = pc.cast(pc.fill_null(pc.cast(tbl.column('cluster'),
+                                          pa.float64()), np.nan),
+                     pa.float64())
+        bl = pc.cast(pc.fill_null(pc.cast(tbl.column('blab'),
+                                          pa.float64()), np.nan),
+                     pa.float64())
+        clv = cl.to_numpy(zero_copy_only=False)
+        blv = bl.to_numpy(zero_copy_only=False)
+        is_core = ~np.isnan(clv)
+        is_border = np.isnan(clv) & ~np.isnan(blv)
+        role = np.where(is_core, 0, np.where(is_border, 1, 2))\
+            .astype(np.int8)
+        cluster = np.where(is_core, np.nan_to_num(clv, nan=-1),
+                           np.where(is_border,
+                                    np.nan_to_num(blv, nan=-1), -1))\
+            .astype(np.int64)
+        return pa.table({'node': node, 'role': pa.array(role),
+                         'cluster': pa.array(cluster)},
+                        schema=out_schema)
+
+    return uni.map_batches(finish, batch_format='pyarrow')
