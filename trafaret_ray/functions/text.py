@@ -874,3 +874,95 @@ def json_scalar(text, key: str):
     # (json_extract_string returns 'null' for it, verified)
     return pc.if_else(pc.equal(raw, 'null'),
                       pa.nulls(len(text), type=pa.string()), unquoted)
+
+
+def bpe_train_from_word_counts(words, counts, num_merges: int = 100):
+    """Byte-pair-encoding vocabulary training (Sennrich et al. 2016)
+    over a (word, count) frequency table — the LOCAL half of the scale
+    shape: real BPE trainers scan the corpus ONCE to count distinct
+    words (tiny vs the corpus), then run the merge loop over that
+    table; only the word count is distributed work.
+
+    Deterministic: each round merges the adjacent symbol pair with the
+    highest count, ties to the LEXICOGRAPHICALLY SMALLEST (left, right)
+    string pair; within a word, overlapping occurrences merge leftmost
+    first (the 'aaa' case keeps positions 0-1). Symbols start as
+    Unicode characters, no end-of-word marker (GPT-2-ish).
+
+    Vectorized: the vocab is one flat int32 symbol-code array with word
+    boundaries; pair counting is a weighted bincount over adjacent code
+    keys and the merge is a mask/compaction pass — no per-word Python
+    in the loop. Returns list of (left, right, merged, pair_count)
+    in merge order.
+    """
+    syms: list[str] = []
+    sym_id: dict[str, int] = {}
+
+    def code(s: str) -> int:
+        i = sym_id.get(s)
+        if i is None:
+            i = len(syms)
+            sym_id[s] = i
+            syms.append(s)
+        return i
+
+    flat, wid, wcnt = [], [], []
+    for w, c in zip(words, counts):
+        if not w:
+            continue
+        wcnt.append(int(c))
+        wi = len(wcnt) - 1
+        for ch in w:
+            flat.append(code(ch))
+            wid.append(wi)
+    if not flat:
+        return []
+    codes = np.array(flat, dtype=np.int64)
+    word_of = np.array(wid, dtype=np.int64)
+    cnt = np.array(wcnt, dtype=np.int64)
+    merges = []
+    for _ in range(num_merges):
+        if len(codes) < 2:
+            break
+        adj = word_of[1:] == word_of[:-1]
+        if not adj.any():
+            break
+        v = len(syms)
+        keys = codes[:-1] * v + codes[1:]
+        w6 = cnt[word_of[:-1]]
+        uk, inv = np.unique(keys[adj], return_inverse=True)
+        sums = np.bincount(inv, weights=w6[adj].astype(np.float64))\
+            .astype(np.int64)
+        best_n = int(sums.max())
+        tied = uk[sums == best_n]
+        # lexicographic tie on the STRING pair (few ties — python min)
+        best = min(tied, key=lambda k: (syms[int(k) // v],
+                                        syms[int(k) % v]))
+        a, b = int(best) // v, int(best) % v
+        new_sym = syms[a] + syms[b]
+        new_code = code(new_sym)
+        merges.append((syms[a], syms[b], new_sym, best_n))
+        # leftmost-first non-overlapping merge: candidate positions,
+        # then keep only EVEN-parity members of each candidate run
+        cand = np.zeros(len(codes), dtype=bool)
+        cand[:-1] = adj & (codes[:-1] == a) & (codes[1:] == b)
+        if a == b:
+            run_start = cand & ~np.concatenate([[False], cand[:-1]])
+            run_id = np.cumsum(run_start)
+            pos_in_run = (np.arange(len(codes))
+                          - np.maximum.accumulate(
+                              np.where(run_start,
+                                       np.arange(len(codes)), -1)))
+            cand &= (pos_in_run % 2 == 0)
+        else:
+            # distinct symbols cannot chain: (a,b)(a,b) overlaps only
+            # through b==a
+            pass
+        take = cand
+        drop = np.concatenate([[False], take[:-1]])   # the b of a merge
+        codes = codes.copy()
+        codes[take] = new_code
+        keep = ~drop
+        codes = codes[keep]
+        word_of = word_of[keep]
+    return merges

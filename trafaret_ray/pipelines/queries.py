@@ -9834,3 +9834,59 @@ def q_dbscan_embeddings(sf_dir: str):
 
 
 QUERIES['q_dbscan_embeddings'] = q_dbscan_embeddings
+
+
+def q_bpe_train_docs(sf_dir: str):
+    """BPE vocabulary training over the corpus
+    (functions/text.py:bpe_train_from_word_counts): 100 merges learned
+    from the word-frequency table. The SCALE SHAPE is the one real
+    trainers use — the corpus is scanned ONCE (vectorized whitespace
+    split + explode, one hash-bucket count per distinct word), the
+    distinct-word table is capped at the 50k most frequent words
+    (global_topk — count desc, word asc, deterministic), and the merge
+    loop runs over that tiny table locally. Rows-only BY DESIGN: the
+    iterative merge loop has no SQL oracle (exact reference-impl parity
+    incl. overlap chains in tests/test_bpe.py; word counts are
+    order-free so --shuffled self-parity holds). Output: one row per
+    merge, rank-ordered."""
+    from ..functions.text import bpe_train_from_word_counts
+    from ..stages.aggregate import bucket_aggregate, global_topk
+    import ray.data as rd
+    out_schema = pa.schema([
+        ('rank', pa.int64()), ('left', pa.string()),
+        ('right', pa.string()), ('merged', pa.string()),
+        ('pair_count', pa.int64())])
+    ds = _read(sf_dir, 'documents', ['text'], require=('text',))
+
+    def words_fn(tbl: pa.Table) -> pa.Table:
+        w = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        flat = w.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return pa.table({'word': flat,
+                         '_one': pa.array(
+                             np.ones(len(flat), np.int64))})
+
+    wc = bucket_aggregate(
+        ds.map_batches(words_fn, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['word'], {'n': ('_one', 'sum')}, num_buckets=16)
+    top = global_topk(wc, [('n', 'descending'), ('word', 'ascending')],
+                      50_000)
+    df = _small_df(top, ['word', 'n'])
+    if len(df) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    merges = bpe_train_from_word_counts(
+        df['word'].tolist(), df['n'].tolist(), num_merges=100)
+    if not merges:
+        return rd.from_arrow(out_schema.empty_table())
+    return rd.from_arrow(pa.table({
+        'rank': pa.array(np.arange(len(merges), dtype=np.int64)),
+        'left': pa.array([m[0] for m in merges], pa.string()),
+        'right': pa.array([m[1] for m in merges], pa.string()),
+        'merged': pa.array([m[2] for m in merges], pa.string()),
+        'pair_count': pa.array([m[3] for m in merges], pa.int64()),
+    })).sort('rank')
+
+
+QUERIES['q_bpe_train_docs'] = q_bpe_train_docs
