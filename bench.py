@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     'q_kmeans_embeddings', 'q_seasonal_events', 'q_wilson_events',
     'q_dl_pairs_docs', 'q_lpa_embeddings',
     'q_concurrent_sessions_events', 'q_nfc_docs',
-    'q_dbscan_embeddings', 'q_bpe_train_docs',
+    'q_dbscan_embeddings', 'q_bpe_train_docs', 'q_bpe_encode_docs',
 ]
 
 

@@ -76,3 +76,40 @@ class TestBPETrain:
         wc = {'日本語': 4, '日本': 6, 'éé': 3}
         assert bpe_train_from_word_counts(
             list(wc), list(wc.values()), 6) == _ref(wc, 6)
+
+
+class TestBPEEncode:
+    def test_encode_matches_reference(self):
+        from trafaret_ray.functions.text import bpe_encode_counts
+
+        def ref_encode(t, merges):
+            total = 0
+            for w in (t or '').split(' '):
+                if not w:
+                    continue
+                sym = list(w)
+                for a, b, mg, _ in merges:
+                    s, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and sym[i] == a \
+                                and sym[i + 1] == b:
+                            s.append(mg)
+                            i += 2
+                        else:
+                            s.append(sym[i])
+                            i += 1
+                    sym = s
+                total += len(sym)
+            return total
+
+        wc = {'low': 5, 'lower': 2, 'newest': 6, 'widest': 3,
+              'aaa': 4, 'banana': 3}
+        m = bpe_train_from_word_counts(list(wc), list(wc.values()), 10)
+        texts = ['low lower newest', 'widest low', '', None,
+                 'zzz unknown', 'banana aaa aaaa', 'wi de st']
+        got = bpe_encode_counts(texts, m)
+        assert got.tolist() == [ref_encode(t, m) for t in texts]
+
+    def test_encode_empty_merges(self):
+        from trafaret_ray.functions.text import bpe_encode_counts
+        assert bpe_encode_counts(['ab c', ''], []).tolist() == [3, 0]

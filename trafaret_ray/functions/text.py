@@ -942,27 +942,85 @@ def bpe_train_from_word_counts(words, counts, num_merges: int = 100):
         new_sym = syms[a] + syms[b]
         new_code = code(new_sym)
         merges.append((syms[a], syms[b], new_sym, best_n))
-        # leftmost-first non-overlapping merge: candidate positions,
-        # then keep only EVEN-parity members of each candidate run
-        cand = np.zeros(len(codes), dtype=bool)
-        cand[:-1] = adj & (codes[:-1] == a) & (codes[1:] == b)
-        if a == b:
-            run_start = cand & ~np.concatenate([[False], cand[:-1]])
-            run_id = np.cumsum(run_start)
-            pos_in_run = (np.arange(len(codes))
-                          - np.maximum.accumulate(
-                              np.where(run_start,
-                                       np.arange(len(codes)), -1)))
-            cand &= (pos_in_run % 2 == 0)
-        else:
-            # distinct symbols cannot chain: (a,b)(a,b) overlaps only
-            # through b==a
-            pass
-        take = cand
-        drop = np.concatenate([[False], take[:-1]])   # the b of a merge
-        codes = codes.copy()
-        codes[take] = new_code
-        keep = ~drop
-        codes = codes[keep]
-        word_of = word_of[keep]
+        codes, word_of = _apply_bpe_merge(codes, word_of, a, b,
+                                           new_code)
     return merges
+
+
+def _apply_bpe_merge(codes: np.ndarray, word_of: np.ndarray, a: int,
+                     b: int, new_code: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """One leftmost-first non-overlapping merge pass of adjacent
+    (a, b) -> new_code over the flat symbol array — shared by the
+    trainer and the encoder so apply == train semantics exactly."""
+    adj = word_of[1:] == word_of[:-1]
+    cand = np.zeros(len(codes), dtype=bool)
+    cand[:-1] = adj & (codes[:-1] == a) & (codes[1:] == b)
+    if a == b:
+        # 'aaa' chains: keep even-parity members of each candidate run
+        run_start = cand & ~np.concatenate([[False], cand[:-1]])
+        pos_in_run = (np.arange(len(codes))
+                      - np.maximum.accumulate(
+                          np.where(run_start,
+                                   np.arange(len(codes)), -1)))
+        cand &= (pos_in_run % 2 == 0)
+    take = cand
+    drop = np.concatenate([[False], take[:-1]])   # the b of a merge
+    codes = codes.copy()
+    codes[take] = new_code
+    keep = ~drop
+    return codes[keep], word_of[keep]
+
+
+def bpe_encode_counts(texts, merges) -> np.ndarray:
+    """Token count per text after applying the learned ``merges``
+    (from ``bpe_train_from_word_counts``) in rank order — the ENCODE
+    half, vectorized over the whole batch: one flat char-code array
+    spanning every word of every doc, then one `_apply_bpe_merge` pass
+    per merge (merge boundaries respect words via the word-id array;
+    word ids are per-(doc, word), so cross-word pairs never merge).
+    Unknown characters stay singleton symbols. Returns int64 token
+    counts aligned with ``texts`` (None -> 0)."""
+    sym_id: dict[str, int] = {}
+    syms: list[str] = []
+
+    def code(sm: str) -> int:
+        i = sym_id.get(sm)
+        if i is None:
+            i = len(syms)
+            sym_id[sm] = i
+            syms.append(sm)
+        return i
+
+    resolved = []
+    for left, right, merged, _n in merges:
+        resolved.append((code(left), code(right), code(merged)))
+    n_docs = len(texts)
+    flat, unit_of, doc_of_unit = [], [], []
+    unit = 0
+    for d, t in enumerate(texts):
+        if not t:
+            continue
+        for w in t.split(' '):
+            if not w:
+                continue
+            for ch in w:
+                flat.append(sym_id.get(ch, -1))
+                unit_of.append(unit)
+            doc_of_unit.append(d)
+            unit += 1
+    out = np.zeros(n_docs, dtype=np.int64)
+    if not flat:
+        return out
+    codes = np.array(flat, dtype=np.int64)
+    # unknown chars get fresh negative codes so they never merge but
+    # still count as one token each
+    unk = codes == -1
+    codes[unk] = -(np.arange(int(unk.sum())) + 2)
+    word_of = np.array(unit_of, dtype=np.int64)
+    for a, b, nc in resolved:
+        codes, word_of = _apply_bpe_merge(codes, word_of, a, b, nc)
+    per_unit = np.bincount(word_of, minlength=unit)
+    d_of = np.array(doc_of_unit, dtype=np.int64)
+    np.add.at(out, d_of, per_unit[:unit])
+    return out

@@ -9890,3 +9890,52 @@ def q_bpe_train_docs(sf_dir: str):
 
 
 QUERIES['q_bpe_train_docs'] = q_bpe_train_docs
+
+
+def q_bpe_encode_docs(sf_dir: str):
+    """BPE ENCODE with the vocabulary learned by q_bpe_train_docs:
+    per-document token counts under the trained merges — the token
+    budgeting that decides what a corpus costs to train on. The merge
+    table is broadcast once (ray.put) into an ACTOR-POOL stage whose
+    __init__ resolves merge codes per actor and whose __call__ applies
+    the SAME vectorized merge pass as the trainer over the whole batch
+    (functions/text.py:bpe_encode_counts — apply == train semantics by
+    shared kernel, reference parity in tests/test_bpe.py). Rows-only:
+    iterative vocabulary, no SQL oracle; integer outputs and
+    deterministic merges make the --shuffled self-parity hold."""
+    import ray as _ray
+    import ray.data as rd
+    from ..pipelines.queries import q_bpe_train_docs  # self-module ref
+    out_schema = pa.schema([('doc_id', pa.int64()),
+                            ('n_chars', pa.int64()),
+                            ('n_tokens', pa.int64())])
+    mt = _small_df(q_bpe_train_docs(sf_dir),
+                   ['rank', 'left', 'right', 'merged', 'pair_count'])
+    merges = [(r['left'], r['right'], r['merged'], int(r['pair_count']))
+              for _, r in mt.sort_values('rank').iterrows()]
+    mref = _ray.put(merges)
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'],
+               require=('text',))
+
+    class Encode:
+        def __init__(self):
+            from ..functions.text import bpe_encode_counts
+            self._encode = bpe_encode_counts
+            self._merges = _ray.get(mref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return out_schema.empty_table()
+            texts = tbl.column('text').to_pylist()
+            return pa.table({
+                'doc_id': pc.cast(tbl.column('doc_id'), pa.int64()),
+                'n_chars': pc.cast(pc.utf8_length(
+                    tbl.column('text').combine_chunks()), pa.int64()),
+                'n_tokens': pa.array(self._encode(texts, self._merges)),
+            }, schema=out_schema)
+
+    return ds.map_batches(Encode, batch_format='pyarrow',
+                          concurrency=2).sort('doc_id')
+
+
+QUERIES['q_bpe_encode_docs'] = q_bpe_encode_docs
