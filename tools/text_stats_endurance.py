@@ -49,6 +49,8 @@ def main():
         ('keywords', Q.q_keywords_docs),
         ('inverted_index', Q.q_inverted_index_docs),
         ('pmi_bigrams', Q.q_pmi_bigrams_docs),
+        ('bpe_train', Q.q_bpe_train_docs),
+        ('bpe_encode', Q.q_bpe_encode_docs),
     ]
     for name, fn in paths:
         t0 = time.time()

@@ -975,12 +975,21 @@ def _apply_bpe_merge(codes: np.ndarray, word_of: np.ndarray, a: int,
 def bpe_encode_counts(texts, merges) -> np.ndarray:
     """Token count per text after applying the learned ``merges``
     (from ``bpe_train_from_word_counts``) in rank order — the ENCODE
-    half, vectorized over the whole batch: one flat char-code array
-    spanning every word of every doc, then one `_apply_bpe_merge` pass
-    per merge (merge boundaries respect words via the word-id array;
-    word ids are per-(doc, word), so cross-word pairs never merge).
-    Unknown characters stay singleton symbols. Returns int64 token
-    counts aligned with ``texts`` (None -> 0)."""
+    half, vectorized over the whole batch with two scale tricks:
+
+    - each DISTINCT word is encoded once (pd.factorize; a Zipf corpus
+      repeats its head words massively and the merge passes are
+      O(total symbols)) and per-word token counts scatter back through
+      the inverse map;
+    - the unique words' characters become a codepoint array via ONE
+      utf-32 decode of the concatenated string buffer (no per-char
+      Python), mapped to the merge alphabet by searchsorted.
+
+    Then one ``_apply_bpe_merge`` pass per merge runs over the flat
+    symbol array (word ids fence merges to words — apply == train
+    semantics by the shared kernel). Unknown characters get fresh
+    never-merging codes but still count as one token each. Returns
+    int64 token counts aligned with ``texts`` (None -> 0)."""
     sym_id: dict[str, int] = {}
     syms: list[str] = []
 
@@ -996,31 +1005,64 @@ def bpe_encode_counts(texts, merges) -> np.ndarray:
     for left, right, merged, _n in merges:
         resolved.append((code(left), code(right), code(merged)))
     n_docs = len(texts)
-    flat, unit_of, doc_of_unit = [], [], []
-    unit = 0
-    for d, t in enumerate(texts):
-        if not t:
-            continue
-        for w in t.split(' '):
-            if not w:
-                continue
-            for ch in w:
-                flat.append(sym_id.get(ch, -1))
-                unit_of.append(unit)
-            doc_of_unit.append(d)
-            unit += 1
     out = np.zeros(n_docs, dtype=np.int64)
-    if not flat:
+    if n_docs == 0:
         return out
-    codes = np.array(flat, dtype=np.int64)
-    # unknown chars get fresh negative codes so they never merge but
-    # still count as one token each
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        docs = texts
+    else:
+        docs = pa.array(texts, pa.string())
+    if isinstance(docs, pa.ChunkedArray):
+        docs = docs.combine_chunks()
+    words = pc.split_pattern(pc.fill_null(docs, ''), ' ')
+    wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    wc = wc.astype(np.int64)
+    flat_all = words.flatten()
+    doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), wc)
+    inv, uniq = pd.factorize(flat_all.to_pandas(), sort=False)
+    flat = pa.array(uniq, pa.string())
+    n_uniq = len(flat)
+    if n_uniq == 0:
+        return out
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    wlen = wlen.astype(np.int64)
+    nonempty = wlen > 0
+    if not nonempty.any():
+        return out
+    # ONE decode of the concatenated word payload -> codepoint array
+    # (the flat StringArray's data buffer holds the words contiguously)
+    off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset:flat.offset + n_uniq + 1]
+    payload = flat.buffers()[2].to_pybytes()[off[0]:off[-1]]
+    cps = np.frombuffer(payload.decode('utf-8').encode('utf-32-le'),
+                        dtype=np.uint32)
+    unit_ids = np.nonzero(nonempty)[0]
+    word_of = np.repeat(unit_ids, wlen[nonempty])
+    # codepoint -> symbol code for the merge alphabet's single chars
+    base_cps, base_codes = [], []
+    for smi, sm in enumerate(syms):
+        if len(sm) == 1:
+            base_cps.append(ord(sm))
+            base_codes.append(smi)
+    base_cps = np.array(base_cps, dtype=np.uint32)
+    base_codes = np.array(base_codes, dtype=np.int64)
+    srt = np.argsort(base_cps)
+    base_cps, base_codes = base_cps[srt], base_codes[srt]
+    if len(base_cps):
+        pos = np.minimum(np.searchsorted(base_cps, cps),
+                         len(base_cps) - 1)
+        hit = base_cps[pos] == cps
+        codes = np.where(hit, base_codes[pos], np.int64(-1))
+    else:
+        codes = np.full(len(cps), -1, dtype=np.int64)
     unk = codes == -1
-    codes[unk] = -(np.arange(int(unk.sum())) + 2)
-    word_of = np.array(unit_of, dtype=np.int64)
+    if unk.any():
+        # fresh distinct negative codes: never merge, count as one each
+        codes = codes.copy()
+        codes[unk] = -(np.arange(int(unk.sum()), dtype=np.int64) + 2)
     for a, b, nc in resolved:
         codes, word_of = _apply_bpe_merge(codes, word_of, a, b, nc)
-    per_unit = np.bincount(word_of, minlength=unit)
-    d_of = np.array(doc_of_unit, dtype=np.int64)
-    np.add.at(out, d_of, per_unit[:unit])
+    per_uniq = np.bincount(word_of, minlength=n_uniq)[:n_uniq]
+    np.add.at(out, doc_of_word, per_uniq[inv])
     return out
+
