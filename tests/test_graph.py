@@ -426,3 +426,58 @@ class TestDBSCAN:
         # min_pts=1: every node is core, even isolated ones
         got = _dbscan([(1, 2)], {1, 2, 5}, min_pts=1)
         assert got == {1: (0, 1), 2: (0, 1), 5: (0, 5)}
+
+
+def _bfs(edges, seeds, max_hops=10, **kw):
+    import ray.data as rd
+    from trafaret_ray.stages.graph import bfs_hops
+    et = pa.table({'a': pa.array([e[0] for e in edges], pa.int64()),
+                   'b': pa.array([e[1] for e in edges], pa.int64())})
+    out = bfs_hops(rd.from_arrow(et), np.array(seeds, np.int64),
+                   max_hops=max_hops, num_buckets=4, **kw).take_all()
+    return {r['node']: r['hops'] for r in out}
+
+
+def _bfs_brute(edges, seeds, max_hops=10):
+    from collections import deque
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_hops:
+            continue
+        for u in nbrs.get(v, []):
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    return dist
+
+
+class TestBFS:
+    def test_path_graph(self, ray_session):
+        E = [(i, i + 1) for i in range(6)]
+        assert _bfs(E, [0], max_hops=3) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_multi_source_random(self, ray_session):
+        rng = np.random.default_rng(51)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 35, size=(90, 2))
+                        if a != b})
+        seeds = [0, 7, 19]
+        assert _bfs(edges, seeds) == _bfs_brute(edges, seeds)
+
+    def test_distributed_matches_local(self, ray_session):
+        rng = np.random.default_rng(53)
+        edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                        for a, b in rng.integers(0, 25, size=(60, 2))
+                        if a != b})
+        loc = _bfs(edges, [1, 4], max_hops=4)
+        dist = _bfs(edges, [1, 4], max_hops=4, local_edges_max=0)
+        assert dist == loc == _bfs_brute(edges, [1, 4], max_hops=4)
+
+    def test_isolated_seed(self, ray_session):
+        assert _bfs([(1, 2)], [99]) == {99: 0}

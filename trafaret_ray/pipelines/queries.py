@@ -9939,3 +9939,22 @@ def q_bpe_encode_docs(sf_dir: str):
 
 
 QUERIES['q_bpe_encode_docs'] = q_bpe_encode_docs
+
+
+def q_bfs_embeddings(sf_dir: str):
+    """Hop distance from a vetted seed set over the cosine graph
+    (stages/graph.py:bfs_hops): seeds = the 10 smallest vec_ids in the
+    graph universe; output (node, hops) for everything within 6 hops —
+    the trust/quality-propagation primitive (how many similarity hops
+    separate a document from a human-reviewed cluster). Deterministic
+    BFS levels — rows-only BY DESIGN (iterative; brute-force +
+    local==distributed parity in tests/test_graph.py::TestBFS,
+    --shuffled self-compares)."""
+    from ..stages.graph import bfs_hops
+    edges = _cosine_edge_ds(sf_dir)
+    seeds = np.arange(10, dtype=np.int64)
+    return bfs_hops(edges, seeds, max_hops=6, num_buckets=8)\
+        .sort('node')
+
+
+QUERIES['q_bfs_embeddings'] = q_bfs_embeddings

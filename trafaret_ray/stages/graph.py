@@ -1187,3 +1187,138 @@ def dbscan_from_edges(edges, nodes, min_pts: int = 4,
                         schema=out_schema)
 
     return uni.map_batches(finish, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+def _local_bfs(edges_tbl: pa.Table, seeds: np.ndarray,
+               max_hops: int, a_col: str, b_col: str) -> pa.Table:
+    """Whole-graph multi-source BFS in one task."""
+    out_schema = pa.schema([('node', pa.int64()), ('hops', pa.int64())])
+    a = edges_tbl.column(a_col).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    b = edges_tbl.column(b_col).to_numpy(zero_copy_only=False)\
+        .astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b, seeds]))
+    if len(nodes) == 0:
+        return out_schema.empty_table()
+    idx = {v: i for i, v in enumerate(nodes)}
+    ai = np.array([idx[v] for v in a], dtype=np.int64)
+    bi = np.array([idx[v] for v in b], dtype=np.int64)
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    dist[np.searchsorted(nodes, np.intersect1d(nodes, seeds))] = 0
+    frontier = dist == 0
+    for h in range(1, max_hops + 1):
+        if not frontier.any():
+            break
+        nxt = np.zeros(len(nodes), dtype=bool)
+        m = frontier[ai]
+        nxt[bi[m]] = True
+        m = frontier[bi]
+        nxt[ai[m]] = True
+        nxt &= dist == -1
+        dist[nxt] = h
+        frontier = nxt
+    reached = dist >= 0
+    return pa.table({'node': pa.array(nodes[reached]),
+                     'hops': pa.array(dist[reached])},
+                    schema=out_schema)
+
+
+def bfs_hops(edges, seeds, max_hops: int = 10, num_buckets: int = 16,
+             a_col: str = 'a', b_col: str = 'b',
+             local_edges_max: int = 2_000_000):
+    """Multi-source BFS hop distance over an undirected edge Dataset:
+    (node, hops) for every node within ``max_hops`` of the seed set —
+    the quality/trust-propagation primitive (how far is each document
+    from a vetted seed cluster). ``seeds``: numpy int64 array.
+
+    Distributed round (same shapes as connected_components): the
+    settled (node, hops) table rides one node-keyed exchange with the
+    static both-direction edge rows; each bucket scatters the CURRENT
+    frontier's hops+1 onto peers; one min-aggregate merges candidates
+    with the settled table; the round stops early when the settled
+    count stops growing (monotone — a safe distributed fixpoint test
+    via one scalar). Exactly BFS because level h's frontier can only
+    settle nodes at distance h+1. Small graphs run one task."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .aggregate import bucket_aggregate
+    from .conversations import bucket_exchange
+
+    out_schema = pa.schema([('node', pa.int64()), ('hops', pa.int64())])
+    seeds = np.asarray(seeds, dtype=np.int64)
+    edges = edges.materialize()
+    if local_edges_max and edges.count() <= local_edges_max:
+        eschema = pa.schema([(a_col, pa.int64()), (b_col, pa.int64())])
+        etbl = pa.concat_tables(
+            [t.select([a_col, b_col]).cast(eschema) for t in
+             edges.iter_batches(batch_format='pyarrow') if t.num_rows]
+            or [eschema.empty_table()])
+        return rd.from_arrow(_local_bfs(etbl, seeds, max_hops,
+                                        a_col, b_col))
+
+    def tag_edges(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).combine_chunks().cast(pa.int64())
+        b = tbl.column(b_col).combine_chunks().cast(pa.int64())
+        return pa.table({
+            'node': pa.concat_arrays([a, b]),
+            'peer': pa.concat_arrays([b, a]),
+            'hops': pa.array(np.full(2 * tbl.num_rows, -1, np.int64)),
+        })
+
+    tagged = edges.map_batches(tag_edges, batch_format='pyarrow',
+                               zero_copy_batch=True).materialize()
+    settled = rd.from_arrow(pa.table({
+        'node': pa.array(np.unique(seeds)),
+        'hops': pa.array(np.zeros(len(np.unique(seeds)), np.int64))}))\
+        .materialize()
+    n_settled = settled.count()
+
+    def tag_state(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            'node': tbl.column('node'),
+            'peer': pa.array(np.full(tbl.num_rows, -1, np.int64)),
+            'hops': tbl.column('hops'),
+        })
+
+    _NL = pa.schema([('node', pa.int64()), ('hops', pa.int64())])
+
+    def make_scatter(h: int):
+        def scatter(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return _NL.empty_table()
+            df = tbl.to_pandas()
+            st = df[df['peer'] == -1][['node', 'hops']]
+            # keep the settled rows; scatter ONLY the current frontier
+            fr = st[st['hops'] == h - 1]
+            edg = df[df['peer'] != -1][['node', 'peer']]
+            m = edg.merge(fr[['node']], on='node', how='inner')
+            return pa.table({
+                'node': pa.array(np.concatenate([
+                    m['peer'].to_numpy(np.int64),
+                    st['node'].to_numpy(np.int64)])),
+                'hops': pa.array(np.concatenate([
+                    np.full(len(m), h, np.int64),
+                    st['hops'].to_numpy(np.int64)])),
+            }, schema=_NL)
+        return scatter
+
+    for h in range(1, max_hops + 1):
+        both = tagged.union(
+            settled.map_batches(tag_state, batch_format='pyarrow'))
+        cand = bucket_exchange(both, 'node', make_scatter(h),
+                               num_buckets)
+        settled = bucket_aggregate(
+            cand, ['node'], {'hops': ('hops', 'min')},
+            num_buckets=num_buckets)\
+            .repartition(num_buckets).materialize()
+        n_new = settled.count()
+        if n_new == n_settled:
+            break
+        n_settled = n_new
+
+    return settled
