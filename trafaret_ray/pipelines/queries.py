@@ -9958,3 +9958,76 @@ def q_bfs_embeddings(sf_dir: str):
 
 
 QUERIES['q_bfs_embeddings'] = q_bfs_embeddings
+
+
+def q_class_balance_docs(sf_dir: str):
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents (the k smallest doc_ids per language —
+    deterministic, so the oracle's row_number() pick is byte-equal).
+    The training-data rebalancer that stops a 90/10 language split from
+    dominating the mix.
+
+    100-TB shape: one tiny per-class count (pre_aggregate over ~5
+    langs), then each batch PRUNES to its local k-smallest per class
+    before ONE lang-keyed exchange finishes the global pick — the
+    exchange ships at most k x classes x blocks id rows, never the
+    corpus (same survivors-only argument as global_topk)."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    from ..stages.conversations import bucket_exchange
+    import ray.data as rd
+    out_schema = pa.schema([('doc_id', pa.int64()),
+                            ('lang', pa.string())])
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang'],
+               require=('lang',))
+    counts = _small_df(_pre(
+        ds.map_batches(
+            lambda t: pa.table({'lang': t.column('lang'),
+                                '_one': pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['lang'], {'n': ('_one', 'count')}), ['lang', 'n'])
+    if len(counts) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    k = int(counts['n'].min())
+
+    def local_prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        ids = tbl.column('doc_id').combine_chunks().cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        langs = tbl.column('lang').combine_chunks()
+        lcodes, _ = pd.factorize(langs.to_pandas(), sort=False)
+        order = np.lexsort((ids, lcodes))
+        pos = np.arange(len(order))
+        seg = np.ones(len(order), dtype=bool)
+        seg[1:] = lcodes[order][1:] != lcodes[order][:-1]
+        rank = pos - np.maximum.accumulate(np.where(seg, pos, -1))
+        keep = np.sort(order[rank < k])
+        return pa.table({
+            'doc_id': pa.array(ids[keep]),
+            'lang': langs.take(pa.array(keep)),
+        }, schema=out_schema)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return local_prune(tbl)
+
+    pruned = ds.map_batches(local_prune, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    out = bucket_exchange(pruned, 'lang', finish, num_buckets=8)
+    return _sort_ns(out, ['lang', 'doc_id'], str_cols=('lang',))
+
+
+QUERIES['q_class_balance_docs'] = q_class_balance_docs
+ORACLE_SQL['q_class_balance_docs'] = """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang),
+    k AS (SELECT min(n) AS k FROM c),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS rn
+      FROM documents WHERE lang IS NOT NULL)
+    SELECT doc_id, lang FROM r, k WHERE r.rn <= k.k
+    ORDER BY lang, doc_id
+"""
