@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -193,3 +194,88 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 32,
     with open(metrics_path, 'w') as f:
         json.dump(metrics, f, indent=1, sort_keys=True)
     return metrics
+
+
+def run_incremental(input_dir: str, out_dir: str, **flagship_kwargs
+                    ) -> dict:
+    """File-level incremental processing: run the flagship pipeline
+    over ONLY the parquet files that appeared in ``input_dir`` since
+    the last run. The data-lake shape: input files are immutable
+    append-only shards; every invocation batches all UNSEEN files into
+    ONE flagship run (one pipeline execution per increment, not per
+    file) written under ``out_dir/batches/<batch-name>/`` with the full
+    run_flagship layout (validated/ features/ metrics.json incl. the
+    per-input-file lineage), and records them in an atomically-replaced
+    ``ingest_manifest.json``. A file whose size changed since it was
+    ingested raises — silent reprocessing would duplicate its rows
+    across batches for consumers reading all feature dirs
+    (``incremental_features`` below).
+
+    Returns {'n_new', 'n_skipped', 'batch', 'metrics'} — metrics is the
+    new batch's run_flagship metrics ({} when nothing was pending)."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, 'ingest_manifest.json')
+    manifest = {'files': {}, 'batches': {}}
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+
+    files = sorted(f for f in os.listdir(input_dir)
+                   if f.endswith('.parquet'))
+    pending = []
+    for name in files:
+        full = os.path.join(input_dir, name)
+        size = os.path.getsize(full)
+        rec = manifest['files'].get(name)
+        if rec is None:
+            pending.append((name, full, size))
+        elif rec['size'] != size:
+            raise ValueError(
+                f'run_incremental: ingested file {name!r} changed size '
+                f'({rec["size"]} -> {size}); input shards must be '
+                'immutable — write changes as NEW files')
+    if not pending:
+        return {'n_new': 0, 'n_skipped': len(files), 'batch': None,
+                'metrics': {}}
+
+    digest = hashlib.sha1(
+        '\n'.join(n for n, _, _ in pending).encode()).hexdigest()[:8]
+    batch_name = f'batch-{len(manifest["batches"]):05d}-{digest}'
+    batch_dir = os.path.join(out_dir, 'batches', batch_name)
+    metrics = run_flagship([full for _, full, _ in pending], batch_dir,
+                           **flagship_kwargs)
+
+    for name, _full, size in pending:
+        manifest['files'][name] = {'size': size, 'batch': batch_name}
+    manifest['batches'][batch_name] = {
+        'completed_at': time.strftime('%Y-%m-%dT%H:%M:%S'),
+        'n_files': len(pending),
+        'rows_ok': metrics.get('rows_ok', 0),
+        'rows_quarantined': metrics.get('rows_quarantined', 0),
+    }
+    tmp = man_path + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, man_path)
+    return {'n_new': len(pending), 'n_skipped': len(files) - len(pending),
+            'batch': batch_name, 'metrics': metrics}
+
+
+def incremental_features(out_dir: str):
+    """Dataset over every ingested batch's features — the consumer view
+    of an incrementally-built output (one read over N batch dirs)."""
+    import ray.data as rd
+    man_path = os.path.join(out_dir, 'ingest_manifest.json')
+    with open(man_path) as f:
+        manifest = json.load(f)
+    dirs = [os.path.join(out_dir, 'batches', b, 'features')
+            for b in sorted(manifest['batches'])]
+    # read_parquet expands a single directory but not a LIST of
+    # directories — hand it the part files
+    files = [os.path.join(d, f) for d in dirs if os.path.exists(d)
+             for f in sorted(os.listdir(d)) if f.endswith('.parquet')]
+    if not files:
+        raise FileNotFoundError('no completed batches under ' + out_dir)
+    return rd.read_parquet(files)
