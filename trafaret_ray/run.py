@@ -31,7 +31,8 @@ def main(argv=None):
     p.add_argument('--input', required=True,
                    help='parquet path/dir of transcripts (input_hint schema)')
     p.add_argument('--out', required=True, help='output directory')
-    p.add_argument('--pipeline', choices=('flagship', 'curate'),
+    p.add_argument('--pipeline',
+                   choices=('flagship', 'curate', 'incremental'),
                    default='flagship',
                    help='flagship transcript features (default) or the '
                         'documents corpus-curation pipeline')
@@ -92,6 +93,18 @@ def main(argv=None):
         metrics = {'pipeline': 'curate', 'docs_in': n_in,
                    'docs_kept': n_out,
                    'wall_s': round(time.perf_counter() - t0, 3)}
+    elif args.pipeline == 'incremental':
+        # --input is a DIRECTORY of immutable parquet shards; only
+        # unseen files run (pipelines/flagship.py:run_incremental)
+        from trafaret_ray.pipelines.flagship import run_incremental
+        metrics = run_incremental(
+            args.input, args.out,
+            num_buckets=args.num_buckets,
+            gap_us=int(args.gap_minutes * 60 * 1_000_000),
+            batch_size=args.batch_size,
+            resume=not args.no_resume,
+            max_group_rows=args.max_group_rows,
+        )
     else:
         from trafaret_ray.pipelines.flagship import run_flagship
         metrics = run_flagship(
