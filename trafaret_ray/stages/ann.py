@@ -670,12 +670,26 @@ def _exact_rerank(ds, shortlist, query: np.ndarray, k: int,
 # Distributed Lloyd k-means (exact integer arithmetic end-to-end)
 # ---------------------------------------------------------------------------
 
+_X6_MAX = 3 * 10**8      # |x6| bound: D * x6^2 must stay inside int64
+
+
 def _matrix6(tbl: pa.Table, emb_col: str) -> np.ndarray:
     """Embedding list column -> (n, D) int64 micro-unit matrix
     (floor(x*1e6 + 0.5)); the fixed-point view under which every k-means
-    step below is EXACT integer arithmetic."""
+    step below is EXACT integer arithmetic.
+
+    Guard: the assignment's ||x||^2 term is sum_D x6^2 — at D=64 a
+    coordinate beyond ~3.8e8 micro-units (|x| ~ 380) would WRAP int64
+    and silently poison every centroid, so out-of-range batches raise
+    instead (embeddings are unit-ish; rescale before clustering if
+    yours are not)."""
     m = _batch_matrix(tbl, emb_col)
-    return np.floor(m * 1e6 + 0.5).astype(np.int64)
+    x6 = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    if x6.size and np.abs(x6).max() > _X6_MAX:
+        raise ValueError(
+            'kmeans_lloyd: |coordinate| > 300 overflows the exact '
+            'int64 distance arithmetic — rescale the embedding column')
+    return x6
 
 
 def _assign6(x6: np.ndarray, c6: np.ndarray) -> tuple[np.ndarray,

@@ -1006,6 +1006,11 @@ def dbscan_from_edges(edges, nodes, min_pts: int = 4,
     point pairs within eps; ``nodes`` = (node) Dataset of the FULL
     point universe, so isolated points classify as noise).
 
+    PRECONDITION: edges are DISTINCT unordered pairs with a != b (the
+    cosine edge builders emit exactly this); duplicate rows or
+    self-loops would inflate the degree count and promote false cores
+    on both the local and distributed paths identically.
+
     Rules (deterministic — standard DBSCAN leaves border assignment
     order-dependent, here it is pinned): core iff neighbor count + 1
     >= min_pts; clusters = connected components over core-core edges

@@ -723,6 +723,11 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
     left_schema/right_schema for derived inputs (house rule — a
     derived .schema() forces partial execution).
 
+    PRECONDITION: well-formed closed intervals (hi >= lo; NULL bounds
+    drop). An inverted interval would still satisfy SQL's overlap
+    predicate in some corners while the banded search misses it — feed
+    it fixed data, not garbage.
+
     Output columns: every left column suffixed ``_a``, every right
     column suffixed ``_b`` (including lo/hi). At 100 TB the knobs are
     ``bucket_us`` (exchange fan-out / skew: one bucket holds one time
