@@ -10031,3 +10031,70 @@ ORACLE_SQL['q_class_balance_docs'] = """
     SELECT doc_id, lang FROM r, k WHERE r.rn <= k.k
     ORDER BY lang, doc_id
 """
+
+
+def q_dup_events_events(sf_dir: str):
+    """Duplicate-event (rapid-repeat) detection: an event whose
+    predecessor in the same user's (ts, event_id) order happened within
+    10 minutes with the SAME event_type — the instrumentation-bug audit
+    every event pipeline runs before trusting counts. One user-keyed
+    exchange, vectorized segment shift inside the bucket; NULL types
+    never match (SQL = semantics). A typed 0-row union keeps the output
+    schema when no duplicates exist (the empty-Dataset trap)."""
+    ds = _read(sf_dir, 'events',
+               ['event_id', 'user_id', 'ts', 'event_type'],
+               require=('ts',))
+    out_schema = pa.schema([
+        ('event_id', pa.int64()), ('user_id', pa.int64()),
+        ('gap_us', pa.int64())])
+
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        et = tbl.column('event_type').combine_chunks()
+        n = tbl.num_rows
+        prev_ok = ~starts
+        prev_ok[0] = False
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        same_t = np.zeros(n, dtype=bool)
+        if n > 1:
+            eq_t = pc.equal(et.slice(1), et.slice(0, n - 1))
+            same_t[1:] = pc.fill_null(eq_t, False)\
+                .to_numpy(zero_copy_only=False)
+        hit = prev_ok & same_t & (gap <= 600_000_000)
+        idx = np.nonzero(hit)[0]
+        return pa.table({
+            'event_id': pc.cast(tbl.column('event_id'), pa.int64())
+            .take(pa.array(idx)),
+            'user_id': pc.cast(tbl.column('user_id'), pa.int64())
+            .take(pa.array(idx)),
+            'gap_us': pa.array(gap[idx]),
+        }, schema=out_schema)
+
+    import ray.data as rd
+    out = per_conversation(ds, fn, key='user_id',
+                           order=('ts', 'event_id'), num_buckets=8)
+    # an all-empty result loses its schema (CLAUDE.md) — a legitimate
+    # outcome here (clean data has no double-fires)
+    return out.union(rd.from_arrow(out_schema.empty_table()))\
+        .sort(['event_id'])
+
+
+QUERIES['q_dup_events_events'] = q_dup_events_events
+ORACLE_SQL['q_dup_events_events'] = """
+    WITH o AS (
+      SELECT event_id, user_id, ts, event_type,
+             lag(ts) OVER w AS pts,
+             lag(event_type) OVER w AS ptype
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, epoch_us(ts - pts) AS gap_us
+    FROM o
+    WHERE pts IS NOT NULL AND epoch_us(ts - pts) <= 600000000
+      AND ptype = event_type
+    ORDER BY event_id
+"""

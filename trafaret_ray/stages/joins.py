@@ -813,43 +813,59 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
             ahi = np.minimum(hiv[ai], be)
             blo = np.maximum(lov[bi], bs)
             bhi = np.minimum(hiv[bi], be)
-            order = np.argsort(blo, kind='stable')
-            bi, blo, bhi = bi[order], blo[order], bhi[order]
-            maxlen = int((bhi - blo).max())
-            s0 = np.searchsorted(blo, alo - maxlen, side='left')
-            s1 = np.searchsorted(blo, ahi, side='right')
-            width = s1 - s0
-            if width.sum() == 0:
-                continue
-            # chunk the candidate expansion: a dense bucket's slot
-            # count is quadratic-ish, and one giant repeat/arange
-            # otherwise allocates GBs of int64 temporaries (measured
-            # 145 s at 2M events before chunking)
-            SLOTS = 4_000_000
-            cum = np.cumsum(width)
-            start = 0
-            while start < len(ai):
-                base = cum[start - 1] if start else 0
-                stop = int(np.searchsorted(cum, base + SLOTS,
-                                           side='left')) + 1
-                stop = min(stop, len(ai))
-                asl = slice(start, stop)
-                w = width[asl]
-                tot = int(w.sum())
-                if tot:
-                    arep = np.repeat(np.arange(start, stop), w)
-                    boff = (np.arange(tot)
-                            - np.repeat(np.cumsum(w) - w, w))
-                    bpos = s0[arep] + boff
-                    keep = bhi[bpos] >= alo[arep]
-                    # responsibility: count the pair only where the
-                    # ORIGINAL max(lo_a, lo_b) lands
-                    keep &= (np.maximum(lov[ai[arep]], lov[bi[bpos]])
-                             // bucket_us == bk)
-                    if keep.any():
-                        out_ia.append(ai[arep[keep]])
-                        out_ib.append(bi[bpos[keep]])
-                start = stop
+            # LENGTH-TIERED banded search: one global max_len band lets
+            # a single long interval widen every probe's candidate
+            # range (measured 10x slack on 0-length-dominated session
+            # data) — so B splits into length tiers (powers of 8) and
+            # each tier is searched with ITS OWN max length; tiers are
+            # disjoint, so no pair emits twice.
+            blen = bhi - blo
+            tier = np.zeros(len(bi), dtype=np.int64)
+            nz = blen > 0
+            tier[nz] = (np.log(blen[nz].astype(np.float64))
+                        / np.log(8.0)).astype(np.int64) + 1
+            for t in np.unique(tier):
+                tm = tier == t
+                ti = bi[tm]
+                tlo, thi = blo[tm], bhi[tm]
+                order = np.argsort(tlo, kind='stable')
+                ti, tlo, thi = ti[order], tlo[order], thi[order]
+                maxlen = int((thi - tlo).max())
+                s0 = np.searchsorted(tlo, alo - maxlen, side='left')
+                s1 = np.searchsorted(tlo, ahi, side='right')
+                width = s1 - s0
+                if width.sum() == 0:
+                    continue
+                # chunk the candidate expansion: a dense bucket's
+                # slot count is quadratic-ish, and one giant
+                # repeat/arange otherwise allocates GBs of int64
+                # temporaries (measured 145 s at 2M events before
+                # chunking)
+                SLOTS = 4_000_000
+                cum = np.cumsum(width)
+                start = 0
+                while start < len(ai):
+                    base = cum[start - 1] if start else 0
+                    stop = int(np.searchsorted(cum, base + SLOTS,
+                                               side='left')) + 1
+                    stop = min(stop, len(ai))
+                    w = width[start:stop]
+                    tot = int(w.sum())
+                    if tot:
+                        arep = np.repeat(np.arange(start, stop), w)
+                        boff = (np.arange(tot)
+                                - np.repeat(np.cumsum(w) - w, w))
+                        bpos = s0[arep] + boff
+                        keep = thi[bpos] >= alo[arep]
+                        # responsibility: count the pair only where
+                        # the ORIGINAL max(lo_a, lo_b) lands
+                        keep &= (np.maximum(lov[ai[arep]],
+                                            lov[ti[bpos]])
+                                 // bucket_us == bk)
+                        if keep.any():
+                            out_ia.append(ai[arep[keep]])
+                            out_ib.append(ti[bpos[keep]])
+                    start = stop
         if not out_ia:
             return out_schema.empty_table()
         ia = np.concatenate(out_ia)
