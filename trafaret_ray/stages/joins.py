@@ -813,17 +813,25 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
             ahi = np.minimum(hiv[ai], be)
             blo = np.maximum(lov[bi], bs)
             bhi = np.minimum(hiv[bi], be)
-            # LENGTH-TIERED banded search: one global max_len band lets
-            # a single long interval widen every probe's candidate
-            # range (measured 10x slack on 0-length-dominated session
-            # data) — so B splits into length tiers (powers of 8) and
-            # each tier is searched with ITS OWN max length; tiers are
-            # disjoint, so no pair emits twice.
+            # ADAPTIVE length-tiered banded search: one global max_len
+            # band lets a single long interval widen every probe's
+            # candidate range (measured 10x slack on 0-length-dominated
+            # session data at 10M rows), but the tier machinery costs
+            # real sorts — so first price the single band, and only
+            # split B into length tiers (powers of 8, disjoint — no
+            # pair emits twice) when the priced slack is material.
             blen = bhi - blo
+            order0 = np.argsort(blo, kind='stable')
+            blo0 = blo[order0]
+            g_maxlen = int(blen.max())
+            g_width = (np.searchsorted(blo0, ahi, side='right')
+                       - np.searchsorted(blo0, alo - g_maxlen,
+                                         side='left'))
             tier = np.zeros(len(bi), dtype=np.int64)
-            nz = blen > 0
-            tier[nz] = (np.log(blen[nz].astype(np.float64))
-                        / np.log(8.0)).astype(np.int64) + 1
+            if int(g_width.sum()) > 8_000_000:
+                nz = blen > 0
+                tier[nz] = (np.log(blen[nz].astype(np.float64))
+                            / np.log(8.0)).astype(np.int64) + 1
             for t in np.unique(tier):
                 tm = tier == t
                 ti = bi[tm]
