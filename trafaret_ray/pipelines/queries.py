@@ -10098,3 +10098,49 @@ ORACLE_SQL['q_dup_events_events'] = """
       AND ptype = event_type
     ORDER BY event_id
 """
+
+
+def q_kanon_docs(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, 256-char length band): every combination shared by
+    FEWER than k=5 documents is a re-identification risk — the privacy
+    gate a corpus passes before release. One low-cardinality partial
+    aggregation (the QI tuple is small by construction; a
+    high-cardinality QI set would use bucket_aggregate), risk rows =
+    the < k groups with their sizes. NULL QI values form real groups
+    (SQL GROUP BY semantics); the length band floor-divides exactly
+    like the oracle."""
+    from ..stages.aggregate import pre_aggregate as _pre
+    ds = _read(sf_dir, 'documents', ['lang', 'source', 'n_chars'],
+               require=('n_chars',))
+    K = 5
+
+    def qi(tbl: pa.Table) -> pa.Table:
+        band = np.floor_divide(
+            tbl.column('n_chars').combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False), 256)
+        return pa.table({
+            'lang': tbl.column('lang'),
+            'source': tbl.column('source'),
+            'band': pa.array(band),
+            '_one': pa.array(np.ones(tbl.num_rows, np.int64))})
+
+    g = _pre(ds.map_batches(qi, batch_format='pyarrow',
+                            zero_copy_batch=True),
+             ['lang', 'source', 'band'], {'n_docs': ('_one', 'count')})
+    risky = g.map_batches(
+        lambda t: t.filter(pc.less(pc.cast(t.column('n_docs'),
+                                           pa.int64()), K)),
+        batch_format='pyarrow')
+    return _sort_ns(risky, ['lang', 'source', 'band'],
+                    str_cols=('lang', 'source'))
+
+
+QUERIES['q_kanon_docs'] = q_kanon_docs
+ORACLE_SQL['q_kanon_docs'] = """
+    SELECT lang, source, n_chars // 256 AS band, count(*) AS n_docs
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY lang, source, band
+    HAVING count(*) < 5
+    ORDER BY lang, source, band
+"""
