@@ -10144,3 +10144,45 @@ ORACLE_SQL['q_kanon_docs'] = """
     HAVING count(*) < 5
     ORDER BY lang, source, band
 """
+
+
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC near-dup: word-3-gram max-containment pairs
+    (common / min(|A|, |B|) >= 0.8) — a short document fully quoted
+    inside a long one scores 1.0 where Jaccard stays tiny; this is the
+    benchmark-contamination / inclusion detector
+    (stages/dedup.py:ngram_jaccard_pairs with metric='containment' —
+    the SAME single shingle-hash exchange and df cap, different final
+    formula)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ngram_jaccard_pairs(ds, threshold=0.8, num_buckets=16,
+                               metric='containment')\
+        .sort(['doc_a', 'doc_b'])
+
+
+QUERIES['q_containment_pairs'] = q_containment_pairs
+ORACLE_SQL['q_containment_pairs'] = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             w[x] || ' ' || w[x + 1] || ' ' || w[x + 2] AS s
+      FROM words, unnest(range(1, greatest(len(w) - 1, 2))) AS t(x)
+      WHERE w[x] || ' ' || w[x + 1] || ' ' || w[x + 2] IS NOT NULL),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 50),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(c / least(sa.sz, sb.sz), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c / least(sa.sz, sb.sz) >= 0.8
+    ORDER BY doc_a, doc_b
+"""

@@ -41,8 +41,16 @@ def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
 def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                         k: int = 3, threshold: float = 0.5,
                         num_buckets: int = 32, max_df: int | None = 50,
-                        candidates=None, sizes_mode: str = 'broadcast'):
+                        candidates=None, sizes_mode: str = 'broadcast',
+                        metric: str = 'jaccard'):
     """EXACT word-k-gram Jaccard similar pairs (doc_a, doc_b, jaccard).
+
+    ``metric='containment'`` instead scores common / min(|A|, |B|) —
+    the ASYMMETRIC near-dup detector (a short doc fully contained in a
+    long one scores 1.0 where Jaccard stays tiny; the
+    benchmark-contamination / quote-inclusion shape). Same single
+    exchange, same df cap; only the final formula and the output
+    column name change.
 
     ONE shingling pass + ONE exchange: each doc explodes to DISTINCT
     64-bit shingle hashes (functions/text.py:shingle_hash_explode — no
@@ -144,7 +152,7 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
             return _rd.from_arrow(pa.table(
                 {'doc_a': pa.array([], pa.int64()),
                  'doc_b': pa.array([], pa.int64()),
-                 'jaccard': pa.array([], pa.float64())}))
+                 metric: pa.array([], pa.float64())}))
         size_keys = pa.array(sizes['doc_a'].to_numpy(dtype=np.int64))
         size_vals = sizes['sz'].to_numpy(dtype=np.float64)
         sz_ref = _ray.put((size_keys, size_vals))
@@ -188,7 +196,7 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
 
     _EMPTY_J = pa.table({'doc_a': pa.array([], pa.int64()),
                          'doc_b': pa.array([], pa.int64()),
-                         'jaccard': pa.array([], pa.float64())})
+                         metric: pa.array([], pa.float64())})
 
     def _restrict(tbl: pa.Table):
         """Candidate filter shared by both size modes; None if drained."""
@@ -206,11 +214,14 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
     def _finish(tbl: pa.Table, sz_a, sz_b) -> pa.Table:
         common = tbl.column('common').to_numpy(zero_copy_only=False)\
             .astype(np.float64)
-        j = np.round(common / (sz_a + sz_b - common), 6)
+        if metric == 'containment':
+            j = np.round(common / np.minimum(sz_a, sz_b), 6)
+        else:
+            j = np.round(common / (sz_a + sz_b - common), 6)
         out = pa.table({'doc_a': tbl.column('doc_a'),
                         'doc_b': tbl.column('doc_b'),
-                        'jaccard': pa.array(j, type=pa.float64())})
-        return out.filter(pc.greater_equal(out.column('jaccard'),
+                        metric: pa.array(j, type=pa.float64())})
+        return out.filter(pc.greater_equal(out.column(metric),
                                            threshold))
 
     if sizes_mode == 'broadcast':
