@@ -10186,3 +10186,141 @@ ORACLE_SQL['q_containment_pairs'] = """
     WHERE c / least(sa.sz, sb.sz) >= 0.8
     ORDER BY doc_a, doc_b
 """
+
+
+def q_storm_sessions_events(sf_dir: str):
+    """TWO-SIDED interval overlap join (stages/joins.py:interval_join,
+    left != right): user sessions vs global error-storm windows (1h
+    buckets with >= 3 'error' events) — per user, how many of their
+    sessions overlapped an error storm and for how long. The windows
+    come from a tiny low-cardinality aggregation (at most one row per
+    hour of history); sessions from the same builder as
+    q_concurrent_sessions_events; exact-integer microsecond overlap
+    sums keep the parallel aggregation byte-stable vs the oracle's
+    inequality join."""
+    from ..stages.aggregate import bucket_aggregate, pre_aggregate as _pre
+    from ..stages.joins import interval_join
+    import ray.data as rd
+    HOUR = 3_600_000_000
+    out_schema = pa.schema([('user_id', pa.int64()),
+                            ('n_pairs', pa.int64()),
+                            ('overlap_us', pa.int64())])
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
+                                  'event_type'], require=('ts',))
+
+    def err_hours(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(pc.fill_null(
+            tbl.column('event_type'), ''), 'error'))
+        if t.num_rows == 0:
+            return pa.table({'hb': pa.array([], pa.int64()),
+                             '_one': pa.array([], pa.int64())})
+        ts_us = t.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        return pa.table({'hb': pa.array(ts_us // HOUR),
+                         '_one': pa.array(np.ones(t.num_rows,
+                                                  np.int64))})
+
+    storms = _small_df(_pre(
+        ds.map_batches(err_hours, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['hb'], {'n': ('_one', 'count')}), ['hb', 'n'])
+    storms = storms[storms['n'] >= 3]
+    if len(storms) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    hb = storms['hb'].to_numpy(np.int64)
+    storm_tbl = pa.table({
+        'storm_id': pa.array(hb),
+        'lo_us': pa.array(hb * HOUR),
+        'hi_us': pa.array(hb * HOUR + (HOUR - 1)),
+    })
+
+    def sess_fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        ts_us = tbl.column('ts').combine_chunks()\
+            .cast(pa.timestamp('us')).cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        users = tbl.column('user_id').combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_new, _sid = W.sessionize(ts_us, starts, GAP_US)
+        lo = np.nonzero(is_new)[0]
+        hi = np.append(lo[1:], len(ts_us)) - 1
+        return pa.table({
+            'user_id': pa.array(users[lo]),
+            'lo_us': pa.array(ts_us[lo]),
+            'hi_us': pa.array(ts_us[hi]),
+        })
+
+    sess_schema = pa.schema([('user_id', pa.int64()),
+                             ('lo_us', pa.int64()),
+                             ('hi_us', pa.int64())])
+    sess = per_conversation(ds, sess_fn, key='user_id',
+                            order=('ts', 'event_id'),
+                            num_buckets=8).materialize()
+    joined = interval_join(
+        sess, rd.from_arrow(storm_tbl), lo='lo_us', hi='hi_us',
+        bucket_us=7_200_000_000, num_buckets=8,
+        left_schema=sess_schema,
+        right_schema=pa.schema([('storm_id', pa.int64()),
+                                ('lo_us', pa.int64()),
+                                ('hi_us', pa.int64())]))
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({'user_id': z, '_one': z, 'ov_us': z})
+        ov = pc.subtract(
+            pc.min_element_wise(tbl.column('hi_us_a'),
+                                tbl.column('hi_us_b')),
+            pc.max_element_wise(tbl.column('lo_us_a'),
+                                tbl.column('lo_us_b')))
+        return pa.table({
+            'user_id': pc.cast(tbl.column('user_id_a'), pa.int64()),
+            '_one': pa.array(np.ones(tbl.num_rows, np.int64)),
+            'ov_us': pc.cast(ov, pa.int64()),
+        })
+
+    out = bucket_aggregate(
+        joined.map_batches(pair_partial, batch_format='pyarrow'),
+        ['user_id'],
+        {'n_pairs': ('_one', 'sum'), 'overlap_us': ('ov_us', 'sum')},
+        num_buckets=8)
+    return out.union(rd.from_arrow(out_schema.empty_table()))\
+        .sort('user_id')
+
+
+QUERIES['q_storm_sessions_events'] = q_storm_sessions_events
+ORACLE_SQL['q_storm_sessions_events'] = """
+    WITH st AS (
+      SELECT hb * 3600000000 AS wlo,
+             hb * 3600000000 + 3599999999 AS whi
+      FROM (SELECT epoch_us(ts) // 3600000000 AS hb, count(*) AS n
+            FROM events
+            WHERE ts IS NOT NULL AND event_type = 'error'
+            GROUP BY hb)
+      WHERE n >= 3),
+    o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE ts IS NOT NULL),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    g AS (
+      SELECT user_id, ts,
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
+      FROM f),
+    s AS (
+      SELECT user_id, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+      FROM g GROUP BY user_id, session_id)
+    SELECT s.user_id, count(*) AS n_pairs,
+           sum(least(s.hi, st.whi) - greatest(s.lo, st.wlo))
+             AS overlap_us
+    FROM s JOIN st ON s.lo <= st.whi AND st.wlo <= s.hi
+    GROUP BY s.user_id ORDER BY user_id
+"""
