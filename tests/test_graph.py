@@ -481,3 +481,22 @@ class TestBFS:
 
     def test_isolated_seed(self, ray_session):
         assert _bfs([(1, 2)], [99]) == {99: 0}
+
+
+    def test_duplicate_universe_rows(self, ray_session):
+        # a raw endpoint-explode universe (dup node rows) must not
+        # duplicate output rows on either path
+        import ray.data as rd
+        from trafaret_ray.stages.graph import dbscan_from_edges
+        et = pa.table({'a': pa.array([1, 2, 3], pa.int64()),
+                       'b': pa.array([2, 3, 1], pa.int64())})
+        nt = pa.table({'node': pa.array([1, 1, 2, 2, 3, 3, 9],
+                                        pa.int64())})
+        exp = [(1, 0, 1), (2, 0, 1), (3, 0, 1), (9, 2, -1)]
+        for lem in (10**9, 0):
+            out = dbscan_from_edges(
+                rd.from_arrow(et), rd.from_arrow(nt), min_pts=3,
+                num_buckets=4, local_edges_max=lem).take_all()
+            got = sorted((r['node'], r['role'], r['cluster'])
+                         for r in out)
+            assert got == exp, lem

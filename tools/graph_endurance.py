@@ -69,7 +69,8 @@ def main():
 
     import ray.data as rd
 
-    from trafaret_ray.stages.graph import (connected_components, k_core,
+    from trafaret_ray.stages.graph import (bfs_hops, connected_components,
+                                           dbscan_from_edges, k_core,
                                            label_propagation, pagerank,
                                            triangle_counts)
 
@@ -123,6 +124,29 @@ def main():
     out['lpa_sec'] = round(time.time() - t0, 2)
     out['lpa_communities'] = len(n_comm)
     out['lpa_edges_per_sec'] = int(m * 5 / out['lpa_sec'])
+
+    t0 = time.time()
+    seeds = np.arange(16, dtype=np.int64)
+    hops = bfs_hops(edges, seeds, max_hops=8, num_buckets=16,
+                    local_edges_max=0)
+    out['bfs_nodes'] = hops.count()
+    out['bfs_sec'] = round(time.time() - t0, 2)
+    out['bfs_edges_per_sec'] = int(m / out['bfs_sec'])
+
+    t0 = time.time()
+    nodes_ds = edges.map_batches(
+        lambda t: pa.table({'node': pa.concat_arrays(
+            [t.column('a').combine_chunks(),
+             t.column('b').combine_chunks()])}),
+        batch_format='pyarrow').materialize()
+    db = dbscan_from_edges(edges, nodes_ds, min_pts=8, num_buckets=16,
+                           local_edges_max=0)
+    core_n = db.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column('role'), 0)),
+        batch_format='pyarrow').count()
+    out['dbscan_core_nodes'] = core_n
+    out['dbscan_sec'] = round(time.time() - t0, 2)
+    out['dbscan_edges_per_sec'] = int(m / out['dbscan_sec'])
 
     print(json.dumps(out))
     ray.shutdown()

@@ -1045,10 +1045,17 @@ def dbscan_from_edges(edges, nodes, min_pts: int = 4,
             a_col: tbl.column(a_col).combine_chunks().cast(pa.int64()),
             b_col: tbl.column(b_col).combine_chunks().cast(pa.int64())})
 
+    from .aggregate import bucket_aggregate as _bagg
+
     edges = edges.map_batches(as_edges, batch_format='pyarrow')\
         .materialize()
-    nodes = nodes.map_batches(as_nodes, batch_format='pyarrow')\
-        .materialize()
+    # dedupe the universe: the LOCAL path np.unique's it, and the
+    # final universe left-join would otherwise emit one row per
+    # duplicate (caught by the endurance probe feeding raw endpoint
+    # explodes)
+    nodes = _bagg(nodes.map_batches(as_nodes, batch_format='pyarrow'),
+                  ['node'], {'node': ('node', 'min')},
+                  num_buckets=num_buckets).materialize()
     if local_edges_max and edges.count() <= local_edges_max:
         etbl = pa.concat_tables(
             [t.cast(eschema) for t in
