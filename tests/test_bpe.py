@@ -113,3 +113,32 @@ class TestBPEEncode:
     def test_encode_empty_merges(self):
         from trafaret_ray.functions.text import bpe_encode_counts
         assert bpe_encode_counts(['ab c', ''], []).tolist() == [3, 0]
+
+    def test_encode_multibyte(self):
+        from trafaret_ray.functions.text import bpe_encode_counts
+
+        def ref_encode(t, merges):
+            total = 0
+            for w in (t or '').split(' '):
+                if not w:
+                    continue
+                sym = list(w)
+                for a, b, mg, _ in merges:
+                    s, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and sym[i] == a \
+                                and sym[i + 1] == b:
+                            s.append(mg)
+                            i += 2
+                        else:
+                            s.append(sym[i])
+                            i += 1
+                    sym = s
+                total += len(sym)
+            return total
+
+        wc = {'日本語': 5, '日本': 7, 'ééé': 4, 'é日': 3, '𝄞x𝄞': 2}
+        m = bpe_train_from_word_counts(list(wc), list(wc.values()), 8)
+        texts = ['日本語 日本 ない', 'ééé é日 zzz', '𝄞x𝄞 日本語', '', None]
+        got = bpe_encode_counts(texts, m)
+        assert got.tolist() == [ref_encode(t, m) for t in texts]
