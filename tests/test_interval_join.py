@@ -73,3 +73,28 @@ class TestIntervalJoin:
                       'hi': pa.array([10, 20], pa.int64())})
         B = _mk([7], [5], [6])
         assert _run(A, B, 100) == {(1, 7)}
+
+
+class TestTieredPath:
+    def test_tiered_search_matches_brute(self, ray_session):
+        # one giant interval + many points: force the tiered branch
+        # (tier_slots=0) and compare against the single-band default
+        rng = np.random.default_rng(9)
+        n = 150
+        lo = rng.integers(0, 5000, n)
+        ln = rng.integers(0, 40, n)
+        ln[0] = 100_000           # the giant: overlaps everything
+        A = _mk(np.arange(n), lo, lo + ln)
+        B = _mk(np.arange(100, 100 + n), lo[::-1], lo[::-1] + ln[::-1])
+        exp = _brute(A, B)
+        for w in (128, 1024):
+            import ray.data as rd
+            from trafaret_ray.stages.joins import interval_join
+            out = interval_join(rd.from_arrow(A), rd.from_arrow(B),
+                                bucket_us=w, num_buckets=4,
+                                left_schema=_SCHEMA,
+                                right_schema=_SCHEMA,
+                                tier_slots=0)
+            pairs = [(r['id_a'], r['id_b']) for r in out.take_all()]
+            assert len(pairs) == len(set(pairs))
+            assert set(pairs) == exp, w

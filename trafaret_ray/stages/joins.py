@@ -697,7 +697,8 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
                   bucket_us: int = 86_400_000_000, num_buckets: int = 16,
                   left_schema: pa.Schema | None = None,
                   right_schema: pa.Schema | None = None,
-                  suffixes=('_a', '_b')):
+                  suffixes=('_a', '_b'),
+                  tier_slots: int = 8_000_000):
     """Distributed interval OVERLAP join: all (A, B) row pairs whose
     closed int64 intervals [lo, hi] intersect (a.lo <= b.hi AND
     b.lo <= a.hi). The classic concurrency / co-occurrence join SQL
@@ -722,6 +723,10 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
     the SQL self-join the oracle runs. Schemas: pass explicit
     left_schema/right_schema for derived inputs (house rule — a
     derived .schema() forces partial execution).
+
+    ``tier_slots``: priced-slack threshold above which the tiered
+    search engages (exposed for tests; the default is the measured
+    crossover on this box).
 
     PRECONDITION: well-formed closed intervals (hi >= lo; NULL bounds
     drop). An inverted interval would still satisfy SQL's overlap
@@ -828,7 +833,7 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
                        - np.searchsorted(blo0, alo - g_maxlen,
                                          side='left'))
             tier = np.zeros(len(bi), dtype=np.int64)
-            if int(g_width.sum()) > 8_000_000:
+            if int(g_width.sum()) > tier_slots:
                 nz = blen > 0
                 tier[nz] = (np.log(blen[nz].astype(np.float64))
                             / np.log(8.0)).astype(np.int64) + 1
