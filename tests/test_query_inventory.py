@@ -39,6 +39,9 @@ ROWS_ONLY = {
                                  # oracle (parity + invariance tests)
     'q_kmeans_embeddings',       # iterative refinement, no SQL oracle
                                  # (integer-exact parity tests)
+    'q_semdedup_embeddings',     # iterative k-means composite, no SQL
+                                 # oracle (planted recall + invariance
+                                 # tests in test_semdedup.py)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
     'flagship_transcript_features',  # transcripts input, not TPC-H-ish

@@ -10324,3 +10324,29 @@ ORACLE_SQL['q_storm_sessions_events'] = """
     FROM s JOIN st ON s.lo <= st.whi AND st.wlo <= s.hi
     GROUP BY s.user_id ORDER BY user_id
 """
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (stages/dedup.semdedup; Abbas et al.
+    2023): exact-integer k-means (8 clusters, 5 iters) over the
+    embeddings table, then within-cluster cosine >= 0.5 duplicate
+    groups with the paper's keep rule — keep the member LEAST similar
+    to its centroid, ties to min vec_id. Rows-only: the clustering is
+    iterative (no SQL oracle); determinism under row order/partitioning
+    and planted-duplicate recall are pinned in tests/test_semdedup.py.
+
+    Output: one row per vector — (vec_id, cluster, group = min id of
+    its duplicate component, cent_sim6, keep).
+
+    100-TB shape: n_clusters is the knob that bounds the O(B^2)
+    within-cluster scan (paper: 50k clusters on LAION); one exchange
+    keyed on the int32 cluster id; oversized clusters raise instead of
+    running quadratic tasks."""
+    from ..stages.dedup import semdedup
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = semdedup(ds, 'embedding', 'vec_id', n_clusters=8, iters=5,
+                   threshold=0.5)
+    return out.sort(['vec_id'])
+
+
+QUERIES['q_semdedup_embeddings'] = q_semdedup_embeddings

@@ -1036,3 +1036,170 @@ def sorted_neighborhood_pairs(ds, text_col: str = 'text',
                                 zero_copy_batch=True)
     return blocks.groupby('_blk').map_groups(
         gen_pairs, batch_format='pyarrow')
+
+
+def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
+             iters=5, threshold=0.95, num_buckets=32,
+             cluster_rows_max=50_000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering the embedding space, then marking within-cluster
+    pairs with cosine >= ``threshold`` as duplicates and keeping ONE doc
+    per duplicate group — the member LEAST similar to its cluster
+    centroid (the paper's keep rule: low-centroid-similarity examples
+    carry the most marginal information), ties to the smallest id.
+
+    Every comparison is exact int64: rows are unit-normalized and
+    quantized to micro-units once per row (order-invariant), so a pair's
+    cosine dot is an exact integer in ~1e12 scale and the threshold test,
+    the duplicate-group union-find (min-label hooking) and the keep rule
+    are all bit-identical under any row order, batch boundary or
+    partitioning — same discipline as ``ann.kmeans_lloyd``, which
+    provides the deterministic clustering.
+
+    Returns one row per non-null vector: (id, cluster int32, group = min
+    id of the duplicate component, cent_sim6 = cosine to the assigned
+    centroid in micro-units, keep bool).
+
+    100-TB shape: k-means is the scale knob — the within-cluster pair
+    scan is O(B^2) per cluster, so ``n_clusters`` must grow with the
+    corpus to hold mean cluster size at ~1-10k rows (the paper runs 50k
+    clusters on LAION); a cluster above ``cluster_rows_max`` raises with
+    that guidance instead of silently running a quadratic task. Beyond
+    the k-means passes the op is ONE exchange keyed on the int32 cluster
+    id moving (id, unit-vector, cent_dot) rows; the pair matmul is
+    chunked so a task never holds more than ~64 MB of scores.
+    """
+    import ray
+    import ray.data as rd
+    from .ann import _assign6, _batch_matrix, _matrix6, drop_null_vectors
+    from .ann import kmeans_lloyd
+    from .conversations import bucket_exchange
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ('cluster', pa.int32()),
+        ('group', pa.int64()), ('cent_sim6', pa.int64()),
+        ('keep', pa.bool_()),
+    ])
+    try:
+        c6, _sizes, _inertia = kmeans_lloyd(
+            ds, emb_col, id_col, n_clusters=n_clusters, iters=iters)
+    except ValueError:          # 0-row / all-null input
+        return rd.from_arrow(out_schema.empty_table())
+
+    # unit-normalized centroids, re-quantized to micro-units (driver-side
+    # once, broadcast) — cent_dot below is then an exact int64 in ~1e12
+    cf = c6.astype(np.float64) / 1e6
+    cn = np.linalg.norm(cf, axis=1)
+    cn[cn == 0] = 1.0
+    cu6 = np.floor(cf / cn[:, None] * 1e6 + 0.5).astype(np.int64)
+    c_ref = ray.put((np.ascontiguousarray(c6), np.ascontiguousarray(cu6)))
+    thr12 = int(np.floor(threshold * 1e12 + 0.5))
+
+    class Assign:
+        def __init__(self):
+            self.c6, self.cu6 = ray.get(c_ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            tbl = drop_null_vectors(tbl, emb_col)
+            if tbl.num_rows == 0:
+                return pa.table({
+                    '_id': pa.array([], pa.int64()),
+                    'cluster': pa.array([], pa.int32()),
+                    '_u6': pa.array([], pa.list_(pa.int64())),
+                    '_cd': pa.array([], pa.int64())})
+            assign, _ = _assign6(_matrix6(tbl, emb_col), self.c6)
+            m = _batch_matrix(tbl, emb_col)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0          # zero vectors never pass thr>0
+            u6 = np.floor(m / nrm[:, None] * 1e6 + 0.5).astype(np.int64)
+            cd = (u6 * self.cu6[assign]).sum(axis=1)
+            n, d = u6.shape
+            return pa.table({
+                '_id': tbl.column(id_col).combine_chunks()
+                          .cast(pa.int64()),
+                'cluster': pa.array(assign),
+                '_u6': pa.FixedSizeListArray.from_arrays(
+                    pa.array(u6.reshape(-1)), d)
+                    .cast(pa.list_(pa.int64())),
+                '_cd': pa.array(cd),
+            })
+
+    assigned = ds.map_batches(Assign, batch_format='pyarrow',
+                              zero_copy_batch=True, concurrency=2)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        ids = tbl.column('_id').to_numpy(zero_copy_only=False)
+        cl = tbl.column('cluster').to_numpy(zero_copy_only=False)
+        cd = tbl.column('_cd').to_numpy(zero_copy_only=False)
+        la = tbl.column('_u6').combine_chunks()
+        U = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                       dtype=np.int64).reshape(len(la), -1)
+        group = ids.copy()
+        keep = np.ones(len(ids), dtype=bool)
+        order = np.argsort(cl, kind='stable')
+        sc = cl[order]
+        starts = np.nonzero(np.diff(sc, prepend=sc[0] - 1))[0]
+        ends = np.append(starts[1:], len(sc))
+        for lo, hi in zip(starts, ends):
+            idx = order[lo:hi]
+            B = len(idx)
+            if B < 2:
+                continue
+            if B > cluster_rows_max:
+                raise ValueError(
+                    f'semdedup: cluster of {B} rows exceeds '
+                    f'cluster_rows_max={cluster_rows_max} — raise '
+                    f'n_clusters so the O(B^2) within-cluster scan '
+                    f'stays bounded')
+            Us = U[idx]
+            # chunk rows so a score block never exceeds ~64 MB int64
+            chunk = max(64, min(4096, 8_000_000 // B))
+            ea, eb = [], []
+            for lo2 in range(0, B, chunk):
+                dots = Us[lo2:lo2 + chunk] @ Us.T      # exact int64
+                ii, jj = np.nonzero(dots >= thr12)
+                gi = ii + lo2
+                keep_m = jj > gi                       # upper triangle
+                if keep_m.any():
+                    ea.append(gi[keep_m])
+                    eb.append(jj[keep_m])
+            if not ea:
+                continue
+            ai = np.concatenate(ea)
+            bi = np.concatenate(eb)
+            lab = np.arange(B, dtype=np.int64)
+            while True:                 # min-label hooking (_local_cc)
+                old = lab.copy()
+                np.minimum.at(lab, ai, lab[bi])
+                np.minimum.at(lab, bi, lab[ai])
+                while True:
+                    nl = lab[lab]
+                    if np.array_equal(nl, lab):
+                        break
+                    lab = nl
+                if np.array_equal(lab, old):
+                    break
+            ids_s = ids[idx]
+            rep = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(rep, lab, ids_s)
+            group[idx] = rep[lab]
+            # keep = least-similar-to-centroid member, tie -> min id
+            ord2 = np.lexsort((ids_s, cd[idx]))
+            _, first = np.unique(lab[ord2], return_index=True)
+            kp = np.zeros(B, dtype=bool)
+            kp[ord2[first]] = True
+            keep[idx] = kp
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            'cluster': pa.array(cl, pa.int32()),
+            'group': pa.array(group, pa.int64()),
+            'cent_sim6': pa.array(
+                (cd + 500_000) // 1_000_000, pa.int64()),
+            'keep': pa.array(keep),
+        }, schema=out_schema)
+
+    out = bucket_exchange(assigned, 'cluster', per_bucket, num_buckets)
+    # a fully-empty exchange emits schema-less blocks — pin the schema
+    return out.union(rd.from_arrow(out_schema.empty_table()))
