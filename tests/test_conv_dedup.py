@@ -1,0 +1,128 @@
+"""Conversation-level dedup (stages/dedup.py): exact order-sensitive
+fingerprints and MinHash near-dup clusters over the transcripts payload.
+Text must never move — both operators exchange only fixed-size partial
+rows — and results must be invariant to row order and partitioning."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from trafaret_ray.stages.dedup import (conversation_exact_dedup,
+                                       conversation_minhash_dedup)
+
+
+def _transcripts(convs: dict[str, list[tuple[str, str]]]) -> pa.Table:
+    """convs: conv_id -> ordered [(role, text), ...]."""
+    conv_ids, turn_idx, roles, texts = [], [], [], []
+    for cid, turns in convs.items():
+        for i, (r, t) in enumerate(turns):
+            conv_ids.append(cid)
+            turn_idx.append(i)
+            roles.append(r)
+            texts.append(t)
+    return pa.table({
+        'conv_id': pa.array(conv_ids, pa.string()),
+        'turn_idx': pa.array(turn_idx, pa.int32()),
+        'role': pa.array(roles, pa.string()),
+        'text': pa.array(texts, pa.string()),
+    })
+
+
+def _base_convs():
+    long_a = [('user', f'please summarize the quarterly report '
+                       f'section {i} in plain words now') for i in range(6)]
+    long_b = [('user', f'translate invoice line {i} into french '
+                       f'for the paris office review today') for i in range(6)]
+    return {
+        'c-1': [('user', 'hello there friend'),
+                ('assistant', 'hi how can I help you today')],
+        'c-2': long_a,
+        'c-3': long_b,
+        'c-4': [('user', 'completely unrelated question about turtles'),
+                ('assistant', 'turtles are reptiles with shells')],
+    }
+
+
+class TestConversationExactDedup:
+    def test_verbatim_copy_groups(self, ray_session):
+        import ray.data as rd
+        convs = _base_convs()
+        convs['d-1'] = list(convs['c-1'])          # verbatim copy
+        convs['d-2'] = list(convs['c-2'])
+        ds = rd.from_arrow(_transcripts(convs)).repartition(5)
+        df = conversation_exact_dedup(ds).to_pandas()\
+            .sort_values('conv_id').reset_index(drop=True)
+        g = dict(zip(df['conv_id'], df['group']))
+        assert g['d-1'] == 'c-1' and g['c-1'] == 'c-1'
+        assert g['d-2'] == 'c-2' and g['c-2'] == 'c-2'
+        assert g['c-3'] == 'c-3' and g['c-4'] == 'c-4'
+        n = dict(zip(df['conv_id'], df['n_turns']))
+        assert n['c-2'] == 6 and n['d-2'] == 6
+
+    def test_order_sensitive_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+        convs = _base_convs()
+        # same turns, two texts swapped -> NOT a duplicate
+        sw = list(convs['c-1'])
+        sw[0], sw[1] = (sw[0][0], sw[1][1]), (sw[1][0], sw[0][1])
+        convs['s-1'] = sw
+        tbl = _transcripts(convs)
+        perm = np.random.default_rng(5).permutation(tbl.num_rows)
+        a = conversation_exact_dedup(
+            rd.from_arrow(tbl).repartition(7)).to_pandas()
+        b = conversation_exact_dedup(
+            rd.from_arrow(tbl.take(pa.array(perm))).repartition(3))\
+            .to_pandas()
+        a = a.sort_values('conv_id').reset_index(drop=True)
+        b = b.sort_values('conv_id').reset_index(drop=True)
+        assert a.equals(b)
+        g = dict(zip(a['conv_id'], a['group']))
+        assert g['s-1'] == 's-1'        # swapped content is distinct
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+        ds = rd.from_arrow(_transcripts({}))
+        out = conversation_exact_dedup(ds)
+        assert out.count() == 0
+        assert set(out.schema().names) == {'conv_id', 'group', 'n_turns'}
+
+
+class TestConversationMinhashDedup:
+    def test_near_dup_detected_exact_copy(self, ray_session):
+        import ray.data as rd
+        convs = _base_convs()
+        convs['d-2'] = list(convs['c-2'])             # jaccard 1.0
+        near = list(convs['c-3'])
+        near[5] = ('user', 'translate invoice line five into german '
+                           'for the berlin office review today')
+        convs['n-3'] = near                           # high overlap
+        ds = rd.from_arrow(_transcripts(convs)).repartition(5)
+        df = conversation_minhash_dedup(ds, threshold=0.5).to_pandas()
+        g = dict(zip(df['conv_id'], df['group']))
+        assert g.get('d-2') == 'c-2' and g.get('c-2') == 'c-2'
+        assert g.get('n-3') == 'c-3' and g.get('c-3') == 'c-3'
+        # unrelated conversations never enter a cluster
+        assert 'c-4' not in g and 'c-1' not in g
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+        convs = _base_convs()
+        convs['d-2'] = list(convs['c-2'])
+        tbl = _transcripts(convs)
+        perm = np.random.default_rng(9).permutation(tbl.num_rows)
+        a = conversation_minhash_dedup(
+            rd.from_arrow(tbl).repartition(6), threshold=0.5).to_pandas()
+        b = conversation_minhash_dedup(
+            rd.from_arrow(tbl.take(pa.array(perm))).repartition(2),
+            threshold=0.5).to_pandas()
+        a = a.sort_values('conv_id').reset_index(drop=True)
+        b = b.sort_values('conv_id').reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_no_pairs_and_empty(self, ray_session):
+        import ray.data as rd
+        out = conversation_minhash_dedup(
+            rd.from_arrow(_transcripts(_base_convs())), threshold=0.9)
+        assert out.count() == 0
+        out2 = conversation_minhash_dedup(rd.from_arrow(_transcripts({})))
+        assert out2.count() == 0
+        assert set(out2.schema().names) == {'conv_id', 'group'}

@@ -42,6 +42,10 @@ ROWS_ONLY = {
     'q_semdedup_embeddings',     # iterative k-means composite, no SQL
                                  # oracle (planted recall + invariance
                                  # tests in test_semdedup.py)
+    'q_conv_exact_dedup',        # synthetic transcripts input (planted
+                                 # dup recall in test_conv_dedup.py)
+    'q_conv_minhash_dedup',      # synthetic transcripts input +
+                                 # signature-estimate verify (tested)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
     'flagship_transcript_features',  # transcripts input, not TPC-H-ish

@@ -10350,3 +10350,73 @@ def q_semdedup_embeddings(sf_dir: str):
 
 
 QUERIES['q_semdedup_embeddings'] = q_semdedup_embeddings
+
+
+def _planted_transcripts(n_turns: int = 4000, seed: int = 7) -> pa.Table:
+    """Deterministic transcripts (input_hint shape) with planted
+    conversation duplicates: every 8th conversation is copied verbatim
+    under a 'dup-' id, and every (8k+4)th is copied with ONE turn's text
+    perturbed under a 'near-' id — the ground truth the conv-dedup
+    queries and probes recover."""
+    from ..sources.transcripts import generate_table
+    base = generate_table(n_turns, seed=seed)
+    df = base.to_pandas()
+    convs = df['conv_id'].unique()
+    out = [df]
+    for i, cid in enumerate(convs):
+        if i % 8 == 0:
+            c = df[df['conv_id'] == cid].copy()
+            c['conv_id'] = 'dup-' + cid
+            out.append(c)
+        elif i % 8 == 4:
+            c = df[df['conv_id'] == cid].copy()
+            c['conv_id'] = 'near-' + cid
+            t = c['text'].to_numpy(dtype=object)
+            t[len(t) // 2] = str(t[len(t) // 2]) + ' with one edit'
+            c['text'] = t
+            out.append(c)
+    all_df = pd.concat(out, ignore_index=True)
+    return pa.Table.from_pandas(all_df, preserve_index=False,
+                                schema=base.schema)
+
+
+def q_conv_exact_dedup(sf_dir: str):
+    """Exact conversation-level dedup over the transcripts payload
+    (stages/dedup.conversation_exact_dedup): two conversations are
+    duplicates iff every (turn_idx, role, text) matches. Rows-only: the
+    input is the flagship's synthetic transcripts table (planted
+    verbatim duplicates), not an sf view — recall, order sensitivity
+    and partitioning invariance are pinned in tests/test_conv_dedup.py.
+
+    100-TB shape: each batch emits one ~24-byte partial row per
+    conversation (position-mixed hash wrap-sum + turn count); text never
+    leaves the reading task; two tiny exchanges total."""
+    import ray.data as rd
+    from ..stages.dedup import conversation_exact_dedup
+    ds = rd.from_arrow(_planted_transcripts())
+    return conversation_exact_dedup(ds).sort('conv_id')
+
+
+QUERIES['q_conv_exact_dedup'] = q_conv_exact_dedup
+
+
+def q_conv_minhash_dedup(sf_dir: str):
+    """Near-duplicate conversation clusters over the transcripts payload
+    (stages/dedup.conversation_minhash_dedup): MinHash over the union of
+    per-turn word-shingle hashes, LSH banding, signature-estimated
+    Jaccard verify (>= 0.5), distributed connected components. Rows-only
+    (synthetic transcripts input; estimator). Planted verbatim AND
+    one-edit near-duplicates must land in their source's cluster —
+    pinned with the partitioning-invariance bar in
+    tests/test_conv_dedup.py.
+
+    100-TB shape: per-batch partial signatures are the ONLY exchanged
+    state (turn text never moves); pair emission is exactly-once via the
+    first-matching-band responsibility rule; labeling stays in Datasets."""
+    import ray.data as rd
+    from ..stages.dedup import conversation_minhash_dedup
+    ds = rd.from_arrow(_planted_transcripts())
+    return conversation_minhash_dedup(ds, threshold=0.5).sort('conv_id')
+
+
+QUERIES['q_conv_minhash_dedup'] = q_conv_minhash_dedup

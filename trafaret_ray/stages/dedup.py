@@ -1203,3 +1203,334 @@ def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
     out = bucket_exchange(assigned, 'cluster', per_bucket, num_buckets)
     # a fully-empty exchange emits schema-less blocks — pin the schema
     return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level dedup over the transcripts payload (conv_id, turn_idx,
+# role, text, ts). Both operators move ONLY fixed-size partial rows through
+# the exchanges — turn text never leaves its input task, which is the shape
+# a 10^12-turn corpus needs.
+# ---------------------------------------------------------------------------
+
+_PHI64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set) —
+    uint64 in, uint64 out; the mod-2^64 wraps are the intended math."""
+    with np.errstate(over='ignore'):
+        z = x + _PHI64
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _turn_content_hash(tbl: pa.Table, role_col: str, text_col: str,
+                       order_col: str) -> np.ndarray:
+    """Position-mixed uint64 hash of each turn's (turn_idx, role, text).
+    Summing these per conversation (mod 2^64) yields an ORDER-SENSITIVE
+    yet batch-mergeable conversation fingerprint: the sum commutes with
+    arbitrary batching while turn_idx keeps reordered content distinct."""
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(tbl.column(role_col).cast(pa.string()), ''),
+        pc.fill_null(tbl.column(text_col).cast(pa.string()), ''),
+        '\x1f')
+    h = T.hash_shingles(joined.to_numpy(zero_copy_only=False))
+    idx = tbl.column(order_col).cast(pa.int64())\
+        .to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over='ignore'):
+        return _splitmix64(h ^ ((idx + np.uint64(1)) * _PHI64))
+
+
+def conversation_exact_dedup(ds, conv_col='conv_id', order_col='turn_idx',
+                             role_col='role', text_col='text',
+                             num_buckets: int = 32):
+    """Exact conversation dedup: two conversations are duplicates iff
+    they have the same number of turns and identical (turn_idx, role,
+    text) content at every position. Returns one row per conversation:
+    (conv_id, group = min conv_id sharing the fingerprint, n_turns).
+
+    100-TB shape: each input batch emits ONE partial row per
+    conversation it touches — (conv, wrap-sum of position-mixed turn
+    hashes, turn count) — so the first exchange moves ~24-byte rows and
+    the text column never leaves the reading task. A second tiny
+    exchange keyed on the merged fingerprint groups equal conversations
+    (collisions are 64-bit-hash-sum improbable; the turn count rides in
+    the group key as a free guard).
+    """
+    import ray.data as rd
+
+    from .conversations import bucket_exchange
+
+    part_schema = pa.schema([('conv', pa.string()), ('fp', pa.int64()),
+                             ('n', pa.int64())])
+    out_schema = pa.schema([(conv_col, pa.string()),
+                            ('group', pa.string()),
+                            ('n_turns', pa.int64())])
+
+    def partials(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        hp = _turn_content_hash(tbl, role_col, text_col, order_col)
+        conv = tbl.column(conv_col).cast(pa.string())\
+            .to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(conv, sort=False)
+        s = np.zeros(len(uniq), dtype=np.uint64)
+        with np.errstate(over='ignore'):
+            np.add.at(s, codes, hp)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({'conv': pa.array(uniq, pa.string()),
+                         'fp': pa.array(s.view(np.int64)),
+                         'n': pa.array(n)}, schema=part_schema)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        fp = tbl.column('fp').to_numpy(zero_copy_only=False)\
+            .view(np.uint64)
+        n = tbl.column('n').to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(conv, sort=False)
+        s = np.zeros(len(uniq), dtype=np.uint64)
+        with np.errstate(over='ignore'):
+            np.add.at(s, codes, fp)
+        nn = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nn, codes, n)
+        return pa.table({'conv': pa.array(uniq, pa.string()),
+                         'fp': pa.array(s.view(np.int64)),
+                         'n': pa.array(nn)}, schema=part_schema)
+
+    def group_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        fp = tbl.column('fp').to_numpy(zero_copy_only=False)
+        n = tbl.column('n').to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'conv': conv, 'fp': fp, 'n': n})
+        rep = df.groupby(['fp', 'n'], sort=False)['conv'].transform('min')
+        return pa.table({conv_col: pa.array(conv, pa.string()),
+                         'group': pa.array(rep.to_numpy(), pa.string()),
+                         'n_turns': pa.array(n)}, schema=out_schema)
+
+    parts = ds.map_batches(partials, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    merged = bucket_exchange(parts, 'conv', merge, num_buckets)
+    out = bucket_exchange(merged, 'fp', group_fn, num_buckets)
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
+                               threshold=0.7, num_perm=64, num_bands=16,
+                               shingle_k=3, seed=1234,
+                               num_buckets: int = 32):
+    """Near-duplicate conversation clusters: MinHash over the UNION of
+    every turn's word-``shingle_k``-gram hashes, LSH banding for
+    candidates, signature-estimated Jaccard verify, then distributed
+    connected components. Returns (conv_id, group = min conv_id of the
+    cluster) for conversations in a near-dup cluster only.
+
+    Unlike the doc-level ``minhash_dedup`` (whose exact verify re-reads
+    the candidate docs' text), the verify here is the SIGNATURE estimate
+    (matching-permutation fraction >= threshold): conversations span
+    batches, so per-batch partial signatures (min per permutation) are
+    the only state exchanged and turn text NEVER moves — the documented
+    trade is an estimator with stderr ~= sqrt(j(1-j)/num_perm); raise
+    ``num_perm`` to tighten it.
+
+    Pair emission is made exactly-once by a responsibility rule (a pair
+    is emitted only from the FIRST band whose hashes match — both
+    signatures are at hand, so each band bucket checks it locally), and
+    the cluster labeling stays in Datasets end-to-end.
+    """
+    import ray.data as rd
+
+    from .conversations import bucket_exchange
+    from .graph import connected_components
+
+    sigpart_schema = pa.schema([
+        ('conv', pa.string()), ('ch', pa.int64()),
+        ('perm', pa.int32()), ('minv', pa.int64())])
+    band_schema = pa.schema([
+        ('conv', pa.string()), ('ch', pa.int64()),
+        ('band_id', pa.int32()), ('band_hash', pa.int64()),
+        ('sig', pa.list_(pa.int64()))])
+    edge_schema = pa.schema([
+        ('src', pa.int64()), ('dst', pa.int64()),
+        ('conv_a', pa.string()), ('conv_b', pa.string()),
+        ('est_jaccard', pa.float64())])
+    out_schema = pa.schema([(conv_col, pa.string()),
+                            ('group', pa.string())])
+    FLIP = np.uint64(1) << np.uint64(63)
+
+    def sig_partials(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return sigpart_schema.empty_table()
+        conv = tbl.column(conv_col).cast(pa.string())\
+            .to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(conv, sort=False)
+        order = np.argsort(codes, kind='stable')
+        lengths, _, gh = T.shingle_hash_explode(
+            tbl.take(pa.array(order)).column(text_col), shingle_k)
+        conv_len = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(conv_len, codes[order], lengths)
+        sig = T.minhash_matrix(conv_len, gh, num_perm, seed)
+        keep = conv_len > 0
+        if not keep.any():
+            return sigpart_schema.empty_table()
+        uniq_k = uniq[keep]
+        sig_k = sig[keep]
+        nk = len(uniq_k)
+        ch = T.hash_shingles(np.asarray(uniq_k, dtype=object))\
+            .view(np.int64)
+        # order-preserving int64 view (x ^ 2^63) so the min-merge can
+        # run on int64 storage without uint64/int64 order inversion
+        flipped = (sig_k ^ FLIP).view(np.int64)
+        return pa.table({
+            'conv': pa.array(np.repeat(uniq_k, num_perm), pa.string()),
+            'ch': pa.array(np.repeat(ch, num_perm)),
+            'perm': pa.array(np.tile(np.arange(num_perm, dtype=np.int32),
+                                     nk)),
+            'minv': pa.array(flipped.reshape(-1)),
+        }, schema=sigpart_schema)
+
+    def to_bands(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return band_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
+        perm = tbl.column('perm').to_numpy(zero_copy_only=False)
+        minv = tbl.column('minv').to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(conv, sort=False)
+        order = np.lexsort((perm, codes))
+        sc, sp, sv = codes[order], perm[order], minv[order]
+        new = np.ones(len(sc), dtype=bool)
+        new[1:] = (sc[1:] != sc[:-1]) | (sp[1:] != sp[:-1])
+        starts = np.nonzero(new)[0]
+        merged = np.minimum.reduceat(sv, starts)
+        # every partial emits ALL perms per conv, so after the merge each
+        # conv holds exactly num_perm entries in perm order
+        nconv = len(uniq)
+        assert len(merged) == nconv * num_perm
+        sig_u = (merged.reshape(nconv, num_perm).view(np.uint64)) ^ FLIP
+        bh = T.band_hashes(sig_u, num_bands)
+        ch_u = ch[order][starts].reshape(nconv, num_perm)[:, 0]
+        return pa.table({
+            'conv': pa.array(np.repeat(uniq, num_bands), pa.string()),
+            'ch': pa.array(np.repeat(ch_u, num_bands)),
+            'band_id': pa.array(np.tile(
+                np.arange(num_bands, dtype=np.int32), nconv)),
+            'band_hash': pa.array(bh.reshape(-1).view(np.int64)),
+            'sig': pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(sig_u.view(np.int64), num_bands,
+                                   axis=0).reshape(-1)),
+                num_perm).cast(pa.list_(pa.int64())),
+        }, schema=band_schema)
+
+    def pair_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return edge_schema.empty_table()
+        bid = tbl.column('band_id').to_numpy(zero_copy_only=False)
+        bh = tbl.column('band_hash').to_numpy(zero_copy_only=False)
+        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        la = tbl.column('sig').combine_chunks()
+        S = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                       dtype=np.int64).reshape(len(la), -1)
+        order = np.lexsort((ch, bh, bid))
+        sb, sh = bid[order], bh[order]
+        new = np.ones(len(sb), dtype=bool)
+        new[1:] = (sb[1:] != sb[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(sb))
+        ia_l, ib_l = [], []
+        for lo, hi in zip(starts, ends):
+            g = hi - lo
+            if g < 2:
+                continue
+            loc = order[lo:hi]
+            a = np.repeat(np.arange(g), g)
+            b = np.tile(np.arange(g), g)
+            m = a < b
+            ia_l.append(loc[a[m]])
+            ib_l.append(loc[b[m]])
+        if not ia_l:
+            return edge_schema.empty_table()
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        eq = (S[ia] == S[ib])
+        est = eq.mean(axis=1)
+        keep = est >= threshold
+        ia, ib, est = ia[keep], ib[keep], est[keep]
+        if not len(ia):
+            return edge_schema.empty_table()
+        # responsibility: emit only from the FIRST matching band (sig
+        # stores the raw uint64 bits as int64, so .view recovers them)
+        bha = T.band_hashes(S[ia].view(np.uint64), num_bands)
+        bhb = T.band_hashes(S[ib].view(np.uint64), num_bands)
+        first = np.argmax(bha == bhb, axis=1).astype(np.int32)
+        own = first == bid[ia]
+        ia, ib, est = ia[own], ib[own], est[own]
+        a_ch, b_ch = ch[ia], ch[ib]
+        a_cv, b_cv = conv[ia], conv[ib]
+        swap = a_ch > b_ch
+        src = np.where(swap, b_ch, a_ch)
+        dst = np.where(swap, a_ch, b_ch)
+        cv_a = np.where(swap, b_cv, a_cv)
+        cv_b = np.where(swap, a_cv, b_cv)
+        return pa.table({
+            'src': pa.array(src), 'dst': pa.array(dst),
+            'conv_a': pa.array(cv_a, pa.string()),
+            'conv_b': pa.array(cv_b, pa.string()),
+            'est_jaccard': pa.array(est)}, schema=edge_schema)
+
+    parts = ds.map_batches(sig_partials, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    bands = bucket_exchange(parts, 'conv', to_bands, num_buckets)
+    edges = bucket_exchange(bands, 'band_hash', pair_fn, num_buckets)\
+        .repartition(8).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    cc = connected_components(edges, num_buckets=8)
+
+    # label back to conv strings without leaving Datasets: membership
+    # rows (node, conv) from the edges, joined to components, then one
+    # exchange on the component for the min-string representative
+    member_schema = pa.schema([('node', pa.int64()),
+                               ('conv', pa.string())])
+
+    def members(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return member_schema.empty_table()
+        return pa.table({
+            'node': pa.concat_arrays([
+                tbl.column('src').combine_chunks(),
+                tbl.column('dst').combine_chunks()]),
+            'conv': pa.concat_arrays([
+                tbl.column('conv_a').combine_chunks(),
+                tbl.column('conv_b').combine_chunks()]),
+        }, schema=member_schema)
+
+    from .joins import hash_join
+    mem = edges.map_batches(members, batch_format='pyarrow')
+    joined = hash_join(
+        mem, cc, on='node', num_buckets=8,
+        left_schema=member_schema,
+        right_schema=pa.schema([('node', pa.int64()),
+                                ('component', pa.int64())]))
+
+    def label_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        comp = tbl.column('component').to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'conv': conv, 'comp': comp})
+        df = df.drop_duplicates()
+        rep = df.groupby('comp', sort=False)['conv'].transform('min')
+        return pa.table({conv_col: pa.array(df['conv'].to_numpy(),
+                                            pa.string()),
+                         'group': pa.array(rep.to_numpy(), pa.string())},
+                        schema=out_schema)
+
+    out = bucket_exchange(joined, 'component', label_fn, 8)
+    return out.union(rd.from_arrow(out_schema.empty_table()))
