@@ -126,3 +126,27 @@ class TestConversationMinhashDedup:
         out2 = conversation_minhash_dedup(rd.from_arrow(_transcripts({})))
         assert out2.count() == 0
         assert set(out2.schema().names) == {'conv_id', 'group'}
+
+
+class TestTierParity:
+    def test_carried_vs_joined_tier_identical(self, ray_session):
+        """carried_sig_max=0 forces the join tier; both tiers must
+        byte-agree on the same planted input (same bar as
+        interval_join's tiered-path differential)."""
+        import ray.data as rd
+        convs = _base_convs()
+        convs['d-2'] = list(convs['c-2'])
+        near = list(convs['c-3'])
+        near[5] = ('user', 'translate invoice line five into german '
+                           'for the berlin office review today')
+        convs['n-3'] = near
+        tbl = _transcripts(convs)
+        a = conversation_minhash_dedup(
+            rd.from_arrow(tbl).repartition(5), threshold=0.5).to_pandas()
+        b = conversation_minhash_dedup(
+            rd.from_arrow(tbl).repartition(5), threshold=0.5,
+            carried_sig_max=0).to_pandas()
+        a = a.sort_values('conv_id').reset_index(drop=True)
+        b = b.sort_values('conv_id').reset_index(drop=True)
+        assert len(a) > 0
+        assert a.equals(b)

@@ -10420,3 +10420,25 @@ def q_conv_minhash_dedup(sf_dir: str):
 
 
 QUERIES['q_conv_minhash_dedup'] = q_conv_minhash_dedup
+
+
+def q_mmr_topk(sf_dir: str):
+    """MMR diverse top-k retrieval (stages/ann.mmr_topk; Carbonell &
+    Goldstein 1998): exact-cosine shortlist of 100 per batch (local
+    prune, one merge task), greedy lambda=0.5 relevance-vs-redundancy
+    selection of 10 in exact int64 micro-units — bit-stable under
+    partitioning, ties to min vec_id. Rows-only: the greedy loop has no
+    SQL equivalent; a sequential numpy reference and the shuffled
+    self-parity bar are pinned in tests/test_mmr.py."""
+    from ..stages.ann import mmr_topk
+    emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    qvec = _query_vec(sf_dir)
+    if qvec is None:
+        import ray.data as rd
+        return rd.from_arrow(pa.schema(
+            [('rank', pa.int64()), ('vec_id', pa.int64()),
+             ('sim_q6', pa.int64())]).empty_table())
+    return mmr_topk(emb, qvec, k=10, fetch_k=100, lam=0.5)
+
+
+QUERIES['q_mmr_topk'] = q_mmr_topk

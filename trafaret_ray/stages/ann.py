@@ -891,3 +891,103 @@ def kmeans_assign(ds, c6: np.ndarray, emb_col: str = 'embedding'):
             return tbl.append_column('cluster', pa.array(assign))
 
     return ds.map_batches(Assign, batch_format='pyarrow', concurrency=2)
+
+
+def mmr_topk(ds, query: np.ndarray, k: int = 10, fetch_k: int = 100,
+             lam: float = 0.5, emb_col: str = 'embedding',
+             id_col: str = 'vec_id'):
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998): retrieve an exact-cosine shortlist of ``fetch_k``, then pick
+    ``k`` results greedily by
+    ``argmax lam*sim(q,i) - (1-lam)*max_{j in S} sim(i,j)`` —
+    relevance traded against redundancy with already-selected results.
+
+    Distributed shape (the 100-TB path is the shortlist, not the
+    greedy): every batch emits only its LOCAL top-``fetch_k`` survivors
+    (id, micro-cosine, micro-unit vector), one merge task keeps the
+    global shortlist and runs the greedy loop over ``fetch_k`` rows.
+    All comparisons are exact int64 — query cosines are floored to
+    micro-units, pair dots of the micro-quantized unit vectors are
+    exact 1e12-scale ints, and the MMR score is int64 at 1e18 max —
+    so the selection is bit-stable under any batching/partitioning;
+    ties break to the smallest id. Returns a Dataset of
+    (rank, id, sim_q6) in selection order.
+    """
+    import ray.data as rd
+
+    out_schema = pa.schema([('rank', pa.int64()), (id_col, pa.int64()),
+                            ('sim_q6', pa.int64())])
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    qu = q / qn
+    lam_u = int(np.floor(lam * 1e6 + 0.5))
+    cand_schema = pa.schema([(id_col, pa.int64()), ('sim_q6', pa.int64()),
+                             ('_u6', pa.list_(pa.int64()))])
+
+    def shortlist(tbl: pa.Table) -> pa.Table:
+        tbl = drop_null_vectors(tbl, emb_col)
+        if tbl.num_rows == 0:
+            return cand_schema.empty_table()
+        m = _batch_matrix(tbl, emb_col)
+        nrm = np.linalg.norm(m, axis=1)
+        keep = nrm > 0
+        m, nrm = m[keep], nrm[keep]
+        ids = tbl.column(id_col).combine_chunks().cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)[keep]
+        if not len(ids):
+            return cand_schema.empty_table()
+        u = m / nrm[:, None]
+        sim6 = np.floor((u @ qu) * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -sim6))[:fetch_k]
+        u6 = np.floor(u[order] * 1e6 + 0.5).astype(np.int64)
+        n, d = u6.shape
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            'sim_q6': pa.array(sim6[order]),
+            '_u6': pa.FixedSizeListArray.from_arrays(
+                pa.array(u6.reshape(-1)), d).cast(pa.list_(pa.int64())),
+        }, schema=cand_schema)
+
+    def greedy(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sim6 = tbl.column('sim_q6').to_numpy(zero_copy_only=False)
+        la = tbl.column('_u6').combine_chunks()
+        U = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
+                       dtype=np.int64).reshape(len(la), -1)
+        order = np.lexsort((ids, -sim6))[:fetch_k]
+        ids, sim6, U = ids[order], sim6[order], U[order]
+        n = len(ids)
+        picked = np.zeros(n, dtype=bool)
+        maxpair = np.zeros(n, dtype=np.int64)      # max sim to selected
+        out_ids, out_sims = [], []
+        for step in range(min(k, n)):
+            # score in 1e18 max: lam_u (1e6) * sim12 (1e12); the
+            # redundancy term is 0 on the first pick (empty S)
+            score = (lam_u * (sim6 * 1_000_000)
+                     - (1_000_000 - lam_u) * maxpair)
+            score[picked] = np.iinfo(np.int64).min
+            best = score.max()
+            cand = np.nonzero((score == best) & ~picked)[0]
+            j = cand[np.argmin(ids[cand])]
+            picked[j] = True
+            out_ids.append(ids[j])
+            out_sims.append(sim6[j])
+            pair = U @ U[j]                        # exact 1e12-scale
+            if step == 0:
+                maxpair = pair                     # true max, not clamped
+            else:
+                np.maximum(maxpair, pair, out=maxpair)
+        return pa.table({
+            'rank': pa.array(np.arange(len(out_ids), dtype=np.int64)),
+            id_col: pa.array(np.asarray(out_ids, dtype=np.int64)),
+            'sim_q6': pa.array(np.asarray(out_sims, dtype=np.int64)),
+        }, schema=out_schema)
+
+    cands = ds.map_batches(shortlist, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    return cands.repartition(1).map_batches(greedy, batch_size=None,
+                                            batch_format='pyarrow')

@@ -1322,7 +1322,8 @@ def conversation_exact_dedup(ds, conv_col='conv_id', order_col='turn_idx',
 def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
                                threshold=0.7, num_perm=64, num_bands=16,
                                shingle_k=3, seed=1234,
-                               num_buckets: int = 32):
+                               num_buckets: int = 32,
+                               carried_sig_max: int = 1_000_000):
     """Near-duplicate conversation clusters: MinHash over the UNION of
     every turn's word-``shingle_k``-gram hashes, LSH banding for
     candidates, signature-estimated Jaccard verify, then distributed
@@ -1332,35 +1333,52 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
     Unlike the doc-level ``minhash_dedup`` (whose exact verify re-reads
     the candidate docs' text), the verify here is the SIGNATURE estimate
     (matching-permutation fraction >= threshold): conversations span
-    batches, so per-batch partial signatures (min per permutation) are
-    the only state exchanged and turn text NEVER moves — the documented
-    trade is an estimator with stderr ~= sqrt(j(1-j)/num_perm); raise
+    batches, so per-batch partial signatures (min per permutation,
+    packed one fixed-binary row per conversation per batch) are the only
+    state exchanged and turn text NEVER moves — the documented trade is
+    an estimator with stderr ~= sqrt(j(1-j)/num_perm); raise
     ``num_perm`` to tighten it.
 
-    Pair emission is made exactly-once by a responsibility rule (a pair
-    is emitted only from the FIRST band whose hashes match — both
-    signatures are at hand, so each band bucket checks it locally), and
-    the cluster labeling stays in Datasets end-to-end.
+    The candidate/verify stage is SIZE-TIERED (same discipline as
+    interval_join's adaptive tiering; both 2M/10M-turn probe records in
+    BASELINE.md): at or below ``carried_sig_max`` conversations the
+    band rows carry the signature and one exchange finds AND verifies
+    pairs with a first-matching-band responsibility rule (exactly-once
+    emission) — measured 2.5x faster at ~350k convs, where extra
+    exchange floors dominate. Above it, band rows go LIGHT (20 bytes),
+    pairs are dedup'd by a distinct aggregation, and the fixed-binary
+    signature moves only once per conversation plus once per candidate
+    side through two hash joins — carrying signatures on every band row
+    would cost num_bands x the signature volume (≈14 GB at 1.7M convs).
+    The cluster labeling (CC + min-string representative) stays in
+    Datasets end-to-end on both tiers.
     """
     import ray.data as rd
 
     from .conversations import bucket_exchange
     from .graph import connected_components
+    from .joins import hash_join
 
     sigpart_schema = pa.schema([
         ('conv', pa.string()), ('ch', pa.int64()),
-        ('perm', pa.int32()), ('minv', pa.int64())])
-    band_schema = pa.schema([
+        ('sigp', pa.binary(num_perm * 8))])
+    sig_schema = pa.schema([
         ('conv', pa.string()), ('ch', pa.int64()),
-        ('band_id', pa.int32()), ('band_hash', pa.int64()),
-        ('sig', pa.list_(pa.int64()))])
-    edge_schema = pa.schema([
-        ('src', pa.int64()), ('dst', pa.int64()),
-        ('conv_a', pa.string()), ('conv_b', pa.string()),
-        ('est_jaccard', pa.float64())])
+        ('sig', pa.binary(num_perm * 8))])
     out_schema = pa.schema([(conv_col, pa.string()),
                             ('group', pa.string())])
-    FLIP = np.uint64(1) << np.uint64(63)
+    edge_schema = pa.schema([('src', pa.int64()), ('dst', pa.int64()),
+                             ('est_jaccard', pa.float64())])
+
+    def _sig_matrix(col) -> np.ndarray:
+        fsb = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        if len(fsb) == 0:
+            return np.zeros((0, num_perm), dtype=np.uint64)
+        buf = np.frombuffer(fsb.buffers()[1], dtype=np.uint64)
+        start = fsb.offset * num_perm
+        return buf[start:start + len(fsb) * num_perm]\
+            .reshape(len(fsb), num_perm)
 
     def sig_partials(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -1378,52 +1396,126 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
         if not keep.any():
             return sigpart_schema.empty_table()
         uniq_k = uniq[keep]
-        sig_k = sig[keep]
+        sig_k = np.ascontiguousarray(sig[keep])
         nk = len(uniq_k)
         ch = T.hash_shingles(np.asarray(uniq_k, dtype=object))\
             .view(np.int64)
-        # order-preserving int64 view (x ^ 2^63) so the min-merge can
-        # run on int64 storage without uint64/int64 order inversion
-        flipped = (sig_k ^ FLIP).view(np.int64)
+        # ONE packed row per conversation per batch: the whole partial
+        # signature as fixed binary — 64x fewer exchange rows (and no
+        # per-perm conv-string repetition) than exploded (conv, perm,
+        # min) rows
         return pa.table({
-            'conv': pa.array(np.repeat(uniq_k, num_perm), pa.string()),
-            'ch': pa.array(np.repeat(ch, num_perm)),
-            'perm': pa.array(np.tile(np.arange(num_perm, dtype=np.int32),
-                                     nk)),
-            'minv': pa.array(flipped.reshape(-1)),
+            'conv': pa.array(uniq_k, pa.string()),
+            'ch': pa.array(ch),
+            'sigp': pa.array([sig_k[i].tobytes() for i in range(nk)],
+                             pa.binary(num_perm * 8)),
         }, schema=sigpart_schema)
+
+    def merge_sigs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return sig_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
+        P = _sig_matrix(tbl.column('sigp'))       # (rows, num_perm) u64
+        codes, uniq = pd.factorize(conv, sort=False)
+        order = np.argsort(codes, kind='stable')
+        sc = codes[order]
+        new = np.ones(len(sc), dtype=bool)
+        new[1:] = sc[1:] != sc[:-1]
+        starts = np.nonzero(new)[0]
+        sig_u = np.minimum.reduceat(P[order], starts, axis=0)
+        nconv = len(uniq)
+        assert sig_u.shape == (nconv, num_perm)
+        ch_u = ch[order][starts]
+        return pa.table({
+            'conv': pa.array(uniq, pa.string()),
+            'ch': pa.array(ch_u),
+            'sig': pa.array(
+                [np.ascontiguousarray(sig_u[i]).tobytes()
+                 for i in range(nconv)],
+                pa.binary(num_perm * 8)),
+        }, schema=sig_schema)
+
+    parts = ds.map_batches(sig_partials, batch_format='pyarrow',
+                           zero_copy_batch=True)
+    sigs = bucket_exchange(parts, 'conv', merge_sigs, num_buckets)\
+        .materialize()
+    nconv_total = sigs.count()
+    if nconv_total == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if nconv_total <= carried_sig_max:
+        edges = _conv_pairs_carried(sigs, _sig_matrix, threshold,
+                                    num_perm, num_bands, num_buckets,
+                                    edge_schema)
+    else:
+        edges = _conv_pairs_joined(sigs, _sig_matrix, threshold,
+                                   num_perm, num_bands, num_buckets,
+                                   edge_schema)
+    edges = edges.repartition(8).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    cc = connected_components(edges, num_buckets=8)
+
+    # label back to conv strings without leaving Datasets: join the
+    # components to the signature table's (ch, conv) map, then one
+    # exchange on the component for the min-string representative
+    name_map = sigs.map_batches(
+        lambda t: pa.table({'node': t.column('ch'),
+                            'conv': t.column('conv')}),
+        batch_format='pyarrow')
+    joined = hash_join(
+        cc, name_map, on='node', num_buckets=8,
+        left_schema=pa.schema([('node', pa.int64()),
+                               ('component', pa.int64())]),
+        right_schema=pa.schema([('node', pa.int64()),
+                                ('conv', pa.string())]))
+
+    def label_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        comp = tbl.column('component').to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'conv': conv, 'comp': comp}).drop_duplicates()
+        rep = df.groupby('comp', sort=False)['conv'].transform('min')
+        return pa.table({conv_col: pa.array(df['conv'].to_numpy(),
+                                            pa.string()),
+                         'group': pa.array(rep.to_numpy(), pa.string())},
+                        schema=out_schema)
+
+    out = bucket_exchange(joined, 'component', label_fn, 8)
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def _conv_pairs_carried(sigs, _sig_matrix, threshold, num_perm,
+                        num_bands, num_buckets, edge_schema):
+    """Small tier: band rows CARRY the signature; one exchange both
+    finds and verifies pairs; exactly-once emission via the
+    first-matching-band responsibility rule (both signatures are at
+    hand in every matching band bucket)."""
+    from .conversations import bucket_exchange
+
+    band_schema = pa.schema([
+        ('ch', pa.int64()), ('band_id', pa.int32()),
+        ('band_hash', pa.int64()), ('sig', pa.binary(num_perm * 8))])
 
     def to_bands(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return band_schema.empty_table()
-        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
-        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
-        perm = tbl.column('perm').to_numpy(zero_copy_only=False)
-        minv = tbl.column('minv').to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(conv, sort=False)
-        order = np.lexsort((perm, codes))
-        sc, sp, sv = codes[order], perm[order], minv[order]
-        new = np.ones(len(sc), dtype=bool)
-        new[1:] = (sc[1:] != sc[:-1]) | (sp[1:] != sp[:-1])
-        starts = np.nonzero(new)[0]
-        merged = np.minimum.reduceat(sv, starts)
-        # every partial emits ALL perms per conv, so after the merge each
-        # conv holds exactly num_perm entries in perm order
-        nconv = len(uniq)
-        assert len(merged) == nconv * num_perm
-        sig_u = (merged.reshape(nconv, num_perm).view(np.uint64)) ^ FLIP
+        sig_u = _sig_matrix(tbl.column('sig'))
         bh = T.band_hashes(sig_u, num_bands)
-        ch_u = ch[order][starts].reshape(nconv, num_perm)[:, 0]
+        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
+        n = len(ch)
+        sig_col = tbl.column('sig').combine_chunks()
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                     num_bands))
         return pa.table({
-            'conv': pa.array(np.repeat(uniq, num_bands), pa.string()),
-            'ch': pa.array(np.repeat(ch_u, num_bands)),
+            'ch': pa.array(np.repeat(ch, num_bands)),
             'band_id': pa.array(np.tile(
-                np.arange(num_bands, dtype=np.int32), nconv)),
+                np.arange(num_bands, dtype=np.int32), n)),
             'band_hash': pa.array(bh.reshape(-1).view(np.int64)),
-            'sig': pa.FixedSizeListArray.from_arrays(
-                pa.array(np.repeat(sig_u.view(np.int64), num_bands,
-                                   axis=0).reshape(-1)),
-                num_perm).cast(pa.list_(pa.int64())),
+            'sig': sig_col.take(rep_idx),
         }, schema=band_schema)
 
     def pair_fn(tbl: pa.Table) -> pa.Table:
@@ -1432,10 +1524,7 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
         bid = tbl.column('band_id').to_numpy(zero_copy_only=False)
         bh = tbl.column('band_hash').to_numpy(zero_copy_only=False)
         ch = tbl.column('ch').to_numpy(zero_copy_only=False)
-        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
-        la = tbl.column('sig').combine_chunks()
-        S = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
-                       dtype=np.int64).reshape(len(la), -1)
+        S = _sig_matrix(tbl.column('sig'))
         order = np.lexsort((ch, bh, bid))
         sb, sh = bid[order], bh[order]
         new = np.ones(len(sb), dtype=bool)
@@ -1457,80 +1546,132 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
             return edge_schema.empty_table()
         ia = np.concatenate(ia_l)
         ib = np.concatenate(ib_l)
-        eq = (S[ia] == S[ib])
-        est = eq.mean(axis=1)
+        est = (S[ia] == S[ib]).mean(axis=1)
         keep = est >= threshold
         ia, ib, est = ia[keep], ib[keep], est[keep]
         if not len(ia):
             return edge_schema.empty_table()
-        # responsibility: emit only from the FIRST matching band (sig
-        # stores the raw uint64 bits as int64, so .view recovers them)
-        bha = T.band_hashes(S[ia].view(np.uint64), num_bands)
-        bhb = T.band_hashes(S[ib].view(np.uint64), num_bands)
+        # responsibility: emit only from the FIRST band whose hashes
+        # match — every matching band bucket holds both signatures, so
+        # the check is local and emission is exactly-once
+        bha = T.band_hashes(S[ia], num_bands)
+        bhb = T.band_hashes(S[ib], num_bands)
         first = np.argmax(bha == bhb, axis=1).astype(np.int32)
         own = first == bid[ia]
         ia, ib, est = ia[own], ib[own], est[own]
+        if not len(ia):
+            return edge_schema.empty_table()
         a_ch, b_ch = ch[ia], ch[ib]
-        a_cv, b_cv = conv[ia], conv[ib]
         swap = a_ch > b_ch
-        src = np.where(swap, b_ch, a_ch)
-        dst = np.where(swap, a_ch, b_ch)
-        cv_a = np.where(swap, b_cv, a_cv)
-        cv_b = np.where(swap, a_cv, b_cv)
         return pa.table({
-            'src': pa.array(src), 'dst': pa.array(dst),
-            'conv_a': pa.array(cv_a, pa.string()),
-            'conv_b': pa.array(cv_b, pa.string()),
+            'src': pa.array(np.where(swap, b_ch, a_ch)),
+            'dst': pa.array(np.where(swap, a_ch, b_ch)),
             'est_jaccard': pa.array(est)}, schema=edge_schema)
 
-    parts = ds.map_batches(sig_partials, batch_format='pyarrow',
-                           zero_copy_batch=True)
-    bands = bucket_exchange(parts, 'conv', to_bands, num_buckets)
-    edges = bucket_exchange(bands, 'band_hash', pair_fn, num_buckets)\
-        .repartition(8).materialize()
-    if edges.count() == 0:
-        return rd.from_arrow(out_schema.empty_table())
+    bands = sigs.map_batches(to_bands, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    return bucket_exchange(bands, 'band_hash', pair_fn, num_buckets)
 
-    cc = connected_components(edges, num_buckets=8)
 
-    # label back to conv strings without leaving Datasets: membership
-    # rows (node, conv) from the edges, joined to components, then one
-    # exchange on the component for the min-string representative
-    member_schema = pa.schema([('node', pa.int64()),
-                               ('conv', pa.string())])
-
-    def members(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return member_schema.empty_table()
-        return pa.table({
-            'node': pa.concat_arrays([
-                tbl.column('src').combine_chunks(),
-                tbl.column('dst').combine_chunks()]),
-            'conv': pa.concat_arrays([
-                tbl.column('conv_a').combine_chunks(),
-                tbl.column('conv_b').combine_chunks()]),
-        }, schema=member_schema)
-
+def _conv_pairs_joined(sigs, _sig_matrix, threshold, num_perm,
+                       num_bands, num_buckets, edge_schema):
+    """Large tier: LIGHT band rows (20 bytes) find raw pairs, a distinct
+    aggregation dedups across bands, then the fixed-binary signature
+    moves once per candidate side through two hash joins for the
+    estimate verify."""
+    from .conversations import bucket_exchange
     from .joins import hash_join
-    mem = edges.map_batches(members, batch_format='pyarrow')
-    joined = hash_join(
-        mem, cc, on='node', num_buckets=8,
-        left_schema=member_schema,
-        right_schema=pa.schema([('node', pa.int64()),
-                                ('component', pa.int64())]))
 
-    def label_fn(tbl: pa.Table) -> pa.Table:
+    band_schema = pa.schema([
+        ('ch', pa.int64()), ('band_id', pa.int32()),
+        ('band_hash', pa.int64())])
+    rawpair_schema = pa.schema([('src', pa.int64()), ('dst', pa.int64())])
+
+    def to_bands(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return out_schema.empty_table()
-        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
-        comp = tbl.column('component').to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({'conv': conv, 'comp': comp})
-        df = df.drop_duplicates()
-        rep = df.groupby('comp', sort=False)['conv'].transform('min')
-        return pa.table({conv_col: pa.array(df['conv'].to_numpy(),
-                                            pa.string()),
-                         'group': pa.array(rep.to_numpy(), pa.string())},
-                        schema=out_schema)
+            return band_schema.empty_table()
+        sig_u = _sig_matrix(tbl.column('sig'))
+        bh = T.band_hashes(sig_u, num_bands)
+        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
+        n = len(ch)
+        return pa.table({
+            'ch': pa.array(np.repeat(ch, num_bands)),
+            'band_id': pa.array(np.tile(
+                np.arange(num_bands, dtype=np.int32), n)),
+            'band_hash': pa.array(bh.reshape(-1).view(np.int64)),
+        }, schema=band_schema)
 
-    out = bucket_exchange(joined, 'component', label_fn, 8)
-    return out.union(rd.from_arrow(out_schema.empty_table()))
+    def pair_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return rawpair_schema.empty_table()
+        bid = tbl.column('band_id').to_numpy(zero_copy_only=False)
+        bh = tbl.column('band_hash').to_numpy(zero_copy_only=False)
+        ch = tbl.column('ch').to_numpy(zero_copy_only=False)
+        order = np.lexsort((ch, bh, bid))
+        sb, sh = bid[order], bh[order]
+        new = np.ones(len(sb), dtype=bool)
+        new[1:] = (sb[1:] != sb[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(sb))
+        src_l, dst_l = [], []
+        for lo, hi in zip(starts, ends):
+            g = hi - lo
+            if g < 2:
+                continue
+            loc = order[lo:hi]
+            a = np.repeat(np.arange(g), g)
+            b = np.tile(np.arange(g), g)
+            m = a < b
+            ca, cb = ch[loc[a[m]]], ch[loc[b[m]]]
+            swap = ca > cb
+            src_l.append(np.where(swap, cb, ca))
+            dst_l.append(np.where(swap, ca, cb))
+        if not src_l:
+            return rawpair_schema.empty_table()
+        return pa.table({'src': pa.array(np.concatenate(src_l)),
+                         'dst': pa.array(np.concatenate(dst_l))},
+                        schema=rawpair_schema)
+
+    bands = sigs.map_batches(to_bands, batch_format='pyarrow',
+                             zero_copy_batch=True)
+    raw_pairs = bucket_exchange(bands, 'band_hash', pair_fn, num_buckets)
+    # a pair matching in several bands appears once per band — one
+    # distinct aggregation instead of shipping signatures per band
+    cand = bucket_aggregate(raw_pairs, ['src', 'dst'],
+                            {'n_bands': ('src', 'count')},
+                            num_buckets=num_buckets)
+
+    sig_a = sigs.map_batches(
+        lambda t: pa.table({'src': t.column('ch'),
+                            'sig_a': t.column('sig')}),
+        batch_format='pyarrow')
+    sig_b = sigs.map_batches(
+        lambda t: pa.table({'dst': t.column('ch'),
+                            'sig_b': t.column('sig')}),
+        batch_format='pyarrow')
+    sb_t = pa.binary(num_perm * 8)
+    with_a = hash_join(
+        cand, sig_a, on='src', num_buckets=num_buckets,
+        left_schema=pa.schema([('src', pa.int64()), ('dst', pa.int64()),
+                               ('n_bands', pa.int64())]),
+        right_schema=pa.schema([('src', pa.int64()), ('sig_a', sb_t)]))
+    with_ab = hash_join(
+        with_a, sig_b, on='dst', num_buckets=num_buckets,
+        left_schema=pa.schema([('src', pa.int64()), ('dst', pa.int64()),
+                               ('n_bands', pa.int64()),
+                               ('sig_a', sb_t)]),
+        right_schema=pa.schema([('dst', pa.int64()), ('sig_b', sb_t)]))
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return edge_schema.empty_table()
+        Sa = _sig_matrix(tbl.column('sig_a'))
+        Sb = _sig_matrix(tbl.column('sig_b'))
+        est = (Sa == Sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            'src': tbl.column('src').filter(pa.array(keep)),
+            'dst': tbl.column('dst').filter(pa.array(keep)),
+            'est_jaccard': pa.array(est[keep])}, schema=edge_schema)
+
+    return with_ab.map_batches(verify, batch_format='pyarrow')
