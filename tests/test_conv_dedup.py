@@ -150,3 +150,18 @@ class TestTierParity:
         b = b.sort_values('conv_id').reset_index(drop=True)
         assert len(a) > 0
         assert a.equals(b)
+
+
+class TestOPHMode:
+    def test_oph_mode_recovers_planted_dups(self, ray_session):
+        """Opt-in sig_mode='oph': verbatim copies (jaccard 1.0) must
+        still cluster — identical shingle sets give identical OPH bins
+        regardless of sparsity."""
+        import ray.data as rd
+        convs = _base_convs()
+        convs['d-2'] = list(convs['c-2'])
+        ds = rd.from_arrow(_transcripts(convs)).repartition(4)
+        df = conversation_minhash_dedup(ds, threshold=0.9,
+                                        sig_mode='oph').to_pandas()
+        g = dict(zip(df['conv_id'], df['group']))
+        assert g.get('d-2') == 'c-2' and g.get('c-2') == 'c-2'

@@ -1066,3 +1066,68 @@ def bpe_encode_counts(texts, merges) -> np.ndarray:
     np.add.at(out, doc_of_word, per_uniq[inv])
     return out
 
+
+
+_OPH_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_OPH_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def minhash_matrix_oph(lengths: np.ndarray, hashes: np.ndarray,
+                       num_perm: int = 64, seed: int = 1234,
+                       densify: bool = True) -> np.ndarray:
+    """One-permutation MinHash (Li et al. 2012) with rotation
+    densification (Shrivastava & Li 2014): ONE affine rehash pass
+    buckets every shingle hash into ``num_perm`` bins (top bits) and the
+    per-(doc, bin) min fills the signature slot — ~1/num_perm the
+    compute of the classic per-permutation loop, with collision
+    probability still ≈ Jaccard after densification.
+
+    ``densify=False`` returns the RAW signature with empty bins at the
+    uint64 max sentinel — the form that stays MERGEABLE by elementwise
+    min across batches (densify only after the global merge:
+    ``densify_oph``). ``num_perm`` must be a power of two.
+    """
+    assert num_perm & (num_perm - 1) == 0, 'num_perm must be 2^k'
+    kbits = int(num_perm).bit_length() - 1
+    n = len(lengths)
+    sig = np.full((n, num_perm), _OPH_MAX, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    rng = np.random.default_rng(seed)
+    a = np.uint64(rng.integers(1, np.iinfo(np.uint64).max,
+                               dtype=np.uint64)) | np.uint64(1)
+    b = np.uint64(rng.integers(0, np.iinfo(np.uint64).max,
+                               dtype=np.uint64))
+    with np.errstate(over='ignore'):
+        h = a * hashes + b                 # mod-2^64 wrap IS the map
+    bins = (h >> np.uint64(64 - kbits)).astype(np.int64) \
+        if kbits else np.zeros(len(h), dtype=np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    order = np.lexsort((h, bins, doc_of))
+    sd, sb, sh = doc_of[order], bins[order], h[order]
+    new = np.ones(len(sd), dtype=bool)
+    new[1:] = (sd[1:] != sd[:-1]) | (sb[1:] != sb[:-1])
+    starts = np.nonzero(new)[0]
+    sig[sd[starts], sb[starts]] = sh[starts]   # first = min per group
+    return densify_oph(sig) if densify else sig
+
+
+def densify_oph(sig: np.ndarray) -> np.ndarray:
+    """Rotation densification: an empty bin borrows from the nearest
+    ORIGINALLY-filled bin to its right (circular), offset by
+    shift*constant so different borrow distances stay distinct.
+    Deterministic and batch-order-free — apply only after all partial
+    signatures are min-merged. Rows with no filled bin (zero-shingle
+    docs) stay at the sentinel."""
+    num_perm = sig.shape[1]
+    dens = sig.copy()
+    need = dens == _OPH_MAX
+    shift = 1
+    with np.errstate(over='ignore'):
+        while need.any() and shift < num_perm:
+            src = np.roll(sig, -shift, axis=1)
+            ok = need & (src != _OPH_MAX)
+            dens[ok] = src[ok] + np.uint64(shift) * _OPH_C
+            need &= ~ok
+            shift += 1
+    return dens

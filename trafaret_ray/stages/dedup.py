@@ -1323,7 +1323,8 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
                                threshold=0.7, num_perm=64, num_bands=16,
                                shingle_k=3, seed=1234,
                                num_buckets: int = 32,
-                               carried_sig_max: int = 1_000_000):
+                               carried_sig_max: int = 1_000_000,
+                               sig_mode: str = 'perm'):
     """Near-duplicate conversation clusters: MinHash over the UNION of
     every turn's word-``shingle_k``-gram hashes, LSH banding for
     candidates, signature-estimated Jaccard verify, then distributed
@@ -1337,7 +1338,18 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
     packed one fixed-binary row per conversation per batch) are the only
     state exchanged and turn text NEVER moves — the documented trade is
     an estimator with stderr ~= sqrt(j(1-j)/num_perm); raise
-    ``num_perm`` to tighten it.
+    ``num_perm`` to tighten it. ``sig_mode='oph'`` switches to
+    one-permutation hashing with rotation densification (Li et al.
+    2012; Shrivastava & Li 2014): ONE rehash pass instead of num_perm
+    passes, with RAW (undensified) bins as the still-min-mergeable
+    partials, densified once after the global merge. It is NOT the
+    default because it needs |shingle set| >> num_perm: on short
+    conversations (~30-50 shingles into 64 bins) half the bins are
+    empty and densification CORRELATES slots across conversations —
+    the 10M-turn probe measured estimate inflation (12.6k clustered
+    convs vs 6.0k truth) and 3x the wall from the extra candidates.
+    Use it for long-document/transcript corpora where sets are large;
+    the default 'perm' is the classic per-permutation family.
 
     The candidate/verify stage is SIZE-TIERED (same discipline as
     interval_join's adaptive tiering; both 2M/10M-turn probe records in
@@ -1391,7 +1403,13 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
             tbl.take(pa.array(order)).column(text_col), shingle_k)
         conv_len = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(conv_len, codes[order], lengths)
-        sig = T.minhash_matrix(conv_len, gh, num_perm, seed)
+        if sig_mode == 'oph':
+            # raw (undensified) OPH partials stay min-mergeable across
+            # batches; densification happens once after the global merge
+            sig = T.minhash_matrix_oph(conv_len, gh, num_perm, seed,
+                                       densify=False)
+        else:
+            sig = T.minhash_matrix(conv_len, gh, num_perm, seed)
         keep = conv_len > 0
         if not keep.any():
             return sigpart_schema.empty_table()
@@ -1424,6 +1442,8 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
         new[1:] = sc[1:] != sc[:-1]
         starts = np.nonzero(new)[0]
         sig_u = np.minimum.reduceat(P[order], starts, axis=0)
+        if sig_mode == 'oph':
+            sig_u = T.densify_oph(sig_u)
         nconv = len(uniq)
         assert sig_u.shape == (nconv, num_perm)
         ch_u = ch[order][starts]
