@@ -68,8 +68,12 @@ def main():
 
     ds = rd.read_parquet(path)
     total = n + N_PLANT
+    # the paper's knob: clusters scale with the corpus so the O(B^2)
+    # within-cluster scan stays bounded (~800 rows mean)
+    n_clusters = int(os.environ.get('GRAFT_SEMDEDUP_K',
+                                    max(N_GROUPS, total // 800)))
     t0 = time.time()
-    out = semdedup(ds, 'embedding', 'vec_id', n_clusters=N_GROUPS,
+    out = semdedup(ds, 'embedding', 'vec_id', n_clusters=n_clusters,
                    iters=4, threshold=0.99, num_buckets=64,
                    cluster_rows_max=200_000).materialize()
     wall = round(time.time() - t0, 2)
