@@ -4,6 +4,7 @@ Text must never move — both operators exchange only fixed-size partial
 rows — and results must be invariant to row order and partitioning."""
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from trafaret_ray.stages.dedup import (conversation_exact_dedup,
@@ -165,3 +166,56 @@ class TestOPHMode:
                                         sig_mode='oph').to_pandas()
         g = dict(zip(df['conv_id'], df['group']))
         assert g.get('d-2') == 'c-2' and g.get('c-2') == 'c-2'
+
+
+class TestIncrementalExactDedup:
+    def test_cross_ingest_dedup_and_split_conv_merge(self, ray_session,
+                                                     tmp_path):
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import (
+            conversation_exact_dedup_incremental as incr)
+        state = str(tmp_path / 'state')
+
+        # ingest 1: base conversations
+        convs = _base_convs()
+        g1, info1 = incr(rd.from_arrow(_transcripts(convs)), state)
+        df1 = g1.to_pandas()
+        assert info1['version'] == 0
+        assert sorted(df1['conv_id']) == sorted(convs)
+        assert (df1['group'] == df1['conv_id']).all()
+
+        # ingest 2: a verbatim copy of c-2 (cross-ingest dup), a brand
+        # new conversation, and the FIRST HALF of a split conversation
+        half = {'d-2': list(convs['c-2']),
+                'c-5': [('user', 'brand new thing'),
+                        ('assistant', 'indeed quite new')],
+                'x-1': [('user', 'part one of a split conversation')]}
+        g2, info2 = incr(rd.from_arrow(_transcripts(half)), state)
+        df2 = g2.to_pandas()
+        assert info2['version'] == 1
+        # only ingest-2 conversations in the output
+        assert sorted(df2['conv_id']) == ['c-5', 'd-2', 'x-1']
+        gm = dict(zip(df2['conv_id'], df2['group']))
+        assert gm['d-2'] == 'c-2'          # dedup against PRIOR ingest
+        assert gm['c-5'] == 'c-5' and gm['x-1'] == 'x-1'
+
+        # ingest 3: x-1's remaining turn arrives (turn_idx=1), plus a
+        # whole-conversation copy of the COMPLETED x-1 under y-1 —
+        # fingerprint partial sums must merge across ingests exactly
+        full_x = [('user', 'part one of a split conversation'),
+                  ('assistant', 'part two arrives later')]
+        rest = _transcripts({'y-1': full_x})
+        tail = _transcripts({'x-1': full_x}).filter(
+            pc.equal(pa.array([0, 1]), 1))
+        part3 = pa.concat_tables([tail, rest])
+        g3, info3 = incr(rd.from_arrow(part3), state)
+        df3 = g3.to_pandas()
+        gm3 = dict(zip(df3['conv_id'], df3['group']))
+        assert sorted(df3['conv_id']) == ['x-1', 'y-1']
+        assert gm3['y-1'] == 'x-1'          # whole copy == merged split
+        assert dict(zip(df3['conv_id'], df3['n_turns']))['x-1'] == 2
+
+        # state versions accumulate; old version left intact
+        import os
+        assert os.path.exists(os.path.join(state, 'v-00000'))
+        assert os.path.exists(os.path.join(state, 'v-00002'))

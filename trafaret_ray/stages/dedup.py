@@ -1695,3 +1695,141 @@ def _conv_pairs_joined(sigs, _sig_matrix, threshold, num_perm,
             'est_jaccard': pa.array(est[keep])}, schema=edge_schema)
 
     return with_ab.map_batches(verify, batch_format='pyarrow')
+
+
+def conversation_exact_dedup_incremental(new_ds, state_dir: str,
+                                         conv_col='conv_id',
+                                         order_col='turn_idx',
+                                         role_col='role',
+                                         text_col='text',
+                                         num_buckets: int = 32):
+    """Incremental exact conversation dedup against PERSISTED
+    fingerprint state — the data-lake shape: each ingest dedups its new
+    shard against everything ever ingested WITHOUT re-reading old text.
+
+    State layout under ``state_dir``: ``manifest.json`` naming the
+    current version directory, which holds the merged (conv, fp, n)
+    fingerprint rows as parquet. Because the fingerprint is a
+    position-mixed wrap-SUM of turn hashes, prior state merges with the
+    new shard's partials by plain summation — a conversation SPLIT
+    across ingests (later shard appends turns) still fingerprints
+    exactly as if read whole. Each ingest writes a complete new version
+    directory and swaps the manifest atomically (tmp + os.replace, the
+    state/checkpoint.py invariant): a crashed run leaves the prior
+    version intact and the ingest re-runs cleanly.
+
+    Returns ``(groups_ds, info)``: groups only for conversations
+    TOUCHED by the new shard — ``group`` may name a previously-ingested
+    conversation — and info with the new state version and cumulative
+    conversation count.
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    from .conversations import bucket_exchange
+
+    tag_schema = pa.schema([('conv', pa.string()), ('fp', pa.int64()),
+                            ('n', pa.int64()), ('_new', pa.int8())])
+    state_schema = pa.schema([('conv', pa.string()), ('fp', pa.int64()),
+                              ('n', pa.int64())])
+    out_schema = pa.schema([(conv_col, pa.string()),
+                            ('group', pa.string()),
+                            ('n_turns', pa.int64())])
+
+    def partials(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tag_schema.empty_table()
+        hp = _turn_content_hash(tbl, role_col, text_col, order_col)
+        conv = tbl.column(conv_col).cast(pa.string())\
+            .to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(conv, sort=False)
+        s = np.zeros(len(uniq), dtype=np.uint64)
+        with np.errstate(over='ignore'):
+            np.add.at(s, codes, hp)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({'conv': pa.array(uniq, pa.string()),
+                         'fp': pa.array(s.view(np.int64)),
+                         'n': pa.array(n),
+                         '_new': pa.array(
+                             np.ones(len(uniq), dtype=np.int8))},
+                        schema=tag_schema)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tag_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        fp = tbl.column('fp').to_numpy(zero_copy_only=False)\
+            .view(np.uint64)
+        n = tbl.column('n').to_numpy(zero_copy_only=False)
+        nw = tbl.column('_new').to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(conv, sort=False)
+        s = np.zeros(len(uniq), dtype=np.uint64)
+        with np.errstate(over='ignore'):
+            np.add.at(s, codes, fp)
+        nn = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nn, codes, n)
+        mx = np.zeros(len(uniq), dtype=np.int8)
+        np.maximum.at(mx, codes, nw)
+        return pa.table({'conv': pa.array(uniq, pa.string()),
+                         'fp': pa.array(s.view(np.int64)),
+                         'n': pa.array(nn), '_new': pa.array(mx)},
+                        schema=tag_schema)
+
+    # prior state (if any) joins the merge as _new=0 rows
+    os.makedirs(state_dir, exist_ok=True)
+    man_path = os.path.join(state_dir, 'manifest.json')
+    manifest = {'version': -1, 'dir': None, 'n_convs': 0}
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+
+    new_parts = new_ds.map_batches(partials, batch_format='pyarrow',
+                                   zero_copy_batch=True)
+    if manifest['dir'] is not None:
+        vdir = os.path.join(state_dir, manifest['dir'])
+        prior = rd.read_parquet(vdir).map_batches(
+            lambda t: t.append_column(
+                '_new', pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+            batch_format='pyarrow')
+        new_parts = new_parts.union(prior)
+    merged = bucket_exchange(new_parts, 'conv', merge, num_buckets)\
+        .materialize()
+
+    # persist the new version whole, then swap the manifest (a crash
+    # before the swap leaves the old version current)
+    version = manifest['version'] + 1
+    vname = f'v-{version:05d}'
+    tmp_dir = os.path.join(state_dir, vname + '.tmp')
+    final_dir = os.path.join(state_dir, vname)
+    merged.map_batches(lambda t: t.drop_columns(['_new'])
+                       .cast(state_schema), batch_format='pyarrow')\
+        .write_parquet(tmp_dir)
+    os.replace(tmp_dir, final_dir)
+    n_convs = merged.count()
+    man_tmp = man_path + '.tmp'
+    with open(man_tmp, 'w') as f:
+        json.dump({'version': version, 'dir': vname,
+                   'n_convs': n_convs}, f, indent=1, sort_keys=True)
+    os.replace(man_tmp, man_path)
+
+    def group_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column('conv').to_numpy(zero_copy_only=False)
+        fp = tbl.column('fp').to_numpy(zero_copy_only=False)
+        n = tbl.column('n').to_numpy(zero_copy_only=False)
+        nw = tbl.column('_new').to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'conv': conv, 'fp': fp, 'n': n, 'nw': nw})
+        rep = df.groupby(['fp', 'n'], sort=False)['conv'].transform('min')
+        keep = df['nw'].to_numpy() == 1
+        return pa.table({
+            conv_col: pa.array(conv[keep], pa.string()),
+            'group': pa.array(rep.to_numpy()[keep], pa.string()),
+            'n_turns': pa.array(n[keep])}, schema=out_schema)
+
+    out = bucket_exchange(merged, 'fp', group_fn, num_buckets)
+    groups = out.union(rd.from_arrow(out_schema.empty_table()))
+    return groups, {'version': version, 'dir': vname,
+                    'n_convs': n_convs}
