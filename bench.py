@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     'q_bfs_embeddings', 'q_class_balance_docs', 'q_dup_events_events',
     'q_kanon_docs', 'q_containment_pairs', 'q_storm_sessions_events',
     'q_semdedup_embeddings', 'q_conv_exact_dedup', 'q_conv_minhash_dedup',
-    'q_mmr_topk',
+    'q_mmr_topk', 'q_jw_pairs_docs',
 ]
 
 

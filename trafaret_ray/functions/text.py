@@ -1131,3 +1131,102 @@ def densify_oph(sig: np.ndarray) -> np.ndarray:
             need &= ~ok
             shift += 1
     return dens
+
+
+def jaro_winkler_bytes(a, b, prefix_weight_tenths: int = 1
+                       ) -> np.ndarray:
+    """Pairwise Jaro-Winkler similarity in MICRO-UNITS (int64,
+    floor(jw*1e6 + 0.5)) with DuckDB ``jaro_winkler_similarity``
+    semantics: BYTE strings (multibyte text compares bytewise —
+    probed: jw('ée','ee') = 0), jaro of two empties is 0, and the
+    Winkler prefix boost (common prefix up to 4, weight 0.1) applies
+    only when jaro > 0.7.
+
+    Everything after the greedy match is EXACT integer arithmetic —
+    m, transpositions, lengths and prefix are ints, so
+    jw = ((10-l)*jaro_num + l*jaro_den) / (10*jaro_den) is a small
+    rational and the micro-unit result is computed by integer division
+    (round-half-up), bit-stable under any pair order or partitioning.
+
+    ``a``/``b``: same-length sequences of bytes/str. Vectorized across
+    pairs: the greedy match loop runs max-length iterations of
+    O(pairs × L) boolean kernels — same shape as levenshtein_bytes.
+    """
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    enc_a = [x.encode() if isinstance(x, str) else bytes(x) for x in a]
+    enc_b = [x.encode() if isinstance(x, str) else bytes(x) for x in b]
+    la = np.fromiter((len(x) for x in enc_a), np.int64, n)
+    lb = np.fromiter((len(x) for x in enc_b), np.int64, n)
+    L = int(max(la.max(initial=0), lb.max(initial=0), 1))
+    A = np.zeros((n, L), dtype=np.uint8)
+    B = np.zeros((n, L), dtype=np.uint8)
+    for i, s in enumerate(enc_a):
+        A[i, :len(s)] = np.frombuffer(s, np.uint8)
+    for i, s in enumerate(enc_b):
+        B[i, :len(s)] = np.frombuffer(s, np.uint8)
+
+    J = np.arange(L, dtype=np.int64)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    used_b = np.zeros((n, L), dtype=bool)
+    match_a = np.full((n, L), -1, dtype=np.int64)
+    b_valid = J[None, :] < lb[:, None]
+    for i in range(L):
+        active = i < la
+        if not active.any():
+            break
+        lo = np.maximum(i - w, 0)
+        hi = i + w
+        cand = ((B == A[:, i][:, None]) & ~used_b & b_valid
+                & (J[None, :] >= lo[:, None])
+                & (J[None, :] <= hi[:, None]) & active[:, None])
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        used_b[has, j[has]] = True
+        match_a[has, i] = j[has]
+    matched_a = match_a >= 0
+    m = matched_a.sum(axis=1).astype(np.int64)
+
+    # k-th matched char of A (in a-order) vs k-th of B (in b-order)
+    BIG = np.int64(2 * L + 2)
+    key_a = np.where(matched_a, J[None, :], BIG + J[None, :])
+    key_b = np.where(used_b, J[None, :], BIG + J[None, :])
+    pa_ = np.take_along_axis(A, np.argsort(key_a, axis=1,
+                                           kind='stable'), 1)
+    pb_ = np.take_along_axis(B, np.argsort(key_b, axis=1,
+                                           kind='stable'), 1)
+    kvalid = J[None, :] < m[:, None]
+    t = (((pa_ != pb_) & kvalid).sum(axis=1) // 2).astype(np.int64)
+
+    # common prefix (<= 4 bytes, within both lengths)
+    pmax = min(4, L)
+    eq = (A[:, :pmax] == B[:, :pmax]) \
+        & (J[None, :pmax] < np.minimum(la, lb)[:, None])
+    pl = np.cumprod(eq, axis=1).sum(axis=1).astype(np.int64)
+
+    ok = m > 0
+    la_, lb_, m_, t_, pl_ = la[ok], lb[ok], m[ok], t[ok], pl[ok]
+    num = m_ * m_ * lb_ + m_ * m_ * la_ + (m_ - t_) * la_ * lb_
+    den = 3 * la_ * lb_ * m_
+    # winkler boost when jaro >= 0.7: DuckDB compares jaro > 0.7 in
+    # DOUBLES, and 0.7's double is below the exact rational 7/10, so
+    # exact-0.7 cases DO boost (probed: jw('e','e'+9 chars) = 0.73)
+    boost = (10 * num) >= (7 * den)
+    wnum = np.where(boost,
+                    (10 - pl_ * prefix_weight_tenths) * num
+                    + pl_ * prefix_weight_tenths * den,
+                    10 * num)
+    wden = 10 * den
+    # floor(x*1e6 + 1/2) on the exact rational, all int64:
+    # wnum <= wden = 30*la*lb*m <= 30*L^3; 2e6*wnum must fit int64 ->
+    # L <= ~530 bytes; larger inputs go through object ints (rare)
+    if L <= 512:
+        out[ok] = (2_000_000 * wnum + wden) // (2 * wden)
+    else:
+        out[ok] = np.array(
+            [(2_000_000 * int(nn) + int(dd)) // (2 * int(dd))
+             for nn, dd in zip(wnum.astype(object), wden.astype(object))],
+            dtype=np.int64)
+    return out

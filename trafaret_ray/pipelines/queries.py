@@ -10442,3 +10442,50 @@ def q_mmr_topk(sf_dir: str):
 
 
 QUERIES['q_mmr_topk'] = q_mmr_topk
+
+
+def q_jw_pairs_docs(sf_dir: str):
+    """Jaro-Winkler near-dup pairs (stages/dedup.jw_pairs): same
+    (lang, 64-char length band) equality blocking as
+    q_editdist_pairs_docs, similarity kernel over the 32-codepoint
+    prefix with jw6 >= 0.85e6. The kernel
+    (functions/text.py:jaro_winkler_bytes) is exact-integer after the
+    greedy match — DuckDB jaro_winkler_similarity BYTE semantics
+    including the empty-vs-empty 0 and the boost-at-exactly-0.7 edge
+    (the engine compares the exact rational >= 7/10 because DuckDB's
+    double literal 0.7 sits below it; 25k-pair differential in
+    tests/test_jw_kernel.py)."""
+    from ..stages.dedup import jw_pairs
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang', 'n_chars'],
+               require=('text', 'lang', 'n_chars'))
+
+    def band(tbl: pa.Table) -> pa.Table:
+        b = np.floor_divide(
+            tbl.column('n_chars').combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False), 64)
+        return tbl.append_column('band', pa.array(b, type=pa.int64()))
+
+    banded = ds.map_batches(band, batch_format='pyarrow',
+                            zero_copy_batch=True)
+    return jw_pairs(banded, ['lang', 'band'], prefix_cp=32,
+                    min_sim6=850_000, num_buckets=16)\
+        .sort(['doc_a', 'doc_b'])
+
+
+QUERIES['q_jw_pairs_docs'] = q_jw_pairs_docs
+ORACLE_SQL['q_jw_pairs_docs'] = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 64 AS band,
+             substr(text, 1, 32) AS pfx
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+        AND n_chars IS NOT NULL)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(floor(jaro_winkler_similarity(a.pfx, b.pfx) * 1000000
+                      + 0.5) AS BIGINT) AS jw6
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE cast(floor(jaro_winkler_similarity(a.pfx, b.pfx) * 1000000
+                     + 0.5) AS BIGINT) >= 850000
+    ORDER BY doc_a, doc_b
+"""

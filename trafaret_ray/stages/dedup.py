@@ -1833,3 +1833,88 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
     groups = out.union(rd.from_arrow(out_schema.empty_table()))
     return groups, {'version': version, 'dir': vname,
                     'n_convs': n_convs}
+
+
+def _jw_by_code(ca: np.ndarray, cb: np.ndarray, uniq) -> np.ndarray:
+    """Jaro-Winkler micro-similarities for pair rows given factorized
+    prefix codes — same result-preserving reductions as
+    _editdist_by_code: unordered code-pair dedup (JW is symmetric) and
+    the exact-equal fast path (jw6 = 1e6)."""
+    n = len(ca)
+    nu = len(uniq)
+    if n == 0 or nu == 0:
+        return np.zeros(n, dtype=np.int64)
+    lo = np.minimum(ca, cb).astype(np.int64)
+    hi = np.maximum(ca, cb).astype(np.int64)
+    ukey, inv = np.unique(lo * nu + hi, return_inverse=True)
+    ua, ub = ukey // nu, ukey % nu
+    us = np.zeros(len(ukey), dtype=np.int64)
+    enc = [s.encode('utf-8') for s in uniq]
+    # equal-code fast path: jw(s, s) = 1 EXCEPT the empty string —
+    # DuckDB defines jaro of two empties as 0 (dirty-gate find)
+    nonempty = np.array([len(e) > 0 for e in enc], dtype=bool)
+    us[(ua == ub) & nonempty[ua]] = 1_000_000
+    cand = np.nonzero(ua != ub)[0]
+    if cand.size:
+        us[cand] = T.jaro_winkler_bytes(
+            [enc[i] for i in ua[cand]], [enc[i] for i in ub[cand]])
+    return us[inv]
+
+
+def jw_pairs(ds, block_cols, text_col: str = 'text',
+             id_col: str = 'doc_id', prefix_cp: int = 48,
+             min_sim6: int = 850_000, num_buckets: int = 16):
+    """Jaro-Winkler near-dup pairs under equality blocking — the
+    similarity twin of ``editdist_pairs``: docs sharing ``block_cols``
+    are candidates; a pair is kept when the byte-level Jaro-Winkler of
+    the first ``prefix_cp`` CODEPOINTS is >= ``min_sim6`` micro-units.
+    Returns (doc_a, doc_b, jw6), doc_a < doc_b, jw6 exact-int
+    (functions/text.py:jaro_winkler_bytes — DuckDB
+    jaro_winkler_similarity byte parity incl. the >=0.7 boost edge,
+    25k-pair differential).
+
+    Same 100-TB shape as editdist_pairs: ONE exchange of (id, block
+    key, prefix) rows, per-bucket unique-prefix-pair dedup, one
+    vectorized kernel call per bucket; B^2 bounded by the block key.
+    """
+    block_cols = list(block_cols)
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(
+            tbl.column(text_col).combine_chunks(), 0, prefix_cp)
+        cols = {id_col: tbl.column(id_col), '_pfx': pfx}
+        for c in block_cols:
+            cols[c] = tbl.column(c)
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format='pyarrow',
+                             zero_copy_batch=True)
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        id_t = (tbl.schema.field(id_col).type
+                if id_col in tbl.schema.names else pa.int64())
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                                ('jw6', pa.int64())])
+        df = tbl.to_pandas()
+        if len(df):
+            df = df.dropna(subset=block_cols + ['_pfx'])
+        if len(df) == 0:
+            return out_schema.empty_table()
+        codes, uniq = pd.factorize(df['_pfx'], sort=False)
+        df = df[[id_col] + block_cols].assign(_pc=codes)
+        m = df.merge(df, on=block_cols, suffixes=('_a', '_b'))
+        m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
+        if len(m) == 0:
+            return out_schema.empty_table()
+        jw = _jw_by_code(m['_pc_a'].to_numpy(),
+                         m['_pc_b'].to_numpy(), uniq)
+        keep = jw >= min_sim6
+        m = m[keep]
+        return pa.table({
+            'doc_a': pa.array(m[f'{id_col}_a'].to_numpy(), type=id_t),
+            'doc_b': pa.array(m[f'{id_col}_b'].to_numpy(), type=id_t),
+            'jw6': pa.array(jw[keep], type=pa.int64())})
+
+    from .conversations import bucket_exchange
+    return bucket_exchange(prepped.repartition(num_buckets), block_cols,
+                           pairs, num_buckets)
