@@ -219,3 +219,25 @@ class TestIncrementalExactDedup:
         import os
         assert os.path.exists(os.path.join(state, 'v-00000'))
         assert os.path.exists(os.path.join(state, 'v-00002'))
+
+    def test_crashed_ingest_orphan_dir_is_recovered(self, ray_session,
+                                                    tmp_path):
+        """A crash after the version-dir swap but before the manifest
+        swap leaves an unreferenced v-dir; the retry must clear and
+        rewrite it instead of failing on os.replace."""
+        import os
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import (
+            conversation_exact_dedup_incremental as incr)
+        state = str(tmp_path / 'state')
+        incr(rd.from_arrow(_transcripts(_base_convs())), state)
+        # simulate the crash artifact: orphan next-version dir
+        orphan = os.path.join(state, 'v-00001')
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, 'junk.parquet'), 'w') as f:
+            f.write('not parquet')
+        g, info = incr(rd.from_arrow(_transcripts(
+            {'c-9': [('user', 'retry after crash')]})), state)
+        assert info['version'] == 1
+        df = g.to_pandas()
+        assert list(df['conv_id']) == ['c-9']

@@ -1803,6 +1803,14 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
     vname = f'v-{version:05d}'
     tmp_dir = os.path.join(state_dir, vname + '.tmp')
     final_dir = os.path.join(state_dir, vname)
+    # a crashed prior attempt may have left an orphan tmp or an
+    # unreferenced final dir (crash AFTER the dir swap but BEFORE the
+    # manifest swap) — both are safe to clear: the manifest still
+    # points at the previous version
+    import shutil
+    for orphan in (tmp_dir, final_dir):
+        if os.path.exists(orphan):
+            shutil.rmtree(orphan)
     merged.map_batches(lambda t: t.drop_columns(['_new'])
                        .cast(state_schema), batch_format='pyarrow')\
         .write_parquet(tmp_dir)
