@@ -140,3 +140,46 @@ class TestFormatMatrix:
         df = read_csv(str(p), columns=['a', 'c']).to_pandas()
         assert list(df.columns) == ['a', 'c']
         assert list(df['c']) == [3, 6]
+
+
+class TestORC:
+    def test_orc_roundtrip_and_validated_gate(self, ray_session, tmp_path):
+        import pyarrow.orc as porc
+        import ray.data as rd
+        import trafaret_ray.contracts as t
+        from trafaret_ray.contracts import drop_quarantine
+        from trafaret_ray.sinks import write_orc
+        from trafaret_ray.sources.readers import read_orc, read_validated
+
+        tbl = pa.table({'a': pa.array([1, 2, 3], pa.int64()),
+                        'b': pa.array(['x', 'y', 'z'], pa.string()),
+                        'c': pa.array([1.5, 2.5, 3.5], pa.float64())})
+        src = tmp_path / 'in'
+        src.mkdir()
+        porc.write_table(tbl.slice(0, 2), str(src / 'p1.orc'))
+        porc.write_table(tbl.slice(2), str(src / 'p2.orc'))
+
+        got = read_orc(str(src)).to_pandas().sort_values('a')\
+            .reset_index(drop=True)
+        assert got.equals(tbl.to_pandas())
+        # column pruning at decode
+        only = read_orc(str(src), columns=['a']).to_pandas()
+        assert list(only.columns) == ['a']
+
+        # contract gate over ORC input
+        tagged = read_validated(str(src), t.Dict(a=t.Int(gte=2),
+                                                 b=t.String(),
+                                                 c=t.Float()),
+                                format='orc')
+        ok_rows = tagged.map_batches(drop_quarantine,
+                                     batch_format='pyarrow').to_pandas()
+        assert sorted(ok_rows['a']) == [2, 3]
+
+        # sink: write_orc emits one file per block + manifest
+        out = tmp_path / 'out'
+        man = write_orc(rd.from_arrow(tbl).repartition(2),
+                        str(out)).to_pandas()
+        assert man['rows'].sum() == 3
+        back = pa.concat_tables(
+            [porc.ORCFile(p).read() for p in sorted(man['path'])])
+        assert back.num_rows == 3

@@ -128,3 +128,32 @@ def export_jsonl_shards(ds, out_dir: str, key_col: str,
     with open(os.path.join(out_dir, _SUCCESS), 'w') as f:
         f.write('')
     return mdf
+
+
+def write_orc(ds, out_dir: str):
+    """ORC sink: one file per input block, written task-side in
+    parallel (tmp + rename, resumable layout like the jsonl shards).
+    Returns the manifest Dataset of (path, rows, bytes)."""
+    import pyarrow.orc as porc
+
+    os.makedirs(out_dir, exist_ok=True)
+    m_schema = pa.schema([('path', pa.string()), ('rows', pa.int64()),
+                          ('bytes', pa.int64())])
+
+    def write_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return m_schema.empty_table()
+        import uuid
+        name = f'part-{uuid.uuid4().hex[:12]}.orc'
+        final = os.path.join(out_dir, name)
+        tmp = final + f'.tmp.{os.getpid()}'
+        porc.write_table(tbl, tmp)
+        size = os.path.getsize(tmp)
+        os.rename(tmp, final)
+        return pa.table({'path': pa.array([final], pa.string()),
+                         'rows': pa.array([tbl.num_rows], pa.int64()),
+                         'bytes': pa.array([size], pa.int64())},
+                        schema=m_schema)
+
+    return ds.map_batches(write_block, batch_format='pyarrow',
+                          batch_size=None)

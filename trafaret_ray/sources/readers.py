@@ -93,9 +93,32 @@ def read_validated(paths, contract, format: str = 'parquet',
     contracts.validator.drop_quarantine / only_quarantine."""
     from ..contracts import BatchValidator
     reader = {'parquet': read_parquet, 'json': read_json,
-              'csv': read_csv,
+              'csv': read_csv, 'orc': read_orc,
               'parquet_evolved': read_parquet_evolved}[format]
     ds = reader(paths, columns=columns, **kwargs)
     v = BatchValidator(contract)
     return ds.map_batches(v.tag, batch_format='pyarrow',
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+def read_orc(paths, columns=None, **kwargs):
+    """ORC ingest (pyarrow.orc has no native Ray reader): the file list
+    streams through ``read_binary_files`` and each task decodes its
+    file to Arrow, pruning to ``columns`` at decode (ORC reads only the
+    requested columns' streams). Parallelism = file count — split
+    multi-GB single files upstream; parquet stays the first-class
+    format."""
+    import io
+
+    import pyarrow.orc as porc
+    import ray.data as rd
+
+    blobs = rd.read_binary_files(paths, include_paths=False, **kwargs)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tabs = [porc.ORCFile(io.BytesIO(b.as_py())).read(columns=columns)
+                for b in batch.column('bytes')]
+        return pa.concat_tables(tabs)
+
+    return blobs.map_batches(decode, batch_format='pyarrow',
+                             batch_size=1)
