@@ -183,3 +183,38 @@ class TestORC:
         back = pa.concat_tables(
             [porc.ORCFile(p).read() for p in sorted(man['path'])])
         assert back.num_rows == 3
+
+
+class TestFeather:
+    def test_feather_roundtrip_and_gate(self, ray_session, tmp_path):
+        import pyarrow.feather as pf
+        import ray.data as rd
+        import trafaret_ray.contracts as t
+        from trafaret_ray.contracts import drop_quarantine
+        from trafaret_ray.sinks import write_feather
+        from trafaret_ray.sources.readers import (read_feather,
+                                                  read_validated)
+
+        tbl = pa.table({'a': pa.array([1, 2, 3], pa.int64()),
+                        'b': pa.array(['x', 'y', 'z'], pa.string())})
+        src = tmp_path / 'in'
+        src.mkdir()
+        pf.write_feather(tbl.slice(0, 2), str(src / 'p1.feather'))
+        pf.write_feather(tbl.slice(2), str(src / 'p2.feather'))
+        got = read_feather(str(src)).to_pandas().sort_values('a')\
+            .reset_index(drop=True)
+        assert got.equals(tbl.to_pandas())
+        only = read_feather(str(src), columns=['b']).to_pandas()
+        assert list(only.columns) == ['b']
+        tagged = read_validated(str(src), t.Dict(a=t.Int(gte=2),
+                                                 b=t.String()),
+                                format='feather')
+        ok_rows = tagged.map_batches(drop_quarantine,
+                                     batch_format='pyarrow').to_pandas()
+        assert sorted(ok_rows['a']) == [2, 3]
+        man = write_feather(rd.from_arrow(tbl).repartition(2),
+                            str(tmp_path / 'out')).to_pandas()
+        assert man['rows'].sum() == 3
+        back = pa.concat_tables([pf.read_table(p)
+                                 for p in sorted(man['path'])])
+        assert back.num_rows == 3

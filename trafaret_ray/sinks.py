@@ -157,3 +157,31 @@ def write_orc(ds, out_dir: str):
 
     return ds.map_batches(write_block, batch_format='pyarrow',
                           batch_size=None)
+
+
+def write_feather(ds, out_dir: str):
+    """Arrow IPC (Feather v2) sink — one file per block, task-side
+    parallel writes, manifest Dataset back (same layout as write_orc)."""
+    import pyarrow.feather as pf
+
+    os.makedirs(out_dir, exist_ok=True)
+    m_schema = pa.schema([('path', pa.string()), ('rows', pa.int64()),
+                          ('bytes', pa.int64())])
+
+    def write_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return m_schema.empty_table()
+        import uuid
+        name = f'part-{uuid.uuid4().hex[:12]}.feather'
+        final = os.path.join(out_dir, name)
+        tmp = final + f'.tmp.{os.getpid()}'
+        pf.write_feather(tbl, tmp)
+        size = os.path.getsize(tmp)
+        os.rename(tmp, final)
+        return pa.table({'path': pa.array([final], pa.string()),
+                         'rows': pa.array([tbl.num_rows], pa.int64()),
+                         'bytes': pa.array([size], pa.int64())},
+                        schema=m_schema)
+
+    return ds.map_batches(write_block, batch_format='pyarrow',
+                          batch_size=None)

@@ -94,6 +94,7 @@ def read_validated(paths, contract, format: str = 'parquet',
     from ..contracts import BatchValidator
     reader = {'parquet': read_parquet, 'json': read_json,
               'csv': read_csv, 'orc': read_orc,
+              'feather': read_feather,
               'parquet_evolved': read_parquet_evolved}[format]
     ds = reader(paths, columns=columns, **kwargs)
     v = BatchValidator(contract)
@@ -118,6 +119,29 @@ def read_orc(paths, columns=None, **kwargs):
     def decode(batch: pa.Table) -> pa.Table:
         tabs = [porc.ORCFile(io.BytesIO(b.as_py())).read(columns=columns)
                 for b in batch.column('bytes')]
+        return pa.concat_tables(tabs)
+
+    return blobs.map_batches(decode, batch_format='pyarrow',
+                             batch_size=1)
+
+
+def read_feather(paths, columns=None, **kwargs):
+    """Arrow IPC / Feather-v2 ingest — same per-file decode shape as
+    ``read_orc`` (no native Ray reader): file blobs stream through
+    ``read_binary_files``; each task materializes its file's record
+    batches zero-copy from the buffer and prunes to ``columns``."""
+    import pyarrow.ipc as ipc
+    import ray.data as rd
+
+    blobs = rd.read_binary_files(paths, include_paths=False, **kwargs)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for b in batch.column('bytes'):
+            t = ipc.open_file(pa.BufferReader(b.as_py())).read_all()
+            if columns is not None:
+                t = t.select(columns)
+            tabs.append(t)
         return pa.concat_tables(tabs)
 
     return blobs.map_batches(decode, batch_format='pyarrow',
