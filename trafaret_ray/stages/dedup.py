@@ -1124,8 +1124,10 @@ def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
                 '_cd': pa.array(cd),
             })
 
+    # autoscaling actor pool: assignment is the full-corpus pass, so
+    # the pool must widen with input (2 actors would throttle 100 TB)
     assigned = ds.map_batches(Assign, batch_format='pyarrow',
-                              zero_copy_batch=True, concurrency=2)
+                              zero_copy_batch=True, concurrency=(2, 16))
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
