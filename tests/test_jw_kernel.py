@@ -81,3 +81,20 @@ class TestJWKernel:
         assert got[0] == 0          # jw('','') = 0 (DuckDB)
         assert got[1] == 1_000_000  # jw('abc','abc') = 1
         assert got[2] == 0          # jw('','abc') = 0
+
+    def test_hypothesis_differential(self):
+        from hypothesis import given, settings, strategies as st
+        # printable unicode incl. multibyte, no surrogates; DuckDB
+        # varchar rejects NUL so exclude it
+        alphabet = st.characters(min_codepoint=1, max_codepoint=0x2fff,
+                                 blacklist_categories=('Cs',))
+        text = st.text(alphabet=alphabet, max_size=24)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.tuples(text, text), min_size=1, max_size=8))
+        def check(pairs):
+            got = jaro_winkler_bytes([p[0] for p in pairs],
+                                     [p[1] for p in pairs])
+            assert np.array_equal(got, _duck(pairs))
+
+        check()
