@@ -241,3 +241,19 @@ class TestIncrementalExactDedup:
         assert info['version'] == 1
         df = g.to_pandas()
         assert list(df['conv_id']) == ['c-9']
+
+    def test_ingest_key_replay_raises(self, ray_session, tmp_path):
+        """At-least-once redelivery: replaying a keyed shard must raise
+        instead of double-summing fingerprints."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import (
+            conversation_exact_dedup_incremental as incr)
+        state = str(tmp_path / 'state')
+        tbl = _transcripts(_base_convs())
+        incr(rd.from_arrow(tbl), state, ingest_key='shard-0')
+        with pytest.raises(ValueError, match='already applied'):
+            incr(rd.from_arrow(tbl), state, ingest_key='shard-0')
+        # a NEW key proceeds
+        g, info = incr(rd.from_arrow(_transcripts(
+            {'c-9': [('user', 'fresh')]})), state, ingest_key='shard-1')
+        assert info['version'] == 1

@@ -218,3 +218,23 @@ class TestFeather:
         back = pa.concat_tables([pf.read_table(p)
                                  for p in sorted(man['path'])])
         assert back.num_rows == 3
+
+
+class TestSinkIdempotence:
+    def test_manifest_consumed_twice_writes_once(self, ray_session,
+                                                 tmp_path):
+        """The sink manifest is materialized: consuming it twice (or
+        re-reading it) must NOT re-execute the writes, and retries are
+        content-addressed so the file set stays stable."""
+        import os
+        import ray.data as rd
+        from trafaret_ray.sinks import write_orc
+        tbl = pa.table({'a': pa.array(list(range(10)), pa.int64())})
+        out = tmp_path / 'orc'
+        man = write_orc(rd.from_arrow(tbl).repartition(2), str(out))
+        assert man.count() == 2
+        n_files = len(os.listdir(out))
+        _ = man.to_pandas()            # second consumption
+        assert len(os.listdir(out)) == n_files
+        total = sum(r['rows'] for r in man.to_pandas().to_dict('records'))
+        assert total == 10

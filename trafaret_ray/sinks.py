@@ -130,11 +130,19 @@ def export_jsonl_shards(ds, out_dir: str, key_col: str,
     return mdf
 
 
-def write_orc(ds, out_dir: str):
-    """ORC sink: one file per input block, written task-side in
-    parallel (tmp + rename, resumable layout like the jsonl shards).
-    Returns the manifest Dataset of (path, rows, bytes)."""
-    import pyarrow.orc as porc
+def _write_file_per_block(ds, out_dir: str, ext: str, write_fn):
+    """Shared one-file-per-block sink protocol: CONTENT-ADDRESSED file
+    names (sha1 of the block's IPC bytes) make task retries idempotent
+    (a retry rewrites the same path via tmp+rename), and the manifest
+    Dataset is MATERIALIZED before returning so consuming it twice
+    cannot re-execute the writes (lazy side-effecting sinks double
+    their output). Two identical-content blocks coalesce into one file
+    and two manifest rows naming it — by-construction dedup of exact
+    duplicate blocks, noted here because it is observable."""
+    import hashlib
+    import io
+
+    import pyarrow.ipc as ipc
 
     os.makedirs(out_dir, exist_ok=True)
     m_schema = pa.schema([('path', pa.string()), ('rows', pa.int64()),
@@ -143,45 +151,35 @@ def write_orc(ds, out_dir: str):
     def write_block(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return m_schema.empty_table()
-        import uuid
-        name = f'part-{uuid.uuid4().hex[:12]}.orc'
-        final = os.path.join(out_dir, name)
-        tmp = final + f'.tmp.{os.getpid()}'
-        porc.write_table(tbl, tmp)
-        size = os.path.getsize(tmp)
-        os.rename(tmp, final)
+        sink = io.BytesIO()
+        with ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        digest = hashlib.sha1(sink.getvalue()).hexdigest()[:16]
+        final = os.path.join(out_dir, f'part-{digest}{ext}')
+        if not os.path.exists(final):
+            tmp = final + f'.tmp.{os.getpid()}'
+            write_fn(tbl, tmp)
+            os.rename(tmp, final)
         return pa.table({'path': pa.array([final], pa.string()),
                          'rows': pa.array([tbl.num_rows], pa.int64()),
-                         'bytes': pa.array([size], pa.int64())},
-                        schema=m_schema)
+                         'bytes': pa.array([os.path.getsize(final)],
+                                           pa.int64())}, schema=m_schema)
 
     return ds.map_batches(write_block, batch_format='pyarrow',
-                          batch_size=None)
+                          batch_size=None).materialize()
+
+
+def write_orc(ds, out_dir: str):
+    """ORC sink: one file per input block, written task-side in
+    parallel. Content-addressed names + eager manifest (see
+    _write_file_per_block). Returns the manifest Dataset of
+    (path, rows, bytes)."""
+    import pyarrow.orc as porc
+    return _write_file_per_block(ds, out_dir, '.orc', porc.write_table)
 
 
 def write_feather(ds, out_dir: str):
-    """Arrow IPC (Feather v2) sink — one file per block, task-side
-    parallel writes, manifest Dataset back (same layout as write_orc)."""
+    """Arrow IPC (Feather v2) sink — same protocol as write_orc."""
     import pyarrow.feather as pf
-
-    os.makedirs(out_dir, exist_ok=True)
-    m_schema = pa.schema([('path', pa.string()), ('rows', pa.int64()),
-                          ('bytes', pa.int64())])
-
-    def write_block(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return m_schema.empty_table()
-        import uuid
-        name = f'part-{uuid.uuid4().hex[:12]}.feather'
-        final = os.path.join(out_dir, name)
-        tmp = final + f'.tmp.{os.getpid()}'
-        pf.write_feather(tbl, tmp)
-        size = os.path.getsize(tmp)
-        os.rename(tmp, final)
-        return pa.table({'path': pa.array([final], pa.string()),
-                         'rows': pa.array([tbl.num_rows], pa.int64()),
-                         'bytes': pa.array([size], pa.int64())},
-                        schema=m_schema)
-
-    return ds.map_batches(write_block, batch_format='pyarrow',
-                          batch_size=None)
+    return _write_file_per_block(ds, out_dir, '.feather',
+                                 pf.write_feather)

@@ -1040,7 +1040,7 @@ def sorted_neighborhood_pairs(ds, text_col: str = 'text',
 
 def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
              iters=5, threshold=0.95, num_buckets=32,
-             cluster_rows_max=50_000):
+             cluster_rows_max=50_000, pair_cap=8_000_000):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering the embedding space, then marking within-cluster
     pairs with cosine >= ``threshold`` as duplicates and keeping ONE doc
@@ -1156,17 +1156,54 @@ def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
                     f'n_clusters so the O(B^2) within-cluster scan '
                     f'stays bounded')
             Us = U[idx]
-            # chunk rows so a score block never exceeds ~64 MB int64
-            chunk = max(64, min(4096, 8_000_000 // B))
+            # collapse EXACT-duplicate vectors first: a hot blob of D
+            # bit-identical embeddings contributes D-1 trivial links,
+            # not D^2/2 scored pairs (the 300x-dup skew-gate shape)
+            rows_view = Us.view([('', Us.dtype)] * Us.shape[1])\
+                .ravel()
+            _, rep_of = np.unique(rows_view, return_inverse=True)
+            # first occurrence per duplicate group, in ORIGINAL order:
+            # stable argsort of group codes -> group segment heads
+            ord_g = np.argsort(rep_of, kind='stable')
+            heads = np.ones(B, dtype=bool)
+            heads[1:] = rep_of[ord_g][1:] != rep_of[ord_g][:-1]
+            first_of = np.empty(rep_of.max() + 1, dtype=np.int64)
+            first_of[rep_of[ord_g[heads]]] = ord_g[heads]
+            scan = np.nonzero(first_of[rep_of] == np.arange(B))[0]
             ea, eb = [], []
-            for lo2 in range(0, B, chunk):
-                dots = Us[lo2:lo2 + chunk] @ Us.T      # exact int64
+            # duplicate members link to their first occurrence — but
+            # only when the vector actually clears the threshold
+            # against itself (a zero vector's cosine is 0, and exact
+            # zero-copies must NOT pair, matching the scored path)
+            dup_members = np.nonzero(first_of[rep_of]
+                                     != np.arange(B))[0]
+            if dup_members.size:
+                selfdot = (Us[dup_members].astype(np.int64) ** 2)\
+                    .sum(axis=1)
+                dup_members = dup_members[selfdot >= thr12]
+            if dup_members.size:
+                ea.append(first_of[rep_of[dup_members]])
+                eb.append(dup_members)
+            Uscan = Us[scan]
+            Bs = len(scan)
+            # chunk rows so a score block never exceeds ~64 MB int64
+            chunk = max(64, min(4096, 8_000_000 // max(Bs, 1)))
+            n_pairs = 0
+            for lo2 in range(0, Bs, chunk):
+                dots = Uscan[lo2:lo2 + chunk] @ Uscan.T  # exact int64
                 ii, jj = np.nonzero(dots >= thr12)
                 gi = ii + lo2
                 keep_m = jj > gi                       # upper triangle
                 if keep_m.any():
-                    ea.append(gi[keep_m])
-                    eb.append(jj[keep_m])
+                    n_pairs += int(keep_m.sum())
+                    if n_pairs > pair_cap:
+                        raise ValueError(
+                            f'semdedup: > {pair_cap} near-dup pairs '
+                            f'inside one cluster of {B} rows — raise '
+                            f'n_clusters or threshold so the pair '
+                            f'set stays bounded')
+                    ea.append(scan[gi[keep_m]])
+                    eb.append(scan[jj[keep_m]])
             if not ea:
                 continue
             ai = np.concatenate(ea)
@@ -1202,7 +1239,11 @@ def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
             'keep': pa.array(keep),
         }, schema=out_schema)
 
-    out = bucket_exchange(assigned, 'cluster', per_bucket, num_buckets)
+    # quadratic-compute reduce: align reduce width with num_buckets —
+    # a small input is ONE block and would serialize every cluster's
+    # O(B^2) scan into a single task (CLAUDE.md exchange rule)
+    out = bucket_exchange(assigned.repartition(num_buckets), 'cluster',
+                          per_bucket, num_buckets)
     # a fully-empty exchange emits schema-less blocks — pin the schema
     return out.union(rd.from_arrow(out_schema.empty_table()))
 
@@ -1372,6 +1413,11 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
     from .conversations import bucket_exchange
     from .graph import connected_components
     from .joins import hash_join
+
+    if sig_mode not in ('perm', 'oph'):
+        raise ValueError(
+            f'conversation_minhash_dedup: unknown sig_mode {sig_mode!r} '
+            f"(expected 'perm' or 'oph')")
 
     sigpart_schema = pa.schema([
         ('conv', pa.string()), ('ch', pa.int64()),
@@ -1704,7 +1750,8 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
                                          order_col='turn_idx',
                                          role_col='role',
                                          text_col='text',
-                                         num_buckets: int = 32):
+                                         num_buckets: int = 32,
+                                         ingest_key: str | None = None):
     """Incremental exact conversation dedup against PERSISTED
     fingerprint state — the data-lake shape: each ingest dedups its new
     shard against everything ever ingested WITHOUT re-reading old text.
@@ -1717,8 +1764,12 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
     across ingests (later shard appends turns) still fingerprints
     exactly as if read whole. Each ingest writes a complete new version
     directory and swaps the manifest atomically (tmp + os.replace, the
-    state/checkpoint.py invariant): a crashed run leaves the prior
-    version intact and the ingest re-runs cleanly.
+    state/checkpoint.py invariant): a crash BEFORE the manifest swap
+    leaves the prior version current and the ingest re-runs cleanly.
+    A crash AFTER the swap means the shard WAS applied — pass a stable
+    ``ingest_key`` (file digest / offset range) and a replay raises
+    instead of double-summing the fingerprints (at-least-once delivery
+    corrupts state otherwise).
 
     Returns ``(groups_ds, info)``: groups only for conversations
     TOUCHED by the new shard — ``group`` may name a previously-ingested
@@ -1782,10 +1833,22 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
     # prior state (if any) joins the merge as _new=0 rows
     os.makedirs(state_dir, exist_ok=True)
     man_path = os.path.join(state_dir, 'manifest.json')
-    manifest = {'version': -1, 'dir': None, 'n_convs': 0}
+    manifest = {'version': -1, 'dir': None, 'n_convs': 0,
+                'ingest_keys': []}
     if os.path.exists(man_path):
         with open(man_path) as f:
             manifest = json.load(f)
+    # replay guard: merging the SAME shard twice would double its
+    # fingerprint sums (fp -> 2fp) and silently break future matching
+    # for those conversations — an at-least-once pipeline MUST pass a
+    # stable ingest_key (file digest, offset range) so a redelivery
+    # fails loudly instead of corrupting state
+    if ingest_key is not None \
+            and ingest_key in manifest.get('ingest_keys', []):
+        raise ValueError(
+            f'conversation_exact_dedup_incremental: ingest_key '
+            f'{ingest_key!r} was already applied to {state_dir!r} — '
+            f'replaying a shard would double its fingerprints')
 
     new_parts = new_ds.map_batches(partials, batch_format='pyarrow',
                                    zero_copy_batch=True)
@@ -1818,10 +1881,14 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
         .write_parquet(tmp_dir)
     os.replace(tmp_dir, final_dir)
     n_convs = merged.count()
+    keys = list(manifest.get('ingest_keys', []))
+    if ingest_key is not None:
+        keys.append(ingest_key)
     man_tmp = man_path + '.tmp'
     with open(man_tmp, 'w') as f:
         json.dump({'version': version, 'dir': vname,
-                   'n_convs': n_convs}, f, indent=1, sort_keys=True)
+                   'n_convs': n_convs, 'ingest_keys': keys},
+                  f, indent=1, sort_keys=True)
     os.replace(man_tmp, man_path)
 
     def group_fn(tbl: pa.Table) -> pa.Table:

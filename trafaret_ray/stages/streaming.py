@@ -447,10 +447,12 @@ class StreamingDeduper:
         if mode == 'exact':
             self._seen: set = set()
         else:
-            align = 8 * k
-            self.m_bits = ((m_bits + align - 1) // align) * align
+            self.m_bits = ((m_bits + 7) // 8) * 8
             self.k = k
-            self._bits = np.zeros(self.m_bits, dtype=bool)
+            # PACKED bitmap (uint8): m_bits/8 bytes of actor heap —
+            # an unpacked bool array would cost 8x the advertised
+            # memory per actor
+            self._bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -469,7 +471,9 @@ class StreamingDeduper:
             from .joins import _bloom_hashes
             pos = _bloom_hashes(fp.view(np.uint64).astype(np.uint64),
                                 self.m_bits, self.k)
-            maybe_seen = self._bits[pos].all(axis=0)
+            byte, bit = pos >> 3, (pos & 7).astype(np.uint8)
+            maybe_seen = ((self._bits[byte] >> bit) & 1).all(axis=0)
             new = first_in_batch & ~maybe_seen
-            self._bits[pos[:, new].reshape(-1)] = True
+            np.bitwise_or.at(self._bits, byte[:, new].reshape(-1),
+                             np.uint8(1) << bit[:, new].reshape(-1))
         return tbl.filter(pa.array(new))
