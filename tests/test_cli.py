@@ -61,3 +61,39 @@ def test_cli_curate(tmp_path):
     # deterministic end-to-end: the query-suite curation at the same
     # settings keeps the same count (445 at sf0.001, CORRECTNESS r3)
     assert m['docs_kept'] == 445
+
+
+def test_cli_conv_dedup(tmp_path):
+    import pyarrow as pa
+    from trafaret_ray.sources.transcripts import write_transcripts
+    inp = str(tmp_path / 'in')
+    out = str(tmp_path / 'out')
+    write_transcripts(inp, n_turns=1500, seed=3, malformed_frac=0.0,
+                      rows_per_file=1000)
+    # plant one verbatim duplicate conversation as an extra shard
+    t0 = pq.read_table(os.path.join(inp, 'part-00000.parquet'))
+    first = t0.column('conv_id')[0].as_py()
+    import pyarrow.compute as pc
+    sub = t0.filter(pc.equal(t0.column('conv_id'), first))
+    dup_id = pa.array(['dup-' + first] * sub.num_rows, pa.string())
+    sub = sub.set_column(sub.schema.get_field_index('conv_id'),
+                         'conv_id', dup_id)
+    pq.write_table(sub, os.path.join(inp, 'part-dup.parquet'))
+
+    env = dict(os.environ, PYTHONPATH='/root/repo')
+    env.pop('RAY_ADDRESS', None)
+    cmd = [sys.executable, '-m', 'trafaret_ray.run', '--input', inp,
+           '--out', out, '--pipeline', 'conv-dedup',
+           '--num-buckets', '4', '--num-cpus', '4',
+           '--near-threshold', '0.5']
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m['pipeline'] == 'conv-dedup'
+    assert m['conversations'] > 0
+    ex = pq.read_table(os.path.join(out, 'exact')).to_pandas()
+    g = dict(zip(ex['conv_id'], ex['group']))
+    assert g['dup-' + first] == first
+    nr = pq.read_table(os.path.join(out, 'near')).to_pandas()
+    assert ('dup-' + first) in set(nr['conv_id'])

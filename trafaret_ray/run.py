@@ -32,7 +32,8 @@ def main(argv=None):
                    help='parquet path/dir of transcripts (input_hint schema)')
     p.add_argument('--out', required=True, help='output directory')
     p.add_argument('--pipeline',
-                   choices=('flagship', 'curate', 'incremental'),
+                   choices=('flagship', 'curate', 'incremental',
+                            'conv-dedup'),
                    default='flagship',
                    help='flagship transcript features (default) or the '
                         'documents corpus-curation pipeline')
@@ -92,6 +93,37 @@ def main(argv=None):
         n_out = rd.read_parquet(args.out).count()
         metrics = {'pipeline': 'curate', 'docs_in': n_in,
                    'docs_kept': n_out,
+                   'wall_s': round(time.perf_counter() - t0, 3)}
+    elif args.pipeline == 'conv-dedup':
+        # conversation-level dedup over the transcripts input: exact
+        # fingerprint groups + MinHash near-dup clusters, each written
+        # atomically under --out
+        import time
+        import os
+        import shutil
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import (
+            conversation_exact_dedup, conversation_minhash_dedup)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(args.input)
+        outs = {}
+        for name, res in (
+                ('exact', conversation_exact_dedup(
+                    ds, num_buckets=args.num_buckets)),
+                ('near', conversation_minhash_dedup(
+                    ds, threshold=args.near_threshold,
+                    num_buckets=args.num_buckets))):
+            sub = os.path.join(args.out, name)
+            tmp = sub + '.tmp'
+            shutil.rmtree(tmp, ignore_errors=True)
+            res.write_parquet(tmp)
+            shutil.rmtree(sub, ignore_errors=True)
+            os.makedirs(args.out, exist_ok=True)
+            os.replace(tmp, sub)
+            outs[name] = rd.read_parquet(sub).count()
+        metrics = {'pipeline': 'conv-dedup',
+                   'conversations': outs['exact'],
+                   'near_dup_clustered': outs['near'],
                    'wall_s': round(time.perf_counter() - t0, 3)}
     elif args.pipeline == 'incremental':
         # --input is a DIRECTORY of immutable parquet shards; only
