@@ -183,6 +183,17 @@ DIRTY_PROPS = [
     '{"k": -17, "esc": "a\\"b\\\\c"}',                    # escaped quotes
     '{"esc": "tricky\\"", "k": 21}',     # sibling ENDS in escaped quote
     '{"esc": "\\\\", "k": 8}',           # sibling is a lone backslash
+    # round-4 families (the r3 driver fixture caught one of these):
+    '{"k": 1.5}',                        # float -> CAST rounds to 2
+    '{"k": 2e3}',                        # scientific number
+    '{"k": "1.5"}',                      # string-typed decimal
+    '{"k": "  7  "}',                    # string with whitespace
+    '{"k": "0x1a"}',                     # hex string -> 26
+    '{"k": "15e-1"}',                    # string scientific -> 2
+    '{"k": 2, "k": 99}',                 # duplicate key: first wins
+    '{"a": {"b": {"c": {"k": 9}}}, "k": 11}',   # depth-3 decoy
+    '{"a": "see {\\"k\\": 9}", "k": 13}',       # braces inside string
+    '{"k": -0.49999999999999994}',       # near-half negative float
 ]
 
 

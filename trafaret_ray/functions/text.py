@@ -823,47 +823,216 @@ def redact_text(text: pa.Array) -> pa.Array:
     return out
 
 
-def json_scalar(text, key: str):
-    """Extract a top-level scalar JSON field as its raw token (string
-    array; nulls where the key is absent or the cell is null) — one RE2
-    pass over the batch, no per-row json.loads. Handles string values
-    (escaped quotes included), numbers, booleans and null. Top-level
-    only: when a batch contains container values ("a": {...} / [...]),
-    nested objects/arrays are stripped (bounded depth 2) BEFORE the key
-    match so a nested decoy key never shadows the top-level one — same
-    answer as SQL json_extract(..., '$.key'). Container-valued keys and
-    duplicate keys are out of scope (a columnar engine should promote
-    such payloads to struct columns at ingest — see contracts on
-    pa.StructArray); braces inside string values defeat the bounded
-    stripper. Cast the result with pyarrow.compute.cast for typed
-    use."""
-    import re
+# ---------------------------------------------------------------------------
+# JSON field extraction with DuckDB (yyjson) parity.
+#
+# Two tiers, decided per CELL inside one Arrow pass:
+#   * simple cells — exactly one '{' and one '}' and no '[' ']' or '\\'
+#     anywhere.  In such a cell a `"key":` match can only be a real
+#     top-level key (a JSON string value cannot contain a raw quote, so
+#     without escapes no value can forge the pattern), and there are no
+#     nested containers for a decoy key to hide in.  One RE2 pass,
+#     first match = yyjson's first-key-wins duplicate rule.
+#   * complex cells (escapes, nested containers, whole-doc scalars) —
+#     per-row python json parse with a first-key-wins pairs hook,
+#     mirroring DuckDB json_extract semantics at ANY nesting depth,
+#     braces inside string values included.  These are the rare tail.
+#
+# Number values are re-serialized the way yyjson prints them (DuckDB's
+# json_extract_string returns '2000.0' for the token `2e3`): shortest
+# round-trip digits, non-scientific for decimal point positions in
+# [-5, 21], trailing '.0' on integral doubles, int64/uint64 kept exact.
+# ---------------------------------------------------------------------------
+
+_JSON_WS = ' \t\n\r\v\f'
+_INT64_MAX = (1 << 63) - 1
+_INT64_MIN = -(1 << 63)
+_SAFE_INT_TOKEN_RE = re.compile(r'^(-?[1-9]\d{0,17}|0)$')
+_PURE_INT_RE = re.compile(r'^[+-]?\d+$')
+_DUCK_HEX_RE = re.compile(r'^0[xX][0-9a-fA-F](?:_?[0-9a-fA-F])*$')
+_DUCK_BIN_RE = re.compile(r'^0[bB][01](?:_?[01])*$')
+_DUCK_DEC_RE = re.compile(
+    r'^[+-]?(?:(\d(?:_?\d)*)(?:\.(\d(?:_?\d)*)?)?|\.(\d(?:_?\d)*))'
+    r'(?:[eE]([+-]?\d(?:_?\d)*))?$')
+
+
+class _JsonAbsent:
+    """Sentinel for 'key missing / malformed doc' (module-level class so
+    it pickles by reference if it ever crosses a worker boundary)."""
+
+
+def _first_wins(pairs):
+    """yyjson duplicate-key rule: the FIRST occurrence of a key wins
+    (verified against DuckDB json_extract_string on '{"k":1,"k":2}')."""
+    out = {}
+    for k, v in pairs:
+        if k not in out:
+            out[k] = v
+    return out
+
+
+def _reject_const(s):
+    raise ValueError(f'invalid JSON constant {s}')
+
+
+def _yyjson_double_str(v: float) -> str:
+    """Format a double exactly as yyjson / DuckDB json_extract_string
+    prints JSON numbers: shortest round-trip digits (python repr is the
+    same shortest-digits family), plain notation while the decimal
+    point position is in [-5, 21], trailing '.0' on integral doubles,
+    'e' exponent with no '+' otherwise.  Verified against DuckDB at the
+    1e-7/1e-6 and 1e20/1e21 switch points."""
+    if v != v or v in (float('inf'), float('-inf')):
+        raise ValueError('non-finite double in JSON')
+    r = repr(v)
+    neg = r.startswith('-')
+    if neg:
+        r = r[1:]
+    mant, _, ex = r.partition('e')
+    e10 = int(ex) if ex else 0
+    ip, _, fp = mant.partition('.')
+    digits = (ip + fp).lstrip('0')
+    e10 -= len(fp)
+    if not digits:
+        return '-0.0' if neg else '0.0'
+    trail = len(digits) - len(digits.rstrip('0'))
+    if trail:
+        digits = digits[:-trail]
+        e10 += trail
+    point = e10 + len(digits)
+    sign = '-' if neg else ''
+    if -5 <= point <= 21:
+        if point >= len(digits):
+            return sign + digits + '0' * (point - len(digits)) + '.0'
+        if point > 0:
+            return sign + digits[:point] + '.' + digits[point:]
+        return sign + '0.' + '0' * (-point) + digits
+    m = digits[0] + ('.' + digits[1:] if len(digits) > 1 else '')
+    return sign + m + 'e' + str(point - 1)
+
+
+def _yyjson_number_str(tok: str) -> str:
+    """Serialize a raw JSON number token like yyjson: int64/uint64 kept
+    exact, everything else through a C double."""
+    if _PURE_INT_RE.match(tok):
+        v = int(tok)
+        if _INT64_MIN <= v < (1 << 64):
+            return str(v)
+    return _yyjson_double_str(float(tok))
+
+
+def _yyjson_dumps(v) -> str:
+    """Compact JSON serialization matching yyjson's writer: numbers per
+    _yyjson_double_str / exact int64-uint64, no spaces, unicode kept
+    raw (ensure_ascii=False string escapes match yyjson's)."""
+    import json as _json
+    if v is None:
+        return 'null'
+    if v is True:
+        return 'true'
+    if v is False:
+        return 'false'
+    if isinstance(v, str):
+        return _json.dumps(v, ensure_ascii=False)
+    if isinstance(v, int):
+        if _INT64_MIN <= v < (1 << 64):
+            return str(v)
+        return _yyjson_double_str(float(v))
+    if isinstance(v, float):
+        return _yyjson_double_str(v)
+    if isinstance(v, list):
+        return '[' + ','.join(_yyjson_dumps(x) for x in v) + ']'
+    return '{' + ','.join(
+        _json.dumps(k, ensure_ascii=False) + ':' + _yyjson_dumps(x)
+        for k, x in v.items()) + '}'
+
+
+def _yyjson_value_str(v):
+    """A parsed python JSON value -> what DuckDB json_extract_string
+    returns for it (None for JSON null)."""
+    if v is None:
+        return None
+    if v is True:
+        return 'true'
+    if v is False:
+        return 'false'
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        if _INT64_MIN <= v < (1 << 64):
+            return str(v)
+        return _yyjson_double_str(float(v))
+    if isinstance(v, float):
+        return _yyjson_double_str(v)
+    return _yyjson_dumps(v)
+
+
+def _json_get_py(cell: str, key: str):
+    """Parse one JSON document (first-key-wins, like yyjson) and return
+    doc[key] as a python value; _JsonAbsent when the key is missing or
+    the document is not a JSON object.  Malformed documents also map to
+    _JsonAbsent — DuckDB raises 'Malformed JSON' there; we stay lenient
+    (an error on BOTH engines can never diverge a comparison, and
+    quarantine-style pipelines prefer null over a dead batch)."""
+    import json as _json
+    try:
+        doc = _json.loads(cell, object_pairs_hook=_first_wins,
+                          parse_constant=_reject_const)
+    except Exception:
+        return _JsonAbsent
+    if not isinstance(doc, dict) or key not in doc:
+        return _JsonAbsent
+    return doc[key]
+
+
+def _json_extract_parts(text, key: str):
+    """Shared tier split for json_scalar / json_bigint.
+
+    Returns (n, null_np, raw, simple_np, complex_idx, cells) where
+    `raw` is the RE2 token extraction over the whole batch (only
+    trusted on simple rows), `complex_idx` indexes the non-null rows
+    needing the python parser and `cells` are their strings."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    n = len(text)
+    null_np = pc.is_null(text).to_numpy(zero_copy_only=False)
     src = pc.fill_null(text, '')
-    # fast path: no container values anywhere in the batch -> 1 pass
-    if pc.any(pc.match_substring_regex(
-            src, r':\s*[\{\[]')).as_py():
-        # strip exactly ONE outer brace per side (utf8_trim would eat
-        # a nested object's closing brace on '{"a": {"k": 1}}')
-        inner = pc.replace_substring_regex(
-            src, pattern=r'^\s*\{', replacement='')
-        inner = pc.replace_substring_regex(
-            inner, pattern=r'\}\s*$', replacement='')
-        for _ in range(2):
-            inner = pc.replace_substring_regex(
-                inner, pattern=r'\{[^{}]*\}|\[[^\[\]]*\]',
-                replacement='')
-        src = inner
+    simple = pc.and_(
+        pc.and_(pc.equal(pc.count_substring(src, '{'),
+                         pa.scalar(1, pa.int32())),
+                pc.equal(pc.count_substring(src, '}'),
+                         pa.scalar(1, pa.int32()))),
+        pc.invert(pc.match_substring_regex(src, r'[\\\[\]]')))
+    simple_np = simple.to_numpy(zero_copy_only=False) & ~null_np
     pat = ('"' + re.escape(key)
            + r'"\s*:\s*(?P<v>"(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?'
            + r'(?:[eE][+-]?\d+)?|true|false|null)')
     struct = pc.extract_regex(src, pattern=pat)
     raw = pc.struct_field(struct, 'v')
-    # string values come back with their quotes: strip EXACTLY ONE quote
-    # per side (utf8_trim eats a whole run, so a value ending in an
-    # escaped quote like "say \"hi\"" would lose its real closing char
-    # too), then unescape
+    complex_idx = np.flatnonzero(~simple_np & ~null_np)
+    cells = (pc.take(src, pa.array(complex_idx)).to_pylist()
+             if len(complex_idx) else [])
+    return n, null_np, raw, simple_np, complex_idx, cells
+
+
+def json_scalar(text, key: str):
+    """DuckDB ``json_extract_string(text, '$.key')`` for a literal
+    top-level key, vectorized (string array out; nulls where the key is
+    absent, JSON-null, or the cell is null).  Simple cells go through
+    one RE2 pass; cells with escapes or nested containers go through a
+    real JSON parse — duplicate keys are first-wins and a nested decoy
+    key never shadows (or fakes) the top-level one, at any depth,
+    braces inside string values included.  Number tokens are
+    re-serialized exactly as yyjson prints them ('2e3' -> '2000.0'),
+    byte-verified against DuckDB (tests/test_json_kernel.py).  The one
+    leniency: malformed JSON yields null where DuckDB raises."""
+    n, null_np, raw, simple_np, complex_idx, cells = \
+        _json_extract_parts(text, key)
+    # vector path over simple rows ------------------------------------
+    # string values come back with their quotes: strip EXACTLY ONE
+    # quote per side (utf8_trim eats a whole run, so a value ending in
+    # an escaped quote like "say \"hi\"" would lose its real closing
+    # char too), then unescape
     quoted = pc.match_substring_regex(raw, r'^".*"$')
     stripped = pc.replace_substring_regex(
         pc.replace_substring_regex(raw, pattern=r'^"|"$', replacement=''),
@@ -871,9 +1040,212 @@ def json_scalar(text, key: str):
     unquoted = pc.if_else(quoted, stripped, raw)
     # JSON null -> SQL NULL: test the RAW token, not the unquoted one —
     # the string value "null" unquotes to 'null' but must stay a string
-    # (json_extract_string returns 'null' for it, verified)
-    return pc.if_else(pc.equal(raw, 'null'),
-                      pa.nulls(len(text), type=pa.string()), unquoted)
+    out = pc.if_else(pc.equal(raw, 'null'),
+                     pa.nulls(n, type=pa.string()), unquoted)
+    # number tokens yyjson would print differently than the raw text:
+    # anything numeric that is not a canonical small int ('-0', floats,
+    # exponents, 19+ digit ints)
+    needs = pc.and_(pc.match_substring_regex(raw, r'^-?\d'),
+                    pc.invert(pc.match_substring_regex(
+                        raw, r'^(-?[1-9]\d{0,17}|0)$')))
+    needs_np = pc.fill_null(needs, False).to_numpy(zero_copy_only=False) \
+        & simple_np
+    needs_idx = np.flatnonzero(needs_np)
+    if len(complex_idx) == 0 and len(needs_idx) == 0:
+        return out
+    vals = out.to_pylist()
+    if len(needs_idx):
+        toks = pc.take(raw, pa.array(needs_idx)).to_pylist()
+        for i, tok in zip(needs_idx, toks):
+            vals[i] = _yyjson_number_str(tok)
+    for i, cell in zip(complex_idx, cells):
+        v = _json_get_py(cell, key)
+        vals[i] = None if v is _JsonAbsent else _yyjson_value_str(v)
+    return pa.array(vals, type=pa.string())
+
+
+def duckdb_bigint_parse(s: str) -> int:
+    """DuckDB ``CAST(varchar AS BIGINT)`` semantics, exactly (probed +
+    differential-fuzzed, tests/test_json_kernel.py): ASCII-whitespace
+    trim; optional sign; '_' separators between digits; decimal
+    fractions round HALF AWAY FROM ZERO on the first fractional digit
+    using EXACT integer arithmetic (never a double round-trip —
+    '9223372036854775806.6' -> int64 max, which a double cannot do);
+    scientific exponents; unsigned 0x hex / 0b binary with NO
+    surrounding whitespace (DuckDB rejects ' 0x10 ' but takes ' 42 ');
+    raises ValueError on everything else, overflow included.
+
+    Known divergence envelope (accepted): inputs with an EXPLICIT
+    exponent AND 19+ fractional digits hit a DuckDB-internal
+    accumulator overflow with off-by-one results
+    ('97094.9009592086744391727e0' -> 97093 there, 97095 here); a JSON
+    number can never produce this (yyjson re-serializes through a
+    double, <= 17 significant digits) and the fuzz differential pins
+    everything up to 18 fractional digits."""
+    if _DUCK_HEX_RE.match(s):
+        v = int(s[2:].replace('_', ''), 16)
+        if v > _INT64_MAX:
+            raise ValueError(
+                f"Could not convert string '{s}' to INT64")
+        return v
+    if _DUCK_BIN_RE.match(s):
+        v = int(s[2:].replace('_', ''), 2)
+        if v > _INT64_MAX:
+            raise ValueError(
+                f"Could not convert string '{s}' to INT64")
+        return v
+    t = s.strip(_JSON_WS)
+    if t in ('+', '-') and len(s.rstrip(_JSON_WS)) < len(s):
+        # DuckDB quirk: a bare sign followed by at least one trailing
+        # whitespace char casts to 0 ('+ ' -> 0) while '+' alone errors
+        return 0
+    m = _DUCK_DEC_RE.match(t) if t else None
+    if not m:
+        raise ValueError(f"Could not convert string '{s}' to INT64")
+    ip = (m.group(1) or '').replace('_', '')
+    fp = (m.group(2) or m.group(3) or '').replace('_', '')
+    if not ip and not fp:
+        raise ValueError(f"Could not convert string '{s}' to INT64")
+    exp = int((m.group(4) or '0').replace('_', ''))
+    neg = t.startswith('-')
+    if not -32768 <= exp <= 32767:
+        # DuckDB parses the exponent into an int16 and errors past it
+        # even when the mantissa is 0 ('0e32768' errors, '0e32767' is 0)
+        raise ValueError(f"Could not convert string '{s}' to INT64")
+    if exp < 0:
+        # DuckDB's NEGATIVE-exponent path is NOT exact decimal
+        # arithmetic (probed, pinned in tests/test_json_kernel.py): the
+        # integer part is accumulated first (overflow -> error, even
+        # when the final value would fit: '99999999999999999999e-10'
+        # errors), then divided by 10 once per exponent step, BREAKING
+        # AS SOON AS IT HITS ZERO and rounding half-up on the last
+        # digit removed — so '5e-100' is 1 and '15e-20' is 0.  When the
+        # integer part is zero the fraction rounds to 1 exactly when
+        # its significant digits are a single digit >= 5 ('0.05e-19'
+        # -> 1, '0.55e-1' -> 0), at any exponent.
+        r = int(ip or '0')
+        if r > (_INT64_MAX + 1 if neg else _INT64_MAX):
+            raise ValueError(f"Could not convert string '{s}' to INT64")
+        if r > 0:
+            rem = 0
+            for _ in range(-exp):
+                rem = r % 10
+                r //= 10
+                if r == 0:
+                    break
+            v = r + (1 if rem >= 5 else 0)
+        else:
+            fs = fp.lstrip('0')
+            v = 1 if (len(fs) == 1 and fs >= '5') else 0
+    else:
+        digits = ip + fp
+        point = len(ip) + exp
+        lead = 0
+        while lead < len(digits) and digits[lead] == '0':
+            lead += 1
+        digits = digits[lead:]
+        point -= lead
+        if not digits:
+            v = 0
+        elif point <= 0:
+            # value < 1 in magnitude; rounds to 1 only when the first
+            # fractional digit (digits[0] iff point == 0) >= 5
+            v = 1 if (point == 0 and digits[0] >= '5') else 0
+        elif point > 19:
+            raise ValueError(f"Could not convert string '{s}' to INT64")
+        elif point >= len(digits):
+            v = int(digits) * 10 ** (point - len(digits))
+        else:
+            v = int(digits[:point])
+            if digits[point] >= '5':
+                v += 1
+    if neg:
+        v = -v
+    if not _INT64_MIN <= v <= _INT64_MAX:
+        raise ValueError(f"Could not convert string '{s}' to INT64")
+    return v
+
+
+def _bigint_from_number_token(tok: str):
+    """Raw JSON number token -> BIGINT the way DuckDB sees it: yyjson
+    keeps int64/uint64 exact (a uint64 above int64 max then overflows
+    the cast); everything else becomes a C double whose shortest repr
+    is what CAST parses."""
+    if _PURE_INT_RE.match(tok):
+        v = int(tok)
+        if _INT64_MIN <= v <= _INT64_MAX:
+            return v
+        if v < (1 << 64):
+            raise ValueError(
+                f"Could not convert string '{tok}' to INT64")
+    return duckdb_bigint_parse(_yyjson_double_str(float(tok)))
+
+
+def _bigint_from_value(v):
+    """Parsed python JSON value -> BIGINT under DuckDB CAST rules."""
+    if v is None or v is _JsonAbsent:
+        return None
+    if v is True or v is False:
+        raise ValueError(
+            f"Could not convert string '{str(v).lower()}' to INT64")
+    if isinstance(v, str):
+        return duckdb_bigint_parse(v)
+    if isinstance(v, int):
+        if _INT64_MIN <= v <= _INT64_MAX:
+            return v
+        if v < (1 << 64):
+            raise ValueError(
+                f"Could not convert string '{v}' to INT64")
+        return duckdb_bigint_parse(_yyjson_double_str(float(v)))
+    if isinstance(v, float):
+        return duckdb_bigint_parse(_yyjson_double_str(v))
+    raise ValueError(
+        f"Could not convert string '{_yyjson_value_str(v)}' to INT64")
+
+
+def json_bigint(text, key: str) -> pa.Array:
+    """``CAST(json_extract_string(text, '$.key') AS BIGINT)`` with
+    DuckDB semantics end to end (int64 array out).  The hot path — a
+    batch of flat objects with integer values — is one RE2 extraction
+    plus one Arrow cast; only cells with floats / string-typed numbers /
+    escapes / nested containers pay a per-row exact mirror of DuckDB's
+    rounding cast (see duckdb_bigint_parse).  Raises where DuckDB's
+    CAST raises (booleans, containers, unparseable or overflowing
+    strings); malformed JSON is null (DuckDB raises — same leniency as
+    json_scalar)."""
+    import json as _json
+    n, null_np, raw, simple_np, complex_idx, cells = \
+        _json_extract_parts(text, key)
+    safe = pc.fill_null(pc.match_substring_regex(
+        raw, r'^(-?[1-9]\d{0,17}|0)$'), False)
+    safe_np = safe.to_numpy(zero_copy_only=False)
+    matched_np = pc.is_valid(raw).to_numpy(zero_copy_only=False)
+    slow_idx = np.flatnonzero(simple_np & matched_np & ~safe_np)
+    if len(complex_idx) == 0 and len(slow_idx) == 0:
+        # hot path: every present token is a canonical small int
+        return pc.cast(pc.if_else(safe, raw, pa.nulls(n, pa.string())),
+                       pa.int64())
+    vals: list = [None] * n
+    safe_idx = np.flatnonzero(safe_np & simple_np)
+    if len(safe_idx):
+        toks = pc.take(raw, pa.array(safe_idx)).to_pylist()
+        for i, tok in zip(safe_idx, toks):
+            vals[i] = int(tok)
+    if len(slow_idx):
+        toks = pc.take(raw, pa.array(slow_idx)).to_pylist()
+        for i, tok in zip(slow_idx, toks):
+            if tok == 'null':
+                continue
+            if tok in ('true', 'false'):
+                raise ValueError(
+                    f"Could not convert string '{tok}' to INT64")
+            if tok.startswith('"'):
+                vals[i] = duckdb_bigint_parse(_json.loads(tok))
+            else:
+                vals[i] = _bigint_from_number_token(tok)
+    for i, cell in zip(complex_idx, cells):
+        vals[i] = _bigint_from_value(_json_get_py(cell, key))
+    return pa.array(vals, type=pa.int64())
 
 
 def bpe_train_from_word_counts(words, counts, num_merges: int = 100):

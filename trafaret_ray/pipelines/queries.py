@@ -2589,15 +2589,18 @@ ORACLE_SQL['q_explode_embeddings'] = """
 
 
 def q_json_props_events(sf_dir: str):
-    """Vectorized JSON field extraction (functions/text.py:json_scalar —
-    one RE2 pass per batch, no per-row json.loads) feeding a partial
-    aggregation per event_type. Only the two needed columns leave the
-    read; the exchange moves 5 partial rows per block."""
-    from ..functions.text import json_scalar
+    """Vectorized JSON field extraction (functions/text.py:json_bigint —
+    one RE2 pass per batch for flat integer payloads; cells with
+    floats / nesting / escapes take a per-row exact mirror of DuckDB's
+    yyjson + CAST semantics, differential-fuzzed in
+    tests/test_json_kernel.py) feeding a partial aggregation per
+    event_type. Only the two needed columns leave the read; the
+    exchange moves 5 partial rows per block."""
+    from ..functions.text import json_bigint
     ds = _read(sf_dir, 'events', ['event_type', 'props'])
 
     def extract(tbl: pa.Table) -> pa.Table:
-        k = pc.cast(json_scalar(tbl.column('props'), 'k'), pa.int64())
+        k = json_bigint(tbl.column('props'), 'k')
         return pa.table({'event_type': tbl.column('event_type'), 'k': k})
 
     ds = ds.map_batches(extract, batch_format='pyarrow',
