@@ -238,3 +238,11 @@ class TestSinkIdempotence:
         assert len(os.listdir(out)) == n_files
         total = sum(r['rows'] for r in man.to_pandas().to_dict('records'))
         assert total == 10
+        # the run's file set is durably defined by the persisted
+        # manifest + _SUCCESS, not by a directory listing
+        import json
+        assert (out / '_SUCCESS').exists()
+        m = json.loads((out / 'manifest.json').read_text())
+        assert m['format'] == 'orc'
+        assert sorted(r['path'] for r in m['files']) == \
+            sorted(man.to_pandas()['path'].tolist())

@@ -49,3 +49,28 @@ class TestStreamingDeduper:
         d = StreamingDeduper()
         empty = _tbl([], [])
         assert d(empty).num_rows == 0
+
+    def test_replay_guard_reemits_identically(self):
+        # an at-least-once replay of the SAME batch must re-emit exactly
+        # the first attempt's rows (idempotent), never drop them all
+        d = StreamingDeduper()
+        b = _tbl([1, 2, 3], ['a', 'b', 'a'])
+        out1 = d(b)
+        assert out1.column('doc_id').to_pylist() == [1, 2]
+        out2 = d(b)  # replay
+        assert out2.column('doc_id').to_pylist() == [1, 2]
+        # a DIFFERENT batch with seen content still dedups
+        out3 = d(_tbl([4, 5], ['b', 'z']))
+        assert out3.column('doc_id').to_pylist() == [5]
+
+    def test_replay_guard_off_restores_first_seen(self):
+        d = StreamingDeduper(replay_guard=False)
+        b = _tbl([1, 2], ['a', 'b'])
+        assert d(b).num_rows == 2
+        assert d(b).num_rows == 0  # pure first-seen: replay drops all
+
+    def test_replay_guard_bloom(self):
+        d = StreamingDeduper(mode='bloom', m_bits=1 << 16)
+        b = _tbl([1, 2, 3], ['x', 'y', 'x'])
+        assert d(b).column('doc_id').to_pylist() == [1, 2]
+        assert d(b).column('doc_id').to_pylist() == [1, 2]

@@ -1459,7 +1459,13 @@ def minhash_matrix_oph(lengths: np.ndarray, hashes: np.ndarray,
     min across batches (densify only after the global merge:
     ``densify_oph``). ``num_perm`` must be a power of two.
     """
-    assert num_perm & (num_perm - 1) == 0, 'num_perm must be 2^k'
+    if num_perm <= 0 or num_perm & (num_perm - 1):
+        # a bare assert would be stripped under python -O and a
+        # non-power-of-two num_perm then silently computes wrong bin
+        # indices, corrupting every OPH signature
+        raise ValueError(
+            f'minhash_matrix_oph: num_perm must be a power of two, '
+            f'got {num_perm}')
     kbits = int(num_perm).bit_length() - 1
     n = len(lengths)
     sig = np.full((n, num_perm), _OPH_MAX, dtype=np.uint64)

@@ -138,7 +138,14 @@ def _write_file_per_block(ds, out_dir: str, ext: str, write_fn):
     cannot re-execute the writes (lazy side-effecting sinks double
     their output). Two identical-content blocks coalesce into one file
     and two manifest rows naming it — by-construction dedup of exact
-    duplicate blocks, noted here because it is observable."""
+    duplicate blocks, noted here because it is observable.
+
+    The run's file set is defined by the MANIFEST (persisted as
+    ``manifest.json`` + ``_SUCCESS`` in ``out_dir``, and returned as a
+    Dataset), NOT by a directory listing: content-addressed parts from
+    a previous run over different data are left in place (they are
+    some prior manifest's files), so a consumer must read the manifest
+    — or point each run at a fresh out_dir."""
     import hashlib
     import io
 
@@ -165,8 +172,18 @@ def _write_file_per_block(ds, out_dir: str, ext: str, write_fn):
                          'bytes': pa.array([os.path.getsize(final)],
                                            pa.int64())}, schema=m_schema)
 
-    return ds.map_batches(write_block, batch_format='pyarrow',
-                          batch_size=None).materialize()
+    manifest = ds.map_batches(write_block, batch_format='pyarrow',
+                              batch_size=None).materialize()
+    mdf = manifest.to_pandas()
+    if len(mdf) == 0:
+        mdf = m_schema.empty_table().to_pandas()
+    mdf = mdf.sort_values('path').reset_index(drop=True)
+    with open(os.path.join(out_dir, _MANIFEST), 'w') as f:
+        json.dump({'format': ext.lstrip('.'),
+                   'files': mdf.to_dict(orient='records')}, f, indent=1)
+    with open(os.path.join(out_dir, _SUCCESS), 'w') as f:
+        f.write('')
+    return manifest
 
 
 def write_orc(ds, out_dir: str):

@@ -1407,6 +1407,15 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
     would cost num_bands x the signature volume (≈14 GB at 1.7M convs).
     The cluster labeling (CC + min-string representative) stays in
     Datasets end-to-end on both tiers.
+
+    Collision bound: conversations are identified by ``ch``, a 64-bit
+    hash of ``conv_id``, as the CC node id and the signature-join key.
+    A cross-conversation collision silently merges two unrelated
+    clusters; by the birthday bound P(any collision) ≈ n²/2⁶⁵ — ~3%
+    at 1e9 conversations, negligible below ~1e8. Past that scale pass
+    pre-sharded inputs (dedup per shard/date-bucket keyed by the conv
+    string) or widen the id: the exact path is immune (its fingerprint
+    rides n_turns as a free secondary guard).
     """
     import ray.data as rd
 

@@ -436,14 +436,35 @@ class StreamingDeduper:
     bucket its own actor for partitioned streams. Membership tests and
     bitmap updates are batch-vectorized (pandas hash isin / numpy
     scatter) — no per-row Python.
+
+    At-least-once replay: a Ray actor task retry re-runs its batches
+    against state the first attempt already updated — without a guard
+    every row of a replayed batch reads as "seen" and is silently
+    dropped (data loss beyond the documented bloom trade). The built-in
+    ``replay_guard`` memoizes, per task, the emitted mask keyed by the
+    batch's fingerprint-content hash, so a replay re-emits exactly what
+    the first attempt emitted (idempotent — Ray discards the failed
+    attempt's output). Envelope: it covers retries WITHIN a task
+    (masks reset when a new task id arrives); lineage reconstruction
+    re-running a previously-COMPLETED task is not covered — disable
+    retries (``max_task_retries=0``, the default for actor tasks) if
+    that can occur, mirroring how
+    ``conversation_exact_dedup_incremental`` raises on a replayed
+    ingest_key. Two content-identical batches inside ONE task are
+    indistinguishable from a replay and re-emit (set
+    ``replay_guard=False`` to restore pure first-seen semantics there).
     """
 
     def __init__(self, text_col: str = 'text', mode: str = 'exact',
-                 m_bits: int = 1 << 27, k: int = 4):
+                 m_bits: int = 1 << 27, k: int = 4,
+                 replay_guard: bool = True):
         if mode not in ('exact', 'bloom'):
             raise ValueError(f'StreamingDeduper: unknown mode {mode!r}')
         self.text_col = text_col
         self.mode = mode
+        self.replay_guard = replay_guard
+        self._cur_task = None
+        self._task_masks: dict = {}
         if mode == 'exact':
             self._seen: set = set()
         else:
@@ -462,6 +483,25 @@ class StreamingDeduper:
             tbl.column(self.text_col).cast(pa.string()), '')
         fp = T.hash_shingles(txt.to_numpy(zero_copy_only=False))\
             .view(np.int64)
+        guard_key = None
+        if self.replay_guard:
+            try:
+                import ray
+                tid = ray.get_runtime_context().get_task_id()
+            except Exception:
+                tid = None
+            if tid != self._cur_task:
+                # new task: prior attempts of it can no longer replay
+                self._cur_task = tid
+                self._task_masks = {}
+            guard_key = hash(fp.tobytes())
+            cached = self._task_masks.get(guard_key)
+            if cached is not None:
+                return tbl.filter(pa.array(cached))
+            if len(self._task_masks) > 256:
+                # driver-side use has no task ids (tid None forever):
+                # bound the memoization window
+                self._task_masks.pop(next(iter(self._task_masks)))
         first_in_batch = ~pd.Series(fp).duplicated().to_numpy()
         if self.mode == 'exact':
             new = first_in_batch & ~pd.Series(fp).isin(self._seen)\
@@ -476,4 +516,6 @@ class StreamingDeduper:
             new = first_in_batch & ~maybe_seen
             np.bitwise_or.at(self._bits, byte[:, new].reshape(-1),
                              np.uint8(1) << bit[:, new].reshape(-1))
+        if guard_key is not None:
+            self._task_masks[guard_key] = new
         return tbl.filter(pa.array(new))
