@@ -98,3 +98,51 @@ class TestTieredPath:
             pairs = [(r['id_a'], r['id_b']) for r in out.take_all()]
             assert len(pairs) == len(set(pairs))
             assert set(pairs) == exp, w
+
+
+class TestOutputBudgetGuards:
+    def test_max_span_raises_on_mega_interval(self, ray_session):
+        import pytest
+        import ray.data as rd
+        import ray.exceptions
+        A = _mk([1, 2, 3], [0, 10, 20], [5, 15, 10_000_000])
+        out = interval_join(rd.from_arrow(A), rd.from_arrow(A),
+                            bucket_us=100, num_buckets=2,
+                            left_schema=_SCHEMA, right_schema=_SCHEMA,
+                            max_span=1_000)
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match='max_span'):
+            out.count()
+
+    def test_max_pairs_per_bucket_raises_on_dense_bucket(
+            self, ray_session):
+        import pytest
+        import ray.data as rd
+        import ray.exceptions
+        # 60 intervals all overlapping inside one bucket -> 3600 pairs
+        n = 60
+        A = _mk(list(range(n)), [0] * n, [99] * n)
+        out = interval_join(rd.from_arrow(A), rd.from_arrow(A),
+                            bucket_us=1_000, num_buckets=2,
+                            left_schema=_SCHEMA, right_schema=_SCHEMA,
+                            max_pairs_per_bucket=500)
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match='max_pairs_per_bucket'):
+            out.count()
+
+    def test_budgets_off_and_within_budget_match_brute(self, ray_session):
+        import ray.data as rd
+        rng = np.random.default_rng(11)
+        los = rng.integers(0, 500, 40)
+        his = los + rng.integers(0, 50, 40)
+        A = _mk(list(range(40)), los.tolist(), his.tolist())
+        B = _mk(list(range(100, 140)), los[::-1].tolist(),
+                his[::-1].tolist())
+        want = _brute(A, B)
+        out = interval_join(rd.from_arrow(A), rd.from_arrow(B),
+                            bucket_us=100, num_buckets=4,
+                            left_schema=_SCHEMA, right_schema=_SCHEMA,
+                            max_span=10_000,
+                            max_pairs_per_bucket=1_000_000)
+        pairs = {(r['id_a'], r['id_b']) for r in out.take_all()}
+        assert pairs == want

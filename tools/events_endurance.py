@@ -102,6 +102,29 @@ def main():
         out[f'{name}_rows_per_sec'] = int(n_rows / dt)
         out[f'{name}_out_rows'] = int(n_out)
 
+    # output-budget guard demo: per-user [first,last] event intervals —
+    # the Zipf-head user naturally spans the whole 60-day window (the
+    # degenerate mega-session). interval_join must RAISE under a 7-day
+    # max_span instead of silently going quadratic.
+    import duckdb
+    import ray.data as rd
+
+    from trafaret_ray.stages.joins import interval_join
+    iv = duckdb.sql(
+        f"SELECT user_id AS id, epoch_us(min(ts)) AS lo, "
+        f"epoch_us(max(ts)) AS hi "
+        f"FROM read_parquet('{path}') GROUP BY user_id").arrow()
+    ivd = rd.from_arrow(iv)
+    try:
+        interval_join(ivd, ivd, bucket_us=86_400_000_000,
+                      num_buckets=8, left_schema=iv.schema,
+                      right_schema=iv.schema,
+                      max_span=7 * 86_400_000_000).count()
+        out['mega_session_guard'] = 'MISSED'
+    except Exception as e:  # noqa: BLE001
+        out['mega_session_guard'] = ('raised' if 'max_span' in str(e)
+                                     else f'other: {e}')
+
     print(json.dumps(out))
     ray.shutdown()
 

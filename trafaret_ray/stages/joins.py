@@ -698,7 +698,9 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
                   left_schema: pa.Schema | None = None,
                   right_schema: pa.Schema | None = None,
                   suffixes=('_a', '_b'),
-                  tier_slots: int = 8_000_000):
+                  tier_slots: int = 8_000_000,
+                  max_span: int | None = None,
+                  max_pairs_per_bucket: int | None = None):
     """Distributed interval OVERLAP join: all (A, B) row pairs whose
     closed int64 intervals [lo, hi] intersect (a.lo <= b.hi AND
     b.lo <= a.hi). The classic concurrency / co-occurrence join SQL
@@ -737,6 +739,19 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
     column suffixed ``_b`` (including lo/hi). At 100 TB the knobs are
     ``bucket_us`` (exchange fan-out / skew: one bucket holds one time
     slice of both sides) and ``num_buckets``.
+
+    OUTPUT-BUDGET GUARDS (semdedup ``cluster_rows_max`` discipline —
+    raise loudly instead of silently emitting a quadratic result): an
+    overlap join is output-bound under session skew (a Zipf-head user's
+    60-day session overlaps ~everything in its window; the 10M-event
+    endurance probe measured 49.5M pairs in 571 s). ``max_span`` raises
+    at expand time when any interval exceeds it (the usual skew killer
+    is a few degenerate mega-intervals — clamp or split them upstream,
+    e.g. sessionize with a gap cap). ``max_pairs_per_bucket`` raises
+    when one bucket's emitted pairs exceed the budget (shrink
+    ``bucket_us``, pre-filter the hot key, or accept the cost
+    explicitly by raising the budget). Both default to None (off) so
+    semantically-quadratic joins remain expressible on purpose.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -770,6 +785,18 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
                 .to_numpy(zero_copy_only=False)
             hi_v = tbl.column(hi).combine_chunks().cast(pa.int64())\
                 .to_numpy(zero_copy_only=False)
+            if max_span is not None:
+                over = (hi_v - lo_v) > max_span
+                if over.any():
+                    worst = int((hi_v - lo_v).max())
+                    raise ValueError(
+                        f'interval_join: {int(over.sum())} interval(s) '
+                        f'exceed max_span={max_span} (worst {worst}); '
+                        f'a degenerate mega-interval overlaps its whole '
+                        f'time window and makes the join output '
+                        f'quadratic — clamp/split such intervals '
+                        f'upstream (e.g. sessionize with a gap cap) or '
+                        f'raise max_span to accept the cost')
             b0 = lo_v // bucket_us
             b1 = np.maximum(hi_v // bucket_us, b0)
             cnt = b1 - b0 + 1
@@ -804,7 +831,9 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
         lov = tbl.column('_lo').to_numpy(zero_copy_only=False)
         hiv = tbl.column('_hi').to_numpy(zero_copy_only=False)
         out_ia, out_ib = [], []
+        bucket_pairs = 0
         for bk in np.unique(ibkt):
+            bucket_pairs = 0
             bs, be = bk * bucket_us, (bk + 1) * bucket_us - 1
             in_b = ibkt == bk
             ai = np.nonzero(in_b & (side == 0))[0]
@@ -878,6 +907,19 @@ def interval_join(left, right, lo: str = 'lo', hi: str = 'hi',
                         if keep.any():
                             out_ia.append(ai[arep[keep]])
                             out_ib.append(ti[bpos[keep]])
+                            bucket_pairs += int(keep.sum())
+                            if (max_pairs_per_bucket is not None
+                                    and bucket_pairs
+                                    > max_pairs_per_bucket):
+                                raise ValueError(
+                                    f'interval_join: bucket {bk} '
+                                    f'exceeded max_pairs_per_bucket='
+                                    f'{max_pairs_per_bucket} '
+                                    f'(skewed/overlap-heavy time '
+                                    f'slice) — shrink bucket_us, '
+                                    f'pre-filter the hot key, or '
+                                    f'raise the budget to accept a '
+                                    f'quadratic output')
                     start = stop
         if not out_ia:
             return out_schema.empty_table()
