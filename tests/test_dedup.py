@@ -230,6 +230,49 @@ class TestSketches:
             == b[['doc_a', 'doc_b']].values.tolist()
         assert np.allclose(a['jaccard'], b['jaccard'])
 
+    def test_ngram_jaccard_auto_tier(self, ray_session):
+        """'auto' (the default) censuses the size table and picks the
+        tier; a tiny broadcast_sizes_max forces the join path — both
+        byte-identical to explicit broadcast."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import ngram_jaccard_pairs
+        base = ngram_jaccard_pairs(
+            rd.from_arrow(corpus()), threshold=0.5, num_buckets=8,
+            sizes_mode='broadcast').to_pandas()\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        for cap in (2_000_000, 1):   # auto->broadcast, auto->join
+            got = ngram_jaccard_pairs(
+                rd.from_arrow(corpus()), threshold=0.5, num_buckets=8,
+                sizes_mode='auto', broadcast_sizes_max=cap)\
+                .to_pandas()[['doc_a', 'doc_b', 'jaccard']]\
+                .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+            assert base[['doc_a', 'doc_b']].values.tolist() \
+                == got[['doc_a', 'doc_b']].values.tolist(), cap
+            assert np.allclose(base['jaccard'], got['jaccard']), cap
+
+    def test_candidate_pair_jaccard_sizes_join_mode(self, ray_session):
+        """candidate_pair_jaccard's 'join' tier (sizes never on the
+        driver) matches broadcast exactly, including the auto census."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import candidate_pair_jaccard
+        cand = rd.from_arrow(pa.table({
+            'doc_a': pa.array([0, 1, 0, 2], pa.int64()),
+            'doc_b': pa.array([100, 101, 1, 50], pa.int64())}))
+        docs = rd.from_arrow(corpus())
+        base = candidate_pair_jaccard(
+            docs, cand, threshold=0.0, num_buckets=8,
+            sizes_mode='broadcast').to_pandas()\
+            .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+        for mode, cap in (('join', 2_000_000), ('auto', 1)):
+            got = candidate_pair_jaccard(
+                docs, cand, threshold=0.0, num_buckets=8,
+                sizes_mode=mode, broadcast_sizes_max=cap)\
+                .to_pandas()[['doc_a', 'doc_b', 'jaccard']]\
+                .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+            assert base[['doc_a', 'doc_b']].values.tolist() \
+                == got[['doc_a', 'doc_b']].values.tolist(), mode
+            assert np.allclose(base['jaccard'], got['jaccard']), mode
+
     def test_minhash_dedup_bloom_ids_mode(self, ray_session):
         """ids_mode='bloom' (no exact id broadcast) yields the identical
         clustering: Bloom false positives only admit extra docs into the

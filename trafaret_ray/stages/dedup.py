@@ -41,8 +41,9 @@ def exact_dedup(ds, text_col: str = 'text', id_col: str = 'doc_id'):
 def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
                         k: int = 3, threshold: float = 0.5,
                         num_buckets: int = 32, max_df: int | None = 50,
-                        candidates=None, sizes_mode: str = 'broadcast',
-                        metric: str = 'jaccard'):
+                        candidates=None, sizes_mode: str = 'auto',
+                        metric: str = 'jaccard',
+                        broadcast_sizes_max: int = 2_000_000):
     """EXACT word-k-gram Jaccard similar pairs (doc_a, doc_b, jaccard).
 
     ``metric='containment'`` instead scores common / min(|A|, |B|) —
@@ -61,11 +62,18 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
     pass; only those tiny partials flow downstream. Docs with < k words
     emit zero shingles (oracle parity: its NULL shingles never join).
 
-    ``sizes_mode``: 'broadcast' (default) attaches capped per-doc sizes
-    via a broadcast table + ``pc.index_in`` — bounded by one 16-byte row
-    per doc with ≥1 kept shingle. 'join' is the 10^12-doc scale path:
-    sizes stay a Dataset and attach through two partitioned hash joins
-    (doc_a then doc_b) — no driver-side size table at all.
+    ``sizes_mode``: 'broadcast' attaches capped per-doc sizes via a
+    broadcast table + ``pc.index_in`` — bounded by one 16-byte row per
+    doc with ≥1 kept shingle, but that table lives in the DRIVER heap.
+    'join' is the 10^12-doc scale path: sizes stay a Dataset and attach
+    through two partitioned hash joins (doc_a then doc_b) — no
+    driver-side size table at all. 'auto' (default) censuses the size
+    table (one count over the materialized aggregate) and picks
+    broadcast at or below ``broadcast_sizes_max`` docs (~16 B each,
+    32 MB at the default), join above — the same adaptive-tier
+    discipline as interval_join and conversation_minhash_dedup's
+    carried_sig_max; both tiers are byte-identical (pinned in
+    tests/test_dedup.py).
 
     A stop-shingle appearing in d docs emits d² pairs, so hashes with
     document frequency > ``max_df`` are DROPPED on both engines (the
@@ -140,10 +148,20 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
             return tbl.filter(mask if want_sizes else pc.invert(mask))
         return f
 
+    if sizes_mode not in ('auto', 'broadcast', 'join'):
+        raise ValueError(
+            f'ngram_jaccard_pairs: unknown sizes_mode {sizes_mode!r}')
     sizes_ds = bucket_aggregate(
         partial.map_batches(_side(True), batch_format='pyarrow'),
         ['doc_a'], {'sz': ('common', 'sum')},
         num_buckets=num_buckets)
+    if sizes_mode == 'auto':
+        # census off the materialized aggregate (count is then free and
+        # the chosen tier reuses the same blocks — no double execution)
+        sizes_ds = sizes_ds.materialize()
+        sizes_mode = ('broadcast'
+                      if sizes_ds.count() <= broadcast_sizes_max
+                      else 'join')
     sz_ref = None
     if sizes_mode == 'broadcast':
         sizes = sizes_ds.to_pandas()
@@ -294,7 +312,9 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
 
 
 def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
-                           k=3, threshold=0.5, num_buckets=32):
+                           k=3, threshold=0.5, num_buckets=32,
+                           sizes_mode: str = 'auto',
+                           broadcast_sizes_max: int = 2_000_000):
     """EXACT word-k-gram Jaccard for an explicit candidate-pair Dataset
     — the verify stage of LSH dedup. Output semantics are identical to
     ``ngram_jaccard_pairs(..., max_df=None, candidates=cand)`` (uncapped
@@ -355,8 +375,11 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
                                 ('h', pa.int64())]))
 
     # per-doc DISTINCT shingle counts: exact from one map pass (explode
-    # is per-doc distinct already); broadcast like ngram's size table —
-    # bounded by the candidate doc count at 16 bytes each
+    # is per-doc distinct already). sizes_mode mirrors
+    # ngram_jaccard_pairs: 'broadcast' pulls the (doc, sz) table to the
+    # driver (16 B/doc — fine to ~2M candidate docs), 'join' keeps it a
+    # Dataset and attaches through two partitioned hash joins (the
+    # 10^12-doc path), 'auto' (default) censuses and picks.
     import ray as _ray
 
     def szs(tbl: pa.Table) -> pa.Table:
@@ -367,20 +390,35 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
             'doc': pa.array(ids[nz].astype(np.int64), type=pa.int64()),
             'sz': pa.array(lengths[nz], type=pa.int64())})
 
-    sizes = docs.map_batches(szs, batch_format='pyarrow',
-                             zero_copy_batch=True).to_pandas()
+    if sizes_mode not in ('auto', 'broadcast', 'join'):
+        raise ValueError(
+            f'candidate_pair_jaccard: unknown sizes_mode {sizes_mode!r}')
+    sizes_ds = docs.map_batches(szs, batch_format='pyarrow',
+                                zero_copy_batch=True)
+    if sizes_mode == 'auto':
+        sizes_ds = sizes_ds.materialize()
+        sizes_mode = ('broadcast'
+                      if sizes_ds.count() <= broadcast_sizes_max
+                      else 'join')
     _EMPTY_J = pa.table({'doc_a': pa.array([], pa.int64()),
                          'doc_b': pa.array([], pa.int64()),
                          'jaccard': pa.array([], pa.float64())})
-    if len(sizes) == 0 or 'doc' not in sizes.columns:
-        import ray.data as _rd
-        return _rd.from_arrow(_EMPTY_J)
-    sz_ref = _ray.put((pa.array(sizes['doc'].to_numpy(dtype=np.int64)),
-                       sizes['sz'].to_numpy(dtype=np.float64)))
+    _EMPTY_C = pa.table({'doc_a': pa.array([], pa.int64()),
+                         'doc_b': pa.array([], pa.int64()),
+                         'common': pa.array([], pa.int64())})
+    sz_ref = None
+    if sizes_mode == 'broadcast':
+        sizes = sizes_ds.to_pandas()
+        if len(sizes) == 0 or 'doc' not in sizes.columns:
+            import ray.data as _rd
+            return _rd.from_arrow(_EMPTY_J)
+        sz_ref = _ray.put(
+            (pa.array(sizes['doc'].to_numpy(dtype=np.int64)),
+             sizes['sz'].to_numpy(dtype=np.float64)))
 
     def verify(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0 or 'a' not in tbl.column_names:
-            return _EMPTY_J
+            return _EMPTY_J if sz_ref is not None else _EMPTY_C
         a = tbl.column('a').combine_chunks().to_numpy(
             zero_copy_only=False)
         b = tbl.column('b').combine_chunks().to_numpy(
@@ -403,7 +441,12 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
         keep = common > 0
         pa_, pb, common = pa_[keep], pb[keep], common[keep]
         if len(pa_) == 0:
-            return _EMPTY_J
+            return _EMPTY_J if sz_ref is not None else _EMPTY_C
+        if sz_ref is None:
+            return pa.table({
+                'doc_a': pa.array(pa_, pa.int64()),
+                'doc_b': pa.array(pb, pa.int64()),
+                'common': pa.array(common.astype(np.int64), pa.int64())})
         keys, vals = _ray.get(sz_ref)
         sz_a = vals[pc.index_in(pa.array(pa_, pa.int64()),
                                 value_set=keys)
@@ -419,7 +462,61 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
                                            threshold))
 
     from .conversations import bucket_exchange
-    return bucket_exchange(joined, ['a', 'b'], verify, num_buckets)
+    counted = bucket_exchange(joined, ['a', 'b'], verify, num_buckets)
+    if sz_ref is not None:
+        return counted
+
+    # sizes_mode == 'join': attach sizes through two partitioned hash
+    # joins — no driver-side table; byte-identical to broadcast
+    from .joins import hash_join
+
+    def ren(side: str):
+        def f(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0 or 'doc' not in tbl.column_names:
+                return pa.table({f'doc_{side}': pa.array([], pa.int64()),
+                                 f'sz_{side}': pa.array([], pa.int64())})
+            return pa.table({
+                f'doc_{side}': tbl.column('doc').combine_chunks()
+                .cast(pa.int64()),
+                f'sz_{side}': tbl.column('sz').combine_chunks()
+                .cast(pa.int64())})
+        return f
+
+    j1 = hash_join(
+        counted, sizes_ds.map_batches(ren('a'), batch_format='pyarrow'),
+        on='doc_a', num_buckets=num_buckets,
+        left_schema=pa.schema([('doc_a', pa.int64()),
+                               ('doc_b', pa.int64()),
+                               ('common', pa.int64())]),
+        right_schema=pa.schema([('doc_a', pa.int64()),
+                                ('sz_a', pa.int64())]))
+    j2 = hash_join(
+        j1, sizes_ds.map_batches(ren('b'), batch_format='pyarrow'),
+        on='doc_b', num_buckets=num_buckets,
+        left_schema=pa.schema([('doc_a', pa.int64()),
+                               ('doc_b', pa.int64()),
+                               ('common', pa.int64()),
+                               ('sz_a', pa.int64())]),
+        right_schema=pa.schema([('doc_b', pa.int64()),
+                                ('sz_b', pa.int64())]))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
+            return _EMPTY_J
+        common = pc.cast(tbl.column('common'), pa.float64())\
+            .to_numpy(zero_copy_only=False)
+        sz_a = pc.cast(tbl.column('sz_a'), pa.float64())\
+            .to_numpy(zero_copy_only=False)
+        sz_b = pc.cast(tbl.column('sz_b'), pa.float64())\
+            .to_numpy(zero_copy_only=False)
+        j = np.round(common / (sz_a + sz_b - common), 6)
+        out = pa.table({'doc_a': tbl.column('doc_a'),
+                        'doc_b': tbl.column('doc_b'),
+                        'jaccard': pa.array(j, pa.float64())})
+        return out.filter(pc.greater_equal(out.column('jaccard'),
+                                           threshold))
+
+    return j2.map_batches(finish, batch_format='pyarrow')
 
 
 def minhash_signature_ds(ds, text_col='text', id_col='doc_id',
