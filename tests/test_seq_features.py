@@ -286,6 +286,32 @@ class TestLmScore:
         df = q_lm_score_docs(sf).to_pandas().set_index('doc_id')
         assert df.loc[0, 'nll'] < df.loc[1, 'nll']
 
+    def test_hot_tier_byte_parity(self, ray_session, tmp_path):
+        # planted Zipf head: 'the' dominates contexts; forcing the
+        # salted hot tier must be byte-identical to the cold co-located
+        # path (same micro-unit floor on both)
+        rng = np.random.default_rng(7)
+        vocab = [f'w{i}' for i in range(40)]
+        texts = []
+        for i in range(60):
+            toks = []
+            for _ in range(30):
+                toks.append('the' if rng.random() < 0.4
+                            else vocab[rng.integers(0, 40)])
+            texts.append(' '.join(toks))
+        sf = TestBm25._write_docs(self, tmp_path, texts)
+        cold = q_lm_score_docs(sf).to_pandas()\
+            .sort_values('doc_id').reset_index(drop=True)
+        # threshold 5: only genuinely hot contexts take the salted path
+        mixed = q_lm_score_docs(sf, hot_ctx_rows=5, num_salts=4)\
+            .to_pandas().sort_values('doc_id').reset_index(drop=True)
+        # threshold 0: EVERY context is hot (cold side empty — the
+        # degenerate all-hot corpus must still unify schemas)
+        allhot = q_lm_score_docs(sf, hot_ctx_rows=0, num_salts=3)\
+            .to_pandas().sort_values('doc_id').reset_index(drop=True)
+        pd.testing.assert_frame_equal(cold, mixed)
+        pd.testing.assert_frame_equal(cold, allhot)
+
 
 class TestKeywords:
     def test_distinctive_term_ranks_first(self, ray_session, tmp_path):

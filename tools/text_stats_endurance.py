@@ -42,10 +42,19 @@ def main():
 
     from trafaret_ray.pipelines import queries as Q
 
+    # GRAFT_LM_HOT_CTX forces the lm_score salted hot-context tier at
+    # a given row threshold (A/B: the Zipf head is ~7% of bigram rows,
+    # under the 4M default until ~1.2M docs)
+    hot_ctx = os.environ.get('GRAFT_LM_HOT_CTX')
+    lm_fn = (lambda d: Q.q_lm_score_docs(d, hot_ctx_rows=int(hot_ctx))) \
+        if hot_ctx else Q.q_lm_score_docs
+
     out = {'n_docs': n_docs, 'mib': os.path.getsize(path) >> 20}
+    if hot_ctx:
+        out['lm_hot_ctx_rows'] = int(hot_ctx)
     paths = [
         ('bm25', Q.q_bm25_docs),
-        ('lm_score', Q.q_lm_score_docs),
+        ('lm_score', lm_fn),
         ('keywords', Q.q_keywords_docs),
         ('inverted_index', Q.q_inverted_index_docs),
         ('pmi_bigrams', Q.q_pmi_bigrams_docs),

@@ -6646,10 +6646,13 @@ def q_bm25_docs(sf_dir: str):
         return out_schema.empty_table().to_pandas()
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
+    # the high-cardinality (doc, token) exchange is HASH-KEYED (16-byte
+    # int rows); token strings only ride the Heaps'-bounded vocab
+    # census, joined in for the tiny term pick below
     tf = bucket_aggregate(
-        ds.map_batches(_tok_explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode_hashed, batch_format='pyarrow',
                        zero_copy_batch=True),
-        ['doc_id', 'tok'], {'tf': ('tok', 'count')},
+        ['doc_id', 'th'], {'tf': ('th', 'count')},
         num_buckets=16).materialize()
     # total corpus tokens (for avgdl) — exact int Dataset aggregate
     tot_tokens = tf.sum('tf') or 0
@@ -6657,14 +6660,22 @@ def q_bm25_docs(sf_dir: str):
         return out_schema.empty_table().to_pandas()
     # query terms: top-df tokens, ties broken by token asc (identical
     # deterministic pick in the oracle's ORDER BY df DESC, tok LIMIT).
-    # global_topk local-prunes per block — only per-block top-8
-    # candidates reach the driver, never the heavy-tailed vocabulary
+    # the df census is hash-keyed; strings attach via one vocab-sized
+    # hash_join, then global_topk local-prunes per block — only
+    # per-block top-8 candidates reach the driver
+    from ..stages.joins import hash_join
+    dfh = bucket_aggregate(tf, ['th'], {'df': ('th', 'count')},
+                           num_buckets=4)
+    dfj = hash_join(
+        dfh, _vocab_census(ds), on='th', num_buckets=4,
+        left_schema=pa.schema([('th', pa.int64()), ('df', pa.int64())]),
+        right_schema=pa.schema([('th', pa.int64()),
+                                ('tok', pa.string())]))
     dfp = _small_df(global_topk(
-        bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
-                         num_buckets=4),
-        [('df', 'descending'), ('tok', 'ascending')], N_TERMS),
-        ['tok', 'df'])
-    ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
+        dfj, [('df', 'descending'), ('tok', 'ascending')], N_TERMS),
+        ['th', 'tok', 'df'])
+    ref = _ray.put((pa.array(dfp['th'].to_numpy(dtype=np.int64),
+                             type=pa.int64()),
                     dfp['df'].to_numpy(dtype=np.int64)))
 
     def score(tbl: pa.Table) -> pa.Table:
@@ -6676,7 +6687,7 @@ def q_bm25_docs(sf_dir: str):
                          value_set=dl.column('doc_id'))
         dlv = dl.column('tf_sum').take(di).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        ti = pc.index_in(tbl.column('tok'), value_set=keys)
+        ti = pc.index_in(tbl.column('th'), value_set=keys)
         hit = pc.is_valid(ti).to_numpy(zero_copy_only=False)
         if not hit.any():
             return out_schema.empty_table()
@@ -7077,10 +7088,88 @@ def _tok_explode(tbl: pa.Table) -> pa.Table:
                      'tok': words.flatten()})
 
 
-def _bigram_explode(tbl: pa.Table, with_doc: bool) -> pa.Table:
+def _tok_explode_hashed(tbl: pa.Table) -> pa.Table:
+    """(doc_id, th) rows — _tok_explode with the token dictionary-
+    encoded to its 64-bit hash (functions/text.py:hash_shingles), so
+    the high-cardinality (doc, token) exchange moves fixed 16-byte int
+    rows instead of strings (BASELINE.md named token-string exchange
+    bytes the 100x limiter for the text-stat family). Token STRINGS
+    travel only through _vocab_census (once per block-distinct token),
+    which also detects hash collisions loudly."""
+    from ..functions.text import hash_shingles
+    words = pc.split_pattern(
+        pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+    wc = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), wc)
+    th = hash_shingles(
+        words.flatten().to_numpy(zero_copy_only=False)).view(np.int64)
+    return pa.table({'doc_id': tbl.column('doc_id').take(rep),
+                     'th': pa.array(th)})
+
+
+def _vocab_census(ds, num_buckets: int = 8, with_count: bool = False):
+    """(th, tok[, c]) token dictionary Dataset: per-batch DISTINCT
+    (hash, token) rows -> one th-keyed aggregate. Strings cross the
+    wire once per (block, distinct token) — the Heaps'-law bounded
+    volume — instead of riding every (doc, token) exchange row. With
+    ``with_count`` the same exchange also carries the per-block
+    occurrence count, so a caller needing the unigram census gets
+    counts AND strings for one exchange. A 64-bit collision (two
+    tokens, one hash) would silently merge corpus statistics; the
+    census carries min AND max token per hash and RAISES on
+    disagreement (the semdedup cluster_rows_max discipline: loud,
+    not wrong)."""
+    from ..functions.text import hash_shingles
+    from ..stages.aggregate import bucket_aggregate
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
+        flat = words.flatten()
+        vc = pc.value_counts(flat)
+        toks = vc.field('values')
+        th = hash_shingles(
+            toks.to_numpy(zero_copy_only=False)).view(np.int64)
+        cols = {'th': pa.array(th), 'tok': toks}
+        if with_count:
+            cols['c'] = pc.cast(vc.field('counts'), pa.int64())
+        return pa.table(cols)
+
+    aggs = {'tok': ('tok', 'min'), 'tok_chk': ('tok', 'max')}
+    if with_count:
+        aggs['c'] = ('c', 'sum')
+    census = bucket_aggregate(
+        ds.map_batches(explode, batch_format='pyarrow',
+                       zero_copy_batch=True),
+        ['th'], aggs, num_buckets=num_buckets)
+
+    def check(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows and not pc.all(
+                pc.equal(tbl.column('tok'),
+                         tbl.column('tok_chk'))).as_py():
+            bad = tbl.filter(pc.invert(pc.equal(
+                tbl.column('tok'), tbl.column('tok_chk'))))
+            raise ValueError(
+                'token hash collision: '
+                f"{bad.column('tok')[0].as_py()!r} vs "
+                f"{bad.column('tok_chk')[0].as_py()!r} share a 64-bit "
+                'hash — the hashed text-stat exchange cannot key this '
+                'corpus; widen the hash or fall back to string keys')
+        return tbl.drop_columns(['tok_chk'])
+
+    return census.map_batches(check, batch_format='pyarrow')
+
+
+def _bigram_explode(tbl: pa.Table, with_doc: bool,
+                    hashed: bool = False) -> pa.Table:
     """Adjacent token pairs per document, vectorized: flatten the
     split-token lists once, then (a, b) = (flat[:-1], flat[1:]) masked
-    to within-document positions."""
+    to within-document positions. ``hashed=True`` emits 64-bit token
+    hashes (int64 a/b) instead of strings — one hash pass over the
+    flat token array, pairs by shift — so downstream bigram exchanges
+    move 24-byte int rows; see _tok_explode_hashed for the
+    string-volume rationale and _vocab_census for recovering strings."""
     words = pc.split_pattern(
         pc.fill_null(tbl.column('text').combine_chunks(), ''), ' ')
     wc = pc.list_value_length(words).to_numpy(
@@ -7093,8 +7182,14 @@ def _bigram_explode(tbl: pa.Table, with_doc: bool) -> pa.Table:
     if n > 1:
         ok[:-1] = doc_of[1:] == doc_of[:-1]
     idx = np.nonzero(ok)[0]
-    cols = {'a': flat.take(pa.array(idx)),
-            'b': flat.take(pa.array(idx + 1))}
+    if hashed:
+        from ..functions.text import hash_shingles
+        h = hash_shingles(
+            flat.to_numpy(zero_copy_only=False)).view(np.int64)
+        cols = {'a': pa.array(h[idx]), 'b': pa.array(h[idx + 1])}
+    else:
+        cols = {'a': flat.take(pa.array(idx)),
+                'b': flat.take(pa.array(idx + 1))}
     if with_doc:
         cols = {'doc_id': tbl.column('doc_id').take(doc_of[idx]), **cols}
     cols['_one'] = pa.array(np.ones(len(idx), dtype=np.int64))
@@ -7103,13 +7198,18 @@ def _bigram_explode(tbl: pa.Table, with_doc: bool) -> pa.Table:
 
 def q_pmi_bigrams_docs(sf_dir: str):
     """Collocation mining: top-20 corpus bigrams by count with their
-    pointwise mutual information ln((n/P) / ((ca/T)(cb/T))). One
-    (a,b)-bucket aggregation builds the bigram census; the top-20 pick
-    is a local-prune global_topk (never a full sort); unigram counts
-    for the <=40 surviving tokens are filtered distributed and only
-    those rows reach the driver. All counts exact ints; PMI doubles
-    evaluate the same expression in the same association order on both
-    engines."""
+    pointwise mutual information ln((n/P) / ((ca/T)(cb/T))). Both
+    censuses are HASH-KEYED (int64 token hashes): the bigram exchange
+    moves 24-byte int rows, strings ride only the Heaps'-bounded vocab
+    census (which doubles as the unigram count census — one exchange).
+    The top-20 pick is threshold-safe under hashing: global_topk with
+    the HASH tiebreak yields a count floor t (every string-ordered
+    top-20 member must have n >= t — all 20 hash-picked rows outrank
+    anything below t on count alone), the census is filtered to
+    n >= t distributed, and only those boundary candidates reach the
+    driver, where the oracle's (n DESC, a, b) STRING order decides the
+    final 20. All counts exact ints; PMI doubles evaluate the same
+    expression in the same association order on both engines."""
     from ..stages.aggregate import bucket_aggregate, global_topk
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
     out_cols = ['a', 'b', 'n', 'pmi']
@@ -7117,44 +7217,52 @@ def q_pmi_bigrams_docs(sf_dir: str):
                           'b': pd.Series(dtype=object),
                           'n': pd.Series(dtype=np.int64),
                           'pmi': pd.Series(dtype=np.float64)})
-    toks = ds.map_batches(
-        lambda t: (lambda w: pa.table(
-            {'tok': w.flatten(),
-             '_one': pa.array(np.ones(
-                 int(pc.sum(pc.list_value_length(w)).as_py() or 0),
-                 dtype=np.int64))}))(
-            pc.split_pattern(pc.fill_null(
-                t.column('text').combine_chunks(), ''), ' ')),
-        batch_format='pyarrow', zero_copy_batch=True)
-    uni = bucket_aggregate(toks, ['tok'], {'c': ('_one', 'sum')},
-                           num_buckets=16).materialize()
+    uni = _vocab_census(ds, num_buckets=16, with_count=True).materialize()
     total_t = uni.sum('c') or 0
     if total_t == 0:
         return empty
-    bigrams = ds.map_batches(lambda t: _bigram_explode(t, with_doc=False),
-                             batch_format='pyarrow', zero_copy_batch=True)
+    bigrams = ds.map_batches(
+        lambda t: _bigram_explode(t, with_doc=False, hashed=True),
+        batch_format='pyarrow', zero_copy_batch=True)
     bc = bucket_aggregate(bigrams, ['a', 'b'], {'n': ('_one', 'sum')},
                           num_buckets=16).materialize()
     total_p = bc.sum('n') or 0
     if total_p == 0:
         return empty
-    top = _small_df(global_topk(bc, [('n', 'descending'),
-                                     ('a', 'ascending'),
-                                     ('b', 'ascending')], 20),
-                    ['a', 'b', 'n'])
-    need = set(top['a']) | set(top['b'])
+    toph = _small_df(global_topk(bc, [('n', 'descending'),
+                                      ('a', 'ascending'),
+                                      ('b', 'ascending')], 20),
+                     ['a', 'b', 'n'])
+    t_min = int(toph['n'].min())
+    cand = _small_df(
+        bc.map_batches(
+            lambda t, _t=t_min: t.filter(
+                pc.greater_equal(t.column('n'), _t)),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['a', 'b', 'n'])
+    need = pa.array(np.unique(np.concatenate(
+        [cand['a'].to_numpy(dtype=np.int64),
+         cand['b'].to_numpy(dtype=np.int64)])), type=pa.int64())
 
     def pick(tbl: pa.Table) -> pa.Table:
-        m = pc.is_in(tbl.column('tok'),
-                     value_set=pa.array(sorted(need), type=pa.string()))
-        return tbl.filter(m)
+        return tbl.filter(pc.is_in(tbl.column('th'), value_set=need))
 
     cdf = _small_df(uni.map_batches(pick, batch_format='pyarrow',
-                                    zero_copy_batch=True), ['tok', 'c'])
-    cmap = dict(zip(cdf['tok'], cdf['c'].astype(np.int64)))
+                                    zero_copy_batch=True),
+                    ['th', 'tok', 'c'])
+    smap = dict(zip(cdf['th'].astype(np.int64), cdf['tok']))
+    cmap = dict(zip(cdf['th'].astype(np.int64), cdf['c'].astype(np.int64)))
+    cand['a_s'] = cand['a'].map(smap)
+    cand['b_s'] = cand['b'].map(smap)
+    top = cand.sort_values(
+        ['n', 'a_s', 'b_s'], ascending=[False, True, True],
+        kind='mergesort').head(20).reset_index(drop=True)
     nv = top['n'].to_numpy(dtype=np.int64)
-    ca = np.array([cmap[x] for x in top['a']], dtype=np.int64)
-    cb = np.array([cmap[x] for x in top['b']], dtype=np.int64)
+    ca = np.array([cmap[x] for x in top['a'].astype(np.int64)],
+                  dtype=np.int64)
+    cb = np.array([cmap[x] for x in top['b'].astype(np.int64)],
+                  dtype=np.int64)
+    top = top.assign(a=top['a_s'], b=top['b_s'])
     T, P = float(total_t), float(total_p)
     # math.log, NOT np.log: numpy's SIMD log diverges from libm by
     # 1 ulp on some inputs, and DuckDB's ln IS libm — for a raw-double
@@ -7194,22 +7302,45 @@ ORACLE_SQL['q_pmi_bigrams_docs'] = """
 """
 
 
-def q_lm_score_docs(sf_dir: str):
+def q_lm_score_docs(sf_dir: str, hot_ctx_rows: int = 1_000_000,
+                    num_salts: int = 16):
     """Bigram language-model quality score per document: mean negative
     log-likelihood of the doc's bigrams under the corpus's own bigram
     model, nll(a,b) = -ln(n_ab / ctx_a) — the classic LM-based curation
-    signal (low = formulaic/repetitive, high = novel). Three bounded
-    exchanges: (doc,a,b) census; an 'a'-bucket exchange where the
-    bucket holds BOTH the global n_ab/ctx_a sums and the per-doc rows
-    (model statistics and scoring co-located — no broadcast of an
-    open vocabulary); a doc-bucket rollup of exact micro-unit terms."""
+    signal (low = formulaic/repetitive, high = novel). Tokens are
+    HASH-ENCODED (int64) before any exchange, so the heavy (doc,a,b)
+    census moves 40-byte int rows, never strings (output carries no
+    tokens — no string recovery needed).
+
+    Skew tier: the Zipf-head context ("the" holds ~7% of all bigram
+    contexts) makes the default a-bucket exchange concentrate that
+    share of ALL per-doc rows in one task — fine today, a memory cliff
+    at 100x. An EXACT context census (map-side combined — per-a
+    exchange rows are bounded by #blocks, in-bucket it sums partials)
+    costs one cheap partial exchange and detects contexts whose row
+    volume exceeds ``hot_ctx_rows``. Cold contexts keep the
+    co-located single-exchange path; hot contexts take a SALTED pair
+    join — data rows bucket on (pair, hash(doc) % num_salts), the
+    per-pair model census rides replicated x num_salts (vocab-bounded
+    count rows, not doc rows), ctx totals for the few hot heads come
+    from the census. Both paths compute the identical micro-unit
+    floor, so the output is byte-equal regardless of tiering
+    (pinned in tests/test_seq_features.py::TestLmScore). Measured at
+    1M Zipf docs / 32 CPUs: hot tier 21.7 s vs cold 31.7 s — the
+    single hot-'a' bucket serializes ~7% of all rows into one task
+    well before memory becomes the binding constraint, hence the
+    1M-row default threshold."""
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
-    bigrams = ds.map_batches(lambda t: _bigram_explode(t, with_doc=True),
-                             batch_format='pyarrow', zero_copy_batch=True)
+    bigrams = ds.map_batches(
+        lambda t: _bigram_explode(t, with_doc=True, hashed=True),
+        batch_format='pyarrow', zero_copy_batch=True)
+    # materialized: the census feeds the ctx census AND the scoring
+    # exchange (object-store checkpoint; parquet checkpoint at 100 TB)
     dab = bucket_aggregate(bigrams, ['doc_id', 'a', 'b'],
-                           {'n_dab': ('_one', 'sum')}, num_buckets=16)
+                           {'n_dab': ('_one', 'sum')},
+                           num_buckets=16).materialize()
 
     term_schema = pa.schema([('doc_id', pa.int64()),
                              ('contrib', pa.int64()),
@@ -7249,7 +7380,138 @@ def q_lm_score_docs(sf_dir: str):
                          'contrib': pa.array(micro * n_dab),
                          'n_dab': pa.array(n_dab)}, schema=term_schema)
 
-    terms = bucket_exchange(dab, 'a', score_terms, num_buckets=16)
+    # exact context census (ctx_a = sum of n_dab over docs and b's);
+    # partial combine keeps the hot head's exchange rows at #blocks
+    ctx_census = bucket_aggregate(dab, ['a'], {'ca': ('n_dab', 'sum')},
+                                  num_buckets=16)
+    hot_df = _small_df(
+        ctx_census.map_batches(
+            lambda t, _h=hot_ctx_rows: t.filter(
+                pc.greater(t.column('ca'), _h)),
+            batch_format='pyarrow', zero_copy_batch=True),
+        ['a', 'ca'])
+
+    if len(hot_df) == 0:
+        terms = bucket_exchange(dab, 'a', score_terms, num_buckets=16)
+    else:
+        hot_a = np.sort(hot_df['a'].to_numpy(dtype=np.int64))
+        hot_ca = hot_df.set_index('a')['ca'].astype(np.int64)\
+            .reindex(hot_a).to_numpy()
+        hot_set = pa.array(hot_a, type=pa.int64())
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        S = int(num_salts)
+
+        def split(tbl: pa.Table, keep_hot: bool) -> pa.Table:
+            m = pc.is_in(tbl.column('a'), value_set=hot_set)
+            return tbl.filter(m if keep_hot else pc.invert(m))
+
+        cold_terms = bucket_exchange(
+            dab.map_batches(lambda t: split(t, False),
+                            batch_format='pyarrow', zero_copy_batch=True),
+            'a', score_terms, num_buckets=16)
+
+        hot_rows = dab.map_batches(lambda t: split(t, True),
+                                   batch_format='pyarrow',
+                                   zero_copy_batch=True)
+        hot_ab = bucket_aggregate(hot_rows, ['a', 'b'],
+                                  {'n_ab': ('n_dab', 'sum')},
+                                  num_buckets=16)
+        # tagged union for the salted pair join: the exchange key mixes
+        # the PAIR hash with a salt — doc-derived on data rows, 0..S-1
+        # replicated on model rows — so pair-hash collisions only cost
+        # balance, never correctness (the in-bucket lookup re-keys on
+        # the true (a, b) values)
+        u_schema = pa.schema([('doc_id', pa.int64()), ('a', pa.int64()),
+                              ('b', pa.int64()), ('n_dab', pa.int64()),
+                              ('n_ab', pa.int64()), ('skey', pa.int64())])
+
+        def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            ua = a.astype(np.int64).view(np.uint64)
+            ub = b.astype(np.int64).view(np.uint64)
+            return (ua * GOLD) ^ (ub * np.uint64(0xC2B2AE3D27D4EB4F))
+
+        def tag_data(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return u_schema.empty_table()
+            a = tbl.column('a').to_numpy(zero_copy_only=False)
+            b = tbl.column('b').to_numpy(zero_copy_only=False)
+            doc = tbl.column('doc_id').to_numpy(zero_copy_only=False)
+            salt = ((doc.astype(np.int64).view(np.uint64) * GOLD)
+                    >> np.uint64(40)) % np.uint64(S)
+            skey = (_pair_hash(a, b) ^ (salt * GOLD)).view(np.int64)
+            return pa.table({
+                'doc_id': tbl.column('doc_id'), 'a': tbl.column('a'),
+                'b': tbl.column('b'), 'n_dab': tbl.column('n_dab'),
+                'n_ab': pa.nulls(tbl.num_rows, pa.int64()),
+                'skey': pa.array(skey)}, schema=u_schema)
+
+        def tag_model(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return u_schema.empty_table()
+            n = tbl.num_rows
+            rep = np.repeat(np.arange(n, dtype=np.int64), S)
+            a = tbl.column('a').to_numpy(zero_copy_only=False)[rep]
+            b = tbl.column('b').to_numpy(zero_copy_only=False)[rep]
+            nab = tbl.column('n_ab').to_numpy(zero_copy_only=False)[rep]
+            salt = np.tile(np.arange(S, dtype=np.uint64), n)
+            skey = (_pair_hash(a, b) ^ (salt * GOLD)).view(np.int64)
+            return pa.table({
+                'doc_id': pa.nulls(n * S, pa.int64()),
+                'a': pa.array(a.astype(np.int64)),
+                'b': pa.array(b.astype(np.int64)),
+                'n_dab': pa.nulls(n * S, pa.int64()),
+                'n_ab': pa.array(nab.astype(np.int64)),
+                'skey': pa.array(skey)}, schema=u_schema)
+
+        tagged = hot_rows.map_batches(
+            tag_data, batch_format='pyarrow', zero_copy_batch=True
+        ).union(hot_ab.map_batches(
+            tag_model, batch_format='pyarrow', zero_copy_batch=True))
+
+        def hot_score(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return term_schema.empty_table()
+            is_model = pc.is_valid(tbl.column('n_ab'))
+            model = tbl.filter(is_model)
+            data = tbl.filter(pc.invert(is_model))
+            if data.num_rows == 0:
+                return term_schema.empty_table()
+            # exact in-bucket pair lookup on TRUE (a, b) values —
+            # same index_in + numeric-pair-code trick as score_terms
+            ub = pc.unique(pa.chunked_array(
+                [model.column('b').combine_chunks(),
+                 data.column('b').combine_chunks()]))
+            k = len(ub)
+            a_m = np.searchsorted(
+                hot_a, model.column('a').to_numpy(zero_copy_only=False))
+            b_m = pc.index_in(model.column('b'), value_set=ub)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            a_d = np.searchsorted(
+                hot_a, data.column('a').to_numpy(zero_copy_only=False))
+            b_d = pc.index_in(data.column('b'), value_set=ub)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            key_m = a_m * k + b_m
+            # a pair's model row can arrive once per salt that maps to
+            # this bucket — dedup before the lookup
+            key_mu, first = np.unique(key_m, return_index=True)
+            nab_m = model.column('n_ab').to_numpy(
+                zero_copy_only=False)[first].astype(np.float64)
+            pos = np.searchsorted(key_mu, a_d * k + b_d)
+            n_ab = nab_m[pos]
+            ctx_a = hot_ca[a_d].astype(np.float64)
+            n_dab = data.column('n_dab').to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            micro = np.floor(-np.log(n_ab / ctx_a) * 1e6 + 0.5)\
+                .astype(np.int64)
+            return pa.table({'doc_id': data.column('doc_id'),
+                             'contrib': pa.array(micro * n_dab),
+                             'n_dab': pa.array(n_dab)},
+                            schema=term_schema)
+
+        hot_terms = bucket_exchange(tagged, 'skey', hot_score,
+                                    num_buckets=16)
+        terms = cold_terms.union(hot_terms)
+
     per_doc = bucket_aggregate(terms, ['doc_id'],
                                {'n_bigrams': ('n_dab', 'sum'),
                                 'c6': ('contrib', 'sum')},
@@ -7577,39 +7839,52 @@ def q_inverted_index_docs(sf_dir: str):
     bytes. At 100 TB, shard postings per token range."""
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
+    from ..stages.joins import hash_join
     MIN_DF = 5
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
     out_schema = pa.schema([('tok', pa.string()), ('df', pa.int64()),
                             ('postings', pa.string())])
+    post_schema = pa.schema([('th', pa.int64()), ('df', pa.int64()),
+                             ('postings', pa.string())])
 
-    # (doc, tok) dedup — posting lists hold DISTINCT docs
+    # (doc, th) dedup — posting lists hold DISTINCT docs. The heavy
+    # (doc, token) exchange is HASH-KEYED (16-byte int rows); token
+    # strings ride only the Heaps'-bounded vocab census, joined onto
+    # the (much smaller) df >= MIN_DF survivor postings at the end.
     dt = bucket_aggregate(
-        ds.map_batches(_tok_explode, batch_format='pyarrow',
+        ds.map_batches(_tok_explode_hashed, batch_format='pyarrow',
                        zero_copy_batch=True),
-        ['doc_id', 'tok'], {'_n': ('tok', 'count')}, num_buckets=16)
+        ['doc_id', 'th'], {'_n': ('th', 'count')}, num_buckets=16)
 
     def build(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return out_schema.empty_table()
-        t = pa.table({'tok': tbl.column('tok').combine_chunks(),
+            return post_schema.empty_table()
+        t = pa.table({'th': tbl.column('th').combine_chunks(),
                       'doc_id': tbl.column('doc_id').combine_chunks()})
-        t = t.sort_by([('tok', 'ascending'), ('doc_id', 'ascending')])
+        t = t.sort_by([('th', 'ascending'), ('doc_id', 'ascending')])
         t = t.append_column('doc_str',
                             pc.cast(t.column('doc_id'), pa.string()))
-        agg = t.group_by(['tok'], use_threads=False).aggregate(
+        agg = t.group_by(['th'], use_threads=False).aggregate(
             [('doc_str', 'list'), ('doc_id', 'count')])
         df_ = agg.column('doc_id_count')
         agg = agg.filter(pc.greater_equal(df_, MIN_DF))
         if agg.num_rows == 0:
-            return out_schema.empty_table()
+            return post_schema.empty_table()
         postings = pc.binary_join(agg.column('doc_str_list'), ',')
         return pa.table({
-            'tok': agg.column('tok'),
+            'th': agg.column('th'),
             'df': pc.cast(agg.column('doc_id_count'), pa.int64()),
             'postings': pc.cast(postings, pa.string()),
-        }, schema=out_schema)
+        }, schema=post_schema)
 
-    out = bucket_exchange(dt, 'tok', build, num_buckets=16)
+    posts = bucket_exchange(dt, 'th', build, num_buckets=16)
+    out = hash_join(posts, _vocab_census(ds), on='th', num_buckets=16,
+                    left_schema=post_schema,
+                    right_schema=pa.schema([('th', pa.int64()),
+                                            ('tok', pa.string())]))
+    out = out.map_batches(
+        lambda t: t.select(['tok', 'df', 'postings']).cast(out_schema),
+        batch_format='pyarrow', zero_copy_batch=True)
     return out.sort('tok')
 
 
