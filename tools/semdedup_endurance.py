@@ -68,10 +68,11 @@ def main():
 
     ds = rd.read_parquet(path)
     total = n + N_PLANT
-    # the paper's knob: clusters scale with the corpus so the O(B^2)
-    # within-cluster scan stays bounded (~800 rows mean)
-    n_clusters = int(os.environ.get('GRAFT_SEMDEDUP_K',
-                                    max(N_GROUPS, total // 800)))
+    # default: the operator's own 'auto' policy (k scales with the
+    # corpus inside semdedup — the probe passes NO manual knob);
+    # GRAFT_SEMDEDUP_K overrides to measure the fixed-k O(B^2) cost
+    k_env = os.environ.get('GRAFT_SEMDEDUP_K')
+    n_clusters = int(k_env) if k_env else 'auto'
     t0 = time.time()
     out = semdedup(ds, 'embedding', 'vec_id', n_clusters=n_clusters,
                    iters=4, threshold=0.99, num_buckets=64,

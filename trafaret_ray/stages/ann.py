@@ -736,8 +736,10 @@ def _kmeans_local6(x6: np.ndarray, c6: np.ndarray,
 
 
 def kmeans_lloyd(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
-                 n_clusters: int = 8, iters: int = 5,
-                 local_rows_max: int = 200_000):
+                 n_clusters: int | str = 8, iters: int = 5,
+                 local_rows_max: int = 200_000,
+                 target_cluster_rows: int = 2_000,
+                 auto_k_max: int = 65_536):
     """Distributed Lloyd k-means over the FULL dataset (unlike
     ``kmeans_fit``, which trains a coarse quantizer on a driver sample).
 
@@ -780,7 +782,16 @@ def kmeans_lloyd(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
     total = mat.count()
     if total == 0:
         raise ValueError('kmeans_lloyd: no non-null vectors')
-    k = min(n_clusters, total)
+    if n_clusters == 'auto':
+        # scale k with the corpus (mean cluster ~= target_cluster_rows)
+        # so a caller's downstream O(B^2) within-cluster work stays
+        # bounded without a manual knob. Capped at auto_k_max: per-row
+        # assignment cost is O(k*D) and centroids are driver-held, so
+        # k cannot grow linearly forever — past the cap, shard the
+        # corpus and run per shard (SemDeDup runs 50k on LAION-scale).
+        n_clusters = min(auto_k_max,
+                         max(8, -(-total // target_cluster_rows)))
+    k = min(int(n_clusters), total)
 
     def _rows_matrix(tbl: pa.Table) -> np.ndarray:
         la = tbl.column('_x6').combine_chunks()

@@ -1135,9 +1135,10 @@ def sorted_neighborhood_pairs(ds, text_col: str = 'text',
         gen_pairs, batch_format='pyarrow')
 
 
-def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
+def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters='auto',
              iters=5, threshold=0.95, num_buckets=32,
-             cluster_rows_max=50_000, pair_cap=8_000_000):
+             cluster_rows_max=50_000, pair_cap=8_000_000,
+             target_cluster_rows=2_000):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering the embedding space, then marking within-cluster
     pairs with cosine >= ``threshold`` as duplicates and keeping ONE doc
@@ -1160,7 +1161,11 @@ def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
     100-TB shape: k-means is the scale knob — the within-cluster pair
     scan is O(B^2) per cluster, so ``n_clusters`` must grow with the
     corpus to hold mean cluster size at ~1-10k rows (the paper runs 50k
-    clusters on LAION); a cluster above ``cluster_rows_max`` raises with
+    clusters on LAION). The default ``n_clusters='auto'`` folds that
+    policy into the operator: k = clamp(rows / target_cluster_rows,
+    8, 65536) resolved from the row count kmeans_lloyd already takes
+    (the endurance probe measured the fixed-k O(B^2) slowdown this
+    removes); a cluster above ``cluster_rows_max`` still raises with
     that guidance instead of silently running a quadratic task. Beyond
     the k-means passes the op is ONE exchange keyed on the int32 cluster
     id moving (id, unit-vector, cent_dot) rows; the pair matmul is
@@ -1179,7 +1184,8 @@ def semdedup(ds, emb_col='embedding', id_col='vec_id', n_clusters=8,
     ])
     try:
         c6, _sizes, _inertia = kmeans_lloyd(
-            ds, emb_col, id_col, n_clusters=n_clusters, iters=iters)
+            ds, emb_col, id_col, n_clusters=n_clusters, iters=iters,
+            target_cluster_rows=target_cluster_rows)
     except ValueError:          # 0-row / all-null input
         return rd.from_arrow(out_schema.empty_table())
 
