@@ -5,7 +5,9 @@ every value <= max_dist (values above come back capped at max_dist + 1) —
 the property the q_editdist_pairs_docs oracle gate rides on.
 """
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pytest
 
 from trafaret_ray.functions.text import levenshtein_bytes
 
@@ -114,6 +116,57 @@ class TestEditdistPairsStage:
         out = editdist_pairs(rd.from_arrow(self._docs().slice(0, 0)),
                              ['lang', 'band'], num_buckets=4).to_pandas()
         assert len(out) == 0
+
+    def test_dense_block_fanout_parity(self, ray_session):
+        # a dense block above fanout_block_docs must auto-escalate to
+        # the chunk-pair fan-out and return EXACTLY the one-task result
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        rng = np.random.default_rng(11)
+        base = 'the quick brown fox jumps over the lazy dog'
+        texts, langs = [], []
+        for i in range(120):
+            s = list(base)
+            for _ in range(int(rng.integers(0, 4))):
+                s[int(rng.integers(0, len(s)))] = \
+                    chr(ord('a') + int(rng.integers(0, 26)))
+            texts.append(''.join(s))
+            langs.append('en' if i % 3 else 'de')
+        t = pa.table({
+            'doc_id': pa.array(np.arange(120, dtype=np.int64)),
+            'text': pa.array(texts),
+            'lang': pa.array(langs),
+            'band': pa.array(np.zeros(120, dtype=np.int64)),
+        })
+
+        def run(**kw):
+            return editdist_pairs(rd.from_arrow(t), ['lang', 'band'],
+                                  max_dist=6, num_buckets=4, **kw)\
+                .to_pandas().sort_values(['doc_a', 'doc_b'])\
+                .reset_index(drop=True)
+
+        brute = run(fanout_block_docs=None)
+        fanned = run(fanout_block_docs=10)   # both blocks go hot
+        mixed = run(fanout_block_docs=50)    # 'en' hot, 'de' cold
+        assert len(brute) > 100              # dense: real pair volume
+        pd.testing.assert_frame_equal(brute, fanned)
+        pd.testing.assert_frame_equal(brute, mixed)
+
+    def test_block_docs_max_raises(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        t = pa.table({
+            'doc_id': pa.array(np.arange(30, dtype=np.int64)),
+            'text': pa.array(['same text'] * 30),
+            'lang': pa.array(['en'] * 30),
+            'band': pa.array(np.zeros(30, dtype=np.int64)),
+        })
+        with pytest.raises(ValueError, match='block_docs_max'):
+            editdist_pairs(rd.from_arrow(t), ['lang', 'band'],
+                           num_buckets=4, fanout_block_docs=5,
+                           block_docs_max=20).to_pandas()
 
     def test_string_doc_ids(self, ray_session):
         import ray.data as rd

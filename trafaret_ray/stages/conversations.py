@@ -60,19 +60,29 @@ def _hashable_np(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
-def add_bucket(table: pa.Table, key='conv_id',
-               num_buckets: int = 64) -> pa.Table:
-    """Append the int32 hash bucket of ``key`` (one column name or a
-    list — composite keys combine per-column hashes with the same
-    golden-ratio mix as bucket_aggregate, so single-key buckets are
-    unchanged)."""
-    keys = [key] if isinstance(key, str) else list(key)
+def key_hash(table: pa.Table, keys) -> np.ndarray:
+    """Deterministic uint64 hash of a (possibly composite) key, one
+    value per row — the same golden-ratio per-column mix every exchange
+    buckets on (add_bucket == key_hash % num_buckets), exposed so
+    skew-tier splits (hot-key membership tests) agree bit-for-bit with
+    the exchanges they divert rows from."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
     h = np.zeros(table.num_rows, dtype=np.uint64)
     for k in keys:
         vals = _hashable_np(table.column(k))
         h = (h * np.uint64(0x9E3779B97F4A7C15)
              + pd.util.hash_array(vals, hash_key=_HASH_KEY,
                                   categorize=False))
+    return h
+
+
+def add_bucket(table: pa.Table, key='conv_id',
+               num_buckets: int = 64) -> pa.Table:
+    """Append the int32 hash bucket of ``key`` (one column name or a
+    list — composite keys combine per-column hashes with the same
+    golden-ratio mix as bucket_aggregate, so single-key buckets are
+    unchanged)."""
+    h = key_hash(table, key)
     return table.append_column(
         BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int32),
                              type=pa.int32()))

@@ -872,7 +872,9 @@ def _editdist_by_code(ca: np.ndarray, cb: np.ndarray, uniq,
 def editdist_pairs(ds, block_cols, text_col: str = 'text',
                    id_col: str = 'doc_id', prefix_cp: int = 48,
                    max_dist: int = 16, num_buckets: int = 16,
-                   kernel: str = 'levenshtein'):
+                   kernel: str = 'levenshtein',
+                   fanout_block_docs: int | None = 1024,
+                   block_docs_max: int = 500_000):
     """Edit-distance near-dup pairs under equality blocking: docs sharing
     ``block_cols`` (e.g. (lang, length band)) are candidates; a pair is
     kept when the byte-level edit distance of the first ``prefix_cp``
@@ -896,6 +898,22 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
     natural-language blocks; a 300x-duplicated doc — the skew-gate bound
     — is ~45k pairs, one DP call). Rows with a NULL block key or NULL
     text are excluded (SQL join-on-NULL semantics).
+
+    Dense-block auto-escalation: a cheap map-side-combined census
+    detects blocks above ``fanout_block_docs``; their rows divert to a
+    CHUNK-PAIR fan-out — docs hash into C = ceil(B / fanout_block_docs)
+    chunks, each doc replicates C times keyed on (block, chunk_i,
+    chunk_j), and every chunk-pair's expansion runs as its own bucket
+    task. This is EXACT (every pair lands in exactly one chunk-pair —
+    result-identical to the one-task path, pinned in
+    tests/test_editdist.py), unlike a first-token sub-block key, which
+    would silently drop cross-token near-dups. The O(B^2) total work is
+    inherent to exact semantics; the fan-out removes the single-task
+    memory/serialization cliff. Above ``block_docs_max`` the operator
+    raises with guidance (use an LSH prefilter — minhash_lsh_pairs — or
+    add a block key) instead of attempting ~B^2/2 >= 1e11 DP pairs.
+    ``fanout_block_docs=None`` disables census + escalation (one fewer
+    exchange — the pre-r4 plan).
     """
     block_cols = list(block_cols)
 
@@ -946,7 +964,8 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
             'doc_b': pa.array(m[f'{id_col}_b'].to_numpy(), type=id_t),
             'edist': pa.array(ed[keep], type=pa.int64())})
 
-    from .conversations import bucket_exchange
+    from .aggregate import bucket_aggregate
+    from .conversations import bucket_exchange, key_hash
     # pair expansion is O(B^2) per block key while the INPUT is tiny
     # (id + block key + <=48-cp prefix rows) — a small corpus fits one
     # Ray block and would serialize every bucket into one map_groups
@@ -954,8 +973,133 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
     # small-file read cap packs into a single block). Repartitioning to
     # the bucket width aligns map blocks with the exchange's reduce
     # width; num_buckets is the cluster-scale knob here as everywhere.
-    return bucket_exchange(prepped.repartition(num_buckets), block_cols,
-                           pairs, num_buckets)
+    if fanout_block_docs is None:
+        return bucket_exchange(prepped.repartition(num_buckets),
+                               block_cols, pairs, num_buckets)
+
+    # dense-block census (map-side combined — partial rows only) and
+    # the hot-block pull: both tiny, the fan-out decision is exact
+    prepped = prepped.materialize()
+    census = bucket_aggregate(prepped, block_cols,
+                              {'_n': (id_col, 'count')}, num_buckets=8)
+    hot_df = census.map_batches(
+        lambda t, _f=fanout_block_docs: t.filter(
+            pc.greater(t.column('_n'), _f)),
+        batch_format='pyarrow', zero_copy_batch=True).to_pandas()
+    if len(hot_df):
+        hot_df = hot_df.dropna(subset=block_cols)  # NULL keys never pair
+    if len(hot_df) == 0:
+        return bucket_exchange(prepped.repartition(num_buckets),
+                               block_cols, pairs, num_buckets)
+    worst = int(hot_df['_n'].max())
+    if worst > block_docs_max:
+        raise ValueError(
+            f'editdist_pairs: a block key is shared by {worst} docs '
+            f'(> block_docs_max={block_docs_max}) — ~{worst * worst // 2:.0e}'
+            ' candidate pairs is beyond exact blocked edit distance; add '
+            'a discriminating block column or prefilter candidates with '
+            'minhash_lsh_pairs, or raise block_docs_max explicitly')
+
+    pschema = prepped.schema()          # materialized — no execution
+    ptypes = dict(zip(pschema.names, pschema.types))
+    hot_keys = pa.Table.from_pandas(
+        hot_df[block_cols], preserve_index=False,
+        schema=pa.schema([(c, ptypes[c]) for c in block_cols]))
+    hk = key_hash(hot_keys, block_cols)
+    order = np.argsort(hk, kind='stable')
+    hot_h = hk[order]
+    # duplicate hot hashes (two hot blocks colliding) keep the larger
+    # count — C only sizes chunks, membership stays exact on the true
+    # key via the merge below
+    hot_n = hot_df['_n'].to_numpy(dtype=np.int64)[order]
+    for i in range(1, len(hot_h)):
+        if hot_h[i] == hot_h[i - 1]:
+            hot_n[i] = max(hot_n[i], hot_n[i - 1])
+            hot_n[i - 1] = hot_n[i]
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def split(tbl: pa.Table, keep_hot: bool) -> pa.Table:
+        m = np.isin(key_hash(tbl, block_cols), hot_h)
+        return tbl.filter(pa.array(m if keep_hot else ~m))
+
+    cold = prepped.map_batches(lambda t: split(t, False),
+                               batch_format='pyarrow',
+                               zero_copy_batch=True)
+    cold_pairs = bucket_exchange(cold.repartition(num_buckets),
+                                 block_cols, pairs, num_buckets)
+
+    from .conversations import _hashable_np
+    from .conversations import _HASH_KEY as _HK
+
+    def fan(tbl: pa.Table) -> pa.Table:
+        # replicate each hot row once per chunk-pair it participates in
+        h = key_hash(tbl, block_cols)
+        pos = np.searchsorted(hot_h, h)
+        B = hot_n[pos]
+        C = -(-B // fanout_block_docs)
+        ids = _hashable_np(tbl.column(id_col))
+        c = (pd.util.hash_array(ids, hash_key=_HK, categorize=False)
+             % C.astype(np.uint64)).astype(np.int64)
+        rep = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), C)
+        j = np.arange(len(rep), dtype=np.int64) \
+            - np.repeat(np.cumsum(C) - C, C)
+        ci = np.minimum(c[rep], j)
+        cj = np.maximum(c[rep], j)
+        fo = ((h[rep] * GOLD + ci.view(np.uint64)) * GOLD
+              + cj.view(np.uint64)).view(np.int64)
+        out = tbl.take(pa.array(rep))
+        out = out.append_column('_ci', pa.array(ci, pa.int64()))
+        out = out.append_column('_cj', pa.array(cj, pa.int64()))
+        out = out.append_column('_role', pa.array(c[rep], pa.int64()))
+        return out.append_column('_fo', pa.array(fo, pa.int64()))
+
+    def hot_pairs(tbl: pa.Table) -> pa.Table:
+        id_t = (tbl.schema.field(id_col).type
+                if id_col in tbl.schema.names else pa.int64())
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                                ('edist', pa.int64())])
+        df = tbl.to_pandas()
+        if len(df):
+            df = df.dropna(subset=block_cols + ['_pfx'])
+        if len(df) == 0:
+            return out_schema.empty_table()
+        codes, uniq = pd.factorize(df['_pfx'], sort=False)
+        df = df[[id_col] + block_cols + ['_ci', '_cj', '_role']]\
+            .assign(_pc=codes)
+        m = df.merge(df, on=block_cols + ['_ci', '_cj'],
+                     suffixes=('_a', '_b'))
+        ia = m[f'{id_col}_a'].to_numpy()
+        ib = m[f'{id_col}_b'].to_numpy()
+        same = m['_ci'].to_numpy() == m['_cj'].to_numpy()
+        # within-chunk: id order dedups the self-merge; cross-chunk:
+        # exactly the (role_a, role_b) == (chunk_i, chunk_j) orientation
+        # (each unordered pair appears in exactly one chunk-pair group)
+        keep = np.where(
+            same, ia < ib,
+            (m['_role_a'].to_numpy() == m['_ci'].to_numpy())
+            & (m['_role_b'].to_numpy() == m['_cj'].to_numpy()))
+        m = m[keep]
+        if len(m) == 0:
+            return out_schema.empty_table()
+        ed = _editdist_by_code(m['_pc_a'].to_numpy(),
+                               m['_pc_b'].to_numpy(), uniq, max_dist,
+                               kernel)
+        kp = ed <= max_dist
+        m = m[kp]
+        ia = m[f'{id_col}_a'].to_numpy()
+        ib = m[f'{id_col}_b'].to_numpy()
+        return pa.table({
+            'doc_a': pa.array(np.minimum(ia, ib), type=id_t),
+            'doc_b': pa.array(np.maximum(ia, ib), type=id_t),
+            'edist': pa.array(ed[kp], type=pa.int64())})
+
+    hot_fan = prepped.map_batches(lambda t: split(t, True),
+                                  batch_format='pyarrow',
+                                  zero_copy_batch=True)\
+        .map_batches(fan, batch_format='pyarrow', zero_copy_batch=True)
+    hot_out = bucket_exchange(hot_fan.repartition(num_buckets), '_fo',
+                              hot_pairs, num_buckets)
+    return cold_pairs.union(hot_out)
 
 
 def _lead_bytes_u32(sa: pa.StringArray) -> np.ndarray:
