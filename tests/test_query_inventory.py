@@ -17,13 +17,9 @@ ROWS_ONLY = {
     'q_embedding_near_dup',      # hyperplane LSH candidates
     'q_hll_distinct_users',      # sketch estimate (accuracy-tested)
     'q_theta_users_overlap',     # KMV set-op estimate (exact-twin test)
-    'q_hist_quantiles',          # mergeable-histogram estimate
     'q_curate_docs',             # composition incl. LSH near-dedup
-    'q_ewma_events',             # recursive float filter, no stable SQL
     'q_pq_topk',                 # lossy code domain (recall-tested)
     'q_ivfpq_topk',              # lossy code domain + probe pruning
-    'q_pagerank_events',         # iterative algorithm, no SQL oracle
-                                 # (float-parity + path tests)
     'q_kcore_embeddings',        # iterative peel fixpoint, no SQL
                                  # oracle (brute-force parity tests)
     'q_cms_token_counts',        # sketch estimate (error-bound tests)

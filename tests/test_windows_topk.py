@@ -193,15 +193,18 @@ class TestEwma:
         df = pd.read_parquet('/root/testdata/sf0.001/events.parquet',
                              columns=['event_id', 'user_id', 'ts',
                                       'value'])
+        df = df[df['ts'].notna()]
         df = df.sort_values(['user_id', 'ts', 'event_id'])
         exp = df.groupby('user_id', sort=False)['value']\
-            .ewm(alpha=0.3, adjust=False).mean()\
+            .ewm(alpha=0.3, adjust=False, ignore_na=True).mean()\
             .reset_index(level=0, drop=True)
-        df = df.assign(ewma=np.round(exp.to_numpy(), 6))\
+        df = df.assign(ewma=exp.to_numpy())\
             .sort_values('event_id').reset_index(drop=True)
         got = out.sort_values('event_id').reset_index(drop=True)
-        assert np.allclose(got['ewma_value'], df['ewma'],
-                           rtol=0, atol=1e-9)
+        # BITWISE equality — the r4 oracle contract (null == leading-NaN)
+        ge = got['ewma_value'].to_numpy(dtype=np.float64)
+        ee = df['ewma'].to_numpy(dtype=np.float64)
+        assert np.array_equal(ge, ee, equal_nan=True)
 
     def test_value_stats_degenerate_groups(self, ray_session):
         """n=1 groups get NULL std on both engines; identical values

@@ -2757,12 +2757,63 @@ def q_value_quantiles(sf_dir: str):
 def q_hist_quantiles(sf_dir: str):
     """Approximate per-group quantiles via the mergeable histogram
     sketch (stages/sketches.py:histogram_quantiles — the 100-TB path;
-    approximate by design → rows-only driver check, accuracy vs the
-    exact operator asserted in tests/test_windows_topk.py)."""
+    accuracy vs the exact operator asserted in
+    tests/test_windows_topk.py). ORACLE-able despite being a sketch
+    (r4): the sketch is a deterministic function of (lo, hi, counts) —
+    fixed 4096-bin grid, trunc bin assignment, rank pick by cumulative
+    count, micro-floored midpoint — every step either exact int or the
+    identical IEEE expression, so DuckDB reproduces the ESTIMATE
+    byte-for-byte (the estimate, not the true quantile, is the
+    contract)."""
     from ..stages.sketches import histogram_quantiles
     ds = _read(sf_dir, 'events', ['event_type', 'value'])
     return histogram_quantiles(ds, 'event_type', 'value',
                                [0.5, 0.95, 0.99]).sort(['event_type', 'q'])
+
+
+ORACLE_SQL['q_hist_quantiles'] = """
+    WITH src AS MATERIALIZED (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    b AS MATERIALIZED (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(*) AS total
+      FROM src GROUP BY event_type),
+    binned AS MATERIALIZED (
+      SELECT s.event_type,
+             least(cast(trunc((s.value - b.lo)
+                   / greatest(b.hi - b.lo, 1e-300) * 4096) AS BIGINT),
+                   4095) AS bin
+      FROM src s
+      JOIN b ON s.event_type IS NOT DISTINCT FROM b.event_type),
+    counts AS MATERIALIZED (
+      SELECT event_type, bin, count(*) AS c FROM binned
+      GROUP BY event_type, bin),
+    grid AS MATERIALIZED (
+      SELECT b.event_type, g.i AS bin, b.lo, b.hi, b.total,
+             coalesce(c.c, 0) AS c
+      FROM b CROSS JOIN range(0, 4096) g(i)
+      LEFT JOIN counts c
+        ON c.event_type IS NOT DISTINCT FROM b.event_type
+       AND c.bin = g.i),
+    cum AS MATERIALIZED (
+      SELECT event_type, bin, lo, hi, total,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM grid),
+    qs AS (SELECT unnest([cast(0.5 AS DOUBLE), cast(0.95 AS DOUBLE),
+                          cast(0.99 AS DOUBLE)]) AS q),
+    hit AS (
+      SELECT c.event_type, q.q, max(c.lo) AS lo, max(c.hi) AS hi,
+             least(sum(CASE WHEN cast(c.cum AS DOUBLE)
+                                 < q.q * (c.total - 1) + 1
+                        THEN 1 ELSE 0 END), 4095) AS bh
+      FROM cum c CROSS JOIN qs q
+      GROUP BY c.event_type, q.q)
+    SELECT event_type, q,
+           floor((lo + (bh + cast(0.5 AS DOUBLE)) / 4096
+                  * greatest(hi - lo, 1e-300)) * 1e6 + 0.5) / 1e6
+             AS value
+    FROM hit ORDER BY event_type, q
+"""
 
 
 def q_quantile_bins_events(sf_dir: str):
@@ -4362,28 +4413,64 @@ ORACLE_SQL['q_cum_distinct_events'] = """
 
 def q_ewma_events(sf_dir: str, alpha: float = 0.3):
     """Per-user exponential moving average of value (adjust=False
-    recursion y_i = (1-a)y_{i-1} + a x_i) in (ts, event_id) order — the
-    classic decayed-history feature. One hash exchange; inside each
-    bucket pandas GroupBy.ewm runs the recursion in C per user. No SQL
-    oracle (recursive form) → rows-only driver check; distributed-vs-
-    single-machine parity is pinned in tests/test_windows_topk.py."""
-    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+    recursion y_i = (1-a)y_{i-1} + a x_i on VALID observations; null
+    values carry the previous state unchanged — ignore_na=True) in
+    (ts, event_id) order — the classic decayed-history feature. One
+    hash exchange; inside each bucket pandas GroupBy.ewm runs the
+    recursion in C per user.
+
+    ORACLE-able despite the recursive form (r4): with ignore_na=True
+    the pandas C kernel is BITWISE the plain recursion
+    y = (1-a)*y + a*x (probed: (1-0.3)==0.7 and 0.7+0.3==1.0 exactly,
+    so pandas' normalization divide is identity), and a DuckDB
+    recursive CTE evaluating cast(0.7 AS DOUBLE)*y + cast(0.3 AS
+    DOUBLE)*x per (user, row_number) step reproduces every double
+    exactly; null-value rows re-attach via the ffill window idiom."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'],
+               require=('ts',))
 
     def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
         df = tbl.select(['event_id', 'user_id', 'value']).to_pandas()
         ew = df.groupby('user_id', sort=False)['value']\
-            .ewm(alpha=alpha, adjust=False).mean()\
-            .reset_index(level=0, drop=True)
+            .ewm(alpha=alpha, adjust=False, ignore_na=True).mean()\
+            .reset_index(level=0, drop=True).to_numpy()
+        # rows before a user's first valid value are NULL (not NaN) —
+        # SQL has no NaN; a valid x never produces NaN
         return pa.table({
             'event_id': pa.array(df['event_id'].to_numpy()),
             'user_id': pa.array(df['user_id'].to_numpy()),
-            'ewma_value': pa.array(np.round(ew.to_numpy(), 6)),
+            'ewma_value': pa.array(
+                np.where(np.isnan(ew), 0.0, ew), pa.float64(),
+                mask=np.isnan(ew)),
         })
 
     return _per_user(ds, fn).sort('event_id')
 
 
 QUERIES['q_ewma_events'] = q_ewma_events
+ORACLE_SQL['q_ewma_events'] = """
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE ts IS NOT NULL),
+    v AS MATERIALIZED (
+      SELECT event_id, user_id, cast(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM e WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, rn, event_id, x AS y FROM v WHERE rn = 1
+      UNION ALL
+      SELECT v.user_id, v.rn, v.event_id,
+             cast(0.7 AS DOUBLE) * r.y + cast(0.3 AS DOUBLE) * v.x
+      FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1)
+    SELECT e.event_id, e.user_id,
+           last_value(r.y IGNORE NULLS) OVER (
+             PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ewma_value
+    FROM e LEFT JOIN r ON r.event_id = e.event_id
+    ORDER BY e.event_id
+"""
 
 
 def q_distinct_pairs_events(sf_dir: str):
@@ -6108,9 +6195,14 @@ def q_pagerank_events(sf_dir: str):
     event types (64-bit surrogate ids, sign-cleared for the graph's
     non-negative id contract). stages/graph.py:pagerank runs entirely
     in int64 fixed-point, so ranks are EXACTLY reproducible under any
-    row order — the --shuffled self-parity bar. Rows-only by design
-    (iterative algorithm, no SQL oracle; float-power-iteration parity
-    + path equality pinned in tests/test_graph.py)."""
+    row order — the --shuffled self-parity bar. The same property makes
+    it ORACLE-able (r4): the update (contrib = r // outdeg per edge,
+    dangling share // n, r' = base9 + (d6 * (in9 + dsh)) // 1e6) is
+    pure non-negative int64 arithmetic, so the 20 iterations UNROLL
+    into a generated CTE chain that matches byte-for-byte — every `//`
+    operand is provably non-negative (CLAUDE.md trunc-vs-floor rule);
+    the final rank = r20 / 1e9 is one exact int-to-double division on
+    both engines."""
     from ..stages.graph import pagerank
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts',
                                   'event_type'],
@@ -6149,6 +6241,64 @@ def q_pagerank_events(sf_dir: str):
 
 
 QUERIES['q_pagerank_events'] = q_pagerank_events
+
+
+def _pagerank_oracle_sql(iters: int = 20, damping6: int = 850_000) -> str:
+    """Generated CTE chain mirroring stages/graph.py pagerank exactly:
+    all-int64 arithmetic, iterations unrolled (SQL recursion cannot
+    aggregate in the recursive member; a fixed iteration count can)."""
+    head = """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    edges AS MATERIALIZED (
+      SELECT prev AS s, event_type AS d FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM ev)
+      WHERE prev IS NOT NULL),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM edges
+              UNION SELECT DISTINCT d FROM edges),
+    deg AS MATERIALIZED (
+      SELECT n.node, coalesce(o.c, 0) AS outdeg
+      FROM nodes n LEFT JOIN
+        (SELECT s, count(*) AS c FROM edges GROUP BY s) o
+        ON o.s = n.node),
+    nn AS MATERIALIZED (
+      SELECT count(*) AS n,
+             (150000::BIGINT * 1000000000::BIGINT)
+               // (1000000::BIGINT * count(*)) AS base9
+      FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, outdeg,
+             1000000000::BIGINT // (SELECT n FROM nn) AS r
+      FROM deg)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f'r{k - 1}'
+        steps.append(f""",
+    in{k} AS MATERIALIZED (
+      SELECT e.d AS node, sum(p.r // p.outdeg) AS in9
+      FROM edges e JOIN {p} p ON p.node = e.s GROUP BY e.d),
+    dsh{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r), 0) // (SELECT n FROM nn) AS dsh
+      FROM {p} WHERE outdeg = 0),
+    r{k} AS MATERIALIZED (
+      SELECT p.node, p.outdeg,
+             (SELECT base9 FROM nn)
+             + ({damping6}::BIGINT * (coalesce(i.in9, 0)
+                              + (SELECT dsh FROM dsh{k}))) // 1000000
+               AS r
+      FROM {p} p LEFT JOIN in{k} i ON i.node = p.node)""")
+    tail = f"""
+    SELECT node AS event_type,
+           cast(r AS DOUBLE) / 1000000000 AS "rank"
+    FROM r{iters} ORDER BY event_type"""
+    return head + ''.join(steps) + tail
+
+
+ORACLE_SQL['q_pagerank_events'] = _pagerank_oracle_sql()
 
 
 def q_weighted_sample_docs(sf_dir: str):

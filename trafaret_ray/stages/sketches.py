@@ -227,11 +227,17 @@ def histogram_quantiles(ds, group_col: str, value_col: str, qs,
                     target = q * (total - 1)
                     b = int(np.searchsorted(cum, target + 1))
                     b = min(b, n_bins - 1)
-                    # midpoint of the hit bin
+                    # midpoint of the hit bin, half-up micro-floored —
+                    # floor is exact on both engines where python
+                    # round() (decimal half-even) and DuckDB round()
+                    # (scaled) can disagree by an ulp (CLAUDE.md
+                    # float-comparison discipline)
                     val = lo[gidx] + (b + 0.5) / n_bins * span
+                    scale = 10.0 ** ndigits
                     out_g.append(g)
                     out_q.append(q)
-                    out_v.append(round(float(val), ndigits))
+                    out_v.append(float(np.floor(val * scale + 0.5)
+                                       / scale))
         return pa.table({group_col: pa.array(out_g, type=gtype),
                          'q': pa.array(out_q, type=pa.float64()),
                          'value': pa.array(out_v, type=pa.float64())})
