@@ -23,8 +23,6 @@ ROWS_ONLY = {
     'q_kcore_embeddings',        # iterative peel fixpoint, no SQL
                                  # oracle (brute-force parity tests)
     'q_cms_token_counts',        # sketch estimate (error-bound tests)
-    'q_bfs_embeddings',          # iterative BFS levels, no SQL oracle
-                                 # (brute-force parity tests)
     'q_bpe_encode_docs',         # trained-vocab encode, no SQL oracle
                                  # (shared-kernel reference parity)
     'q_bpe_train_docs',          # iterative merge loop, no SQL oracle
@@ -33,8 +31,6 @@ ROWS_ONLY = {
                                  # no SQL oracle (brute-force parity)
     'q_lpa_embeddings',          # iterative majority vote, no SQL
                                  # oracle (parity + invariance tests)
-    'q_kmeans_embeddings',       # iterative refinement, no SQL oracle
-                                 # (integer-exact parity tests)
     'q_semdedup_embeddings',     # iterative k-means composite, no SQL
                                  # oracle (planted recall + invariance
                                  # tests in test_semdedup.py)

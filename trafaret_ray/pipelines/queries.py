@@ -9789,8 +9789,13 @@ def q_kmeans_embeddings(sf_dir: str):
     the output is EXACTLY reproducible under any row order, batch
     boundary or partitioning (the --shuffled gate's self-parity bar) and
     the distributed path byte-equals a sequential numpy run
-    (tests/test_kmeans.py). Rows-only: the iterative refinement has no
-    single-statement SQL equivalent.
+    (tests/test_kmeans.py). The same exactness makes the 5 iterations
+    ORACLE-able (r4): each round unrolls to assignment (exploded
+    (vec, dim) rows joined to the (cid, dim) centroid table, argmin
+    with ties to the lowest cid) + a floor-div mean update — the
+    update's numerator can be NEGATIVE, so the SQL uses the exact
+    integer floor-division idiom (num - posmod(num, n)) // n rather
+    than DuckDB's truncating `//` (CLAUDE.md rule).
 
     Output: one row per (cluster, dim) with the final centroid
     coordinate in micro-units plus the cluster size, and one summary row
@@ -9822,6 +9827,76 @@ def q_kmeans_embeddings(sf_dir: str):
 
 
 QUERIES['q_kmeans_embeddings'] = q_kmeans_embeddings
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """Generated CTE chain mirroring stages/ann.kmeans_lloyd exactly
+    (int64 micro-units end to end). Floor-division with possibly
+    negative numerators uses (num - ((num % n + n) % n)) // n — the
+    subtraction makes the numerator an exact multiple of n, where
+    truncation equals floor."""
+    head = f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> cast(floor(v * 1e6 + 0.5) AS BIGINT))
+               AS x6
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+    vx AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(x6, 1) - 1 AS dim,
+             unnest(x6) AS x
+      FROM vecs),
+    seed AS MATERIALIZED (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM vecs ORDER BY vec_id LIMIT {k}),
+    c0 AS MATERIALIZED (
+      SELECT s.cid, v.dim, v.x AS c
+      FROM seed s JOIN vx v ON v.vec_id = s.vec_id)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f'c{i - 1}'
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT v.vec_id, c.cid,
+             cast(sum((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS d2
+      FROM vx v JOIN {p} c ON c.dim = v.dim
+      GROUP BY v.vec_id, c.cid),
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rnk
+        FROM d{i}) WHERE rnk = 1),
+    s{i} AS MATERIALIZED (
+      SELECT a.cid, v.dim, cast(sum(v.x) AS BIGINT) AS s,
+             cast(count(*) AS BIGINT) AS n
+      FROM a{i} a JOIN vx v ON v.vec_id = a.vec_id
+      GROUP BY a.cid, v.dim),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, p.dim,
+             CASE WHEN s.n IS NULL THEN p.c
+                  ELSE ((s.s + s.n // 2)
+                        - (((s.s + s.n // 2) % s.n + s.n) % s.n))
+                       // s.n
+             END AS c
+      FROM {p} p LEFT JOIN s{i} s
+        ON s.cid = p.cid AND s.dim = p.dim)""")
+    tail = f"""
+    SELECT c.cid AS cluster, c.dim, c.c AS c6,
+           coalesce(z.n, 0) AS n
+    FROM c{iters} c
+    LEFT JOIN (SELECT cid, cast(count(*) AS BIGINT) AS n
+               FROM a{iters} GROUP BY cid) z ON z.cid = c.cid
+    UNION ALL
+    SELECT -1, -1, (SELECT cast(coalesce(sum(d2), 0) AS BIGINT)
+                    FROM a{iters}), 0
+    WHERE EXISTS (SELECT 1 FROM vecs)
+    ORDER BY cluster, dim"""
+    return head + ''.join(steps) + tail
+
+
+ORACLE_SQL['q_kmeans_embeddings'] = _kmeans_oracle_sql()
 
 
 def q_seasonal_events(sf_dir: str):
@@ -10375,9 +10450,11 @@ def q_bfs_embeddings(sf_dir: str):
     graph universe; output (node, hops) for everything within 6 hops —
     the trust/quality-propagation primitive (how many similarity hops
     separate a document from a human-reviewed cluster). Deterministic
-    BFS levels — rows-only BY DESIGN (iterative; brute-force +
-    local==distributed parity in tests/test_graph.py::TestBFS,
-    --shuffled self-compares)."""
+    BFS levels (brute-force + local==distributed parity in
+    tests/test_graph.py::TestBFS); ORACLE-able (r4) because max_hops
+    is FIXED: the 6 rounds unroll into level CTEs (frontier = rows
+    settled exactly last round, min(h) merge), sidestepping SQL
+    recursion's no-aggregate rule."""
     from ..stages.graph import bfs_hops
     edges = _cosine_edge_ds(sf_dir)
     seeds = np.arange(10, dtype=np.int64)
@@ -10386,6 +10463,46 @@ def q_bfs_embeddings(sf_dir: str):
 
 
 QUERIES['q_bfs_embeddings'] = q_bfs_embeddings
+
+
+def _bfs_oracle_sql(max_hops: int = 6, n_seeds: int = 10) -> str:
+    """Unrolled multi-source BFS over the cosine>=0.3 graph (same edge
+    CTE as the other graph oracles); isolated seeds still emit hops 0,
+    matching bfs_hops' node universe = edges ∪ seeds."""
+    seeds = ', '.join(str(i) for i in range(n_seeds))
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE vec_id < 1000),
+    ed AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                       * 1e6 + 0.5) AS BIGINT) >= 300000),
+    sym AS MATERIALIZED (
+      SELECT va AS s, vb AS d FROM ed
+      UNION ALL SELECT vb, va FROM ed),
+    l0 AS MATERIALIZED (
+      SELECT cast(unnest([{seeds}]) AS BIGINT) AS node,
+             cast(0 AS BIGINT) AS h)"""
+    steps = []
+    for k in range(1, max_hops + 1):
+        p = f'l{k - 1}'
+        steps.append(f""",
+    l{k} AS MATERIALIZED (
+      SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM {p}
+        UNION ALL
+        SELECT s.d AS node, cast({k} AS BIGINT) AS h
+        FROM sym s JOIN {p} p ON p.node = s.s
+        WHERE p.h = {k - 1}
+      ) GROUP BY node)""")
+    tail = f"""
+    SELECT node, h AS hops FROM l{max_hops} ORDER BY node"""
+    return head + ''.join(steps) + tail
+
+
+ORACLE_SQL['q_bfs_embeddings'] = _bfs_oracle_sql()
 
 
 def q_class_balance_docs(sf_dir: str):
