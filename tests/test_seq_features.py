@@ -313,6 +313,28 @@ class TestLmScore:
         pd.testing.assert_frame_equal(cold, allhot)
 
 
+class TestDfAttachTiers:
+    def test_join_tier_matches_broadcast(self, ray_session, tmp_path):
+        # df_broadcast_max=0 forces the open-vocab tier (hot-head
+        # broadcast + tail hash_join); rows must byte-match the
+        # broadcast tier
+        from trafaret_ray.pipelines.queries import q_tfidf_docs
+        rng = np.random.default_rng(5)
+        vocab = [f'w{i}' for i in range(60)]
+        texts = [' '.join(
+            ('the' if rng.random() < 0.3 else
+             vocab[rng.integers(0, 60)]) for _ in range(25))
+            for _ in range(40)]
+        sf = TestBm25._write_docs(self, tmp_path, texts)
+        for fn, keys in ((q_tfidf_docs, ['doc_id', 'tok']),
+                         (q_keywords_docs, ['doc_id', 'rank'])):
+            a = fn(sf).to_pandas().sort_values(keys)\
+                .reset_index(drop=True)
+            b = fn(sf, df_broadcast_max=0).to_pandas()\
+                .sort_values(keys).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 class TestKeywords:
     def test_distinctive_term_ranks_first(self, ray_session, tmp_path):
         texts = ['common zebra common', 'common common', 'common yak']

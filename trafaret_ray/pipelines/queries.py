@@ -4850,16 +4850,83 @@ def _nonnull_count(sf_dir: str, table: str, col: str) -> int:
     return _read(sf_dir, table, [col], require=(col,)).count()
 
 
-def q_tfidf_docs(sf_dir: str):
+def _df_attach_tiered(tf, dfh, tf_schema: pa.Schema,
+                      df_broadcast_max: int, hot_k: int = 4096,
+                      num_buckets: int = 16):
+    """Attach the vocabulary df census to a (doc_id, tok, tf) table,
+    auto-tiered for scale. Returns ``(ref, ds)``:
+
+    * vocab <= ``df_broadcast_max``: ``ref`` is a ray.put of
+      (tok array, df array) for an in-bucket lookup, ``ds`` is ``tf``
+      unchanged — zero extra exchange, the sf-scale default.
+    * open vocab: ``ref`` is None and ``ds`` carries a ``df`` column —
+      the Zipf-HEAD tokens (top ``hot_k`` by df) attach via a tiny
+      broadcast lookup (a tok-keyed join would concentrate the head
+      token's O(#docs) rows in one bucket), the Heaps tail attaches
+      via a tok-keyed hash_join whose per-key multiplicity is bounded
+      by the (hot_k+1)-th df. Both tiers produce identical rows —
+      parity pinned in tests/test_seq_features.py.
+    """
+    import ray as _ray
+    from ..stages.aggregate import global_topk
+    from ..stages.joins import hash_join
+    df_schema = pa.schema([('tok', pa.string()), ('df', pa.int64())])
+    if dfh.count() <= df_broadcast_max:
+        dfp = _small_df(dfh, ['tok', 'df'])
+        ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
+                        dfp['df'].to_numpy(dtype=np.int64)))
+        return ref, tf
+    hot_df = _small_df(global_topk(dfh, [('df', 'descending'),
+                                         ('tok', 'ascending')], hot_k),
+                       ['tok', 'df'])
+    hot_ref = _ray.put((pa.array(hot_df['tok'].to_numpy(),
+                                 type=pa.string()),
+                        hot_df['df'].to_numpy(dtype=np.int64)))
+    out_schema = pa.schema(list(tf_schema) + [pa.field('df', pa.int64())])
+    cols = [f.name for f in out_schema]
+
+    def split(tbl: pa.Table, keep_hot: bool) -> pa.Table:
+        keys, vals = _ray.get(hot_ref)
+        ti = pc.index_in(tbl.column('tok'), value_set=keys)
+        m = pc.is_valid(ti)
+        if not keep_hot:
+            return tbl.filter(pc.invert(m))
+        t = tbl.filter(m)
+        tv = pc.index_in(t.column('tok'), value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.append_column('df', pa.array(vals[tv])).select(cols)\
+            .cast(out_schema)
+
+    hot = tf.map_batches(lambda t: split(t, True),
+                         batch_format='pyarrow', zero_copy_batch=True)
+    cold = hash_join(
+        tf.map_batches(lambda t: split(t, False),
+                       batch_format='pyarrow', zero_copy_batch=True),
+        dfh, on='tok', num_buckets=num_buckets,
+        left_schema=tf_schema, right_schema=df_schema)
+    cold = cold.map_batches(
+        lambda t: t.select(cols).cast(out_schema),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return None, hot.union(cold)
+
+
+def q_tfidf_docs(sf_dir: str, df_broadcast_max: int = 2_000_000):
     """Per-(doc, token) TF-IDF over the corpus — the classic two-pass
     corpus statistic. One exchange builds the (doc_id, tok) term counts
     (bucket_aggregate, high-cardinality), the vocabulary document
-    frequencies re-aggregate that already-collapsed table and broadcast
-    (vocab is bounded; at open-vocab scale swap the broadcast for a
-    hash join on tok), and one doc-bucket exchange co-locates each
-    doc's terms to compute doc length + the final score without ever
-    touching the raw text again. N comes free from parquet metadata.
-    tf/df are exact ints; tfidf rounds at 6 like every float column."""
+    frequencies re-aggregate that already-collapsed table, and one
+    doc-bucket exchange co-locates each doc's terms to compute doc
+    length + the final score without ever touching the raw text again.
+    N comes free from parquet metadata. tf/df are exact ints; tfidf
+    rounds at 6 like every float column.
+
+    AUTO-TIERED df attachment (r4): a vocabulary census up to
+    ``df_broadcast_max`` rows is pulled once and ray.put-broadcast
+    (one lookup per bucket, zero extra exchange); an open-vocab corpus
+    above it switches to a tok-keyed hash_join — bounded worker heap
+    instead of an O(vocab) driver pull (the ngram_jaccard tiering
+    pattern). Both tiers compute the identical expression — parity
+    pinned in tests/test_seq_features.py."""
     import ray as _ray
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
@@ -4868,27 +4935,33 @@ def q_tfidf_docs(sf_dir: str):
     n_docs = _nonnull_count(sf_dir, 'documents', 'text')
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
+    tf_schema = pa.schema([('doc_id', pa.int64()), ('tok', pa.string()),
+                           ('tf', pa.int64())])
     tf = bucket_aggregate(
         ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
         ['doc_id', 'tok'], {'tf': ('tok', 'count')},
         num_buckets=16).materialize()
 
-    dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
-                                     num_buckets=4), ['tok', 'df'])
-    ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
-                    dfp['df'].to_numpy(dtype=np.int64)))
+    dfh = bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                           num_buckets=4).materialize()
+    ref, scored_in = _df_attach_tiered(tf, dfh, tf_schema,
+                                       df_broadcast_max)
 
     def score(tbl: pa.Table) -> pa.Table:
-        keys, dfs = _ray.get(ref)
         dl = tbl.group_by(['doc_id']).aggregate([('tf', 'sum')])
         di = pc.index_in(tbl.column('doc_id'),
                          value_set=dl.column('doc_id'))
         doc_len = dl.column('tf_sum').take(di).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        ti = pc.index_in(tbl.column('tok'), value_set=keys).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        dfv = dfs[ti]
+        if ref is not None:
+            keys, dfs = _ray.get(ref)
+            ti = pc.index_in(tbl.column('tok'), value_set=keys)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dfv = dfs[ti]
+        else:
+            dfv = tbl.column('df').to_numpy(
+                zero_copy_only=False).astype(np.int64)
         tfv = tbl.column('tf').to_numpy(zero_copy_only=False)\
             .astype(np.float64)
         tfidf = np.round((tfv / doc_len) * np.log(float(n_docs) / dfv),
@@ -4899,7 +4972,7 @@ def q_tfidf_docs(sf_dir: str):
                          'df': pa.array(dfv),
                          'tfidf': pa.array(tfidf)})
 
-    out = bucket_exchange(tf, 'doc_id', score, num_buckets=16)
+    out = bucket_exchange(scored_in, 'doc_id', score, num_buckets=16)
     return out.sort(['doc_id', 'tok'])
 
 
@@ -7708,14 +7781,17 @@ ORACLE_SQL['q_lm_score_docs'] = """
 """
 
 
-def q_keywords_docs(sf_dir: str):
+def q_keywords_docs(sf_dir: str, df_broadcast_max: int = 2_000_000):
     """Keyword extraction: top-3 TF-IDF terms per document with rank —
     the per-doc summarization primitive on top of the corpus statistic.
-    Same two-exchange shape as q_tfidf_docs; the per-doc rank is an
-    in-bucket Arrow sort on (doc, -micro, tok) with segment position
-    picks. Rank cuts are float row-picks, so they follow the CLAUDE.md
-    fixed-point discipline: both engines rank on the micro-unit int
-    with tok as the tie key."""
+    Same two-exchange shape as q_tfidf_docs, including the r4
+    auto-tiered df attachment (_df_attach_tiered: vocab broadcast at
+    sf scale, hot-head broadcast + tail hash_join at open-vocab
+    scale); the per-doc rank is an in-bucket Arrow sort on
+    (doc, -micro, tok) with segment position picks. Rank cuts are
+    float row-picks, so they follow the CLAUDE.md fixed-point
+    discipline: both engines rank on the micro-unit int with tok as
+    the tie key."""
     import ray as _ray
     from ..stages.aggregate import bucket_aggregate
     from ..stages.conversations import bucket_exchange
@@ -7728,27 +7804,34 @@ def q_keywords_docs(sf_dir: str):
         return out_schema.empty_table().to_pandas()
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'], require=('text',))
 
+    tf_schema = pa.schema([('doc_id', pa.int64()), ('tok', pa.string()),
+                           ('tf', pa.int64())])
     tf = bucket_aggregate(
         ds.map_batches(_tok_explode, batch_format='pyarrow',
                        zero_copy_batch=True),
-        ['doc_id', 'tok'], {'tf': ('tok', 'count')}, num_buckets=16)
-    dfp = _small_df(bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
-                                     num_buckets=4), ['tok', 'df'])
-    ref = _ray.put((pa.array(dfp['tok'].to_numpy(), type=pa.string()),
-                    dfp['df'].to_numpy(dtype=np.int64)))
+        ['doc_id', 'tok'], {'tf': ('tok', 'count')},
+        num_buckets=16).materialize()
+    dfh = bucket_aggregate(tf, ['tok'], {'df': ('tok', 'count')},
+                           num_buckets=4).materialize()
+    ref, picked_in = _df_attach_tiered(tf, dfh, tf_schema,
+                                       df_broadcast_max)
 
     def pick(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return out_schema.empty_table()
-        keys, dfs = _ray.get(ref)
         dl = tbl.group_by(['doc_id']).aggregate([('tf', 'sum')])
         di = pc.index_in(tbl.column('doc_id'),
                          value_set=dl.column('doc_id'))
         doc_len = dl.column('tf_sum').take(di).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        ti = pc.index_in(tbl.column('tok'), value_set=keys).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        dfv = dfs[ti]
+        if ref is not None:
+            keys, dfs = _ray.get(ref)
+            ti = pc.index_in(tbl.column('tok'), value_set=keys)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dfv = dfs[ti]
+        else:
+            dfv = tbl.column('df').to_numpy(
+                zero_copy_only=False).astype(np.int64)
         tfv = tbl.column('tf').to_numpy(zero_copy_only=False)\
             .astype(np.float64)
         # same association order as q_tfidf_docs / the oracle
@@ -7775,7 +7858,7 @@ def q_keywords_docs(sf_dir: str):
                                pa.scalar(1e6)),
         }, schema=out_schema)
 
-    out = bucket_exchange(tf, 'doc_id', pick, num_buckets=16)
+    out = bucket_exchange(picked_in, 'doc_id', pick, num_buckets=16)
     return out.sort(['doc_id', 'rank'])
 
 
