@@ -38,8 +38,6 @@ ROWS_ONLY = {
                                  # dup recall in test_conv_dedup.py)
     'q_conv_minhash_dedup',      # synthetic transcripts input +
                                  # signature-estimate verify (tested)
-    'q_mmr_topk',                # greedy selection loop, no SQL oracle
-                                 # (numpy-reference parity in test_mmr)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
     'flagship_transcript_features',  # transcripts input, not TPC-H-ish

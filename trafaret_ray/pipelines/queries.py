@@ -11055,21 +11055,99 @@ def q_mmr_topk(sf_dir: str):
     Goldstein 1998): exact-cosine shortlist of 100 per batch (local
     prune, one merge task), greedy lambda=0.5 relevance-vs-redundancy
     selection of 10 in exact int64 micro-units — bit-stable under
-    partitioning, ties to min vec_id. Rows-only: the greedy loop has no
-    SQL equivalent; a sequential numpy reference and the shuffled
-    self-parity bar are pinned in tests/test_mmr.py."""
+    partitioning, ties to min vec_id. ORACLE-able (r4): the greedy is a
+    FIXED-k loop over exact ints (micro-floored query cosines; pair
+    dots of the micro-quantized unit vectors are integers <= ~1e12,
+    exact in DOUBLE), so each of the 10 picks unrolls to one
+    argmax-CTE (ORDER BY score DESC, vec_id LIMIT 1) plus one
+    maxpair-update CTE — see _mmr_oracle_sql. A sequential numpy
+    reference and the shuffled self-parity bar remain pinned in
+    tests/test_mmr.py."""
     from ..stages.ann import mmr_topk
     emb = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qvec = _query_vec(sf_dir)
-    if qvec is None:
-        import ray.data as rd
-        return rd.from_arrow(pa.schema(
+    if qvec is None or not np.linalg.norm(qvec):
+        # empty-path schema survives as pandas (an empty Ray Dataset
+        # loses its columns, CLAUDE.md) — same shape as q_ann_topk
+        return pa.schema(
             [('rank', pa.int64()), ('vec_id', pa.int64()),
-             ('sim_q6', pa.int64())]).empty_table())
+             ('sim_q6', pa.int64())]).empty_table().to_pandas()
     return mmr_topk(emb, qvec, k=10, fetch_k=100, lam=0.5)
 
 
 QUERIES['q_mmr_topk'] = q_mmr_topk
+
+
+def _mmr_oracle_sql(k: int = 10, fetch_k: int = 100,
+                    lam_u: int = 500_000) -> str:
+    """Generated CTE chain mirroring stages/ann.mmr_topk exactly.
+
+    Exactness argument (why the greedy transcribes): sim6 and the u6
+    unit-vector components are micro-floored on both engines (the same
+    list_cosine_similarity + floor discipline as q_cosine_pairs); from
+    there everything is integer — a pair dot of two u6 vectors is a sum
+    of 64 products each <= 1e12 whose partial sums stay far below 2^53,
+    so DuckDB's list_inner_product over u6::DOUBLE[] is EXACT, and the
+    MMR score lam_u*(sim6*1e6) - (1e6-lam_u)*maxpair caps at ~5e17 <
+    int64 max (DuckDB would throw, not wrap, if that ever broke). Each
+    pick is ORDER BY score DESC, vec_id LIMIT 1 (ties to min id, same
+    as the engine's argmin-over-argmax); LIMIT 1 over an empty relation
+    chains to 0 rows, matching the engine's min(k, n) picks. CTEs are
+    MATERIALIZED per the unrolled-oracle rule (CLAUDE.md: DuckDB
+    inlines plain CTEs per reference — exponential in a chain)."""
+    head = f"""
+    WITH q AS MATERIALIZED (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL
+        AND list_inner_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+    raw AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND EXISTS (SELECT 1 FROM q)),
+    cand AS MATERIALIZED (
+      SELECT vec_id,
+             cast(floor(list_cosine_similarity(e, (SELECT qe FROM q))
+                        * 1e6 + 0.5) AS BIGINT) AS sim_q6,
+             list_transform(e, x -> cast(floor(x / nrm * 1e6 + 0.5)
+                                         AS BIGINT)) AS u6
+      FROM raw WHERE nrm > 0
+      ORDER BY sim_q6 DESC, vec_id LIMIT {fetch_k}),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, sim_q6, u6 FROM cand
+      ORDER BY sim_q6 DESC, vec_id LIMIT 1),
+    r1 AS MATERIALIZED (
+      SELECT c.vec_id, c.sim_q6, c.u6,
+             cast(list_inner_product(c.u6::DOUBLE[], p.u6::DOUBLE[])
+                  AS BIGINT) AS mp
+      FROM cand c, p1 p WHERE c.vec_id <> p.vec_id)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+    p{i} AS MATERIALIZED (
+      SELECT vec_id, sim_q6, u6 FROM r{i - 1}
+      ORDER BY {lam_u} * (sim_q6 * 1000000)
+               - {1_000_000 - lam_u} * mp DESC, vec_id LIMIT 1),
+    r{i} AS MATERIALIZED (
+      SELECT r.vec_id, r.sim_q6, r.u6,
+             greatest(r.mp,
+                      cast(list_inner_product(r.u6::DOUBLE[],
+                                              p.u6::DOUBLE[]) AS BIGINT))
+               AS mp
+      FROM r{i - 1} r, p{i} p WHERE r.vec_id <> p.vec_id)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i - 1} AS rank, vec_id, sim_q6 FROM p{i}"
+        for i in range(1, k + 1))
+    tail = f"""
+    SELECT * FROM (
+      {unions}
+    ) ORDER BY rank"""
+    return head + ''.join(steps) + tail
+
+
+ORACLE_SQL['q_mmr_topk'] = _mmr_oracle_sql()
 
 
 def q_jw_pairs_docs(sf_dir: str):
