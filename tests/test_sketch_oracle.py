@@ -1,0 +1,71 @@
+"""Differential pins for the DuckDB-oracle-compatible sketch kernels.
+
+duckdb_hash64 must stay byte-equal to SQL ``hash(x::BIGINT)`` — the HLL
+(and KMV) oracles transcribe register/bottom-k computations into SQL on
+that equality. Same pattern as the JW/DL kernel differentials
+(tests/test_jw_kernel.py)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trafaret_ray.stages.sketches import (HLL, duckdb_hash64,
+                                          hll_estimate_exact6)
+
+
+def _sql_hash(vals):
+    con = duckdb.connect()
+    out = con.execute(
+        "SELECT list(hash(x) ORDER BY i) FROM "
+        "(SELECT row_number() OVER () AS i, unnest(?::BIGINT[]) AS x)",
+        [list(map(int, vals))]).fetchone()[0]
+    con.close()
+    return [int(v) for v in out]
+
+
+def test_hash_matches_duckdb_fixed():
+    vals = [0, 1, -1, 42, -5, 2 ** 40 + 7, 2 ** 63 - 1, -(2 ** 63) + 1,
+            123456789, -987654321]
+    assert duckdb_hash64(vals).tolist() == _sql_hash(vals)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63) + 1,
+                            max_value=2 ** 63 - 1),
+                min_size=1, max_size=50))
+def test_hash_matches_duckdb_fuzz(vals):
+    assert duckdb_hash64(vals).tolist() == _sql_hash(vals)
+
+
+def test_hash_accepts_null_padded_float_ids():
+    # pandas null-padding floatifies int ids; the kernel must hash the
+    # integral float round-trip identically to the original ints
+    ids = np.array([3.0, 77.0, 2.0 ** 40], dtype=np.float64)
+    assert duckdb_hash64(ids).tolist() == \
+        duckdb_hash64(ids.astype(np.int64)).tolist()
+
+
+def test_exact6_estimator_close_to_float_estimator():
+    from trafaret_ray.stages.sketches import hll_estimate
+    rng = np.random.default_rng(7)
+    h = HLL(p=12, hash_mode='duckdb64').add(
+        rng.integers(0, 2 ** 50, 20000))
+    a, b = hll_estimate(h.regs), hll_estimate_exact6(h.regs)
+    assert math.isclose(a, b, rel_tol=1e-9)
+    # and the sketch is still an accurate distinct counter
+    assert abs(b - 20000) / 20000 < 0.05
+
+
+def test_exact6_small_range_branch():
+    h = HLL(p=12, hash_mode='duckdb64').add(np.arange(50))
+    est = hll_estimate_exact6(h.regs)
+    assert abs(est - 50) / 50 < 0.25
+
+
+def test_hll_rejects_unknown_hash_mode():
+    with pytest.raises(ValueError):
+        HLL(hash_mode='md5')

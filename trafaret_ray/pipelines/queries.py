@@ -2913,15 +2913,66 @@ def q_distinct_users(sf_dir: str):
 
 def q_hll_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type (mergeable
-    per-batch sketches; standard ~1.6% error at p=12 — rows-only check,
-    accuracy asserted in tests)."""
+    per-batch sketches, ~1.6% standard error at p=12). ORACLE-able
+    (r4): the registers are a deterministic function of the DuckDB-equal
+    integer hash (stages/sketches.duckdb_hash64 — differential-pinned
+    against SQL hash()), rank extraction is exact bit arithmetic
+    (length(bin(low52)) in SQL), the register sum is an exact HUGEINT,
+    and the estimate is one shared double literal divided by that sum
+    (small-range branch: libm ln on both engines), micro-floored —
+    see _hll_oracle_sql. Accuracy continues to be asserted in tests."""
     from ..stages.sketches import hll_distinct
     ds = _read(sf_dir, 'events', ['event_type', 'user_id'])
-    return hll_distinct(ds, 'event_type', 'user_id').sort('event_type')
+    return hll_distinct(ds, 'event_type', 'user_id',
+                        hash_mode='duckdb64').sort('event_type')
+
+
+def _hll_oracle_sql(p: int = 12) -> str:
+    """SQL twin of stages/sketches._hll_update + hll_estimate_exact6
+    over hash(user_id). The numerator alpha*m^2*2^64 is embedded as the
+    repr of the SAME Python expression the engine evaluates — both
+    parsers are correctly-rounding, so the doubles are identical; the
+    register sum is exact HUGEINT; ::DOUBLE of it is one IEEE rounding
+    on both engines. rank = 53 - bitlen(low 52 bits), bitlen via
+    length(bin(x)) (string-exact; float log2 would misround just below
+    powers of two >= 2^48)."""
+    m = 1 << p
+    low_mod = 1 << (64 - p)
+    num = (0.7213 / (1 + 1.079 / m)) * m * m * 2.0 ** 64
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT event_type, hash(user_id) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    reg AS MATERIALIZED (
+      SELECT event_type, h // {low_mod} AS idx,
+             max(CASE WHEN h % {low_mod} = 0 THEN {64 - p + 1}
+                 ELSE {64 - p + 1} - length(bin(h % {low_mod})) END)
+               AS rank
+      FROM v GROUP BY event_type, idx),
+    agg AS MATERIALIZED (
+      SELECT event_type,
+             cast(count(*) AS BIGINT) AS present,
+             sum(1::HUGEINT << (64 - rank)) AS s_present
+      FROM reg GROUP BY event_type),
+    est AS (
+      SELECT event_type, {m} - present AS zeros,
+             {num!r} /
+               (s_present
+                + ({m} - present) * (1::HUGEINT << 63) * 2)::DOUBLE
+               AS raw
+      FROM agg)
+    SELECT event_type,
+           cast(floor(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                           THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                           ELSE raw END * 1e6 + 0.5) AS BIGINT) / 1e6
+             AS approx_distinct
+    FROM est ORDER BY event_type
+    """
 
 
 QUERIES['q_distinct_users'] = q_distinct_users
 QUERIES['q_hll_distinct_users'] = q_hll_distinct_users
+ORACLE_SQL['q_hll_distinct_users'] = _hll_oracle_sql()
 ORACLE_SQL['q_distinct_users'] = """
     SELECT event_type, count(DISTINCT user_id) AS n_distinct
     FROM events GROUP BY event_type ORDER BY event_type

@@ -22,6 +22,28 @@ from .aggregate import pre_aggregate
 _HASH_KEY = '0123456789abcdef'
 
 
+def duckdb_hash64(values) -> np.ndarray:
+    """DuckDB-compatible 64-bit integer hash (murmurhash64 finalizer
+    with the leading fold: x ^= x>>32; x *= C; x ^= x>>32; x *= C;
+    x ^= x>>32). Byte-equal to SQL ``hash(x::BIGINT)`` — pinned by a
+    differential sweep in tests/test_sketches.py — which makes
+    hash-indexed sketches (HLL registers, KMV bottom-k) transcribable
+    into DuckDB oracles. Accepts anything int64-coercible (including
+    the float64 that pandas null-padding produces for nullable int
+    ids; values must be integral and < 2^53 for that round trip)."""
+    x = np.asarray(values)
+    if x.dtype != np.int64:
+        x = x.astype(np.int64)
+    x = x.astype(np.uint64)
+    with np.errstate(over='ignore'):
+        x = x ^ (x >> np.uint64(32))
+        x = x * np.uint64(0xd6e8feb86659fd93)
+        x = x ^ (x >> np.uint64(32))
+        x = x * np.uint64(0xd6e8feb86659fd93)
+        x = x ^ (x >> np.uint64(32))
+    return x
+
+
 def _hll_update(regs: np.ndarray, values: np.ndarray, p: int):
     """Fold a batch of uint64 hashes into 2^p registers (vectorized)."""
     idx = (values >> np.uint64(64 - p)).astype(np.int64)
@@ -54,18 +76,59 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-class HLL:
-    """One sketch; mergeable via element-wise register max."""
+def hll_estimate_exact6(regs: np.ndarray) -> float:
+    """Byte-deterministic HLL estimator, micro-floored to 6 decimals.
 
-    def __init__(self, p: int = 12):
+    Same estimate as :func:`hll_estimate` up to float summation order,
+    but built so a DuckDB oracle reproduces it bit-for-bit: the
+    register sum 2^64 * sum(2^-M[j]) is an EXACT Python integer (one
+    ``1 << (64-rank)`` term per register, absent registers contribute
+    2^64), the numerator alpha*m^2*2^64 is ONE double literal shared
+    verbatim with the SQL text, and the only float ops are a single
+    int->double conversion (IEEE round-to-nearest on both engines),
+    one division, and libm log in the small-range branch (math.log ==
+    DuckDB ln, CLAUDE.md). Output floor(x*1e6+0.5)/1e6."""
+    import math
+    m = len(regs)
+    present = regs > 0
+    s = (m - int(present.sum())) << 64
+    cnt = np.bincount(regs[present].astype(np.int64))
+    for r in np.nonzero(cnt)[0]:
+        s += int(cnt[r]) << (64 - int(r))
+    num = (0.7213 / (1 + 1.079 / m)) * m * m * 2.0 ** 64
+    raw = num / float(s)
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        est = float(m) * math.log(float(m) / zeros)
+    else:
+        est = raw
+    return math.floor(est * 1e6 + 0.5) / 1e6
+
+
+class HLL:
+    """One sketch; mergeable via element-wise register max.
+
+    ``hash_mode='pandas'`` (default) hashes any value type via
+    pd.util.hash_array; ``'duckdb64'`` uses the DuckDB-equal integer
+    hash (int64 values only) so grouped estimates gain a byte-checked
+    SQL oracle (see queries.q_hll_distinct_users)."""
+
+    def __init__(self, p: int = 12, hash_mode: str = 'pandas'):
+        if hash_mode not in ('pandas', 'duckdb64'):
+            raise ValueError(f'unknown hash_mode {hash_mode!r}')
         self.p = p
+        self.hash_mode = hash_mode
         self.regs = np.zeros(1 << p, dtype=np.uint8)
 
     def add(self, values) -> 'HLL':
-        arr = np.asarray(values, dtype=object) \
-            if not isinstance(values, np.ndarray) else values
-        h = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
-        _hll_update(self.regs, h.astype(np.uint64), self.p)
+        if self.hash_mode == 'duckdb64':
+            h = duckdb_hash64(values)
+        else:
+            arr = np.asarray(values, dtype=object) \
+                if not isinstance(values, np.ndarray) else values
+            h = pd.util.hash_array(arr, hash_key=_HASH_KEY,
+                                   categorize=False).astype(np.uint64)
+        _hll_update(self.regs, h, self.p)
         return self
 
     def merge(self, other: 'HLL') -> 'HLL':
@@ -76,10 +139,14 @@ class HLL:
         return hll_estimate(self.regs)
 
 
-def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
+def hll_distinct(ds, group_col: str, value_col: str, p: int = 12,
+                 hash_mode: str = 'pandas'):
     """Approximate COUNT(DISTINCT value) per group: one sketch row per
     (group, batch), merged by register-max in one tiny exchange.
-    Returns (group, approx_distinct)."""
+    Estimates use the byte-deterministic exact-int estimator
+    (hll_estimate_exact6) so results are partition-invariant; with
+    ``hash_mode='duckdb64'`` (int64 values) the whole pipeline is
+    byte-reproducible in SQL. Returns (group, approx_distinct)."""
 
     def sketch(tbl: pa.Table) -> pa.Table:
         gtype = tbl.schema.field(group_col).type
@@ -88,7 +155,8 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
         # dropna=False: NULL group keys are one group (SQL GROUP BY);
         # NULL values are NOT counted (SQL COUNT(DISTINCT) semantics)
         for g, sub in df.groupby(group_col, sort=False, dropna=False):
-            h = HLL(p).add(sub[value_col].dropna().to_numpy())
+            h = HLL(p, hash_mode=hash_mode).add(
+                sub[value_col].dropna().to_numpy())
             rows_g.append(None if pd.isna(g) else g)
             rows_s.append(h.regs.tobytes())
         # typed empty: schema-less blocks break downstream schema checks
@@ -107,7 +175,7 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
             for b in sub['sketch']:
                 np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
             out_g.append(None if pd.isna(g) else g)
-            out_e.append(hll_estimate(regs))
+            out_e.append(hll_estimate_exact6(regs))
         return pa.table({group_col: pa.array(out_g, type=gtype),
                          'approx_distinct': pa.array(out_e,
                                                      type=pa.float64())})
