@@ -15,7 +15,6 @@ ROWS_ONLY = {
     'q_minhash_dedup_docs',      # LSH recall is probabilistic (tested)
     'q_simhash_candidates_docs',  # signature banding, heuristic recall
     'q_embedding_near_dup',      # hyperplane LSH candidates
-    'q_theta_users_overlap',     # KMV set-op estimate (exact-twin test)
     'q_curate_docs',             # composition incl. LSH near-dedup
     'q_pq_topk',                 # lossy code domain (recall-tested)
     'q_ivfpq_topk',              # lossy code domain + probe pruning

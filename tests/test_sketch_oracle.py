@@ -69,3 +69,30 @@ def test_exact6_small_range_branch():
 def test_hll_rejects_unknown_hash_mode():
     with pytest.raises(ValueError):
         HLL(hash_mode='md5')
+
+
+def test_kmv_at_capacity_matches_sql_estimate():
+    # >k distinct ids forces the (k-1)/theta branch; the SQL expression
+    # must produce the SAME double as kmv_estimate (duckdb64 hashes)
+    from trafaret_ray.stages.sketches import kmv_estimate, kmv_partial
+    k = 256
+    rng = np.random.default_rng(3)
+    ids = rng.choice(10 ** 12, size=5000, replace=False)
+    mins = kmv_partial(ids, k, hash_mode='duckdb64')
+    assert len(mins) == k
+    eng = kmv_estimate(mins, k)
+    con = duckdb.connect()
+    got = con.execute(
+        f"""WITH s AS (SELECT DISTINCT hash(x) AS h FROM
+              (SELECT unnest(?::BIGINT[]) AS x) ORDER BY h LIMIT {k})
+            SELECT CASE WHEN (SELECT count(*) FROM s) < {k}
+                        THEN CAST((SELECT count(*) FROM s) AS DOUBLE)
+                        WHEN (SELECT max(h) FROM s) > 0
+                        THEN {float(k - 1)!r} /
+                             ((SELECT max(h) FROM s)::DOUBLE
+                              / {repr(float(1 << 64))})
+                        ELSE {float(k)!r} END""",
+        [ids.tolist()]).fetchone()[0]
+    con.close()
+    assert eng == got          # bit-equal, not isclose
+    assert abs(eng - 5000) / 5000 < 0.15

@@ -5623,12 +5623,19 @@ ORACLE_SQL['q_dedup_cut_docs'] = """
 
 
 def q_theta_users_overlap(sf_dir: str):
-    """KMV / theta-sketch set operations (rows-only BY DESIGN — sketch
-    estimate; accuracy property-tested, and below-capacity inputs are
-    provably exact): approximate distinct click users, purchase users,
-    their union and their INTERSECTION — the estimate an HLL cannot
-    form. Exact twin: q_intersect_users_events. One 8-KB partial per
-    batch, one single-group merge (stages/sketches.py:theta_set_ops)."""
+    """KMV / theta-sketch set operations: approximate distinct click
+    users, purchase users, their union and their INTERSECTION — the
+    estimate an HLL cannot form. Exact twin: q_intersect_users_events.
+    One 8-KB partial per batch, one single-group merge
+    (stages/sketches.py:theta_set_ops).
+
+    ORACLE-able (r4): with the DuckDB-equal integer hash the bottom-k
+    sketch is ``SELECT DISTINCT hash(id) ORDER BY h LIMIT k`` verbatim
+    (per-batch bottom-k + merge == global bottom-k of distinct hashes
+    — bottom-k is a distributive aggregate), the below-capacity branch
+    is an exact count, and the at-capacity branch is the single IEEE
+    expression (k-1)/(h_k/2^64) mirrored structurally in SQL
+    (_theta_oracle_sql). Accuracy stays property-tested."""
     from ..stages.sketches import theta_set_ops
     ds = _read(sf_dir, 'events', ['user_id', 'event_type']).materialize()
 
@@ -5642,10 +5649,54 @@ def q_theta_users_overlap(sf_dir: str):
                        zero_copy_batch=True)
     b = ds.map_batches(side('purchase'), batch_format='pyarrow',
                        zero_copy_batch=True)
-    return theta_set_ops(a, b, 'user_id')
+    return theta_set_ops(a, b, 'user_id', hash_mode='duckdb64')
+
+
+def _theta_oracle_sql(k: int = 4096) -> str:
+    """SQL twin of stages/sketches.theta_set_ops (duckdb64 hash mode).
+    All counts are exact ints; the only float ops are int->double
+    conversions, one division per estimate, and the final jac*est_u
+    product — each mirrored in the engine's evaluation order."""
+    scale = repr(float(1 << 64))
+    est = (f"CASE WHEN n{{s}} < {k} THEN CAST(n{{s}} AS DOUBLE) "
+           f"WHEN h{{s}} > 0 THEN {float(k - 1)!r} "
+           f"/ (h{{s}}::DOUBLE / {scale}) "
+           f"ELSE {float(k)!r} END")
+    return f"""
+    WITH a AS MATERIALIZED (
+      SELECT DISTINCT hash(user_id) AS h FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+      ORDER BY h LIMIT {k}),
+    b AS MATERIALIZED (
+      SELECT DISTINCT hash(user_id) AS h FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      ORDER BY h LIMIT {k}),
+    u AS MATERIALIZED (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {k}),
+    stats AS (
+      SELECT (SELECT count(*) FROM a) AS na, (SELECT max(h) FROM a) AS ha,
+             (SELECT count(*) FROM b) AS nb, (SELECT max(h) FROM b) AS hb,
+             (SELECT count(*) FROM u) AS nu, (SELECT max(h) FROM u) AS hu,
+             (SELECT count(*) FROM u
+              WHERE h IN (SELECT h FROM a)
+                AND h IN (SELECT h FROM b)) AS nboth),
+    est AS (
+      SELECT nu, nboth,
+             {est.format(s='a')} AS approx_a,
+             {est.format(s='b')} AS approx_b,
+             {est.format(s='u')} AS approx_union
+      FROM stats)
+    SELECT approx_a, approx_b, approx_union,
+           (CASE WHEN nu = 0 THEN 0.0
+                 ELSE CAST(nboth AS DOUBLE) / nu END) * approx_union
+             AS approx_intersection
+    FROM est
+    """
 
 
 QUERIES['q_theta_users_overlap'] = q_theta_users_overlap
+ORACLE_SQL['q_theta_users_overlap'] = _theta_oracle_sql()
 
 
 def _urgent_custkeys(sf_dir: str):

@@ -603,12 +603,18 @@ def profile_columns(ds, cols, num_buckets: int = 16):
 _KMV_SCALE = float(1 << 63) * 2.0  # 2^64 as float
 
 
-def kmv_partial(values: np.ndarray, k: int) -> np.ndarray:
-    """Bottom-k DISTINCT uint64 hashes of ``values`` (sorted)."""
+def kmv_partial(values: np.ndarray, k: int,
+                hash_mode: str = 'pandas') -> np.ndarray:
+    """Bottom-k DISTINCT uint64 hashes of ``values`` (sorted).
+    ``hash_mode='duckdb64'`` (int64 values) uses the DuckDB-equal hash
+    so the sketch is reproducible in a SQL oracle."""
     if len(values) == 0:
         return np.array([], dtype=np.uint64)
-    h = np.unique(pd.util.hash_array(values, hash_key=_HASH_KEY,
-                                     categorize=False))
+    if hash_mode == 'duckdb64':
+        h = np.unique(duckdb_hash64(values))
+    else:
+        h = np.unique(pd.util.hash_array(values, hash_key=_HASH_KEY,
+                                         categorize=False))
     return h[:k]
 
 
@@ -627,7 +633,8 @@ def kmv_estimate(mins: np.ndarray, k: int) -> float:
     return (k - 1) / theta if theta > 0 else float(k)
 
 
-def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
+def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096,
+                  hash_mode: str = 'pandas'):
     """Approximate |A|, |B|, |A u B|, |A n B| over the DISTINCT values of
     two dataset columns, via bottom-k sketches: each batch emits one
     sorted-hash partial (<= 8k bytes); ONE tiny single-group exchange
@@ -640,7 +647,7 @@ def theta_set_ops(ds_a, ds_b, col: str, k: int = 4096):
         def f(tbl: pa.Table) -> pa.Table:
             vals = tbl.column(col).combine_chunks().drop_null()\
                 .to_numpy(zero_copy_only=False)
-            mins = kmv_partial(vals, k)
+            mins = kmv_partial(vals, k, hash_mode=hash_mode)
             # deterministic shard from the sketch content: the level-1
             # tree merge fans partials over shards so the final task
             # sees <= 2*64 rows, not one row per input batch (at 100 TB
