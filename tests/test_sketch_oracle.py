@@ -96,3 +96,65 @@ def test_kmv_at_capacity_matches_sql_estimate():
     con.close()
     assert eng == got          # bit-equal, not isclose
     assert abs(eng - 5000) / 5000 < 0.15
+
+
+# ---- string hash: duckdb_hash_str64 must stay byte-equal to SQL
+# hash(x::VARCHAR) (MurmurHash64A, DuckDB seed) — the CMS oracle
+# transcribes bucket indices on that equality.
+
+def _sql_hash_str(vals):
+    con = duckdb.connect()
+    out = con.execute(
+        "SELECT list(hash(x) ORDER BY i) FROM "
+        "(SELECT row_number() OVER () AS i, unnest(?::VARCHAR[]) AS x)",
+        [list(vals)]).fetchone()[0]
+    con.close()
+    return [int(v) for v in out]
+
+
+def test_str_hash_matches_duckdb_fixed():
+    from trafaret_ray.stages.sketches import duckdb_hash_str64
+    vals = ['', 'a', 'ab', 'abcdefg', 'abcdefgh', 'abcdefghi',
+            'x' * 100, 'hello world', 'é', '日本語テキスト',
+            '\t\n', '🎉🎉🎉🎉🎉', 'the', 'a b c']
+    assert duckdb_hash_str64(vals).tolist() == _sql_hash_str(vals)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                max_size=50))
+def test_str_hash_matches_duckdb_fuzz(vals):
+    from trafaret_ray.stages.sketches import duckdb_hash_str64
+    assert duckdb_hash_str64(vals).tolist() == _sql_hash_str(vals)
+
+
+def test_str_hash_rejects_nulls_and_handles_sliced_input():
+    import pyarrow as pa
+
+    from trafaret_ray.stages.sketches import duckdb_hash_str64
+    with pytest.raises(ValueError):
+        duckdb_hash_str64(pa.array(['a', None]))
+    arr = pa.array(['pad', 'a', 'bc', 'def'])
+    assert duckdb_hash_str64(arr.slice(1)).tolist() == \
+        duckdb_hash_str64(['a', 'bc', 'def']).tolist()
+
+
+def test_cms_duckdb_positions_match_sql():
+    # hash(xor(hash(tok), j)) % w — the exact expression the CMS
+    # oracle's pos CTE uses
+    from trafaret_ray.stages.sketches import _cms_rows
+    toks = ['alpha', 'beta', '', 'gamma delta', 'é🎉']
+    rows = _cms_rows(toks, d=4, w=16384, hash_mode='duckdb')
+    con = duckdb.connect()
+    for j in range(4):
+        want = [con.execute(
+            "select (hash(xor(hash(?::VARCHAR), ?::UBIGINT)) "
+            "% 16384)::BIGINT", [t, j]).fetchone()[0] for t in toks]
+        assert rows[j].tolist() == want
+    con.close()
+
+
+def test_cms_rows_rejects_unknown_hash_mode():
+    from trafaret_ray.stages.sketches import _cms_rows
+    with pytest.raises(ValueError):
+        _cms_rows(['a'], d=2, w=64, hash_mode='md5')

@@ -6645,8 +6645,14 @@ def q_cms_token_counts(sf_dir: str):
     two-pass heavy hitters. The sketch tree-merges by shard-range sum
     (stages/sketches.py:cms_build) and only OVERcounts; integer sums
     make it exactly reproducible under any row order — the --shuffled
-    self-parity bar. Rows-only by design (sketch estimate; error-bound
-    and invariance properties pinned in tests/test_sketches_cms.py)."""
+    self-parity bar. ORACLE-able (r4): with hash_mode='duckdb' every
+    bucket index is hash(xor(hash(tok), j)) % w on the DuckDB-parity
+    murmur kernels (duckdb_hash_str64 differential-pinned against SQL
+    hash(VARCHAR)), so DuckDB recomputes the exact same d x w counter
+    matrix from the token stream and the same min-over-rows estimates
+    — the sketch ESTIMATE is a deterministic function of the corpus.
+    Error-bound and invariance properties stay pinned in
+    tests/test_sketches_cms.py."""
     from ..stages.sketches import cms_build, cms_estimate, heavy_hitters
     ds = _read(sf_dir, 'documents', ['text'])
 
@@ -6658,12 +6664,13 @@ def q_cms_token_counts(sf_dir: str):
                           zero_copy_batch=True).materialize()
     top = _small_df(heavy_hitters(toks, 'tok', k=20, expansion=16),
                     ['tok', 'n'])
-    sk = cms_build(toks, 'tok', d=4, w=16384)
+    sk = cms_build(toks, 'tok', d=4, w=16384, hash_mode='duckdb')
     if len(top) == 0:
         return pd.DataFrame({'tok': pd.array([], dtype='string'),
                              'n': pd.array([], dtype='int64'),
                              'approx_n': pd.array([], dtype='int64')})
-    est = cms_estimate(sk, top['tok'].to_numpy(object))
+    est = cms_estimate(sk, top['tok'].to_numpy(object),
+                       hash_mode='duckdb')
     return pd.DataFrame({'tok': top['tok'],
                          'n': top['n'].astype('int64'),
                          'approx_n': pd.array(est, dtype='int64')})\
@@ -6671,6 +6678,33 @@ def q_cms_token_counts(sf_dir: str):
 
 
 QUERIES['q_cms_token_counts'] = q_cms_token_counts
+# SQL twin of cms_build/cms_estimate (hash_mode='duckdb'): positions
+# via hash(xor(hash(tok), j)) % w, counts per (row, bucket) over every
+# token OCCURRENCE, estimate = min over the d row counts. Top-20 by
+# (exact count DESC, tok) mirrors heavy_hitters' tie order.
+ORACLE_SQL['q_cms_token_counts'] = """
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    exact AS MATERIALIZED (
+      SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+    top AS MATERIALIZED (
+      SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT 20),
+    pos AS MATERIALIZED (
+      SELECT e.tok, r.range AS j,
+             (hash(xor(hash(e.tok), r.range::UBIGINT)) % 16384)::BIGINT
+               AS p
+      FROM exact e CROSS JOIN range(4) r),
+    counts AS MATERIALIZED (
+      SELECT pp.j, pp.p, sum(e.n)::BIGINT AS c
+      FROM pos pp JOIN exact e USING (tok)
+      GROUP BY pp.j, pp.p)
+    SELECT top.tok AS tok, top.n AS n,
+           (SELECT min(cc.c) FROM pos pp
+            JOIN counts cc ON pp.j = cc.j AND pp.p = cc.p
+            WHERE pp.tok = top.tok) AS approx_n
+    FROM top ORDER BY tok
+"""
 
 
 def q_feature_matrix_events(sf_dir: str):

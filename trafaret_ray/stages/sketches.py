@@ -35,6 +35,12 @@ def duckdb_hash64(values) -> np.ndarray:
     if x.dtype != np.int64:
         x = x.astype(np.int64)
     x = x.astype(np.uint64)
+    return _murmur64_u64(x)
+
+
+def _murmur64_u64(x: np.ndarray) -> np.ndarray:
+    """The murmurhash64 finalizer on raw uint64 lanes (DuckDB's
+    Hash(UBIGINT) — same bit pattern as Hash(BIGINT))."""
     with np.errstate(over='ignore'):
         x = x ^ (x >> np.uint64(32))
         x = x * np.uint64(0xd6e8feb86659fd93)
@@ -42,6 +48,71 @@ def duckdb_hash64(values) -> np.ndarray:
         x = x * np.uint64(0xd6e8feb86659fd93)
         x = x ^ (x >> np.uint64(32))
     return x
+
+
+_MMA_MUL = np.uint64(0xc6a4a7935bd1e995)
+_MMA_SEED = np.uint64(0xe17a1465)
+
+
+def duckdb_hash_str64(values) -> np.ndarray:
+    """DuckDB-compatible 64-bit STRING hash: MurmurHash64A (Appleby's
+    public 64-bit murmur) with DuckDB's seed, byte-equal to SQL
+    ``hash(x::VARCHAR)`` on DuckDB 1.0 — pinned by the differential
+    fuzz in tests/test_sketch_oracle.py. Vectorized ACROSS rows: the
+    ragged UTF-8 bytes scatter once into a zero-padded (n, pad) byte
+    matrix, then the 8-byte chunk loop runs max_len/8 iterations of
+    whole-column uint64 ops with per-row activity masks (tokens are
+    short, so a handful of vector passes hashes millions of rows).
+    The zero padding IS the algorithm's tail rule: murmur64a's tail
+    step xors the little-endian composition of the remaining <8 bytes,
+    exactly the padded chunk's value. Accepts a pyarrow string/binary
+    (chunked) array or anything pa.array() can coerce; nulls must be
+    dropped by the caller (raises otherwise)."""
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values, type=pa.string())
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if values.null_count:
+        raise ValueError('duckdb_hash_str64: drop nulls before hashing')
+    arr = values.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off_buf = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    off = off_buf[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = off[:-1]
+    lens = (off[1:] - starts).astype(np.int64)
+    maxlen = int(lens.max())
+    pad = max(((maxlen + 7) // 8) * 8, 8)
+    mat = np.zeros((n, pad), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        row = np.repeat(np.arange(n), lens)
+        pos_in_row = np.arange(total) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        mat[row, pos_in_row] = data[np.repeat(starts, lens) + pos_in_row]
+    chunks = mat.view('<u8')                    # (n, pad // 8)
+    r = np.uint64(47)
+    nfull = lens // 8
+    tail = lens - nfull * 8
+    with np.errstate(over='ignore'):
+        h = _MMA_SEED ^ (lens.astype(np.uint64) * _MMA_MUL)
+        for c in range(pad // 8):
+            k = chunks[:, c]
+            full = nfull > c
+            if full.any():
+                kk = k[full] * _MMA_MUL
+                kk ^= kk >> r
+                kk *= _MMA_MUL
+                h[full] = (h[full] ^ kk) * _MMA_MUL
+            t = (nfull == c) & (tail > 0)
+            if t.any():
+                h[t] = (h[t] ^ k[t]) * _MMA_MUL
+        h ^= h >> r
+        h *= _MMA_MUL
+        h ^= h >> r
+    return h
 
 
 def _hll_update(regs: np.ndarray, values: np.ndarray, p: int):
@@ -742,11 +813,28 @@ _CMS_MUL = np.uint64(6364136223846793005)   # Knuth MMIX LCG multiplier
 _CMS_INC = np.uint64(1442695040888963407)
 
 
-def _cms_rows(values: np.ndarray, d: int, w: int) -> np.ndarray:
+def _cms_rows(values, d: int, w: int,
+              hash_mode: str = 'pandas') -> np.ndarray:
     """(d, n) column indices: one base 64-bit hash per value, then d
-    LCG steps derive the per-row hash (public Kirsch-Mitzenmacher-style
-    construction — independent-enough rows from one strong hash)."""
-    h = pd.util.hash_array(values, hash_key='0123456789abcdef',
+    derived per-row hashes (public Kirsch-Mitzenmacher-style
+    construction — independent-enough rows from one strong hash).
+    ``hash_mode='duckdb'`` uses the SQL-transcribable derivation
+    hash(xor(hash(tok), j)) % w on DuckDB-parity murmur kernels, which
+    makes the whole sketch a deterministic function DuckDB can
+    recompute (the CMS oracle); 'pandas' is the legacy default."""
+    if hash_mode == 'duckdb':
+        base = duckdb_hash_str64(values)
+        rows = np.empty((d, len(base)), dtype=np.int64)
+        for j in range(d):
+            x = _murmur64_u64(base ^ np.uint64(j))
+            rows[j] = (x % np.uint64(w)).astype(np.int64)
+        return rows
+    if hash_mode != 'pandas':
+        raise ValueError(f'unknown hash_mode: {hash_mode!r}')
+    vals = np.asarray(values) if not isinstance(
+        values, (pa.Array, pa.ChunkedArray)) else \
+        values.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals, hash_key='0123456789abcdef',
                            categorize=False)
     rows = np.empty((d, len(h)), dtype=np.int64)
     x = h
@@ -757,7 +845,8 @@ def _cms_rows(values: np.ndarray, d: int, w: int) -> np.ndarray:
 
 
 def cms_build(ds, col: str, d: int = 4, w: int = 16384,
-              num_shards: int = 16) -> np.ndarray:
+              num_shards: int = 16,
+              hash_mode: str = 'pandas') -> np.ndarray:
     """Distributed count-min sketch of value frequencies: each batch
     builds one (d, w) int64 partial vectorized (np.add.at) and SPLITS
     it into ``num_shards`` flat ranges; a hash exchange on shard id
@@ -778,10 +867,11 @@ def cms_build(ds, col: str, d: int = 4, w: int = 16384,
         c = tbl.column(col)
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         c = c.drop_null()
-        vals = c.to_numpy(zero_copy_only=False)
+        vals = c if hash_mode == 'duckdb' \
+            else c.to_numpy(zero_copy_only=False)
         m = np.zeros((d, w), dtype=np.int64)
         if len(vals):
-            pos = _cms_rows(vals, d, w)
+            pos = _cms_rows(vals, d, w, hash_mode=hash_mode)
             for j in range(d):
                 np.add.at(m[j], pos[j], 1)
         flat = m.reshape(-1)
@@ -823,10 +913,11 @@ def cms_build(ds, col: str, d: int = 4, w: int = 16384,
     return flat.reshape(d, w)
 
 
-def cms_estimate(sketch: np.ndarray, values: np.ndarray) -> np.ndarray:
+def cms_estimate(sketch: np.ndarray, values: np.ndarray,
+                 hash_mode: str = 'pandas') -> np.ndarray:
     """Point estimates: min over the d rows at each value's positions."""
     d, w = sketch.shape
     if len(values) == 0:
         return np.zeros(0, dtype=np.int64)
-    pos = _cms_rows(values, d, w)
+    pos = _cms_rows(values, d, w, hash_mode=hash_mode)
     return np.min(sketch[np.arange(d)[:, None], pos], axis=0)
