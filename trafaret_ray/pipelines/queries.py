@@ -1373,10 +1373,52 @@ def q_minhash_dedup_docs(sf_dir: str):
 
 
 def q_simhash_candidates_docs(sf_dir: str):
-    """SimHash near-dup candidates (hamming <= 3) — rows-only check."""
+    """SimHash near-dup candidates (hamming <= 3). ORACLE-able (r4):
+    with hash_mode='duckdb' the 64-bit signature is a deterministic
+    function of the token stream under the DuckDB-parity MurmurHash64A
+    token hash — per bit, the ±1 occurrence-vote sum decides via v > 0;
+    DuckDB recomputes the sig (64-way bit expansion + winning-bit power
+    sum), the 16-bit chunk banding, the >256 stop-pattern drop, and the
+    bit_count(xor) hamming verify byte-for-byte."""
     from ..stages.dedup import simhash_candidates
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
-    return simhash_candidates(ds, max_hamming=3, num_buckets=16)
+    return simhash_candidates(ds, max_hamming=3, num_buckets=16,
+                              hash_mode='duckdb')\
+        .sort(['doc_a', 'doc_b'])
+
+
+ORACLE_SQL['q_simhash_candidates_docs'] = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    votes AS MATERIALIZED (
+      SELECT doc_id, b.range AS b,
+             sum(CASE WHEN (hash(tok) >> b.range) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM toks CROSS JOIN range(64) b GROUP BY doc_id, b.range),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             cast(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+                      ELSE 0 END) AS UBIGINT) AS s
+      FROM votes GROUP BY doc_id),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, s, c.range AS chunk_id,
+             (s >> (c.range * 16)) & 65535 AS chunk_val
+      FROM sig CROSS JOIN range(4) c),
+    kept AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY chunk_id, chunk_val)
+          AS bsz FROM chunks) WHERE bsz <= 256),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.s, b.s))::BIGINT AS hamming
+      FROM kept a JOIN kept b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+        AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3)
+    SELECT doc_a, doc_b, min(hamming) AS hamming
+    FROM pairs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+"""
 
 
 def q_embedding_near_dup(sf_dir: str):

@@ -665,19 +665,32 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
 
 def simhash_candidates(ds, text_col='text', id_col='doc_id',
                        max_hamming=3, num_chunks=4, num_buckets=32,
-                       max_bucket: int = 256):
+                       max_bucket: int = 256, hash_mode: str = 'pandas'):
     """SimHash near-dup: 64-bit signatures, banded into ``num_chunks``
     16-bit chunks (pigeonhole: any pair within hamming distance
     ``num_chunks - 1`` shares a chunk); chunk-bucket exchange, verify
-    hamming distance per bucket. Returns (doc_a, doc_b, hamming)."""
+    hamming distance per bucket. Returns (doc_a, doc_b, hamming).
+
+    ``hash_mode='duckdb'`` hashes tokens with the DuckDB-parity
+    MurmurHash64A kernel (stages/sketches.duckdb_hash_str64), which
+    makes the whole operator a deterministic function DuckDB recomputes
+    in SQL (per-bit ±1 vote sums, sig = sum of winning-bit powers,
+    bit_count(xor) verify) — the q_simhash_candidates_docs oracle."""
     def sig(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         text = tbl.column(text_col).combine_chunks()
         # token-level, NON-distinct: SimHash signatures are term-
         # frequency weighted (a doc dominated by one repeated token must
         # vote that token's bits once per occurrence)
-        lengths, _, hashes = T.shingle_hash_explode(text, 1,
-                                                    distinct=False)
+        if hash_mode == 'duckdb':
+            from .sketches import duckdb_hash_str64
+            words = pc.split_pattern(pc.fill_null(text, ''), ' ')
+            lengths = pc.list_value_length(words)\
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            hashes = duckdb_hash_str64(words.flatten())
+        else:
+            lengths, _, hashes = T.shingle_hash_explode(text, 1,
+                                                        distinct=False)
         s = T.simhash64(lengths, hashes)
         # empty texts carry no tokens: drop them from the index (their
         # all-zero signatures would otherwise pair with each other)
