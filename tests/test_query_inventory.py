@@ -13,7 +13,6 @@ import __ray_entry__ as entry
 # decision (document why in the query docstring), not a default
 ROWS_ONLY = {
     'q_minhash_dedup_docs',      # LSH recall is probabilistic (tested)
-    'q_embedding_near_dup',      # hyperplane LSH candidates
     'q_curate_docs',             # composition incl. LSH near-dedup
     'q_pq_topk',                 # lossy code domain (recall-tested)
     'q_ivfpq_topk',              # lossy code domain + probe pruning

@@ -1422,11 +1422,54 @@ ORACLE_SQL['q_simhash_candidates_docs'] = """
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Random-hyperplane-LSH cosine near-dups (approximate → rows-only)."""
+    """Random-hyperplane-LSH cosine near-dups. ORACLE-able (r4): with
+    hash_mode='duckdb' the hyperplanes are hash-derived Rademacher
+    vectors, the bucket is the sign pattern of EXACT int64 projections
+    over micro-quantized components, and the in-bucket verify follows
+    the q_cosine_pairs fixed-point discipline — DuckDB recomputes
+    buckets and pairs byte-for-byte. Still an approximate operator at
+    heart: pairs in different buckets are missed by design (recall
+    behavior pinned in tests/test_dedup.py). Threshold 0.3 matches the
+    q_cosine_pairs cut so natural pairs exist at sf scale (0.95 returns
+    zero rows on this corpus — a vacuous check)."""
     from ..stages.dedup import embedding_near_dup
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return embedding_near_dup(ds, threshold=0.95, num_planes=6,
-                              num_buckets=16)
+    return embedding_near_dup(ds, threshold=0.3, num_planes=6,
+                              num_buckets=16, hash_mode='duckdb')\
+        .sort(['id_a', 'id_b'])
+
+
+# SQL twin of embedding_near_dup(hash_mode='duckdb'): Rademacher plane
+# component for (dim d, plane p) = ±1 from bit 0 of hash(d*6 + p);
+# projection = exact int64 dot over floor(x*1e6+0.5) components; bucket
+# = sum of winning-sign powers; verify = micro-floored cosine >= 950000.
+ORACLE_SQL['q_embedding_near_dup'] = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE embedding IS NOT NULL),
+    proj AS MATERIALIZED (
+      SELECT vec_id, p.range AS p,
+             sum(cast(floor(emb[d.range + 1] * 1e6 + 0.5) AS BIGINT)
+                 * (CASE WHEN (hash(d.range * 6 + p.range) & 1) = 1
+                    THEN 1 ELSE -1 END)) AS pr
+      FROM e CROSS JOIN range(64) d CROSS JOIN range(6) p
+      GROUP BY vec_id, p.range),
+    bkt AS MATERIALIZED (
+      SELECT vec_id,
+             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)
+               AS bucket
+      FROM proj GROUP BY vec_id),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             cast(floor(list_cosine_similarity(ea.emb, eb.emb)
+                        * 1e6 + 0.5) AS BIGINT) AS sim6
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id)
+    SELECT id_a, id_b, sim6 / 1e6 AS cos_sim
+    FROM pairs WHERE sim6 >= 300000 ORDER BY id_a, id_b
+"""
 
 
 def q_embedding_dup_detect(sf_dir: str):

@@ -755,13 +755,24 @@ def simhash_candidates(ds, text_col='text', id_col='doc_id',
 
 def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
                        threshold=0.95, num_planes=8, seed=7,
-                       num_buckets=32):
+                       num_buckets=32, hash_mode: str = 'gaussian'):
     """Embedding-cosine near-dup via random-hyperplane LSH: bucket by the
     sign pattern of ``num_planes`` random projections (broadcast plane
     matrix), then exact pairwise cosine inside each bucket (numpy matmul).
     Neighbors in adjacent buckets are missed at probability falling with
     cosine similarity — the standard LSH trade; raise num_planes for
-    precision, lower for recall. Returns (id_a, id_b, cos_sim)."""
+    precision, lower for recall. Returns (id_a, id_b, cos_sim).
+
+    ``hash_mode='duckdb'`` makes the whole operator a deterministic
+    function DuckDB recomputes in SQL: the hyperplanes become Rademacher
+    (±1) vectors derived from the DuckDB-parity integer murmur hash
+    (sign LSH keeps its cosine guarantee under ±1 projections — the
+    public sign-random-projection family), the projection sign is an
+    EXACT int64 dot over micro-quantized components (floor(x*1e6+0.5) —
+    a float dot's near-zero sign could flip between numpy's blocked sum
+    and DuckDB's sequential sum), and the verify follows the
+    q_cosine_pairs fixed-point row-pick discipline (sim6 =
+    floor(cos*1e6+0.5), compare and emit in micro-units)."""
     import pyarrow.parquet  # noqa: F401
 
     _PAIRS_EMPTY = pa.table({'id_a': pa.array([], pa.int64()),
@@ -778,8 +789,17 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
         import ray.data as rd
         return rd.from_arrow(_PAIRS_EMPTY)
     dim = len(first[emb_col][0].as_py())
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
+    if hash_mode == 'duckdb':
+        from .sketches import _murmur64_u64
+        bits = _murmur64_u64(
+            np.arange(dim * num_planes, dtype=np.uint64)) & np.uint64(1)
+        planes = (bits.astype(np.int64) * 2 - 1)\
+            .reshape(dim, num_planes)
+    elif hash_mode == 'gaussian':
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, num_planes))
+    else:
+        raise ValueError(f'unknown hash_mode: {hash_mode!r}')
 
     def bucketize(tbl: pa.Table) -> pa.Table:
         tbl = drop_null_vectors(tbl, emb_col)
@@ -790,7 +810,11 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
                       .append_column('norm', pa.array([], pa.float64()))
         mat = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                          dtype=np.float64).reshape(len(la), -1)
-        signs = (mat @ planes) > 0
+        if hash_mode == 'duckdb':
+            e6 = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            signs = (e6 @ planes) > 0
+        else:
+            signs = (mat @ planes) > 0
         bucket = np.zeros(len(la), dtype=np.int64)
         for p in range(num_planes):
             bucket |= signs[:, p].astype(np.int64) << np.int64(p)
@@ -825,10 +849,18 @@ def embedding_near_dup(ds, emb_col='embedding', id_col='vec_id',
             nrm = norms[idx]
             sims = (sub @ sub.T) / np.outer(nrm, nrm)
             ia, ib = np.triu_indices(len(idx), k=1)
-            hit = sims[ia, ib] >= threshold
+            if hash_mode == 'duckdb':
+                # fixed-point row-pick (CLAUDE.md): compare AND emit
+                # in micro-units so the cut matches list_cosine_similarity
+                sim6 = np.floor(sims[ia, ib] * 1e6 + 0.5)\
+                    .astype(np.int64)
+                hit = sim6 >= int(round(threshold * 1e6))
+                out_c.append(sim6[hit].astype(np.float64) / 1e6)
+            else:
+                hit = sims[ia, ib] >= threshold
+                out_c.append(np.round(sims[ia[hit], ib[hit]], 6))
             out_a.append(df_ids[idx[ia[hit]]])
             out_b.append(df_ids[idx[ib[hit]]])
-            out_c.append(np.round(sims[ia[hit], ib[hit]], 6))
         if not out_a:
             return pa.table({'id_a': pa.array([], pa.int64()),
                              'id_b': pa.array([], pa.int64()),
