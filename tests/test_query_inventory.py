@@ -16,8 +16,6 @@ ROWS_ONLY = {
     'q_curate_docs',             # composition incl. LSH near-dedup
     'q_pq_topk',                 # lossy code domain (recall-tested)
     'q_ivfpq_topk',              # lossy code domain + probe pruning
-    'q_kcore_embeddings',        # iterative peel fixpoint, no SQL
-                                 # oracle (brute-force parity tests)
     'q_bpe_encode_docs',         # trained-vocab encode, no SQL oracle
                                  # (shared-kernel reference parity)
     'q_bpe_train_docs',          # iterative merge loop, no SQL oracle

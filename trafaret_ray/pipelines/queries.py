@@ -1281,15 +1281,57 @@ def q_clustering_embeddings(sf_dir: str):
 
 def q_kcore_embeddings(sf_dir: str):
     """3-core of the cosine graph (stages/graph.py:k_core): iterative
-    min-degree peel — the web-graph density filter. Rows-only BY
-    DESIGN: the peel fixpoint is an iterative algorithm with no SQL
-    oracle (brute-force parity + local==distributed parity are pinned
-    in tests/test_graph.py; the --shuffled gate self-compares the
-    deterministic output)."""
+    min-degree peel — the web-graph density filter. ORACLE-able (r4):
+    every peel round is an exact-integer degree count + >= k filter, so
+    a FIXED unroll transcribes into a MATERIALIZED CTE chain (pattern
+    of q_pagerank_events / q_kmeans_embeddings); rounds past the
+    fixpoint are no-ops, so the unroll count only needs to EXCEED the
+    data's peel depth (measured 9-11 at sf scale; 24 unrolled).
+    Brute-force parity + local==distributed parity stay pinned in
+    tests/test_graph.py."""
     from ..stages.graph import k_core
     edges = _cosine_edge_ds(sf_dir)
     return k_core(edges, k=3, num_buckets=8,
                   edges_schema=_EDGE_SCHEMA).sort('node')
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 24) -> str:
+    """SQL twin of k_core over the q_cosine_pairs edge set: ``rounds``
+    unrolled peel rounds (degree count -> >= k survivors -> edge
+    semi-join), each MATERIALIZED (CLAUDE.md: DuckDB inlines plain
+    CTEs per reference — exponential in a chained recursion). The peel
+    is idempotent at fixpoint, so overshooting the data's true depth
+    changes nothing."""
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 1000) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 1000) b
+        ON a.vec_id < b.vec_id
+      WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                       * 1e6 + 0.5) AS BIGINT) >= 300000)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b FROM e{r - 1}) GROUP BY node),
+    n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM e{r - 1}
+      WHERE a IN (SELECT node FROM n{r})
+        AND b IN (SELECT node FROM n{r}))""")
+    parts.append(f"""
+    SELECT node, count(*)::BIGINT AS deg FROM (
+      SELECT a AS node FROM e{rounds}
+      UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node ORDER BY node""")
+    return ''.join(parts)
+
+
+ORACLE_SQL['q_kcore_embeddings'] = _kcore_oracle_sql()
 
 
 def q_assortativity_embeddings(sf_dir: str):
