@@ -22,8 +22,6 @@ ROWS_ONLY = {
                                  # (reference-impl parity tests)
     'q_dbscan_embeddings',       # iterative core/border/cc composite,
                                  # no SQL oracle (brute-force parity)
-    'q_lpa_embeddings',          # iterative majority vote, no SQL
-                                 # oracle (parity + invariance tests)
     'q_semdedup_embeddings',     # iterative k-means composite, no SQL
                                  # oracle (planted recall + invariance
                                  # tests in test_semdedup.py)

@@ -10496,16 +10496,54 @@ def q_lpa_embeddings(sf_dir: str):
     label propagation (stages/graph.py:label_propagation): 10 rounds of
     every node adopting its neighbors' most frequent label, ties to the
     smallest label — fully deterministic, so local == distributed ==
-    any row order byte-exactly (tests/test_graph.py::TestLPA). Rows-only
-    BY DESIGN: the iterative majority update has no SQL oracle; the
-    --shuffled gate self-compares the deterministic output."""
+    any row order byte-exactly (tests/test_graph.py::TestLPA).
+    ORACLE-able (r4): a FIXED round count of an exact-integer majority
+    vote unrolls into a MATERIALIZED CTE chain (count DESC, label ASC
+    row_number pick per round — the same tie rule as _lpa_pick); the
+    engine's early fixpoint exit is parity-safe because converged
+    rounds are no-ops on both sides."""
     from ..stages.graph import label_propagation
     edges = _cosine_edge_ds(sf_dir)
     return label_propagation(edges, iters=10, num_buckets=8)\
         .sort('node')
 
 
+def _lpa_oracle_sql(iters: int = 10) -> str:
+    """SQL twin of label_propagation over the q_cosine_pairs edge set:
+    ``iters`` unrolled synchronous majority-vote rounds. Every CTE is
+    MATERIALIZED (CLAUDE.md chained-recursion rule)."""
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 1000) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 1000) b
+        ON a.vec_id < b.vec_id
+      WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                       * 1e6 + 0.5) AS BIGINT) >= 300000),
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM e0
+      UNION ALL SELECT b, a FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM adj)"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+    v{r} AS MATERIALIZED (
+      SELECT adj.node, l.lab, count(*) AS c
+      FROM adj JOIN l{r - 1} l ON adj.nb = l.node
+      GROUP BY adj.node, l.lab),
+    l{r} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM v{r}) WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT node, lab AS community FROM l{iters} ORDER BY node""")
+    return ''.join(parts)
+
+
 QUERIES['q_lpa_embeddings'] = q_lpa_embeddings
+ORACLE_SQL['q_lpa_embeddings'] = _lpa_oracle_sql()
 
 
 def q_concurrent_sessions_events(sf_dir: str):
