@@ -20,8 +20,6 @@ ROWS_ONLY = {
                                  # (shared-kernel reference parity)
     'q_bpe_train_docs',          # iterative merge loop, no SQL oracle
                                  # (reference-impl parity tests)
-    'q_dbscan_embeddings',       # iterative core/border/cc composite,
-                                 # no SQL oracle (brute-force parity)
     'q_semdedup_embeddings',     # iterative k-means composite, no SQL
                                  # oracle (planted recall + invariance
                                  # tests in test_semdedup.py)

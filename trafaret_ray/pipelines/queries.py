@@ -10698,9 +10698,12 @@ def q_dbscan_embeddings(sf_dir: str):
     DBSCAN's classically order-dependent step), everything else is
     noise. Complements k-means (centroidal) and LPA (modularity-ish)
     with density-based clustering that finds non-convex shapes and an
-    explicit noise class. Rows-only BY DESIGN: the core/border/cc
-    composition is iterative (brute-force + local==distributed parity
-    in tests/test_graph.py::TestDBSCAN; --shuffled self-compares)."""
+    explicit noise class. ORACLE-able (r4): core/border rules are
+    exact-integer predicates, and the cluster labels are min-label CC
+    over core-core edges — unrollable as least(own, min-neighbor)
+    rounds (measured 8 to fixpoint at sf scale; 20 unrolled, no-ops
+    past fixpoint). Brute-force + local==distributed parity stay in
+    tests/test_graph.py::TestDBSCAN."""
     from ..stages.graph import dbscan_from_edges
     edges = _cosine_edge_ds(sf_dir)
     # the node universe must match the edge builder's (vec_id < 1000,
@@ -10720,7 +10723,70 @@ def q_dbscan_embeddings(sf_dir: str):
                              num_buckets=8).sort('node')
 
 
+def _dbscan_oracle_sql(min_pts: int = 4, rounds: int = 20) -> str:
+    """SQL twin of dbscan_from_edges over the q_cosine_pairs edge set:
+    core iff degree + 1 >= min_pts, cluster = min-label CC over
+    core-core edges (``rounds`` unrolled least(own, min-neighbor)
+    steps, MATERIALIZED per CLAUDE.md), border = smallest adjacent
+    core cluster, else noise (-1). DuckDB least() ignoring NULLs is
+    exactly the no-core-neighbor case."""
+    parts = [f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 1000) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 1000) b
+        ON a.vec_id < b.vec_id
+      WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
+                       * 1e6 + 0.5) AS BIGINT) >= 300000),
+    uni AS MATERIALIZED (
+      SELECT vec_id AS node FROM embeddings
+      WHERE vec_id < 1000 AND embedding IS NOT NULL),
+    deg AS MATERIALIZED (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY node),
+    core AS MATERIALIZED (
+      SELECT node FROM deg WHERE deg + 1 >= {min_pts}),
+    cce AS MATERIALIZED (
+      SELECT a, b FROM e0
+      WHERE a IN (SELECT node FROM core)
+        AND b IN (SELECT node FROM core)),
+    adjc AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM cce
+      UNION ALL SELECT b, a FROM cce),
+    c0 AS MATERIALIZED (SELECT node, node AS lab FROM core)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    c{r} AS MATERIALIZED (
+      SELECT c.node, least(c.lab, m.mn) AS lab
+      FROM c{r - 1} c LEFT JOIN (
+        SELECT adjc.node, min(l.lab) AS mn
+        FROM adjc JOIN c{r - 1} l ON adjc.nb = l.node
+        GROUP BY adjc.node) m USING (node))""")
+    parts.append(f""",
+    border AS MATERIALIZED (
+      SELECT adj.node, min(cl.lab) AS lab FROM (
+        SELECT a AS node, b AS nb FROM e0
+        UNION ALL SELECT b, a FROM e0) adj
+      JOIN c{rounds} cl ON adj.nb = cl.node
+      WHERE adj.node NOT IN (SELECT node FROM core)
+      GROUP BY adj.node)
+    SELECT u.node,
+           (CASE WHEN cl.lab IS NOT NULL THEN 0
+                 WHEN bo.lab IS NOT NULL THEN 1
+                 ELSE 2 END)::TINYINT AS role,
+           coalesce(cl.lab, bo.lab, -1)::BIGINT AS cluster
+    FROM uni u
+    LEFT JOIN c{rounds} cl ON cl.node = u.node
+    LEFT JOIN border bo ON bo.node = u.node
+    ORDER BY u.node""")
+    return ''.join(parts)
+
+
 QUERIES['q_dbscan_embeddings'] = q_dbscan_embeddings
+ORACLE_SQL['q_dbscan_embeddings'] = _dbscan_oracle_sql()
 
 
 def q_bpe_train_docs(sf_dir: str):
