@@ -66,7 +66,8 @@ _GRAM_P = np.uint64(0x100000001B3)   # FNV-1a prime, k-gram combiner
 
 
 def shingle_hash_explode(text_col: pa.Array, k: int = 3,
-                         distinct: bool = True
+                         distinct: bool = True,
+                         hash_mode: str = 'pandas'
                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Word-k-gram hashes per document, fully vectorized; DISTINCT per
     doc by default (``distinct=False`` keeps every occurrence — used by
@@ -86,6 +87,13 @@ def shingle_hash_explode(text_col: pa.Array, k: int = 3,
 
     Returns (lengths[n_docs], doc_idx[m], gram_hash_u64[m]) where doc_idx
     indexes into the input batch and m = total distinct shingles.
+
+    ``hash_mode='duckdb'`` derives the gram hash from DuckDB-parity
+    murmur kernels via a left-fold SQL can transcribe verbatim:
+    g = M(...M(h(w1) ^ h(w2))... ^ h(wk)) with h = hash(VARCHAR) and
+    M = hash(UBIGINT) — the q_minhash_dedup_docs oracle recomputes
+    every shingle hash as nested hash(xor(...)) calls. 'pandas' (the
+    default) keeps the legacy rolling-polynomial combine.
     """
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
@@ -101,11 +109,22 @@ def shingle_hash_explode(text_col: pa.Array, k: int = 3,
     m = len(flat)
     if m < k:
         return empty
-    wh = pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=False)
-    ng = m - k + 1
-    acc = wh[:ng].copy()
-    for t in range(1, k):
-        acc = acc * _GRAM_P + wh[t:t + ng]
+    if hash_mode == 'duckdb':
+        from ..stages.sketches import _murmur64_u64, duckdb_hash_str64
+        wh = duckdb_hash_str64(words.flatten())
+        ng = m - k + 1
+        acc = wh[:ng].copy()
+        for t in range(1, k):
+            acc = _murmur64_u64(acc ^ wh[t:t + ng])
+    elif hash_mode == 'pandas':
+        wh = pd.util.hash_array(flat, hash_key=_HASH_KEY,
+                                categorize=False)
+        ng = m - k + 1
+        acc = wh[:ng].copy()
+        for t in range(1, k):
+            acc = acc * _GRAM_P + wh[t:t + ng]
+    else:
+        raise ValueError(f'unknown hash_mode: {hash_mode!r}')
     doc_of = np.repeat(np.arange(n, dtype=np.int64), wc)
     valid = doc_of[:ng] == doc_of[k - 1:k - 1 + ng]
     gh = acc[valid]
@@ -131,7 +150,8 @@ def hash_shingles(flat: np.ndarray) -> np.ndarray:
 
 
 def minhash_matrix(lengths: np.ndarray, hashes: np.ndarray,
-                   num_perm: int = 128, seed: int = 1234) -> np.ndarray:
+                   num_perm: int = 128, seed: int = 1234,
+                   hash_mode: str = 'affine') -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures, min per doc — one
     vectorized ``minimum.reduceat`` per permutation over ALL docs'
     shingles at once.
@@ -141,13 +161,26 @@ def minhash_matrix(lengths: np.ndarray, hashes: np.ndarray,
     permutation family), and the mod-2^64 wrap is the intended
     arithmetic. The previous (a*x + b) mod (2^61-1) form silently
     wrapped a*x mod 2^64 BEFORE the Mersenne reduction, so it computed
-    neither family; the affine-mod-2^64 form makes the wrap the math."""
+    neither family; the affine-mod-2^64 form makes the wrap the math.
+
+    ``hash_mode='duckdb'`` swaps the affine maps for h_p(x) =
+    M(x ^ M(p)) on the DuckDB-parity murmur finalizer M — SQL
+    transcribes it as hash(xor(g, hash(p))), making the signature a
+    deterministic function DuckDB recomputes (the finalizer is a
+    bijection of the uint64 space, so min-hashing it is the same
+    one-permutation-per-row family; seed is ignored in this mode)."""
     n = len(lengths)
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, np.iinfo(np.uint64).max, num_perm,
-                     dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, np.iinfo(np.uint64).max, num_perm,
-                     dtype=np.uint64)
+    if hash_mode == 'duckdb':
+        from ..stages.sketches import _murmur64_u64
+        salts = _murmur64_u64(np.arange(num_perm, dtype=np.uint64))
+    elif hash_mode == 'affine':
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, np.iinfo(np.uint64).max, num_perm,
+                         dtype=np.uint64) | np.uint64(1)
+        b = rng.integers(0, np.iinfo(np.uint64).max, num_perm,
+                         dtype=np.uint64)
+    else:
+        raise ValueError(f'unknown hash_mode: {hash_mode!r}')
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(hashes) == 0:
         return sig
@@ -158,23 +191,39 @@ def minhash_matrix(lengths: np.ndarray, hashes: np.ndarray,
     x = hashes
     with np.errstate(over='ignore'):
         for p in range(num_perm):
-            hp = a[p] * x + b[p]        # mod-2^64 wrap IS the map
+            if hash_mode == 'duckdb':
+                from ..stages.sketches import _murmur64_u64
+                hp = _murmur64_u64(x ^ salts[p])
+            else:
+                hp = a[p] * x + b[p]    # mod-2^64 wrap IS the map
             sig[nonempty, p] = np.minimum.reduceat(hp, ne_off)
     return sig
 
 
-def band_hashes(sig: np.ndarray, num_bands: int = 16) -> np.ndarray:
+def band_hashes(sig: np.ndarray, num_bands: int = 16,
+                hash_mode: str = 'fnv') -> np.ndarray:
     """(n_docs, num_bands) uint64: hash of each band's signature slice.
-    Docs sharing any band hash are LSH candidates."""
+    Docs sharing any band hash are LSH candidates. ``hash_mode='duckdb'``
+    folds the band as acc = M(acc ^ s) per row (SQL: nested
+    hash(xor(...)) — the q_minhash_dedup_docs oracle); 'fnv' is the
+    legacy FNV-ish chain."""
     n, num_perm = sig.shape
     rows = num_perm // num_bands
     out = np.empty((n, num_bands), dtype=np.uint64)
-    for bidx in range(num_bands):
-        chunk = sig[:, bidx * rows:(bidx + 1) * rows]
-        acc = np.zeros(n, dtype=np.uint64)
-        for c in range(rows):
-            acc = acc * np.uint64(1099511628211) + chunk[:, c]
-        out[:, bidx] = acc
+    if hash_mode == 'duckdb':
+        from ..stages.sketches import _murmur64_u64
+    elif hash_mode != 'fnv':
+        raise ValueError(f'unknown hash_mode: {hash_mode!r}')
+    with np.errstate(over='ignore'):
+        for bidx in range(num_bands):
+            chunk = sig[:, bidx * rows:(bidx + 1) * rows]
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in range(rows):
+                if hash_mode == 'duckdb':
+                    acc = _murmur64_u64(acc ^ chunk[:, c])
+                else:
+                    acc = acc * np.uint64(1099511628211) + chunk[:, c]
+            out[:, bidx] = acc
     return out
 
 

@@ -1406,12 +1406,91 @@ def q_assortativity_embeddings(sf_dir: str):
 
 
 def q_minhash_dedup_docs(sf_dir: str):
-    """MinHash-LSH near-dup clusters over documents (approximate by
-    design → rows-only driver check; planted-pair recall is covered in
-    tests/test_dedup.py)."""
+    """MinHash-LSH near-dup clusters over documents. ORACLE-able (r4):
+    with hash_mode='duckdb' every stage is a deterministic function
+    DuckDB recomputes — shingle hashes are nested hash(xor(...)) folds
+    over DuckDB-parity word hashes, the 128 permutations are
+    hash(xor(g, hash(p))) (the murmur finalizer is a uint64 bijection),
+    band hashes fold the 4-row slices the same way, the Jaccard verify
+    decision is the exact rational compare common*1e7 >= 4999995*union,
+    and the cluster labels are min-label CC unrolled past its fixpoint.
+    Still approximate at heart (pairs missed by all 32 bands stay
+    missed); planted-pair recall stays pinned in tests/test_dedup.py."""
     from ..stages.dedup import minhash_dedup
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
-    return minhash_dedup(ds, threshold=0.5)
+    return minhash_dedup(ds, threshold=0.5, hash_mode='duckdb')\
+        .sort('doc_id')
+
+
+def _minhash_oracle_sql(rounds: int = 12) -> str:
+    """SQL twin of minhash_dedup(hash_mode='duckdb', threshold=0.5,
+    num_perm=128, num_bands=32, shingle_k=3): shingle/permutation/band
+    hashes as nested hash(xor(...)), LSH banding, exact-rational
+    Jaccard verify, then ``rounds`` unrolled min-label CC steps (dup
+    clusters are shallow; extra rounds are no-ops). MATERIALIZED
+    throughout (CLAUDE.md chained-recursion rule)."""
+    parts = ["""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL),
+    w AS MATERIALIZED (
+      SELECT doc_id, unnest(ws) AS wd,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM toks),
+    wh AS MATERIALIZED (SELECT doc_id, pos, hash(wd) AS h FROM w),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id,
+             hash(xor(hash(xor(a.h, b.h)), c.h)) AS g
+      FROM wh a
+      JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+    sig AS MATERIALIZED (
+      SELECT doc_id, p.range AS p,
+             min(hash(xor(g, hash(p.range)))) AS s
+      FROM grams CROSS JOIN range(128) p GROUP BY doc_id, p.range),
+    band AS MATERIALIZED (
+      SELECT doc_id, p // 4 AS band_id,
+        hash(xor(hash(xor(hash(xor(hash(
+          max(CASE WHEN p % 4 = 0 THEN s END)),
+          max(CASE WHEN p % 4 = 1 THEN s END))),
+          max(CASE WHEN p % 4 = 2 THEN s END))),
+          max(CASE WHEN p % 4 = 3 THEN s END))) AS bh
+      FROM sig GROUP BY doc_id, p // 4),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM band a JOIN band b
+        ON a.band_id = b.band_id AND a.bh = b.bh
+        AND a.doc_id < b.doc_id),
+    szs AS MATERIALIZED (
+      SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY doc_id),
+    com AS MATERIALIZED (
+      SELECT c.da, c.db, count(*)::BIGINT AS common
+      FROM cand c JOIN grams ga ON ga.doc_id = c.da
+                  JOIN grams gb ON gb.doc_id = c.db AND gb.g = ga.g
+      GROUP BY c.da, c.db),
+    e0 AS MATERIALIZED (
+      SELECT da AS a, db AS b FROM com
+      JOIN szs sa ON sa.doc_id = com.da
+      JOIN szs sb ON sb.doc_id = com.db
+      WHERE common * 10000000 >= 4999995 * (sa.sz + sb.sz - common)),
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM e0 UNION ALL SELECT b, a FROM e0),
+    c0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM adj)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    c{r} AS MATERIALIZED (
+      SELECT c.node, least(c.lab, m.mn) AS lab
+      FROM c{r - 1} c LEFT JOIN (
+        SELECT adj.node, min(l.lab) AS mn
+        FROM adj JOIN c{r - 1} l ON adj.nb = l.node
+        GROUP BY adj.node) m USING (node))""")
+    parts.append(f"""
+    SELECT node AS doc_id, lab AS cluster_id FROM c{rounds}
+    ORDER BY doc_id""")
+    return ''.join(parts)
+
+
+ORACLE_SQL['q_minhash_dedup_docs'] = _minhash_oracle_sql()
 
 
 def q_simhash_candidates_docs(sf_dir: str):

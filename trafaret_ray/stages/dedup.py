@@ -314,7 +314,8 @@ def ngram_jaccard_pairs(ds, text_col: str = 'text', id_col: str = 'doc_id',
 def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
                            k=3, threshold=0.5, num_buckets=32,
                            sizes_mode: str = 'auto',
-                           broadcast_sizes_max: int = 2_000_000):
+                           broadcast_sizes_max: int = 2_000_000,
+                           hash_mode: str = 'pandas'):
     """EXACT word-k-gram Jaccard for an explicit candidate-pair Dataset
     — the verify stage of LSH dedup. Output semantics are identical to
     ``ngram_jaccard_pairs(..., max_df=None, candidates=cand)`` (uncapped
@@ -330,10 +331,20 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
 
     ``docs`` should already be restricted to docs appearing in ``cand``
     (minhash_dedup's semi-join does this); extra docs only add join
-    build rows. Doc ids must be int64 (minhash_dedup's contract)."""
+    build rows. Doc ids must be int64 (minhash_dedup's contract).
+
+    ``hash_mode='duckdb'`` uses the SQL-transcribable shingle hash AND
+    switches the threshold decision to the EXACT rational compare
+    common * 1e7 >= (round(threshold*1e6)*10 - 5) * union — equivalent
+    to round6(jaccard) >= threshold without the float pipeline whose
+    last-ulp order dependence the fixed-point discipline exists to
+    avoid (CLAUDE.md row-picking rule)."""
+    thr6x10 = int(round(threshold * 1e6)) * 10 - 5
+
     def explode(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        _, gd, gh = T.shingle_hash_explode(tbl.column(text_col), k)
+        _, gd, gh = T.shingle_hash_explode(tbl.column(text_col), k,
+                                           hash_mode=hash_mode)
         return pa.table({
             'doc': pa.array(ids[gd].astype(np.int64), type=pa.int64()),
             'h': pa.array(gh.view(np.int64), type=pa.int64())})
@@ -384,7 +395,8 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
 
     def szs(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        lengths, _, _ = T.shingle_hash_explode(tbl.column(text_col), k)
+        lengths, _, _ = T.shingle_hash_explode(tbl.column(text_col), k,
+                                               hash_mode=hash_mode)
         nz = lengths > 0
         return pa.table({
             'doc': pa.array(ids[nz].astype(np.int64), type=pa.int64()),
@@ -454,10 +466,15 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
         sz_b = vals[pc.index_in(pa.array(pb, pa.int64()),
                                 value_set=keys)
                     .to_numpy(zero_copy_only=False)]
-        j = np.round(common / (sz_a + sz_b - common), 6)
+        union = sz_a + sz_b - common
+        j = np.round(common / union, 6)
         out = pa.table({'doc_a': pa.array(pa_, pa.int64()),
                         'doc_b': pa.array(pb, pa.int64()),
                         'jaccard': pa.array(j, pa.float64())})
+        if hash_mode == 'duckdb':
+            keep = common.astype(np.int64) * 10_000_000 \
+                >= thr6x10 * union.astype(np.int64)
+            return out.filter(pa.array(keep))
         return out.filter(pc.greater_equal(out.column('jaccard'),
                                            threshold))
 
@@ -509,10 +526,15 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
             .to_numpy(zero_copy_only=False)
         sz_b = pc.cast(tbl.column('sz_b'), pa.float64())\
             .to_numpy(zero_copy_only=False)
-        j = np.round(common / (sz_a + sz_b - common), 6)
+        union = sz_a + sz_b - common
+        j = np.round(common / union, 6)
         out = pa.table({'doc_a': tbl.column('doc_a'),
                         'doc_b': tbl.column('doc_b'),
                         'jaccard': pa.array(j, pa.float64())})
+        if hash_mode == 'duckdb':
+            keep = common.astype(np.int64) * 10_000_000 \
+                >= thr6x10 * union.astype(np.int64)
+            return out.filter(pa.array(keep))
         return out.filter(pc.greater_equal(out.column('jaccard'),
                                            threshold))
 
@@ -521,7 +543,7 @@ def candidate_pair_jaccard(docs, cand, text_col='text', id_col='doc_id',
 
 def minhash_signature_ds(ds, text_col='text', id_col='doc_id',
                          num_perm=128, num_bands=32, shingle_k=3,
-                         seed=1234):
+                         seed=1234, hash_mode: str = 'pandas'):
     """(id, band_id, band_hash) rows — the LSH index. One vectorized pass
     (shingle_hash_explode, no Python loops); emits num_bands rows per doc.
     Docs with zero shingles (< shingle_k words) are EXCLUDED — their empty
@@ -530,9 +552,13 @@ def minhash_signature_ds(ds, text_col='text', id_col='doc_id',
     def sig(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         lengths, _, gh = T.shingle_hash_explode(tbl.column(text_col),
-                                                shingle_k)
-        s = T.minhash_matrix(lengths, gh, num_perm, seed)
-        bh = T.band_hashes(s, num_bands)
+                                                shingle_k,
+                                                hash_mode=hash_mode)
+        mh_mode = 'duckdb' if hash_mode == 'duckdb' else 'affine'
+        bh_mode = 'duckdb' if hash_mode == 'duckdb' else 'fnv'
+        s = T.minhash_matrix(lengths, gh, num_perm, seed,
+                             hash_mode=mh_mode)
+        bh = T.band_hashes(s, num_bands, hash_mode=bh_mode)
         keep = lengths > 0
         ids, bh = ids[keep], bh[keep]
         n = len(ids)
@@ -549,11 +575,11 @@ def minhash_signature_ds(ds, text_col='text', id_col='doc_id',
 
 def minhash_candidates(ds, text_col='text', id_col='doc_id', num_perm=128,
                        num_bands=32, shingle_k=3, seed=1234,
-                       num_buckets=32):
+                       num_buckets=32, hash_mode: str = 'pandas'):
     """Candidate near-dup pairs from MinHash-LSH banding: docs sharing any
     (band_id, band_hash) bucket. One exchange of the tiny LSH index."""
     index = minhash_signature_ds(ds, text_col, id_col, num_perm, num_bands,
-                                 shingle_k, seed)
+                                 shingle_k, seed, hash_mode=hash_mode)
 
     def pairs(tbl: pa.Table) -> pa.Table:
         # explicit schema (CLAUDE.md from_pandas rule): inference would
@@ -581,7 +607,8 @@ def minhash_candidates(ds, text_col='text', id_col='doc_id', num_perm=128,
 
 def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
                   num_perm=128, num_bands=32, shingle_k=3, seed=1234,
-                  num_buckets=32, ids_mode: str = 'broadcast'):
+                  num_buckets=32, ids_mode: str = 'broadcast',
+                  hash_mode: str = 'pandas'):
     """MinHash-LSH near-dup clusters: LSH candidates → DISTRIBUTED exact
     Jaccard verify, restricted to the candidate pairs inside the
     verify's own (doc_a, doc_b) bucket merge (hashed-shingle
@@ -607,8 +634,8 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       'cluster_id': pa.array([], pa.int64())})
     cand = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
-                              shingle_k, seed,
-                              num_buckets=num_buckets).materialize()
+                              shingle_k, seed, num_buckets=num_buckets,
+                              hash_mode=hash_mode).materialize()
     if cand.count() == 0:
         return rd.from_arrow(empty)
 
@@ -634,7 +661,8 @@ def minhash_dedup(ds, text_col='text', id_col='doc_id', threshold=0.7,
     # ngram_jaccard_pairs(max_df=None, candidates=cand)
     exact = candidate_pair_jaccard(docs_c, cand, text_col, id_col,
                                    k=shingle_k, threshold=threshold,
-                                   num_buckets=num_buckets)
+                                   num_buckets=num_buckets,
+                                   hash_mode=hash_mode)
 
     def as_edges(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0 or 'doc_a' not in tbl.column_names:
