@@ -19,9 +19,6 @@ ROWS_ONLY = {
                                  # (shared-kernel reference parity)
     'q_bpe_train_docs',          # iterative merge loop, no SQL oracle
                                  # (reference-impl parity tests)
-    'q_semdedup_embeddings',     # iterative k-means composite, no SQL
-                                 # oracle (planted recall + invariance
-                                 # tests in test_semdedup.py)
     'q_conv_exact_dedup',        # synthetic transcripts input (planted
                                  # dup recall in test_conv_dedup.py)
     'q_conv_minhash_dedup',      # synthetic transcripts input +

@@ -10254,9 +10254,11 @@ def q_kmeans_embeddings(sf_dir: str):
 QUERIES['q_kmeans_embeddings'] = q_kmeans_embeddings
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
-    """Generated CTE chain mirroring stages/ann.kmeans_lloyd exactly
-    (int64 micro-units end to end). Floor-division with possibly
+def _kmeans_cte_chain(k: int = 8, iters: int = 5) -> str:
+    """The shared WITH-body transcribing stages/ann.kmeans_lloyd
+    (int64 micro-units end to end) up to the final centroid CTE
+    c{iters} — built on by the q_kmeans_embeddings AND
+    q_semdedup_embeddings oracles. Floor-division with possibly
     negative numerators uses (num - ((num % n + n) % n)) // n — the
     subtraction makes the numerator an exact multiple of n, where
     truncation equals floor."""
@@ -10307,6 +10309,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
              END AS c
       FROM {p} p LEFT JOIN s{i} s
         ON s.cid = p.cid AND s.dim = p.dim)""")
+    return head + ''.join(steps)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """q_kmeans_embeddings: the shared Lloyd chain plus the
+    (cluster, dim, c6, n) + inertia-row tail."""
     tail = f"""
     SELECT c.cid AS cluster, c.dim, c.c AS c6,
            coalesce(z.n, 0) AS n
@@ -10318,7 +10326,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
                     FROM a{iters}), 0
     WHERE EXISTS (SELECT 1 FROM vecs)
     ORDER BY cluster, dim"""
-    return head + ''.join(steps) + tail
+    return _kmeans_cte_chain(k, iters) + tail
 
 
 ORACLE_SQL['q_kmeans_embeddings'] = _kmeans_oracle_sql()
@@ -11405,9 +11413,13 @@ def q_semdedup_embeddings(sf_dir: str):
     2023): exact-integer k-means (8 clusters, 5 iters) over the
     embeddings table, then within-cluster cosine >= 0.5 duplicate
     groups with the paper's keep rule — keep the member LEAST similar
-    to its centroid, ties to min vec_id. Rows-only: the clustering is
-    iterative (no SQL oracle); determinism under row order/partitioning
-    and planted-duplicate recall are pinned in tests/test_semdedup.py.
+    to its centroid, ties to min vec_id. ORACLE-able (r4): the whole
+    composite is exact-int64 (the design goal) — the Lloyd chain is the
+    shared q_kmeans transcription, the final assignment is one more
+    argmin CTE, pair dots and the keep pick are integer compares, and
+    duplicate groups unroll as min-label CC (near-cliques: shallow).
+    Determinism under row order/partitioning and planted-duplicate
+    recall stay pinned in tests/test_semdedup.py.
 
     Output: one row per vector — (vec_id, cluster, group = min id of
     its duplicate component, cent_sim6, keep).
@@ -11423,7 +11435,97 @@ def q_semdedup_embeddings(sf_dir: str):
     return out.sort(['vec_id'])
 
 
+def _semdedup_oracle_sql(k: int = 8, iters: int = 5,
+                         thr12: int = 500_000_000_000,
+                         cc_rounds: int = 8) -> str:
+    """SQL twin of stages/dedup.semdedup(n_clusters=8, iters=5,
+    threshold=0.5): the shared Lloyd chain (_kmeans_cte_chain), a final
+    exact-int argmin assignment, micro-quantized unit vectors (the one
+    accepted float step — sqrt(list_sum(v*v)) vs numpy's pairwise norm
+    differ in the last ulp, absorbed by the micro-floor per the
+    q_cosine_pairs precedent), exact-int64 pair dots >= thr12,
+    ``cc_rounds`` unrolled min-label CC steps for duplicate groups, and
+    the (cent_sim6 ASC, vec_id ASC) keep pick. cent_sim6 rescales the
+    1e12 dot with the sign-safe floor-div idiom (CLAUDE.md // rule —
+    a cosine can be negative)."""
+    parts = [_kmeans_cte_chain(k, iters), f""",
+    d_fin AS MATERIALIZED (
+      SELECT v.vec_id, c.cid,
+             cast(sum((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS d2
+      FROM vx v JOIN c{iters} c ON c.dim = v.dim
+      GROUP BY v.vec_id, c.cid),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rnk
+        FROM d_fin) WHERE rnk = 1),
+    ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+    u AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+             cast(floor(unnest(emb) /
+                        (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+                        * 1e6 + 0.5) AS BIGINT) AS ux
+      FROM (SELECT vec_id, emb,
+                   sqrt(list_sum(list_transform(emb, v -> v * v)))
+                     AS nrm
+            FROM ve)),
+    cu AS MATERIALIZED (
+      SELECT cid, list(cast(c AS DOUBLE) / 1e6 ORDER BY dim) AS cf
+      FROM c{iters} GROUP BY cid),
+    cuu AS MATERIALIZED (
+      SELECT cid, generate_subscripts(cf, 1) - 1 AS dim,
+             cast(floor(unnest(cf) /
+                        (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+                        * 1e6 + 0.5) AS BIGINT) AS cu6
+      FROM (SELECT cid, cf,
+                   sqrt(list_sum(list_transform(cf, v -> v * v)))
+                     AS nrm
+            FROM cu)),
+    cd AS MATERIALIZED (
+      SELECT u.vec_id, cast(sum(u.ux * cc.cu6) AS BIGINT) AS cd
+      FROM u JOIN asg ON asg.vec_id = u.vec_id
+      JOIN cuu cc ON cc.cid = asg.cid AND cc.dim = u.dim
+      GROUP BY u.vec_id),
+    pe AS MATERIALIZED (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM asg x JOIN asg y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN u ua ON ua.vec_id = x.vec_id
+      JOIN u ub ON ub.vec_id = y.vec_id AND ub.dim = ua.dim
+      GROUP BY x.vec_id, y.vec_id
+      HAVING cast(sum(ua.ux * ub.ux) AS BIGINT) >= {thr12}),
+    padj AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM pe UNION ALL SELECT b, a FROM pe),
+    g0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM padj)"""]
+    for r in range(1, cc_rounds + 1):
+        parts.append(f""",
+    g{r} AS MATERIALIZED (
+      SELECT g.node, least(g.lab, m.mn) AS lab
+      FROM g{r - 1} g LEFT JOIN (
+        SELECT padj.node, min(l.lab) AS mn
+        FROM padj JOIN g{r - 1} l ON padj.nb = l.node
+        GROUP BY padj.node) m USING (node))""")
+    parts.append(f""",
+    fin AS MATERIALIZED (
+      SELECT asg.vec_id, asg.cid,
+             coalesce(g.lab, asg.vec_id) AS grp, cd.cd
+      FROM asg JOIN cd ON cd.vec_id = asg.vec_id
+      LEFT JOIN g{cc_rounds} g ON g.node = asg.vec_id)
+    SELECT vec_id, cast(cid AS INTEGER) AS cluster, grp AS "group",
+           ((cd + 500000) - (((cd + 500000) % 1000000 + 1000000)
+                             % 1000000)) // 1000000 AS cent_sim6,
+           (row_number() OVER (PARTITION BY grp ORDER BY cd, vec_id)
+            = 1) AS keep
+    FROM fin ORDER BY vec_id""")
+    return ''.join(parts)
+
+
 QUERIES['q_semdedup_embeddings'] = q_semdedup_embeddings
+ORACLE_SQL['q_semdedup_embeddings'] = _semdedup_oracle_sql()
 
 
 def _planted_transcripts(n_turns: int = 4000, seed: int = 7) -> pa.Table:
