@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 
 def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
                      langs=('en', 'de', 'es'), min_words: int = 5,
-                     near_threshold: float = 0.7, num_buckets: int = 32):
+                     near_threshold: float = 0.7, num_buckets: int = 32,
+                     hash_mode: str = 'pandas'):
     """corpus Dataset → curated Dataset (id, text_norm, lang, n_words).
 
     Kept rows: detected language in ``langs``, at least ``min_words``
@@ -106,7 +107,8 @@ def curate_documents(ds, id_col: str = 'doc_id', text_col: str = 'text',
         near_id = '_sid'
     clusters = minhash_dedup(near_in, text_col='text_norm',
                              id_col=near_id, threshold=near_threshold,
-                             num_buckets=num_buckets)
+                             num_buckets=num_buckets,
+                             hash_mode=hash_mode)
     near_id_type = id_type if near_id == id_col else pa.int64()
 
     def non_canon(tbl: pa.Table) -> pa.Table:

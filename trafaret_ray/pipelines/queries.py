@@ -1422,17 +1422,20 @@ def q_minhash_dedup_docs(sf_dir: str):
         .sort('doc_id')
 
 
-def _minhash_oracle_sql(rounds: int = 12) -> str:
-    """SQL twin of minhash_dedup(hash_mode='duckdb', threshold=0.5,
-    num_perm=128, num_bands=32, shingle_k=3): shingle/permutation/band
-    hashes as nested hash(xor(...)), LSH banding, exact-rational
+def _minhash_cluster_ctes(rounds: int = 12) -> str:
+    """The CTE block transcribing minhash_dedup(hash_mode='duckdb',
+    threshold=0.5, num_perm=128, num_bands=32, shingle_k=3) over a
+    caller-provided ``mh_src(doc_id, text)`` CTE: shingle/permutation/
+    band hashes as nested hash(xor(...)), LSH banding, exact-rational
     Jaccard verify, then ``rounds`` unrolled min-label CC steps (dup
-    clusters are shallow; extra rounds are no-ops). MATERIALIZED
-    throughout (CLAUDE.md chained-recursion rule)."""
+    clusters are shallow; extra rounds are no-ops). The final cluster
+    labels live in c{rounds}(node, lab). MATERIALIZED throughout
+    (CLAUDE.md chained-recursion rule). Shared by the
+    q_minhash_dedup_docs and q_curate_docs oracles."""
     parts = ["""
-    WITH toks AS MATERIALIZED (
+    toks AS MATERIALIZED (
       SELECT doc_id, string_split(text, ' ') AS ws
-      FROM documents WHERE text IS NOT NULL),
+      FROM mh_src WHERE text IS NOT NULL),
     w AS MATERIALIZED (
       SELECT doc_id, unnest(ws) AS wd,
              unnest(generate_series(1, len(ws))) AS pos
@@ -1484,10 +1487,16 @@ def _minhash_oracle_sql(rounds: int = 12) -> str:
         SELECT adj.node, min(l.lab) AS mn
         FROM adj JOIN c{r - 1} l ON adj.nb = l.node
         GROUP BY adj.node) m USING (node))""")
-    parts.append(f"""
-    SELECT node AS doc_id, lab AS cluster_id FROM c{rounds}
-    ORDER BY doc_id""")
     return ''.join(parts)
+
+
+def _minhash_oracle_sql(rounds: int = 12) -> str:
+    return f"""
+    WITH mh_src AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    {_minhash_cluster_ctes(rounds)}
+    SELECT node AS doc_id, lab AS cluster_id FROM c{rounds}
+    ORDER BY doc_id"""
 
 
 ORACLE_SQL['q_minhash_dedup_docs'] = _minhash_oracle_sql()
@@ -4430,17 +4439,75 @@ ORACLE_SQL['q_shipping_priority'] = """
 def q_curate_docs(sf_dir: str):
     """The end-to-end curation composition (pipelines/curation.py):
     normalize → language filter → quality gate → exact dedup →
-    near-dedup keep-canonical. Deterministic but LSH-based → rows-only
-    driver check; the gates and dedup steps are individually
-    oracle-checked by their own queries."""
+    near-dedup keep-canonical. ORACLE-able (r4): every stage already
+    has a byte-green transcription — the normalize expression is
+    q_normalized_docs', the stopword-vote langid is q_langid_docs',
+    exact dedup is min(id) per normalized text, and the near-dedup
+    clusters are the shared DuckDB-recomputable minhash CTE block
+    (_minhash_cluster_ctes) fed by the exact-unique survivors — so the
+    whole composition chains into one oracle."""
     from .curation import curate_documents
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
     return curate_documents(ds, langs=('en', 'de', 'es'), min_words=5,
-                            near_threshold=0.5,
-                            num_buckets=16).sort('doc_id')
+                            near_threshold=0.5, num_buckets=16,
+                            hash_mode='duckdb').sort('doc_id')
+
+
+def _curate_oracle_sql(rounds: int = 12) -> str:
+    """SQL twin of curate_documents(langs=('en','de','es'), min_words=5,
+    near_threshold=0.5, hash_mode='duckdb'): normalize + langid + word
+    gate, min-id-per-text exact dedup, then the shared minhash cluster
+    CTEs over the survivors; kept = survivors that are not a
+    non-canonical member of a near-dup cluster."""
+    return f"""
+    WITH cleaned AS MATERIALIZED (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS tn
+      FROM documents WHERE text IS NOT NULL),
+    lid AS MATERIALIZED (
+      SELECT doc_id, tn, len(string_split(tn, ' ')) AS n_words,
+        len(list_filter(string_split(tn, ' '), x -> x IN
+          ('das','der','die','ein','ist','mit','nicht','und','zu')))
+          AS s_de,
+        len(list_filter(string_split(tn, ' '), x -> x IN
+          ('a','and','for','in','is','it','of','that','the','to')))
+          AS s_en,
+        len(list_filter(string_split(tn, ' '), x -> x IN
+          ('el','en','es','la','las','los','por','que','un','una')))
+          AS s_es,
+        len(list_filter(string_split(tn, ' '), x -> x IN
+          ('dans','est','et','la','le','les','pour','un','une')))
+          AS s_fr
+      FROM cleaned),
+    gated AS MATERIALIZED (
+      SELECT doc_id, tn,
+             CASE WHEN mx = 0 THEN 'unknown'
+                  WHEN s_de = mx THEN 'de'
+                  WHEN s_en = mx THEN 'en'
+                  WHEN s_es = mx THEN 'es'
+                  ELSE 'fr' END AS lang,
+             n_words
+      FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS mx FROM lid)
+      WHERE n_words >= 5),
+    kept_lang AS MATERIALIZED (
+      SELECT * FROM gated WHERE lang IN ('en', 'de', 'es')),
+    exact_canon AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id FROM kept_lang GROUP BY tn),
+    exact_unique AS MATERIALIZED (
+      SELECT k.* FROM kept_lang k
+      JOIN exact_canon e ON e.doc_id = k.doc_id),
+    mh_src AS MATERIALIZED (
+      SELECT doc_id, tn AS text FROM exact_unique),
+    {_minhash_cluster_ctes(rounds)}
+    SELECT e.doc_id, e.tn AS text_norm, e.lang, e.n_words
+    FROM exact_unique e
+    LEFT JOIN c{rounds} cl ON cl.node = e.doc_id
+    WHERE cl.lab IS NULL OR cl.lab = e.doc_id
+    ORDER BY e.doc_id"""
 
 
 QUERIES['q_curate_docs'] = q_curate_docs
+ORACLE_SQL['q_curate_docs'] = _curate_oracle_sql()
 
 
 def q_list_payload_embeddings(sf_dir: str):
