@@ -6269,10 +6269,14 @@ def q_pq_topk(sf_dir: str):
     on a PERMUTATION-INVARIANT bottom-k-hash sample, corpus encoded to
     m uint8 codes per vector (32x smaller than float32 at d=64/m=8),
     query answered by asymmetric distance over the code column only.
-    Rows-only by design (the code domain is lossy — recall vs the exact
-    scan and permutation invariance are pinned in tests/test_ann.py);
-    the shuffled gate byte-self-compares it against the pristine run,
-    which the invariant sample makes exact."""
+    ORACLE-able (r4): with hash_mode='duckdb' the sample is bottom-k by
+    the DuckDB-parity id hash, the per-subspace Lloyd runs the
+    kmeans_lloyd exact-int rules GROUPED over all 8 subspaces in one
+    unrolled CTE chain, encode/ADC are exact-integer argmins/sums, and
+    approx_cos is one shared double expression of the integer distance
+    micro-floored for the rank (_pq_oracle_sql). The code domain stays
+    lossy — recall vs the exact scan is still pinned in
+    tests/test_ann.py."""
     from ..stages.ann import pq_encode, pq_search, pq_train
     empty = pa.schema([('vec_id', pa.int64()),
                        ('approx_cos', pa.float64())])
@@ -6284,14 +6288,105 @@ def q_pq_topk(sf_dir: str):
     # artifact — codes written to parquet, scanned by every query)
     emb = _read(sf_dir, 'embeddings',
                 ['vec_id', 'embedding']).materialize()
-    books = pq_train(emb, m=8, ks=32, sample_size=512)
+    books = pq_train(emb, m=8, ks=32, sample_size=512,
+                     hash_mode='duckdb')
     if books is None:
         return empty.empty_table().to_pandas()
     codes = pq_encode(emb, books)
     return pq_search(codes, books, qvec, k=10, exclude_ids=[0])
 
 
+def _pq_oracle_sql(m: int = 8, dsub: int = 8, ks: int = 32,
+                   sample: int = 512, iters: int = 10,
+                   k: int = 10) -> str:
+    """SQL twin of pq_train(hash_mode='duckdb') + pq_encode + pq_search:
+    bottom-``sample`` by hash(vec_id), unit micro-quantized rows (the
+    accepted micro-floor float step), ``iters`` unrolled exact-int
+    Lloyd rounds GROUPED by subspace j (one chain covers all m
+    codebooks), exact-int encode + ADC, micro-floored rank."""
+    parts = [f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+    u AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+             cast(floor(unnest(emb) / nrm * 1e6 + 0.5) AS BIGINT) AS ux
+      FROM (SELECT vec_id, emb,
+                   sqrt(list_sum(list_transform(emb, v -> v * v)))
+                     AS nrm
+            FROM ve) WHERE nrm > 0),
+    samp AS MATERIALIZED (
+      SELECT vec_id FROM (SELECT DISTINCT vec_id FROM u)
+      ORDER BY hash(vec_id), vec_id LIMIT {sample}),
+    sx AS MATERIALIZED (
+      SELECT u.vec_id, u.dim // {dsub} AS j, u.dim % {dsub} AS sd, u.ux
+      FROM u JOIN samp USING (vec_id)),
+    seed AS MATERIALIZED (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM samp ORDER BY vec_id LIMIT {ks}),
+    b0 AS MATERIALIZED (
+      SELECT x.j, s.cid, x.sd, x.ux AS c
+      FROM seed s JOIN sx x ON x.vec_id = s.vec_id)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    pd{i} AS MATERIALIZED (
+      SELECT x.vec_id, x.j, c.cid,
+             cast(sum((x.ux - c.c) * (x.ux - c.c)) AS BIGINT) AS d2
+      FROM sx x JOIN b{i - 1} c ON c.j = x.j AND c.sd = x.sd
+      GROUP BY x.vec_id, x.j, c.cid),
+    pa{i} AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2, cid) AS rnk
+        FROM pd{i}) WHERE rnk = 1),
+    ps{i} AS MATERIALIZED (
+      SELECT a.j, a.cid, x.sd, cast(sum(x.ux) AS BIGINT) AS s,
+             cast(count(*) AS BIGINT) AS n
+      FROM pa{i} a JOIN sx x ON x.vec_id = a.vec_id AND x.j = a.j
+      GROUP BY a.j, a.cid, x.sd),
+    b{i} AS MATERIALIZED (
+      SELECT p.j, p.cid, p.sd,
+             CASE WHEN s.n IS NULL THEN p.c
+                  ELSE ((s.s + s.n // 2)
+                        - (((s.s + s.n // 2) % s.n + s.n) % s.n))
+                       // s.n END AS c
+      FROM b{i - 1} p LEFT JOIN ps{i} s
+        ON s.j = p.j AND s.cid = p.cid AND s.sd = p.sd)""")
+    parts.append(f""",
+    ux AS MATERIALIZED (
+      SELECT vec_id, dim // {dsub} AS j, dim % {dsub} AS sd, ux FROM u),
+    ed AS MATERIALIZED (
+      SELECT x.vec_id, x.j, c.cid,
+             cast(sum((x.ux - c.c) * (x.ux - c.c)) AS BIGINT) AS d2
+      FROM ux x JOIN b{iters} c ON c.j = x.j AND c.sd = x.sd
+      GROUP BY x.vec_id, x.j, c.cid),
+    code AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2, cid) AS rnk
+        FROM ed) WHERE rnk = 1),
+    q6 AS MATERIALIZED (
+      SELECT dim // {dsub} AS j, dim % {dsub} AS sd, ux FROM u
+      WHERE vec_id = 0),
+    tadc AS MATERIALIZED (
+      SELECT c.j, c.cid,
+             cast(sum((q.ux - c.c) * (q.ux - c.c)) AS BIGINT) AS d
+      FROM b{iters} c JOIN q6 q ON q.j = c.j AND q.sd = c.sd
+      GROUP BY c.j, c.cid),
+    dist AS MATERIALIZED (
+      SELECT code.vec_id, cast(sum(t.d) AS BIGINT) AS d2
+      FROM code JOIN tadc t ON t.j = code.j AND t.cid = code.cid
+      WHERE code.vec_id <> 0 GROUP BY code.vec_id)
+    SELECT vec_id,
+           cast(floor((1.0 - cast(d2 AS DOUBLE) / 2e12) * 1e6 + 0.5)
+                AS BIGINT) / 1e6 AS approx_cos
+    FROM dist
+    ORDER BY approx_cos DESC, vec_id LIMIT {k}""")
+    return ''.join(parts)
+
+
 QUERIES['q_pq_topk'] = q_pq_topk
+ORACLE_SQL['q_pq_topk'] = _pq_oracle_sql()
 
 
 def q_fk_audit_star(sf_dir: str):

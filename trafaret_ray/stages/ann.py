@@ -261,7 +261,8 @@ def ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
 _PQ_HASH_KEY = 'feedfacecafebeef'
 
 
-def _bottomk_sample(ds, emb_col: str, id_col: str, sample_size: int):
+def _bottomk_sample(ds, emb_col: str, id_col: str, sample_size: int,
+                    hash_mode: str = 'pandas'):
     """PERMUTATION-INVARIANT training sample: the ``sample_size`` rows
     with the smallest salted id hashes (a bottom-k sketch — the same
     sample set under ANY row order, partitioning, or parallelism, which
@@ -272,10 +273,20 @@ def _bottomk_sample(ds, emb_col: str, id_col: str, sample_size: int):
 
     def add_h(tbl: pa.Table) -> pa.Table:
         tbl = drop_null_vectors(tbl, emb_col)
-        hv = pd.util.hash_array(
-            tbl.column(id_col).combine_chunks().to_numpy(
-                zero_copy_only=False),
-            hash_key=_PQ_HASH_KEY, categorize=False).view(np.int64)
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if hash_mode == 'duckdb':
+            # DuckDB-parity hash, UNSIGNED ascending order (SQL
+            # ORDER BY hash(id)): xor the sign bit so the int64 sort
+            # key ascends exactly like the UBIGINT (uint64 columns
+            # break round-trips — CLAUDE.md)
+            from .sketches import duckdb_hash64
+            hv = (duckdb_hash64(ids) ^ np.uint64(1 << 63))\
+                .view(np.int64)
+        else:
+            hv = pd.util.hash_array(
+                ids, hash_key=_PQ_HASH_KEY, categorize=False)\
+                .view(np.int64)
         return tbl.append_column('_h', pa.array(hv, type=pa.int64()))
 
     from .aggregate import global_topk
@@ -303,21 +314,77 @@ def _unit_rows(mat: np.ndarray):
 
 def pq_train(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
              m: int = 8, ks: int = 32, sample_size: int = 1024,
-             iters: int = 10, seed: int = 0):
+             iters: int = 10, seed: int = 0, hash_mode: str = 'pandas'):
     """Train PQ codebooks on a bottom-k-hash sample: rows are unit-
     normalized (cosine = L2 on the unit sphere), dims split into ``m``
     contiguous subspaces, one small k-means per subspace. Returns a
     (m, ks', d/m) float64 array (ks' <= ks when the sample is small),
-    or None on an empty/all-null corpus."""
-    tbl = _bottomk_sample(ds, emb_col, id_col, sample_size)
+    or None on an empty/all-null corpus.
+
+    ``hash_mode='duckdb'`` makes the whole PQ pipeline a deterministic
+    function DuckDB recomputes in SQL (the q_pq_topk oracle): the
+    sample is bottom-k by the DuckDB-parity id hash, rows micro-
+    quantize after unit-normalizing, and the subspace k-means runs the
+    kmeans_lloyd exact-int rules (first-ks seeding, argmin ties to the
+    smallest code, round-half-up floor-div mean). Returned books are
+    INT64 micro-units — the dtype routes pq_encode/pq_search onto
+    exact-integer arithmetic."""
+    tbl = _bottomk_sample(ds, emb_col, id_col, sample_size,
+                          hash_mode=hash_mode)
     if tbl is None:
         return None
     sample = _batch_matrix(tbl, emb_col)
     sample, ok = _unit_rows(sample)
+    if hash_mode == 'duckdb':
+        ids = tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)[ok]
+        sample = sample[ok]
+        if len(sample) == 0:
+            return None
+        # deterministic SQL-matching order: id ascending; train in
+        # exact int64 micro-units (books dtype int64 marks the mode
+        # for encode/search)
+        order = np.argsort(ids, kind='stable')
+        x6 = np.floor(sample[order] * 1e6 + 0.5).astype(np.int64)
+        return _train_books_exact(x6, m, ks, iters)
     sample = sample[ok]
     if len(sample) == 0:
         return None
     return _train_books(sample, m, ks, iters, seed)
+
+
+def _train_books_exact(x6: np.ndarray, m: int, ks: int,
+                       iters: int) -> np.ndarray:
+    """Per-subspace Lloyd in exact int64 micro-units — the kmeans_lloyd
+    rules on a driver-side sample: seeds are the first ``ks`` rows (the
+    caller passes rows in id order), assignment is argmin of the exact
+    squared distance with ties to the smallest code (np.argmin picks
+    the first, i.e. smallest), the mean update is the round-half-up
+    floor-div (s + n//2) // n (numerators here are sums of micro
+    components — can be negative, so floor via np.floor_divide which
+    already floors), and an empty cluster keeps its previous centroid.
+    Returns int64 (m, ks', d/m)."""
+    n, d = x6.shape
+    if d % m:
+        raise ValueError(f'dim {d} not divisible by m={m}')
+    dsub = d // m
+    ks_eff = min(ks, n)
+    books = np.empty((m, ks_eff, dsub), dtype=np.int64)
+    for j in range(m):
+        sub = x6[:, j * dsub:(j + 1) * dsub]
+        c = sub[:ks_eff].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for cid in range(ks_eff):
+                mask = assign == cid
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue
+                s = sub[mask].sum(axis=0)
+                c[cid] = np.floor_divide(s + cnt // 2, cnt)
+        books[j] = c
+    return books
 
 
 def _train_books(sample: np.ndarray, m: int, ks: int, iters: int,
@@ -347,7 +414,9 @@ def pq_encode(ds, codebooks, emb_col: str = 'embedding',
     # read is zero-copy and the stage stays a TASK pool — an actor pool
     # here would cap encode parallelism at its concurrency (measured
     # 2.8x wall on the 500k-vector endurance probe at concurrency=2)
-    books_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    exact = np.issubdtype(np.asarray(codebooks).dtype, np.integer)
+    books_ref = ray.put(np.asarray(
+        codebooks, dtype=np.int64 if exact else np.float64))
 
     def encode(tbl: pa.Table) -> pa.Table:
         books = ray.get(books_ref)
@@ -366,9 +435,19 @@ def pq_encode(ds, codebooks, emb_col: str = 'embedding',
         mat = mat[ok]
         if len(mat) == 0:
             return empty
+        if exact:
+            # int64 micro-quantized rows vs int64 books — the argmin
+            # is an exact-integer comparison (tie -> smallest code)
+            mat = np.floor(mat * 1e6 + 0.5).astype(np.int64)
         codes = np.empty((len(mat), m), dtype=np.uint8)
         for j in range(m):
             sub = mat[:, j * dsub:(j + 1) * dsub]
+            if exact:
+                # exact-int argmin via ||c||^2 - 2 x.c (the x^2 term is
+                # constant per row); int64 matmul, no 3-D blowup
+                scores_i = cn2[j][None, :] - 2 * (sub @ books[j].T)
+                codes[:, j] = scores_i.argmin(axis=1)
+                continue
             # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
             scores = cn2[j][None, :] - 2.0 * (sub @ books[j].T)
             codes[:, j] = scores.argmin(axis=1)
@@ -408,14 +487,24 @@ def pq_search(codes_ds, codebooks, query: np.ndarray, k: int = 10,
                               exclude_ids=exclude_ids)
         return _exact_rerank(rerank_ds, shortlist, query, k,
                              id_col, emb_col)
-    books = np.asarray(codebooks, dtype=np.float64)
+    exact = np.issubdtype(np.asarray(codebooks).dtype, np.integer)
+    books = np.asarray(codebooks,
+                       dtype=np.int64 if exact else np.float64)
     m, _ks, dsub = books.shape
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
-    # table[j, c] = ||q_j - books[j, c]||^2
-    table = ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+    if exact:
+        # int64-books mode (pq_train hash_mode='duckdb'): the query
+        # micro-quantizes like every corpus row and the ADC table is
+        # exact int64; approx_cos is ONE shared double expression of
+        # the integer distance on both engines
+        q6 = np.floor(q * 1e6 + 0.5).astype(np.int64)
+        table = ((books - q6.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+    else:
+        # table[j, c] = ||q_j - books[j, c]||^2
+        table = ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
     excl = pa.array(list(exclude_ids), type=pa.int64())
     jidx = np.arange(m)
 
@@ -431,7 +520,13 @@ def pq_search(codes_ds, codebooks, query: np.ndarray, k: int = 10,
         codes = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                            dtype=np.int64).reshape(len(la), m)
         d2 = table[jidx[None, :], codes].sum(axis=1)
-        sims = 1.0 - d2 / 2.0
+        if exact:
+            # exact int64 distance in (1e6)^2 units -> the SAME double
+            # expression the SQL oracle evaluates; ranking then runs on
+            # sim6 micro-units with the id tie key (cosine_topk_rows)
+            sims = 1.0 - d2.astype(np.float64) / 2e12
+        else:
+            sims = 1.0 - d2 / 2.0
         ids = tbl.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
         top_ids, top_sims = cosine_topk_rows(ids, sims, k)
