@@ -12,7 +12,6 @@ import __ray_entry__ as entry
 # every entry here is rows-only BY DESIGN — adding to this list is a
 # decision (document why in the query docstring), not a default
 ROWS_ONLY = {
-    'q_ivfpq_topk',              # lossy code domain + probe pruning
     'q_bpe_encode_docs',         # trained-vocab encode, no SQL oracle
                                  # (shared-kernel reference parity)
     'q_bpe_train_docs',          # iterative merge loop, no SQL oracle

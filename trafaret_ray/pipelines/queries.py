@@ -6497,9 +6497,13 @@ def q_ivfpq_topk(sf_dir: str):
     prune WHICH rows are scanned, residual product codes shrink WHAT
     the scan reads — the Faiss-style web-scale index shape. All
     sampling is bottom-k-hash (permutation-invariant), so the shuffled
-    gate's byte self-compare holds. Rows-only by design (lossy code
-    domain; recall, residual-vs-flat advantage and permutation
-    invariance pinned in tests/test_ann.py)."""
+    gate's byte self-compare holds. ORACLE-able (r4): with
+    hash_mode='duckdb' both quantizers run the kmeans_lloyd exact-int
+    rules (the coarse chain is one full-width "subspace"), residuals,
+    encode, probe pick and the ADC family are exact integers, and the
+    rerank is the micro-floored exact cosine over the unit corpus —
+    two unrolled Lloyd chains in SQL. Recall and the residual-vs-flat
+    advantage stay pinned in tests/test_ann.py."""
     from ..stages.ann import ivfpq_topk
     empty = pa.schema([('vec_id', pa.int64()),
                        ('cos_sim', pa.float64())])
@@ -6511,10 +6515,163 @@ def q_ivfpq_topk(sf_dir: str):
     # pruned float pass scores exactly 50 rows with true cosine
     return ivfpq_topk(emb, qvec, k=10, n_clusters=16, nprobe=4,
                       m=8, ks=32, sample_size=512, exclude_ids=[0],
-                      rerank=50)
+                      rerank=50, hash_mode='duckdb')
+
+
+def _lloyd_chain_sql(pfx: str, src: str, seed_src: str, ks: int,
+                     iters: int) -> str:
+    """Unrolled exact-int Lloyd CTE chain over ``src(vec_id, j, sd,
+    ux)`` with seeds = the first ``ks`` ids of ``seed_src`` (id order).
+    Final books land in {pfx}b{iters}(j, cid, sd, c). The grouped-by-j
+    form trains every subspace in ONE chain; a full-width chain is
+    just j = 0. Shared by the IVF-PQ oracle's coarse + residual
+    quantizers."""
+    parts = [f""",
+    {pfx}seed AS MATERIALIZED (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM {seed_src} ORDER BY vec_id LIMIT {ks}),
+    {pfx}b0 AS MATERIALIZED (
+      SELECT x.j, s.cid, x.sd, x.ux AS c
+      FROM {pfx}seed s JOIN {src} x ON x.vec_id = s.vec_id)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    {pfx}d{i} AS MATERIALIZED (
+      SELECT x.vec_id, x.j, c.cid,
+             cast(sum((x.ux - c.c) * (x.ux - c.c)) AS BIGINT) AS d2
+      FROM {src} x JOIN {pfx}b{i - 1} c ON c.j = x.j AND c.sd = x.sd
+      GROUP BY x.vec_id, x.j, c.cid),
+    {pfx}a{i} AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2, cid) AS rnk
+        FROM {pfx}d{i}) WHERE rnk = 1),
+    {pfx}s{i} AS MATERIALIZED (
+      SELECT a.j, a.cid, x.sd, cast(sum(x.ux) AS BIGINT) AS s,
+             cast(count(*) AS BIGINT) AS n
+      FROM {pfx}a{i} a JOIN {src} x
+        ON x.vec_id = a.vec_id AND x.j = a.j
+      GROUP BY a.j, a.cid, x.sd),
+    {pfx}b{i} AS MATERIALIZED (
+      SELECT p.j, p.cid, p.sd,
+             CASE WHEN s.n IS NULL THEN p.c
+                  ELSE ((s.s + s.n // 2)
+                        - (((s.s + s.n // 2) % s.n + s.n) % s.n))
+                       // s.n END AS c
+      FROM {pfx}b{i - 1} p LEFT JOIN {pfx}s{i} s
+        ON s.j = p.j AND s.cid = p.cid AND s.sd = p.sd)""")
+    return ''.join(parts)
+
+
+def _ivfpq_oracle_sql(nc: int = 16, nprobe: int = 4, m: int = 8,
+                      dsub: int = 8, ks: int = 32, sample: int = 512,
+                      iters: int = 10, rerank: int = 50,
+                      k: int = 10) -> str:
+    """SQL twin of ivfpq_topk(hash_mode='duckdb', rerank=50): unit
+    micro rows, bottom-``sample`` by hash(vec_id), coarse + residual
+    exact-int Lloyd chains, exact-int encode/probe/ADC, ADC shortlist
+    of ``rerank`` ids, micro-floored exact-cosine rerank."""
+    head = f"""
+    WITH ve AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+    un AS MATERIALIZED (
+      SELECT vec_id, emb,
+             sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm
+      FROM ve),
+    u AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+             cast(floor(unnest(emb) / nrm * 1e6 + 0.5) AS BIGINT) AS ux
+      FROM un WHERE nrm > 0),
+    udbl AS MATERIALIZED (
+      SELECT vec_id, list_transform(emb, v -> v / nrm) AS ud
+      FROM un WHERE nrm > 0),
+    samp AS MATERIALIZED (
+      SELECT vec_id FROM (SELECT DISTINCT vec_id FROM u)
+      ORDER BY hash(vec_id), vec_id LIMIT {sample}),
+    csx AS MATERIALIZED (
+      SELECT u.vec_id, 0 AS j, u.dim AS sd, u.ux
+      FROM u JOIN samp USING (vec_id))"""
+    coarse = _lloyd_chain_sql('c', 'csx', 'samp', nc, iters)
+    resid_prep = f""",
+    sassign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid, row_number() OVER (
+          PARTITION BY x.vec_id
+          ORDER BY sum((x.ux - c.c) * (x.ux - c.c)), c.cid) AS rnk
+        FROM csx x JOIN cb{iters} c ON c.sd = x.sd
+        GROUP BY x.vec_id, c.cid) WHERE rnk = 1),
+    rsx AS MATERIALIZED (
+      SELECT x.vec_id, x.sd // {dsub} AS j, x.sd % {dsub} AS sd,
+             x.ux - c.c AS ux
+      FROM csx x JOIN sassign a ON a.vec_id = x.vec_id
+      JOIN cb{iters} c ON c.cid = a.cid AND c.sd = x.sd)"""
+    resid = _lloyd_chain_sql('r', 'rsx', 'samp', ks, iters)
+    tail = f""",
+    uxx AS MATERIALIZED (
+      SELECT vec_id, 0 AS j, dim AS sd, ux FROM u),
+    cass AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid, row_number() OVER (
+          PARTITION BY x.vec_id
+          ORDER BY sum((x.ux - c.c) * (x.ux - c.c)), c.cid) AS rnk
+        FROM uxx x JOIN cb{iters} c ON c.sd = x.sd
+        GROUP BY x.vec_id, c.cid) WHERE rnk = 1),
+    cres AS MATERIALIZED (
+      SELECT x.vec_id, x.dim // {dsub} AS j, x.dim % {dsub} AS sd,
+             x.ux - c.c AS rx
+      FROM u x JOIN cass a ON a.vec_id = x.vec_id
+      JOIN cb{iters} c ON c.cid = a.cid AND c.sd = x.dim),
+    ecd AS MATERIALIZED (
+      SELECT x.vec_id, x.j, b.cid,
+             cast(sum((x.rx - b.c) * (x.rx - b.c)) AS BIGINT) AS d2
+      FROM cres x JOIN rb{iters} b ON b.j = x.j AND b.sd = x.sd
+      GROUP BY x.vec_id, x.j, b.cid),
+    ecode AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2, cid) AS rnk
+        FROM ecd) WHERE rnk = 1),
+    qx AS MATERIALIZED (SELECT dim, ux FROM u WHERE vec_id = 0),
+    probe AS MATERIALIZED (
+      SELECT cid FROM (
+        SELECT c.cid, sum((q.ux - c.c) * (q.ux - c.c)) AS d2
+        FROM cb{iters} c JOIN qx q ON q.dim = c.sd
+        GROUP BY c.cid ORDER BY d2, cid LIMIT {nprobe})),
+    qres AS MATERIALIZED (
+      SELECT p.cid AS pcid, q.dim // {dsub} AS j,
+             q.dim % {dsub} AS sd, q.ux - c.c AS rx
+      FROM probe p JOIN cb{iters} c ON c.cid = p.cid
+      JOIN qx q ON q.dim = c.sd),
+    tadc AS MATERIALIZED (
+      SELECT q.pcid, b.j, b.cid,
+             cast(sum((q.rx - b.c) * (q.rx - b.c)) AS BIGINT) AS d
+      FROM rb{iters} b JOIN qres q ON q.j = b.j AND q.sd = b.sd
+      GROUP BY q.pcid, b.j, b.cid),
+    dist AS MATERIALIZED (
+      SELECT e.vec_id, cast(sum(t.d) AS BIGINT) AS d2
+      FROM ecode e JOIN cass a ON a.vec_id = e.vec_id
+      JOIN probe p ON p.cid = a.cid
+      JOIN tadc t ON t.pcid = a.cid AND t.j = e.j AND t.cid = e.cid
+      WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+    short AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               cast(floor((1.0 - cast(d2 AS DOUBLE) / 2e12) * 1e6
+                          + 0.5) AS BIGINT) AS sim6
+        FROM dist ORDER BY sim6 DESC, vec_id LIMIT {rerank})),
+    rr AS MATERIALIZED (
+      SELECT s.vec_id,
+             cast(floor(list_cosine_similarity(udbl.ud,
+                    (SELECT emb FROM ve WHERE vec_id = 0))
+                  * 1e6 + 0.5) AS BIGINT) AS cos6
+      FROM short s JOIN udbl ON udbl.vec_id = s.vec_id)
+    SELECT vec_id, cos6 / 1e6 AS cos_sim FROM rr
+    ORDER BY cos6 DESC, vec_id LIMIT {k}"""
+    return head + coarse + resid_prep + resid + tail
 
 
 QUERIES['q_ivfpq_topk'] = q_ivfpq_topk
+ORACLE_SQL['q_ivfpq_topk'] = _ivfpq_oracle_sql()
 
 
 def q_target_encode_events(sf_dir: str):

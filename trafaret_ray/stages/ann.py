@@ -543,7 +543,8 @@ def pq_search(codes_ds, codebooks, query: np.ndarray, k: int = 10,
 
 def ivfpq_build(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
                 n_clusters: int = 16, m: int = 8, ks: int = 32,
-                sample_size: int = 1024, iters: int = 10, seed: int = 0):
+                sample_size: int = 1024, iters: int = 10, seed: int = 0,
+                hash_mode: str = 'pandas'):
     """Build the IVF-PQ index ONCE (amortized over every query): unit-
     normalize the corpus, train the coarse quantizer and the residual
     codebooks on a permutation-invariant bottom-k-hash sample, encode
@@ -575,15 +576,33 @@ def ivfpq_build(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
     # and the codebook sample) — materialize once
     unit_ds = ds.map_batches(unit, batch_format='pyarrow',
                              zero_copy_batch=True).materialize()
-    sample_tbl = _bottomk_sample(unit_ds, emb_col, id_col, sample_size)
+    sample_tbl = _bottomk_sample(unit_ds, emb_col, id_col, sample_size,
+                                 hash_mode=hash_mode)
     if sample_tbl is None:
         return None
     sample = _batch_matrix(sample_tbl, emb_col)
-    cents = kmeans_fit(sample.copy(), n_clusters, iters, seed)
-    # residual codebooks from the SAME sample, assigned to its centroid
-    sd = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = sample - cents[sd.argmin(axis=1)]
-    books = _train_books(resid, m, ks, iters, seed + 101)
+    exact = hash_mode == 'duckdb'
+    if exact:
+        # SQL-recomputable index (the q_ivfpq_topk oracle): sample in
+        # id order, micro-quantized; coarse quantizer AND residual
+        # codebooks run the kmeans_lloyd exact-int rules (the coarse
+        # chain is _train_books_exact with one full-width "subspace");
+        # int64 cents/books route encode + search onto exact integers
+        sids = sample_tbl.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(sids, kind='stable')
+        s6 = np.floor(sample[order] * 1e6 + 0.5).astype(np.int64)
+        cents = _train_books_exact(s6, 1, n_clusters, iters)[0]
+        sd6 = ((s6[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        resid6 = s6 - cents[sd6.argmin(axis=1)]
+        books = _train_books_exact(resid6, m, ks, iters)
+    else:
+        cents = kmeans_fit(sample.copy(), n_clusters, iters, seed)
+        # residual codebooks from the SAME sample, assigned to its
+        # centroid
+        sd = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        resid = sample - cents[sd.argmin(axis=1)]
+        books = _train_books(resid, m, ks, iters, seed + 101)
 
     cents_ref = ray.put(cents)
     books_ref = ray.put(books)
@@ -604,13 +623,19 @@ def ivfpq_build(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
                 '_centroid': pa.array([], pa.int32()),
                 'code': pa.array([], pa.list_(pa.uint8(), mm))})
         mat = _batch_matrix(tbl, emb_col)
+        if exact:
+            # exact-int coarse assign + residual codes (||c||^2 - 2x.c
+            # preserves the argmin and its first-index tie rule)
+            mat = np.floor(mat * 1e6 + 0.5).astype(np.int64)
         assign = (cn2[None, :]
-                  - 2.0 * (mat @ cents_.T)).argmin(axis=1)
+                  - (2 if exact else 2.0) * (mat @ cents_.T))\
+            .argmin(axis=1)
         resid = mat - cents_[assign]
         codes = np.empty((len(mat), mm), dtype=np.uint8)
         for j in range(mm):
             sub = resid[:, j * dsub:(j + 1) * dsub]
-            scores = bn2[j][None, :] - 2.0 * (sub @ books_[j].T)
+            scores = bn2[j][None, :] \
+                - (2 if exact else 2.0) * (sub @ books_[j].T)
             codes[:, j] = scores.argmin(axis=1)
         return pa.table({
             id_col: tbl.column(id_col),
@@ -645,10 +670,16 @@ def ivfpq_search(index, query: np.ndarray, k: int = 10,
                              id_col, index['emb_col'])
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       'approx_cos': pa.array([], pa.float64())})
+    exact = np.issubdtype(np.asarray(books).dtype, np.integer)
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
+    if exact:
+        # int64-index mode (ivfpq_build hash_mode='duckdb'): the query
+        # micro-quantizes like every corpus row; probe pick, residual
+        # and the ADC family are exact integers
+        q = np.floor(q * 1e6 + 0.5).astype(np.int64)
     cd = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = np.sort(np.argsort(cd, kind='stable')[:nprobe])
     # table[p, j, c] = ||(q - cent_p)_j - books[j, c]||^2 — the full
@@ -677,7 +708,10 @@ def ivfpq_search(index, query: np.ndarray, k: int = 10,
         cl = probe_pos[tbl.column('_centroid').combine_chunks()
                        .to_numpy(zero_copy_only=False)]
         d2 = table[cl[:, None], jidx[None, :], codes].sum(axis=1)
-        sims = 1.0 - d2 / 2.0
+        if exact:
+            sims = 1.0 - d2.astype(np.float64) / 2e12
+        else:
+            sims = 1.0 - d2 / 2.0
         ids = tbl.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
         top_ids, top_sims = cosine_topk_rows(ids, sims, k)
@@ -697,7 +731,8 @@ def ivfpq_topk(ds, query: np.ndarray, k: int = 10,
                emb_col: str = 'embedding', id_col: str = 'vec_id',
                n_clusters: int = 16, nprobe: int = 4, m: int = 8,
                ks: int = 32, sample_size: int = 1024, iters: int = 10,
-               seed: int = 0, exclude_ids=(), rerank: int = 0):
+               seed: int = 0, exclude_ids=(), rerank: int = 0,
+               hash_mode: str = 'pandas'):
     """IVF-PQ: the standard web-scale vector-index shape (Jégou et al.
     2011; Faiss's IVFPQ) — a coarse quantizer prunes WHICH clusters are
     scanned (IVF) while residual product codes shrink WHAT the scan
@@ -709,7 +744,7 @@ def ivfpq_topk(ds, query: np.ndarray, k: int = 10,
     to cosine (approx_cos = 1 - d2/2). One-shot convenience over
     ivfpq_build + ivfpq_search — repeated queries should build once."""
     index = ivfpq_build(ds, emb_col, id_col, n_clusters, m, ks,
-                        sample_size, iters, seed)
+                        sample_size, iters, seed, hash_mode=hash_mode)
     if index is None:
         import ray.data as rd
         return rd.from_arrow(pa.table(
