@@ -158,3 +158,70 @@ def test_cms_rows_rejects_unknown_hash_mode():
     from trafaret_ray.stages.sketches import _cms_rows
     with pytest.raises(ValueError):
         _cms_rows(['a'], d=2, w=64, hash_mode='md5')
+
+
+# ---- minhash-family duckdb-mode kernels: the engine folds that the
+# q_minhash_dedup_docs / q_curate_docs oracles transcribe as nested
+# hash(xor(...)) SQL must stay byte-equal to DuckDB.
+
+def test_shingle_fold_matches_duckdb():
+    import pyarrow as pa
+
+    from trafaret_ray.functions.text import shingle_hash_explode
+    texts = pa.array(['a b c d', 'x y z', 'one two', '', 'é 日本 c x'])
+    lengths, gd, gh = shingle_hash_explode(texts, 3, distinct=False,
+                                           hash_mode='duckdb')
+    con = duckdb.connect()
+    want = []
+    for t in ['a b c d', 'x y z', 'é 日本 c x']:
+        ws = t.split(' ')
+        for i in range(len(ws) - 2):
+            want.append(con.execute(
+                "select hash(xor(hash(xor(hash(?::VARCHAR), "
+                "hash(?::VARCHAR))), hash(?::VARCHAR)))",
+                ws[i:i + 3]).fetchone()[0])
+    con.close()
+    assert gh.tolist() == want
+    assert lengths.tolist() == [2, 1, 0, 0, 2]
+
+
+def test_minhash_perm_matches_duckdb():
+    from trafaret_ray.functions.text import minhash_matrix
+    gh = np.array([123456789, 2 ** 60 + 7, 42], dtype=np.uint64)
+    sig = minhash_matrix(np.array([3]), gh, num_perm=4,
+                         hash_mode='duckdb')
+    con = duckdb.connect()
+    for p in range(4):
+        want = min(con.execute(
+            "select hash(xor(?::UBIGINT, hash(?::BIGINT)))",
+            [int(g), p]).fetchone()[0] for g in gh)
+        assert int(sig[0, p]) == want
+    con.close()
+
+
+def test_band_fold_matches_duckdb():
+    from trafaret_ray.functions.text import band_hashes
+    sig = np.array([[11, 22, 33, 44, 55, 66, 77, 88]], dtype=np.uint64)
+    bh = band_hashes(sig, num_bands=2, hash_mode='duckdb')
+    con = duckdb.connect()
+    for b in range(2):
+        acc = 0
+        for c in range(4):
+            acc = con.execute(
+                "select hash(xor(?::UBIGINT, ?::UBIGINT))",
+                [acc, int(sig[0, b * 4 + c])]).fetchone()[0]
+        assert int(bh[0, b]) == acc
+    con.close()
+
+
+def test_rademacher_planes_match_duckdb_hash_bits():
+    # embedding_near_dup(hash_mode='duckdb') plane component for
+    # (dim d, plane p) = ±1 from bit 0 of hash(d*6 + p)
+    from trafaret_ray.stages.sketches import _murmur64_u64
+    con = duckdb.connect()
+    idx = np.arange(24, dtype=np.uint64)
+    bits = (_murmur64_u64(idx) & np.uint64(1)).astype(int)
+    want = [con.execute("select hash(?::BIGINT) & 1",
+                        [int(i)]).fetchone()[0] for i in range(24)]
+    con.close()
+    assert bits.tolist() == [int(w) for w in want]
