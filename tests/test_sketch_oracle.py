@@ -225,3 +225,16 @@ def test_rademacher_planes_match_duckdb_hash_bits():
                         [int(i)]).fetchone()[0] for i in range(24)]
     con.close()
     assert bits.tolist() == [int(w) for w in want]
+
+
+def test_str_hash_chunked_giant_value_path():
+    # one space-free adversarial "token" must not inflate every row's
+    # padding: the >64MB guard slices rows, each slice re-derives pad.
+    # Equality with the unchunked per-value hash is the invariant.
+    from trafaret_ray.stages.sketches import duckdb_hash_str64
+    vals = ['tiny'] * 70000 + ['x' * (2 ** 20)] + ['tail'] * 3
+    got = duckdb_hash_str64(vals)
+    assert got[0] == duckdb_hash_str64(['tiny'])[0]
+    assert got[70000] == duckdb_hash_str64(['x' * (2 ** 20)])[0]
+    assert got[-1] == duckdb_hash_str64(['tail'])[0]
+    assert _sql_hash_str(['x' * (2 ** 20)]) == [int(got[70000])]

@@ -85,6 +85,18 @@ def duckdb_hash_str64(values) -> np.ndarray:
     lens = (off[1:] - starts).astype(np.int64)
     maxlen = int(lens.max())
     pad = max(((maxlen + 7) // 8) * 8, 8)
+    # the padded matrix is n * max_len bytes — ONE pathological value
+    # (a space-free adversarial document read as a single "token")
+    # would inflate every row's padding. Cap the matrix at ~64 MB by
+    # hashing row slices; each slice re-derives its own pad, so a
+    # giant value only pays for itself
+    if n * pad > 64 * 2 ** 20 and n > 1:
+        out = np.empty(n, dtype=np.uint64)
+        step = max(1, (64 * 2 ** 20) // pad)
+        for lo in range(0, n, step):
+            out[lo:lo + step] = duckdb_hash_str64(
+                arr.slice(lo, min(step, n - lo)))
+        return out
     mat = np.zeros((n, pad), dtype=np.uint8)
     total = int(lens.sum())
     if total:
