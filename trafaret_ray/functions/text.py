@@ -105,11 +105,12 @@ def shingle_hash_explode(text_col: pa.Array, k: int = 3,
     words = pc.split_pattern(pc.fill_null(text_col, ''), ' ')
     wc = pc.list_value_length(words).to_numpy(zero_copy_only=False)\
         .astype(np.int64)
-    flat = words.flatten().to_numpy(zero_copy_only=False)
-    m = len(flat)
+    m = int(wc.sum())
     if m < k:
         return empty
     if hash_mode == 'duckdb':
+        # hash straight from the Arrow buffer — the object-array
+        # conversion below is only for the pandas hash
         from ..stages.sketches import _murmur64_u64, duckdb_hash_str64
         wh = duckdb_hash_str64(words.flatten())
         ng = m - k + 1
@@ -117,6 +118,7 @@ def shingle_hash_explode(text_col: pa.Array, k: int = 3,
         for t in range(1, k):
             acc = _murmur64_u64(acc ^ wh[t:t + ng])
     elif hash_mode == 'pandas':
+        flat = words.flatten().to_numpy(zero_copy_only=False)
         wh = pd.util.hash_array(flat, hash_key=_HASH_KEY,
                                 categorize=False)
         ng = m - k + 1

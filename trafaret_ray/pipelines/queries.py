@@ -1286,7 +1286,7 @@ def q_kcore_embeddings(sf_dir: str):
     a FIXED unroll transcribes into a MATERIALIZED CTE chain (pattern
     of q_pagerank_events / q_kmeans_embeddings); rounds past the
     fixpoint are no-ops, so the unroll count only needs to EXCEED the
-    data's peel depth (measured 9-11 at sf scale; 24 unrolled).
+    data's peel depth (measured 9-11 at sf scale; 40 unrolled).
     Brute-force parity + local==distributed parity stay pinned in
     tests/test_graph.py."""
     from ..stages.graph import k_core
@@ -1295,13 +1295,17 @@ def q_kcore_embeddings(sf_dir: str):
                   edges_schema=_EDGE_SCHEMA).sort('node')
 
 
-def _kcore_oracle_sql(k: int = 3, rounds: int = 24) -> str:
+def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
     """SQL twin of k_core over the q_cosine_pairs edge set: ``rounds``
     unrolled peel rounds (degree count -> >= k survivors -> edge
     semi-join), each MATERIALIZED (CLAUDE.md: DuckDB inlines plain
     CTEs per reference — exponential in a chained recursion). The peel
     is idempotent at fixpoint, so overshooting the data's true depth
-    changes nothing."""
+    changes nothing. Unlike the min-label CC unrolls (which pointer-
+    jump to logarithmic convergence), peel depth is inherently
+    sequential — 40 rounds is a ~4x margin over the measured 9-11 at
+    sf scale; a corpus whose peel runs deeper than 40 layers would
+    need the unroll raised (data-dependent bound, documented)."""
     parts = ["""
     WITH e0 AS MATERIALIZED (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -1480,13 +1484,20 @@ def _minhash_cluster_ctes(rounds: int = 12) -> str:
       SELECT a AS node, b AS nb FROM e0 UNION ALL SELECT b, a FROM e0),
     c0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM adj)"""]
     for r in range(1, rounds + 1):
+        # hooking (min over neighbor labels) PLUS pointer jumping
+        # (label of my label): jumping makes convergence logarithmic
+        # in chain length, so the fixed unroll matches the engine's
+        # CC fixpoint far beyond the round count (review finding: a
+        # diameter-19 near-dup chain beat 12 hooking-only rounds)
         parts.append(f""",
     c{r} AS MATERIALIZED (
-      SELECT c.node, least(c.lab, m.mn) AS lab
-      FROM c{r - 1} c LEFT JOIN (
+      SELECT c.node, least(c.lab, j.lab, m.mn) AS lab
+      FROM c{r - 1} c
+      LEFT JOIN c{r - 1} j ON j.node = c.lab
+      LEFT JOIN (
         SELECT adj.node, min(l.lab) AS mn
         FROM adj JOIN c{r - 1} l ON adj.nb = l.node
-        GROUP BY adj.node) m USING (node))""")
+        GROUP BY adj.node) m ON m.node = c.node)""")
     return ''.join(parts)
 
 
@@ -1572,7 +1583,8 @@ def q_embedding_near_dup(sf_dir: str):
 # SQL twin of embedding_near_dup(hash_mode='duckdb'): Rademacher plane
 # component for (dim d, plane p) = ±1 from bit 0 of hash(d*6 + p);
 # projection = exact int64 dot over floor(x*1e6+0.5) components; bucket
-# = sum of winning-sign powers; verify = micro-floored cosine >= 950000.
+# = sum of winning-sign powers; verify = micro-floored cosine >= the
+# query's 0.3 cut (sim6 >= 300000, same as q_cosine_pairs).
 ORACLE_SQL['q_embedding_near_dup'] = """
     WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS emb
@@ -11164,13 +11176,18 @@ def _dbscan_oracle_sql(min_pts: int = 4, rounds: int = 20) -> str:
       UNION ALL SELECT b, a FROM cce),
     c0 AS MATERIALIZED (SELECT node, node AS lab FROM core)"""]
     for r in range(1, rounds + 1):
+        # hooking + pointer jumping (see _minhash_cluster_ctes):
+        # logarithmic convergence keeps the fixed unroll safely past
+        # the engine's CC fixpoint on chain-shaped clusters
         parts.append(f""",
     c{r} AS MATERIALIZED (
-      SELECT c.node, least(c.lab, m.mn) AS lab
-      FROM c{r - 1} c LEFT JOIN (
+      SELECT c.node, least(c.lab, j.lab, m.mn) AS lab
+      FROM c{r - 1} c
+      LEFT JOIN c{r - 1} j ON j.node = c.lab
+      LEFT JOIN (
         SELECT adjc.node, min(l.lab) AS mn
         FROM adjc JOIN c{r - 1} l ON adjc.nb = l.node
-        GROUP BY adjc.node) m USING (node))""")
+        GROUP BY adjc.node) m ON m.node = c.node)""")
     parts.append(f""",
     border AS MATERIALIZED (
       SELECT adj.node, min(cl.lab) AS lab FROM (
@@ -11821,13 +11838,16 @@ def _semdedup_oracle_sql(k: int = 8, iters: int = 5,
       SELECT a AS node, b AS nb FROM pe UNION ALL SELECT b, a FROM pe),
     g0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM padj)"""]
     for r in range(1, cc_rounds + 1):
+        # hooking + pointer jumping (see _minhash_cluster_ctes)
         parts.append(f""",
     g{r} AS MATERIALIZED (
-      SELECT g.node, least(g.lab, m.mn) AS lab
-      FROM g{r - 1} g LEFT JOIN (
+      SELECT g.node, least(g.lab, j.lab, m.mn) AS lab
+      FROM g{r - 1} g
+      LEFT JOIN g{r - 1} j ON j.node = g.lab
+      LEFT JOIN (
         SELECT padj.node, min(l.lab) AS mn
         FROM padj JOIN g{r - 1} l ON padj.nb = l.node
-        GROUP BY padj.node) m USING (node))""")
+        GROUP BY padj.node) m ON m.node = g.node)""")
     parts.append(f""",
     fin AS MATERIALIZED (
       SELECT asg.vec_id, asg.cid,

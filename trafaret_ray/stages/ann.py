@@ -329,6 +329,21 @@ def pq_train(ds, emb_col: str = 'embedding', id_col: str = 'vec_id',
     smallest code, round-half-up floor-div mean). Returned books are
     INT64 micro-units — the dtype routes pq_encode/pq_search onto
     exact-integer arithmetic."""
+    if hash_mode == 'duckdb':
+        # drop zero-norm rows BEFORE sampling: the oracle's samp CTE
+        # selects from u (WHERE nrm > 0), so a zero vector in the
+        # bottom-k would give the two sides different training sets
+        # (review finding: reproduced codebook divergence)
+        def nonzero(tbl: pa.Table) -> pa.Table:
+            tbl = drop_null_vectors(tbl, emb_col)
+            if tbl.num_rows == 0:
+                return tbl
+            mat = _batch_matrix(tbl, emb_col)
+            return tbl.filter(pa.array(
+                np.linalg.norm(mat, axis=1) > 0))
+
+        ds = ds.map_batches(nonzero, batch_format='pyarrow',
+                            zero_copy_batch=True)
     tbl = _bottomk_sample(ds, emb_col, id_col, sample_size,
                           hash_mode=hash_mode)
     if tbl is None:
@@ -493,6 +508,14 @@ def pq_search(codes_ds, codebooks, query: np.ndarray, k: int = 10,
     m, _ks, dsub = books.shape
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
+    if exact and qn == 0:
+        # a zero-norm query has no cosine direction; the oracle's q6
+        # CTE (built from the nrm>0-filtered unit rows) is empty, so
+        # the exact mode must short-circuit too (review finding)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            'approx_cos': pa.array([], pa.float64())}))
     if qn > 0:
         q = q / qn
     if exact:
@@ -673,6 +696,11 @@ def ivfpq_search(index, query: np.ndarray, k: int = 10,
     exact = np.issubdtype(np.asarray(books).dtype, np.integer)
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
+    if exact and qn == 0:
+        # zero-norm query: no cosine direction, oracle's q rows are
+        # empty — short-circuit (review finding, same as pq_search)
+        import ray.data as rd
+        return rd.from_arrow(empty)
     if qn > 0:
         q = q / qn
     if exact:

@@ -87,11 +87,22 @@ def duckdb_hash_str64(values) -> np.ndarray:
     pad = max(((maxlen + 7) // 8) * 8, 8)
     # the padded matrix is n * max_len bytes — ONE pathological value
     # (a space-free adversarial document read as a single "token")
-    # would inflate every row's padding. Cap the matrix at ~64 MB by
-    # hashing row slices; each slice re-derives its own pad, so a
-    # giant value only pays for itself
+    # would inflate every row's padding. Cap the matrix at ~64 MB:
+    # oversize rows (>64 KB) hash individually, the rest re-batch with
+    # their own (small) pad — a giant value only pays for itself, and
+    # the short rows keep the vector path (review finding: a global
+    # step = CAP // pad degraded to one-row slices when pad was huge)
     if n * pad > 64 * 2 ** 20 and n > 1:
         out = np.empty(n, dtype=np.uint64)
+        big = lens > 65536
+        if big.any():
+            small_idx = np.nonzero(~big)[0]
+            if small_idx.size:
+                out[small_idx] = duckdb_hash_str64(
+                    arr.take(pa.array(small_idx)))
+            for i in np.nonzero(big)[0]:
+                out[i] = duckdb_hash_str64(arr.slice(int(i), 1))[0]
+            return out
         step = max(1, (64 * 2 ** 20) // pad)
         for lo in range(0, n, step):
             out[lo:lo + step] = duckdb_hash_str64(
