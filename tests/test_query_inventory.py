@@ -46,3 +46,29 @@ def test_rows_only_list_is_not_stale():
 def test_every_oracle_has_a_query():
     orphans = set(entry.oracle_sql()) - set(entry.queries())
     assert not orphans, f'oracle_sql entries without a query: {orphans}'
+
+
+def test_every_oracle_compiles_on_empty_views():
+    """EXPLAIN-compile every ORACLE_SQL string against 0-row views of
+    the real table schemas — a fast syntax/binder gate (the r4
+    pointer-jump edit shipped an ambiguous USING that only the slow
+    full gate would have caught). Planning a 0-row input also smokes
+    the generated unrolled-CTE chains without executing them."""
+    import glob
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    for p in sorted(glob.glob('/root/testdata/sf0.001/*.parquet')):
+        name = p.split('/')[-1].split('.')[0]
+        con.register(f'_full_{name}', pq.read_table(p).slice(0, 0))
+        con.execute(f'CREATE VIEW {name} AS SELECT * FROM _full_{name}')
+    bad = {}
+    for qname, sql in entry.oracle_sql().items():
+        try:
+            con.execute(f'EXPLAIN {sql}')
+        except Exception as exc:   # noqa: BLE001 — collect all
+            bad[qname] = str(exc).splitlines()[0]
+    con.close()
+    assert not bad, f'oracle SQL fails to compile: {bad}'
