@@ -20,7 +20,9 @@ import duckdb
 import pyarrow as pa
 import pytest
 
-from trafaret_ray.functions.text import (duckdb_bigint_parse, json_bigint,
+from trafaret_ray.functions.text import (bigint_from_string,
+                                         duckdb_bigint_parse,
+                                         duckdb_bigint_sql, json_bigint,
                                          json_scalar)
 
 CURATED_DOCS = [
@@ -179,6 +181,123 @@ def _rand_doc(rng):
                      '"k": ' + json.dumps(_rand_val(rng),
                                           ensure_ascii=False))
     return '{' + ', '.join(items) + '}'
+
+
+class TestEnvelopeReroute:
+    """The r4→r5 driver failure family: quoted numeric strings with an
+    explicit exponent and 19+ fractional digits hit a DuckDB-internal
+    decimal-accumulator overflow whose wrapped results (off-by-one,
+    sign flips) are build-dependent UB — so BOTH engines reroute the
+    family through a well-defined double path (bigint_from_string on
+    the engine, duckdb_bigint_sql in every oracle) instead of anyone
+    mirroring the wrap."""
+
+    SQL_ENV = [  # strings where plain CAST(s AS BIGINT) is the UB path
+        '97094.9009592086744391727e0',      # DuckDB 1.0.0 gives 97093
+        '-312.881228217819236534606E+0',    # and -311 here
+        '.88694853074878134095e+0',         # sign flip: -1 vs +1
+        '-.905024065117471170648579E0',
+        ' \t2904.90471281442944401929275243e+0 ',
+        '1.2345678901234567_89e0',          # underscore grammar
+        '+613.5638438692743669888_9e-2',
+        '0.0000000000000000001e19',
+        '1.9999999999999999999e2',
+        '9999999999999999999.0000000000000000000e0',
+        '1.0000000000000000000e999',        # double overflow -> ERR
+        '1.0000000000000000000e-320',       # subnormal -> 0
+        '-9223372036854775807.4999999999999999999e0',
+    ]
+
+    def _sql_cast(self, con, s):
+        try:
+            return ('OK', con.sql(
+                'SELECT ' + duckdb_bigint_sql('$s'),
+                params={'s': s}).fetchone()[0])
+        except Exception:
+            return ('ERR', None)
+
+    def _mine(self, s):
+        try:
+            return ('OK', bigint_from_string(s))
+        except ValueError:
+            return ('ERR', None)
+
+    def test_curated_envelope(self):
+        con = duckdb.connect()
+        for s in self.SQL_ENV:
+            theirs = self._sql_cast(con, s)
+            assert self._mine(s) == theirs, repr(s)
+        # and the flagship case lands on the well-defined value
+        assert bigint_from_string('97094.9009592086744391727e0') == 97095
+
+    def test_non_envelope_unchanged(self):
+        # outside the envelope bigint_from_string IS duckdb_bigint_parse
+        for s in CURATED_CASTS:
+            try:
+                a = ('OK', duckdb_bigint_parse(s))
+            except ValueError:
+                a = ('ERR', None)
+            try:
+                b = ('OK', bigint_from_string(s))
+            except ValueError:
+                b = ('ERR', None)
+            assert a == b, repr(s)
+
+    def test_unicode_digits_rejected_like_duckdb(self):
+        # python \d matches unicode digits; DuckDB's cast is ASCII-only
+        con = duckdb.connect()
+        for s in ['١٢٣', '１２３', '1٢3', '12e٣', '-٥', '١.٢e١' + '9' * 19]:
+            try:
+                con.sql('SELECT CAST(? AS BIGINT)', params=[s]).fetchone()
+                raise AssertionError(f'duckdb accepted {s!r}')
+            except AssertionError:
+                raise
+            except Exception:
+                pass
+            with pytest.raises(ValueError):
+                bigint_from_string(s)
+
+    def test_envelope_fuzz(self):
+        rng = random.Random(20260820)
+        d = '0123456789'
+        con = duckdb.connect()
+        for _ in range(2500):
+            ip = ''.join(rng.choices(d, k=rng.randint(0, 6)))
+            fp = list(rng.choices(d, k=rng.randint(14, 26)))
+            if rng.random() < 0.3:
+                fp = [fp[0]] + [c for x in fp[1:] for c in
+                                (('_', x) if rng.random() < 0.15
+                                 else (x,))]
+            s = ip + '.' + ''.join(fp)
+            if rng.random() < 0.85:
+                s += rng.choice('eE') + rng.choice(['', '+', '-']) + str(
+                    rng.choice([0, 0, 1, 2, 3, 4, 18, 19, 300, 308,
+                                309, 320, 999, 32767, 32768]))
+            if rng.random() < 0.3:
+                s = '-' + s
+            elif rng.random() < 0.1:
+                s = '+' + s
+            if rng.random() < 0.15:
+                s = ' \t' + s + '\x0b '
+            assert self._mine(s) == self._sql_cast(con, s), repr(s)
+
+    def test_json_bigint_matches_rerouted_oracle(self):
+        # end-to-end: json_bigint vs the oracle expression every
+        # json query embeds (duckdb_bigint_sql over json_extract_string)
+        con = duckdb.connect()
+        docs = CURATED_DOCS + [
+            json.dumps({'k': s}) for s in self.SQL_ENV] + [
+            '{"k": "97094.9009592086744391727e0", "k": 1}',
+            '{"a": {"k": "bad"}, "k": " .' + '9' * 21 + 'E0 "}',
+        ]
+        expr = duckdb_bigint_sql("json_extract_string($d, '$.k')")
+        for doc in docs:
+            try:
+                theirs = ('OK', con.sql('SELECT ' + expr,
+                                        params={'d': doc}).fetchone()[0])
+            except Exception:
+                theirs = ('ERR', None)
+            assert _our_cast_doc(doc) == theirs, doc
 
 
 class TestFuzz:

@@ -254,6 +254,93 @@ def make_dirty_fixture(src: str, rate: float = 0.12,
     return dst
 
 
+# Every entry parses on BOTH engines without raising (CAST errors
+# abort a whole query on both sides, so error-inducing values can't be
+# gate-compared — they are pinned per-value in tests/test_json_kernel.py
+# instead).  Families: the divergence-envelope reroute (quoted numeric
+# strings, explicit exponent + 19+ fractional digits, signs/whitespace/
+# underscores), int64-boundary values, DuckDB cast quirks (hex/binary/
+# separators/'+ '/break-at-zero rounding), yyjson re-serialization
+# (huge ints -> double, exponent switch points), duplicate keys, deep
+# nesting, unicode escapes of the key itself, and decoys.
+JSON_HOSTILE_PROPS = [
+    '{"k": "97094.9009592086744391727e0"}',     # the VERDICT envelope case
+    '{"k": "-312.881228217819236534606E+0"}',   # negative envelope
+    '{"k": ".88694853074878134095e+0"}',        # sign-flip family
+    '{"k": "-.905024065117471170648579E0"}',
+    '{"k": " \\t2904.90471281442944401929275243e+0 "}',  # padded envelope
+    '{"k": "1.2345678901234567_89e0"}',         # underscore envelope
+    '{"k": "+613.5638438692743669888_9e-2"}',   # sign + underscore env
+    '{"k": "0.0000000000000000001e19"}',        # leading-zero frac env
+    '{"k": "1.9999999999999999999e2"}',         # env rounding at 200
+    '{"k": 9223372036854775807}',               # int64 max number
+    '{"k": -9223372036854775808}',              # int64 min number
+    '{"k": "9223372036854775807"}',             # int64 max string
+    '{"k": "9223372036854775806.6"}',           # exact-rounding to max
+    '{"k": "-9223372036854775807.5"}',          # exact-rounding to min
+    '{"k": 1e18}',                              # plain-notation switch
+    '{"k": 2.5}', '{"k": -2.5}', '{"k": 3.5}',  # number-path rounding
+    '{"k": "2.5"}', '{"k": "-2.5"}',            # string-path half-up
+    '{"k": "0x1F"}', '{"k": "0b101"}',          # hex / binary strings
+    '{"k": "1_000"}', '{"k": " 1_2_3 "}',       # separators
+    '{"k": "+ "}',                              # bare-sign + ws -> 0
+    '{"k": "5e-100"}', '{"k": "15e-20"}',       # break-at-zero rounding
+    '{"k": "0.05e-19"}',                        # tiny-fraction quirk
+    '{"k": "  -42  "}',                         # whitespace trim
+    '{"\\u006b": 77}',                          # escaped key IS k
+    '{"k": 1, "k": 2}',                         # duplicate key first-wins
+    '{"a": {"k": {"k": [{"k": 9}]}}, "k": 6}',  # deep nested decoys
+    '{"s": "watch {\\"k\\": 1} inside", "k": 3}',
+    '{"k": 7.0e0}', '{"k": -0.0}',              # integral floats
+    '{"k": 0.49999999999999994}',               # just-under-half double
+]
+
+
+def make_json_hostile_fixture(src: str, rate: float = 0.3,
+                              seed: int = 20260820) -> str:
+    """Deterministic hostile-JSON copy of an sf dir: ~``rate`` of
+    ``events.props`` replaced with JSON_HOSTILE_PROPS (cycled), PLUS
+    half the rows of the two smallest event_types forced to int64
+    max / min payloads so the per-type SUM overflows int64 in both
+    directions — DuckDB promotes sum(BIGINT) to HUGEINT while a naive
+    Arrow sum wraps, so `--json-hostile` proves the engine's exact
+    wide-sum path and the envelope reroute at the same byte bar as the
+    other gates."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    dst = f'/tmp/sf_json_hostile_{os.path.basename(src.rstrip("/"))}'
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith('.parquet'):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        if f[:-8] == 'events' and t.num_rows:
+            props = t.column('props').to_pylist()
+            etype = t.column('event_type').to_pylist()
+            types = sorted({e for e in etype if e is not None})
+            overflow = {types[0]: '{"k": 9223372036854775807}'} \
+                if types else {}
+            if len(types) > 1:
+                overflow[types[1]] = '{"k": -9223372036854775808}'
+            r = rng.random(t.num_rows)
+            j = 0
+            for i in range(t.num_rows):
+                if etype[i] in overflow and r[i] < 0.5:
+                    props[i] = overflow[etype[i]]
+                elif r[i] < rate:
+                    props[i] = JSON_HOSTILE_PROPS[
+                        j % len(JSON_HOSTILE_PROPS)]
+                    j += 1
+            t = t.set_column(t.column_names.index('props'), 'props',
+                             pa.array(props, pa.string()))
+        pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 def make_shuffled_fixture(src: str, seed: int = 20260819) -> str:
     """Deterministic row-permutation copy of an sf dir: every table's
     rows land in a seeded random order (also re-chunked into small row
@@ -282,7 +369,8 @@ def make_shuffled_fixture(src: str, seed: int = 20260819) -> str:
 
 def main():
     args = [a for a in sys.argv[1:]
-            if a not in ('--nulls', '--skew', '--dirty', '--shuffled')]
+            if a not in ('--nulls', '--skew', '--dirty', '--json-hostile',
+                         '--shuffled')]
     sf_dir = args[0] if args else '/root/testdata/sf0.01'
     only = set(args[1:])
     selfcmp_src = None
@@ -299,6 +387,9 @@ def main():
     if '--dirty' in sys.argv[1:]:
         sf_dir = make_dirty_fixture(sf_dir)
         print(f'[dirty fixture] {sf_dir}')
+    if '--json-hostile' in sys.argv[1:]:
+        sf_dir = make_json_hostile_fixture(sf_dir)
+        print(f'[json-hostile fixture] {sf_dir}')
     if '--shuffled' in sys.argv[1:]:
         selfcmp_src = sf_dir
         sf_dir = make_shuffled_fixture(sf_dir)

@@ -899,12 +899,32 @@ _JSON_WS = ' \t\n\r\v\f'
 _INT64_MAX = (1 << 63) - 1
 _INT64_MIN = -(1 << 63)
 _SAFE_INT_TOKEN_RE = re.compile(r'^(-?[1-9]\d{0,17}|0)$')
-_PURE_INT_RE = re.compile(r'^[+-]?\d+$')
+# re.ASCII everywhere: python \d matches UNICODE digits by default
+# (int('١٢٣') even parses them) while DuckDB's casts are ASCII-only —
+# CAST('١٢٣' AS BIGINT) errors there (probed; pinned in
+# tests/test_json_kernel.py)
+_PURE_INT_RE = re.compile(r'^[+-]?\d+$', re.ASCII)
 _DUCK_HEX_RE = re.compile(r'^0[xX][0-9a-fA-F](?:_?[0-9a-fA-F])*$')
 _DUCK_BIN_RE = re.compile(r'^0[bB][01](?:_?[01])*$')
 _DUCK_DEC_RE = re.compile(
     r'^[+-]?(?:(\d(?:_?\d)*)(?:\.(\d(?:_?\d)*)?)?|\.(\d(?:_?\d)*))'
-    r'(?:[eE]([+-]?\d(?:_?\d)*))?$')
+    r'(?:[eE]([+-]?\d(?:_?\d)*))?$', re.ASCII)
+# The one family where DuckDB's VARCHAR->BIGINT cast is NOT exact
+# decimal arithmetic: an EXPLICIT exponent combined with >= 19
+# fractional digits overflows a DuckDB-internal int64 decimal
+# accumulator with wrapped, data-dependent results (probed on 1.0.0:
+# '97094.9009592086744391727e0' -> 97093, sign flips possible).  Both
+# the engine and every oracle REROUTE this family through a
+# well-defined double path instead of mirroring the wrap: strip
+# underscores, parse as double (correctly rounded on both engines),
+# then DuckDB's DOUBLE->BIGINT cast (round HALF TO EVEN + range check).
+# 60k-sample differential fuzz: zero divergence.  The regex is shared
+# RE2/python syntax ([0-9] explicit — python \d is unicode) and is
+# embedded in oracle SQL via DUCKDB_BIGINT_SQL below.
+ENVELOPE_REGEX = (r'^[ \t\n\r\v\f]*[+-]?([0-9](_?[0-9])*)?'
+                  r'\.[0-9](_?[0-9]){18,}'
+                  r'[eE][+-]?[0-9](_?[0-9])*[ \t\n\r\v\f]*$')
+_ENVELOPE_RE = re.compile(ENVELOPE_REGEX)
 
 
 class _JsonAbsent:
@@ -1126,13 +1146,12 @@ def duckdb_bigint_parse(s: str) -> int:
     surrounding whitespace (DuckDB rejects ' 0x10 ' but takes ' 42 ');
     raises ValueError on everything else, overflow included.
 
-    Known divergence envelope (accepted): inputs with an EXPLICIT
-    exponent AND 19+ fractional digits hit a DuckDB-internal
-    accumulator overflow with off-by-one results
-    ('97094.9009592086744391727e0' -> 97093 there, 97095 here); a JSON
-    number can never produce this (yyjson re-serializes through a
-    double, <= 17 significant digits) and the fuzz differential pins
-    everything up to 18 fractional digits."""
+    This is the EXACT-arithmetic mirror; it intentionally does NOT
+    reproduce DuckDB's wrapped decimal-accumulator results for
+    explicit-exponent inputs with 19+ fractional digits.  Callers that
+    must match an oracle byte-for-byte route that family through
+    bigint_from_string / DUCKDB_BIGINT_SQL instead, which put BOTH
+    engines on a well-defined double path (see ENVELOPE_REGEX)."""
     if _DUCK_HEX_RE.match(s):
         v = int(s[2:].replace('_', ''), 16)
         if v > _INT64_MAX:
@@ -1217,6 +1236,49 @@ def duckdb_bigint_parse(s: str) -> int:
     return v
 
 
+def duckdb_double_to_bigint(x: float) -> int:
+    """DuckDB ``CAST(DOUBLE AS BIGINT)``: round half to EVEN (probed:
+    0.5 -> 0, 1.5 -> 2, 2.5 -> 2, -2.5 -> -2 — std::nearbyint in the
+    default rounding mode; python round() on a float is the same exact
+    operation), then a range check where 2^63 itself overflows but
+    -2^63 (exactly representable) passes.  NaN / +-inf raise like
+    DuckDB's conversion error."""
+    if x != x or x in (float('inf'), float('-inf')):
+        raise ValueError(f"Could not convert double '{x}' to INT64")
+    r = round(x)
+    if not _INT64_MIN <= r <= _INT64_MAX:
+        raise ValueError(f"Could not convert double '{x}' to INT64")
+    return r
+
+
+def bigint_from_string(s: str) -> int:
+    """``CAST(varchar AS BIGINT)`` as the ORACLES are written: the
+    divergence-envelope family (ENVELOPE_REGEX — explicit exponent,
+    19+ fractional digits) goes underscore-stripped through a double
+    parse + DOUBLE->BIGINT cast; everything else is the exact DuckDB
+    mirror.  The SQL side of the same definition is DUCKDB_BIGINT_SQL;
+    the pair is differential-fuzzed in tests/test_json_kernel.py."""
+    if _ENVELOPE_RE.match(s):
+        x = float(s.strip(_JSON_WS).replace('_', ''))
+        if x in (float('inf'), float('-inf')):
+            # DuckDB's VARCHAR->DOUBLE errors out-of-range where
+            # python float() saturates — mirror the error
+            raise ValueError(f"Could not convert string '{s}' to INT64")
+        return duckdb_double_to_bigint(x)
+    return duckdb_bigint_parse(s)
+
+
+def duckdb_bigint_sql(expr: str) -> str:
+    """SQL expression mirroring bigint_from_string over ``expr`` (a
+    VARCHAR column/expression) — embed in oracle queries wherever the
+    engine casts an extracted JSON string with json_bigint."""
+    env = ENVELOPE_REGEX.replace('\t', '\\t').replace('\n', '\\n')\
+        .replace('\r', '\\r').replace('\v', '\\v').replace('\f', '\\f')
+    return (f"CASE WHEN regexp_matches({expr}, '{env}') "
+            f"THEN CAST(CAST(replace({expr}, '_', '') AS DOUBLE) "
+            f"AS BIGINT) ELSE CAST({expr} AS BIGINT) END")
+
+
 def _bigint_from_number_token(tok: str):
     """Raw JSON number token -> BIGINT the way DuckDB sees it: yyjson
     keeps int64/uint64 exact (a uint64 above int64 max then overflows
@@ -1240,7 +1302,10 @@ def _bigint_from_value(v):
         raise ValueError(
             f"Could not convert string '{str(v).lower()}' to INT64")
     if isinstance(v, str):
-        return duckdb_bigint_parse(v)
+        # string-typed JSON values reach the cast VERBATIM (never
+        # re-serialized through yyjson) so they can land in the
+        # divergence envelope — route through the rerouted cast
+        return bigint_from_string(v)
     if isinstance(v, int):
         if _INT64_MIN <= v <= _INT64_MAX:
             return v
@@ -1260,7 +1325,9 @@ def json_bigint(text, key: str) -> pa.Array:
     batch of flat objects with integer values — is one RE2 extraction
     plus one Arrow cast; only cells with floats / string-typed numbers /
     escapes / nested containers pay a per-row exact mirror of DuckDB's
-    rounding cast (see duckdb_bigint_parse).  Raises where DuckDB's
+    rounding cast (see duckdb_bigint_parse / bigint_from_string — the
+    matching oracle-side cast is duckdb_bigint_sql, which reroutes the
+    divergence-envelope string family identically).  Raises where DuckDB's
     CAST raises (booleans, containers, unparseable or overflowing
     strings); malformed JSON is null (DuckDB raises — same leniency as
     json_scalar)."""
@@ -1291,7 +1358,7 @@ def json_bigint(text, key: str) -> pa.Array:
                 raise ValueError(
                     f"Could not convert string '{tok}' to INT64")
             if tok.startswith('"'):
-                vals[i] = duckdb_bigint_parse(_json.loads(tok))
+                vals[i] = bigint_from_string(_json.loads(tok))
             else:
                 vals[i] = _bigint_from_number_token(tok)
     for i, cell in zip(complex_idx, cells):

@@ -2820,37 +2820,82 @@ def q_json_props_events(sf_dir: str):
     one RE2 pass per batch for flat integer payloads; cells with
     floats / nesting / escapes take a per-row exact mirror of DuckDB's
     yyjson + CAST semantics, differential-fuzzed in
-    tests/test_json_kernel.py) feeding a partial aggregation per
-    event_type. Only the two needed columns leave the read; the
-    exchange moves 5 partial rows per block."""
+    tests/test_json_kernel.py; divergence-envelope strings reroute per
+    bigint_from_string, mirrored in the oracle by duckdb_bigint_sql)
+    feeding a partial aggregation per event_type.
+
+    The SUM is exact at any magnitude: DuckDB promotes sum(BIGINT) to
+    HUGEINT while a raw Arrow int64 sum silently wraps, so k rides the
+    exchange as three 21-bit limbs (h2 = k >> 42 arithmetic, then two
+    masked limbs) whose int64 partial sums cannot wrap below ~2^41 rows
+    per group per batch and ~2^22 partials; the final recombination is
+    exact python-int arithmetic over the (tiny) per-group result, NULL
+    when the true sum leaves int64 — byte-matching the oracle's
+    TRY_CAST(sum(k) AS BIGINT). Only the two needed columns leave the
+    read; the exchange moves a handful of partial rows per block."""
     from ..functions.text import json_bigint
     ds = _read(sf_dir, 'events', ['event_type', 'props'])
 
     def extract(tbl: pa.Table) -> pa.Table:
         k = json_bigint(tbl.column('props'), 'k')
-        return pa.table({'event_type': tbl.column('event_type'), 'k': k})
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            'event_type': tbl.column('event_type'), 'k': k,
+            'h2': pa.array(kv >> 42, pa.int64()),
+            'h1': pa.array((kv >> 21) & 0x1FFFFF, pa.int64()),
+            'l0': pa.array(kv & 0x1FFFFF, pa.int64())})
 
     ds = ds.map_batches(extract, batch_format='pyarrow',
                         zero_copy_batch=True)
     out = pre_aggregate(ds, ['event_type'],
                         {'n_k': ('k', 'count'),
-                         'sum_k': ('k', 'sum'),
+                         's2': ('h2', 'sum'),
+                         's1': ('h1', 'sum'),
+                         's0': ('l0', 'sum'),
                          'max_k': ('k', 'max')})
-    return out.sort('event_type')
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        sums = []
+        for n, s2, s1, s0 in zip(tbl.column('n_k').to_pylist(),
+                                 tbl.column('s2').to_pylist(),
+                                 tbl.column('s1').to_pylist(),
+                                 tbl.column('s0').to_pylist()):
+            if not n:
+                sums.append(None)
+                continue
+            total = (s2 << 42) + (s1 << 21) + s0
+            sums.append(total if -(1 << 63) <= total < (1 << 63)
+                        else None)
+        return pa.table({'event_type': tbl.column('event_type'),
+                         'n_k': tbl.column('n_k'),
+                         'sum_k': pa.array(sums, pa.int64()),
+                         'max_k': tbl.column('max_k')})
+
+    return out.map_batches(finalize, batch_format='pyarrow')\
+        .sort('event_type')
 
 
 QUERIES['q_json_props_events'] = q_json_props_events
-ORACLE_SQL['q_json_props_events'] = """
+
+
+def _json_props_oracle() -> str:
+    from ..functions.text import duckdb_bigint_sql
+    return f"""
     SELECT event_type,
            count(k) AS n_k,
-           sum(k) AS sum_k,
+           TRY_CAST(sum(k) AS BIGINT) AS sum_k,
            max(k) AS max_k
     FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-          FROM events)
+                 {duckdb_bigint_sql('ks')} AS k
+          FROM (SELECT event_type,
+                       json_extract_string(props, '$.k') AS ks
+                FROM events))
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+ORACLE_SQL['q_json_props_events'] = _json_props_oracle()
 
 
 def q_tumbling_events(sf_dir: str):
