@@ -166,7 +166,85 @@ class TestEditdistPairsStage:
         with pytest.raises(ValueError, match='block_docs_max'):
             editdist_pairs(rd.from_arrow(t), ['lang', 'band'],
                            num_buckets=4, fanout_block_docs=5,
-                           block_docs_max=20).to_pandas()
+                           block_docs_max=20,
+                           on_oversize='raise').to_pandas()
+
+    def _near_dup_block(self, n, lang, rng, base=None):
+        # near-identical multi-word prefixes: the LSH-escalation
+        # regime (word-2-shingle Jaccard stays high, recall ~1)
+        base = base or ('the quick brown fox jumps over the '
+                        'lazy dog tonight')
+        texts = []
+        for _ in range(n):
+            s = list(base)
+            for _ in range(int(rng.integers(0, 2))):
+                s[int(rng.integers(0, len(s)))] = \
+                    chr(ord('a') + int(rng.integers(0, 26)))
+            texts.append(''.join(s))
+        return texts, [lang] * n
+
+    def test_oversize_block_lsh_escalation_parity(self, ray_session):
+        # a block forced above block_docs_max must AUTO-ESCALATE to the
+        # LSH-prefilter path (on_oversize='lsh' default) instead of
+        # raising, and on a near-identical planted block the escalated
+        # pairs must EQUAL the exact path's (verify kernel is shared,
+        # banding recall ~1 in this regime); cold and fan tiers keep
+        # their exact results alongside
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import editdist_pairs
+        rng = np.random.default_rng(5)
+        texts, langs = self._near_dup_block(24, 'en', rng)
+        t2, l2 = self._near_dup_block(8, 'fr', rng)   # fan tier
+        t3, l3 = self._near_dup_block(3, 'de', rng)   # cold tier
+        texts += t2 + t3
+        langs += l2 + l3
+        t = pa.table({
+            'doc_id': pa.array(np.arange(len(texts), dtype=np.int64)),
+            'text': pa.array(texts),
+            'lang': pa.array(langs),
+            'band': pa.array(np.zeros(len(texts), dtype=np.int64)),
+        })
+
+        def run(**kw):
+            return editdist_pairs(rd.from_arrow(t), ['lang', 'band'],
+                                  max_dist=6, num_buckets=4, **kw)\
+                .to_pandas().sort_values(['doc_a', 'doc_b'])\
+                .reset_index(drop=True)
+
+        exact = run(fanout_block_docs=None)
+        esc = run(fanout_block_docs=5, block_docs_max=10)
+        assert len(exact) > 100
+        pd.testing.assert_frame_equal(exact, esc)
+
+    def test_jw_oversize_block_lsh_escalation_parity(self, ray_session):
+        import ray.data as rd
+
+        from trafaret_ray.stages.dedup import jw_pairs
+        rng = np.random.default_rng(9)
+        texts, langs = self._near_dup_block(24, 'en', rng)
+        t3, l3 = self._near_dup_block(4, 'de', rng)
+        texts += t3
+        langs += l3
+        t = pa.table({
+            'doc_id': pa.array(np.arange(len(texts), dtype=np.int64)),
+            'text': pa.array(texts),
+            'lang': pa.array(langs),
+            'band': pa.array(np.zeros(len(texts), dtype=np.int64)),
+        })
+
+        def run(**kw):
+            return jw_pairs(rd.from_arrow(t), ['lang', 'band'],
+                            min_sim6=900_000, num_buckets=4, **kw)\
+                .to_pandas().sort_values(['doc_a', 'doc_b'])\
+                .reset_index(drop=True)
+
+        exact = run(block_docs_max=None)
+        esc = run(block_docs_max=10)
+        assert len(exact) > 100
+        pd.testing.assert_frame_equal(exact, esc)
+        with pytest.raises(ValueError, match='block_docs_max'):
+            run(block_docs_max=10, on_oversize='raise')
 
     def test_string_doc_ids(self, ray_session):
         import ray.data as rd

@@ -942,12 +942,136 @@ def _editdist_by_code(ca: np.ndarray, cb: np.ndarray, uniq,
     return ue[inv]
 
 
+def _lsh_blocked_pairs(mega, pschema, block_cols, id_col, verify_fn,
+                       out_col: str, num_buckets: int,
+                       num_perm: int = 64, num_bands: int = 32,
+                       shingle_k: int = 2, seed: int = 1234):
+    """LSH-prefiltered pair path for OVERSIZED equality blocks — the
+    editdist_pairs / jw_pairs auto-escalation above ``block_docs_max``.
+
+    Exact blocked pair expansion is O(B²) per block key; past
+    ``block_docs_max`` that is no longer computable, so the rows of
+    such blocks divert here: MinHash-LSH banding over the comparison
+    PREFIX generates candidate pairs (docs sharing any (true block
+    key, band_id, band_hash) bucket — the real block columns ride the
+    index rows, so hash collisions can never pair docs across blocks),
+    and candidates are verified with the SAME kernel as the exact
+    path, so every emitted pair is byte-identical to the exact path's
+    verdict for it.
+
+    APPROXIMATE BY DESIGN on recall: a qualifying pair whose prefix
+    word-``shingle_k``-gram Jaccard falls below the banding threshold
+    (~(1/b)^(1/r) with b = num_bands, r = num_perm/num_bands — ≈ 0.18
+    at 64 perms / 32 bands) can
+    be missed; near-identical prefixes — the regime a near-dup
+    operator exists for — band together with probability ~1.  Docs
+    whose prefix has < shingle_k words emit no signature and cannot
+    pair (the minhash_signature_ds exclusion).  Escalation parity with
+    the exact path on a planted dense block is pinned in
+    tests/test_editdist.py.
+
+    Shape: one banding exchange of slim (id, block key, band) index
+    rows, one distinct-pair aggregate, two partitioned hash joins to
+    attach prefixes, one vectorized verify — no stage ever holds B²
+    rows, and the candidate volume is governed by true near-dup
+    density, not block size.
+    """
+    from .aggregate import bucket_aggregate
+    from .conversations import bucket_exchange
+    from .joins import hash_join
+
+    block_cols = list(block_cols)
+    # pschema is a (materialized) Ray Data schema — names/types lists
+    id_t = dict(zip(pschema.names, pschema.types))[id_col]
+
+    def sig(tbl: pa.Table) -> pa.Table:
+        lengths, _, gh = T.shingle_hash_explode(tbl.column('_pfx'),
+                                                shingle_k)
+        s = T.minhash_matrix(lengths, gh, num_perm, seed)
+        bh = T.band_hashes(s, num_bands)
+        keep = np.nonzero(lengths > 0)[0]
+        base = tbl.take(pa.array(np.repeat(keep, num_bands)))
+        cols = {id_col: base.column(id_col)}
+        for c in block_cols:
+            cols[c] = base.column(c)
+        cols['band_id'] = pa.array(
+            np.tile(np.arange(num_bands, dtype=np.int32), len(keep)),
+            pa.int32())
+        cols['band_hash'] = pa.array(
+            bh[keep].reshape(-1).view(np.int64), pa.int64())
+        return pa.table(cols)
+
+    index = mega.map_batches(sig, batch_format='pyarrow',
+                             zero_copy_batch=True)
+
+    def cand_fn(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t)])
+        df = tbl.to_pandas()
+        if len(df) == 0:
+            return out_schema.empty_table()
+        m = df.merge(df, on=block_cols + ['band_id', 'band_hash'],
+                     suffixes=('_a', '_b'))
+        m = m[m[f'{id_col}_a'] < m[f'{id_col}_b']]
+        out = m[[f'{id_col}_a', f'{id_col}_b']].drop_duplicates()
+        out.columns = ['doc_a', 'doc_b']
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=out_schema)
+
+    cand = bucket_exchange(index, 'band_hash', cand_fn, num_buckets)
+    # global distinct (a pair can surface in bands landing in different
+    # partitions)
+    cand = bucket_aggregate(cand, ['doc_a', 'doc_b'],
+                            {'_nb': ('doc_a', 'count')},
+                            num_buckets=num_buckets)
+    cand_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                             ('_nb', pa.int64())])
+
+    def ren(side: str):
+        def f(tbl: pa.Table) -> pa.Table:
+            return pa.table({f'doc_{side}': tbl.column(id_col),
+                             f'_pfx_{side}': tbl.column('_pfx')})
+        return f
+
+    pf_a = mega.map_batches(ren('a'), batch_format='pyarrow',
+                            zero_copy_batch=True)
+    pf_b = mega.map_batches(ren('b'), batch_format='pyarrow',
+                            zero_copy_batch=True)
+    pfa_schema = pa.schema([('doc_a', id_t), ('_pfx_a', pa.string())])
+    pfb_schema = pa.schema([('doc_b', id_t), ('_pfx_b', pa.string())])
+    j1 = hash_join(cand, pf_a, on='doc_a', num_buckets=num_buckets,
+                   left_schema=cand_schema, right_schema=pfa_schema)
+    j1_schema = pa.schema(list(cand_schema) + [pa.field('_pfx_a',
+                                                        pa.string())])
+    j2 = hash_join(j1, pf_b, on='doc_b', num_buckets=num_buckets,
+                   left_schema=j1_schema, right_schema=pfb_schema)
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema([('doc_a', id_t), ('doc_b', id_t),
+                                (out_col, pa.int64())])
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        a = tbl.column('_pfx_a').to_pandas()
+        b = tbl.column('_pfx_b').to_pandas()
+        codes, uniq = pd.factorize(pd.concat([a, b], ignore_index=True),
+                                   sort=False)
+        n = tbl.num_rows
+        vals, keep = verify_fn(codes[:n], codes[n:], uniq)
+        idx = np.nonzero(keep)[0]
+        t2 = tbl.take(pa.array(idx))
+        return pa.table({'doc_a': t2.column('doc_a'),
+                         'doc_b': t2.column('doc_b'),
+                         out_col: pa.array(vals[idx], pa.int64())})
+
+    return j2.map_batches(verify, batch_format='pyarrow')
+
+
 def editdist_pairs(ds, block_cols, text_col: str = 'text',
                    id_col: str = 'doc_id', prefix_cp: int = 48,
                    max_dist: int = 16, num_buckets: int = 16,
                    kernel: str = 'levenshtein',
                    fanout_block_docs: int | None = 1024,
-                   block_docs_max: int = 500_000):
+                   block_docs_max: int = 500_000,
+                   on_oversize: str = 'lsh'):
     """Edit-distance near-dup pairs under equality blocking: docs sharing
     ``block_cols`` (e.g. (lang, length band)) are candidates; a pair is
     kept when the byte-level edit distance of the first ``prefix_cp``
@@ -982,11 +1106,16 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
     tests/test_editdist.py), unlike a first-token sub-block key, which
     would silently drop cross-token near-dups. The O(B^2) total work is
     inherent to exact semantics; the fan-out removes the single-task
-    memory/serialization cliff. Above ``block_docs_max`` the operator
-    raises with guidance (use an LSH prefilter — minhash_lsh_pairs — or
-    add a block key) instead of attempting ~B^2/2 >= 1e11 DP pairs.
-    ``fanout_block_docs=None`` disables census + escalation (one fewer
-    exchange — the pre-r4 plan).
+    memory/serialization cliff. Above ``block_docs_max`` a block's
+    ~B^2/2 >= 1e11 DP pairs are beyond exact semantics at any fan-out:
+    with ``on_oversize='lsh'`` (default) such blocks AUTO-ESCALATE to
+    the MinHash-LSH prefilter path (_lsh_blocked_pairs — candidates
+    from prefix banding, verified with the SAME kernel; approximate on
+    recall only, and only for those blocks — a 100-TB run keeps going
+    instead of waiting for a human retry loop), while
+    ``on_oversize='raise'`` keeps the loud r4 guard for jobs that must
+    be exact end-to-end. ``fanout_block_docs=None`` disables census +
+    escalation entirely (one fewer exchange — the pre-r4 plan).
     """
     block_cols = list(block_cols)
 
@@ -1065,41 +1194,78 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
         return bucket_exchange(prepped.repartition(num_buckets),
                                block_cols, pairs, num_buckets)
     worst = int(hot_df['_n'].max())
-    if worst > block_docs_max:
+    if worst > block_docs_max and on_oversize != 'lsh':
         raise ValueError(
             f'editdist_pairs: a block key is shared by {worst} docs '
             f'(> block_docs_max={block_docs_max}) — ~{worst * worst // 2:.0e}'
             ' candidate pairs is beyond exact blocked edit distance; add '
             'a discriminating block column or prefilter candidates with '
-            'minhash_lsh_pairs, or raise block_docs_max explicitly')
+            'minhash_lsh_pairs, raise block_docs_max explicitly, or use '
+            "on_oversize='lsh' for the automatic LSH-prefilter escalation")
 
     pschema = prepped.schema()          # materialized — no execution
     ptypes = dict(zip(pschema.names, pschema.types))
-    hot_keys = pa.Table.from_pandas(
-        hot_df[block_cols], preserve_index=False,
-        schema=pa.schema([(c, ptypes[c]) for c in block_cols]))
-    hk = key_hash(hot_keys, block_cols)
+    mega_df = hot_df[hot_df['_n'] > block_docs_max]
+    fan_df = hot_df[hot_df['_n'] <= block_docs_max]
+
+    def _keyset(df) -> np.ndarray:
+        if len(df) == 0:
+            return np.array([], dtype=np.uint64)
+        kt = pa.Table.from_pandas(
+            df[block_cols], preserve_index=False,
+            schema=pa.schema([(c, ptypes[c]) for c in block_cols]))
+        return key_hash(kt, block_cols)
+
+    # blocks past block_docs_max divert to the LSH-prefilter escalation
+    # (_lsh_blocked_pairs); on a fan/mega HASH collision the mega tier
+    # wins (the row set must partition) — a 2^-64 event that degrades
+    # one exact block to prefiltered, never duplicates or crosses keys
+    mega_h = np.sort(_keyset(mega_df))
+    hk = _keyset(fan_df)
     order = np.argsort(hk, kind='stable')
     hot_h = hk[order]
     # duplicate hot hashes (two hot blocks colliding) keep the larger
     # count — C only sizes chunks, membership stays exact on the true
     # key via the merge below
-    hot_n = hot_df['_n'].to_numpy(dtype=np.int64)[order]
+    hot_n = fan_df['_n'].to_numpy(dtype=np.int64)[order]
     for i in range(1, len(hot_h)):
         if hot_h[i] == hot_h[i - 1]:
             hot_n[i] = max(hot_n[i], hot_n[i - 1])
             hot_n[i - 1] = hot_n[i]
     GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    def split(tbl: pa.Table, keep_hot: bool) -> pa.Table:
-        m = np.isin(key_hash(tbl, block_cols), hot_h)
-        return tbl.filter(pa.array(m if keep_hot else ~m))
+    def split(tbl: pa.Table, tier: str) -> pa.Table:
+        h = key_hash(tbl, block_cols)
+        in_mega = np.isin(h, mega_h)
+        if tier == 'mega':
+            m = in_mega
+        elif tier == 'hot':
+            m = np.isin(h, hot_h) & ~in_mega
+        else:
+            m = ~np.isin(h, hot_h) & ~in_mega
+        return tbl.filter(pa.array(m))
 
-    cold = prepped.map_batches(lambda t: split(t, False),
+    cold = prepped.map_batches(lambda t: split(t, 'cold'),
                                batch_format='pyarrow',
                                zero_copy_batch=True)
     cold_pairs = bucket_exchange(cold.repartition(num_buckets),
                                  block_cols, pairs, num_buckets)
+
+    mega_out = None
+    if len(mega_df):
+        def _ed_verify(ca, cb, uniq):
+            ed = _editdist_by_code(ca, cb, uniq, max_dist, kernel)
+            return ed, ed <= max_dist
+
+        mega_rows = prepped.map_batches(lambda t: split(t, 'mega'),
+                                        batch_format='pyarrow',
+                                        zero_copy_batch=True)
+        mega_out = _lsh_blocked_pairs(mega_rows, pschema, block_cols,
+                                      id_col, _ed_verify, 'edist',
+                                      num_buckets)
+    if len(fan_df) == 0:
+        return cold_pairs.union(mega_out) if mega_out is not None \
+            else cold_pairs
 
     from .conversations import _hashable_np
     from .conversations import _HASH_KEY as _HK
@@ -1166,13 +1332,14 @@ def editdist_pairs(ds, block_cols, text_col: str = 'text',
             'doc_b': pa.array(np.maximum(ia, ib), type=id_t),
             'edist': pa.array(ed[kp], type=pa.int64())})
 
-    hot_fan = prepped.map_batches(lambda t: split(t, True),
+    hot_fan = prepped.map_batches(lambda t: split(t, 'hot'),
                                   batch_format='pyarrow',
                                   zero_copy_batch=True)\
         .map_batches(fan, batch_format='pyarrow', zero_copy_batch=True)
     hot_out = bucket_exchange(hot_fan.repartition(num_buckets), '_fo',
                               hot_pairs, num_buckets)
-    return cold_pairs.union(hot_out)
+    out = cold_pairs.union(hot_out)
+    return out.union(mega_out) if mega_out is not None else out
 
 
 def _lead_bytes_u32(sa: pa.StringArray) -> np.ndarray:
@@ -2269,7 +2436,9 @@ def _jw_by_code(ca: np.ndarray, cb: np.ndarray, uniq) -> np.ndarray:
 
 def jw_pairs(ds, block_cols, text_col: str = 'text',
              id_col: str = 'doc_id', prefix_cp: int = 48,
-             min_sim6: int = 850_000, num_buckets: int = 16):
+             min_sim6: int = 850_000, num_buckets: int = 16,
+             block_docs_max: int | None = 500_000,
+             on_oversize: str = 'lsh'):
     """Jaro-Winkler near-dup pairs under equality blocking — the
     similarity twin of ``editdist_pairs``: docs sharing ``block_cols``
     are candidates; a pair is kept when the byte-level Jaro-Winkler of
@@ -2282,6 +2451,13 @@ def jw_pairs(ds, block_cols, text_col: str = 'text',
     Same 100-TB shape as editdist_pairs: ONE exchange of (id, block
     key, prefix) rows, per-bucket unique-prefix-pair dedup, one
     vectorized kernel call per bucket; B^2 bounded by the block key.
+    Blocks above ``block_docs_max`` get the same census-driven
+    treatment as editdist_pairs: ``on_oversize='lsh'`` (default)
+    diverts their rows to the _lsh_blocked_pairs prefilter (same JW
+    kernel on the candidates — approximate on recall only, for those
+    blocks only), 'raise' keeps the loud guard;
+    ``block_docs_max=None`` skips the census entirely (one fewer
+    exchange when block sizes are known-bounded).
     """
     block_cols = list(block_cols)
 
@@ -2321,6 +2497,58 @@ def jw_pairs(ds, block_cols, text_col: str = 'text',
             'doc_b': pa.array(m[f'{id_col}_b'].to_numpy(), type=id_t),
             'jw6': pa.array(jw[keep], type=pa.int64())})
 
-    from .conversations import bucket_exchange
-    return bucket_exchange(prepped.repartition(num_buckets), block_cols,
-                           pairs, num_buckets)
+    from .conversations import bucket_exchange, key_hash
+    if block_docs_max is None:
+        return bucket_exchange(prepped.repartition(num_buckets),
+                               block_cols, pairs, num_buckets)
+
+    from .aggregate import bucket_aggregate
+    prepped = prepped.materialize()
+    census = bucket_aggregate(prepped, block_cols,
+                              {'_n': (id_col, 'count')}, num_buckets=8)
+    mega_df = census.map_batches(
+        lambda t, _m=block_docs_max: t.filter(
+            pc.greater(t.column('_n'), _m)),
+        batch_format='pyarrow', zero_copy_batch=True).to_pandas()
+    if len(mega_df):
+        mega_df = mega_df.dropna(subset=block_cols)
+    if len(mega_df) == 0:
+        return bucket_exchange(prepped.repartition(num_buckets),
+                               block_cols, pairs, num_buckets)
+    if on_oversize != 'lsh':
+        worst = int(mega_df['_n'].max())
+        raise ValueError(
+            f'jw_pairs: a block key is shared by {worst} docs '
+            f'(> block_docs_max={block_docs_max}) — add a '
+            'discriminating block column, raise block_docs_max, or use '
+            "on_oversize='lsh' for the automatic LSH-prefilter "
+            'escalation')
+
+    pschema = prepped.schema()          # materialized — no execution
+    ptypes = dict(zip(pschema.names, pschema.types))
+    kt = pa.Table.from_pandas(
+        mega_df[block_cols], preserve_index=False,
+        schema=pa.schema([(c, ptypes[c]) for c in block_cols]))
+    mega_h = np.sort(key_hash(kt, block_cols))
+
+    def split(tbl: pa.Table, keep_mega: bool) -> pa.Table:
+        m = np.isin(key_hash(tbl, block_cols), mega_h)
+        return tbl.filter(pa.array(m if keep_mega else ~m))
+
+    cold = prepped.map_batches(lambda t: split(t, False),
+                               batch_format='pyarrow',
+                               zero_copy_batch=True)
+    cold_pairs = bucket_exchange(cold.repartition(num_buckets),
+                                 block_cols, pairs, num_buckets)
+
+    def _jw_verify(ca, cb, uniq):
+        jw = _jw_by_code(ca, cb, uniq)
+        return jw, jw >= min_sim6
+
+    mega_rows = prepped.map_batches(lambda t: split(t, True),
+                                    batch_format='pyarrow',
+                                    zero_copy_batch=True)
+    mega_out = _lsh_blocked_pairs(mega_rows, pschema, block_cols,
+                                  id_col, _jw_verify, 'jw6',
+                                  num_buckets)
+    return cold_pairs.union(mega_out)
