@@ -16,10 +16,6 @@ ROWS_ONLY = {
                                  # (shared-kernel reference parity)
     'q_bpe_train_docs',          # iterative merge loop, no SQL oracle
                                  # (reference-impl parity tests)
-    'q_conv_exact_dedup',        # synthetic transcripts input (planted
-                                 # dup recall in test_conv_dedup.py)
-    'q_conv_minhash_dedup',      # synthetic transcripts input +
-                                 # signature-estimate verify (tested)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
     'flagship_transcript_features',  # transcripts input, not TPC-H-ish
@@ -58,9 +54,15 @@ def test_every_oracle_compiles_on_empty_views():
 
     import duckdb
     import pyarrow.parquet as pq
+    import pytest
 
+    paths = sorted(glob.glob('/root/testdata/sf0.001/*.parquet'))
+    if not paths:
+        # without the driver fixture no views register and every oracle
+        # would fail binder resolution — skip rather than mass-fail
+        pytest.skip('driver testdata not present')
     con = duckdb.connect()
-    for p in sorted(glob.glob('/root/testdata/sf0.001/*.parquet')):
+    for p in paths:
         name = p.split('/')[-1].split('.')[0]
         con.register(f'_full_{name}', pq.read_table(p).slice(0, 0))
         con.execute(f'CREATE VIEW {name} AS SELECT * FROM _full_{name}')

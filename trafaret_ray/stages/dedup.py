@@ -1756,25 +1756,38 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _turn_content_hash(tbl: pa.Table, role_col: str, text_col: str,
-                       order_col: str) -> np.ndarray:
+                       order_col: str,
+                       hash_mode: str = 'pandas') -> np.ndarray:
     """Position-mixed uint64 hash of each turn's (turn_idx, role, text).
     Summing these per conversation (mod 2^64) yields an ORDER-SENSITIVE
     yet batch-mergeable conversation fingerprint: the sum commutes with
-    arbitrary batching while turn_idx keeps reordered content distinct."""
+    arbitrary batching while turn_idx keeps reordered content distinct.
+
+    ``hash_mode='duckdb'`` swaps the pandas/splitmix mix for the
+    DuckDB-parity murmur chain hash(xor(hash(role || chr(31) || text),
+    hash(turn_idx + 1))) (stages/sketches.py kernels) — a value SQL
+    recomputes verbatim, making the whole fingerprint chain
+    oracle-checkable (q_conv_exact_dedup)."""
     joined = pc.binary_join_element_wise(
         pc.fill_null(tbl.column(role_col).cast(pa.string()), ''),
         pc.fill_null(tbl.column(text_col).cast(pa.string()), ''),
         '\x1f')
-    h = T.hash_shingles(joined.to_numpy(zero_copy_only=False))
     idx = tbl.column(order_col).cast(pa.int64())\
         .to_numpy(zero_copy_only=False).astype(np.uint64)
+    if hash_mode == 'duckdb':
+        from .sketches import _murmur64_u64, duckdb_hash_str64
+        hs = duckdb_hash_str64(joined)
+        with np.errstate(over='ignore'):
+            return _murmur64_u64(hs ^ _murmur64_u64(idx + np.uint64(1)))
+    h = T.hash_shingles(joined.to_numpy(zero_copy_only=False))
     with np.errstate(over='ignore'):
         return _splitmix64(h ^ ((idx + np.uint64(1)) * _PHI64))
 
 
 def conversation_exact_dedup(ds, conv_col='conv_id', order_col='turn_idx',
                              role_col='role', text_col='text',
-                             num_buckets: int = 32):
+                             num_buckets: int = 32,
+                             hash_mode: str = 'pandas'):
     """Exact conversation dedup: two conversations are duplicates iff
     they have the same number of turns and identical (turn_idx, role,
     text) content at every position. Returns one row per conversation:
@@ -1787,6 +1800,12 @@ def conversation_exact_dedup(ds, conv_col='conv_id', order_col='turn_idx',
     exchange keyed on the merged fingerprint groups equal conversations
     (collisions are 64-bit-hash-sum improbable; the turn count rides in
     the group key as a free guard).
+
+    ``hash_mode='duckdb'`` (see _turn_content_hash) makes every hash a
+    DuckDB-recomputable murmur chain, and the mod-2^64 wrap-sum is SQL
+    HUGEINT arithmetic (sum then % 2^64) — the whole operator then has
+    a byte-parity oracle (q_conv_exact_dedup). Default 'pandas' is
+    untouched.
     """
     import ray.data as rd
 
@@ -1801,7 +1820,8 @@ def conversation_exact_dedup(ds, conv_col='conv_id', order_col='turn_idx',
     def partials(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return part_schema.empty_table()
-        hp = _turn_content_hash(tbl, role_col, text_col, order_col)
+        hp = _turn_content_hash(tbl, role_col, text_col, order_col,
+                                hash_mode)
         conv = tbl.column(conv_col).cast(pa.string())\
             .to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(conv, sort=False)
@@ -1854,7 +1874,8 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
                                shingle_k=3, seed=1234,
                                num_buckets: int = 32,
                                carried_sig_max: int = 1_000_000,
-                               sig_mode: str = 'perm'):
+                               sig_mode: str = 'perm',
+                               hash_mode: str = 'pandas'):
     """Near-duplicate conversation clusters: MinHash over the UNION of
     every turn's word-``shingle_k``-gram hashes, LSH banding for
     candidates, signature-estimated Jaccard verify, then distributed
@@ -1914,6 +1935,15 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
         raise ValueError(
             f'conversation_minhash_dedup: unknown sig_mode {sig_mode!r} '
             f"(expected 'perm' or 'oph')")
+    # hash_mode='duckdb' swaps shingle/permutation/band hashes for the
+    # DuckDB-parity murmur chains (stages/sketches.py) so the whole
+    # pipeline — per-turn shingles, per-conv min signature, banding,
+    # estimate verify, CC — is recomputable in SQL (q_conv_minhash_dedup
+    # oracle). Only the classic per-permutation family has a SQL
+    # transcription; OPH densification does not.
+    if hash_mode == 'duckdb' and sig_mode != 'perm':
+        raise ValueError("hash_mode='duckdb' requires sig_mode='perm'")
+    band_mode = 'duckdb' if hash_mode == 'duckdb' else 'fnv'
 
     sigpart_schema = pa.schema([
         ('conv', pa.string()), ('ch', pa.int64()),
@@ -1944,7 +1974,8 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
         codes, uniq = pd.factorize(conv, sort=False)
         order = np.argsort(codes, kind='stable')
         lengths, _, gh = T.shingle_hash_explode(
-            tbl.take(pa.array(order)).column(text_col), shingle_k)
+            tbl.take(pa.array(order)).column(text_col), shingle_k,
+            hash_mode=hash_mode)
         conv_len = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(conv_len, codes[order], lengths)
         if sig_mode == 'oph':
@@ -1953,7 +1984,9 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
             sig = T.minhash_matrix_oph(conv_len, gh, num_perm, seed,
                                        densify=False)
         else:
-            sig = T.minhash_matrix(conv_len, gh, num_perm, seed)
+            sig = T.minhash_matrix(
+                conv_len, gh, num_perm, seed,
+                hash_mode='duckdb' if hash_mode == 'duckdb' else 'affine')
         keep = conv_len > 0
         if not keep.any():
             return sigpart_schema.empty_table()
@@ -2011,11 +2044,11 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
     if nconv_total <= carried_sig_max:
         edges = _conv_pairs_carried(sigs, _sig_matrix, threshold,
                                     num_perm, num_bands, num_buckets,
-                                    edge_schema)
+                                    edge_schema, band_mode)
     else:
         edges = _conv_pairs_joined(sigs, _sig_matrix, threshold,
                                    num_perm, num_bands, num_buckets,
-                                   edge_schema)
+                                   edge_schema, band_mode)
     edges = edges.repartition(8).materialize()
     if edges.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
@@ -2053,7 +2086,8 @@ def conversation_minhash_dedup(ds, conv_col='conv_id', text_col='text',
 
 
 def _conv_pairs_carried(sigs, _sig_matrix, threshold, num_perm,
-                        num_bands, num_buckets, edge_schema):
+                        num_bands, num_buckets, edge_schema,
+                        band_mode: str = 'fnv'):
     """Small tier: band rows CARRY the signature; one exchange both
     finds and verifies pairs; exactly-once emission via the
     first-matching-band responsibility rule (both signatures are at
@@ -2068,7 +2102,7 @@ def _conv_pairs_carried(sigs, _sig_matrix, threshold, num_perm,
         if tbl.num_rows == 0:
             return band_schema.empty_table()
         sig_u = _sig_matrix(tbl.column('sig'))
-        bh = T.band_hashes(sig_u, num_bands)
+        bh = T.band_hashes(sig_u, num_bands, hash_mode=band_mode)
         ch = tbl.column('ch').to_numpy(zero_copy_only=False)
         n = len(ch)
         sig_col = tbl.column('sig').combine_chunks()
@@ -2118,8 +2152,8 @@ def _conv_pairs_carried(sigs, _sig_matrix, threshold, num_perm,
         # responsibility: emit only from the FIRST band whose hashes
         # match — every matching band bucket holds both signatures, so
         # the check is local and emission is exactly-once
-        bha = T.band_hashes(S[ia], num_bands)
-        bhb = T.band_hashes(S[ib], num_bands)
+        bha = T.band_hashes(S[ia], num_bands, hash_mode=band_mode)
+        bhb = T.band_hashes(S[ib], num_bands, hash_mode=band_mode)
         first = np.argmax(bha == bhb, axis=1).astype(np.int32)
         own = first == bid[ia]
         ia, ib, est = ia[own], ib[own], est[own]
@@ -2138,7 +2172,8 @@ def _conv_pairs_carried(sigs, _sig_matrix, threshold, num_perm,
 
 
 def _conv_pairs_joined(sigs, _sig_matrix, threshold, num_perm,
-                       num_bands, num_buckets, edge_schema):
+                       num_bands, num_buckets, edge_schema,
+                       band_mode: str = 'fnv'):
     """Large tier: LIGHT band rows (20 bytes) find raw pairs, a distinct
     aggregation dedups across bands, then the fixed-binary signature
     moves once per candidate side through two hash joins for the
@@ -2155,7 +2190,7 @@ def _conv_pairs_joined(sigs, _sig_matrix, threshold, num_perm,
         if tbl.num_rows == 0:
             return band_schema.empty_table()
         sig_u = _sig_matrix(tbl.column('sig'))
-        bh = T.band_hashes(sig_u, num_bands)
+        bh = T.band_hashes(sig_u, num_bands, hash_mode=band_mode)
         ch = tbl.column('ch').to_numpy(zero_copy_only=False)
         n = len(ch)
         return pa.table({
