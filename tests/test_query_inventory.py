@@ -12,10 +12,6 @@ import __ray_entry__ as entry
 # every entry here is rows-only BY DESIGN — adding to this list is a
 # decision (document why in the query docstring), not a default
 ROWS_ONLY = {
-    'q_bpe_encode_docs',         # trained-vocab encode, no SQL oracle
-                                 # (shared-kernel reference parity)
-    'q_bpe_train_docs',          # iterative merge loop, no SQL oracle
-                                 # (reference-impl parity tests)
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
     'flagship_transcript_features',  # transcripts input, not TPC-H-ish
