@@ -9,7 +9,10 @@ here (or in trafaret_ray) initializes or shuts down Ray.
   fills / strict-< as-of vs tool state → feature vectors.
 - ``queries()`` / ``oracle_sql()`` — operator inventory with DuckDB
   oracles over the driver testdata tables (see trafaret_ray/pipelines/
-  queries.py for per-query scale notes).
+  queries.py for per-query scale notes). As of r5 the flagship itself
+  is byte-checked: ``flagship_transcript_features`` carries a full SQL
+  transcription (quarantine predicate + feature windows + strict-<
+  as-of) over the same cached transcripts parquet.
 """
 
 from __future__ import annotations
@@ -49,14 +52,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
 
     def flagship_features(sf_dir: str):
-        # transcript pipeline itself (rows-only check: the oracle lives in
-        # tests/test_features.py as a pandas straight-line implementation)
-        return entry()
+        # the transcript pipeline itself, sorted for the driver's
+        # deterministic compare (oracle: _flagship_oracle_sql below —
+        # newly byte-checked in r5; the pandas straight-line oracle in
+        # tests/test_features.py remains as the unit-level pin)
+        return entry().sort(['conv_id', 'turn_idx'])
 
     q['flagship_transcript_features'] = flagship_features
     return q
 
 
+def _flagship_oracle_sql() -> str:
+    """SQL transcription of the flagship pipeline over the SAME cached
+    transcripts parquet entry() reads: the contract gate as the
+    single-defect quarantine predicate (FIXTURES.md §A.1 — blank
+    conv_id, negative turn_idx, unknown role, tool⟷role mismatch, null
+    ts/text), then the per-conversation feature windows ordered by
+    (turn_idx, ts) exactly as stages/conversations.per_conversation
+    sorts. The strict-< as-of against the conversation's tool-state
+    stream ties off by (ts DESC, turn_idx DESC) — asof_backward's
+    'last by input order wins' rule. Single int64→double divisions
+    (us / 1e6) are the only float ops, so parallel-sum byte drift
+    cannot occur."""
+    path = _flagship_input()
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+    WITH ok AS MATERIALIZED (
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM read_parquet('{path}')
+      WHERE conv_id IS NOT NULL AND conv_id <> ''
+        AND turn_idx IS NOT NULL AND turn_idx >= 0
+        AND role IN ('user', 'assistant', 'system', 'tool')
+        AND text IS NOT NULL AND ts IS NOT NULL
+        AND ((role = 'tool') = (tool IS NOT NULL))),
+    w1 AS MATERIALIZED (
+      SELECT *,
+        CAST(length(text) AS INTEGER) AS text_len,
+        lag(ts_us) OVER cw AS prev_ts_us,
+        lag(role) OVER cw AS prev_role,
+        lead(role) OVER cw AS next_role,
+        CAST(lag(length(text)) OVER cw AS INTEGER) AS prev_text_len,
+        last_value(tool IGNORE NULLS) OVER (
+          PARTITION BY conv_id ORDER BY turn_idx, ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS tool_ffill
+      FROM ok
+      WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx, ts)),
+    w2 AS MATERIALIZED (
+      SELECT *, (prev_ts_us IS NULL
+                 OR ts_us - prev_ts_us > {gap_us}) AS is_new_session
+      FROM w1),
+    w3 AS MATERIALIZED (
+      SELECT *,
+        CAST(sum(CASE WHEN is_new_session THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - 1 AS INTEGER) AS session_id
+      FROM w2)
+    SELECT w3.conv_id, w3.turn_idx, w3.role, w3.text, w3.tool, w3.ts,
+           text_len,
+           CASE WHEN prev_ts_us IS NULL THEN NULL
+                ELSE (w3.ts_us - prev_ts_us) / 1000000.0
+           END AS time_since_prev_s,
+           is_new_session, session_id,
+           CAST(row_number() OVER (PARTITION BY w3.conv_id, session_id
+                                   ORDER BY w3.turn_idx, w3.ts) - 1
+                AS INTEGER) AS pos_in_session,
+           prev_role, next_role, prev_text_len, tool_ffill,
+           a.tool AS last_tool, a.ts AS last_tool_ts,
+           CASE WHEN a.ts IS NULL THEN NULL
+                ELSE (w3.ts_us - a.ts_us) / 1000000.0
+           END AS time_since_tool_s
+    FROM w3
+    LEFT JOIN LATERAL (
+      SELECT r.tool, r.ts, r.ts_us
+      FROM ok r
+      WHERE r.conv_id = w3.conv_id AND r.tool IS NOT NULL
+        AND r.ts_us < w3.ts_us
+      ORDER BY r.ts_us DESC, r.turn_idx DESC LIMIT 1) a ON TRUE
+    ORDER BY conv_id, turn_idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from trafaret_ray.pipelines.queries import ORACLE_SQL
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    out['flagship_transcript_features'] = _flagship_oracle_sql()
+    return out

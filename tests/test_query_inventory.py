@@ -14,7 +14,6 @@ import __ray_entry__ as entry
 ROWS_ONLY = {
     'q_media_embed',             # binary image codec, no SQL oracle
     'q_audio_energy',            # binary audio codec, no SQL oracle
-    'flagship_transcript_features',  # transcripts input, not TPC-H-ish
 }
 
 
