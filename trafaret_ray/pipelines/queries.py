@@ -1304,8 +1304,11 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
     changes nothing. Unlike the min-label CC unrolls (which pointer-
     jump to logarithmic convergence), peel depth is inherently
     sequential — 40 rounds is a ~4x margin over the measured 9-11 at
-    sf scale; a corpus whose peel runs deeper than 40 layers would
-    need the unroll raised (data-dependent bound, documented)."""
+    sf scale. A corpus whose peel runs deeper than the unroll fails
+    LOUDLY, not as an opaque byte mismatch: the final select rides a
+    depth sentinel comparing the last two rounds' edge counts and
+    calls error() on inequality (fixpoint not reached -> raise
+    ``rounds``)."""
     parts = ["""
     WITH e0 AS MATERIALIZED (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -1327,10 +1330,17 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
       SELECT a, b FROM e{r - 1}
       WHERE a IN (SELECT node FROM n{r})
         AND b IN (SELECT node FROM n{r}))""")
-    parts.append(f"""
+    parts.append(f""",
+    chk AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT count(*) FROM e{rounds - 1})
+                       <> (SELECT count(*) FROM e{rounds})
+                  THEN error('kcore oracle: peel depth exceeds the '
+                             || '{rounds}-round unroll — raise rounds')
+                  ELSE 0 END AS ok)
     SELECT node, count(*)::BIGINT AS deg FROM (
       SELECT a AS node FROM e{rounds}
-      UNION ALL SELECT b FROM e{rounds})
+      UNION ALL SELECT b FROM e{rounds}) CROSS JOIN chk
+    WHERE chk.ok = 0
     GROUP BY node ORDER BY node""")
     return ''.join(parts)
 
