@@ -10,11 +10,11 @@ rows-only check without anyone deciding that.
 import __ray_entry__ as entry
 
 # every entry here is rows-only BY DESIGN — adding to this list is a
-# decision (document why in the query docstring), not a default
-ROWS_ONLY = {
-    'q_media_embed',             # binary image codec, no SQL oracle
-    'q_audio_energy',            # binary audio codec, no SQL oracle
-}
+# decision (document why in the query docstring), not a default.
+# EMPTY as of r5: every query, the binary-codec ones included, carries
+# a byte-parity DuckDB oracle (the codec oracles decode hex(payload)
+# in SQL and mirror each defined IEEE rounding).
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_declared_rows_only():

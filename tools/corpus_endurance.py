@@ -154,11 +154,17 @@ def main():
     out['minhash_dedup_docs_per_sec'] = int(n_docs / dt)
     out['n_clustered_docs'] = n_clustered
 
-    # full curation composition (normalize -> gates -> exact -> near)
+    # full curation composition (normalize -> gates -> exact -> near);
+    # GRAFT_CURATE_HASH_MODE=duckdb probes the ORACLE-CHECKED config
+    # (DuckDB-parity murmur chains) — the r4 1M-doc A/B showed it costs
+    # nothing; the r5 4M record runs it as the config of record
     from trafaret_ray.pipelines.curation import curate_documents
+    hm = os.environ.get('GRAFT_CURATE_HASH_MODE', 'pandas')
     t0 = time.time()
-    n_curated = curate_documents(read(), num_buckets=nb).count()
+    n_curated = curate_documents(read(), num_buckets=nb,
+                                 hash_mode=hm).count()
     dt = time.time() - t0
+    out['curate_hash_mode'] = hm
     out['curate_sec'] = round(dt, 2)
     out['curate_docs_per_sec'] = int(n_docs / dt)
     out['n_curated'] = n_curated

@@ -5384,39 +5384,70 @@ ORACLE_SQL['q_tfidf_docs'] = """
     ORDER BY doc_id, tok
 """
 
+_MEDIA_PQ = '/tmp/trafaret_media_v1.parquet'
+_MEDIA_MAX = 2048
+
+
+def _ensure_media_parquet() -> str:
+    """Deterministic seeded 24x24 P6-PPM payload table (2048 images)
+    persisted once for both engines (prefix-stable draws — see
+    _ensure_audio_parquet)."""
+    import os
+    if not os.path.exists(_MEDIA_PQ):
+        import pyarrow.parquet as _pq
+        from ..stages.multimodal import encode_ppm
+        rng = np.random.default_rng(123)
+        payloads = [encode_ppm(rng.integers(0, 256, (24, 24, 3),
+                                            dtype=np.uint8))
+                    for _ in range(_MEDIA_MAX)]
+        tbl = pa.table({
+            'media_id': pa.array(np.arange(_MEDIA_MAX, dtype=np.int64)),
+            'payload': pa.array(payloads, type=pa.binary())})
+        tmp = f'{_MEDIA_PQ}.tmp-{os.getpid()}'
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, _MEDIA_PQ)
+    return _MEDIA_PQ
+
+
 def q_media_embed(sf_dir: str):
-    """Multimodal image path end-to-end over REAL binary payloads: a
-    deterministic seeded PPM corpus (size scales with the sf documents
-    count — no external data) streams through the two actor-pool stages
-    DecodeImage -> ImageEmbed (real P6 decode + nearest resize, model
-    'load' once per actor) and reduces each embedding to scalar
-    features. Rows-only by design: binary codecs are not
-    SQL-expressible; determinism is pinned by the seed."""
+    """Multimodal image path end-to-end over REAL binary payloads: the
+    persisted seeded PPM corpus streams through the two actor-pool
+    stages DecodeImage -> ImageEmbed (real P6 decode + nearest resize,
+    model 'load' once per actor) and reduces each embedding to scalar
+    features. ORACLE-able as of r5: every arithmetic step is either
+    exact (uint8 pools stay below 2^24 in f32; /1024 is a power of
+    two) or a single defined IEEE rounding (the explicit 3-step f32
+    projection in ImageEmbed; sequential f64 chains here), and the
+    oracle recomputes the whole path from hex(payload) — P6 raster at
+    byte offset 13, the (o*24)//32 nearest maps, the inlined 3x64
+    projection constants, and the same parenthesized chains."""
     import ray.data as rd
     import pyarrow.parquet as _pq
-    from ..stages.multimodal import encode_ppm, decode_pipeline
+    from ..stages.multimodal import decode_pipeline
     n = min(int(_pq.read_metadata(
-        f'{sf_dir}/documents.parquet').num_rows), 2048)
-    rng = np.random.default_rng(123)
-    payloads = [encode_ppm(rng.integers(0, 256, (24, 24, 3),
-                                        dtype=np.uint8))
-                for _ in range(n)]
-    tbl = pa.table({'media_id': pa.array(np.arange(n, dtype=np.int64)),
-                    'payload': pa.array(payloads, type=pa.binary())})
-    emb = decode_pipeline(rd.from_arrow(tbl), concurrency=2,
-                          batch_size=128)
+        f'{sf_dir}/documents.parquet').num_rows), _MEDIA_MAX)
+    path = _ensure_media_parquet()
+    ds = rd.read_parquet(path, override_num_blocks=4)\
+        .filter(expr=f'media_id < {n}')
+    emb = decode_pipeline(ds, concurrency=2, batch_size=128)
 
     def feats(t: pa.Table) -> pa.Table:
         la = t.column('embedding').combine_chunks()
         m = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                        dtype=np.float64).reshape(len(la), -1)
+        sq = m[:, 0] * m[:, 0]
+        acc = m[:, 0].copy()
+        for j in range(1, m.shape[1]):
+            sq = sq + m[:, j] * m[:, j]
+            acc = acc + m[:, j]
         return pa.table({
             'media_id': t.column('media_id'),
             'dim': pa.array(np.full(len(la), m.shape[1],
                                     dtype=np.int64)),
-            'norm': pa.array(np.round(np.sqrt((m ** 2).sum(axis=1)),
-                                      6)),
-            'mean': pa.array(np.round(m.mean(axis=1), 6)),
+            'norm': pa.array(
+                np.floor(np.sqrt(sq) * 1e6 + 0.5) / 1e6),
+            'mean': pa.array(
+                np.floor(acc / m.shape[1] * 1e6 + 0.5) / 1e6),
         })
 
     return emb.map_batches(feats, batch_format='pyarrow')\
@@ -5426,37 +5457,137 @@ def q_media_embed(sf_dir: str):
 QUERIES['q_media_embed'] = q_media_embed
 
 
+def _media_oracle() -> str:
+    """hex(payload)-driven SQL twin of the image pipeline. The 3x64
+    f32 projection matrix (ImageEmbed seed 11) is inlined as exact
+    shortest-roundtrip double literals; every f32 op is mirrored as an
+    exact double op + CAST AS FLOAT (double products/sums of f32
+    inputs are exact at <= 48 significant bits, so the single cast IS
+    the f32 rounding)."""
+    path = _ensure_media_parquet()
+    rng = np.random.default_rng(11)
+    proj = rng.standard_normal((3, 64)).astype(np.float32)
+    e_exprs = []
+    for d in range(64):
+        m0, m1, m2 = (repr(float(proj[c, d])) for c in range(3))
+        # f32 products, f64 sums, one trailing f32 cast — mirrors
+        # ImageEmbed's op sequence; native FLOAT addition is avoided
+        # on BOTH engines (double-rounding ties differ between
+        # implementations)
+        e_exprs.append(
+            f"CAST((CAST(CAST(p0 * {m0} AS FLOAT) AS DOUBLE) + "
+            f"CAST(CAST(p1 * {m1} AS FLOAT) AS DOUBLE)) + "
+            f"CAST(CAST(p2 * {m2} AS FLOAT) AS DOUBLE) "
+            f"AS FLOAT) AS e{d}")
+    sq_chain = 'CAST(e0 AS DOUBLE) * e0'
+    acc_chain = 'CAST(e0 AS DOUBLE)'
+    for d in range(1, 64):
+        sq_chain = f'({sq_chain} + CAST(e{d} AS DOUBLE) * e{d})'
+        acc_chain = f'({acc_chain} + e{d})'
+    return f"""
+    WITH clips AS MATERIALIZED (
+      SELECT media_id, hex(payload) AS hx
+      FROM read_parquet('{path}')
+      WHERE media_id < least((SELECT count(*) FROM documents), 2048)),
+    -- resized pixel (oy, ox) reads source ((oy*24)//32, (ox*24)//32);
+    -- raster bytes start at offset 13 ('P6\\n24 24\\n255\\n')
+    px AS (
+      SELECT media_id, oy.range AS oy, ox.range AS ox,
+             13 + 3 * (24 * ((oy.range * 24) // 32)
+                       + ((ox.range * 24) // 32)) AS base
+      FROM clips CROSS JOIN range(32) oy CROSS JOIN range(32) ox),
+    sums AS MATERIALIZED (
+      SELECT p.media_id,
+             sum(CAST('0x' || substr(c.hx, 2 * p.base + 1, 2)
+                      AS BIGINT)) AS s0,
+             sum(CAST('0x' || substr(c.hx, 2 * (p.base + 1) + 1, 2)
+                      AS BIGINT)) AS s1,
+             sum(CAST('0x' || substr(c.hx, 2 * (p.base + 2) + 1, 2)
+                      AS BIGINT)) AS s2
+      FROM px p JOIN clips c ON c.media_id = p.media_id
+      GROUP BY p.media_id),
+    pooled AS MATERIALIZED (
+      SELECT media_id, s0 / 1024.0 AS p0, s1 / 1024.0 AS p1,
+             s2 / 1024.0 AS p2
+      FROM sums),
+    emb AS MATERIALIZED (
+      SELECT media_id, {', '.join(e_exprs)} FROM pooled)
+    SELECT media_id, CAST(64 AS BIGINT) AS dim,
+           floor(sqrt({sq_chain}) * 1e6 + 0.5) / 1e6 AS norm,
+           floor({acc_chain} / 64.0 * 1e6 + 0.5) / 1e6 AS mean
+    FROM emb ORDER BY media_id
+"""
+
+
+ORACLE_SQL['q_media_embed'] = _media_oracle()
+
+
+_AUDIO_PQ = '/tmp/trafaret_audio_v1.parquet'
+_AUDIO_MAX = 2048
+
+
+def _ensure_audio_parquet() -> str:
+    """Deterministic seeded PCM-WAV payload table (2048 clips, 1600
+    samples each) persisted once — both engines read it, which is what
+    makes the audio codec path byte-checkable (the rng draw sequence
+    is per-iteration, so any n-prefix equals an n-clip generation)."""
+    import os
+    if not os.path.exists(_AUDIO_PQ):
+        import pyarrow.parquet as _pq
+        from ..stages.multimodal import encode_wav
+        rng = np.random.default_rng(321)
+        t_ax = np.arange(1600, dtype=np.float64) / 16000.0
+        payloads = []
+        for _ in range(_AUDIO_MAX):
+            freq = 100.0 + float(rng.integers(0, 400))
+            amp = 0.1 + 0.8 * float(rng.random())
+            payloads.append(encode_wav(amp * np.sin(
+                2 * np.pi * freq * t_ax)))
+        tbl = pa.table({
+            'media_id': pa.array(np.arange(_AUDIO_MAX, dtype=np.int64)),
+            'payload': pa.array(payloads, type=pa.binary())})
+        tmp = f'{_AUDIO_PQ}.tmp-{os.getpid()}'
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, _AUDIO_PQ)
+    return _AUDIO_PQ
+
+
 def q_audio_energy(sf_dir: str):
     """Multimodal audio path: deterministic seeded PCM-WAV payloads
-    (real stdlib WAV encode/decode) -> AudioFeatures actor stage
-    (windowed RMS) -> per-clip scalar features. Rows-only by design
-    (binary codec), seed-pinned deterministic."""
+    (real stdlib WAV encode/decode, persisted parquet) -> AudioFeatures
+    actor stage (windowed RMS) -> per-clip scalar features. ORACLE-able
+    as of r5: the PCM16 RMS is sqrt(int64-sum-of-squares / n) / 32768 —
+    exact-input IEEE ops the oracle recomputes from hex(payload) (raw
+    little-endian int16s at byte offset 44), and the window mean uses
+    an EXPLICIT sequential add chain mirrored verbatim in SQL (numpy's
+    pairwise mean is order-dependent; a spelled-out chain is not)."""
     import ray.data as rd
     import pyarrow.parquet as _pq
-    from ..stages.multimodal import encode_wav, AudioFeatures
+    from ..stages.multimodal import AudioFeatures
     n = min(int(_pq.read_metadata(
-        f'{sf_dir}/documents.parquet').num_rows), 2048)
-    rng = np.random.default_rng(321)
-    t_ax = np.arange(1600, dtype=np.float64) / 16000.0
-    payloads = []
-    for i in range(n):
-        freq = 100.0 + float(rng.integers(0, 400))
-        amp = 0.1 + 0.8 * float(rng.random())
-        payloads.append(encode_wav(amp * np.sin(2 * np.pi * freq * t_ax)))
-    tbl = pa.table({'media_id': pa.array(np.arange(n, dtype=np.int64)),
-                    'payload': pa.array(payloads, type=pa.binary())})
-    feats = rd.from_arrow(tbl).map_batches(
+        f'{sf_dir}/documents.parquet').num_rows), _AUDIO_MAX)
+    path = _ensure_audio_parquet()
+    ds = rd.read_parquet(path, override_num_blocks=4)\
+        .filter(expr=f'media_id < {n}')
+    # 0.5-CPU actors: the pool must leave CPUs for the parquet read
+    # tasks or a small (4-CPU) session deadlocks
+    feats = ds.map_batches(
         AudioFeatures, batch_format='pyarrow', batch_size=256,
-        concurrency=2, num_cpus=1)
+        concurrency=2, num_cpus=0.5)
 
     def reduce_(t: pa.Table) -> pa.Table:
         la = t.column('energies').combine_chunks()
         m = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                        dtype=np.float64).reshape(len(la), -1)
+        acc = m[:, 0].copy()
+        for j in range(1, m.shape[1]):
+            acc = acc + m[:, j]
         return pa.table({
             'media_id': t.column('media_id'),
-            'rms_mean': pa.array(np.round(m.mean(axis=1), 6)),
-            'rms_peak': pa.array(np.round(m.max(axis=1), 6)),
+            'rms_mean': pa.array(
+                np.floor(acc / m.shape[1] * 1e6 + 0.5) / 1e6),
+            'rms_peak': pa.array(
+                np.floor(m.max(axis=1) * 1e6 + 0.5) / 1e6),
         })
 
     return feats.map_batches(reduce_, batch_format='pyarrow')\
@@ -5464,6 +5595,49 @@ def q_audio_energy(sf_dir: str):
 
 
 QUERIES['q_audio_energy'] = q_audio_energy
+
+
+def _audio_oracle() -> str:
+    path = _ensure_audio_parquet()
+    # ::DOUBLE: the engine's window-mean chain is f64 over f32-valued
+    # inputs; DuckDB FLOAT + FLOAT would stay f32 and diverge
+    wcols = ', '.join(
+        f'CAST(max(CASE WHEN w = {j} THEN rms END) AS DOUBLE) AS w{j}'
+        for j in range(16))
+    chain = 'w0'
+    for j in range(1, 16):
+        chain = f'({chain} + w{j})'
+    gl = ', '.join(f'w{j}' for j in range(16))
+    return f"""
+    WITH clips AS MATERIALIZED (
+      SELECT media_id, hex(payload) AS hx
+      FROM read_parquet('{path}')
+      WHERE media_id < least((SELECT count(*) FROM documents), 2048)),
+    samp AS (
+      SELECT media_id, k.range AS k,
+             CAST('0x' || substr(hx, 2 * (45 + 2 * k.range) + 1, 2)
+                       || substr(hx, 2 * (44 + 2 * k.range) + 1, 2)
+                  AS INTEGER) AS raw
+      FROM clips CROSS JOIN range(1600) k),
+    wr AS MATERIALIZED (
+      SELECT media_id, k // 100 AS w,
+             CAST(sqrt(sum(CAST(CASE WHEN raw >= 32768
+                                     THEN raw - 65536 ELSE raw END
+                                AS BIGINT)
+                           * CASE WHEN raw >= 32768
+                                  THEN raw - 65536 ELSE raw END)
+                       / 100.0) / 32768.0 AS FLOAT) AS rms
+      FROM samp GROUP BY media_id, k // 100),
+    piv AS MATERIALIZED (
+      SELECT media_id, {wcols} FROM wr GROUP BY media_id)
+    SELECT media_id,
+           floor({chain} / 16.0 * 1e6 + 0.5) / 1e6 AS rms_mean,
+           floor(greatest({gl}) * 1e6 + 0.5) / 1e6 AS rms_peak
+    FROM piv ORDER BY media_id
+"""
+
+
+ORACLE_SQL['q_audio_energy'] = _audio_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -234,20 +234,61 @@ class ImageEmbed:
         n = len(la)
         flat = np.asarray(la.flatten().to_numpy(zero_copy_only=False),
                           dtype=np.float32).reshape(n, -1, 3)
+        # pooled is EXACT: uint8 sums stay < 2^24 so f32 accumulation
+        # cannot round regardless of order, and /npix (a power of two
+        # here) is exact too
         pooled = flat.mean(axis=1)          # (n, 3)
-        emb = pooled @ self.proj            # (n, dim)
+        # explicit projection instead of `pooled @ proj`: BLAS sgemm
+        # may contract with FMA (different rounding). Three f32
+        # products (one defined rounding each), two f64 sums, ONE
+        # final f32 cast — no native f32 additions anywhere, because
+        # f32-add implementations legitimately differ in
+        # double-rounding ties (numpy single-rounds; engines that
+        # compute via double then narrow do not). The q_media_embed
+        # SQL oracle mirrors this op sequence verbatim.
+        t0 = pooled[:, 0:1] * self.proj[0]
+        t1 = pooled[:, 1:2] * self.proj[1]
+        t2 = pooled[:, 2:3] * self.proj[2]
+        emb64 = t0.astype(np.float64) + t1
+        emb64 = emb64 + t2
+        emb = emb64.astype(np.float32)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(emb.reshape(-1), type=pa.float32()), emb.shape[1])
         return pa.table({'media_id': tbl.column('media_id'),
                          'embedding': col})
 
 
+def decode_wav_pcm16_mono(payload: bytes):
+    """PCM16 MONO WAV -> raw int16 samples (None for anything else) —
+    the EXACT-arithmetic fast path: keeping samples integral lets the
+    RMS ride an int64 sum of squares, so every downstream float op has
+    an exact input and the result is order-independent bit-for-bit
+    (and SQL-recomputable — the q_audio_energy oracle)."""
+    import io
+    import wave
+    if payload[:4] != b'RIFF':
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), 'rb') as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                return None
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    return np.frombuffer(frames, dtype='<i2')
+
+
 class AudioFeatures:
     """Actor stage: audio payload -> windowed RMS energies.
 
-    REAL PCM-WAV decode via the stdlib (decode_wav_payload); non-WAV
-    payloads fall back to the byte-window RMS stub (a real path for
-    compressed codecs would be soundfile/librosa, absent here)."""
+    REAL PCM-WAV decode via the stdlib; PCM16-mono clips take the
+    EXACT path — per window, rms = sqrt(sum(s^2) / n) / 32768 with the
+    sum in int64, a chain of exact-input IEEE ops whose f32 result is
+    bit-reproducible in any summation order (this is what makes
+    q_audio_energy byte-checkable against a SQL oracle). Other widths
+    / channel counts use the float decode; non-WAV payloads fall back
+    to the byte-window RMS stub (a real path for compressed codecs
+    would be soundfile/librosa, absent here)."""
 
     def __init__(self, n_windows: int = 16):
         self.n_windows = n_windows
@@ -261,6 +302,14 @@ class AudioFeatures:
         payloads = tbl.column('payload').to_pylist()
         feats = np.empty((len(payloads), self.n_windows), dtype=np.float32)
         for i, p in enumerate(payloads):
+            s = decode_wav_pcm16_mono(p)
+            if s is not None:
+                m = max(1, len(s) // self.n_windows)
+                win = np.resize(s.astype(np.int64),
+                                (self.n_windows, m))
+                sumsq = (win * win).sum(axis=1)
+                feats[i] = np.sqrt(sumsq / m) / 32768.0
+                continue
             dec = decode_wav_payload(p)
             if dec is not None:
                 a, _rate = dec
@@ -299,12 +348,18 @@ class FrameSample:
         })
 
 
-def decode_pipeline(ds, concurrency: int = 4, batch_size: int = 64):
+def decode_pipeline(ds, concurrency: int = 4, batch_size: int = 64,
+                    num_cpus: float = 0.5):
     """images: payload -> pixels -> embeddings, as two actor-pool stages
-    (setup per actor, work per batch)."""
+    (setup per actor, work per batch). ``num_cpus`` defaults to 0.5 so
+    the two pools together reserve ``concurrency`` CPUs, leaving
+    headroom for the upstream read tasks — at concurrency=2 under a
+    4-CPU test session, four 1-CPU actors would starve the read into a
+    deadlock."""
     decoded = ds.map_batches(DecodeImage, batch_format='pyarrow',
                              batch_size=batch_size,
-                             concurrency=concurrency, num_cpus=1)
+                             concurrency=concurrency, num_cpus=num_cpus)
     return decoded.map_batches(ImageEmbed, batch_format='pyarrow',
                                batch_size=batch_size,
-                               concurrency=concurrency, num_cpus=1)
+                               concurrency=concurrency,
+                               num_cpus=num_cpus)
