@@ -1289,13 +1289,19 @@ def q_kcore_embeddings(sf_dir: str):
     data's peel depth (measured 9-11 at sf scale; 40 unrolled).
     Brute-force parity + local==distributed parity stay pinned in
     tests/test_graph.py."""
+    import ray.data as rd
     from ..stages.graph import k_core
     edges = _cosine_edge_ds(sf_dir)
-    return k_core(edges, k=3, num_buckets=8,
-                  edges_schema=_EDGE_SCHEMA).sort('node')
+    out = k_core(edges, k=3, num_buckets=8,
+                 edges_schema=_EDGE_SCHEMA).sort('node')
+    # an EMPTY k-core (the stacked null-graph fixture peels to
+    # nothing) loses its schema through the sort — re-pin it; the
+    # appended 0-row block cannot perturb the sorted order
+    return out.union(rd.from_arrow(pa.schema(
+        [('node', pa.int64()), ('deg', pa.int64())]).empty_table()))
 
 
-def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
+def _kcore_oracle_sql(k: int = 3, rounds: int = 60) -> str:
     """SQL twin of k_core over the q_cosine_pairs edge set: ``rounds``
     unrolled peel rounds (degree count -> >= k survivors -> edge
     semi-join), each MATERIALIZED (CLAUDE.md: DuckDB inlines plain
@@ -1303,12 +1309,16 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
     is idempotent at fixpoint, so overshooting the data's true depth
     changes nothing. Unlike the min-label CC unrolls (which pointer-
     jump to logarithmic convergence), peel depth is inherently
-    sequential — 40 rounds is a ~4x margin over the measured 9-11 at
-    sf scale. A corpus whose peel runs deeper than the unroll fails
-    LOUDLY, not as an opaque byte mismatch: the final select rides a
-    depth sentinel comparing the last two rounds' edge counts and
-    calls error() on inequality (fixpoint not reached -> raise
-    ``rounds``)."""
+    sequential — 60 rounds covers the measured 9-11 at pristine sf
+    scale AND the 48-deep peel the stacked null-graph fixture produces
+    (10%-null embeddings thin the graph into long degree-3 chains that
+    peel one layer per round; the r5 sentinel caught the old 40-round
+    unroll stopping short of that fixpoint). A
+    corpus whose peel runs deeper than the unroll fails LOUDLY, not as
+    an opaque byte mismatch: one EXTRA verification round runs past
+    ``rounds`` and a sentinel compares e{rounds} vs e{rounds+1} edge
+    counts, calling error() on inequality (answer still comes from
+    e{rounds}, so a peel converging at exactly ``rounds`` passes)."""
     parts = ["""
     WITH e0 AS MATERIALIZED (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -1319,7 +1329,7 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
         ON a.vec_id < b.vec_id
       WHERE cast(floor(list_cosine_similarity(a.emb, b.emb)
                        * 1e6 + 0.5) AS BIGINT) >= 300000)"""]
-    for r in range(1, rounds + 1):
+    for r in range(1, rounds + 2):   # +1 = sentinel round
         parts.append(f""",
     d{r} AS MATERIALIZED (
       SELECT node, count(*)::BIGINT AS deg FROM (
@@ -1332,8 +1342,8 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 40) -> str:
         AND b IN (SELECT node FROM n{r}))""")
     parts.append(f""",
     chk AS MATERIALIZED (
-      SELECT CASE WHEN (SELECT count(*) FROM e{rounds - 1})
-                       <> (SELECT count(*) FROM e{rounds})
+      SELECT CASE WHEN (SELECT count(*) FROM e{rounds})
+                       <> (SELECT count(*) FROM e{rounds + 1})
                   THEN error('kcore oracle: peel depth exceeds the '
                              || '{rounds}-round unroll — raise rounds')
                   ELSE 0 END AS ok)
@@ -3475,9 +3485,26 @@ def q_struct_payload_events(sf_dir: str):
             self.v = BatchValidator(contract)
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            k = pc.cast(pc.struct_field(
+            ks = pc.struct_field(
                 pc.extract_regex(tbl.column('props').combine_chunks(),
-                                 r'"k": (?P<k>-?\d+)'), 'k'), pa.int64())
+                                 r'"k": (?P<k>-?\d+)'), 'k')
+            # TRY_CAST mirror: a digit run past int64 must NULL like
+            # the oracle, not raise (pc.cast throws on overflow); the
+            # >=19-digit slice is rare, so only it pays the safe path
+            long = pc.fill_null(
+                pc.greater_equal(pc.utf8_length(ks), 19), False)
+            if pc.any(long).as_py():
+                vals = []
+                for s in ks.to_pylist():
+                    if s is None:
+                        vals.append(None)
+                        continue
+                    v = int(s)
+                    vals.append(v if -(1 << 63) <= v < (1 << 63)
+                                else None)
+                k = pa.array(vals, pa.int64())
+            else:
+                k = pc.cast(ks, pa.int64())
             payload = pa.StructArray.from_arrays(
                 [k, tbl.column('event_type').combine_chunks()],
                 names=['k', 'event_type'])
