@@ -242,6 +242,24 @@ class TestIncrementalExactDedup:
         df = g.to_pandas()
         assert list(df['conv_id']) == ['c-9']
 
+    def test_hash_mode_mismatch_raises(self, ray_session, tmp_path):
+        """Fingerprints from different hash families can never match —
+        state built in one mode must refuse an ingest in another
+        (silently merging would break all future dedup) while a
+        matching mode proceeds and dedups against prior state."""
+        import ray.data as rd
+        from trafaret_ray.stages.dedup import (
+            conversation_exact_dedup_incremental as incr)
+        state = str(tmp_path / 'state')
+        tbl = _transcripts(_base_convs())
+        incr(rd.from_arrow(tbl), state, hash_mode='duckdb')
+        with pytest.raises(ValueError, match='hash_mode'):
+            incr(rd.from_arrow(_transcripts(
+                {'c-9': [('user', 'x')]})), state)
+        g, info = incr(rd.from_arrow(_transcripts(
+            {'c-9': [('user', 'x')]})), state, hash_mode='duckdb')
+        assert info['version'] == 1
+
     def test_ingest_key_replay_raises(self, ray_session, tmp_path):
         """At-least-once redelivery: replaying a keyed shard must raise
         instead of double-summing fingerprints."""

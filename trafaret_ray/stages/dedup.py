@@ -2282,7 +2282,8 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
                                          role_col='role',
                                          text_col='text',
                                          num_buckets: int = 32,
-                                         ingest_key: str | None = None):
+                                         ingest_key: str | None = None,
+                                         hash_mode: str = 'pandas'):
     """Incremental exact conversation dedup against PERSISTED
     fingerprint state — the data-lake shape: each ingest dedups its new
     shard against everything ever ingested WITHOUT re-reading old text.
@@ -2325,7 +2326,8 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
     def partials(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return tag_schema.empty_table()
-        hp = _turn_content_hash(tbl, role_col, text_col, order_col)
+        hp = _turn_content_hash(tbl, role_col, text_col, order_col,
+                                hash_mode)
         conv = tbl.column(conv_col).cast(pa.string())\
             .to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(conv, sort=False)
@@ -2380,6 +2382,20 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
             f'conversation_exact_dedup_incremental: ingest_key '
             f'{ingest_key!r} was already applied to {state_dir!r} — '
             f'replaying a shard would double its fingerprints')
+    # hash-mode guard: fingerprints from different hash families can
+    # NEVER match — merging them silently breaks all future dedup for
+    # prior conversations, so the state remembers its mode and a
+    # mismatched ingest fails loudly (same discipline as the replay
+    # guard). Legacy manifests (no field) are 'pandas'.
+    state_mode = manifest.get('hash_mode', 'pandas')
+    if manifest['dir'] is not None and state_mode != hash_mode:
+        raise ValueError(
+            f'conversation_exact_dedup_incremental: state under '
+            f'{state_dir!r} was built with hash_mode={state_mode!r}; '
+            f'this ingest uses {hash_mode!r} — fingerprints would '
+            f'never match. Re-ingest from scratch or pass '
+            f'hash_mode={state_mode!r}')
+    manifest['hash_mode'] = hash_mode
 
     new_parts = new_ds.map_batches(partials, batch_format='pyarrow',
                                    zero_copy_batch=True)
@@ -2418,7 +2434,8 @@ def conversation_exact_dedup_incremental(new_ds, state_dir: str,
     man_tmp = man_path + '.tmp'
     with open(man_tmp, 'w') as f:
         json.dump({'version': version, 'dir': vname,
-                   'n_convs': n_convs, 'ingest_keys': keys},
+                   'n_convs': n_convs, 'ingest_keys': keys,
+                   'hash_mode': hash_mode},
                   f, indent=1, sort_keys=True)
     os.replace(man_tmp, man_path)
 
