@@ -73,7 +73,9 @@ def main():
     out['total_turns'] = total
 
     t0 = time.time()
-    ex = conversation_exact_dedup(ds, num_buckets=64).materialize()
+    hm = os.environ.get('GRAFT_CONV_HASH_MODE', 'pandas')
+    ex = conversation_exact_dedup(ds, num_buckets=64,
+                                  hash_mode=hm).materialize()
     out['exact_sec'] = round(time.time() - t0, 2)
     out['exact_turns_per_sec'] = int(total / out['exact_sec'])
     dup = ex.filter(
@@ -88,6 +90,7 @@ def main():
     kw = {}
     if os.environ.get('GRAFT_CONV_CARRIED_MAX'):
         kw['carried_sig_max'] = int(os.environ['GRAFT_CONV_CARRIED_MAX'])
+    kw['hash_mode'] = hm
     mh = conversation_minhash_dedup(ds, threshold=0.5,
                                     num_buckets=64, **kw).materialize()
     out['minhash_sec'] = round(time.time() - t0, 2)
